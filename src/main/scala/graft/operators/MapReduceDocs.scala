@@ -1,0 +1,331 @@
+package graft.operators
+
+import graft.{Fns, Op, Tables}
+import graft.Fns.{dec, decSql, sumMoney, sumMoneySql}
+import graft.functions.TextFns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's proactive map-reduce document pipeline, re-expressed
+  * as declarative Spark plans (SURVEY.md §2, "Map-reduce document
+  * pipeline" rows).
+  *
+  * Chunking mirrors `rechunk(ids, chunk_len)` (reference
+  * test_proactive.py:152-165): fixed-size token chunks, with a trailing
+  * chunk shorter than 0.3·chunk_len merged into its predecessor. We use
+  * chunk_len=20 (reference uses 100) because the synthetic docs average
+  * ~54 tokens; the rule is identical. The per-chunk LLM map
+  * (test_proactive.py:202) is re-expressed as a deterministic extractive
+  * transform; the ordered reduce mirrors test_proactive.py:336-385.
+  *
+  * Scale: chunking is NARROW — tokens are sliced from the doc's own
+  * array (no explode-then-regroup shuffle). The only shuffle in the
+  * whole pipeline is the final per-doc reduce, partitioned by doc_id.
+  */
+object MapReduceDocs {
+
+  val ChunkLen = 20
+  val MergeBelow = 6 // 0.3 * ChunkLen, the rechunk trailing-merge rule
+
+  /** doc_id, chunk_id, n_tokens, chunk_text — narrow, no shuffle. */
+  def chunked(docs: DataFrame): DataFrame = {
+    val n = size(col("toks"))
+    val base = ceil(n / lit(ChunkLen.toDouble)).cast("int")
+    docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .withColumn("n", n)
+      .withColumn("nchunks",
+        when(col("n") <= ChunkLen, 1)
+          .when(col("n") % ChunkLen > 0 && col("n") % ChunkLen < MergeBelow,
+            base - 1)
+          .otherwise(base))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0), col("nchunks") - 1)))
+      .withColumn("start", col("chunk_id") * ChunkLen)
+      .withColumn("chunk_len",
+        when(col("chunk_id") === col("nchunks") - 1, col("n") - col("start"))
+          .otherwise(lit(ChunkLen)))
+      .select(col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        col("chunk_len").cast("long").as("n_tokens"),
+        array_join(slice(col("toks"), col("start") + 1, col("chunk_len")), " ")
+          .as("chunk_text"))
+  }
+
+  /** Shared CTE prefix for chunk oracles (DuckDB). */
+  private val chunkCte = s"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    c AS (SELECT doc_id, toks, len(toks) AS n,
+      CASE WHEN len(toks) <= $ChunkLen THEN 1
+           WHEN (len(toks) % $ChunkLen) > 0 AND (len(toks) % $ChunkLen) < $MergeBelow
+             THEN CAST(ceil(len(toks)/$ChunkLen.0) AS INT) - 1
+           ELSE CAST(ceil(len(toks)/$ChunkLen.0) AS INT) END AS nchunks
+      FROM d),
+    chunks AS (
+      SELECT doc_id, CAST(u.chunk_id AS BIGINT) AS chunk_id,
+        CAST(CASE WHEN u.chunk_id = nchunks-1 THEN n - u.chunk_id*$ChunkLen
+                  ELSE $ChunkLen END AS BIGINT) AS n_tokens,
+        array_to_string(list_slice(toks, u.chunk_id*$ChunkLen + 1,
+          CASE WHEN u.chunk_id = nchunks-1 THEN n
+               ELSE u.chunk_id*$ChunkLen + $ChunkLen END), ' ') AS chunk_text
+      FROM c, UNNEST(generate_series(0, nchunks-1)) AS u(chunk_id))"""
+
+  /** Deterministic extractive per-chunk "map" (LLM stand-in): summary =
+    * first 5 tokens of the chunk.
+    */
+  def mapped(chunks: DataFrame): DataFrame =
+    chunks.withColumn("summary",
+      array_join(slice(TextFns.tokens(col("chunk_text")), 1, 5), " "))
+
+  private val mappedCte = chunkCte + s""",
+    mapped AS (
+      SELECT doc_id, chunk_id, n_tokens, chunk_text,
+        array_to_string(list_slice(string_split(chunk_text, ' '), 1, 5), ' ') AS summary
+      FROM chunks)"""
+
+  /** Ordered per-doc combine: the reduce side. One shuffle on doc_id. */
+  def reduced(mapped: DataFrame): DataFrame =
+    mapped.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens")).as("total_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("chunk_id"), col("summary")))),
+            x => x.getField("summary")),
+          " | ").as("final_summary"))
+
+  private val reducedSelect = s"""
+      SELECT doc_id, COUNT(*) AS n_chunks,
+        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        string_agg(summary, ' | ' ORDER BY chunk_id) AS final_summary
+      FROM mapped GROUP BY doc_id"""
+
+  private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
+
+  // ---- text_normalize ----
+  private val opNormalize = Op(
+    "text_normalize",
+    (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextFns.normalize(col("text")).as("norm_text"),
+        size(TextFns.tokens(TextFns.normalize(col("text")))).cast("long")
+          .as("n_tokens_norm")),
+    Some(s"""
+      SELECT doc_id, ${TextFns.normalizeSql("text")} AS norm_text,
+        CAST(len(string_split(${TextFns.normalizeSql("text")}, ' ')) AS BIGINT) AS n_tokens_norm
+      FROM documents"""))
+
+  // ---- mr_chunk ----
+  private val opChunk = Op(
+    "mr_chunk",
+    (s, dir) => chunked(docs(s, dir)),
+    Some(chunkCte + "\nSELECT doc_id, chunk_id, n_tokens, chunk_text FROM chunks"))
+
+  // ---- mr_map ----
+  private val opMap = Op(
+    "mr_map",
+    (s, dir) => mapped(chunked(docs(s, dir))),
+    Some(mappedCte + "\nSELECT doc_id, chunk_id, n_tokens, chunk_text, summary FROM mapped"))
+
+  // ---- mr_reduce ----
+  private val opReduce = Op(
+    "mr_reduce",
+    (s, dir) => reduced(mapped(chunked(docs(s, dir)))),
+    Some(mappedCte + reducedSelect))
+
+  // ---- mr_pipeline: end-to-end fused ----
+  private val opPipeline = Op(
+    "mr_pipeline",
+    (s, dir) => {
+      val out = reduced(mapped(chunked(docs(s, dir))))
+      out.select(col("doc_id"), col("n_chunks"), col("total_tokens"),
+        md5(col("final_summary")).as("summary_hash"))
+    },
+    Some(mappedCte + s""",
+      red AS ($reducedSelect)
+      SELECT doc_id, n_chunks, total_tokens, md5(final_summary) AS summary_hash
+      FROM red"""))
+
+  // ---- mr_e2e_model: proactive-overlap delay model ----
+  // Re-expresses the sequential recurrence of compute_scores.py:70-80
+  // as window lead + per-doc sums. Integer milli-units keep it exact:
+  // load = 10 ms/token (100 tok/s), compute = 4 ms/token.
+  private val opE2e = Op(
+    "mr_e2e_model",
+    (s, dir) => {
+      val ch = chunked(docs(s, dir))
+        .withColumn("load_ms", col("n_tokens") * 10L)
+        .withColumn("compute_ms", col("n_tokens") * 4L)
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("chunk_id"))
+      val step = when(lead(col("load_ms"), 1).over(w).isNull, col("compute_ms"))
+        .otherwise(greatest(lead(col("load_ms"), 1).over(w), col("compute_ms")))
+      ch.withColumn("step_ms", step)
+        .withColumn("first_load_ms",
+          when(col("chunk_id") === 0, col("load_ms")).otherwise(lit(0L)))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          (sum(col("load_ms")) + sum(col("compute_ms"))).as("baseline_ms"),
+          (sum(col("first_load_ms")) + sum(col("step_ms"))).as("proactive_ms"))
+        .select(col("doc_id"), col("n_chunks"), col("baseline_ms"),
+          col("proactive_ms"),
+          round(col("baseline_ms") / col("proactive_ms"), 6).as("speedup"))
+    },
+    Some(chunkCte + s""",
+      timed AS (
+        SELECT doc_id, chunk_id, n_tokens * 10 AS load_ms, n_tokens * 4 AS compute_ms,
+          LEAD(n_tokens * 10) OVER (PARTITION BY doc_id ORDER BY chunk_id) AS next_load_ms
+        FROM chunks)
+      SELECT doc_id, COUNT(*) AS n_chunks,
+        CAST(SUM(load_ms) + SUM(compute_ms) AS BIGINT) AS baseline_ms,
+        CAST(SUM(CASE WHEN chunk_id = 0 THEN load_ms ELSE 0 END)
+          + SUM(CASE WHEN next_load_ms IS NULL THEN compute_ms
+                     ELSE GREATEST(next_load_ms, compute_ms) END) AS BIGINT) AS proactive_ms,
+        ROUND((SUM(load_ms) + SUM(compute_ms))
+          / (SUM(CASE WHEN chunk_id = 0 THEN load_ms ELSE 0 END)
+             + SUM(CASE WHEN next_load_ms IS NULL THEN compute_ms
+                        ELSE GREATEST(next_load_ms, compute_ms) END)), 6) AS speedup
+      FROM timed GROUP BY doc_id"""))
+
+  /** Consecutive-doc pairing used by the scoring ops: prediction = doc
+    * text, ground truth = head of the next doc's text (deterministic,
+    * non-degenerate).
+    */
+  private def pairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val a = d.select(col("doc_id"), TextFns.normalize(col("text")).as("pred"))
+    val b = d.select((col("doc_id") - 1).as("doc_id"),
+      array_join(slice(TextFns.tokens(TextFns.normalize(col("text"))), 1, 2), " ")
+        .as("gt"))
+    a.join(b, "doc_id")
+  }
+
+  private def pairsCte = s"""
+    WITH pairs AS (
+      SELECT a.doc_id AS doc_id,
+        ${TextFns.normalizeSql("a.text")} AS pred,
+        array_to_string(list_slice(string_split(${TextFns.normalizeSql("b.text")}, ' '), 1, 2), ' ') AS gt
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1)"""
+
+  // ---- score_em_substr (test_proactive.py:79-83) ----
+  private val opEmSubstr = Op(
+    "score_em_substr",
+    (s, dir) =>
+      pairs(s, dir).select(
+        col("doc_id"),
+        when(col("pred") === col("gt"), 1L).otherwise(0L).as("em"),
+        when(col("pred").contains(col("gt")), 1L).otherwise(0L).as("substr_m")),
+    Some(pairsCte + """
+      SELECT doc_id,
+        CAST(CASE WHEN pred = gt THEN 1 ELSE 0 END AS BIGINT) AS em,
+        CAST(CASE WHEN contains(pred, gt) THEN 1 ELSE 0 END AS BIGINT) AS substr_m
+      FROM pairs"""))
+
+  // ---- score_f1: SQuAD-style token-overlap F1 (test_proactive.py:110) ----
+  private val opF1 = Op(
+    "score_f1",
+    (s, dir) => {
+      val p = pairs(s, dir)
+        .select(col("doc_id"), TextFns.tokens(col("pred")).as("pt"),
+          TextFns.tokens(col("gt")).as("gtt"))
+      val predCounts = p.select(col("doc_id"), explode(col("pt")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("cp"))
+      val goldCounts = p.select(col("doc_id"), explode(col("gtt")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("cg"))
+      val common = predCounts.join(goldCounts, Seq("doc_id", "tok"))
+        .groupBy("doc_id")
+        .agg(sum(least(col("cp"), col("cg"))).as("n_common"))
+      val sizes = p.select(col("doc_id"), size(col("pt")).cast("long").as("n_pred"),
+        size(col("gtt")).cast("long").as("n_gold"))
+      val j = sizes.join(common, Seq("doc_id"), "left")
+        .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      val prec = col("n_common") / col("n_pred")
+      val rec = col("n_common") / col("n_gold")
+      j.select(col("doc_id"), col("n_pred"), col("n_gold"), col("n_common"),
+        when(col("n_common") === 0, lit(0.0))
+          .otherwise(round(lit(2.0) * prec * rec / (prec + rec), 6)).as("f1"))
+    },
+    Some(pairsCte + """,
+      pt AS (SELECT doc_id, t AS tok, COUNT(*) AS cp
+             FROM pairs, UNNEST(string_split(pred, ' ')) AS u(t) GROUP BY 1, 2),
+      gt2 AS (SELECT doc_id, t AS tok, COUNT(*) AS cg
+              FROM pairs, UNNEST(string_split(gt, ' ')) AS u(t) GROUP BY 1, 2),
+      common AS (SELECT pt.doc_id, CAST(SUM(LEAST(pt.cp, gt2.cg)) AS BIGINT) AS n_common
+                 FROM pt JOIN gt2 ON pt.doc_id = gt2.doc_id AND pt.tok = gt2.tok
+                 GROUP BY 1),
+      sizes AS (SELECT doc_id,
+                  CAST(len(string_split(pred, ' ')) AS BIGINT) AS n_pred,
+                  CAST(len(string_split(gt, ' ')) AS BIGINT) AS n_gold
+                FROM pairs)
+      SELECT s.doc_id, s.n_pred, s.n_gold,
+        COALESCE(c.n_common, 0) AS n_common,
+        CASE WHEN COALESCE(c.n_common, 0) = 0 THEN 0.0
+             ELSE ROUND(2.0 * (c.n_common / s.n_pred) * (c.n_common / s.n_gold)
+                        / ((c.n_common / s.n_pred) + (c.n_common / s.n_gold)), 6)
+        END AS f1
+      FROM sizes s LEFT JOIN common c ON s.doc_id = c.doc_id"""))
+
+  // ---- score_stats: fleet-level stats (compute_scores.py:57-66) ----
+  private val opStats = Op(
+    "score_stats",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val sumV = sum(dec(col("value"))).cast("double")
+      val sumSq = sum(dec(col("value")) * dec(col("value"))).cast("double")
+      e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sumV.as("sum_value"),
+          round(sumV / count(lit(1)), 6).as("avg_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          round((sumSq - sumV * sumV / count(lit(1))) / count(lit(1)), 6)
+            .as("var_pop"))
+    },
+    Some(s"""
+      SELECT event_type, COUNT(*) AS n,
+        ${sumMoneySql("value")} AS sum_value,
+        ROUND(${sumMoneySql("value")} / COUNT(*), 6) AS avg_value,
+        MIN(value) AS min_value, MAX(value) AS max_value,
+        ROUND((CAST(SUM(${decSql("value")} * ${decSql("value")}) AS DOUBLE)
+               - ${sumMoneySql("value")} * ${sumMoneySql("value")} / COUNT(*))
+              / COUNT(*), 6) AS var_pop
+      FROM events GROUP BY event_type"""))
+
+  // ---- kv_cache_plan (kv_store/kv_loading_interface.py:28-53) ----
+  // Content-addressed placement + cheapest-available-tier cost model.
+  // Tier residency is a deterministic function of doc_id bucket; the
+  // per-tier time model (size/100, size/10, size/1) and the
+  // gpu→cpu→nfs preference order mirror get_predicted_loading_time.
+  private val opKv = Op(
+    "kv_cache_plan",
+    (s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("content_hash", md5(col("text")))
+        .withColumn("size_gb", col("n_chars") / 1000.0)
+        .withColumn("bucket", col("doc_id") % 100)
+      d.select(col("doc_id"), col("content_hash"),
+        round(col("size_gb"), 6).as("size_gb"),
+        when(col("bucket") < 10, "gpu")
+          .when(col("bucket") < 40, "cpu")
+          .otherwise("nfs").as("tier"),
+        round(
+          when(col("bucket") < 10, col("size_gb") / 100.0)
+            .when(col("bucket") < 40, col("size_gb") / 10.0)
+            .otherwise(col("size_gb")), 9).as("est_load_time"))
+    },
+    Some("""
+      SELECT doc_id, md5(text) AS content_hash,
+        ROUND(n_chars / 1000.0, 6) AS size_gb,
+        CASE WHEN doc_id % 100 < 10 THEN 'gpu'
+             WHEN doc_id % 100 < 40 THEN 'cpu'
+             ELSE 'nfs' END AS tier,
+        ROUND(CASE WHEN doc_id % 100 < 10 THEN (n_chars / 1000.0) / 100.0
+                   WHEN doc_id % 100 < 40 THEN (n_chars / 1000.0) / 10.0
+                   ELSE n_chars / 1000.0 END, 9) AS est_load_time
+      FROM documents"""))
+
+  val ops: Seq[Op] = Seq(opNormalize, opChunk, opMap, opReduce, opPipeline,
+    opE2e, opEmSubstr, opF1, opStats, opKv)
+}

@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.MapReduceDocs
+import org.apache.spark.sql.functions._
+
+class MapReduceDocsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(name: String) =
+    MapReduceDocs.ops.find(_.name == name).get.query(spark, sfDir)
+
+  test("every mr/score op executes and returns rows") {
+    MapReduceDocs.ops.foreach { op =>
+      assert(op.query(spark, sfDir).count() > 0, s"${op.name} empty")
+    }
+  }
+
+  test("mr_chunk: rechunk trailing-merge rule (reference test_proactive.py:152)") {
+    // hand fixture: 47 tokens with chunk_len=20 → 20 + 20 + 7 (7 >= 6 keeps 3 chunks)
+    // 44 tokens → 20 + 24 (trailing 4 < 6 merges into previous)
+    val mk = (n: Int, id: Long) => (id, (1 to n).map(i => s"t$i").mkString(" "))
+    val df = Seq(mk(47, 1L), mk(44, 2L), mk(12, 3L)).toDF("doc_id", "text")
+    val out = MapReduceDocs.chunked(df)
+      .groupBy("doc_id").agg(collect_list(struct($"chunk_id", $"n_tokens")).as("c"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => x.getLong(1)).sorted)
+      .toMap
+    assert(out(1L) == Seq(7L, 20L, 20L))
+    assert(out(2L) == Seq(20L, 24L))
+    assert(out(3L) == Seq(12L))
+  }
+
+  test("mr_chunk: chunks reassemble the original document") {
+    val docs = Tables(spark, sfDir, "documents")
+    val rejoined = MapReduceDocs.chunked(docs)
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct($"chunk_id", $"chunk_text"))),
+        x => x.getField("chunk_text")), " ").as("rebuilt"))
+    val bad = rejoined.join(docs, "doc_id")
+      .filter($"rebuilt" =!= $"text").count()
+    assert(bad == 0)
+  }
+
+  test("mr_chunk plan is narrow — no shuffle before the reduce") {
+    val plan = run("mr_chunk").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("mr_reduce: summaries ordered by chunk_id") {
+    val r = run("mr_reduce").filter($"n_chunks" >= 3).limit(5).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val parts = row.getAs[String]("final_summary").split(" \\| ")
+      assert(parts.length == row.getAs[Long]("n_chunks"))
+    }
+  }
+
+  test("mr_e2e_model: proactive never slower than fully-serial baseline") {
+    val bad = run("mr_e2e_model")
+      .filter($"proactive_ms" > $"baseline_ms").count()
+    assert(bad == 0)
+    // overlap should win on multi-chunk docs
+    val sped = run("mr_e2e_model")
+      .filter($"n_chunks" > 1 && $"speedup" > 1.0).count()
+    assert(sped > 0)
+  }
+
+  test("text_normalize mirrors reference normalize_text semantics") {
+    val out = Seq((1L, "The Big, fast-Cat! a an end"))
+      .toDF("doc_id", "text")
+      .select(functions.TextFns.normalize($"text")).head().getString(0)
+    assert(out == "big fastcat end")
+  }
+
+  test("score_f1 bounds and em implies substring") {
+    val f1 = run("score_f1")
+    assert(f1.filter($"f1" < 0 || $"f1" > 1).count() == 0)
+    val s = run("score_em_substr")
+    assert(s.filter($"em" === 1 && $"substr_m" === 0).count() == 0)
+  }
+
+  test("kv_cache_plan: gpu cheapest, nfs most expensive (tier cost model)") {
+    val rows = run("kv_cache_plan").collect()
+    rows.foreach { r =>
+      val t = r.getAs[String]("tier")
+      val est = r.getAs[Double]("est_load_time")
+      val size = r.getAs[Double]("size_gb")
+      if (t == "gpu") assert(est <= size / 10)
+      if (t == "nfs") assert(math.abs(est - size) < 1e-6)
+    }
+  }
+}
