@@ -7,7 +7,9 @@ object SparkEntry {
 
   /** All implemented inventory rows from SURVEY.md §2. */
   def allOps: Seq[Op] =
-    operators.Relational.ops ++ operators.MapReduceDocs.ops
+    operators.Relational.ops ++ operators.MapReduceDocs.ops ++
+      operators.TextAnalysis.ops ++ operators.Dedup.ops ++
+      operators.Similarity.ops ++ operators.Multimodal.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

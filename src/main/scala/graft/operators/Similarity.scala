@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors). Two paths per SURVEY.md §2:
+  *
+  *  - ann_cosine_topk: brute-force baseline. Queries are broadcast, the
+  *    candidate scan stays narrow; per-query top-k via window (the 100 TB
+  *    variant keeps per-partition heaps — see ann_ivf for the pruning
+  *    path). Dot products cast every float to double BEFORE multiplying
+  *    and accumulate left-to-right, matching the oracle bit-for-bit.
+  *  - ann_ivf: IVF-style pruning. Per-label centroids (a k-means
+  *    assignment step computed distributively), queries probe only their
+  *    nearest centroid's bucket — candidate volume drops by ~k×.
+  */
+object Similarity {
+
+  private val dotExpr =
+    "aggregate(zip_with(q_emb, c_emb, (x, y) -> cast(x AS double) * cast(y AS double)), 0D, (acc, x) -> acc + x)"
+  private val normExpr =
+    "sqrt(aggregate(embedding, 0D, (acc, x) -> acc + cast(x AS double) * cast(x AS double)))"
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings").withColumn("norm", expr(normExpr))
+
+  // ---- ann_cosine_topk ----
+  private val opBrute = Op(
+    "ann_cosine_topk",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("norm").as("q_norm"))
+      val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("c_id"))
+      c.join(broadcast(q), col("q_id") =!= col("c_id"))
+        .withColumn("cos",
+          round(expr(dotExpr) / (col("q_norm") * col("c_norm")), 6))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("c_id"), col("cos"), col("rk"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, embedding,
+          sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS norm
+        FROM embeddings),
+      q AS (SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm
+            FROM e WHERE vec_id < 10),
+      s AS (
+        SELECT q_id, e.vec_id AS c_id,
+          ROUND(list_sum([CAST(q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+                          for i in generate_series(1, len(q_emb))])
+                / (q_norm * e.norm), 6) AS cos
+        FROM q, e WHERE e.vec_id <> q_id),
+      r AS (SELECT q_id, c_id, cos,
+              CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rk
+            FROM s)
+      SELECT q_id, c_id, cos, rk FROM r WHERE rk <= 5"""))
+
+  // ---- ann_ivf ----
+  private val opIvf = Op(
+    "ann_ivf",
+    (s, dir) => {
+      val e = emb(s, dir)
+      // centroid per label: element-wise mean, computed distributively
+      val cent = e.select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg(avg(col("col")).as("v"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+        .select(col("label").as("cent_label"),
+          expr("transform(pv, x -> x.v)").as("cent_emb"))
+        .withColumn("cent_norm",
+          expr("sqrt(aggregate(cent_emb, 0D, (acc, x) -> acc + x * x))"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("norm").as("q_norm"))
+      // probe = nearest centroid by cosine (k centroids broadcast)
+      val probeW = Window.partitionBy(col("q_id"))
+        .orderBy(col("cent_cos").desc, col("cent_label"))
+      val probed = q.join(broadcast(cent))
+        .withColumn("cent_cos", expr(
+          "aggregate(zip_with(q_emb, cent_emb, (x, y) -> cast(x AS double) * y), 0D, (acc, x) -> acc + x)")
+          / (col("q_norm") * col("cent_norm")))
+        .withColumn("prk", row_number().over(probeW))
+        .filter(col("prk") === 1)
+        .select(col("q_id"), col("q_emb"), col("q_norm"),
+          col("cent_label").as("probed_label"))
+      // search ONLY the probed bucket
+      val c = e.select(col("vec_id").as("c_id"), col("label").as("c_label"),
+        col("embedding").as("c_emb"), col("norm").as("c_norm"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("c_id"))
+      c.join(broadcast(probed),
+          col("c_label") === col("probed_label") && col("q_id") =!= col("c_id"))
+        .withColumn("cos",
+          round(expr(dotExpr) / (col("q_norm") * col("c_norm")), 6))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("q_id"), col("probed_label").cast("long").as("probed_label"),
+          col("c_id"), col("cos"), col("rk"))
+    },
+    None)
+
+  val ops: Seq[Op] = Seq(opBrute, opIvf)
+}

@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import graft.functions.TextFns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for an LLM training-data pipeline
+  * (SURVEY.md §2 "LLM-scale data pipeline"). All are NARROW per-doc
+  * transforms — pure column expressions over the scan, no shuffle —
+  * so at 100 TB they stream through executors at scan speed.
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
+
+  private val stop = Map(
+    "en" -> Seq("the", "of", "and", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "zh" -> Seq("的", "是", "不", "了", "在"))
+
+  private def hitCount(lang: String): String = {
+    val lst = stop(lang).map(w => s"'$w'").mkString(", ")
+    s"CAST(len(list_filter(string_split(text, ' '), x -> x IN ($lst))) AS BIGINT)"
+  }
+
+  private def hitCountSpark(lang: String) = {
+    val set = stop(lang)
+    size(filter(TextFns.tokens(col("text")),
+      x => x.isin(set: _*))).cast("long")
+  }
+
+  // ---- lang_id: stopword-profile heuristic language ID ----
+  // Argmax over per-language stopword hit counts, fixed priority order
+  // en > de > fr > es > zh on ties (deterministic in both engines).
+  private val opLangId = Op(
+    "lang_id",
+    (s, dir) => {
+      val langs = Seq("en", "de", "fr", "es", "zh")
+      val withCounts = langs.foldLeft(docs(s, dir)) { (df, l) =>
+        df.withColumn(s"hits_$l", hitCountSpark(l))
+      }
+      val cols = langs.map(l => col(s"hits_$l"))
+      val pred = langs.init.zipWithIndex.foldLeft(when(lit(false), "")) {
+        case (acc, (l, i)) =>
+          val c = col(s"hits_$l")
+          acc.when(cols.drop(i + 1).map(o => c >= o).reduce(_ && _), l)
+      }.otherwise("zh")
+      withCounts.select(col("doc_id") +: pred.as("predicted_lang") +:
+        langs.map(l => col(s"hits_$l")): _*)
+    },
+    Some(s"""
+      WITH h AS (SELECT doc_id,
+        ${stop.keys.toSeq.sorted.map(l => s"${hitCount(l)} AS hits_$l").mkString(",\n        ")}
+      FROM documents)
+      SELECT doc_id,
+        CASE
+          WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es AND hits_en >= hits_zh THEN 'en'
+          WHEN hits_de >= hits_fr AND hits_de >= hits_es AND hits_de >= hits_zh THEN 'de'
+          WHEN hits_fr >= hits_es AND hits_fr >= hits_zh THEN 'fr'
+          WHEN hits_es >= hits_zh THEN 'es'
+          ELSE 'zh' END AS predicted_lang,
+        hits_en, hits_de, hits_fr, hits_es, hits_zh
+      FROM h"""))
+
+  // ---- text_quality: length/punct/stopword/repetition features ----
+  private val opQuality = Op(
+    "text_quality",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("toks", TextFns.tokens(col("text")))
+        .withColumn("n_toks", size(col("toks")).cast("long"))
+        .withColumn("len_c", length(col("text")).cast("long"))
+        .select(
+          col("doc_id"), col("len_c").as("n_chars_m"), col("n_toks"),
+          round(length(regexp_replace(col("text"), " ", "")).cast("double")
+            / col("n_toks"), 6).as("avg_token_len"),
+          round(regexp_count(col("text"), lit("[0-9]")).cast("double")
+            / col("len_c"), 6).as("digit_ratio"),
+          round(hitCountSpark("en").cast("double") / col("n_toks"), 6)
+            .as("stopword_ratio"),
+          round(size(array_distinct(col("toks"))).cast("double")
+            / col("n_toks"), 6).as("distinct_ratio")),
+    Some(s"""
+      SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS n_chars_m,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+          / len(string_split(text, ' ')), 6) AS avg_token_len,
+        ROUND(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+          / length(text), 6) AS digit_ratio,
+        ROUND(CAST(${hitCount("en")} AS DOUBLE)
+          / len(string_split(text, ' ')), 6) AS stopword_ratio,
+        ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+          / len(string_split(text, ' ')), 6) AS distinct_ratio
+      FROM documents"""))
+
+  // ---- token_count: whitespace + BPE-ish regex tokenization ----
+  private val opTokenCount = Op(
+    "token_count",
+    (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"))
+          .cast("long").as("bpe_ish_tokens"),
+        length(col("text")).cast("long").as("n_chars_m")),
+    Some("""
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]')) AS BIGINT) AS bpe_ish_tokens,
+        CAST(length(text) AS BIGINT) AS n_chars_m
+      FROM documents"""))
+
+  // ---- doc_fingerprint: Rabin-Karp-style window fingerprint ----
+  // min over md5 of every 4-token window (winnowing with w = whole doc):
+  // a content-defined fingerprint robust to doc reordering of windows.
+  private val opFingerprint = Op(
+    "doc_fingerprint",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("toks", TextFns.tokens(col("text")))
+        .withColumn("n", size(col("toks")))
+        .select(
+          col("doc_id"),
+          (greatest(col("n") - 4, lit(0)) + 1).cast("long").as("n_windows"),
+          array_min(expr(
+            "transform(sequence(0, greatest(n-4, 0)), i -> md5(array_join(slice(toks, i+1, 4), ' ')))"))
+            .as("fingerprint")),
+    Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        len(string_split(text, ' ')) AS n FROM documents)
+      SELECT doc_id,
+        CAST(greatest(n-4, 0) + 1 AS BIGINT) AS n_windows,
+        list_min([md5(array_to_string(list_slice(toks, i+1, i+4), ' '))
+                  for i in generate_series(0, greatest(n-4, 0))]) AS fingerprint
+      FROM d"""))
+
+  val ops: Seq[Op] = Seq(opLangId, opQuality, opTokenCount, opFingerprint)
+}

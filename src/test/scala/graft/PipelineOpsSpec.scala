@@ -1,0 +1,125 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val all = TextAnalysis.ops ++ Dedup.ops ++ Similarity.ops ++
+    Multimodal.ops
+
+  private def run(name: String) =
+    all.find(_.name == name).get.query(spark, sfDir)
+
+  test("every pipeline op executes and returns rows") {
+    all.foreach { op =>
+      assert(op.query(spark, sfDir).count() > 0, s"${op.name} empty")
+    }
+  }
+
+  test("dedup_exact: planted duplicates collapse to one keeper") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val out = Dedup.ops.head.query(spark, sfDir) // smoke on real data
+    assert(out.columns.sorted.sameElements(Array("content_hash", "keeper_id", "n_copies")))
+    val planted = df.groupBy(md5($"text").as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("keeper_id"))
+      .collect().map(r => r.getAs[Long]("n_copies") -> r.getAs[Long]("keeper_id"))
+      .sortBy(_._2)
+    assert(planted.head == (2L, 1L) && planted.last == (1L, 3L))
+  }
+
+  test("dedup_minhash: identical docs always collide; LSH narrows candidates") {
+    // two identical docs + one unrelated → the identical pair must share
+    // all 8 bands; the unrelated doc should not match all bands
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different words entirely unrelated content here now"))
+      .toDF("doc_id", "text")
+    val base = Dedup.withShingles(docs)
+      .withColumn("sig", expr(
+        "transform(sequence(0, 31), h -> array_min(transform(shingles, s2 -> xxhash64(cast(h AS string), s2))))"))
+    val sigs = base.select($"doc_id", $"sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L), "identical docs must have identical signatures")
+    assert(sigs(1L) != sigs(3L), "unrelated docs should differ")
+  }
+
+  test("dedup_simhash: near-identical docs land within hamming 8") {
+    val docs = Seq(
+      (1L, "spark query engine with fast columnar scans and hash joins"),
+      (2L, "spark query engine with fast columnar scans and hash joins today"),
+      (3L, "zebra yak xylophone wombat vulture unicorn tiger snake raven quail"))
+      .toDF("doc_id", "text")
+    val sim = docs
+      .withColumn("toks", functions.TextFns.tokens($"text"))
+      .withColumn("tok_hashes", expr("transform(toks, t -> xxhash64(t))"))
+      .withColumn("bits", expr(
+        """transform(sequence(0, 63), b ->
+             CASE WHEN size(filter(tok_hashes, h -> (shiftright(h, b) & 1) = 1)) * 2 > size(tok_hashes)
+                  THEN 1L ELSE 0L END)"""))
+      .withColumn("simhash", expr(
+        "aggregate(zip_with(bits, sequence(0, 63), (bit, i) -> shiftleft(bit, i)), 0L, (acc, x) -> acc | x)"))
+      .select($"doc_id", $"simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sim(1L), sim(2L)) <= 8, "near-dups should be close")
+    assert(hamming(sim(1L), sim(3L)) > 8, "unrelated docs should be far")
+  }
+
+  test("ngram_jaccard: identical→1, disjoint→0") {
+    val out = run("ngram_jaccard")
+    assert(out.filter($"jaccard" < 0 || $"jaccard" > 1).count() == 0)
+    assert(out.filter($"n_inter" > $"n_union").count() == 0)
+  }
+
+  test("ann_cosine_topk: 5 neighbors per query, descending cosine") {
+    val out = run("ann_cosine_topk").collect()
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 10)
+    byQ.foreach { case (_, rows) =>
+      assert(rows.length == 5)
+      val sorted = rows.sortBy(_.getAs[Long]("rk"))
+      val cosines = sorted.map(_.getAs[Double]("cos"))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+      assert(cosines.forall(c => c >= -1.0001 && c <= 1.0001))
+    }
+  }
+
+  test("ann_ivf: probes exactly one bucket; decent recall vs brute force") {
+    val ivf = run("ann_ivf")
+    assert(ivf.select("q_id", "probed_label").distinct().count() == 10)
+    val brute = run("ann_cosine_topk")
+      .select($"q_id", $"c_id").as[(Long, Long)].collect().toSet
+    val hits = ivf.select($"q_id", $"c_id").as[(Long, Long)].collect()
+      .count(brute.contains)
+    // 3 probed results per query vs global top-5: expect meaningful overlap
+    assert(hits > 0, "IVF found nothing from the brute-force top-5")
+  }
+
+  test("mm_meta: metadata is a pure function of payload; batches bounded") {
+    val out = run("mm_meta").collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("byte_len") > 0)
+      assert(r.getAs[Long]("width") == r.getAs[Long]("byte_len") % 640 + 1)
+      assert(r.getAs[Long]("batch_size") <= Multimodal.BatchSize)
+      assert(r.getAs[String]("magic").length == 8)
+    }
+  }
+
+  test("lang_id: deterministic argmax with fixed tie order") {
+    val out = run("lang_id")
+    assert(out.filter($"predicted_lang".isin("en", "de", "fr", "es", "zh")).count()
+      == out.count())
+  }
+
+  test("text_quality: ratios within [0,1], avg_token_len positive") {
+    val out = run("text_quality")
+    Seq("digit_ratio", "stopword_ratio", "distinct_ratio").foreach { c =>
+      assert(out.filter(col(c) < 0 || col(c) > 1).count() == 0, c)
+    }
+    assert(out.filter($"avg_token_len" <= 0).count() == 0)
+  }
+}
