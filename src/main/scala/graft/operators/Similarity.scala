@@ -31,17 +31,16 @@ object Similarity {
   private val opBrute = Op(
     "ann_cosine_topk",
     (s, dir) => {
-      val e = emb(s, dir)
+      graft.plans.GraftFunctions.register(s)
+      val e = Tables(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("norm").as("q_norm"))
-      val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-        col("norm").as("c_norm"))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("c_id"))
       c.join(broadcast(q), col("q_id") =!= col("c_id"))
-        .withColumn("cos",
-          round(expr(dotExpr) / (col("q_norm") * col("c_norm")), 6))
+        // native codegen expression — one fused pass (plans.CosineSimilarity)
+        .withColumn("cos", round(expr("graft_cosine(q_emb, c_emb)"), 6))
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 5)
         .select(col("q_id"), col("c_id"), col("cos"), col("rk"))
@@ -68,6 +67,7 @@ object Similarity {
   private val opIvf = Op(
     "ann_ivf",
     (s, dir) => {
+      graft.plans.GraftFunctions.register(s)
       val e = emb(s, dir)
       // centroid per label: element-wise mean, computed distributively
       val cent = e.select(col("label"), posexplode(col("embedding")))
@@ -100,8 +100,7 @@ object Similarity {
         .orderBy(col("cos").desc, col("c_id"))
       c.join(broadcast(probed),
           col("c_label") === col("probed_label") && col("q_id") =!= col("c_id"))
-        .withColumn("cos",
-          round(expr(dotExpr) / (col("q_norm") * col("c_norm")), 6))
+        .withColumn("cos", round(expr("graft_cosine(q_emb, c_emb)"), 6))
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 3)
         .select(col("q_id"), col("probed_label").cast("long").as("probed_label"),

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.Fns.dec
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch operators (SURVEY.md §2,
+  * "Streaming"). These take an unbounded DataFrame/Dataset (from
+  * `readStream` in production, MemoryStream in specs) and return the
+  * transformed stream — the Spark-native re-expression of the
+  * reference's producer/consumer pipelining
+  * (reference test_pipeline_stream.py, test_pipeline_thread.py):
+  * watermarks + incremental state replace manual queues/threads.
+  */
+object Streams {
+
+  /** stream_window — tumbling 1-day window agg with 1-hour watermark.
+    * Batch twin: q13_time_window.
+    */
+  def windowed(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(col("window.start").as("day"), col("event_type"), col("n"),
+        col("sum_value"))
+
+  /** stream_session — gap-based sessions via the built-in
+    * `session_window` (30-min gap). Batch twin: q14_sessionize.
+    */
+  def sessionized(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  // ---- stream_mr: incremental map-reduce over chunk streams ----
+
+  /** One mapped chunk arriving on the stream. `n_chunks_total` is known
+    * at chunking time (the reference knows its chunk count up front —
+    * test_proactive.py:207).
+    */
+  case class ChunkIn(doc_id: Long, chunk_id: Long, n_chunks_total: Int,
+      summary: String)
+
+  case class MrState(got: Map[Long, String])
+
+  case class DocOut(doc_id: Long, n_chunks: Long, final_summary: String)
+
+  /** stream_mr — the "proactive" reduce: per-doc state accumulates
+    * chunk summaries AS THEY ARRIVE (any order) and emits the ordered
+    * combine the moment the last chunk lands — no batch barrier, which
+    * is exactly the overlap the reference's pipeline buys
+    * (reference pipeline_70b_samsum.py).
+    */
+  def incrementalReduce(chunks: Dataset[ChunkIn]): Dataset[DocOut] = {
+    import chunks.sparkSession.implicits._
+    chunks
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState[MrState, DocOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (docId: Long, in: Iterator[ChunkIn], state: GroupState[MrState]) =>
+          val prev = state.getOption.getOrElse(MrState(Map.empty))
+          var got = prev.got
+          var total = -1
+          in.foreach { c =>
+            got += (c.chunk_id -> c.summary)
+            total = c.n_chunks_total
+          }
+          if (total > 0 && got.size >= total) {
+            state.remove()
+            val ordered = got.toSeq.sortBy(_._1).map(_._2).mkString(" | ")
+            Iterator.single(DocOut(docId, got.size.toLong, ordered))
+          } else {
+            state.update(MrState(got))
+            Iterator.empty
+          }
+      }
+  }
+}

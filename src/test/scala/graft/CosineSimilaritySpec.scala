@@ -1,0 +1,52 @@
+package graft
+
+import graft.plans.GraftFunctions
+import org.apache.spark.sql.functions._
+
+class CosineSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f), Array(1.0f, 0.0f, 0.0f)), // identical → 1
+    (2L, Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)), // orthogonal → 0
+    (3L, Array(1.0f, 2.0f, 3.0f), Array(-1.0f, -2.0f, -3.0f)) // opposite → -1
+  ).toDF("id", "a", "b")
+
+  test("native cosine matches closed-form values") {
+    GraftFunctions.register(spark)
+    val out = df.select($"id", expr("graft_cosine(a, b)").as("cos"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(1L) - 1.0) < 1e-12)
+    assert(math.abs(out(2L)) < 1e-12)
+    assert(math.abs(out(3L) + 1.0) < 1e-12)
+  }
+
+  test("native cosine is bit-identical to the HOF composition") {
+    GraftFunctions.register(spark)
+    val e = Tables(spark, sfDir, "embeddings").limit(100)
+    val a = e.select($"vec_id", $"embedding".as("q_emb"))
+    val b = e.select(($"vec_id" + 1).as("vec_id"), $"embedding".as("c_emb"))
+    val both = a.join(b, "vec_id")
+      .withColumn("native", expr("graft_cosine(q_emb, c_emb)"))
+      .withColumn("hof",
+        expr("aggregate(zip_with(q_emb, c_emb, (x, y) -> cast(x AS double) * cast(y AS double)), 0D, (acc, x) -> acc + x)")
+          / (expr("sqrt(aggregate(q_emb, 0D, (acc, x) -> acc + cast(x AS double) * cast(x AS double)))")
+            * expr("sqrt(aggregate(c_emb, 0D, (acc, x) -> acc + cast(x AS double) * cast(x AS double)))")))
+    assert(both.filter($"native" =!= $"hof").count() == 0)
+  }
+
+  test("null inputs yield null, and codegen path is exercised") {
+    GraftFunctions.register(spark)
+    val withNull = Seq((Some(Array(1.0f)), None: Option[Array[Float]]))
+      .toDF("a", "b")
+      .select(expr("graft_cosine(a, b)").as("cos"))
+    assert(withNull.head().isNullAt(0))
+    // whole-stage codegen spans the fused loop (parquet-backed scan;
+    // a local Seq relation would fold to LocalTableScan)
+    val plan = Tables(spark, sfDir, "embeddings")
+      .select(expr("graft_cosine(embedding, embedding)"))
+      .queryExecution.executedPlan.toString
+    // the "*(1)" prefix marks operators inside a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project [graft_cosine"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import graft.streaming.Streams
+import graft.streaming.Streams.{ChunkIn, DocOut}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("stream_window: tumbling day counts match the batch twin on the same rows") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val q = Streams.windowed(df).writeStream
+      .format("memory").queryName("win_out").outputMode("append").start()
+    in.addData(
+      (ts("2024-01-01 01:00:00"), "click", 1.0),
+      (ts("2024-01-01 02:00:00"), "click", 2.0),
+      (ts("2024-01-01 03:00:00"), "view", 5.0))
+    q.processAllAvailable()
+    // advance watermark past day 1
+    in.addData((ts("2024-01-03 00:00:00"), "click", 9.0))
+    q.processAllAvailable()
+    val out = spark.table("win_out").collect()
+      .map(r => (r.getAs[Timestamp]("day"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toSet
+    q.stop()
+    assert(out.contains((ts("2024-01-01 00:00:00"), "click", 2L, 3.0)))
+    assert(out.contains((ts("2024-01-01 00:00:00"), "view", 1L, 5.0)))
+  }
+
+  test("stream_session: 30-min gap splits sessions like the batch twin") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val df = in.toDF().toDF("ts", "user_id", "value")
+    val q = Streams.sessionized(df).writeStream
+      .format("memory").queryName("sess_out").outputMode("append").start()
+    in.addData(
+      (ts("2024-01-01 10:00:00"), 1L, 1.0),
+      (ts("2024-01-01 10:10:00"), 1L, 1.0), // same session
+      (ts("2024-01-01 11:30:00"), 1L, 2.0)) // gap > 30min → new session
+    q.processAllAvailable()
+    in.addData((ts("2024-01-02 00:00:00"), 2L, 0.0)) // advance watermark
+    q.processAllAvailable()
+    val sessions = spark.table("sess_out").filter($"user_id" === 1L)
+      .collect().map(r => r.getAs[Long]("n_events")).sorted.toSeq
+    q.stop()
+    assert(sessions == Seq(1L, 2L))
+  }
+
+  test("stream_mr: doc emits the ordered reduce the moment its last chunk arrives") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[ChunkIn]
+    val q = Streams.incrementalReduce(in.toDS()).writeStream
+      .format("memory").queryName("mr_out").outputMode("append").start()
+    // chunks arrive OUT OF ORDER and interleaved across docs
+    in.addData(ChunkIn(1L, 1L, 3, "one-b"), ChunkIn(2L, 0L, 2, "two-a"))
+    q.processAllAvailable()
+    assert(spark.table("mr_out").count() == 0, "nothing complete yet")
+    in.addData(ChunkIn(1L, 0L, 3, "one-a"), ChunkIn(2L, 1L, 2, "two-b"))
+    q.processAllAvailable()
+    val afterSecond = spark.table("mr_out").as[DocOut].collect()
+    assert(afterSecond.map(_.doc_id).toSet == Set(2L), "doc 2 complete, doc 1 not")
+    assert(afterSecond.head.final_summary == "two-a | two-b")
+    in.addData(ChunkIn(1L, 2L, 3, "one-c"))
+    q.processAllAvailable()
+    val all = spark.table("mr_out").as[DocOut].collect()
+    q.stop()
+    assert(all.map(_.doc_id).toSet == Set(1L, 2L))
+    assert(all.find(_.doc_id == 1L).get.final_summary == "one-a | one-b | one-c")
+  }
+}
