@@ -13,17 +13,25 @@ final case class Op(
     oracle: Option[String] = None)
 
 object Fns {
-  /** Exact-decimal cast used before ANY sum/avg that the oracle compares.
-    * Double summation order differs between engines (and between runs of a
-    * parallel engine); summing exact decimals then casting the final value
-    * to double is deterministic on both sides.
+  /** Exactness convention for every sum/avg the oracle compares: money
+    * columns carry at most 2 decimals, so `round(x*100)` is an exact
+    * integer and LONG sums are order-independent — double summation
+    * would drift with partition order, and decimal summation is exact
+    * but runs on boxed BigDecimal (8-20× slower than codegen'd long
+    * adds at bench time). The one float op per row (x*100, then round)
+    * is bit-identical across engines.
     */
-  def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  def cents(c: Column): Column = round(c * 100, 0).cast("long")
 
-  /** SQL twin of [[dec]]. */
-  def decSql(e: String): String = s"CAST($e AS DECIMAL(18,2))"
+  /** SQL twin of [[cents]] (DuckDB). */
+  def centsSql(e: String): String = s"CAST(ROUND($e * 100) AS BIGINT)"
 
-  def sumMoney(c: Column): Column = sum(dec(c)).cast("double")
+  /** Exact money sum as double (long cents / 100.0). */
+  def sumMoney(c: Column): Column = sum(cents(c)) / 100.0
   def sumMoneySql(e: String): String =
-    s"CAST(SUM(${decSql(e)}) AS DOUBLE)"
+    s"(SUM(${centsSql(e)}) / 100.0)"
+
+  /** Back-compat aliases used by a few call sites. */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  def decSql(e: String): String = s"CAST($e AS DECIMAL(18,2))"
 }

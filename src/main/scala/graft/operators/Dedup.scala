@@ -3,30 +3,45 @@ package graft.operators
 import graft.{Op, Tables}
 import graft.functions.TextFns
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM training-data curation
-  * (SURVEY.md §2). Scale design: signature computation is NARROW
-  * (per-doc column expressions); the only shuffles are (a) the
-  * band-bucket exchange whose volume is a small constant × row count
-  * and (b) the in-bucket self-join, which never degenerates into a
-  * cross product because bucket keys partition the space.
+  * (SURVEY.md §2).
+  *
+  * Scale design: signatures are computed over EXPLODED rows (token /
+  * shingle / seed), not nested higher-order lambdas — HOF lambdas run
+  * interpreted and re-evaluate inlined subtrees per element (an
+  * O(seeds × shingles) split() blowup observed at bench time), while
+  * the explode form stays in whole-stage codegen and map-side partial
+  * aggregation eats the row multiplication before any shuffle. The
+  * shuffles that remain carry a small constant × doc count (32 minhash
+  * rows, 64 bit rows, 8 band rows per doc), and the in-bucket self-join
+  * never degenerates into a cross product because band keys partition
+  * the space.
   */
 object Dedup {
 
   private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
 
-  /** 3-token shingles; docs shorter than 3 tokens contribute one
-    * whole-text shingle.
+  /** (doc_id, pos, shingle) rows: 3-token shingles built NARROW — the
+    * token array is zipped with its two shifted copies (all codegen'd
+    * native array ops) and exploded, so there is no window shuffle and
+    * no per-element lambda. Docs shorter than 3 tokens contribute one
+    * whole-text shingle (concat_ws skips the null pads).
     */
-  private val shingleExpr =
-    """CASE WHEN size(toks) >= 3
-         THEN transform(sequence(0, size(toks)-3), i -> array_join(slice(toks, i+1, 3), ' '))
-         ELSE array(text) END"""
-
-  private[graft] def withShingles(d: DataFrame): DataFrame =
+  private[graft] def shingleRows(d: DataFrame): DataFrame = {
+    val n = size(col("toks"))
     d.withColumn("toks", TextFns.tokens(col("text")))
-      .withColumn("shingles", expr(shingleExpr))
+      .withColumn("t1", slice(col("toks"), lit(2), greatest(n - 1, lit(0))))
+      .withColumn("t2", slice(col("toks"), lit(3), greatest(n - 2, lit(0))))
+      .select(col("doc_id"),
+        posexplode(arrays_zip(col("toks"), col("t1"), col("t2")))
+          .as(Seq("pos", "z")))
+      .filter(col("z.t2").isNotNull || col("pos") === 0)
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", col("z.toks"), col("z.t1"), col("z.t2")).as("shingle"))
+  }
 
   // ---- dedup_exact: content-hash groupBy (one shuffle) ----
   private val opExact = Op(
@@ -41,18 +56,50 @@ object Dedup {
       FROM documents GROUP BY 1"""))
 
   // ---- dedup_minhash: MinHash signatures + LSH banding ----
-  // 32 hash functions (seeded xxhash64 over shingles), 8 bands × 4 rows.
-  // Per-doc output (signature digest + candidate count) so the result is
-  // defined even on a duplicate-free corpus.
+  // 32 seeded hash functions, 8 bands × 4 rows. Per-doc output
+  // (signature digest + candidate count) so the result is defined even
+  // on a duplicate-free corpus.
+  /** Deterministic xor constants for the 32 hash families (seeded LCG). */
+  private val seedConsts: IndexedSeq[Long] = {
+    var x = 0x9E3779B97F4A7C15L
+    (0 until 32).map { _ =>
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x
+    }
+  }
+
+  /** (doc_id, sig, bands, sig_digest): 32 hash families per shingle row,
+    * per-seed min, 8×4 LSH bands. The families are one codegen'd
+    * xxhash64 plus bit-rotate/xor variants built as EXPLICIT columns —
+    * a `transform(sequence(...))` lambda here runs interpreted per
+    * element and was the bench's top hotspot. The per-family mins are
+    * 32 wide agg columns: ONE shuffle carrying 32 longs per doc, no
+    * row fan-out.
+    */
+  private[graft] def minhashSigs(d: DataFrame): DataFrame = {
+    val base = xxhash64(col("shingle"))
+    val families = (0 until 32).map { i =>
+      val rot =
+        if (i == 0) base
+        else shiftleft(base, i).bitwiseOR(shiftrightunsigned(base, 64 - i))
+      rot.bitwiseXOR(lit(seedConsts(i)))
+    }
+    val aggs = families.zipWithIndex.map { case (f, i) => min(f).as(s"mh$i") }
+    shingleRows(d)
+      .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until 32).map(i => col(s"mh$i")): _*).as("sig"))
+      .withColumn("bands", expr(
+        "transform(sequence(0, 7), b -> xxhash64(cast(b AS string), slice(sig, b*4 + 1, 4)))"))
+      .withColumn("sig_digest",
+        md5(concat_ws(",", expr("transform(sig, x -> cast(x AS string))"))))
+  }
+
   private val opMinhash = Op(
     "dedup_minhash",
     (s, dir) => {
-      val base = withShingles(docs(s, dir))
-        .withColumn("sig", expr(
-          "transform(sequence(0, 31), h -> array_min(transform(shingles, s2 -> xxhash64(cast(h AS string), s2))))"))
-        .withColumn("bands", expr(
-          "transform(sequence(0, 7), b -> xxhash64(cast(b AS string), slice(sig, b*4 + 1, 4)))"))
-      val bandRows = base.select(col("doc_id"), explode(col("bands")).as("band_val"))
+      val d = docs(s, dir)
+      val sig = minhashSigs(d)
+      val bandRows = sig.select(col("doc_id"), explode(col("bands")).as("band_val"))
       val pairs = bandRows.as("x")
         .join(bandRows.as("y"),
           col("x.band_val") === col("y.band_val") &&
@@ -62,10 +109,10 @@ object Dedup {
       val cand = pairs.select(col("a").as("doc_id"))
         .union(pairs.select(col("b").as("doc_id")))
         .groupBy("doc_id").agg(count(lit(1)).as("n_dup_candidates"))
-      base.select(col("doc_id"),
-          size(col("shingles")).cast("long").as("n_shingles"),
-          md5(concat_ws(",", expr("transform(sig, x -> cast(x AS string))")))
-            .as("sig_digest"))
+      d.select(col("doc_id"),
+          greatest(size(TextFns.tokens(col("text"))) - 2, lit(1)).cast("long")
+            .as("n_shingles"))
+        .join(sig.select(col("doc_id"), col("sig_digest")), Seq("doc_id"))
         .join(cand, Seq("doc_id"), "left")
         .withColumn("n_dup_candidates",
           coalesce(col("n_dup_candidates"), lit(0L)))
@@ -73,20 +120,30 @@ object Dedup {
     None)
 
   // ---- dedup_simhash: 64-bit SimHash + 16-bit-band hamming dedup ----
+  // Majority vote per bit as ±1 contributions over exploded token rows;
+  // partial aggregation collapses the 64× row fan-out map-side.
+  /** (doc_id, simhash): per-bit ±1 majority as 64 WIDE agg columns over
+    * token rows (one shuffle, 64 longs per doc), packed with an
+    * explicit shift/OR column tree — all codegen'd, no lambdas, and no
+    * ANSI-overflow trap (acc*2+bit would throw at bit 63).
+    */
+  private[graft] def simhashOf(d: DataFrame): DataFrame = {
+    val tokRows = d
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("th"))
+    val sums = (0 until 64).map(b =>
+      sum(shiftright(col("th"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$b"))
+    val packed = (0 until 64)
+      .map(b => shiftleft(when(col(s"s$b") > 0, 1L).otherwise(0L), b))
+      .reduce(_.bitwiseOR(_))
+    tokRows.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+  }
+
   private val opSimhash = Op(
     "dedup_simhash",
     (s, dir) => {
-      val base = docs(s, dir)
-        .withColumn("toks", TextFns.tokens(col("text")))
-        .withColumn("tok_hashes", expr("transform(toks, t -> xxhash64(t))"))
-        .withColumn("bits", expr(
-          """transform(sequence(0, 63), b ->
-               CASE WHEN size(filter(tok_hashes, h -> (shiftright(h, b) & 1) = 1)) * 2 > size(tok_hashes)
-                    THEN 1L ELSE 0L END)"""))
-        // pack via shift+OR — acc*2+bit would ANSI-overflow at bit 63
-        .withColumn("simhash", expr(
-          "aggregate(zip_with(bits, sequence(0, 63), (bit, i) -> shiftleft(bit, i)), 0L, (acc, x) -> acc | x)"))
-        .select(col("doc_id"), col("simhash"))
+      val base = simhashOf(docs(s, dir))
       // 4 bands of 16 bits: near-dups (hamming <= 8) agree on >= 1 band
       // with high probability; only same-band pairs are compared.
       val bands = base.withColumn("band_id", explode(sequence(lit(0), lit(3))))
@@ -116,8 +173,8 @@ object Dedup {
   private val opJaccard = Op(
     "ngram_jaccard",
     (s, dir) => {
-      val sh = withShingles(docs(s, dir))
-        .select(col("doc_id"), array_distinct(col("shingles")).as("sset"))
+      val sh = shingleRows(docs(s, dir))
+        .groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("sset"))
       val a = sh.select(col("doc_id"), col("sset").as("sa"))
       val b = sh.select((col("doc_id") - 1).as("doc_id"), col("sset").as("sb"))
       a.join(b, "doc_id")

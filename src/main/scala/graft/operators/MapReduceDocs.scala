@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Fns, Op, Tables}
-import graft.Fns.{dec, decSql, sumMoney, sumMoneySql}
+import graft.Fns.{cents, centsSql, sumMoney, sumMoneySql}
 import graft.functions.TextFns
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -272,8 +272,8 @@ object MapReduceDocs {
     "score_stats",
     (s, dir) => {
       val e = Tables.events(s, dir)
-      val sumV = sum(dec(col("value"))).cast("double")
-      val sumSq = sum(dec(col("value")) * dec(col("value"))).cast("double")
+      val sumV = sum(cents(col("value"))) / 100.0
+      val sumSq = sum(cents(col("value")) * cents(col("value"))) / 10000.0
       e.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sumV.as("sum_value"),
@@ -288,7 +288,7 @@ object MapReduceDocs {
         ${sumMoneySql("value")} AS sum_value,
         ROUND(${sumMoneySql("value")} / COUNT(*), 6) AS avg_value,
         MIN(value) AS min_value, MAX(value) AS max_value,
-        ROUND((CAST(SUM(${decSql("value")} * ${decSql("value")}) AS DOUBLE)
+        ROUND(((SUM(${centsSql("value")} * ${centsSql("value")}) / 10000.0)
                - ${sumMoneySql("value")} * ${sumMoneySql("value")} / COUNT(*))
               / COUNT(*), 6) AS var_pop
       FROM events GROUP BY event_type"""))

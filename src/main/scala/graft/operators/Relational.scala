@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Fns, Op, Tables}
-import graft.Fns.{dec, decSql, sumMoney, sumMoneySql}
+import graft.Fns.{cents, centsSql, sumMoney, sumMoneySql}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -28,11 +28,11 @@ object Relational {
         .agg(
           sumMoney(col("l_quantity")).as("sum_qty"),
           sumMoney(col("l_extendedprice")).as("sum_base_price"),
-          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-            .cast("double").as("sum_disc_price"),
-          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
-            * (lit(1) + dec(col("l_tax")))).cast("double").as("sum_charge"),
-          round(sum(dec(col("l_quantity"))).cast("double") / count(lit(1)), 6)
+          (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+            / 10000.0).as("sum_disc_price"),
+          (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+            * (lit(100L) + cents(col("l_tax")))) / 1000000.0).as("sum_charge"),
+          round((sum(cents(col("l_quantity"))) / 100.0) / count(lit(1)), 6)
             .as("avg_qty"),
           count(lit(1)).as("count_order"))
     },
@@ -40,9 +40,9 @@ object Relational {
       SELECT l_returnflag, l_linestatus,
         ${sumMoneySql("l_quantity")} AS sum_qty,
         ${sumMoneySql("l_extendedprice")} AS sum_base_price,
-        CAST(SUM(${decSql("l_extendedprice")} * (1 - ${decSql("l_discount")})) AS DOUBLE) AS sum_disc_price,
-        CAST(SUM(${decSql("l_extendedprice")} * (1 - ${decSql("l_discount")}) * (1 + ${decSql("l_tax")})) AS DOUBLE) AS sum_charge,
-        ROUND(CAST(SUM(${decSql("l_quantity")}) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+        (SUM(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})) / 10000.0) AS sum_disc_price,
+        (SUM(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")}) * (100 + ${centsSql("l_tax")})) / 1000000.0) AS sum_charge,
+        ROUND((SUM(${centsSql("l_quantity")}) / 100.0) / COUNT(*), 6) AS avg_qty,
         COUNT(*) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '2001-09-02'
@@ -72,12 +72,12 @@ object Relational {
       c.join(o, col("c_custkey") === col("o_custkey"))
         .join(l, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-          .cast("double").as("revenue"))
+        .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          / 10000.0).as("revenue"))
     },
     Some(s"""
       SELECT l_orderkey, o_orderdate, o_orderpriority,
-        CAST(SUM(${decSql("l_extendedprice")} * (1 - ${decSql("l_discount")})) AS DOUBLE) AS revenue
+        (SUM(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})) / 10000.0) AS revenue
       FROM customer, orders, lineitem
       WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
         AND l_orderkey = o_orderkey

@@ -119,16 +119,24 @@ object TextAnalysis {
   // a content-defined fingerprint robust to doc reordering of windows.
   private val opFingerprint = Op(
     "doc_fingerprint",
-    (s, dir) =>
+    (s, dir) => {
+      // 4-token windows via lead() over exploded tokens — split() runs
+      // once per doc in the generator and the md5s stay in codegen,
+      // instead of an interpreted transform() re-slicing per window.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
       docs(s, dir)
-        .withColumn("toks", TextFns.tokens(col("text")))
-        .withColumn("n", size(col("toks")))
-        .select(
-          col("doc_id"),
-          (greatest(col("n") - 4, lit(0)) + 1).cast("long").as("n_windows"),
-          array_min(expr(
-            "transform(sequence(0, greatest(n-4, 0)), i -> md5(array_join(slice(toks, i+1, 4), ' ')))"))
-            .as("fingerprint")),
+        .select(col("doc_id"),
+          posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "tok")))
+        .withColumn("w1", lead(col("tok"), 1).over(w))
+        .withColumn("w2", lead(col("tok"), 2).over(w))
+        .withColumn("w3", lead(col("tok"), 3).over(w))
+        .filter(col("w3").isNotNull || col("pos") === 0)
+        .withColumn("h",
+          md5(concat_ws(" ", col("tok"), col("w1"), col("w2"), col("w3"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"), min(col("h")).as("fingerprint"))
+    },
     Some("""
       WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
         len(string_split(text, ' ')) AS n FROM documents)

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.Fns.dec
+import graft.Fns.cents
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -23,7 +23,7 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(dec(col("value"))).cast("double").as("sum_value"))
+        (sum(cents(col("value"))) / 100.0).as("sum_value"))
       .select(col("window.start").as("day"), col("event_type"), col("n"),
         col("sum_value"))
 
@@ -35,7 +35,7 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        sum(dec(col("value"))).cast("double").as("sum_value"))
+        (sum(cents(col("value"))) / 100.0).as("sum_value"))
       .select(col("user_id"),
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),

@@ -38,10 +38,7 @@ class PipelineOpsSpec extends SparkSpec {
       (2L, "the quick brown fox jumps over the lazy dog again and again"),
       (3L, "completely different words entirely unrelated content here now"))
       .toDF("doc_id", "text")
-    val base = Dedup.withShingles(docs)
-      .withColumn("sig", expr(
-        "transform(sequence(0, 31), h -> array_min(transform(shingles, s2 -> xxhash64(cast(h AS string), s2))))"))
-    val sigs = base.select($"doc_id", $"sig").collect()
+    val sigs = Dedup.minhashSigs(docs).select($"doc_id", $"sig").collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(sigs(1L) == sigs(2L), "identical docs must have identical signatures")
     assert(sigs(1L) != sigs(3L), "unrelated docs should differ")
@@ -53,16 +50,7 @@ class PipelineOpsSpec extends SparkSpec {
       (2L, "spark query engine with fast columnar scans and hash joins today"),
       (3L, "zebra yak xylophone wombat vulture unicorn tiger snake raven quail"))
       .toDF("doc_id", "text")
-    val sim = docs
-      .withColumn("toks", functions.TextFns.tokens($"text"))
-      .withColumn("tok_hashes", expr("transform(toks, t -> xxhash64(t))"))
-      .withColumn("bits", expr(
-        """transform(sequence(0, 63), b ->
-             CASE WHEN size(filter(tok_hashes, h -> (shiftright(h, b) & 1) = 1)) * 2 > size(tok_hashes)
-                  THEN 1L ELSE 0L END)"""))
-      .withColumn("simhash", expr(
-        "aggregate(zip_with(bits, sequence(0, 63), (bit, i) -> shiftleft(bit, i)), 0L, (acc, x) -> acc | x)"))
-      .select($"doc_id", $"simhash").collect()
+    val sim = Dedup.simhashOf(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(hamming(sim(1L), sim(2L)) <= 8, "near-dups should be close")
