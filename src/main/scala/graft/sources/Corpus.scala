@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus ingestion — the reference's dataset surface re-expressed.
+  *
+  * `readSectioned` mirrors `datasets/parse.py:20-31`: a line-oriented
+  * corpus file is cut into fixed-size sections (default 10 lines, last
+  * partial section kept) that become the pipeline's documents.
+  * `readParallel` aligns a source/target file pair line-by-line the way
+  * parse.py walks `src_lines`/`tgt_lines` together.
+  *
+  * Line indices come from `zipWithIndex` over the text RDD — a
+  * deterministic global order for file sources — so sectioning is
+  * reproducible across partitionings. At 100 TB the corpus is many
+  * files; ordering stays per-file and the one shuffle is the section
+  * groupBy.
+  */
+object Corpus {
+
+  val SectionLines = 10
+
+  /** (line_no, line) with a stable global order. */
+  private def numberedLines(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.textFile(path).zipWithIndex()
+      .map { case (line, i) => (i, line) }
+      .toDF("line_no", "line")
+  }
+
+  /** doc_id, n_lines, text — fixed-size line sections as documents. */
+  def readSectioned(spark: SparkSession, path: String,
+      sectionLines: Int = SectionLines): DataFrame =
+    numberedLines(spark, path)
+      .withColumn("doc_id", (col("line_no") / sectionLines).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("line_no"), col("line")))),
+          x => x.getField("line")), "\n").as("text"))
+
+  /** doc_id, src_text, tgt_text — aligned parallel sections. */
+  def readParallel(spark: SparkSession, srcPath: String, tgtPath: String,
+      sectionLines: Int = SectionLines): DataFrame = {
+    val src = readSectioned(spark, srcPath, sectionLines)
+      .select(col("doc_id"), col("text").as("src_text"))
+    val tgt = readSectioned(spark, tgtPath, sectionLines)
+      .select(col("doc_id"), col("text").as("tgt_text"))
+    src.join(tgt, "doc_id")
+  }
+}
+
+/** JSONL results IO — the reference reads/writes line-delimited JSON
+  * result files (compute_scores.py:23-25, the opus_outputs dir).
+  */
+object Jsonl {
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  def write(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+}

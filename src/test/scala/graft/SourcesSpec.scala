@@ -1,0 +1,52 @@
+package graft
+
+import graft.sources.{Corpus, Jsonl}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeLines(name: String, lines: Seq[String]): String = {
+    val dir = Files.createTempDirectory("graft-src")
+    val p = dir.resolve(name)
+    Files.writeString(p, lines.mkString("\n"))
+    p.toString
+  }
+
+  test("readSectioned: 10-line sections, last partial kept (parse.py semantics)") {
+    val path = writeLines("c.en", (0 until 25).map(i => s"line$i"))
+    val out = Corpus.readSectioned(spark, path).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("n_lines")).toSeq == Seq(10L, 10L, 5L))
+    assert(out.head.getAs[String]("text").startsWith("line0\nline1"))
+    assert(out.last.getAs[String]("text").endsWith("line24"))
+  }
+
+  test("readParallel: src/tgt stay aligned per section") {
+    val src = writeLines("p.en", (0 until 12).map(i => s"en$i"))
+    val tgt = writeLines("p.zh", (0 until 12).map(i => s"zh$i"))
+    val out = Corpus.readParallel(spark, src, tgt).orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out(1).getAs[String]("src_text") == "en10\nen11")
+    assert(out(1).getAs[String]("tgt_text") == "zh10\nzh11")
+  }
+
+  test("jsonl roundtrip preserves score-record shape") {
+    val dir = Files.createTempDirectory("graft-jsonl").resolve("out").toString
+    val df = Seq((1L, 0.5, "ok"), (2L, 0.75, "better"))
+      .toDF("doc_id", "f1", "note")
+    Jsonl.write(df, dir)
+    val back = Jsonl.read(spark, dir)
+    assert(back.count() == 2)
+    assert(back.agg(sum("f1")).head().getDouble(0) == 1.25)
+  }
+
+  test("sectioned corpus feeds the mr pipeline end-to-end") {
+    val path = writeLines("c2.en", (0 until 30).map(i => s"tok$i word$i"))
+    val docs = Corpus.readSectioned(spark, path)
+      .select($"doc_id", regexp_replace($"text", "\n", " ").as("text"))
+    val chunks = graft.operators.MapReduceDocs.chunked(docs)
+    assert(chunks.count() > 0)
+    assert(chunks.groupBy("doc_id").count().count() == 3)
+  }
+}
