@@ -7,7 +7,8 @@ object SparkEntry {
 
   /** All implemented inventory rows from SURVEY.md §2. */
   def allOps: Seq[Op] =
-    operators.Relational.ops ++ operators.MapReduceDocs.ops ++
+    operators.Relational.ops ++ operators.Relational2.ops ++
+      operators.MapReduceDocs.ops ++
       operators.TextAnalysis.ops ++ operators.Dedup.ops ++
       operators.Similarity.ops ++ operators.Multimodal.ops
 

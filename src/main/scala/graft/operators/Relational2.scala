@@ -1,0 +1,177 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import graft.Fns.{cents, centsSql, sumMoney, sumMoneySql}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational core, part 2 (SURVEY.md §2 rows q15–q21): the remaining
+  * classic TPC-H operator shapes — global-max selection, HAVING,
+  * correlated scalar subqueries (decorrelated to a join, which is what
+  * a 1000-executor plan wants anyway), disjunctive pushdown, and
+  * chained semi/anti joins.
+  */
+object Relational2 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  private def revenueExpr =
+    sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0
+  private def revenueSql =
+    s"(SUM(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})) / 10000.0)"
+
+  // ---- q15_top_supplier: global max over an aggregate (TPC-H Q15) ----
+  private val q15 = Op(
+    "q15_top_supplier",
+    (s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(revenueExpr.as("revenue"))
+      val mx = rev.agg(max(col("revenue")).as("mx"))
+      t(s, dir, "supplier")
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(mx), col("revenue") === col("mx"))
+        .select(col("s_suppkey"), col("s_name"), col("revenue"))
+    },
+    Some(s"""
+      WITH rev AS (
+        SELECT l_suppkey, $revenueSql AS revenue FROM lineitem GROUP BY 1)
+      SELECT s_suppkey, s_name, revenue
+      FROM supplier, rev
+      WHERE s_suppkey = l_suppkey
+        AND revenue = (SELECT MAX(revenue) FROM rev)"""))
+
+  // ---- q16_supplier_cnt: distinct-count after join (TPC-H Q16 shape) ----
+  private val q16 = Op(
+    "q16_supplier_cnt",
+    (s, dir) =>
+      t(s, dir, "part")
+        .filter(col("p_type") =!= "PROMO" && col("p_size").isin(5, 10, 15, 20))
+        .join(t(s, dir, "lineitem"), col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt")),
+    Some("""
+      SELECT p_brand, p_type, p_size,
+        COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      FROM part, lineitem
+      WHERE p_partkey = l_partkey AND p_type <> 'PROMO'
+        AND p_size IN (5, 10, 15, 20)
+      GROUP BY p_brand, p_type, p_size"""))
+
+  // ---- q17_small_qty: correlated scalar subquery, decorrelated ----
+  // revenue from lines below 20% of their part's average quantity
+  // (TPC-H Q17 shape). The correlated subquery becomes a per-part agg
+  // joined back — the only scalable plan at 100 TB.
+  private val q17 = Op(
+    "q17_small_qty",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val partAvg = l.groupBy(col("l_partkey").as("ap_partkey"))
+        .agg(((sum(cents(col("l_quantity"))) / 100.0) / count(lit(1)))
+          .as("avg_qty"))
+      val p = t(s, dir, "part").filter(col("p_brand") === "Brand#5")
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .join(partAvg, col("l_partkey") === col("ap_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(sumMoney(col("l_extendedprice")).as("small_qty_revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+    Some(s"""
+      SELECT ${sumMoneySql("l_extendedprice")} AS small_qty_revenue,
+        COUNT(*) AS n_lines
+      FROM lineitem, part
+      WHERE p_partkey = l_partkey AND p_brand = 'Brand#5'
+        AND l_quantity < 0.2 * (
+          SELECT (SUM(${centsSql("l2.l_quantity")}) / 100.0) / COUNT(*)
+          FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)"""))
+
+  // ---- q18_large_orders: HAVING + join-back (TPC-H Q18 shape) ----
+  private val q18 = Op(
+    "q18_large_orders",
+    (s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg((sum(cents(col("l_quantity"))) / 100.0).as("total_qty"))
+        .filter(col("total_qty") > 250)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_totalprice"), col("total_qty"))
+    },
+    Some(s"""
+      SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+      FROM orders, customer,
+        (SELECT l_orderkey, (SUM(${centsSql("l_quantity")}) / 100.0) AS total_qty
+         FROM lineitem GROUP BY l_orderkey HAVING (SUM(${centsSql("l_quantity")}) / 100.0) > 250) big
+      WHERE o_orderkey = big.l_orderkey AND o_custkey = c_custkey"""))
+
+  // ---- q19_disjunctive: OR-of-ANDs predicate (TPC-H Q19 shape) ----
+  private val q19 = Op(
+    "q19_disjunctive",
+    (s, dir) => {
+      val cond =
+        (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 15)) ||
+        (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 25)) ||
+        (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 35))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .filter(cond)
+        .agg(revenueExpr.as("revenue"), count(lit(1)).as("n_lines"))
+    },
+    Some(s"""
+      SELECT $revenueSql AS revenue, COUNT(*) AS n_lines
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey AND (
+           (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 15)
+        OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 25)
+        OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 35))"""))
+
+  // ---- q20_semi_over_join: EXISTS over a join (TPC-H Q20 shape) ----
+  private val q20 = Op(
+    "q20_semi_over_join",
+    (s, dir) => {
+      val bigParts = t(s, dir, "lineitem")
+        .join(t(s, dir, "part").filter(col("p_size") > 40),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_suppkey"))
+      t(s, dir, "supplier")
+        .filter(col("s_acctbal") > 0)
+        .join(bigParts, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+    },
+    Some("""
+      SELECT s_suppkey, s_name, s_acctbal FROM supplier
+      WHERE s_acctbal > 0 AND EXISTS (
+        SELECT 1 FROM lineitem, part
+        WHERE l_suppkey = s_suppkey AND l_partkey = p_partkey
+          AND p_size > 40)"""))
+
+  // ---- q21_semi_anti_chain: EXISTS ... AND NOT EXISTS (Q21 shape) ----
+  // customers with a returned line but no completed ('F') order
+  private val q21 = Op(
+    "q21_semi_anti_chain",
+    (s, dir) => {
+      val returned = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"))
+      val completed = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("f_custkey"))
+      t(s, dir, "customer")
+        .join(returned, col("c_custkey") === col("o_custkey"), "left_semi")
+        .join(completed, col("c_custkey") === col("f_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    },
+    Some("""
+      SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders, lineitem
+              WHERE o_custkey = c_custkey AND l_orderkey = o_orderkey
+                AND l_returnflag = 'R')
+        AND NOT EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')"""))
+
+  val ops: Seq[Op] = Seq(q15, q16, q17, q18, q19, q20, q21)
+}

@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.Relational2
+import org.apache.spark.sql.functions._
+
+class Relational2Spec extends SparkSpec {
+
+  private def run(name: String) =
+    Relational2.ops.find(_.name == name).get.query(spark, sfDir)
+
+  test("every q15-q21 op executes and returns rows") {
+    Relational2.ops.foreach { op =>
+      assert(op.query(spark, sfDir).count() > 0, s"${op.name} empty")
+    }
+  }
+
+  test("q15: selected supplier(s) hold the maximum revenue") {
+    val rows = run("q15_top_supplier").collect()
+    val revs = rows.map(_.getAs[Double]("revenue")).distinct
+    assert(revs.length == 1, "all selected rows share the max revenue")
+  }
+
+  test("q17: small-qty revenue is a strict subset of brand revenue") {
+    val small = run("q17_small_qty").head().getAs[Double]("small_qty_revenue")
+    val l = Tables(spark, sfDir, "lineitem")
+    val p = Tables(spark, sfDir, "part").filter(col("p_brand") === "Brand#5")
+    val all = l.join(p, col("l_partkey") === col("p_partkey"))
+      .agg(sum(col("l_extendedprice"))).head().getDouble(0)
+    assert(small < all)
+  }
+
+  test("q18: every returned order exceeds the quantity threshold") {
+    assert(run("q18_large_orders").filter(col("total_qty") <= 250).count() == 0)
+  }
+
+  test("q21: chain excludes customers with any completed order") {
+    val bad = run("q21_semi_anti_chain")
+      .join(Tables(spark, sfDir, "orders").filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .count()
+    assert(bad == 0)
+  }
+}
