@@ -36,13 +36,13 @@ object Similarity {
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("c_id"))
-      c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
         // native codegen expression — one fused pass (plans.CosineSimilarity)
         .withColumn("cos", round(expr("graft_cosine(q_emb, c_emb)"), 6))
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= 5)
+      // custom two-phase heap operator (plans.TopKPerKey): only k rows
+      // per (partition, query) reach the shuffle — the 100 TB top-k path
+      graft.plans.TopK.perKey(scored, Seq("q_id"),
+          Seq("cos" -> graft.plans.TopK.Desc, "c_id" -> graft.plans.TopK.Asc), 5)
         .select(col("q_id"), col("c_id"), col("cos"), col("rk"))
     },
     Some("""

@@ -80,8 +80,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * the runtime path for sessions created without the conf.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineDescriptor)
+    ext.injectPlannerStrategy(_ => TopKStrategy)
+    ext.injectOptimizerRule(_ => PushFilterThroughTopK)
+  }
 }
 
 object GraftFunctions {
