@@ -326,6 +326,43 @@ object MapReduceDocs {
                    ELSE n_chars / 1000.0 END, 9) AS est_load_time
       FROM documents"""))
 
+  // ---- mr_ratio_split: proactive first-chunk ratio schedule ----
+  // Re-expresses split_ratio(low, num_doc, ratio) (reference
+  // test_proactive.py:141-150): doc i gets first-chunk ratio
+  // min(low + i*(2*ratio-low)/num_doc, 1.0); the first chunk takes
+  // ceil(ratio_i * n_tokens) tokens, the remainder streams behind it.
+  private val opRatioSplit = Op(
+    "mr_ratio_split",
+    (s, dir) => {
+      val low = 0.1
+      val target = 0.5
+      val d = docs(s, dir)
+        .select(col("doc_id"),
+          size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      val nd = d.agg(count(lit(1)).as("nd"))
+      d.crossJoin(broadcast(nd))
+        .withColumn("ratio",
+          least(lit(low) + col("doc_id") * ((lit(2.0) * target - low) / col("nd")),
+            lit(1.0)))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("ratio"), 6).as("ratio"),
+          ceil(col("ratio") * col("n_tokens")).cast("long").as("first_len"),
+          (col("n_tokens") - ceil(col("ratio") * col("n_tokens")))
+            .cast("long").as("rest_len"))
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      nd AS (SELECT COUNT(*) AS nd FROM documents),
+      r AS (SELECT doc_id, n_tokens,
+          LEAST(0.1 + doc_id * ((2.0 * 0.5 - 0.1) / nd), 1.0) AS ratio
+        FROM d, nd)
+      SELECT doc_id, n_tokens, ROUND(ratio, 6) AS ratio,
+        CAST(CEIL(ratio * n_tokens) AS BIGINT) AS first_len,
+        CAST(n_tokens - CEIL(ratio * n_tokens) AS BIGINT) AS rest_len
+      FROM r"""))
+
   val ops: Seq[Op] = Seq(opNormalize, opChunk, opMap, opReduce, opPipeline,
-    opE2e, opEmSubstr, opF1, opStats, opKv)
+    opE2e, opEmSubstr, opF1, opStats, opKv, opRatioSplit)
 }
