@@ -173,5 +173,21 @@ object Relational2 {
         AND NOT EXISTS (SELECT 1 FROM orders
               WHERE o_custkey = c_custkey AND o_orderstatus = 'F')"""))
 
-  val ops: Seq[Op] = Seq(q15, q16, q17, q18, q19, q20, q21)
+  // ---- q22_approx_sketch: HLL++ and quantile-sketch aggregates ----
+  // The approximate path for q10-style questions at 100 TB: fixed-size
+  // sketches, one pass, mergeable map-side. rows-only (approx results
+  // are engine-specific by design); the spec bounds error vs exact.
+  private val q22 = Op(
+    "q22_approx_sketch",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
+            .as("price_quantiles"),
+          count(lit(1)).as("cnt")),
+    None)
+
+  val ops: Seq[Op] = Seq(q15, q16, q17, q18, q19, q20, q21, q22)
 }

@@ -82,7 +82,9 @@ object Similarity {
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("norm").as("q_norm"))
-      // probe = nearest centroid by cosine (k centroids broadcast)
+      // probe = nprobe nearest centroids by cosine (k centroids broadcast);
+      // nprobe trades candidate volume for recall, the standard IVF knob
+      val nprobe = 2
       val probeW = Window.partitionBy(col("q_id"))
         .orderBy(col("cent_cos").desc, col("cent_label"))
       val probed = q.join(broadcast(cent))
@@ -90,7 +92,7 @@ object Similarity {
           "aggregate(zip_with(q_emb, cent_emb, (x, y) -> cast(x AS double) * y), 0D, (acc, x) -> acc + x)")
           / (col("q_norm") * col("cent_norm")))
         .withColumn("prk", row_number().over(probeW))
-        .filter(col("prk") === 1)
+        .filter(col("prk") <= nprobe)
         .select(col("q_id"), col("q_emb"), col("q_norm"),
           col("cent_label").as("probed_label"))
       // search ONLY the probed bucket

@@ -76,9 +76,10 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
-  test("ann_ivf: probes exactly one bucket; decent recall vs brute force") {
+  test("ann_ivf: probes nprobe buckets per query; decent recall vs brute force") {
     val ivf = run("ann_ivf")
-    assert(ivf.select("q_id", "probed_label").distinct().count() == 10)
+    assert(ivf.select("q_id").distinct().count() == 10)
+    assert(ivf.select("q_id", "probed_label").distinct().count() <= 20)
     val brute = run("ann_cosine_topk")
       .select($"q_id", $"c_id").as[(Long, Long)].collect().toSet
     val hits = ivf.select($"q_id", $"c_id").as[(Long, Long)].collect()
