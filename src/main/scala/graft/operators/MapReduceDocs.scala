@@ -209,19 +209,53 @@ object MapReduceDocs {
         array_to_string(list_slice(string_split(${TextFns.normalizeSql("b.text")}, ' '), 1, 2), ' ') AS gt
       FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1)"""
 
-  // ---- score_em_substr (test_proactive.py:79-83) ----
+  // ---- score_em_substr (test_proactive.py:79-83, accuracy :130) ----
+  // `acc` is compute_accuracy's token-SET containment: 1 iff every
+  // distinct truth token appears in the prediction (ordering-free,
+  // unlike substring match).
   private val opEmSubstr = Op(
     "score_em_substr",
     (s, dir) =>
       pairs(s, dir).select(
         col("doc_id"),
         when(col("pred") === col("gt"), 1L).otherwise(0L).as("em"),
-        when(col("pred").contains(col("gt")), 1L).otherwise(0L).as("substr_m")),
+        when(col("pred").contains(col("gt")), 1L).otherwise(0L).as("substr_m"),
+        when(size(array_except(
+          array_distinct(TextFns.tokens(col("gt"))),
+          array_distinct(TextFns.tokens(col("pred"))))) === 0, 1L)
+          .otherwise(0L).as("acc")),
     Some(pairsCte + """
       SELECT doc_id,
         CAST(CASE WHEN pred = gt THEN 1 ELSE 0 END AS BIGINT) AS em,
-        CAST(CASE WHEN contains(pred, gt) THEN 1 ELSE 0 END AS BIGINT) AS substr_m
+        CAST(CASE WHEN contains(pred, gt) THEN 1 ELSE 0 END AS BIGINT) AS substr_m,
+        CAST(CASE WHEN len(list_filter(list_distinct(string_split(gt, ' ')),
+               x -> NOT list_contains(list_distinct(string_split(pred, ' ')), x))) = 0
+             THEN 1 ELSE 0 END AS BIGINT) AS acc
       FROM pairs"""))
+
+  // ---- mr_fold_reduce: progressive (rolling) reduce ----
+  // The reference's recompute pipelines fold each new chunk into the
+  // running summary (pipeline_70b_samsum.py): result_i =
+  // combine(result_{i-1}, chunk_i) — inherently sequential PER DOC,
+  // parallel ACROSS docs, which is exactly how it shards at 100 TB.
+  // The LLM combine step is stubbed as digest chaining.
+  private val opFoldReduce = Op(
+    "mr_fold_reduce",
+    (s, dir) => {
+      val m = mapped(chunked(docs(s, dir)))
+      m.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          expr("transform(array_sort(collect_list(struct(chunk_id, summary))), x -> x.summary)")
+            .as("arr"))
+        .select(col("doc_id"), col("n_chunks"),
+          expr("aggregate(slice(arr, 2, size(arr) - 1), element_at(arr, 1), (acc, x) -> md5(concat(acc, ' | ', x)))")
+            .as("rolling_digest"))
+    },
+    Some(mappedCte + """
+      SELECT doc_id, COUNT(*) AS n_chunks,
+        list_reduce(list(summary ORDER BY chunk_id),
+          (x, y) -> md5(concat(x, ' | ', y))) AS rolling_digest
+      FROM mapped GROUP BY doc_id"""))
 
   // ---- score_f1: SQuAD-style token-overlap F1 (test_proactive.py:110) ----
   private val opF1 = Op(
@@ -364,5 +398,5 @@ object MapReduceDocs {
       FROM r"""))
 
   val ops: Seq[Op] = Seq(opNormalize, opChunk, opMap, opReduce, opPipeline,
-    opE2e, opEmSubstr, opF1, opStats, opKv, opRatioSplit)
+    opE2e, opEmSubstr, opF1, opStats, opKv, opRatioSplit, opFoldReduce)
 }
