@@ -18,7 +18,8 @@ object Multimodal {
 
   case class MMIn(doc_id: Long, payload: Array[Byte])
   case class MMMeta(doc_id: Long, byte_len: Long, magic: String,
-      width: Long, height: Long, batch_size: Long)
+      width: Long, height: Long, n_frames: Long, frame_digest: String,
+      batch_size: Long)
 
   val BatchSize = 64
 
@@ -30,8 +31,15 @@ object Multimodal {
     batch.map { r =>
       val len = r.payload.length.toLong
       val magic = r.payload.take(4).map(b => f"$b%02x").mkString
+      // "frame sampling": one frame per 32-byte stride, digested — the
+      // shape of a video keyframe sampler, deterministic on payload
+      val frames = r.payload.grouped(32).toSeq
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      frames.foreach(f => digest.update(f.take(4)))
       MMMeta(r.doc_id, len, magic,
         width = len % 640 + 1, height = len % 480 + 1,
+        n_frames = frames.size.toLong,
+        frame_digest = digest.digest().map(b => f"$b%02x").mkString,
         batch_size = batch.size.toLong)
     }
 
