@@ -27,21 +27,27 @@ object Multimodal {
     * it returns is a pure function of the payload bytes, so results are
     * reproducible across partitionings and engines.
     */
-  private def decodeBatch(batch: Seq[MMIn]): Seq[MMMeta] =
+  private def decodeBatch(batch: Seq[MMIn]): Seq[MMMeta] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
     batch.map { r =>
       val len = r.payload.length.toLong
       val magic = r.payload.take(4).map(b => f"$b%02x").mkString
-      // "frame sampling": one frame per 32-byte stride, digested — the
-      // shape of a video keyframe sampler, deterministic on payload
-      val frames = r.payload.grouped(32).toSeq
-      val digest = java.security.MessageDigest.getInstance("MD5")
-      frames.foreach(f => digest.update(f.take(4)))
+      // "frame sampling": one frame per 32-byte stride, first 4 bytes of
+      // each digested in place — the shape of a video keyframe sampler,
+      // deterministic on payload, zero copies on the hot path
+      digest.reset()
+      var off = 0
+      while (off < r.payload.length) {
+        digest.update(r.payload, off, math.min(4, r.payload.length - off))
+        off += 32
+      }
       MMMeta(r.doc_id, len, magic,
         width = len % 640 + 1, height = len % 480 + 1,
-        n_frames = frames.size.toLong,
+        n_frames = (len + 31) / 32,
         frame_digest = digest.digest().map(b => f"$b%02x").mkString,
         batch_size = batch.size.toLong)
     }
+  }
 
   private val opMeta = Op(
     "mm_meta",

@@ -111,38 +111,49 @@ object Similarity {
     None)
 
   // ---- dedup_embed: embedding-cosine near-duplicate detection ----
-  // All-pairs cosine over the (square-able) embedding table via the
-  // native expression; per-vector near-dup count at threshold 0.8.
-  // At 100 TB scale the pair space is pruned by IVF buckets first
-  // (ann_ivf); this is the exact in-bucket kernel.
+  // IN-BUCKET kernel: pairs are pruned to the same `label` bucket (the
+  // IVF partition key ann_ivf uses), so the self-join is an equi-join
+  // that never degenerates into a cross product — pair volume is
+  // Σ bucket² instead of n². Each unordered pair's cosine is computed
+  // once (vec_id < c_id) and mirrored before the per-vector aggregate.
+  private[graft] def nearDupCounts(e: DataFrame, threshold: Double): DataFrame = {
+    val a = e.select(col("label").as("l"), col("vec_id"),
+      col("embedding").as("q_emb"))
+    val b = e.select(col("label").as("l"), col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"))
+    val half = a.join(b, Seq("l")).filter(col("vec_id") < col("c_id"))
+      .withColumn("cos", round(expr("graft_cosine(q_emb, c_emb)"), 6))
+    val both = half.select(col("vec_id"), col("cos"))
+      .union(half.select(col("c_id").as("vec_id"), col("cos")))
+    both.groupBy(col("vec_id"))
+      .agg(sum(when(col("cos") >= threshold, 1L).otherwise(0L)).as("n_near"),
+        max(col("cos")).as("max_cos"))
+  }
+
   private val opEmbedDedup = Op(
     "dedup_embed",
     (s, dir) => {
       graft.plans.GraftFunctions.register(s)
-      val e = Tables(s, dir, "embeddings")
-      val a = e.select(col("vec_id"), col("embedding").as("q_emb"))
-      val b = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-      a.join(b, col("vec_id") =!= col("c_id"))
-        .withColumn("cos", round(expr("graft_cosine(q_emb, c_emb)"), 6))
-        .groupBy(col("vec_id"))
-        .agg(sum(when(col("cos") >= 0.8, 1L).otherwise(0L)).as("n_near"),
-          max(col("cos")).as("max_cos"))
+      nearDupCounts(Tables(s, dir, "embeddings"), 0.8)
     },
     Some("""
       WITH e AS (
-        SELECT vec_id, embedding,
+        SELECT vec_id, label, embedding,
           sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS norm
         FROM embeddings),
       p AS (
-        SELECT a.vec_id,
+        SELECT a.vec_id, b.vec_id AS c_id,
           ROUND(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
                           for i in generate_series(1, len(a.embedding))])
                 / (a.norm * b.norm), 6) AS cos
-        FROM e a, e b WHERE a.vec_id <> b.vec_id)
+        FROM e a, e b WHERE a.label = b.label AND a.vec_id < b.vec_id),
+      mirrored AS (
+        SELECT vec_id, cos FROM p
+        UNION ALL SELECT c_id AS vec_id, cos FROM p)
       SELECT vec_id,
         CAST(SUM(CASE WHEN cos >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
         MAX(cos) AS max_cos
-      FROM p GROUP BY vec_id"""))
+      FROM mirrored GROUP BY vec_id"""))
 
   val ops: Seq[Op] = Seq(opBrute, opIvf, opEmbedDedup)
 }

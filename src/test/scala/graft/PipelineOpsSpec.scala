@@ -88,6 +88,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(hits > 0, "IVF found nothing from the brute-force top-5")
   }
 
+  test("dedup_embed kernel: planted near-identical vectors are detected") {
+    graft.plans.GraftFunctions.register(spark)
+    val v = Array.tabulate(8)(i => (i + 1).toFloat)
+    val vNear = v.clone(); vNear(0) = v(0) * 1.01f // same direction, ~1.0 cos
+    val vFar = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val e = Seq((1L, 0, v), (2L, 0, vNear), (3L, 0, vFar), (4L, 1, v))
+      .toDF("vec_id", "label", "embedding")
+    val out = operators.Similarity.nearDupCounts(e, 0.95).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 1L, "vec 1 should see its planted near-dup")
+    assert(out(2L)._1 == 1L)
+    assert(out(3L)._1 == 0L, "orthogonal-ish vector is not a near-dup")
+    assert(!out.contains(4L) || out(4L)._1 == 0L,
+      "vec 4 is in another bucket — pruned from vec 1's pair space")
+    assert(out(1L)._2 > 0.999, "planted pair cosine ~1")
+  }
+
   test("mm_meta: metadata is a pure function of payload; batches bounded") {
     val out = run("mm_meta").collect()
     out.foreach { r =>
