@@ -41,6 +41,17 @@ object Streams {
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** stream_dedup — streaming exact dedup by content hash, bounded
+    * state via watermark (batch twin: dedup_exact). Late duplicates
+    * beyond the watermark age out of state, which is the only way
+    * dedup state stays bounded on an unbounded 100 TB/day stream.
+    */
+  def deduped(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("content_hash")
+
   // ---- stream_mr: incremental map-reduce over chunk streams ----
 
   /** One mapped chunk arriving on the stream. `n_chunks_total` is known

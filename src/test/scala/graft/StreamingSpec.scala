@@ -52,6 +52,22 @@ class StreamingSpec extends SparkSpec {
     assert(sessions == Seq(1L, 2L))
   }
 
+  test("stream_dedup: duplicate payloads within the watermark are dropped") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val df = in.toDF().toDF("ts", "doc_id", "text")
+    val q = Streams.deduped(df).writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    in.addData(
+      (ts("2024-01-01 10:00:00"), 1L, "same payload"),
+      (ts("2024-01-01 10:05:00"), 2L, "same payload"), // dup within watermark
+      (ts("2024-01-01 10:06:00"), 3L, "different payload"))
+    q.processAllAvailable()
+    val n = spark.table("dedup_out").count()
+    q.stop()
+    assert(n == 2, s"expected 2 unique payloads, got $n")
+  }
+
   test("stream_mr: doc emits the ordered reduce the moment its last chunk arrives") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[ChunkIn]
