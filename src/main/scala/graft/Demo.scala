@@ -35,11 +35,13 @@ object Demo {
       .withColumn("content_hash", md5(col("text")))
       .dropDuplicates("content_hash")
       .drop("content_hash")
+      .cache() // each later step would otherwise re-run ingest + dedup
     println(s"[demo] after exact dedup: ${unique.count()}")
 
     // 3. map-reduce: chunk → extractive map → ordered reduce
     val reduced = operators.MapReduceDocs.reduced(
       operators.MapReduceDocs.mapped(operators.MapReduceDocs.chunked(unique)))
+      .cache()
     println(s"[demo] reduced docs: ${reduced.count()}")
 
     // 4. fleet stats over the run

@@ -31,7 +31,11 @@ object Tables {
       val df = spark.read.parquet(path)
       if (df.schema("ts").dataType == LongType) nsLongToTs(df) else df
     } catch {
-      case _: Exception =>
+      // ONLY the nanos-precision rejection gets the legacy-conf retry;
+      // a missing/corrupt file must surface its real error, not a
+      // misleading second failure after a session-global conf mutation
+      case e: Exception if e.getMessage != null &&
+          e.getMessage.contains("TIMESTAMP(NANOS") =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         nsLongToTs(spark.read.parquet(path))
     }

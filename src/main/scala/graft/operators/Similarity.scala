@@ -125,9 +125,17 @@ object Similarity {
       .withColumn("cos", round(expr("graft_cosine(q_emb, c_emb)"), 6))
     val both = half.select(col("vec_id"), col("cos"))
       .union(half.select(col("c_id").as("vec_id"), col("cos")))
-    both.groupBy(col("vec_id"))
+    val counts = both.groupBy(col("vec_id"))
       .agg(sum(when(col("cos") >= threshold, 1L).otherwise(0L)).as("n_near"),
         max(col("cos")).as("max_cos"))
+    // singleton buckets have no pairs — report them with n_near=0
+    // (max_cos sentinel -1.0) like the sibling dedup ops, instead of
+    // silently dropping them from the output
+    e.select(col("vec_id"))
+      .join(counts, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        coalesce(col("max_cos"), lit(-1.0)).as("max_cos"))
   }
 
   private val opEmbedDedup = Op(
@@ -149,11 +157,16 @@ object Similarity {
         FROM e a, e b WHERE a.label = b.label AND a.vec_id < b.vec_id),
       mirrored AS (
         SELECT vec_id, cos FROM p
-        UNION ALL SELECT c_id AS vec_id, cos FROM p)
-      SELECT vec_id,
-        CAST(SUM(CASE WHEN cos >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
-        MAX(cos) AS max_cos
-      FROM mirrored GROUP BY vec_id"""))
+        UNION ALL SELECT c_id AS vec_id, cos FROM p),
+      counts AS (
+        SELECT vec_id,
+          CAST(SUM(CASE WHEN cos >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+          MAX(cos) AS max_cos
+        FROM mirrored GROUP BY vec_id)
+      SELECT e.vec_id,
+        COALESCE(c.n_near, 0) AS n_near,
+        COALESCE(c.max_cos, -1.0) AS max_cos
+      FROM e LEFT JOIN counts c ON e.vec_id = c.vec_id"""))
 
   val ops: Seq[Op] = Seq(opBrute, opIvf, opEmbedDedup)
 }

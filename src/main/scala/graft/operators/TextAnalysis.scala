@@ -35,22 +35,27 @@ object TextAnalysis {
   // ---- lang_id: stopword-profile heuristic language ID ----
   // Argmax over per-language stopword hit counts, fixed priority order
   // en > de > fr > es > zh on ties (deterministic in both engines).
+  /** Argmax over stopword hit counts with fixed en>de>fr>es>zh tie
+    * order; extracted so specs can pin behavior on hand-built docs.
+    */
+  private[graft] def predictLang(d: DataFrame): DataFrame = {
+    val langs = Seq("en", "de", "fr", "es", "zh")
+    val withCounts = langs.foldLeft(d) { (df, l) =>
+      df.withColumn(s"hits_$l", hitCountSpark(l))
+    }
+    val cols = langs.map(l => col(s"hits_$l"))
+    val pred = langs.init.zipWithIndex.foldLeft(when(lit(false), "")) {
+      case (acc, (l, i)) =>
+        val c = col(s"hits_$l")
+        acc.when(cols.drop(i + 1).map(o => c >= o).reduce(_ && _), l)
+    }.otherwise("zh")
+    withCounts.select(col("doc_id") +: pred.as("predicted_lang") +:
+      langs.map(l => col(s"hits_$l")): _*)
+  }
+
   private val opLangId = Op(
     "lang_id",
-    (s, dir) => {
-      val langs = Seq("en", "de", "fr", "es", "zh")
-      val withCounts = langs.foldLeft(docs(s, dir)) { (df, l) =>
-        df.withColumn(s"hits_$l", hitCountSpark(l))
-      }
-      val cols = langs.map(l => col(s"hits_$l"))
-      val pred = langs.init.zipWithIndex.foldLeft(when(lit(false), "")) {
-        case (acc, (l, i)) =>
-          val c = col(s"hits_$l")
-          acc.when(cols.drop(i + 1).map(o => c >= o).reduce(_ && _), l)
-      }.otherwise("zh")
-      withCounts.select(col("doc_id") +: pred.as("predicted_lang") +:
-        langs.map(l => col(s"hits_$l")): _*)
-    },
+    (s, dir) => predictLang(docs(s, dir)),
     Some(s"""
       WITH h AS (SELECT doc_id,
         ${stop.keys.toSeq.sorted.map(l => s"${hitCount(l)} AS hits_$l").mkString(",\n        ")}

@@ -28,15 +28,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_cosine"
 
+  // Length mismatch → NULL, matching zip_with's null-padding semantics
+  // (and the DuckDB oracle) instead of silently truncating: a corrupt
+  // short vector must not win a top-k slot with a plausible score.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData].toFloatArray()
     val y = b.asInstanceOf[ArrayData].toFloatArray()
+    if (x.length != y.length) return null
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
-    val n = math.min(x.length, y.length)
-    while (i < n) {
+    while (i < x.length) {
       val xi = x(i).toDouble
       val yi = y(i).toDouble
       dot += xi * yi
@@ -59,14 +62,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       s"""
         float[] $x = $a.toFloatArray();
         float[] $y = $b.toFloatArray();
-        double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-        int $n = java.lang.Math.min($x.length, $y.length);
-        for (int $i = 0; $i < $n; $i++) {
-          double xi = (double) $x[$i];
-          double yi = (double) $y[$i];
-          $dot += xi * yi; $na += xi * xi; $nb += yi * yi;
+        if ($x.length != $y.length) {
+          ${ev.isNull} = true;
+        } else {
+          double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+          int $n = $x.length;
+          for (int $i = 0; $i < $n; $i++) {
+            double xi = (double) $x[$i];
+            double yi = (double) $y[$i];
+            $dot += xi * yi; $na += xi * xi; $nb += yi * yi;
+          }
+          ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
         }
-        ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
       """
     })
 

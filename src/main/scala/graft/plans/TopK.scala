@@ -19,6 +19,8 @@ object TopK {
   def perKey(df: DataFrame, keys: Seq[String], order: Seq[(String, Boolean)],
       k: Int, rankName: String = "rk"): DataFrame = {
     require(k > 0, "k must be positive")
+    require(keys.nonEmpty,
+      "keys must be non-empty (global top-k: use orderBy(...).limit(k))")
     val plan = GraftSqlBridge.analyzed(df)
     def attr(n: String) = plan.output.find(_.name == n)
       .getOrElse(throw new IllegalArgumentException(

@@ -56,42 +56,65 @@ object Streams {
 
   /** One mapped chunk arriving on the stream. `n_chunks_total` is known
     * at chunking time (the reference knows its chunk count up front —
-    * test_proactive.py:207).
+    * test_proactive.py:207). `ts` is the chunk's event time, which
+    * drives the incomplete-doc timeout watermark.
     */
   case class ChunkIn(doc_id: Long, chunk_id: Long, n_chunks_total: Int,
-      summary: String)
+      summary: String, ts: java.sql.Timestamp)
 
-  case class MrState(got: Map[Long, String])
+  case class MrState(got: Map[Long, String], maxTsMs: Long)
 
-  case class DocOut(doc_id: Long, n_chunks: Long, final_summary: String)
+  case class DocOut(doc_id: Long, n_chunks: Long, final_summary: String,
+      complete: Boolean)
 
   /** stream_mr — the "proactive" reduce: per-doc state accumulates
     * chunk summaries AS THEY ARRIVE (any order) and emits the ordered
     * combine the moment the last chunk lands — no batch barrier, which
     * is exactly the overlap the reference's pipeline buys
     * (reference pipeline_70b_samsum.py).
+    *
+    * State is BOUNDED: docs whose chunks stop arriving time out one
+    * [[IncompleteDocTimeoutMs]] past the event-time watermark and emit
+    * a best-effort partial reduce (`complete = false`) — without this,
+    * one lost chunk leaks its doc's state forever on an unbounded
+    * stream.
     */
+  val IncompleteDocTimeoutMs: Long = 60L * 60 * 1000
+
   def incrementalReduce(chunks: Dataset[ChunkIn]): Dataset[DocOut] = {
     import chunks.sparkSession.implicits._
     chunks
+      .withWatermark("ts", "10 minutes")
       .groupByKey(_.doc_id)
       .flatMapGroupsWithState[MrState, DocOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (docId: Long, in: Iterator[ChunkIn], state: GroupState[MrState]) =>
-          val prev = state.getOption.getOrElse(MrState(Map.empty))
-          var got = prev.got
-          var total = -1
-          in.foreach { c =>
-            got += (c.chunk_id -> c.summary)
-            total = c.n_chunks_total
-          }
-          if (total > 0 && got.size >= total) {
+          def emit(got: Map[Long, String], complete: Boolean) = {
             state.remove()
             val ordered = got.toSeq.sortBy(_._1).map(_._2).mkString(" | ")
-            Iterator.single(DocOut(docId, got.size.toLong, ordered))
+            Iterator.single(DocOut(docId, got.size.toLong, ordered, complete))
+          }
+          if (state.hasTimedOut) {
+            emit(state.get.got, complete = false)
           } else {
-            state.update(MrState(got))
-            Iterator.empty
+            val prev = state.getOption.getOrElse(MrState(Map.empty, 0L))
+            var got = prev.got
+            var maxTs = prev.maxTsMs
+            var total = -1
+            in.foreach { c =>
+              got += (c.chunk_id -> c.summary)
+              maxTs = math.max(maxTs, c.ts.getTime)
+              total = c.n_chunks_total
+            }
+            if (total > 0 && got.size >= total) emit(got, complete = true)
+            else {
+              state.update(MrState(got, maxTs))
+              // anchored to the group's OWN event time, not the global
+              // watermark — the watermark jumps from epoch 0 on the
+              // first batch and would fire every timeout immediately
+              state.setTimeoutTimestamp(maxTs + IncompleteDocTimeoutMs)
+              Iterator.empty
+            }
           }
       }
   }

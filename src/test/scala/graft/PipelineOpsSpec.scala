@@ -100,8 +100,8 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(1L)._1 == 1L, "vec 1 should see its planted near-dup")
     assert(out(2L)._1 == 1L)
     assert(out(3L)._1 == 0L, "orthogonal-ish vector is not a near-dup")
-    assert(!out.contains(4L) || out(4L)._1 == 0L,
-      "vec 4 is in another bucket — pruned from vec 1's pair space")
+    assert(out(4L) == (0L, -1.0),
+      "singleton bucket reports n_near=0 with the -1 sentinel, not absence")
     assert(out(1L)._2 > 0.999, "planted pair cosine ~1")
   }
 
@@ -115,10 +115,18 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
-  test("lang_id: deterministic argmax with fixed tie order") {
-    val out = run("lang_id")
-    assert(out.filter($"predicted_lang".isin("en", "de", "fr", "es", "zh")).count()
-      == out.count())
+  test("lang_id: argmax picks the stopword-dominant language; ties fall to en") {
+    val fixture = Seq(
+      (1L, "der hund und die katze ist hier"), // German stopwords dominate
+      (2L, "le chat et la maison des gens"),   // French
+      (3L, "the cat of the house and dog"),    // English
+      (4L, "nothing matching any stopword list here"), // all-zero tie → en
+      (5L, "el gato y los perros las casas")   // Spanish
+    ).toDF("doc_id", "text")
+    val out = operators.TextAnalysis.predictLang(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted_lang"))
+      .toMap
+    assert(out == Map(1L -> "de", 2L -> "fr", 3L -> "en", 4L -> "en", 5L -> "es"))
   }
 
   test("text_quality: ratios within [0,1], avg_token_len positive") {

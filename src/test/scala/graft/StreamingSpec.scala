@@ -73,20 +73,35 @@ class StreamingSpec extends SparkSpec {
     val in = MemoryStream[ChunkIn]
     val q = Streams.incrementalReduce(in.toDS()).writeStream
       .format("memory").queryName("mr_out").outputMode("append").start()
+    val t0 = ts("2024-01-01 10:00:00")
     // chunks arrive OUT OF ORDER and interleaved across docs
-    in.addData(ChunkIn(1L, 1L, 3, "one-b"), ChunkIn(2L, 0L, 2, "two-a"))
+    in.addData(ChunkIn(1L, 1L, 3, "one-b", t0), ChunkIn(2L, 0L, 2, "two-a", t0))
     q.processAllAvailable()
     assert(spark.table("mr_out").count() == 0, "nothing complete yet")
-    in.addData(ChunkIn(1L, 0L, 3, "one-a"), ChunkIn(2L, 1L, 2, "two-b"))
+    in.addData(ChunkIn(1L, 0L, 3, "one-a", t0), ChunkIn(2L, 1L, 2, "two-b", t0))
     q.processAllAvailable()
     val afterSecond = spark.table("mr_out").as[DocOut].collect()
     assert(afterSecond.map(_.doc_id).toSet == Set(2L), "doc 2 complete, doc 1 not")
     assert(afterSecond.head.final_summary == "two-a | two-b")
-    in.addData(ChunkIn(1L, 2L, 3, "one-c"))
+    assert(afterSecond.head.complete)
+    in.addData(ChunkIn(1L, 2L, 3, "one-c", t0))
     q.processAllAvailable()
     val all = spark.table("mr_out").as[DocOut].collect()
-    q.stop()
     assert(all.map(_.doc_id).toSet == Set(1L, 2L))
     assert(all.find(_.doc_id == 1L).get.final_summary == "one-a | one-b | one-c")
+    assert(all.forall(_.complete))
+    // doc 9 never completes: 1 of 3 chunks, then the watermark sails
+    // past its timeout -> partial emit with complete=false
+    in.addData(ChunkIn(9L, 0L, 3, "nine-a", t0))
+    q.processAllAvailable()
+    in.addData(ChunkIn(8L, 0L, 2, "eight-a", ts("2024-01-01 14:00:00")))
+    q.processAllAvailable()
+    in.addData(ChunkIn(8L, 1L, 2, "eight-b", ts("2024-01-01 14:00:01")))
+    q.processAllAvailable()
+    val withTimeout = spark.table("mr_out").as[DocOut].collect()
+    q.stop()
+    val nine = withTimeout.find(_.doc_id == 9L)
+    assert(nine.isDefined, "timed-out doc must emit a partial result")
+    assert(!nine.get.complete && nine.get.final_summary == "nine-a")
   }
 }
