@@ -397,6 +397,90 @@ object MapReduceDocs {
         CAST(n_tokens - CEIL(ratio * n_tokens) AS BIGINT) AS rest_len
       FROM r"""))
 
+  // ---- score_bleu: BLEU-4 (compute_scores.py:1, sentence_bleu) ----
+  // Modified n-gram precision n=1..4 with clipping, chencherry-style
+  // smoothing (zero clipped count → 0.1), over fixed 10-token slices of
+  // consecutive docs. Equal-length slices make the brevity penalty
+  // exactly 1, and the geometric mean is sqrt(sqrt(p1*p2*p3*p4)) —
+  // IEEE-exact in both engines (exp/ln libm variance would not be).
+  private val opBleu = Op(
+    "score_bleu",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val slice10 = (c: org.apache.spark.sql.Column) =>
+        slice(TextFns.tokens(TextFns.normalize(c)), 1, 10)
+      val a = d.select(col("doc_id"), slice10(col("text")).as("pt"))
+      val b = d.select((col("doc_id") - 1).as("doc_id"), slice10(col("text")).as("gt"))
+      val pairs = a.join(b, "doc_id")
+      // NB: Spark's sequence(0, -1) yields [0, -1] (inferred step -1),
+      // unlike DuckDB's empty list — guard the size<n case explicitly
+      def gramsFor(side: String, n: Int) = pairs.select(
+        col("doc_id"), lit(n).as("n"),
+        explode(when(size(col(side)) >= n, expr(
+          s"transform(sequence(0, size($side) - $n), i -> array_join(slice($side, i+1, $n), ' '))"))
+          .otherwise(expr("CAST(array() AS array<string>)"))).as("gram"))
+      def grams(side: String) =
+        (1 to 4).map(n => gramsFor(side, n)).reduce(_ union _)
+      val pc = grams("pt").groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("cp"))
+      val gc = grams("gt").groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("cg"))
+      val clipped = pc.join(gc, Seq("doc_id", "n", "gram"))
+        .groupBy("doc_id", "n")
+        .agg(sum(least(col("cp"), col("cg"))).as("clip"))
+      val totals = pairs.select(col("doc_id"),
+        explode(expr("sequence(1, 4)")).as("n"),
+        size(col("pt")).as("np"))
+        .withColumn("total", greatest(col("np") - col("n") + 1, lit(0)))
+      val pn = totals.join(clipped, Seq("doc_id", "n"), "left")
+        .withColumn("clip", coalesce(col("clip"), lit(0L)))
+        .withColumn("p",
+          when(col("clip") > 0, col("clip") / col("total"))
+            .otherwise(lit(0.1) / col("total")))
+      pn.groupBy(col("doc_id"))
+        .agg(
+          max(when(col("n") === 1, col("clip"))).as("clip1"),
+          round(sqrt(sqrt(expr(
+            "first(CASE WHEN n=1 THEN p END, true) * first(CASE WHEN n=2 THEN p END, true) * first(CASE WHEN n=3 THEN p END, true) * first(CASE WHEN n=4 THEN p END, true)"))), 6)
+            .as("bleu"))
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id,
+          list_slice(string_split(${TextFns.normalizeSql("text")}, ' '), 1, 10) AS toks
+        FROM documents),
+      pairs AS (
+        SELECT a.doc_id, a.toks AS pt, b.toks AS gt
+        FROM d a JOIN d b ON b.doc_id = a.doc_id + 1),
+      gp AS (
+        SELECT doc_id, n, array_to_string(list_slice(pt, i+1, i+n), ' ') AS gram
+        FROM pairs, UNNEST(generate_series(1, 4)) AS nn(n),
+          UNNEST(generate_series(0, greatest(len(pt) - n, -1))) AS ii(i)),
+      gg AS (
+        SELECT doc_id, n, array_to_string(list_slice(gt, i+1, i+n), ' ') AS gram
+        FROM pairs, UNNEST(generate_series(1, 4)) AS nn(n),
+          UNNEST(generate_series(0, greatest(len(gt) - n, -1))) AS ii(i)),
+      pc AS (SELECT doc_id, n, gram, COUNT(*) AS cp FROM gp GROUP BY 1, 2, 3),
+      gc AS (SELECT doc_id, n, gram, COUNT(*) AS cg FROM gg GROUP BY 1, 2, 3),
+      clipped AS (
+        SELECT pc.doc_id, pc.n, SUM(LEAST(pc.cp, gc.cg)) AS clip
+        FROM pc JOIN gc ON pc.doc_id = gc.doc_id AND pc.n = gc.n AND pc.gram = gc.gram
+        GROUP BY 1, 2),
+      totals AS (
+        SELECT p.doc_id, nn.n, greatest(len(p.pt) - nn.n + 1, 0) AS total
+        FROM pairs p, UNNEST(generate_series(1, 4)) AS nn(n)),
+      pn AS (
+        SELECT t.doc_id, t.n, COALESCE(c.clip, 0) AS clip, t.total
+        FROM totals t LEFT JOIN clipped c ON c.doc_id = t.doc_id AND c.n = t.n),
+      pvals AS (
+        SELECT doc_id, n,
+          CASE WHEN clip > 0 THEN clip / total ELSE 0.1 / total END AS p,
+          clip
+        FROM pn)
+      SELECT doc_id,
+        CAST(MAX(CASE WHEN n = 1 THEN clip END) AS BIGINT) AS clip1,
+        ROUND(sqrt(sqrt(
+          MAX(CASE WHEN n=1 THEN p END) * MAX(CASE WHEN n=2 THEN p END)
+          * MAX(CASE WHEN n=3 THEN p END) * MAX(CASE WHEN n=4 THEN p END))), 6) AS bleu
+      FROM pvals GROUP BY doc_id"""))
+
   val ops: Seq[Op] = Seq(opNormalize, opChunk, opMap, opReduce, opPipeline,
-    opE2e, opEmSubstr, opF1, opStats, opKv, opRatioSplit, opFoldReduce)
+    opE2e, opEmSubstr, opF1, opStats, opKv, opRatioSplit, opFoldReduce, opBleu)
 }

@@ -80,6 +80,16 @@ class MapReduceDocsSpec extends SparkSpec {
     assert(s.filter($"em" === 1 && $"substr_m" === 0).count() == 0)
   }
 
+  test("score_bleu: bounded in (0,1]; identical consecutive docs score 1") {
+    val out = MapReduceDocs.ops.find(_.name == "score_bleu").get
+      .query(spark, sfDir)
+    assert(out.filter($"bleu" <= 0 || $"bleu" > 1).count() == 0)
+    // smoothing floor: fully-disjoint docs still get a tiny positive score
+    assert(out.filter($"clip1" === 0 && $"bleu" <= 0).count() == 0)
+    // real corpus: some 1-gram overlap exists somewhere
+    assert(out.filter($"clip1" > 0).count() > 0)
+  }
+
   test("kv_cache_plan: gpu cheapest, nfs most expensive (tier cost model)") {
     val rows = run("kv_cache_plan").collect()
     rows.foreach { r =>
