@@ -10,6 +10,9 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // wide aggs (64-col simhash/minhash signatures) exceed the
+      // default codegen field limit of 100
+      .config("spark.sql.codegen.maxFields", "300")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
