@@ -481,6 +481,60 @@ object MapReduceDocs {
           * MAX(CASE WHEN n=3 THEN p END) * MAX(CASE WHEN n=4 THEN p END))), 6) AS bleu
       FROM pvals GROUP BY doc_id"""))
 
+  // ---- score_has_answer: multi-candidate answer containment ----
+  // text_has_answer(answers, text) (hanchen_recomp.py:55): TRUE iff ANY
+  // normalized candidate answer is a substring of the normalized text.
+  // Candidates: head phrases of the next two docs (deterministic).
+  private val opHasAnswer = Op(
+    "score_has_answer",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val head2 = (c: org.apache.spark.sql.Column) =>
+        array_join(slice(TextFns.tokens(TextFns.normalize(c)), 1, 2), " ")
+      val base = d.select(col("doc_id"), TextFns.normalize(col("text")).as("txt"))
+      val a1 = d.select((col("doc_id") - 1).as("doc_id"), head2(col("text")).as("cand1"))
+      val a2 = d.select((col("doc_id") - 2).as("doc_id"), head2(col("text")).as("cand2"))
+      base.join(a1, "doc_id").join(a2, "doc_id")
+        .select(col("doc_id"),
+          when(col("txt").contains(col("cand1")) ||
+            col("txt").contains(col("cand2")), 1L).otherwise(0L)
+            .as("has_answer"))
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id, ${TextFns.normalizeSql("text")} AS txt FROM documents),
+      h AS (SELECT doc_id,
+          array_to_string(list_slice(string_split(txt, ' '), 1, 2), ' ') AS head2
+        FROM d)
+      SELECT a.doc_id,
+        CAST(CASE WHEN contains(a.txt, b.head2) OR contains(a.txt, c.head2)
+             THEN 1 ELSE 0 END AS BIGINT) AS has_answer
+      FROM d a
+      JOIN h b ON b.doc_id = a.doc_id + 1
+      JOIN h c ON c.doc_id = a.doc_id + 2"""))
+
+  // ---- score_rougeL: LCS-based ROUGE-L f-measure ----
+  // compute_r1 (hanchen_recomp.py:76) returns rougeL.fmeasure. LCS runs
+  // in the native graft_lcs codegen expression; F = 2·lcs/(|p|+|g|).
+  // No portable SQL LCS → rows-only; the spec pins hand-computed LCS
+  // values and the F formula.
+  private val opRougeL = Op(
+    "score_rougeL",
+    (s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val slice10 = (c: org.apache.spark.sql.Column) =>
+        slice(TextFns.tokens(TextFns.normalize(c)), 1, 10)
+      val d = docs(s, dir)
+      val a = d.select(col("doc_id"), slice10(col("text")).as("pt"))
+      val b = d.select((col("doc_id") - 1).as("doc_id"), slice10(col("text")).as("gt"))
+      a.join(b, "doc_id")
+        .withColumn("lcs", expr("graft_lcs(pt, gt)"))
+        .select(col("doc_id"), col("lcs"),
+          round(lit(2.0) * col("lcs") / (size(col("pt")) + size(col("gt"))), 6)
+            .as("rouge_l"))
+    },
+    None)
+
   val ops: Seq[Op] = Seq(opNormalize, opChunk, opMap, opReduce, opPipeline,
-    opE2e, opEmSubstr, opF1, opStats, opKv, opRatioSplit, opFoldReduce, opBleu)
+    opE2e, opEmSubstr, opF1, opStats, opKv, opRatioSplit, opFoldReduce, opBleu,
+    opHasAnswer, opRougeL)
 }

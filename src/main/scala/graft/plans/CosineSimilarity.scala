@@ -89,6 +89,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineDescriptor)
+    ext.injectFunction(GraftFunctions.lcsDescriptor)
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectOptimizerRule(_ => PushFilterThroughTopK)
   }
@@ -100,9 +101,19 @@ object GraftFunctions {
     new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
     (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1)): Expression)
 
-  def register(spark: SparkSession): Unit =
+  private[plans] val lcsDescriptor = (
+    FunctionIdentifier("graft_lcs"),
+    new ExpressionInfo(classOf[LcsLength].getName, "graft_lcs"),
+    (exprs: Seq[Expression]) => LcsLength(exprs.head, exprs(1)): Expression)
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine",
       exprs => CosineSimilarity(exprs.head, exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lcs",
+      exprs => LcsLength(exprs.head, exprs(1)),
+      "built-in")
+  }
 }

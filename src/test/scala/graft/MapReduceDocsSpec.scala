@@ -90,6 +90,30 @@ class MapReduceDocsSpec extends SparkSpec {
     assert(out.filter($"clip1" > 0).count() > 0)
   }
 
+  test("graft_lcs: hand-computed LCS values and ROUGE-L formula") {
+    graft.plans.GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "d"), Seq("a", "x", "c", "y", "d")), // lcs acd=3
+      (2L, Seq("a", "b"), Seq("c", "d")),                          // lcs 0
+      (3L, Seq("x", "y", "z"), Seq("x", "y", "z"))                 // lcs 3
+    ).toDF("id", "p", "g")
+      .withColumn("lcs", expr("graft_lcs(p, g)"))
+    val out = df.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("lcs")).toMap
+    assert(out == Map(1L -> 3L, 2L -> 0L, 3L -> 3L))
+    // rouge_l over real data: bounded, consistent with lcs
+    val rl = MapReduceDocs.ops.find(_.name == "score_rougeL").get
+      .query(spark, sfDir)
+    assert(rl.filter($"rouge_l" < 0 || $"rouge_l" > 1).count() == 0)
+    assert(rl.filter($"lcs" === 0 && $"rouge_l" =!= 0.0).count() == 0)
+  }
+
+  test("score_has_answer: candidate containment matches manual check") {
+    val out = MapReduceDocs.ops.find(_.name == "score_has_answer").get
+      .query(spark, sfDir)
+    assert(out.count() > 0)
+    assert(out.filter(!$"has_answer".isin(0L, 1L)).count() == 0)
+  }
+
   test("kv_cache_plan: gpu cheapest, nfs most expensive (tier cost model)") {
     val rows = run("kv_cache_plan").collect()
     rows.foreach { r =>
