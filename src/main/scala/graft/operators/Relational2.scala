@@ -189,5 +189,27 @@ object Relational2 {
           count(lit(1)).as("cnt")),
     None)
 
-  val ops: Seq[Op] = Seq(q15, q16, q17, q18, q19, q20, q21, q22)
+  // ---- q23_pivot: wide pivot of event counts per day ----
+  // Explicit value list keeps the pivot a single pass (no extra
+  // distinct-values job) and the output schema deterministic.
+  private val q23 = Op(
+    "q23_pivot",
+    (s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      graft.Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L, types)
+    },
+    Some("""
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+      FROM events GROUP BY 1"""))
+
+  val ops: Seq[Op] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23)
 }
