@@ -177,6 +177,8 @@ object Relational2 {
   // The approximate path for q10-style questions at 100 TB: fixed-size
   // sketches, one pass, mergeable map-side. rows-only (approx results
   // are engine-specific by design); the spec bounds error vs exact.
+  // Output is all-scalar (q50/q95 via element_at, not array<double>) so
+  // the driver's pandas row compare can sort/hash the frame.
   private val q22 = Op(
     "q22_approx_sketch",
     (s, dir) =>
@@ -185,8 +187,12 @@ object Relational2 {
         .agg(
           approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
           expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
-            .as("price_quantiles"),
-          count(lit(1)).as("cnt")),
+            .as("pq"),
+          count(lit(1)).as("cnt"))
+        .select(col("l_returnflag"), col("approx_parts"),
+          element_at(col("pq"), 1).as("price_q50"),
+          element_at(col("pq"), 2).as("price_q95"),
+          col("cnt")),
     None)
 
   // ---- q23_pivot: wide pivot of event counts per day ----

@@ -98,13 +98,14 @@ object Similarity {
       // search ONLY the probed bucket
       val c = e.select(col("vec_id").as("c_id"), col("label").as("c_label"),
         col("embedding").as("c_emb"), col("norm").as("c_norm"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("c_id"))
-      c.join(broadcast(probed),
+      val scored = c.join(broadcast(probed),
           col("c_label") === col("probed_label") && col("q_id") =!= col("c_id"))
         .withColumn("cos", round(expr("graft_cosine(q_emb, c_emb)"), 6))
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= 3)
+      // final ranking via the two-phase TopKPerKey heap operator (k rows
+      // per key reach the shuffle), same path ann_cosine_topk uses —
+      // a row_number window would re-sort every candidate per query
+      graft.plans.TopK.perKey(scored, Seq("q_id"),
+          Seq("cos" -> graft.plans.TopK.Desc, "c_id" -> graft.plans.TopK.Asc), 3)
         .select(col("q_id"), col("probed_label").cast("long").as("probed_label"),
           col("c_id"), col("cos"), col("rk"))
     },

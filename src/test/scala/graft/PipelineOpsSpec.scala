@@ -80,12 +80,18 @@ class PipelineOpsSpec extends SparkSpec {
     val ivf = run("ann_ivf")
     assert(ivf.select("q_id").distinct().count() == 10)
     assert(ivf.select("q_id", "probed_label").distinct().count() <= 20)
-    val brute = run("ann_cosine_topk")
+    // real recall bound: of each query's brute-force top-3, IVF with
+    // nprobe=2 must recover >= 60% overall (not just "found something")
+    val brute = run("ann_cosine_topk").filter($"rk" <= 3)
       .select($"q_id", $"c_id").as[(Long, Long)].collect().toSet
     val hits = ivf.select($"q_id", $"c_id").as[(Long, Long)].collect()
       .count(brute.contains)
-    // 3 probed results per query vs global top-5: expect meaningful overlap
-    assert(hits > 0, "IVF found nothing from the brute-force top-5")
+    val recall = hits.toDouble / brute.size
+    assert(recall >= 0.6, s"IVF recall@3 $recall < 0.6 vs brute force")
+    // the plan must rank through the two-phase heap operator, not a
+    // window sort over all candidates
+    val plan = ivf.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
   }
 
   test("dedup_embed kernel: planted near-identical vectors are detected") {

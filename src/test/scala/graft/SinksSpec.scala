@@ -40,5 +40,23 @@ class SinksSpec extends SparkSpec {
       assert(math.abs(ap - ex).toDouble / ex < 0.1,
         s"$flag: approx $ap vs exact $ex drifted > 10%")
     }
+    // scalar quantile columns (driver-compatible schema: no arrays) land
+    // within 5% of the exact percentiles
+    val qs = operators.Relational2.ops.find(_.name == "q22_approx_sketch")
+      .get.query(spark, sfDir).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("price_q50"), r.getAs[Double]("price_q95"))).toMap
+    val exactQ = Tables(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("e50"),
+        expr("percentile(l_extendedprice, 0.95)").as("e95")).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("e50"), r.getAs[Double]("e95"))).toMap
+    exactQ.foreach { case (flag, (e50, e95)) =>
+      val (a50, a95) = qs(flag)
+      assert(a50 <= a95, s"$flag: q50 $a50 > q95 $a95")
+      assert(math.abs(a50 - e50) / e50 < 0.05, s"$flag: q50 $a50 vs exact $e50")
+      assert(math.abs(a95 - e95) / e95 < 0.05, s"$flag: q95 $a95 vs exact $e95")
+    }
   }
 }
