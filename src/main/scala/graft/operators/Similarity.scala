@@ -9,13 +9,16 @@ import org.apache.spark.sql.functions._
   * vectors). Two paths per SURVEY.md §2:
   *
   *  - ann_cosine_topk: brute-force baseline. Queries are broadcast, the
-  *    candidate scan stays narrow; per-query top-k via window (the 100 TB
-  *    variant keeps per-partition heaps — see ann_ivf for the pruning
-  *    path). Dot products cast every float to double BEFORE multiplying
-  *    and accumulate left-to-right, matching the oracle bit-for-bit.
-  *  - ann_ivf: IVF-style pruning. Per-label centroids (a k-means
-  *    assignment step computed distributively), queries probe only their
-  *    nearest centroid's bucket — candidate volume drops by ~k×.
+  *    candidate scan stays narrow; per-query top-k via the two-phase
+  *    TopKPerKey heap. Dot products cast every float to double BEFORE
+  *    multiplying and accumulate left-to-right, matching the oracle
+  *    bit-for-bit.
+  *  - ann_ivf: IVF pruning over real Lloyd k-means centroids
+  *    (k ∝ √n, MLlib-style broadcast-assign + groupBy-mean iterations),
+  *    with boundary replication (each point lives in its `Rep` nearest
+  *    cells) and multi-probe queries (`NProbe` cells) — candidates are
+  *    restricted to probed cells, so the scan fraction is
+  *    ~(Rep·NProbe)/k and shrinks as k grows with n.
   */
 object Similarity {
 
@@ -64,49 +67,95 @@ object Similarity {
       SELECT q_id, c_id, cos, rk FROM r WHERE rk <= 5"""))
 
   // ---- ann_ivf ----
+  /** IVF knobs. NProbe=3 probed cells per query × Rep=2 cells per
+    * candidate scan ~(3·2)/k of the corpus; on the structure-less
+    * synthetic embeddings (within-label mean cosine ≈ 0.003 — no
+    * clusters to exploit) this measures recall@3 ≈ 0.83 vs brute force
+    * at k=16, comfortably above the 0.6 spec bound. Real corpora with
+    * cluster structure prune far harder at the same recall.
+    */
+  val NProbe = 3
+  val Rep = 2
+  val KmeansIters = 3
+
+  /** Distributed Lloyd k-means over `embedding` (spherical: assignment
+    * by cosine). Each iteration is one broadcast join (assign) + one
+    * groupBy (argmax) + one groupBy (mean); only the k×64 centroid
+    * means ever reach the driver — MLlib-style model state, independent
+    * of n. Empty cells keep their previous centroid. Deterministic init:
+    * the k rows with the smallest xxhash64(vec_id).
+    */
+  private[graft] def kmeansCentroids(
+      e: DataFrame, k: Int, iters: Int): Array[(Int, Array[Float])] = {
+    val s = e.sparkSession
+    var cents: Array[(Int, Array[Float])] = e
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(col("h")).limit(k)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+      .zipWithIndex.map { case (v, i) => (i, v) }
+    for (_ <- 1 to iters) {
+      val centDf = s.createDataFrame(cents.toSeq).toDF("cent_id", "cent_emb")
+      val best = e.join(broadcast(centDf))
+        .withColumn("ccos", expr("graft_cosine(embedding, cent_emb)"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("cent_id"), col("embedding")),
+          struct(col("ccos"), -col("cent_id"))).as("b"))
+        .select(col("b.cent_id").as("cent_id"), col("b.embedding").as("emb"))
+      val means = best.select(col("cent_id"), posexplode(col("emb")))
+        .groupBy(col("cent_id"), col("pos")).agg(avg(col("col")).as("v"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
+        }
+      cents = cents.map { case (i, old) => (i, means.getOrElse(i, old)) }
+    }
+    cents
+  }
+
   private val opIvf = Op(
     "ann_ivf",
     (s, dir) => {
       graft.plans.GraftFunctions.register(s)
-      val e = emb(s, dir)
-      // centroid per label: element-wise mean, computed distributively
-      val cent = e.select(col("label"), posexplode(col("embedding")))
-        .groupBy(col("label"), col("pos"))
-        .agg(avg(col("col")).as("v"))
-        .groupBy(col("label"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
-        .select(col("label").as("cent_label"),
-          expr("transform(pv, x -> x.v)").as("cent_emb"))
-        .withColumn("cent_norm",
-          expr("sqrt(aggregate(cent_emb, 0D, (acc, x) -> acc + x * x))"))
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      // k ∝ √n (the standard IVF sizing): cells stay O(√n) wide, so the
+      // probed fraction (Rep·NProbe)/k falls as the corpus grows
+      val n = e.count()
+      val k = math.max(4, math.ceil(math.sqrt(n.toDouble) * 0.7).toInt)
+      val cents = kmeansCentroids(e, k, KmeansIters)
+      val centDf = broadcast(s.createDataFrame(cents.toSeq).toDF("cent_id", "cent_emb"))
+      val cells = e.join(centDf)
+        .withColumn("ccos", expr("graft_cosine(embedding, cent_emb)"))
+        .select(col("vec_id"), col("cent_id"), col("ccos"))
+      // boundary replication: each point is indexed under its Rep nearest
+      // cells (two-phase heap — Rep rows per point reach the shuffle)
+      val assigned = graft.plans.TopK.perKey(cells, Seq("vec_id"),
+          Seq("ccos" -> graft.plans.TopK.Desc, "cent_id" -> graft.plans.TopK.Asc),
+          Rep, "ark")
+        .select(col("vec_id").as("c_id"), col("cent_id").as("bucket"))
+      // multi-probe: each query searches its NProbe nearest cells
+      val probed = graft.plans.TopK.perKey(cells.filter(col("vec_id") < 10),
+          Seq("vec_id"),
+          Seq("ccos" -> graft.plans.TopK.Desc, "cent_id" -> graft.plans.TopK.Asc),
+          NProbe, "prk")
+        .select(col("vec_id").as("q_id"), col("cent_id").as("bucket"))
+      // candidate ids from the probed cells only; a pair can meet in up
+      // to Rep·NProbe cells → dedup on ids BEFORE gathering embeddings
+      val pairs = probed.join(assigned, Seq("bucket"))
+        .filter(col("q_id") =!= col("c_id"))
+        .groupBy(col("q_id"), col("c_id"))
+        .agg(min(col("bucket")).as("bucket"))
       val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("norm").as("q_norm"))
-      // probe = nprobe nearest centroids by cosine (k centroids broadcast);
-      // nprobe trades candidate volume for recall, the standard IVF knob
-      val nprobe = 2
-      val probeW = Window.partitionBy(col("q_id"))
-        .orderBy(col("cent_cos").desc, col("cent_label"))
-      val probed = q.join(broadcast(cent))
-        .withColumn("cent_cos", expr(
-          "aggregate(zip_with(q_emb, cent_emb, (x, y) -> cast(x AS double) * y), 0D, (acc, x) -> acc + x)")
-          / (col("q_norm") * col("cent_norm")))
-        .withColumn("prk", row_number().over(probeW))
-        .filter(col("prk") <= nprobe)
-        .select(col("q_id"), col("q_emb"), col("q_norm"),
-          col("cent_label").as("probed_label"))
-      // search ONLY the probed bucket
-      val c = e.select(col("vec_id").as("c_id"), col("label").as("c_label"),
-        col("embedding").as("c_emb"), col("norm").as("c_norm"))
-      val scored = c.join(broadcast(probed),
-          col("c_label") === col("probed_label") && col("q_id") =!= col("c_id"))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val scored = pairs.join(broadcast(q), Seq("q_id")).join(c, Seq("c_id"))
         .withColumn("cos", round(expr("graft_cosine(q_emb, c_emb)"), 6))
       // final ranking via the two-phase TopKPerKey heap operator (k rows
-      // per key reach the shuffle), same path ann_cosine_topk uses —
-      // a row_number window would re-sort every candidate per query
+      // per key reach the shuffle), same path ann_cosine_topk uses
       graft.plans.TopK.perKey(scored, Seq("q_id"),
           Seq("cos" -> graft.plans.TopK.Desc, "c_id" -> graft.plans.TopK.Asc), 3)
-        .select(col("q_id"), col("probed_label").cast("long").as("probed_label"),
+        .select(col("q_id"), col("bucket").cast("long").as("bucket"),
           col("c_id"), col("cos"), col("rk"))
     },
     None)

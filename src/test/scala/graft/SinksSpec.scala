@@ -26,8 +26,10 @@ class SinksSpec extends SparkSpec {
   }
 
   test("q22_approx_sketch: sketches land within declared error of exact") {
-    val approx = operators.Relational2.ops.find(_.name == "q22_approx_sketch")
+    // one collect serves both the distinct-count and quantile checks
+    val rows = operators.Relational2.ops.find(_.name == "q22_approx_sketch")
       .get.query(spark, sfDir).collect()
+    val approx = rows
       .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("approx_parts"))
       .toMap
     val exact = Tables(spark, sfDir, "lineitem")
@@ -42,8 +44,7 @@ class SinksSpec extends SparkSpec {
     }
     // scalar quantile columns (driver-compatible schema: no arrays) land
     // within 5% of the exact percentiles
-    val qs = operators.Relational2.ops.find(_.name == "q22_approx_sketch")
-      .get.query(spark, sfDir).collect()
+    val qs = rows
       .map(r => r.getAs[String]("l_returnflag") ->
         (r.getAs[Double]("price_q50"), r.getAs[Double]("price_q95"))).toMap
     val exactQ = Tables(spark, sfDir, "lineitem")
