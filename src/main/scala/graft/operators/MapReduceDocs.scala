@@ -397,12 +397,105 @@ object MapReduceDocs {
         CAST(n_tokens - CEIL(ratio * n_tokens) AS BIGINT) AS rest_len
       FROM r"""))
 
-  // ---- score_bleu: BLEU-4 (compute_scores.py:1, sentence_bleu) ----
-  // Modified n-gram precision n=1..4 with clipping, chencherry-style
-  // smoothing (zero clipped count → 0.1), over fixed 10-token slices of
-  // consecutive docs. Equal-length slices make the brevity penalty
-  // exactly 1, and the geometric mean is sqrt(sqrt(p1*p2*p3*p4)) —
-  // IEEE-exact in both engines (exp/ln libm variance would not be).
+  // ---- score_bleu: BLEU-4 with chencherry method7 smoothing ----
+  // Mirrors the reference's sentence_bleu(ref, cand,
+  // smoothing_function=chencherry.method7) (test_proactive.py:376,
+  // compute_scores.py:6): NLTK method7 = method4 (zero counts get
+  // ln(hyp_len)/(2^incvnt·5·denom)) then method5 (average with the
+  // neighboring orders, seeded by m[-1] = p1+1, using the raw 5-gram
+  // precision as the n+1 neighbor), brevity penalty exp(1-ref/hyp) when
+  // hyp ≤ ref, and BLEU = 0 outright when no unigram matches
+  // (corpus_bleu's early return). All ln/exp values are Scala-computed
+  // double literals spliced into BOTH the Spark plan and the DuckDB
+  // oracle (hyp/ref lengths are ≤ 10 after the slice), so no libm call
+  // runs at query time on either engine — the arithmetic is
+  // bit-identical. NB: method5 can legitimately exceed 1.0 on
+  // near-perfect matches (m[-1] = p1+1), matching NLTK.
+  private[graft] object BleuSql {
+    /** ln(hyp_len) for hyp_len 2..10, as exact double literals. */
+    def lnCase(hl: String): String =
+      (2 to 10).map(h => s"WHEN $h THEN ${math.log(h.toDouble)}")
+        .mkString(s"(CASE $hl ", " ", " ELSE 0.0 END)")
+
+    /** NLTK brevity_penalty: 1 when hyp ≥ ref, else exp(1 - ref/hyp). */
+    def bpCase(hl: String, rl: String): String = {
+      val whens = (for { h <- 1 to 10; r <- 1 to 10 if h < r }
+        yield s"WHEN $hl = $h AND $rl = $r THEN ${math.exp(1.0 - r.toDouble / h)}")
+        .mkString(" ")
+      s"(CASE WHEN $hl >= $rl THEN 1.0 ELSE (CASE $whens ELSE 0.0 END) END)"
+    }
+
+    /** modified_precision denominator: max(1, hyp_len - n + 1). */
+    def denom(i: Int, hl: String) = s"greatest($hl - ${i - 1}, 1)"
+
+    /** method4's incvnt for order i = 1 + zero orders before i. */
+    private def incvnt(i: Int, c: Int => String): String =
+      if (i == 1) "1"
+      else "(1 + " + (1 until i)
+        .map(j => s"(CASE WHEN ${c(j)} = 0 THEN 1 ELSE 0 END)")
+        .mkString(" + ") + ")"
+
+    /** Post-method4 precision for order i (1..4). */
+    def ps(i: Int, c: Int => String, hl: String): String =
+      s"""(CASE WHEN ${c(i)} > 0 THEN CAST(${c(i)} AS DOUBLE) / ${denom(i, hl)} WHEN $hl > 1 THEN ${lnCase(hl)} / (power(2.0, ${incvnt(i, c)}) * 5.0 * ${denom(i, hl)}) ELSE 0.0 END)"""
+
+    /** Raw 5-gram precision (method5's n+1 neighbor). */
+    def p5(c: Int => String, hl: String) =
+      s"(CAST(${c(5)} AS DOUBLE) / ${denom(5, hl)})"
+  }
+
+  /** BLEU-4/method7 over (doc_id, pt, gt) token-array pairs. ONE
+    * generator pass: both sides are unpivoted, then n=1..5 and gram
+    * positions explode in sequence — no per-n subtree re-evaluation
+    * (the old shape scanned the pairs join 8×) and no interpreted
+    * lambdas (grams are built by slice/array_join on exploded
+    * positions, all codegen).
+    */
+  private[graft] def bleuScores(pairs: DataFrame): DataFrame = {
+    val sides = pairs.select(col("doc_id"), explode(array(
+        struct(lit("p").as("side"), col("pt").as("toks")),
+        struct(lit("g").as("side"), col("gt").as("toks")))).as("sd"))
+      .select(col("doc_id"), col("sd.side").as("side"), col("sd.toks").as("toks"))
+    // NB: Spark's sequence(0, -1) yields [0, -1] (inferred step -1) —
+    // the size >= n filter runs BEFORE the position explode
+    val grams = sides
+      .select(col("doc_id"), col("side"), col("toks"),
+        explode(sequence(lit(1), lit(5))).as("n"))
+      .filter(size(col("toks")) >= col("n"))
+      .select(col("doc_id"), col("side"), col("n"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - col("n"))).as("i"))
+      .select(col("doc_id"), col("side"), col("n"),
+        array_join(slice(col("toks"), col("i") + 1, col("n")), " ").as("gram"))
+    val cnt = grams.groupBy(col("doc_id"), col("n"), col("gram"))
+      .agg(sum(when(col("side") === "p", 1L).otherwise(0L)).as("cp"),
+        sum(when(col("side") === "g", 1L).otherwise(0L)).as("cg"))
+    val clipped = cnt.groupBy(col("doc_id"), col("n"))
+      .agg(sum(least(col("cp"), col("cg"))).as("clip"))
+    val pivAggs = (1 to 5).map(i => max(when(col("n") === i, col("clip"))).as(s"c$i"))
+    val piv = clipped.groupBy(col("doc_id")).agg(pivAggs.head, pivAggs.tail: _*)
+    val sz = pairs.select(col("doc_id"), size(col("pt")).as("hl"),
+      size(col("gt")).as("rl"))
+    val cName = (i: Int) => s"c$i"
+    val base = sz.join(piv, Seq("doc_id"), "left")
+      .select((Seq(col("doc_id"), col("hl"), col("rl")) ++
+        (1 to 5).map(i => coalesce(col(s"c$i"), lit(0L)).as(s"c$i"))): _*)
+    base
+      .withColumn("ps1", expr(BleuSql.ps(1, cName, "hl")))
+      .withColumn("ps2", expr(BleuSql.ps(2, cName, "hl")))
+      .withColumn("ps3", expr(BleuSql.ps(3, cName, "hl")))
+      .withColumn("ps4", expr(BleuSql.ps(4, cName, "hl")))
+      .withColumn("p5raw", expr(BleuSql.p5(cName, "hl")))
+      .withColumn("bp", expr(BleuSql.bpCase("hl", "rl")))
+      .withColumn("p1f", expr("((ps1 + 1.0) + ps1 + ps2) / 3.0"))
+      .withColumn("p2f", expr("(p1f + ps2 + ps3) / 3.0"))
+      .withColumn("p3f", expr("(p2f + ps3 + ps4) / 3.0"))
+      .withColumn("p4f", expr("(p3f + ps4 + p5raw) / 3.0"))
+      .select(col("doc_id"), col("c1").as("clip1"),
+        round(expr(
+          "CASE WHEN c1 = 0 THEN 0.0 ELSE bp * sqrt(sqrt(p1f * p2f * p3f * p4f)) END"),
+          6).as("bleu"))
+  }
+
   private val opBleu = Op(
     "score_bleu",
     (s, dir) => {
@@ -411,75 +504,59 @@ object MapReduceDocs {
         slice(TextFns.tokens(TextFns.normalize(c)), 1, 10)
       val a = d.select(col("doc_id"), slice10(col("text")).as("pt"))
       val b = d.select((col("doc_id") - 1).as("doc_id"), slice10(col("text")).as("gt"))
-      val pairs = a.join(b, "doc_id")
-      // NB: Spark's sequence(0, -1) yields [0, -1] (inferred step -1),
-      // unlike DuckDB's empty list — guard the size<n case explicitly
-      def gramsFor(side: String, n: Int) = pairs.select(
-        col("doc_id"), lit(n).as("n"),
-        explode(when(size(col(side)) >= n, expr(
-          s"transform(sequence(0, size($side) - $n), i -> array_join(slice($side, i+1, $n), ' '))"))
-          .otherwise(expr("CAST(array() AS array<string>)"))).as("gram"))
-      def grams(side: String) =
-        (1 to 4).map(n => gramsFor(side, n)).reduce(_ union _)
-      val pc = grams("pt").groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("cp"))
-      val gc = grams("gt").groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("cg"))
-      val clipped = pc.join(gc, Seq("doc_id", "n", "gram"))
-        .groupBy("doc_id", "n")
-        .agg(sum(least(col("cp"), col("cg"))).as("clip"))
-      val totals = pairs.select(col("doc_id"),
-        explode(expr("sequence(1, 4)")).as("n"),
-        size(col("pt")).as("np"))
-        .withColumn("total", greatest(col("np") - col("n") + 1, lit(0)))
-      val pn = totals.join(clipped, Seq("doc_id", "n"), "left")
-        .withColumn("clip", coalesce(col("clip"), lit(0L)))
-        .withColumn("p",
-          when(col("clip") > 0, col("clip") / col("total"))
-            .otherwise(lit(0.1) / col("total")))
-      pn.groupBy(col("doc_id"))
-        .agg(
-          max(when(col("n") === 1, col("clip"))).as("clip1"),
-          round(sqrt(sqrt(expr(
-            "first(CASE WHEN n=1 THEN p END, true) * first(CASE WHEN n=2 THEN p END, true) * first(CASE WHEN n=3 THEN p END, true) * first(CASE WHEN n=4 THEN p END, true)"))), 6)
-            .as("bleu"))
+      bleuScores(a.join(b, "doc_id"))
     },
-    Some(s"""
+    Some {
+      val cName = (i: Int) => s"c$i"
+      s"""
       WITH d AS (SELECT doc_id,
           list_slice(string_split(${TextFns.normalizeSql("text")}, ' '), 1, 10) AS toks
         FROM documents),
       pairs AS (
         SELECT a.doc_id, a.toks AS pt, b.toks AS gt
         FROM d a JOIN d b ON b.doc_id = a.doc_id + 1),
-      gp AS (
-        SELECT doc_id, n, array_to_string(list_slice(pt, i+1, i+n), ' ') AS gram
-        FROM pairs, UNNEST(generate_series(1, 4)) AS nn(n),
-          UNNEST(generate_series(0, greatest(len(pt) - n, -1))) AS ii(i)),
-      gg AS (
-        SELECT doc_id, n, array_to_string(list_slice(gt, i+1, i+n), ' ') AS gram
-        FROM pairs, UNNEST(generate_series(1, 4)) AS nn(n),
-          UNNEST(generate_series(0, greatest(len(gt) - n, -1))) AS ii(i)),
-      pc AS (SELECT doc_id, n, gram, COUNT(*) AS cp FROM gp GROUP BY 1, 2, 3),
-      gc AS (SELECT doc_id, n, gram, COUNT(*) AS cg FROM gg GROUP BY 1, 2, 3),
-      clipped AS (
-        SELECT pc.doc_id, pc.n, SUM(LEAST(pc.cp, gc.cg)) AS clip
-        FROM pc JOIN gc ON pc.doc_id = gc.doc_id AND pc.n = gc.n AND pc.gram = gc.gram
-        GROUP BY 1, 2),
-      totals AS (
-        SELECT p.doc_id, nn.n, greatest(len(p.pt) - nn.n + 1, 0) AS total
-        FROM pairs p, UNNEST(generate_series(1, 4)) AS nn(n)),
-      pn AS (
-        SELECT t.doc_id, t.n, COALESCE(c.clip, 0) AS clip, t.total
-        FROM totals t LEFT JOIN clipped c ON c.doc_id = t.doc_id AND c.n = t.n),
-      pvals AS (
-        SELECT doc_id, n,
-          CASE WHEN clip > 0 THEN clip / total ELSE 0.1 / total END AS p,
-          clip
-        FROM pn)
-      SELECT doc_id,
-        CAST(MAX(CASE WHEN n = 1 THEN clip END) AS BIGINT) AS clip1,
-        ROUND(sqrt(sqrt(
-          MAX(CASE WHEN n=1 THEN p END) * MAX(CASE WHEN n=2 THEN p END)
-          * MAX(CASE WHEN n=3 THEN p END) * MAX(CASE WHEN n=4 THEN p END))), 6) AS bleu
-      FROM pvals GROUP BY doc_id"""))
+      sides AS (
+        SELECT doc_id, 'p' AS side, pt AS toks FROM pairs
+        UNION ALL SELECT doc_id, 'g' AS side, gt AS toks FROM pairs),
+      byn AS (
+        SELECT doc_id, side, n, toks
+        FROM sides, UNNEST(generate_series(1, 5)) AS nn(n)
+        WHERE len(toks) >= n),
+      grams AS (
+        SELECT doc_id, side, n, array_to_string(list_slice(toks, i+1, i+n), ' ') AS gram
+        FROM byn, UNNEST(generate_series(0, len(toks) - n)) AS ii(i)),
+      cnt AS (
+        SELECT doc_id, n, gram,
+          SUM(CASE WHEN side = 'p' THEN 1 ELSE 0 END) AS cp,
+          SUM(CASE WHEN side = 'g' THEN 1 ELSE 0 END) AS cg
+        FROM grams GROUP BY 1, 2, 3),
+      clipped AS (SELECT doc_id, n, SUM(LEAST(cp, cg)) AS clip FROM cnt GROUP BY 1, 2),
+      piv AS (SELECT doc_id,
+          ${(1 to 5).map(i =>
+            s"CAST(MAX(CASE WHEN n = $i THEN clip END) AS BIGINT) AS c$i")
+            .mkString(", ")}
+        FROM clipped GROUP BY 1),
+      sz AS (SELECT doc_id, len(pt) AS hl, len(gt) AS rl FROM pairs),
+      base AS (SELECT sz.doc_id, hl, rl,
+          ${(1 to 5).map(i => s"COALESCE(c$i, 0) AS c$i").mkString(", ")}
+        FROM sz LEFT JOIN piv ON sz.doc_id = piv.doc_id),
+      s1 AS (SELECT doc_id, c1,
+          ${BleuSql.ps(1, cName, "hl")} AS ps1,
+          ${BleuSql.ps(2, cName, "hl")} AS ps2,
+          ${BleuSql.ps(3, cName, "hl")} AS ps3,
+          ${BleuSql.ps(4, cName, "hl")} AS ps4,
+          ${BleuSql.p5(cName, "hl")} AS p5raw,
+          ${BleuSql.bpCase("hl", "rl")} AS bp
+        FROM base),
+      s2 AS (SELECT *, ((ps1 + 1.0) + ps1 + ps2) / 3.0 AS p1f FROM s1),
+      s3 AS (SELECT *, (p1f + ps2 + ps3) / 3.0 AS p2f FROM s2),
+      s4 AS (SELECT *, (p2f + ps3 + ps4) / 3.0 AS p3f FROM s3),
+      s5 AS (SELECT *, (p3f + ps4 + p5raw) / 3.0 AS p4f FROM s4)
+      SELECT doc_id, c1 AS clip1,
+        ROUND(CASE WHEN c1 = 0 THEN 0.0
+                   ELSE bp * sqrt(sqrt(p1f * p2f * p3f * p4f)) END, 6) AS bleu
+      FROM s5"""
+    })
 
   // ---- score_has_answer: multi-candidate answer containment ----
   // text_has_answer(answers, text) (hanchen_recomp.py:55): TRUE iff ANY

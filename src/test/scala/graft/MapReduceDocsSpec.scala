@@ -80,14 +80,36 @@ class MapReduceDocsSpec extends SparkSpec {
     assert(s.filter($"em" === 1 && $"substr_m" === 0).count() == 0)
   }
 
-  test("score_bleu: bounded in (0,1]; identical consecutive docs score 1") {
-    val out = MapReduceDocs.ops.find(_.name == "score_bleu").get
+  test("score_bleu: chencherry method7 semantics on hand-computed fixtures") {
+    // expected values from a direct Python transcription of NLTK's
+    // sentence_bleu + chencherry.method7 (the reference's exact call,
+    // test_proactive.py:376): method4 → method5, bp, clip1==0 → 0
+    val fixture = Seq(
+      (1L, "the cat sat on mat", "the cat sat on mat"),   // perfect: method5 >1 quirk
+      (2L, "aa bb cc dd", "xx yy zz ww"),                  // no unigram match → 0
+      (3L, "a b c d", "a b x y"),                          // partial overlap
+      (4L, "a", "a b c"),                                  // hl=1: no method4, bp=exp(-2)
+      (5L, "a b c d e f", "a b c"))                        // hyp longer: bp=1
+      .toDF("doc_id", "pred", "gt")
+      .select($"doc_id", split($"pred", " ").as("pt"), split($"gt", " ").as("gt"))
+    val out = MapReduceDocs.bleuScores(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("clip1"), r.getAs[Double]("bleu"))).toMap
+    val expected = Map(
+      1L -> (5L, 1.116747), 2L -> (0L, 0.0), 3L -> (2L, 0.258474),
+      4L -> (1L, 0.026045), 5L -> (3L, 0.324162))
+    expected.foreach { case (id, (c1, b)) =>
+      assert(out(id)._1 == c1, s"doc $id clip1 ${out(id)._1} != $c1")
+      assert(math.abs(out(id)._2 - b) < 1e-6, s"doc $id bleu ${out(id)._2} != $b")
+    }
+    // real corpus: no-unigram-match pairs score exactly 0 (corpus_bleu
+    // early return); scores stay in [0, 4/3] (method5's m[-1]=p1+1 can
+    // push perfect matches past 1, matching NLTK)
+    val real = MapReduceDocs.ops.find(_.name == "score_bleu").get
       .query(spark, sfDir)
-    assert(out.filter($"bleu" <= 0 || $"bleu" > 1).count() == 0)
-    // smoothing floor: fully-disjoint docs still get a tiny positive score
-    assert(out.filter($"clip1" === 0 && $"bleu" <= 0).count() == 0)
-    // real corpus: some 1-gram overlap exists somewhere
-    assert(out.filter($"clip1" > 0).count() > 0)
+    assert(real.filter($"clip1" === 0 && $"bleu" =!= 0.0).count() == 0)
+    assert(real.filter($"bleu" < 0 || $"bleu" > 4.0 / 3).count() == 0)
+    assert(real.filter($"clip1" > 0).count() > 0)
   }
 
   test("graft_lcs: hand-computed LCS values and ROUGE-L formula") {
