@@ -302,6 +302,11 @@ object MapReduceDocs {
       FROM sizes s LEFT JOIN common c ON s.doc_id = c.doc_id"""))
 
   // ---- score_stats: fleet-level stats (compute_scores.py:57-66) ----
+  // mean/min/max/percentile per SURVEY §2: p50/p95 are exact
+  // interpolated percentiles over integer cents (one-pass group
+  // aggregate; both engines use the (n-1)·p linear-interpolation
+  // definition, and the cents basis keeps the interpolation arithmetic
+  // on exact integers).
   private val opStats = Op(
     "score_stats",
     (s, dir) => {
@@ -315,7 +320,11 @@ object MapReduceDocs {
           min(col("value")).as("min_value"),
           max(col("value")).as("max_value"),
           round((sumSq - sumV * sumV / count(lit(1))) / count(lit(1)), 6)
-            .as("var_pop"))
+            .as("var_pop"),
+          round(expr(s"percentile(${centsSql("value")}, 0.5D)") / 100.0, 6)
+            .as("p50_value"),
+          round(expr(s"percentile(${centsSql("value")}, 0.95D)") / 100.0, 6)
+            .as("p95_value"))
     },
     Some(s"""
       SELECT event_type, COUNT(*) AS n,
@@ -324,7 +333,9 @@ object MapReduceDocs {
         MIN(value) AS min_value, MAX(value) AS max_value,
         ROUND(((SUM(${centsSql("value")} * ${centsSql("value")}) / 10000.0)
                - ${sumMoneySql("value")} * ${sumMoneySql("value")} / COUNT(*))
-              / COUNT(*), 6) AS var_pop
+              / COUNT(*), 6) AS var_pop,
+        ROUND(quantile_cont(${centsSql("value")}, 0.5) / 100.0, 6) AS p50_value,
+        ROUND(quantile_cont(${centsSql("value")}, 0.95) / 100.0, 6) AS p95_value
       FROM events GROUP BY event_type"""))
 
   // ---- kv_cache_plan (kv_store/kv_loading_interface.py:28-53) ----
