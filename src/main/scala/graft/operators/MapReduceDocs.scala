@@ -338,38 +338,70 @@ object MapReduceDocs {
         ROUND(quantile_cont(${centsSql("value")}, 0.95) / 100.0, 6) AS p95_value
       FROM events GROUP BY event_type"""))
 
-  // ---- kv_cache_plan (kv_store/kv_loading_interface.py:28-53) ----
-  // Content-addressed placement + cheapest-available-tier cost model.
-  // Tier residency is a deterministic function of doc_id bucket; the
-  // per-tier time model (size/100, size/10, size/1) and the
-  // gpu→cpu→nfs preference order mirror get_predicted_loading_time.
+  // ---- kv_cache_plan (kv_store/kv_loading_interface.py:28-126) ----
+  // Content-addressed placement with PER-TIER CAPACITY BUDGETS: the
+  // reference's add_kv/decide_tier_to_add track occupied GB against
+  // tier totals (cpu_total=40, gpu from device memory, nfs as the
+  // backstop; kv_loading_interface.py:81-126), so placement is a
+  // function of arrival order — each entry goes to the preferred tier
+  // (gpu → cpu → nfs, get_predicted_loading_time's probe order) that
+  // still has budget. Re-expressed as a cumulative-size threshold over
+  // doc_id arrival order, computed on EXACT integer chars so the
+  // running sum is order-independent (no fp drift) and the per-tier
+  // time model (size/100, size/10, size/1) mirrors estimated_time.
+  val GpuCapK = 16000L // 16 GB in the n_chars/1000 size scale
+  val CpuCapK = 40000L // reference cpu_total = 40 GB
+
+  /** Capacity-driven placement. The global running sum is computed as a
+    * two-level prefix sum: per-1000-doc bucket totals (one small agg),
+    * bucket offsets via a window over those ~n/1000 rows, then an
+    * in-bucket window PARTITIONED by bucket — no single-partition
+    * window over the full table, so the plan scales (the only global
+    * sequential state is the tiny bucket-offset frame).
+    */
+  private[graft] def kvPlan(d: DataFrame, gpuCapK: Long, cpuCapK: Long): DataFrame = {
+    val sized = d.withColumn("bkt", expr("CAST(doc_id DIV 1000 AS BIGINT)"))
+    val bktOffW = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sized.groupBy(col("bkt"))
+      .agg(sum(col("n_chars")).as("bsum"))
+      .withColumn("boff", coalesce(sum(col("bsum")).over(bktOffW), lit(0L)))
+      .select(col("bkt"), col("boff"))
+    val inBktW = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sized.join(broadcast(offsets), Seq("bkt"))
+      .withColumn("cum_chars", col("boff") + sum(col("n_chars")).over(inBktW))
+    cum.select(col("doc_id"), md5(col("text")).as("content_hash"),
+      round(col("n_chars") / 1000.0, 6).as("size_gb"),
+      round(col("cum_chars") / 1000.0, 6).as("cum_gb"),
+      when(col("cum_chars") <= gpuCapK, "gpu")
+        .when(col("cum_chars") <= gpuCapK + cpuCapK, "cpu")
+        .otherwise("nfs").as("tier"),
+      round(
+        when(col("cum_chars") <= gpuCapK, col("n_chars") / 1000.0 / 100.0)
+          .when(col("cum_chars") <= gpuCapK + cpuCapK, col("n_chars") / 1000.0 / 10.0)
+          .otherwise(col("n_chars") / 1000.0), 9).as("est_load_time"))
+  }
+
   private val opKv = Op(
     "kv_cache_plan",
-    (s, dir) => {
-      val d = docs(s, dir)
-        .withColumn("content_hash", md5(col("text")))
-        .withColumn("size_gb", col("n_chars") / 1000.0)
-        .withColumn("bucket", col("doc_id") % 100)
-      d.select(col("doc_id"), col("content_hash"),
-        round(col("size_gb"), 6).as("size_gb"),
-        when(col("bucket") < 10, "gpu")
-          .when(col("bucket") < 40, "cpu")
-          .otherwise("nfs").as("tier"),
-        round(
-          when(col("bucket") < 10, col("size_gb") / 100.0)
-            .when(col("bucket") < 40, col("size_gb") / 10.0)
-            .otherwise(col("size_gb")), 9).as("est_load_time"))
-    },
-    Some("""
+    (s, dir) => kvPlan(docs(s, dir), GpuCapK, CpuCapK),
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id, text, n_chars,
+          SUM(n_chars) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_chars
+        FROM documents)
       SELECT doc_id, md5(text) AS content_hash,
         ROUND(n_chars / 1000.0, 6) AS size_gb,
-        CASE WHEN doc_id % 100 < 10 THEN 'gpu'
-             WHEN doc_id % 100 < 40 THEN 'cpu'
+        ROUND(cum_chars / 1000.0, 6) AS cum_gb,
+        CASE WHEN cum_chars <= $GpuCapK THEN 'gpu'
+             WHEN cum_chars <= ${GpuCapK + CpuCapK} THEN 'cpu'
              ELSE 'nfs' END AS tier,
-        ROUND(CASE WHEN doc_id % 100 < 10 THEN (n_chars / 1000.0) / 100.0
-                   WHEN doc_id % 100 < 40 THEN (n_chars / 1000.0) / 10.0
+        ROUND(CASE WHEN cum_chars <= $GpuCapK THEN n_chars / 1000.0 / 100.0
+                   WHEN cum_chars <= ${GpuCapK + CpuCapK} THEN n_chars / 1000.0 / 10.0
                    ELSE n_chars / 1000.0 END, 9) AS est_load_time
-      FROM documents"""))
+      FROM d"""))
 
   // ---- mr_ratio_split: proactive first-chunk ratio schedule ----
   // Re-expresses split_ratio(low, num_doc, ratio) (reference

@@ -146,4 +146,24 @@ class MapReduceDocsSpec extends SparkSpec {
       if (t == "nfs") assert(math.abs(est - size) < 1e-6)
     }
   }
+
+  test("kv_cache_plan: capacity budgets fill gpu then spill to cpu then nfs") {
+    // 5 docs of 10k chars each; gpu budget 25k, cpu budget 20k:
+    // docs 0,1 (cum 10k,20k) fit gpu; doc 2 (cum 30k) spills to cpu;
+    // doc 3 (cum 40k) still cpu; doc 4 (cum 50k) overflows to nfs
+    val d = (0L to 4L).map(i => (i, s"doc-$i", 10000L)).toDF("doc_id", "text", "n_chars")
+    val out = MapReduceDocs.kvPlan(d, gpuCapK = 25000L, cpuCapK = 20000L)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[String]("tier")).toSeq ==
+      Seq("gpu", "gpu", "cpu", "cpu", "nfs"))
+    assert(out.map(_.getAs[Double]("cum_gb")).toSeq ==
+      Seq(10.0, 20.0, 30.0, 40.0, 50.0))
+    // arrival order decides placement: the SAME doc sizes in a corpus
+    // that already filled gpu land on cpu — placement is stateful, not
+    // a pure function of the doc (reference add_kv semantics)
+    val est = out.map(r => r.getAs[String]("tier") -> r.getAs[Double]("est_load_time"))
+    assert(est.collect { case ("gpu", e) => e }.forall(_ == 0.1))
+    assert(est.collect { case ("cpu", e) => e }.forall(_ == 1.0))
+    assert(est.collect { case ("nfs", e) => e }.forall(_ == 10.0))
+  }
 }
