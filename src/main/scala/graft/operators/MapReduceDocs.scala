@@ -632,20 +632,24 @@ object MapReduceDocs {
       JOIN h b ON b.doc_id = a.doc_id + 1
       JOIN h c ON c.doc_id = a.doc_id + 2"""))
 
-  // ---- score_rougeL: LCS-based ROUGE-L f-measure ----
-  // compute_r1 (hanchen_recomp.py:76) returns rougeL.fmeasure. LCS runs
-  // in the native graft_lcs codegen expression; F = 2·lcs/(|p|+|g|).
-  // No portable SQL LCS → rows-only; the spec pins hand-computed LCS
-  // values and the F formula.
+  // ---- score_rougeL: LCS-based ROUGE-L f-measure, Porter-stemmed ----
+  // compute_r1 (hanchen_recomp.py:76-77) scores with
+  // `RougeScorer(['rougeL'], use_stemmer=True)` and returns
+  // rougeL.fmeasure — tokens longer than 3 chars are Porter-stemmed
+  // before the LCS (graft_stem), then LCS runs in the native graft_lcs
+  // codegen expression; F = 2·lcs/(|p|+|g|) (stemming never changes
+  // token counts). No portable SQL LCS → rows-only; the spec pins
+  // hand-computed stemmed-LCS values and the F formula.
   private val opRougeL = Op(
     "score_rougeL",
     (s, dir) => {
       graft.plans.GraftFunctions.register(s)
-      val slice10 = (c: org.apache.spark.sql.Column) =>
-        slice(TextFns.tokens(TextFns.normalize(c)), 1, 10)
       val d = docs(s, dir)
-      val a = d.select(col("doc_id"), slice10(col("text")).as("pt"))
-      val b = d.select((col("doc_id") - 1).as("doc_id"), slice10(col("text")).as("gt"))
+        .withColumn("toks10",
+          slice(TextFns.tokens(TextFns.normalize(col("text"))), 1, 10))
+        .withColumn("st", expr("graft_stem(toks10)"))
+      val a = d.select(col("doc_id"), col("st").as("pt"))
+      val b = d.select((col("doc_id") - 1).as("doc_id"), col("st").as("gt"))
       a.join(b, "doc_id")
         .withColumn("lcs", expr("graft_lcs(pt, gt)"))
         .select(col("doc_id"), col("lcs"),

@@ -90,6 +90,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineDescriptor)
     ext.injectFunction(GraftFunctions.lcsDescriptor)
+    ext.injectFunction(GraftFunctions.stemDescriptor)
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectOptimizerRule(_ => PushFilterThroughTopK)
   }
@@ -106,6 +107,11 @@ object GraftFunctions {
     new ExpressionInfo(classOf[LcsLength].getName, "graft_lcs"),
     (exprs: Seq[Expression]) => LcsLength(exprs.head, exprs(1)): Expression)
 
+  private[plans] val stemDescriptor = (
+    FunctionIdentifier("graft_stem"),
+    new ExpressionInfo(classOf[StemTokens].getName, "graft_stem"),
+    (exprs: Seq[Expression]) => StemTokens(exprs.head): Expression)
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine",
@@ -114,6 +120,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_lcs",
       exprs => LcsLength(exprs.head, exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_stem",
+      exprs => StemTokens(exprs.head),
       "built-in")
   }
 }

@@ -112,6 +112,58 @@ class MapReduceDocsSpec extends SparkSpec {
     assert(real.filter($"clip1" > 0).count() > 0)
   }
 
+  test("porter stemmer: paper examples and the rouge len>3 guard") {
+    import graft.functions.PorterStemmer.{stem, stemToken}
+    // FULL-pipeline expected outputs, hand-traced through Porter 1980
+    // steps 1a-5b (NB: the paper's per-step illustration lists show
+    // intermediate forms — e.g. step 2 maps relational→relate, but the
+    // complete run continues 5a → relat). The generalizations/
+    // oscillators chains are the paper's own worked full examples.
+    val paper = Map(
+      "caresses" -> "caress", "ponies" -> "poni", "cats" -> "cat",
+      "feed" -> "feed", "agreed" -> "agre", "plastered" -> "plaster",
+      "bled" -> "bled", "motoring" -> "motor", "sing" -> "sing",
+      "conflated" -> "conflat", "troubled" -> "troubl", "sized" -> "size",
+      "hopping" -> "hop", "tanned" -> "tan", "falling" -> "fall",
+      "hissing" -> "hiss", "failing" -> "fail", "filing" -> "file",
+      "happy" -> "happi", "sky" -> "sky", "relational" -> "relat",
+      "conditional" -> "condit", "rational" -> "ration",
+      "digitizer" -> "digit", "operator" -> "oper",
+      "feudalism" -> "feudal", "decisiveness" -> "decis",
+      "hopefulness" -> "hope", "callousness" -> "callous",
+      "triplicate" -> "triplic", "formative" -> "form",
+      "formalize" -> "formal", "electrical" -> "electr",
+      "hopeful" -> "hope", "goodness" -> "good", "revival" -> "reviv",
+      "allowance" -> "allow", "inference" -> "infer",
+      "airliner" -> "airlin", "adjustable" -> "adjust",
+      "defensible" -> "defens", "irritant" -> "irrit",
+      "replacement" -> "replac", "adjustment" -> "adjust",
+      "dependent" -> "depend", "adoption" -> "adopt",
+      "communism" -> "commun", "activate" -> "activ",
+      "effective" -> "effect", "probate" -> "probat", "rate" -> "rate",
+      "controll" -> "control", "roll" -> "roll",
+      "connections" -> "connect", "generalizations" -> "gener",
+      "oscillators" -> "oscil")
+    paper.foreach { case (in, want) =>
+      assert(stem(in) == want, s"stem($in) = ${stem(in)}, want $want")
+    }
+    // rouge guard: tokens of length <= 3 pass through unstemmed
+    assert(stemToken("ties") == "ti" && stemToken("ski") == "ski" &&
+      stemToken("the") == "the")
+  }
+
+  test("score_rougeL stems before the LCS (stemmed fixture matches)") {
+    graft.plans.GraftFunctions.register(spark)
+    // "cats agreed" vs "cat agree": raw LCS = 0, stemmed LCS = 2
+    val df = Seq((1L, Seq("the", "cats", "agreed"), Seq("the", "cat", "agree")))
+      .toDF("id", "p", "g")
+      .withColumn("rawLcs", expr("graft_lcs(p, g)"))
+      .withColumn("stemLcs", expr("graft_lcs(graft_stem(p), graft_stem(g))"))
+      .head()
+    assert(df.getAs[Long]("rawLcs") == 1L) // only "the"
+    assert(df.getAs[Long]("stemLcs") == 3L)
+  }
+
   test("graft_lcs: hand-computed LCS values and ROUGE-L formula") {
     graft.plans.GraftFunctions.register(spark)
     val df = Seq(
