@@ -94,29 +94,52 @@ object Dedup {
         md5(concat_ws(",", expr("transform(sig, x -> cast(x AS string))"))))
   }
 
+  /** dedup_minhash with an EXACT-DEDUP PRE-PASS: identical texts are
+    * collapsed to one representative (md5 groupBy) BEFORE the shingle
+    * explode and signature build, and candidate counts are re-expanded
+    * afterwards: a doc in a group of m identical copies has
+    * (m-1) + Σ m' candidates, where m' ranges over the sizes of its
+    * representative's band-partner groups — exactly what the
+    * all-docs band join would produce, without it. At 100 TB this is
+    * the difference between boilerplate-heavy corpora (the norm)
+    * flooding a band bucket with thousands of identical docs and the
+    * O(bucket²) self-join seeing ONE row per distinct text.
+    */
+  private[graft] def minhashDedup(docsDf: DataFrame): DataFrame = {
+    val d = docsDf.withColumn("chash", md5(col("text")))
+    val groups = d.groupBy(col("chash"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("m"),
+        min(col("text")).as("rtext"))
+    val sig = minhashSigs(
+      groups.select(col("rep_id").as("doc_id"), col("rtext").as("text")))
+    val bandRows = sig.select(col("doc_id"), explode(col("bands")).as("band_val"))
+    val pairs = bandRows.as("x")
+      .join(bandRows.as("y"),
+        col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    // re-expand: each partner GROUP contributes its full copy count
+    val partners = pairs.select(col("a").as("rep_id"), col("b").as("p"))
+      .union(pairs.select(col("b").as("rep_id"), col("a").as("p")))
+    val cross = partners
+      .join(groups.select(col("rep_id").as("p"), col("m").as("pm")), Seq("p"))
+      .groupBy(col("rep_id")).agg(sum(col("pm")).as("cross_cands"))
+    val repInfo = groups.select(col("chash"), col("rep_id"), col("m"))
+      .join(sig.select(col("doc_id").as("rep_id"), col("sig_digest")), Seq("rep_id"))
+      .join(cross, Seq("rep_id"), "left")
+    d.select(col("doc_id"), col("chash"),
+        greatest(size(TextFns.tokens(col("text"))) - 2, lit(1)).cast("long")
+          .as("n_shingles"))
+      .join(repInfo, Seq("chash"))
+      .select(col("doc_id"), col("n_shingles"), col("sig_digest"),
+        (col("m") - 1 + coalesce(col("cross_cands"), lit(0L)))
+          .as("n_dup_candidates"))
+  }
+
   private val opMinhash = Op(
     "dedup_minhash",
-    (s, dir) => {
-      val d = docs(s, dir)
-      val sig = minhashSigs(d)
-      val bandRows = sig.select(col("doc_id"), explode(col("bands")).as("band_val"))
-      val pairs = bandRows.as("x")
-        .join(bandRows.as("y"),
-          col("x.band_val") === col("y.band_val") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .distinct()
-      val cand = pairs.select(col("a").as("doc_id"))
-        .union(pairs.select(col("b").as("doc_id")))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_dup_candidates"))
-      d.select(col("doc_id"),
-          greatest(size(TextFns.tokens(col("text"))) - 2, lit(1)).cast("long")
-            .as("n_shingles"))
-        .join(sig.select(col("doc_id"), col("sig_digest")), Seq("doc_id"))
-        .join(cand, Seq("doc_id"), "left")
-        .withColumn("n_dup_candidates",
-          coalesce(col("n_dup_candidates"), lit(0L)))
-    },
+    (s, dir) => minhashDedup(docs(s, dir)),
     None)
 
   // ---- dedup_simhash: 64-bit SimHash + 16-bit-band hamming dedup ----

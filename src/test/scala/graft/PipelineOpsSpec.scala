@@ -44,6 +44,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sigs(1L) != sigs(3L), "unrelated docs should differ")
   }
 
+  test("dedup_minhash: exact pre-pass re-expands counts over copy groups") {
+    // group A: docs 1,2,3 identical (m=3); group B: docs 4,5 identical
+    // (m=2); doc 6 unrelated. In-group candidates = m-1; A and B share
+    // no shingles so no cross-group candidates — the collapsed
+    // (3-representative) band join must reproduce the per-doc counts
+    // the naive all-docs join would give
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "entirely different boilerplate footer text repeated verbatim here"
+    val c = "zebra yak xylophone wombat vulture unicorn tiger snake raven quail"
+    val fixture = Seq(1L -> a, 2L -> a, 3L -> a, 4L -> b, 5L -> b, 6L -> c)
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashDedup(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_dup_candidates"), r.getAs[String]("sig_digest"))).toMap
+    assert(out(1L)._1 == 2L && out(2L)._1 == 2L && out(3L)._1 == 2L)
+    assert(out(4L)._1 == 1L && out(5L)._1 == 1L)
+    assert(out(6L)._1 == 0L)
+    // every copy inherits its representative's signature digest
+    assert(out(1L)._2 == out(3L)._2 && out(4L)._2 == out(5L)._2)
+    assert(out(1L)._2 != out(6L)._2)
+  }
+
   test("dedup_simhash: near-identical docs land within hamming 8") {
     val docs = Seq(
       (1L, "spark query engine with fast columnar scans and hash joins"),
