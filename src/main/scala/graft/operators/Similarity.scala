@@ -161,26 +161,77 @@ object Similarity {
     None)
 
   // ---- dedup_embed: embedding-cosine near-duplicate detection ----
-  // IN-BUCKET kernel: pairs are pruned to the same `label` bucket (the
-  // IVF partition key ann_ivf uses), so the self-join is an equi-join
-  // that never degenerates into a cross product — pair volume is
-  // Σ bucket² instead of n². Each unordered pair's cosine is computed
-  // once (vec_id < c_id) and mirrored before the per-vector aggregate.
-  private[graft] def nearDupCounts(e: DataFrame, threshold: Double): DataFrame = {
-    val a = e.select(col("label").as("l"), col("vec_id"),
-      col("embedding").as("q_emb"))
-    val b = e.select(col("label").as("l"), col("vec_id").as("c_id"),
-      col("embedding").as("c_emb"))
-    val half = a.join(b, Seq("l")).filter(col("vec_id") < col("c_id"))
+  // SCALE-FREE random-hyperplane LSH bucketing: EmbBands bands of
+  // `bits` sign bits each, where bits = len(bin(n / EmbTargetBucket))
+  // — the bucket count grows ∝ n so the expected bucket stays
+  // ~EmbTargetBucket vectors wide and pair volume stays LINEAR in n
+  // (the old fixed-10 `label` buckets made Σ bucket² ≈ n²/10).
+  // Hyperplane components come from a deterministic integer formula
+  // evaluated identically in the Spark plan (explicit codegen columns)
+  // and the DuckDB oracle, so the sign bits — and the hash — agree
+  // bit-for-bit. A cos≥0.8 pair collides with a band w.p.
+  // (1-θ/π)^bits ≈ 0.32 at bits=5; 4 bands put LSH recall ≈ 0.79,
+  // and near-identical pairs (the dedup target, θ≈0) collide w.p. ≈ 1.
+  val EmbBands = 4
+  val EmbMaxBits = 24
+  val EmbTargetBucket = 16L
+  val EmbDim = 64
+
+  /** Deterministic pseudo-random hyperplane component for hyperplane
+    * `hp`, 1-based dimension `i` — shared by plan and oracle.
+    */
+  private[graft] def hyper(hp: Int, i: Int): Int =
+    ((hp * 8191 + i * 127 + 1) % 1000) - 500
+
+  private[graft] def embBits(n: Long): Int =
+    math.min(EmbMaxBits,
+      java.lang.Long.toBinaryString(math.max(n / EmbTargetBucket, 1L)).length)
+
+  /** Appends band-key columns key0..key{EmbBands-1}: each packs `bits`
+    * hyperplane sign bits, built as explicit codegen column trees (an
+    * interpreted transform() lambda here would re-evaluate per element).
+    */
+  private[graft] def lshBandKeys(e: DataFrame, bits: Int): DataFrame =
+    (0 until EmbBands).foldLeft(e) { (df, j) =>
+      val key = (0 until bits).map { l =>
+        val hp = j * EmbMaxBits + l
+        val dot = (1 to EmbDim).map(i =>
+          element_at(col("embedding"), i).cast("double") *
+            lit(hyper(hp, i).toDouble)).reduce(_ + _)
+        when(dot >= 0, lit(1L << l)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+      df.withColumn(s"key$j", key)
+    }
+
+  /** LSH candidate pairs (va < vb), deduped across bands. */
+  private[graft] def lshCandidatePairs(e: DataFrame, bits: Int): DataFrame = {
+    val bandRows = lshBandKeys(e, bits)
+      .select(col("vec_id"),
+        posexplode(array((0 until EmbBands).map(j => col(s"key$j")): _*))
+          .as(Seq("j", "band_key")))
+    bandRows.as("x")
+      .join(bandRows.as("y"),
+        col("x.j") === col("y.j") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
+      .distinct()
+  }
+
+  private[graft] def nearDupCounts(e: DataFrame, threshold: Double,
+      bits: Int): DataFrame = {
+    val cand = lshCandidatePairs(e, bits)
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("q_emb"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("c_emb"))
+    val half = cand.join(a, Seq("va")).join(b, Seq("vb"))
       .withColumn("cos", round(expr("graft_cosine(q_emb, c_emb)"), 6))
-    val both = half.select(col("vec_id"), col("cos"))
-      .union(half.select(col("c_id").as("vec_id"), col("cos")))
+    val both = half.select(col("va").as("vec_id"), col("cos"))
+      .union(half.select(col("vb").as("vec_id"), col("cos")))
     val counts = both.groupBy(col("vec_id"))
       .agg(sum(when(col("cos") >= threshold, 1L).otherwise(0L)).as("n_near"),
         max(col("cos")).as("max_cos"))
-    // singleton buckets have no pairs — report them with n_near=0
-    // (max_cos sentinel -1.0) like the sibling dedup ops, instead of
-    // silently dropping them from the output
+    // vectors with no candidate pairs keep the -1.0 sentinel instead of
+    // silently dropping from the output
     e.select(col("vec_id"))
       .join(counts, Seq("vec_id"), "left")
       .select(col("vec_id"),
@@ -192,22 +243,41 @@ object Similarity {
     "dedup_embed",
     (s, dir) => {
       graft.plans.GraftFunctions.register(s)
-      nearDupCounts(Tables(s, dir, "embeddings"), 0.8)
+      val e = Tables(s, dir, "embeddings")
+      nearDupCounts(e, 0.8, embBits(e.count()))
     },
-    Some("""
-      WITH e AS (
-        SELECT vec_id, label, embedding,
+    Some(s"""
+      WITH params AS (
+        SELECT LEAST(length(bin(GREATEST(COUNT(*) // $EmbTargetBucket, 1))), $EmbMaxBits) AS bits
+        FROM embeddings),
+      e AS (
+        SELECT vec_id, embedding,
           sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS norm
         FROM embeddings),
-      p AS (
-        SELECT a.vec_id, b.vec_id AS c_id,
+      dots AS (
+        SELECT vec_id, j, l,
+          list_sum([CAST(embedding[i] AS DOUBLE)
+                    * CAST((((j*$EmbMaxBits + l)*8191 + i*127 + 1) % 1000) - 500 AS DOUBLE)
+                    for i in generate_series(1, $EmbDim)]) AS dot
+        FROM e, UNNEST(generate_series(0, ${EmbBands - 1})) AS jj(j),
+             params, UNNEST(generate_series(0, bits - 1)) AS ll(l)),
+      keys AS (
+        SELECT vec_id, j,
+          SUM(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << l ELSE 0 END) AS band_key
+        FROM dots GROUP BY 1, 2),
+      cand AS (
+        SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+        FROM keys x JOIN keys y
+          ON x.j = y.j AND x.band_key = y.band_key AND x.vec_id < y.vec_id),
+      scored AS (
+        SELECT va, vb,
           ROUND(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
                           for i in generate_series(1, len(a.embedding))])
                 / (a.norm * b.norm), 6) AS cos
-        FROM e a, e b WHERE a.label = b.label AND a.vec_id < b.vec_id),
+        FROM cand JOIN e a ON a.vec_id = va JOIN e b ON b.vec_id = vb),
       mirrored AS (
-        SELECT vec_id, cos FROM p
-        UNION ALL SELECT c_id AS vec_id, cos FROM p),
+        SELECT va AS vec_id, cos FROM scored
+        UNION ALL SELECT vb AS vec_id, cos FROM scored),
       counts AS (
         SELECT vec_id,
           CAST(SUM(CASE WHEN cos >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_near,

@@ -125,19 +125,49 @@ class PipelineOpsSpec extends SparkSpec {
 
   test("dedup_embed kernel: planted near-identical vectors are detected") {
     graft.plans.GraftFunctions.register(spark)
-    val v = Array.tabulate(8)(i => (i + 1).toFloat)
+    val v = Array.tabulate(64)(i => (i + 1).toFloat)
     val vNear = v.clone(); vNear(0) = v(0) * 1.01f // same direction, ~1.0 cos
-    val vFar = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val vFar = Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)
     val e = Seq((1L, 0, v), (2L, 0, vNear), (3L, 0, vFar), (4L, 1, v))
       .toDF("vec_id", "label", "embedding")
-    val out = operators.Similarity.nearDupCounts(e, 0.95).collect()
+    val out = operators.Similarity.nearDupCounts(e, 0.95, bits = 2).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    assert(out(1L)._1 == 1L, "vec 1 should see its planted near-dup")
-    assert(out(2L)._1 == 1L)
+    // LSH buckets by DIRECTION, not label: vec 4 duplicates vec 1's
+    // direction from another label and is still found (the old fixed
+    // label buckets could never see that pair)
+    assert(out(1L)._1 == 2L, "vec 1 sees both same-direction near-dups")
+    assert(out(2L)._1 == 2L)
+    assert(out(4L)._1 == 2L)
     assert(out(3L)._1 == 0L, "orthogonal-ish vector is not a near-dup")
-    assert(out(4L) == (0L, -1.0),
-      "singleton bucket reports n_near=0 with the -1 sentinel, not absence")
     assert(out(1L)._2 > 0.999, "planted pair cosine ~1")
+  }
+
+  test("dedup_embed LSH: pair volume scales linearly, not quadratically") {
+    graft.plans.GraftFunctions.register(spark)
+    // all vectors share ONE label (the old per-label scheme would
+    // compare every pair: 4x the pairs when n doubles). Band width
+    // grows with n (embBits), so bucket population — and pairs per
+    // vector — stay roughly constant: doubling n should ~double pairs.
+    def fixture(n: Int) = (0 until n).map { k =>
+      (k.toLong, 0,
+        Array.tabulate(64)(i => (((k * 131 + i * 17 + k * i * 7) % 101) - 50).toFloat))
+    }.toDF("vec_id", "label", "embedding")
+    val p120 = operators.Similarity.lshCandidatePairs(
+      fixture(120), operators.Similarity.embBits(120)).count()
+    val p240 = operators.Similarity.lshCandidatePairs(
+      fixture(240), operators.Similarity.embBits(240)).count()
+    assert(operators.Similarity.embBits(120) == 3 &&
+      operators.Similarity.embBits(240) == 4)
+    assert(p120 > 0 && p240 > 0, "banding should still produce candidates")
+    assert(p240 < 2.8 * p120,
+      s"pairs grew $p120 -> $p240 on 2x data — quadratic, buckets not scaling")
+    // identical planted pair always collides (theta = 0)
+    val dup = fixture(120).union(Seq((999L, 0,
+      Array.tabulate(64)(i => (((7 * 131 + i * 17 + 7 * i * 7) % 101) - 50).toFloat)))
+      .toDF("vec_id", "label", "embedding"))
+    val cand = operators.Similarity.lshCandidatePairs(dup, 3)
+      .filter(col("va") === 7L && col("vb") === 999L).count()
+    assert(cand == 1L, "identical-direction pair must be a candidate")
   }
 
   test("mm_meta: metadata is a pure function of payload; batches bounded") {
