@@ -163,23 +163,50 @@ object Dedup {
       .select(col("doc_id"), packed.as("simhash"))
   }
 
+  /** Band buckets a simhash bucket-join must never let grow O(n): above
+    * this population a band bucket is sub-split by the NEXT band's 16
+    * bits (adaptive salt). Normal buckets keep full 16-bit-band recall;
+    * a boilerplate flood (the 100 TB norm: at 1 B docs every 2^16
+    * bucket holds ~15 k docs) degrades gracefully to 32-bit keys
+    * instead of an O(bucket²) join.
+    */
+  val SimhashMaxBucket = 256L
+
+  /** Candidate pairs (a < b, with hamming) from adaptive 4×16-bit LSH
+    * banding over precomputed (doc_id, simhash) rows. Callers filter
+    * `hamming` for verification; the SIZE of this frame is the join
+    * cost the adaptive salt bounds.
+    */
+  private[graft] def simhashPairs(sim: DataFrame, maxBucket: Long): DataFrame = {
+    val bands = sim.withColumn("band_id", explode(sequence(lit(0), lit(3))))
+      .withColumn("band_key",
+        expr("(shiftright(simhash, band_id * 16) & 65535)"))
+    val sizes = bands.groupBy(col("band_id"), col("band_key"))
+      .agg(count(lit(1)).as("bn"))
+    val salted = bands.join(sizes, Seq("band_id", "band_key"))
+      .withColumn("salt",
+        when(col("bn") > maxBucket,
+          expr("(shiftright(simhash, ((band_id + 1) % 4) * 16) & 65535)"))
+          .otherwise(lit(0L)))
+    salted.as("x")
+      .join(salted.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.salt") === col("y.salt") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      .distinct()
+  }
+
   private val opSimhash = Op(
     "dedup_simhash",
     (s, dir) => {
       val base = simhashOf(docs(s, dir))
       // 4 bands of 16 bits: near-dups (hamming <= 8) agree on >= 1 band
-      // with high probability; only same-band pairs are compared.
-      val bands = base.withColumn("band_id", explode(sequence(lit(0), lit(3))))
-        .withColumn("band_key",
-          expr("(shiftright(simhash, band_id * 16) & 65535)"))
-      val pairs = bands.as("x")
-        .join(bands.as("y"),
-          col("x.band_id") === col("y.band_id") &&
-            col("x.band_key") === col("y.band_key") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
-        .distinct()
+      // with high probability; only same-band (and, in oversized
+      // buckets, same-salt) pairs are compared, then hamming-verified.
+      val pairs = simhashPairs(base, SimhashMaxBucket)
         .filter(col("hamming") <= 8)
       val perDoc = pairs.select(col("a").as("doc_id"), col("hamming"))
         .union(pairs.select(col("b").as("doc_id"), col("hamming")))

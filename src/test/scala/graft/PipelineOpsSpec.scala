@@ -79,6 +79,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(hamming(sim(1L), sim(3L)) > 8, "unrelated docs should be far")
   }
 
+  test("dedup_simhash: oversized band buckets sub-split; flood stays bounded") {
+    // 1500 synthetic signatures all sharing band 0 (low 16 bits 0xBEEF)
+    // with spread upper bits — a boilerplate flood. Plain 16-bit banding
+    // would emit C(1500,2) ≈ 1.1M candidate pairs from band 0 alone.
+    val flood = (0 until 1500).map { k =>
+      (k.toLong, (((k.toLong * 2654435761L) & 0xFFFFFFFFFFFFL) << 16) | 0xBEEFL)
+    }
+    // planted near-dup pair INSIDE the flood: same bands 0+1, hamming 1
+    val sigA = (0xAAAA5555L << 32) | (0x1234L << 16) | 0xBEEFL
+    val sim = (flood :+ (9001L, sigA) :+ (9002L, sigA ^ (1L << 63)))
+      .toDF("doc_id", "simhash")
+    val unsalted = Dedup.simhashPairs(sim, maxBucket = Long.MaxValue).count()
+    val salted = Dedup.simhashPairs(sim, maxBucket = 256L)
+    val saltedN = salted.count()
+    assert(unsalted > 1000000L, s"flood fixture should blow up unsalted: $unsalted")
+    assert(saltedN < 20000L,
+      s"adaptive salt left $saltedN candidate pairs — mega-bucket not split")
+    // the near-dup pair survives the sub-split (shares the salt band too)
+    val near = salted.filter($"a" === 9001L && $"b" === 9002L).collect()
+    assert(near.length == 1 && near.head.getAs[Number]("hamming").longValue == 1L)
+  }
+
   test("ngram_jaccard: identical→1, disjoint→0") {
     val out = run("ngram_jaccard")
     assert(out.filter($"jaccard" < 0 || $"jaccard" > 1).count() == 0)
