@@ -49,6 +49,40 @@ object Corpus {
       .select(col("doc_id"), col("text").as("tgt_text"))
     src.join(tgt, "doc_id")
   }
+
+  /** Sentence-boundary document splitting, mirroring the reference's
+    * proactive partitioning (test_proactive.py:45-49, 192-199): the doc
+    * is sentence-tokenized, `partition_size = n_sentences // num_steps`,
+    * steps 0..num_steps-2 take `partition_size` sentences each and the
+    * LAST step takes the remainder (`doc_prompts[i*ps:]`), partitions
+    * re-joined with single spaces. Sentence tokenization stands in for
+    * punkt (a trained model, not available here) with the deterministic
+    * boundary rule "split after [.!?]+ followed by whitespace" — the
+    * partition arithmetic is the reference's exactly, including
+    * empty-string partitions when n_sentences < num_steps.
+    *
+    * Narrow plan: sentences never leave their row (split + slice on the
+    * doc's own array), so the explode fans out num_steps rows per doc
+    * with no shuffle anywhere.
+    */
+  def splitSentences(df: DataFrame, numSteps: Int): DataFrame = {
+    require(numSteps > 0, "numSteps must be positive")
+    val lastLen =
+      greatest(col("n_sents") - col("ps") * (numSteps - 1), lit(0))
+    df
+      .withColumn("sents", split(col("text"), "(?<=[.!?])\\s+"))
+      .withColumn("n_sents", size(col("sents")).cast("long"))
+      .withColumn("ps", expr(s"n_sents DIV $numSteps"))
+      .withColumn("step", explode(sequence(lit(0L), lit(numSteps - 1L))))
+      .withColumn("part_text",
+        when(col("step") === numSteps - 1,
+          array_join(slice(col("sents"),
+            (col("ps") * (numSteps - 1) + 1).cast("int"), lastLen.cast("int")), " "))
+        .otherwise(
+          array_join(slice(col("sents"),
+            (col("step") * col("ps") + 1).cast("int"), col("ps").cast("int")), " ")))
+      .select(col("doc_id"), col("step"), col("n_sents"), col("part_text"))
+  }
 }
 
 /** JSONL results IO — the reference reads/writes line-delimited JSON

@@ -22,6 +22,29 @@ class SourcesSpec extends SparkSpec {
     assert(out.last.getAs[String]("text").endsWith("line24"))
   }
 
+  test("splitSentences: reference partition arithmetic (n//steps, last takes rest)") {
+    val df = Seq(
+      (1L, "Aa bb. Cc dd! Ee ff? Gg hh. Ii jj."), // 5 sentences
+      (2L, "One.")                                 // fewer sentences than steps
+    ).toDF("doc_id", "text")
+    val two = Corpus.splitSentences(df.filter($"doc_id" === 1), 2)
+      .orderBy("step").collect().map(_.getAs[String]("part_text")).toSeq
+    // ps = 5 // 2 = 2: [s0 s1], [s2 s3 s4]
+    assert(two == Seq("Aa bb. Cc dd!", "Ee ff? Gg hh. Ii jj."))
+    val three = Corpus.splitSentences(df.filter($"doc_id" === 1), 3)
+      .orderBy("step").collect().map(_.getAs[String]("part_text")).toSeq
+    // ps = 5 // 3 = 1: [s0], [s1], [s2 s3 s4]
+    assert(three == Seq("Aa bb.", "Cc dd!", "Ee ff? Gg hh. Ii jj."))
+    // n < steps: ps = 0 -> leading partitions empty, last takes all
+    // (doc_prompts[i*0:(i+1)*0] = [] in the reference)
+    val short = Corpus.splitSentences(df.filter($"doc_id" === 2), 3)
+      .orderBy("step").collect().map(_.getAs[String]("part_text")).toSeq
+    assert(short == Seq("", "", "One."))
+    // every doc fans out to exactly numSteps rows, no shuffle in plan
+    val plan = Corpus.splitSentences(df, 4).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("readParallel: src/tgt stay aligned per section") {
     val src = writeLines("p.en", (0 until 12).map(i => s"en$i"))
     val tgt = writeLines("p.zh", (0 until 12).map(i => s"zh$i"))
