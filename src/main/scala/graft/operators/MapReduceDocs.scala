@@ -13,11 +13,16 @@ import org.apache.spark.sql.functions._
   *
   * Chunking mirrors `rechunk(ids, chunk_len)` (reference
   * test_proactive.py:152-165): fixed-size token chunks, with a trailing
-  * chunk shorter than 0.3·chunk_len merged into its predecessor. We use
-  * chunk_len=20 (reference uses 100) because the synthetic docs average
-  * ~54 tokens; the rule is identical. The per-chunk LLM map
-  * (test_proactive.py:202) is re-expressed as a deterministic extractive
-  * transform; the ordered reduce mirrors test_proactive.py:336-385.
+  * chunk shorter than 0.3·chunk_len merged into its predecessor. The
+  * reference rechunks BPE token IDS (tokenizer.encode_chat_completion,
+  * test_proactive.py:202-207), not whitespace words — the chunk basis
+  * here is the same BPE-ish regex token_count uses (letter runs /
+  * single digits / single punct), so boundaries approximate the token
+  * basis. We use chunk_len=20 (reference uses 100) because the
+  * synthetic docs average ~60 tokens; the rule is identical. The
+  * per-chunk LLM map (test_proactive.py:202) is re-expressed as a
+  * deterministic extractive transform; the ordered reduce mirrors
+  * test_proactive.py:336-385.
   *
   * Scale: chunking is NARROW — tokens are sliced from the doc's own
   * array (no explode-then-regroup shuffle). The only shuffle in the
@@ -28,12 +33,16 @@ object MapReduceDocs {
   val ChunkLen = 20
   val MergeBelow = 6 // 0.3 * ChunkLen, the rechunk trailing-merge rule
 
+  /** BPE-ish chunk basis (same regex as token_count's bpe_ish_tokens). */
+  val BpeRe = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"
+
   /** doc_id, chunk_id, n_tokens, chunk_text — narrow, no shuffle. */
   def chunked(docs: DataFrame): DataFrame = {
     val n = size(col("toks"))
     val base = ceil(n / lit(ChunkLen.toDouble)).cast("int")
     docs
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        expr(s"regexp_extract_all(text, '$BpeRe', 0)").as("toks"))
       .withColumn("n", n)
       .withColumn("nchunks",
         when(col("n") <= ChunkLen, 1)
@@ -55,7 +64,7 @@ object MapReduceDocs {
 
   /** Shared CTE prefix for chunk oracles (DuckDB). */
   private val chunkCte = s"""
-    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    WITH d AS (SELECT doc_id, regexp_extract_all(text, '$BpeRe') AS toks FROM documents),
     c AS (SELECT doc_id, toks, len(toks) AS n,
       CASE WHEN len(toks) <= $ChunkLen THEN 1
            WHEN (len(toks) % $ChunkLen) > 0 AND (len(toks) % $ChunkLen) < $MergeBelow

@@ -17,8 +17,9 @@ class MapReduceDocsSpec extends SparkSpec {
 
   test("mr_chunk: rechunk trailing-merge rule (reference test_proactive.py:152)") {
     // hand fixture: 47 tokens with chunk_len=20 → 20 + 20 + 7 (7 >= 6 keeps 3 chunks)
-    // 44 tokens → 20 + 24 (trailing 4 < 6 merges into previous)
-    val mk = (n: Int, id: Long) => (id, (1 to n).map(i => s"t$i").mkString(" "))
+    // 44 tokens → 20 + 24 (trailing 4 < 6 merges into previous).
+    // Alphabetic-only tokens so the BPE-ish basis equals the word basis.
+    val mk = (n: Int, id: Long) => (id, (1 to n).map(_ => "tok").mkString(" "))
     val df = Seq(mk(47, 1L), mk(44, 2L), mk(12, 3L)).toDF("doc_id", "text")
     val out = MapReduceDocs.chunked(df)
       .groupBy("doc_id").agg(collect_list(struct($"chunk_id", $"n_tokens")).as("c"))
@@ -30,15 +31,21 @@ class MapReduceDocsSpec extends SparkSpec {
     assert(out(3L) == Seq(12L))
   }
 
-  test("mr_chunk: chunks reassemble the original document") {
+  test("mr_chunk: chunks reassemble the tokenized document") {
     val docs = Tables(spark, sfDir, "documents")
     val rejoined = MapReduceDocs.chunked(docs)
       .groupBy("doc_id")
       .agg(array_join(transform(
         array_sort(collect_list(struct($"chunk_id", $"chunk_text"))),
         x => x.getField("chunk_text")), " ").as("rebuilt"))
-    val bad = rejoined.join(docs, "doc_id")
-      .filter($"rebuilt" =!= $"text").count()
+    // chunk basis is the BPE-ish token stream: reassembly equals the
+    // space-joined token stream of the original (not raw text —
+    // punctuation tokens separate, like the reference's id basis)
+    val tokenized = docs.select($"doc_id",
+      array_join(expr(
+        s"regexp_extract_all(text, '${MapReduceDocs.BpeRe}', 0)"), " ").as("tok_text"))
+    val bad = rejoined.join(tokenized, "doc_id")
+      .filter($"rebuilt" =!= $"tok_text").count()
     assert(bad == 0)
   }
 
