@@ -38,7 +38,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=a,b,c — optional filter for targeted local runs
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.sortBy(_._1).map { case (name, fn) =>
       System.err.println(s"[bench] running $name")
       System.gc() // drain the previous query's garbage outside the timer
       name -> time {

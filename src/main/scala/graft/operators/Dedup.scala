@@ -107,11 +107,14 @@ object Dedup {
     */
   private[graft] def minhashDedup(docsDf: DataFrame): DataFrame = {
     val d = docsDf.withColumn("chash", md5(col("text")))
-    val groups = d.groupBy(col("chash"))
-      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("m"),
-        min(col("text")).as("rtext"))
+    // group on ids only — full text never rides the exact-dedup shuffle;
+    // representative texts come back via a doc_id join
+    val groups = d.select(col("chash"), col("doc_id"))
+      .groupBy(col("chash"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("m"))
     val sig = minhashSigs(
-      groups.select(col("rep_id").as("doc_id"), col("rtext").as("text")))
+      d.join(groups.select(col("rep_id")), col("doc_id") === col("rep_id"))
+        .select(col("doc_id"), col("text")))
     val bandRows = sig.select(col("doc_id"), explode(col("bands")).as("band_val"))
     val pairs = bandRows.as("x")
       .join(bandRows.as("y"),
@@ -181,9 +184,12 @@ object Dedup {
     val bands = sim.withColumn("band_id", explode(sequence(lit(0), lit(3))))
       .withColumn("band_key",
         expr("(shiftright(simhash, band_id * 16) & 65535)"))
-    val sizes = bands.groupBy(col("band_id"), col("band_key"))
-      .agg(count(lit(1)).as("bn"))
-    val salted = bands.join(sizes, Seq("band_id", "band_key"))
+    // bucket population via a window count — ONE shuffle of the skinny
+    // band rows, and (unlike an agg + join-back) no second evaluation
+    // of the wide-agg signature subtree feeding `bands`
+    val bn = count(lit(1)).over(
+      Window.partitionBy(col("band_id"), col("band_key")))
+    val salted = bands.withColumn("bn", bn)
       .withColumn("salt",
         when(col("bn") > maxBucket,
           expr("(shiftright(simhash, ((band_id + 1) % 4) * 16) & 65535)"))

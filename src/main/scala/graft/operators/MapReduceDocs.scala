@@ -464,17 +464,27 @@ object MapReduceDocs {
   // bit-identical. NB: method5 can legitimately exceed 1.0 on
   // near-perfect matches (m[-1] = p1+1), matching NLTK.
   private[graft] object BleuSql {
-    /** ln(hyp_len) for hyp_len 2..10, as exact double literals. */
-    def lnCase(hl: String): String =
-      (2 to 10).map(h => s"WHEN $h THEN ${math.log(h.toDouble)}")
-        .mkString(s"(CASE $hl ", " ", " ELSE 0.0 END)")
+    /** 1-based literal-array lookup — flat array indexing compiles far
+      * lighter than an equivalent CASE chain. Spark's element_at and
+      * DuckDB's list_extract are both 1-based.
+      */
+    private def lookup(values: Seq[Double], idx: String, duck: Boolean): String =
+      if (duck) s"list_extract([${values.mkString(", ")}], $idx)"
+      else s"element_at(array(${values.mkString(", ")}), $idx)"
 
-    /** NLTK brevity_penalty: 1 when hyp ≥ ref, else exp(1 - ref/hyp). */
-    def bpCase(hl: String, rl: String): String = {
-      val whens = (for { h <- 1 to 10; r <- 1 to 10 if h < r }
-        yield s"WHEN $hl = $h AND $rl = $r THEN ${math.exp(1.0 - r.toDouble / h)}")
-        .mkString(" ")
-      s"(CASE WHEN $hl >= $rl THEN 1.0 ELSE (CASE $whens ELSE 0.0 END) END)"
+    /** ln(hyp_len) for hyp_len 1..10 as exact double literals (the
+      * hl=1 slot is never read: method4 requires hl > 1).
+      */
+    def lnOf(hl: String, duck: Boolean): String =
+      lookup((1 to 10).map(h => math.log(h.toDouble)), hl, duck)
+
+    /** NLTK brevity_penalty: 1 when hyp ≥ ref, else exp(1 - ref/hyp);
+      * flat (hl-1)*10 + rl indexed table over hl,rl ∈ 1..10.
+      */
+    def bp(hl: String, rl: String, duck: Boolean): String = {
+      val table = for { h <- 1 to 10; r <- 1 to 10 }
+        yield if (h >= r) 1.0 else math.exp(1.0 - r.toDouble / h)
+      lookup(table, s"(($hl - 1) * 10 + $rl)", duck)
     }
 
     /** modified_precision denominator: max(1, hyp_len - n + 1). */
@@ -488,8 +498,8 @@ object MapReduceDocs {
         .mkString(" + ") + ")"
 
     /** Post-method4 precision for order i (1..4). */
-    def ps(i: Int, c: Int => String, hl: String): String =
-      s"""(CASE WHEN ${c(i)} > 0 THEN CAST(${c(i)} AS DOUBLE) / ${denom(i, hl)} WHEN $hl > 1 THEN ${lnCase(hl)} / (power(2.0, ${incvnt(i, c)}) * 5.0 * ${denom(i, hl)}) ELSE 0.0 END)"""
+    def ps(i: Int, c: Int => String, hl: String, duck: Boolean): String =
+      s"""(CASE WHEN ${c(i)} > 0 THEN CAST(${c(i)} AS DOUBLE) / ${denom(i, hl)} WHEN $hl > 1 THEN ${lnOf(hl, duck)} / (power(2.0, ${incvnt(i, c)}) * 5.0 * ${denom(i, hl)}) ELSE 0.0 END)"""
 
     /** Raw 5-gram precision (method5's n+1 neighbor). */
     def p5(c: Int => String, hl: String) =
@@ -521,10 +531,12 @@ object MapReduceDocs {
     val cnt = grams.groupBy(col("doc_id"), col("n"), col("gram"))
       .agg(sum(when(col("side") === "p", 1L).otherwise(0L)).as("cp"),
         sum(when(col("side") === "g", 1L).otherwise(0L)).as("cg"))
-    val clipped = cnt.groupBy(col("doc_id"), col("n"))
-      .agg(sum(least(col("cp"), col("cg"))).as("clip"))
-    val pivAggs = (1 to 5).map(i => max(when(col("n") === i, col("clip"))).as(s"c$i"))
-    val piv = clipped.groupBy(col("doc_id")).agg(pivAggs.head, pivAggs.tail: _*)
+    // clip_n = Σ_gram least(cp, cg): folded straight into the per-doc
+    // pivot as conditional sums — one shuffle instead of a (doc_id, n)
+    // intermediate plus a second doc_id aggregation
+    val pivAggs = (1 to 5).map(i =>
+      sum(when(col("n") === i, least(col("cp"), col("cg")))).as(s"c$i"))
+    val piv = cnt.groupBy(col("doc_id")).agg(pivAggs.head, pivAggs.tail: _*)
     val sz = pairs.select(col("doc_id"), size(col("pt")).as("hl"),
       size(col("gt")).as("rl"))
     val cName = (i: Int) => s"c$i"
@@ -532,12 +544,12 @@ object MapReduceDocs {
       .select((Seq(col("doc_id"), col("hl"), col("rl")) ++
         (1 to 5).map(i => coalesce(col(s"c$i"), lit(0L)).as(s"c$i"))): _*)
     base
-      .withColumn("ps1", expr(BleuSql.ps(1, cName, "hl")))
-      .withColumn("ps2", expr(BleuSql.ps(2, cName, "hl")))
-      .withColumn("ps3", expr(BleuSql.ps(3, cName, "hl")))
-      .withColumn("ps4", expr(BleuSql.ps(4, cName, "hl")))
+      .withColumn("ps1", expr(BleuSql.ps(1, cName, "hl", duck = false)))
+      .withColumn("ps2", expr(BleuSql.ps(2, cName, "hl", duck = false)))
+      .withColumn("ps3", expr(BleuSql.ps(3, cName, "hl", duck = false)))
+      .withColumn("ps4", expr(BleuSql.ps(4, cName, "hl", duck = false)))
       .withColumn("p5raw", expr(BleuSql.p5(cName, "hl")))
-      .withColumn("bp", expr(BleuSql.bpCase("hl", "rl")))
+      .withColumn("bp", expr(BleuSql.bp("hl", "rl", duck = false)))
       .withColumn("p1f", expr("((ps1 + 1.0) + ps1 + ps2) / 3.0"))
       .withColumn("p2f", expr("(p1f + ps2 + ps3) / 3.0"))
       .withColumn("p3f", expr("(p2f + ps3 + ps4) / 3.0"))
@@ -582,23 +594,22 @@ object MapReduceDocs {
           SUM(CASE WHEN side = 'p' THEN 1 ELSE 0 END) AS cp,
           SUM(CASE WHEN side = 'g' THEN 1 ELSE 0 END) AS cg
         FROM grams GROUP BY 1, 2, 3),
-      clipped AS (SELECT doc_id, n, SUM(LEAST(cp, cg)) AS clip FROM cnt GROUP BY 1, 2),
       piv AS (SELECT doc_id,
           ${(1 to 5).map(i =>
-            s"CAST(MAX(CASE WHEN n = $i THEN clip END) AS BIGINT) AS c$i")
+            s"CAST(SUM(CASE WHEN n = $i THEN LEAST(cp, cg) END) AS BIGINT) AS c$i")
             .mkString(", ")}
-        FROM clipped GROUP BY 1),
+        FROM cnt GROUP BY 1),
       sz AS (SELECT doc_id, len(pt) AS hl, len(gt) AS rl FROM pairs),
       base AS (SELECT sz.doc_id, hl, rl,
           ${(1 to 5).map(i => s"COALESCE(c$i, 0) AS c$i").mkString(", ")}
         FROM sz LEFT JOIN piv ON sz.doc_id = piv.doc_id),
       s1 AS (SELECT doc_id, c1,
-          ${BleuSql.ps(1, cName, "hl")} AS ps1,
-          ${BleuSql.ps(2, cName, "hl")} AS ps2,
-          ${BleuSql.ps(3, cName, "hl")} AS ps3,
-          ${BleuSql.ps(4, cName, "hl")} AS ps4,
+          ${BleuSql.ps(1, cName, "hl", duck = true)} AS ps1,
+          ${BleuSql.ps(2, cName, "hl", duck = true)} AS ps2,
+          ${BleuSql.ps(3, cName, "hl", duck = true)} AS ps3,
+          ${BleuSql.ps(4, cName, "hl", duck = true)} AS ps4,
           ${BleuSql.p5(cName, "hl")} AS p5raw,
-          ${BleuSql.bpCase("hl", "rl")} AS bp
+          ${BleuSql.bp("hl", "rl", duck = true)} AS bp
         FROM base),
       s2 AS (SELECT *, ((ps1 + 1.0) + ps1 + ps2) / 3.0 AS p1f FROM s1),
       s3 AS (SELECT *, (p1f + ps2 + ps3) / 3.0 AS p2f FROM s2),

@@ -78,40 +78,59 @@ object Similarity {
   val Rep = 2
   val KmeansIters = 3
 
-  /** Distributed Lloyd k-means over `embedding` (spherical: assignment
-    * by cosine). Each iteration is one broadcast join (assign) + one
-    * groupBy (argmax) + one groupBy (mean); only the k×64 centroid
-    * means ever reach the driver — MLlib-style model state, independent
-    * of n. Empty cells keep their previous centroid. Deterministic init:
-    * the k rows with the smallest xxhash64(vec_id).
+  /** Rows used to train centroids driver-side. FAISS-style sampled
+    * training: quality needs only O(points-per-centroid) samples, so
+    * the collect is bounded regardless of n (at 500-row test scale the
+    * sample IS the dataset). One Spark job total — the previous
+    * distributed-Lloyd variant paid 2 jobs per iteration for identical
+    * centroids at any realistic sample bound.
+    */
+  val KmeansSampleCap = 65536
+
+  /** Spherical Lloyd k-means trained on a deterministic hash-ordered
+    * sample (the first [[KmeansSampleCap]] rows by xxhash64(vec_id);
+    * its k-prefix doubles as the init seeds). Assignment by cosine with
+    * ties to the smaller cell id; means over unit vectors; empty cells
+    * keep their previous centroid.
     */
   private[graft] def kmeansCentroids(
       e: DataFrame, k: Int, iters: Int): Array[(Int, Array[Float])] = {
-    val s = e.sparkSession
-    var cents: Array[(Int, Array[Float])] = e
-      .withColumn("h", xxhash64(col("vec_id")))
-      .orderBy(col("h")).limit(k)
+    val sample = e.withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(col("h")).limit(KmeansSampleCap)
       .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).toArray)
-      .zipWithIndex.map { case (v, i) => (i, v) }
-    for (_ <- 1 to iters) {
-      val centDf = s.createDataFrame(cents.toSeq).toDF("cent_id", "cent_emb")
-      val best = e.join(broadcast(centDf))
-        .withColumn("ccos", expr("graft_cosine(embedding, cent_emb)"))
-        .groupBy(col("vec_id"))
-        .agg(max_by(struct(col("cent_id"), col("embedding")),
-          struct(col("ccos"), -col("cent_id"))).as("b"))
-        .select(col("b.cent_id").as("cent_id"), col("b.embedding").as("emb"))
-      val means = best.select(col("cent_id"), posexplode(col("emb")))
-        .groupBy(col("cent_id"), col("pos")).agg(avg(col("col")).as("v"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (cid, rows) =>
-          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
-        }
-      cents = cents.map { case (i, old) => (i, means.getOrElse(i, old)) }
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val unit = sample.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
     }
-    cents
+    val dim = unit.headOption.map(_.length).getOrElse(0)
+    var cents = unit.take(k).map(_.clone())
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      val norms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+      unit.foreach { u =>
+        var best = 0
+        var bestCos = -2.0
+        var c = 0
+        while (c < cents.length) {
+          var dot = 0.0
+          var i = 0
+          while (i < dim) { dot += u(i) * cents(c)(i); i += 1 }
+          val cos = if (norms(c) == 0) -2.0 else dot / norms(c)
+          if (cos > bestCos) { bestCos = cos; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += u(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    cents.zipWithIndex.map { case (v, i) => (i, v.map(_.toFloat)) }
   }
 
   private val opIvf = Op(
@@ -177,38 +196,23 @@ object Similarity {
   val EmbTargetBucket = 16L
   val EmbDim = 64
 
-  /** Deterministic pseudo-random hyperplane component for hyperplane
-    * `hp`, 1-based dimension `i` — shared by plan and oracle.
-    */
-  private[graft] def hyper(hp: Int, i: Int): Int =
-    ((hp * 8191 + i * 127 + 1) % 1000) - 500
-
   private[graft] def embBits(n: Long): Int =
     math.min(EmbMaxBits,
       java.lang.Long.toBinaryString(math.max(n / EmbTargetBucket, 1L)).length)
 
-  /** Appends band-key columns key0..key{EmbBands-1}: each packs `bits`
-    * hyperplane sign bits, built as explicit codegen column trees (an
-    * interpreted transform() lambda here would re-evaluate per element).
+  /** LSH candidate pairs (va < vb), deduped across bands. Band keys
+    * come from the native graft_lsh_keys kernel (plans.LshBandKeys):
+    * hyperplane components are the deterministic integer formula the
+    * oracle evaluates inline, the whole key build is one codegen'd
+    * Java loop per row.
     */
-  private[graft] def lshBandKeys(e: DataFrame, bits: Int): DataFrame =
-    (0 until EmbBands).foldLeft(e) { (df, j) =>
-      val key = (0 until bits).map { l =>
-        val hp = j * EmbMaxBits + l
-        val dot = (1 to EmbDim).map(i =>
-          element_at(col("embedding"), i).cast("double") *
-            lit(hyper(hp, i).toDouble)).reduce(_ + _)
-        when(dot >= 0, lit(1L << l)).otherwise(lit(0L))
-      }.reduce(_ bitwiseOR _)
-      df.withColumn(s"key$j", key)
-    }
-
-  /** LSH candidate pairs (va < vb), deduped across bands. */
   private[graft] def lshCandidatePairs(e: DataFrame, bits: Int): DataFrame = {
-    val bandRows = lshBandKeys(e, bits)
+    graft.plans.GraftFunctions.register(e.sparkSession)
+    val bandRows = e
+      .withColumn("keys",
+        expr(s"graft_lsh_keys(embedding, $EmbBands, $EmbMaxBits, $bits)"))
       .select(col("vec_id"),
-        posexplode(array((0 until EmbBands).map(j => col(s"key$j")): _*))
-          .as(Seq("j", "band_key")))
+        posexplode(col("keys")).as(Seq("j", "band_key")))
     bandRows.as("x")
       .join(bandRows.as("y"),
         col("x.j") === col("y.j") &&

@@ -125,5 +125,12 @@ object GraftFunctions {
       "graft_stem",
       exprs => StemTokens(exprs.head),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lsh_keys",
+      exprs => LshBandKeys(exprs.head,
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int],
+        exprs(3).eval().asInstanceOf[Int]),
+      "built-in")
   }
 }
