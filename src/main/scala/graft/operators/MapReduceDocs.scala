@@ -531,16 +531,16 @@ object MapReduceDocs {
     val cnt = grams.groupBy(col("doc_id"), col("n"), col("gram"))
       .agg(sum(when(col("side") === "p", 1L).otherwise(0L)).as("cp"),
         sum(when(col("side") === "g", 1L).otherwise(0L)).as("cg"))
-    // clip_n = Σ_gram least(cp, cg): folded straight into the per-doc
-    // pivot as conditional sums — one shuffle instead of a (doc_id, n)
-    // intermediate plus a second doc_id aggregation
+    // ONE per-doc aggregation produces everything downstream: clip_n
+    // (Σ_gram least(cp,cg) per order) AND the lengths — hl/rl are just
+    // the total unigram occurrence counts (Σcp / Σcg over n=1 rows) —
+    // so there is no second scan of the pairs join and no length join
     val pivAggs = (1 to 5).map(i =>
-      sum(when(col("n") === i, least(col("cp"), col("cg")))).as(s"c$i"))
-    val piv = cnt.groupBy(col("doc_id")).agg(pivAggs.head, pivAggs.tail: _*)
-    val sz = pairs.select(col("doc_id"), size(col("pt")).as("hl"),
-      size(col("gt")).as("rl"))
+      sum(when(col("n") === i, least(col("cp"), col("cg")))).as(s"c$i")) ++ Seq(
+      sum(when(col("n") === 1, col("cp"))).cast("int").as("hl"),
+      sum(when(col("n") === 1, col("cg"))).cast("int").as("rl"))
     val cName = (i: Int) => s"c$i"
-    val base = sz.join(piv, Seq("doc_id"), "left")
+    val base = cnt.groupBy(col("doc_id")).agg(pivAggs.head, pivAggs.tail: _*)
       .select((Seq(col("doc_id"), col("hl"), col("rl")) ++
         (1 to 5).map(i => coalesce(col(s"c$i"), lit(0L)).as(s"c$i"))): _*)
     base
@@ -597,12 +597,13 @@ object MapReduceDocs {
       piv AS (SELECT doc_id,
           ${(1 to 5).map(i =>
             s"CAST(SUM(CASE WHEN n = $i THEN LEAST(cp, cg) END) AS BIGINT) AS c$i")
-            .mkString(", ")}
+            .mkString(", ")},
+          CAST(SUM(CASE WHEN n = 1 THEN cp END) AS INT) AS hl,
+          CAST(SUM(CASE WHEN n = 1 THEN cg END) AS INT) AS rl
         FROM cnt GROUP BY 1),
-      sz AS (SELECT doc_id, len(pt) AS hl, len(gt) AS rl FROM pairs),
-      base AS (SELECT sz.doc_id, hl, rl,
+      base AS (SELECT doc_id, hl, rl,
           ${(1 to 5).map(i => s"COALESCE(c$i, 0) AS c$i").mkString(", ")}
-        FROM sz LEFT JOIN piv ON sz.doc_id = piv.doc_id),
+        FROM piv),
       s1 AS (SELECT doc_id, c1,
           ${BleuSql.ps(1, cName, "hl", duck = true)} AS ps1,
           ${BleuSql.ps(2, cName, "hl", duck = true)} AS ps2,
