@@ -9,16 +9,17 @@ import org.apache.spark.sql.functions._
 /** Deduplication operators for LLM training-data curation
   * (SURVEY.md §2).
   *
-  * Scale design: signatures are computed over EXPLODED rows (token /
-  * shingle / seed), not nested higher-order lambdas — HOF lambdas run
-  * interpreted and re-evaluate inlined subtrees per element (an
-  * O(seeds × shingles) split() blowup observed at bench time), while
-  * the explode form stays in whole-stage codegen and map-side partial
-  * aggregation eats the row multiplication before any shuffle. The
-  * shuffles that remain carry a small constant × doc count (32 minhash
-  * rows, 64 bit rows, 8 band rows per doc), and the in-bucket self-join
+  * Scale design: signatures (simhash, minhash) are pure per-doc
+  * functions computed NARROW by native codegen kernels
+  * (plans.SignatureKernels) — zero shuffles until the band self-join.
+  * (Interpreted HOF lambdas re-evaluate inlined subtrees per element —
+  * an O(seeds × shingles) split() blowup observed at bench time — and
+  * the explode + wide-agg workaround paid a full shuffle for what was
+  * never an aggregation; the kernels are the right rung on the
+  * custom-op ladder.) The shuffles that remain carry a small constant
+  * × doc count (8 band rows per doc), and the in-bucket self-join
   * never degenerates into a cross product because band keys partition
-  * the space.
+  * the space — with oversized buckets adaptively sub-split.
   */
 object Dedup {
 
@@ -56,38 +57,22 @@ object Dedup {
       FROM documents GROUP BY 1"""))
 
   // ---- dedup_minhash: MinHash signatures + LSH banding ----
-  // 32 seeded hash functions, 8 bands × 4 rows. Per-doc output
-  // (signature digest + candidate count) so the result is defined even
-  // on a duplicate-free corpus.
-  /** Deterministic xor constants for the 32 hash families (seeded LCG). */
-  private val seedConsts: IndexedSeq[Long] = {
-    var x = 0x9E3779B97F4A7C15L
-    (0 until 32).map { _ =>
-      x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x
-    }
-  }
-
-  /** (doc_id, sig, bands, sig_digest): 32 hash families per shingle row,
-    * per-seed min, 8×4 LSH bands. The families are one codegen'd
-    * xxhash64 plus bit-rotate/xor variants built as EXPLICIT columns —
-    * a `transform(sequence(...))` lambda here runs interpreted per
-    * element and was the bench's top hotspot. The per-family mins are
-    * 32 wide agg columns: ONE shuffle carrying 32 longs per doc, no
-    * row fan-out.
+  // 32 seeded hash functions (xor constants in plans.SignatureKernels),
+  // 8 bands × 4 rows. Per-doc output (signature digest + candidate
+  // count) so the result is defined even on a duplicate-free corpus.
+  /** (doc_id, sig, bands, sig_digest): 32 rotate/xor hash-family minima
+    * over 3-token shingles, 8×4 LSH bands. The signature is a pure
+    * per-doc function, computed NARROW by the native graft_minhash_sig
+    * kernel (plans.SignatureKernels) — no shingle explode, no 32-column
+    * aggregate, no shuffle at all in the signature build. (History: a
+    * transform(sequence(...)) lambda ran interpreted per element; the
+    * explode + wide-agg replacement fixed that but paid a full shuffle
+    * for what was never an aggregation problem.)
     */
   private[graft] def minhashSigs(d: DataFrame): DataFrame = {
-    val base = xxhash64(col("shingle"))
-    val families = (0 until 32).map { i =>
-      val rot =
-        if (i == 0) base
-        else shiftleft(base, i).bitwiseOR(shiftrightunsigned(base, 64 - i))
-      rot.bitwiseXOR(lit(seedConsts(i)))
-    }
-    val aggs = families.zipWithIndex.map { case (f, i) => min(f).as(s"mh$i") }
-    shingleRows(d)
-      .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"),
-        array((0 until 32).map(i => col(s"mh$i")): _*).as("sig"))
+    graft.plans.GraftFunctions.register(d.sparkSession)
+    d.withColumn("toks", TextFns.tokens(col("text")))
+      .select(col("doc_id"), expr("graft_minhash_sig(toks)").as("sig"))
       .withColumn("bands", expr(
         "transform(sequence(0, 7), b -> xxhash64(cast(b AS string), slice(sig, b*4 + 1, 4)))"))
       .withColumn("sig_digest",
@@ -146,24 +131,16 @@ object Dedup {
     None)
 
   // ---- dedup_simhash: 64-bit SimHash + 16-bit-band hamming dedup ----
-  // Majority vote per bit as ±1 contributions over exploded token rows;
-  // partial aggregation collapses the 64× row fan-out map-side.
-  /** (doc_id, simhash): per-bit ±1 majority as 64 WIDE agg columns over
-    * token rows (one shuffle, 64 longs per doc), packed with an
-    * explicit shift/OR column tree — all codegen'd, no lambdas, and no
-    * ANSI-overflow trap (acc*2+bit would throw at bit 63).
+  /** (doc_id, simhash): per-bit ±1 majority over xxhash64(token),
+    * computed NARROW by the native graft_simhash kernel
+    * (plans.SignatureKernels) — the signature is a per-doc function, so
+    * the former explode + 64-wide-agg shuffle bought nothing. Values
+    * are bit-identical (same token hash, same majority rule).
     */
   private[graft] def simhashOf(d: DataFrame): DataFrame = {
-    val tokRows = d
-      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("th"))
-    val sums = (0 until 64).map(b =>
-      sum(shiftright(col("th"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$b"))
-    val packed = (0 until 64)
-      .map(b => shiftleft(when(col(s"s$b") > 0, 1L).otherwise(0L), b))
-      .reduce(_.bitwiseOR(_))
-    tokRows.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"), packed.as("simhash"))
+    graft.plans.GraftFunctions.register(d.sparkSession)
+    d.withColumn("toks", TextFns.tokens(col("text")))
+      .select(col("doc_id"), expr("graft_simhash(toks)").as("simhash"))
   }
 
   /** Band buckets a simhash bucket-join must never let grow O(n): above

@@ -132,5 +132,13 @@ object GraftFunctions {
         exprs(2).eval().asInstanceOf[Int],
         exprs(3).eval().asInstanceOf[Int]),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash",
+      exprs => SimhashExpr(exprs.head),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_sig",
+      exprs => MinhashSigExpr(exprs.head),
+      "built-in")
   }
 }
