@@ -79,6 +79,14 @@ class PipelineOpsSpec extends SparkSpec {
     assert(hamming(sim(1L), sim(3L)) > 8, "unrelated docs should be far")
   }
 
+  test("signature builds are narrow — no shuffle before banding") {
+    val docs = Seq((1L, "a b c d e"), (2L, "f g h i j")).toDF("doc_id", "text")
+    val simPlan = Dedup.simhashOf(docs).queryExecution.executedPlan.toString
+    assert(!simPlan.contains("Exchange"), simPlan)
+    val mhPlan = Dedup.minhashSigs(docs).queryExecution.executedPlan.toString
+    assert(!mhPlan.contains("Exchange"), mhPlan)
+  }
+
   test("dedup_simhash: oversized band buckets sub-split; flood stays bounded") {
     // 1500 synthetic signatures all sharing band 0 (low 16 bits 0xBEEF)
     // with spread upper bits — a boilerplate flood. Plain 16-bit banding
