@@ -267,48 +267,52 @@ object MapReduceDocs {
       FROM mapped GROUP BY doc_id"""))
 
   // ---- score_f1: SQuAD-style token-overlap F1 (test_proactive.py:110) ----
+  // Same single-pass shape as score_bleu: both sides unpivot into one
+  // (doc_id, tok) count aggregation, and the per-doc aggregation
+  // produces n_common (Σ min(cp,cg)) AND both lengths (Σcp, Σcg) — no
+  // per-side aggregates, no count join, no separate sizes scan.
   private val opF1 = Op(
     "score_f1",
     (s, dir) => {
       val p = pairs(s, dir)
-        .select(col("doc_id"), TextFns.tokens(col("pred")).as("pt"),
-          TextFns.tokens(col("gt")).as("gtt"))
-      val predCounts = p.select(col("doc_id"), explode(col("pt")).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("cp"))
-      val goldCounts = p.select(col("doc_id"), explode(col("gtt")).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("cg"))
-      val common = predCounts.join(goldCounts, Seq("doc_id", "tok"))
-        .groupBy("doc_id")
-        .agg(sum(least(col("cp"), col("cg"))).as("n_common"))
-      val sizes = p.select(col("doc_id"), size(col("pt")).cast("long").as("n_pred"),
-        size(col("gtt")).cast("long").as("n_gold"))
-      val j = sizes.join(common, Seq("doc_id"), "left")
-        .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      val toks = p.select(col("doc_id"), explode(array(
+          struct(lit("p").as("side"), TextFns.tokens(col("pred")).as("ts")),
+          struct(lit("g").as("side"), TextFns.tokens(col("gt")).as("ts")))).as("sd"))
+        .select(col("doc_id"), col("sd.side").as("side"),
+          explode(col("sd.ts")).as("tok"))
+      val cnt = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(sum(when(col("side") === "p", 1L).otherwise(0L)).as("cp"),
+          sum(when(col("side") === "g", 1L).otherwise(0L)).as("cg"))
+      val agg = cnt.groupBy(col("doc_id"))
+        .agg(sum(col("cp")).as("n_pred"), sum(col("cg")).as("n_gold"),
+          sum(least(col("cp"), col("cg"))).as("n_common"))
       val prec = col("n_common") / col("n_pred")
       val rec = col("n_common") / col("n_gold")
-      j.select(col("doc_id"), col("n_pred"), col("n_gold"), col("n_common"),
+      agg.select(col("doc_id"), col("n_pred"), col("n_gold"), col("n_common"),
         when(col("n_common") === 0, lit(0.0))
           .otherwise(round(lit(2.0) * prec * rec / (prec + rec), 6)).as("f1"))
     },
     Some(pairsCte + """,
-      pt AS (SELECT doc_id, t AS tok, COUNT(*) AS cp
-             FROM pairs, UNNEST(string_split(pred, ' ')) AS u(t) GROUP BY 1, 2),
-      gt2 AS (SELECT doc_id, t AS tok, COUNT(*) AS cg
-              FROM pairs, UNNEST(string_split(gt, ' ')) AS u(t) GROUP BY 1, 2),
-      common AS (SELECT pt.doc_id, CAST(SUM(LEAST(pt.cp, gt2.cg)) AS BIGINT) AS n_common
-                 FROM pt JOIN gt2 ON pt.doc_id = gt2.doc_id AND pt.tok = gt2.tok
-                 GROUP BY 1),
-      sizes AS (SELECT doc_id,
-                  CAST(len(string_split(pred, ' ')) AS BIGINT) AS n_pred,
-                  CAST(len(string_split(gt, ' ')) AS BIGINT) AS n_gold
-                FROM pairs)
-      SELECT s.doc_id, s.n_pred, s.n_gold,
-        COALESCE(c.n_common, 0) AS n_common,
-        CASE WHEN COALESCE(c.n_common, 0) = 0 THEN 0.0
-             ELSE ROUND(2.0 * (c.n_common / s.n_pred) * (c.n_common / s.n_gold)
-                        / ((c.n_common / s.n_pred) + (c.n_common / s.n_gold)), 6)
+      sides AS (
+        SELECT doc_id, 'p' AS side, pred AS txt FROM pairs
+        UNION ALL SELECT doc_id, 'g' AS side, gt AS txt FROM pairs),
+      toks AS (SELECT doc_id, side, t AS tok
+               FROM sides, UNNEST(string_split(txt, ' ')) AS u(t)),
+      cnt AS (SELECT doc_id, tok,
+                SUM(CASE WHEN side = 'p' THEN 1 ELSE 0 END) AS cp,
+                SUM(CASE WHEN side = 'g' THEN 1 ELSE 0 END) AS cg
+              FROM toks GROUP BY 1, 2),
+      agg AS (SELECT doc_id,
+                CAST(SUM(cp) AS BIGINT) AS n_pred,
+                CAST(SUM(cg) AS BIGINT) AS n_gold,
+                CAST(SUM(LEAST(cp, cg)) AS BIGINT) AS n_common
+              FROM cnt GROUP BY 1)
+      SELECT doc_id, n_pred, n_gold, n_common,
+        CASE WHEN n_common = 0 THEN 0.0
+             ELSE ROUND(2.0 * (n_common / n_pred) * (n_common / n_gold)
+                        / ((n_common / n_pred) + (n_common / n_gold)), 6)
         END AS f1
-      FROM sizes s LEFT JOIN common c ON s.doc_id = c.doc_id"""))
+      FROM agg"""))
 
   // ---- score_stats: fleet-level stats (compute_scores.py:57-66) ----
   // mean/min/max/percentile per SURVEY §2: p50/p95 are exact
