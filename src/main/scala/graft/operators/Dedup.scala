@@ -72,11 +72,12 @@ object Dedup {
   private[graft] def minhashSigs(d: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(d.sparkSession)
     d.withColumn("toks", TextFns.tokens(col("text")))
-      .select(col("doc_id"), expr("graft_minhash_sig(toks)").as("sig"))
+      .withColumn("sig", expr("graft_minhash_sig(toks)"))
       .withColumn("bands", expr(
         "transform(sequence(0, 7), b -> xxhash64(cast(b AS string), slice(sig, b*4 + 1, 4)))"))
       .withColumn("sig_digest",
         md5(concat_ws(",", expr("transform(sig, x -> cast(x AS string))"))))
+      .drop("toks", "text") // keeps any caller-carried columns (e.g. m)
   }
 
   /** dedup_minhash with an EXACT-DEDUP PRE-PASS: identical texts are
@@ -97,24 +98,29 @@ object Dedup {
     val groups = d.select(col("chash"), col("doc_id"))
       .groupBy(col("chash"))
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("m"))
+    // the rep frame carries chash and m through the signature build, so
+    // neither the band pipeline nor the final assembly joins back to
+    // `groups`
     val sig = minhashSigs(
-      d.join(groups.select(col("rep_id")), col("doc_id") === col("rep_id"))
-        .select(col("doc_id"), col("text")))
-    val bandRows = sig.select(col("doc_id"), explode(col("bands")).as("band_val"))
+      d.select(col("doc_id"), col("text"))
+        .join(groups, col("doc_id") === col("rep_id"))
+        .select(col("doc_id"), col("chash"), col("m"), col("text")))
+    val bandRows = sig.select(col("doc_id"), col("m"),
+      explode(col("bands")).as("band_val"))
     val pairs = bandRows.as("x")
       .join(bandRows.as("y"),
         col("x.band_val") === col("y.band_val") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.m").as("ma"), col("y.m").as("mb"))
       .distinct()
     // re-expand: each partner GROUP contributes its full copy count
-    val partners = pairs.select(col("a").as("rep_id"), col("b").as("p"))
-      .union(pairs.select(col("b").as("rep_id"), col("a").as("p")))
+    val partners = pairs.select(col("a").as("rep_id"), col("mb").as("pm"))
+      .union(pairs.select(col("b").as("rep_id"), col("ma").as("pm")))
     val cross = partners
-      .join(groups.select(col("rep_id").as("p"), col("m").as("pm")), Seq("p"))
       .groupBy(col("rep_id")).agg(sum(col("pm")).as("cross_cands"))
-    val repInfo = groups.select(col("chash"), col("rep_id"), col("m"))
-      .join(sig.select(col("doc_id").as("rep_id"), col("sig_digest")), Seq("rep_id"))
+    val repInfo = sig
+      .select(col("doc_id").as("rep_id"), col("chash"), col("m"), col("sig_digest"))
       .join(cross, Seq("rep_id"), "left")
     d.select(col("doc_id"), col("chash"),
         greatest(size(TextFns.tokens(col("text"))) - 2, lit(1)).cast("long")
