@@ -238,5 +238,51 @@ object Dedup {
           / (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset))), 6) AS jaccard
       FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1"""))
 
-  val ops: Seq[Op] = Seq(opExact, opMinhash, opSimhash, opJaccard)
+  // ---- contam_ngram: benchmark-decontamination check ----
+  // The standard pre-training hygiene pass: flag training docs whose
+  // 3-token shingles overlap a held-out eval set (here the
+  // deterministic 1%-ish subset doc_id % 97 == 0 stands in for the
+  // benchmark corpus). Eval shingles are DISTINCT and broadcast — at
+  // 100 TB the eval side is a fixed benchmark suite, small by
+  // construction, so the check is one narrow scan + broadcast semi
+  // structure, never a shuffle of the corpus.
+  /** Shingle occurrences (with multiplicity) vs a broadcast eval-set
+    * shingle vocabulary → per-doc contamination counts.
+    */
+  private[graft] def contamCheck(d: DataFrame): DataFrame = {
+    val sh = shingleRows(d).select(col("doc_id"), col("shingle"))
+    val evalSet = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("shingle")).distinct()
+      .withColumn("hit", lit(1L))
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalSet), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contam"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contam"),
+        round(col("n_contam") / col("n_shingles"), 6).as("contam_ratio"))
+  }
+
+  private val opContam = Op(
+    "contam_ngram",
+    (s, dir) => contamCheck(docs(s, dir)),
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      sh AS (
+        SELECT doc_id, u.s AS shingle
+        FROM t, UNNEST(CASE WHEN len(toks) >= 3
+          THEN [array_to_string(list_slice(toks, i+1, i+3), ' ')
+                for i in generate_series(0, len(toks) - 3)]
+          ELSE [array_to_string(toks, ' ')] END) AS u(s)),
+      ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+      SELECT sh.doc_id,
+        COUNT(*) AS n_shingles,
+        CAST(SUM(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contam,
+        ROUND(SUM(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END)
+              / COUNT(*), 6) AS contam_ratio
+      FROM sh LEFT JOIN ev ON sh.shingle = ev.shingle
+      WHERE sh.doc_id % 97 <> 0
+      GROUP BY sh.doc_id"""))
+
+  val ops: Seq[Op] = Seq(opExact, opMinhash, opSimhash, opJaccard, opContam)
 }

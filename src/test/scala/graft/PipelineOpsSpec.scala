@@ -109,6 +109,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(near.length == 1 && near.head.getAs[Number]("hamming").longValue == 1L)
   }
 
+  test("contam_ngram: eval-set shingle overlap flags contaminated docs") {
+    val fixture = Seq(
+      (0L, "alpha beta gamma delta"),   // eval doc (0 % 97 == 0)
+      (1L, "alpha beta gamma delta"),   // fully contaminated
+      (2L, "zeta eta theta iota"),      // clean
+      (3L, "alpha beta gamma xyz"),     // 1 of 2 shingles contaminated
+      (97L, "other eval text here"))    // eval doc, excluded from output
+      .toDF("doc_id", "text")
+    val out = Dedup.contamCheck(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_contam"), r.getAs[Double]("contam_ratio"))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), "eval docs stay out of the output")
+    assert(out(1L) == (2L, 1.0))
+    assert(out(2L) == (0L, 0.0))
+    assert(out(3L) == (1L, 0.5))
+  }
+
   test("ngram_jaccard: identical→1, disjoint→0") {
     val out = run("ngram_jaccard")
     assert(out.filter($"jaccard" < 0 || $"jaccard" > 1).count() == 0)
