@@ -10,7 +10,8 @@ object SparkEntry {
     operators.Relational.ops ++ operators.Relational2.ops ++
       operators.MapReduceDocs.ops ++
       operators.TextAnalysis.ops ++ operators.Dedup.ops ++
-      operators.Similarity.ops ++ operators.Multimodal.ops
+      operators.Similarity.ops ++ operators.Multimodal.ops ++
+      operators.Sampling.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

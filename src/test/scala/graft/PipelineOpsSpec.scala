@@ -109,6 +109,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(near.length == 1 && near.head.getAs[Number]("hamming").longValue == 1L)
   }
 
+  test("mix_sample: balanced source mixing is deterministic and scale-free") {
+    // skewed mixture: 100 docs of src A, 10 of src B → target = 10/source
+    val fixture = ((0L until 100L).map(i => (i, "A")) ++
+      (100L until 110L).map(i => (i, "B"))).toDF("doc_id", "source")
+    val kept = operators.Sampling.mixSample(fixture).collect()
+    val bySrc = kept.groupBy(_.getAs[String]("source")).map { case (s, r) => s -> r.length }
+    // the smallest source always passes the threshold in full
+    assert(bySrc("B") == 10, s"min source must be kept whole: $bySrc")
+    // the big source keeps exactly the formula-selected subset
+    val expectA = (0L until 100L).count(i =>
+      ((i * operators.Sampling.MixMul) % operators.Sampling.MixMod) * 100L <
+        operators.Sampling.MixMod * 10L)
+    assert(bySrc("A") == expectA && expectA > 0 && expectA < 30,
+      s"src A kept ${bySrc("A")}, formula says $expectA")
+    // decisions are per-row functions of (doc_id, counts): rerunning on
+    // a reordered frame yields the identical id set
+    val again = operators.Sampling.mixSample(fixture.orderBy(rand(7)))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(again == kept.map(_.getAs[Long]("doc_id")).toSet)
+  }
+
   test("contam_ngram: eval-set shingle overlap flags contaminated docs") {
     val fixture = Seq(
       (0L, "alpha beta gamma delta"),   // eval doc (0 % 97 == 0)
