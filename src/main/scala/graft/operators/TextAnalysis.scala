@@ -151,5 +151,64 @@ object TextAnalysis {
                   for i in generate_series(0, greatest(n-4, 0))]) AS fingerprint
       FROM d"""))
 
-  val ops: Seq[Op] = Seq(opLangId, opQuality, opTokenCount, opFingerprint)
+  // ---- text_repetition: Gopher-style repetition filters ----
+  // The two classic repetition signals used to drop low-quality docs at
+  // pre-training scale: the fraction of duplicate lines and the mass of
+  // the single most frequent 2-gram. Bigram rows are built with the
+  // shifted-zip trick (narrow, codegen); one shuffle per aggregation
+  // level, both carrying a few skinny rows per doc.
+  private[graft] def repetitionSignals(d: DataFrame): DataFrame = {
+    val lines = d.select(col("doc_id"),
+        size(split(col("text"), "\n")).cast("long").as("n_lines"),
+        size(array_distinct(split(col("text"), "\n"))).cast("long")
+          .as("n_distinct_lines"))
+    val toks = d.withColumn("toks", TextFns.tokens(col("text")))
+    val bigrams = toks
+      .withColumn("t1", slice(col("toks"), lit(2),
+        greatest(size(col("toks")) - 1, lit(0))))
+      .select(col("doc_id"),
+        posexplode(arrays_zip(col("toks"), col("t1"))).as(Seq("pos", "z")))
+      .filter(col("z.t1").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("z.toks"), col("z.t1")).as("bigram"))
+    val top = bigrams.groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_bigram_n"), sum(col("c")).as("n_bigrams"))
+    lines.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        round((col("n_lines") - col("n_distinct_lines")) / col("n_lines"), 6)
+          .as("dup_line_ratio"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(coalesce(col("top_bigram_n"), lit(0L))
+          / greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L)), 6)
+          .as("top_bigram_ratio"))
+  }
+
+  private val opRepetition = Op(
+    "text_repetition",
+    (s, dir) => repetitionSignals(docs(s, dir)),
+    Some("""
+      WITH lines AS (
+        SELECT doc_id,
+          CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+          CAST(len(list_distinct(string_split(text, chr(10)))) AS BIGINT) AS n_distinct_lines
+        FROM documents),
+      bg AS (
+        SELECT doc_id,
+          array_to_string(list_slice(string_split(text, ' '), i+1, i+2), ' ') AS bigram
+        FROM documents, UNNEST(generate_series(0, greatest(len(string_split(text, ' ')) - 2, -1))) AS u(i)),
+      cnt AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+      top AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_n,
+                CAST(SUM(c) AS BIGINT) AS n_bigrams
+              FROM cnt GROUP BY 1)
+      SELECT l.doc_id, l.n_lines,
+        ROUND((l.n_lines - l.n_distinct_lines) / l.n_lines, 6) AS dup_line_ratio,
+        COALESCE(t.n_bigrams, 0) AS n_bigrams,
+        ROUND(COALESCE(t.top_bigram_n, 0)
+              / GREATEST(COALESCE(t.n_bigrams, 0), 1), 6) AS top_bigram_ratio
+      FROM lines l LEFT JOIN top t ON l.doc_id = t.doc_id"""))
+
+  val ops: Seq[Op] = Seq(opLangId, opQuality, opTokenCount, opFingerprint,
+    opRepetition)
 }

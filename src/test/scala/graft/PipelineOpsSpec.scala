@@ -262,6 +262,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out == Map(1L -> "de", 2L -> "fr", 3L -> "en", 4L -> "en", 5L -> "es"))
   }
 
+  test("text_repetition: dup-line and top-bigram signals on planted fixtures") {
+    val fixture = Seq(
+      (1L, "spam spam spam spam"),          // top bigram "spam spam" = 3/3
+      (2L, "all words here are different"), // every bigram unique: 1/4
+      (3L, "line\nline\nother"),            // 1 dup line of 3
+      (4L, "one"))                           // no bigrams at all
+      .toDF("doc_id", "text")
+    val out = operators.TextAnalysis.repetitionSignals(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("dup_line_ratio"), r.getAs[Long]("n_bigrams"),
+          r.getAs[Double]("top_bigram_ratio"))).toMap
+    assert(out(1L) == (0.0, 3L, 1.0))
+    assert(out(2L) == (0.0, 4L, 0.25))
+    assert(out(3L)._1 > 0.33 && out(3L)._1 < 0.34)
+    assert(out(4L) == (0.0, 0L, 0.0))
+  }
+
   test("text_quality: ratios within [0,1], avg_token_len positive") {
     val out = run("text_quality")
     Seq("digit_ratio", "stopword_ratio", "distinct_ratio").foreach { c =>
