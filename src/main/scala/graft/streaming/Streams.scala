@@ -52,6 +52,38 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** stream_contam — streaming ingest gated by benchmark
+    * decontamination (batch twin: contam_ngram). The eval-set shingle
+    * vocabulary is STATIC and small by nature (benchmark suites), so it
+    * rides along as a literal array and the whole gate is a stateless
+    * per-row computation — append mode, no watermark, no state store.
+    * (An explode + re-aggregate would turn this into an unbounded
+    * streaming aggregation; a per-doc score must never need
+    * cross-batch state.) Docs at or above `maxRatio` contamination are
+    * dropped.
+    */
+  def contamFiltered(docs: DataFrame, evalShingles: Seq[String],
+      maxRatio: Double): DataFrame = {
+    val evalArr = array(evalShingles.map(lit): _*)
+    val toks = col("toks")
+    val shings = when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3), i =>
+        concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
+          element_at(toks, i + 3))))
+      .otherwise(array(array_join(toks, " ")))
+    docs
+      .withColumn("toks", graft.functions.TextFns.tokens(col("text")))
+      .withColumn("shings", shings)
+      .withColumn("n_shingles", size(col("shings")).cast("long"))
+      .withColumn("n_contam",
+        size(filter(col("shings"), x => array_contains(evalArr, x))).cast("long"))
+      .withColumn("contam_ratio",
+        round(col("n_contam") / col("n_shingles"), 6))
+      .filter(col("contam_ratio") < maxRatio)
+      .select(col("doc_id"), col("text"), col("n_shingles"), col("n_contam"),
+        col("contam_ratio"))
+  }
+
   // ---- stream_mr: incremental map-reduce over chunk streams ----
 
   /** One mapped chunk arriving on the stream. `n_chunks_total` is known

@@ -68,6 +68,32 @@ class StreamingSpec extends SparkSpec {
     assert(n == 2, s"expected 2 unique payloads, got $n")
   }
 
+  test("stream_contam: contaminated docs are gated out statelessly") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val evalSet = Seq("alpha beta gamma", "beta gamma delta")
+    val df = in.toDF().toDF("doc_id", "text")
+    val q = Streams.contamFiltered(df, evalSet, maxRatio = 0.5).writeStream
+      .format("memory").queryName("contam_out").outputMode("append").start()
+    in.addData(
+      (1L, "alpha beta gamma delta"),   // 2/2 contaminated → dropped
+      (2L, "zeta eta theta iota"),      // clean → kept
+      (3L, "alpha beta gamma xyz pqr"), // 1/3 → kept (below 0.5)
+      (4L, "hi"))                       // short doc, whole-text shingle, clean
+    q.processAllAvailable()
+    val rows = spark.table("contam_out").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("contam_ratio")).toMap
+    q.stop()
+    assert(rows.keySet == Set(2L, 3L, 4L), s"gate kept $rows")
+    assert(rows(2L) == 0.0 && rows(4L) == 0.0)
+    assert(math.abs(rows(3L) - 0.333333) < 1e-6)
+    // the gate plan is stateless: no state store operator involved
+    val plan = Streams.contamFiltered(
+      Seq((1L, "a b c")).toDF("doc_id", "text"), evalSet, 0.5)
+      .queryExecution.analyzed.toString
+    assert(!plan.contains("Aggregate"), plan)
+  }
+
   test("stream_mr: doc emits the ordered reduce the moment its last chunk arrives") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[ChunkIn]
