@@ -217,5 +217,46 @@ object Relational2 {
         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
       FROM events GROUP BY 1"""))
 
-  val ops: Seq[Op] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23)
+  // ---- q24_cube: full CUBE grouping sets (ROLLUP's sibling, q9) ----
+  // One pass computes all 2^k grouping-set combinations with map-side
+  // partial aggregation — the expand happens before the single shuffle.
+  private val q24 = Op(
+    "q24_cube",
+    (s, dir) =>
+      graft.Tables(s, dir, "customer")
+        .cube(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"),
+          graft.Fns.sumMoney(col("c_acctbal")).as("sum_bal")),
+    Some(s"""
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt,
+        ${graft.Fns.sumMoneySql("c_acctbal")} AS sum_bal
+      FROM customer GROUP BY CUBE(c_nationkey, c_mktsegment)"""))
+
+  // ---- q25_set_ops: INTERSECT / EXCEPT over key sets ----
+  // Set semantics (deduplicating) on the customer-key level: customers
+  // who ordered in BOTH 3-priority and 1-priority classes, minus those
+  // who ever had an F-status order — Spark intersect/except lower to
+  // left-semi/left-anti joins after distinct, so both prune to key
+  // columns before any shuffle.
+  private val q25 = Op(
+    "q25_set_ops",
+    (s, dir) => {
+      val o = graft.Tables(s, dir, "orders")
+      val hi = o.filter(col("o_orderpriority").startsWith("1"))
+        .select(col("o_custkey"))
+      val lo = o.filter(col("o_orderpriority").startsWith("3"))
+        .select(col("o_custkey"))
+      val flagged = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey"))
+      hi.intersect(lo).except(flagged)
+        .select(col("o_custkey").as("custkey"))
+    },
+    Some("""
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority LIKE '1%'
+      INTERSECT
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority LIKE '3%'
+      EXCEPT
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'"""))
+
+  val ops: Seq[Op] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25)
 }
