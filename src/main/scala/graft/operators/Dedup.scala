@@ -101,10 +101,15 @@ object Dedup {
     // the rep frame carries chash and m through the signature build, so
     // neither the band pipeline nor the final assembly joins back to
     // `groups`
+    // explicit repartition = a shared Exchange: every downstream
+    // reference (both self-join sides, the final assembly) reads the
+    // ONE materialized signature frame via ReusedExchange instead of
+    // re-running the scan + rep join + kernel per reference
     val sig = minhashSigs(
       d.select(col("doc_id"), col("text"))
         .join(groups, col("doc_id") === col("rep_id"))
         .select(col("doc_id"), col("chash"), col("m"), col("text")))
+      .repartition(col("doc_id"))
     val bandRows = sig.select(col("doc_id"), col("m"),
       explode(col("bands")).as("band_val"))
     val pairs = bandRows.as("x")
