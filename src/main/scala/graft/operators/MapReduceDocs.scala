@@ -114,18 +114,32 @@ object MapReduceDocs {
   private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
 
   // ---- text_normalize ----
+  // norm_text/n_tokens_norm mirror normalize_answer; norm_question
+  // mirrors normalize_question (hanchen_recomp.py:23-27): append "?"
+  // unless already present, lowercase ONLY the first character.
   private val opNormalize = Op(
     "text_normalize",
-    (s, dir) =>
-      docs(s, dir).select(
-        col("doc_id"),
-        TextFns.normalize(col("text")).as("norm_text"),
-        size(TextFns.tokens(TextFns.normalize(col("text")))).cast("long")
-          .as("n_tokens_norm")),
+    (s, dir) => {
+      val q = when(col("text").endsWith("?"), col("text"))
+        .otherwise(concat(col("text"), lit("?")))
+      docs(s, dir)
+        .withColumn("q", q)
+        .select(
+          col("doc_id"),
+          TextFns.normalize(col("text")).as("norm_text"),
+          size(TextFns.tokens(TextFns.normalize(col("text")))).cast("long")
+            .as("n_tokens_norm"),
+          concat(lower(substring(col("q"), 1, 1)),
+            expr("substring(q, 2, length(q))")).as("norm_question"))
+    },
     Some(s"""
+      WITH d AS (SELECT doc_id, text,
+          CASE WHEN text LIKE '%?' THEN text ELSE text || '?' END AS q
+        FROM documents)
       SELECT doc_id, ${TextFns.normalizeSql("text")} AS norm_text,
-        CAST(len(string_split(${TextFns.normalizeSql("text")}, ' ')) AS BIGINT) AS n_tokens_norm
-      FROM documents"""))
+        CAST(len(string_split(${TextFns.normalizeSql("text")}, ' ')) AS BIGINT) AS n_tokens_norm,
+        concat(lower(substring(q, 1, 1)), substring(q, 2, length(q))) AS norm_question
+      FROM d"""))
 
   // ---- mr_chunk ----
   private val opChunk = Op(

@@ -78,6 +78,11 @@ class MapReduceDocsSpec extends SparkSpec {
       .toDF("doc_id", "text")
       .select(functions.TextFns.normalize($"text")).head().getString(0)
     assert(out == "big fastcat end")
+    // normalize_question (hanchen_recomp.py:23): append '?' unless
+    // present, lowercase only the first char
+    val nq = MapReduceDocs.ops.find(_.name == "text_normalize").get
+      .query(spark, sfDir).select($"norm_question").head().getString(0)
+    assert(nq.endsWith("?") && nq.head == nq.head.toLower)
   }
 
   test("score_f1 bounds and em implies substring") {
