@@ -147,17 +147,16 @@ object Similarity {
       val cells = e.join(centDf)
         .withColumn("ccos", expr("graft_cosine(embedding, cent_emb)"))
         .select(col("vec_id"), col("cent_id"), col("ccos"))
-      // boundary replication: each point is indexed under its Rep nearest
-      // cells (two-phase heap — Rep rows per point reach the shuffle)
-      val assigned = graft.plans.TopK.perKey(cells, Seq("vec_id"),
-          Seq("ccos" -> graft.plans.TopK.Desc, "cent_id" -> graft.plans.TopK.Asc),
-          Rep, "ark")
+      // ONE TopK pass (k = max(Rep, NProbe)) ranks every point's nearest
+      // cells; assignment keeps rank ≤ Rep (boundary replication) and
+      // queries probe rank ≤ NProbe — the second scoring subtree the
+      // old shape paid for the probe side is gone
+      val ranked = graft.plans.TopK.perKey(cells, Seq("vec_id"),
+        Seq("ccos" -> graft.plans.TopK.Desc, "cent_id" -> graft.plans.TopK.Asc),
+        math.max(Rep, NProbe), "crk")
+      val assigned = ranked.filter(col("crk") <= Rep)
         .select(col("vec_id").as("c_id"), col("cent_id").as("bucket"))
-      // multi-probe: each query searches its NProbe nearest cells
-      val probed = graft.plans.TopK.perKey(cells.filter(col("vec_id") < 10),
-          Seq("vec_id"),
-          Seq("ccos" -> graft.plans.TopK.Desc, "cent_id" -> graft.plans.TopK.Asc),
-          NProbe, "prk")
+      val probed = ranked.filter(col("vec_id") < 10 && col("crk") <= NProbe)
         .select(col("vec_id").as("q_id"), col("cent_id").as("bucket"))
       // candidate ids from the probed cells only; a pair can meet in up
       // to Rep·NProbe cells → dedup on ids BEFORE gathering embeddings
