@@ -289,5 +289,89 @@ object Dedup {
       WHERE sh.doc_id % 97 <> 0
       GROUP BY sh.doc_id"""))
 
-  val ops: Seq[Op] = Seq(opExact, opMinhash, opSimhash, opJaccard, opContam)
+  // ---- dedup_cluster: candidate pairs → connected components ----
+  // The DECISION step of a dedup pipeline: pairs only say "these two
+  // look alike"; the actual keep/drop choice needs transitive CLUSTERS
+  // (a~b, b~c ⇒ {a,b,c} keep one). Components come from iterative
+  // min-label propagation — each round every node takes the min label
+  // among itself and its neighbors, a pure join+groupBy step, repeated
+  // to fixpoint (monotone: the label sum strictly decreases until
+  // convergence, which doubles as the cheap stop test). Per-iteration
+  // frames are persisted and the previous one dropped, so lineage stays
+  // flat. O(component diameter) rounds; the 100 TB upgrade is the
+  // standard alternating large-star/small-star (O(log n) rounds) on
+  // exactly this join shape.
+  /** Min-label connected components over undirected edges (a, b),
+    * labels seeded with each node's own id.
+    */
+  private[graft] def connectedComponents(
+      nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val und = edges.select(col("a").as("x"), col("b").as("y"))
+      .union(edges.select(col("b").as("x"), col("a").as("y")))
+      .persist()
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("lbl")).persist()
+    var prevSum = labels.agg(sum(col("lbl"))).head().getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val nbrMin = und
+        .join(labels.select(col("doc_id").as("y"), col("lbl")), Seq("y"))
+        .groupBy(col("x")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels
+        .join(nbrMin.withColumnRenamed("x", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .persist()
+      val s = next.agg(sum(col("lbl"))).head().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = s == prevSum
+      prevSum = s
+      iter += 1
+    }
+    und.unpersist()
+    labels
+  }
+
+  private val opCluster = Op(
+    "dedup_cluster",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val sh = shingleRows(d)
+        .groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("sset"))
+      val a = sh.select(col("doc_id"), col("sset").as("sa"))
+      val b = sh.select((col("doc_id") - 1).as("doc_id"), col("sset").as("sb"))
+      // verified near-dup edges: consecutive pairs sharing >= 1 shingle
+      val edges = a.join(b, Seq("doc_id"))
+        .filter(size(array_intersect(col("sa"), col("sb"))) >= 1)
+        .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+      connectedComponents(d.select(col("doc_id")), edges)
+        .select(col("doc_id"), col("lbl").as("cluster_id"),
+          when(col("doc_id") === col("lbl"), 1L).otherwise(0L).as("is_keeper"))
+    },
+    Some("""
+      WITH RECURSIVE sh AS (
+        SELECT doc_id,
+          list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
+            THEN [array_to_string(list_slice(string_split(text, ' '), i+1, i+3), ' ')
+                  for i in generate_series(0, len(string_split(text, ' ')) - 3)]
+            ELSE [text] END) AS sset
+        FROM documents),
+      e AS (
+        SELECT a.doc_id AS x, a.doc_id + 1 AS y
+        FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        WHERE len(list_intersect(a.sset, b.sset)) >= 1),
+      und AS (SELECT x, y FROM e UNION ALL SELECT y AS x, x AS y FROM e),
+      reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT u.y, r.lbl FROM reach r JOIN und u ON u.x = r.node),
+      comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
+               FROM reach GROUP BY node)
+      SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+        CAST(CASE WHEN cluster_id = doc_id THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+      FROM comp"""))
+
+  val ops: Seq[Op] =
+    Seq(opExact, opMinhash, opSimhash, opJaccard, opContam, opCluster)
 }

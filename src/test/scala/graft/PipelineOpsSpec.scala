@@ -130,6 +130,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(again == kept.map(_.getAs[Long]("doc_id")).toSet)
   }
 
+  test("dedup_cluster: min-label components group transitive near-dups") {
+    // 5-node chain: convergence needs multiple propagation rounds (the
+    // min label walks one hop per round); plus two isolated nodes
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L, 10L).toDF("doc_id")
+    val edges = Seq((3L, 4L), (2L, 3L), (1L, 2L), (4L, 5L)).toDF("a", "b")
+    val out = Dedup.connectedComponents(nodes, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      9L -> 9L, 10L -> 10L))
+    // op level: every doc lands in exactly one cluster; keepers are the
+    // cluster minima; cluster count + non-keepers = doc count
+    val op = run("dedup_cluster")
+    val n = op.count()
+    assert(op.select("doc_id").distinct().count() == n)
+    val keepers = op.filter($"is_keeper" === 1)
+    assert(keepers.count() == op.select("cluster_id").distinct().count())
+    assert(op.filter($"cluster_id" > $"doc_id").count() == 0,
+      "cluster id must be the component minimum")
+  }
+
   test("contam_ngram: eval-set shingle overlap flags contaminated docs") {
     val fixture = Seq(
       (0L, "alpha beta gamma delta"),   // eval doc (0 % 97 == 0)
