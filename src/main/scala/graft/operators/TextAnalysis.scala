@@ -209,6 +209,33 @@ object TextAnalysis {
               / GREATEST(COALESCE(t.n_bigrams, 0), 1), 6) AS top_bigram_ratio
       FROM lines l LEFT JOIN top t ON l.doc_id = t.doc_id"""))
 
+  // ---- pii_scrub: PII redaction for corpus publication ----
+  // The standard pre-release scrub: emails and phone-shaped numbers are
+  // replaced with typed placeholders and counted (the counts feed audit
+  // dashboards). Pure per-row regexp_replace/regexp_count — narrow,
+  // codegen, and the patterns are dialect-portable (Java regex and RE2
+  // agree on these character classes).
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  private[graft] def piiScrub(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_replace(regexp_replace(col("text"), EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]").as("scrubbed"))
+
+  private val opPii = Op(
+    "pii_scrub",
+    (s, dir) => piiScrub(docs(s, dir)),
+    Some(s"""
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phones,
+        regexp_replace(regexp_replace(text, '$EmailRe', '[EMAIL]', 'g'),
+          '$PhoneRe', '[PHONE]', 'g') AS scrubbed
+      FROM documents"""))
+
   val ops: Seq[Op] = Seq(opLangId, opQuality, opTokenCount, opFingerprint,
-    opRepetition)
+    opRepetition, opPii)
 }

@@ -299,6 +299,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(4L) == (0.0, 0L, 0.0))
   }
 
+  test("pii_scrub: emails and phones are redacted and counted") {
+    val fixture = Seq(
+      (1L, "reach me at jane.doe+x@corp.example.org or 555-123-4567 ok"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.co c@d.io and 111-222-3333 444-555-6666"))
+      .toDF("doc_id", "text")
+    val out = operators.TextAnalysis.piiScrub(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"),
+          r.getAs[String]("scrubbed"))).toMap
+    assert(out(1L)._1 == 1L && out(1L)._2 == 1L)
+    assert(out(1L)._3 == "reach me at [EMAIL] or [PHONE] ok")
+    assert(out(2L) == (0L, 0L, "no pii here at all"))
+    assert(out(3L)._1 == 2L && out(3L)._2 == 2L)
+    assert(!out(3L)._3.contains("@") && !out(3L)._3.contains("111-222"))
+  }
+
   test("text_quality: ratios within [0,1], avg_token_len positive") {
     val out = run("text_quality")
     Seq("digit_ratio", "stopword_ratio", "distinct_ratio").foreach { c =>
