@@ -302,35 +302,55 @@ object Dedup {
   // standard alternating large-star/small-star (O(log n) rounds) on
   // exactly this join shape.
   /** Min-label connected components over undirected edges (a, b),
-    * labels seeded with each node's own id.
+    * labels seeded with each node's own id. Three scale levers beyond
+    * naive propagation: only EDGE-TOUCHED nodes iterate (isolated docs
+    * — the overwhelming majority of a real corpus — rejoin with their
+    * own id at the end); every round also propagates through the
+    * current label relation (pointer jumping), so rounds are
+    * O(log diameter) rather than O(diameter); and each round's frame is
+    * an EAGER localCheckpoint — the pointer-jump plan references the
+    * previous labels three times, so without lineage truncation the
+    * logical plan (and Catalyst's analysis time) grows 3^k with the
+    * round count, which dominated wall time long before the data did.
+    * (On a real cluster, swap localCheckpoint for a reliable
+    * checkpoint dir; the algorithm is unchanged.)
     */
   private[graft] def connectedComponents(
       nodes: DataFrame, edges: DataFrame): DataFrame = {
-    val und = edges.select(col("a").as("x"), col("b").as("y"))
-      .union(edges.select(col("b").as("x"), col("a").as("y")))
-      .persist()
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("lbl")).persist()
+    // materialize the edge pipeline ONCE — the undirected view and every
+    // iteration read the checkpointed blocks, not the candidate-pair plan
+    val e = edges.localCheckpoint()
+    val und = e.select(col("a").as("x"), col("b").as("y"))
+      .union(e.select(col("b").as("x"), col("a").as("y")))
+    var labels = und.select(col("x").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint()
     var prevSum = labels.agg(sum(col("lbl"))).head().getLong(0)
-    var converged = false
+    var converged = labels.isEmpty
     var iter = 0
     while (!converged && iter < 20) {
-      val nbrMin = und
+      // pointer jumping: label assignments act as extra edges, halving
+      // the remaining propagation distance each round
+      val lblEdges = labels.filter(col("doc_id") =!= col("lbl"))
+      val prop = und
+        .union(lblEdges.select(col("lbl").as("x"), col("doc_id").as("y")))
+        .union(lblEdges.select(col("doc_id").as("x"), col("lbl").as("y")))
+      val nbrMin = prop
         .join(labels.select(col("doc_id").as("y"), col("lbl")), Seq("y"))
         .groupBy(col("x")).agg(min(col("lbl")).as("nlbl"))
       val next = labels
         .join(nbrMin.withColumnRenamed("x", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .persist()
+        .localCheckpoint()
       val s = next.agg(sum(col("lbl"))).head().getLong(0)
-      labels.unpersist()
       labels = next
       converged = s == prevSum
       prevSum = s
       iter += 1
     }
-    und.unpersist()
-    labels
+    nodes.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("lbl"))
   }
 
   private val opCluster = Op(
