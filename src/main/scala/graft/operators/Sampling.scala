@@ -1,7 +1,9 @@
 package graft.operators
 
 import graft.{Op, Tables}
+import graft.functions.TextFns
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus mixing/sampling for training-data curation (SURVEY.md §2).
@@ -46,5 +48,81 @@ object Sampling {
       FROM documents d JOIN counts c ON d.source = c.source CROSS JOIN t
       WHERE ((d.doc_id * $MixMul) % $MixMod) * c.ns < $MixMod * t.t"""))
 
-  val ops: Seq[Op] = Seq(opMix)
+  // ---- seq_pack: fixed-length training-sequence packing ----
+  // The step between curation and training: docs are laid out in a
+  // DETERMINISTIC SHUFFLED order (the Lehmer hash above — a training
+  // pipeline never feeds corpus order), their token streams
+  // concatenated, and the stream cut into SeqLen-token sequences
+  // (GPT-style concat-and-chunk / HF group_texts). Output is one row
+  // per (doc, sequence) FRAGMENT — a doc spanning a boundary appears in
+  // each sequence it touches — which is exactly the manifest a loader
+  // needs to assemble sequence tensors from the doc store.
+  //
+  // Scale: text never moves. The packed position of every doc is a
+  // global prefix sum over the skinny (doc_id, n_tokens) frame,
+  // computed two-level like kv_cache_plan: per-bucket totals (bucket =
+  // hash prefix, so bucket order IS the global order) → tiny offset
+  // frame broadcast back → in-bucket window. One shuffle of ~16 bytes
+  // per doc; the fragment explode is narrow.
+  val SeqLen = 128L
+  val PackBkt = 32768L // pack_h DIV 32768 → 32 buckets over the hash range
+
+  private[graft] def seqPack(d: DataFrame, seqLen: Long): DataFrame = {
+    val sized = d.select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("pack_h", (col("doc_id") * MixMul) % MixMod)
+      .withColumn("bkt", expr(s"CAST(pack_h DIV $PackBkt AS BIGINT)"))
+    val bktOffW = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sized.groupBy(col("bkt"))
+      .agg(sum(col("n_tokens")).as("bsum"))
+      .withColumn("boff", coalesce(sum(col("bsum")).over(bktOffW), lit(0L)))
+      .select(col("bkt"), col("boff"))
+    val inBktW = Window.partitionBy(col("bkt"))
+      .orderBy(col("pack_h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val total = sized.agg(sum(col("n_tokens")).as("total"))
+    sized.join(broadcast(offsets), Seq("bkt"))
+      .withColumn("tok_start",
+        col("boff") + coalesce(sum(col("n_tokens")).over(inBktW), lit(0L)))
+      .crossJoin(broadcast(total))
+      .withColumn("seq_id", explode(expr(
+        s"sequence(tok_start DIV $seqLen, (tok_start + n_tokens - 1) DIV $seqLen)")))
+      .select(col("doc_id"), col("seq_id"),
+        greatest(col("seq_id") * seqLen - col("tok_start"), lit(0L)).as("doc_off"),
+        greatest(col("tok_start") - col("seq_id") * seqLen, lit(0L)).as("seq_off"),
+        (least(col("tok_start") + col("n_tokens"), (col("seq_id") + 1) * seqLen)
+          - greatest(col("tok_start"), col("seq_id") * seqLen)).as("frag_len"),
+        when(col("seq_id") < expr(s"total DIV $seqLen"), 1L).otherwise(0L)
+          .as("seq_full"))
+  }
+
+  private val opPack = Op(
+    "seq_pack",
+    (s, dir) => seqPack(Tables(s, dir, "documents"), SeqLen),
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          (doc_id * $MixMul) % $MixMod AS pack_h
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+          CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY pack_h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS tok_start
+        FROM d),
+      t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM d)
+      SELECT c.doc_id, u.s AS seq_id,
+        GREATEST(u.s * $SeqLen - tok_start, 0) AS doc_off,
+        GREATEST(tok_start - u.s * $SeqLen, 0) AS seq_off,
+        LEAST(tok_start + n_tokens, (u.s + 1) * $SeqLen)
+          - GREATEST(tok_start, u.s * $SeqLen) AS frag_len,
+        CAST(CASE WHEN u.s < total // $SeqLen THEN 1 ELSE 0 END AS BIGINT)
+          AS seq_full
+      FROM c CROSS JOIN t,
+        UNNEST(generate_series(tok_start // $SeqLen,
+          (tok_start + n_tokens - 1) // $SeqLen)) AS u(s)"""))
+
+  val ops: Seq[Op] = Seq(opMix, opPack)
 }

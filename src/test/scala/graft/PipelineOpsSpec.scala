@@ -130,6 +130,54 @@ class PipelineOpsSpec extends SparkSpec {
     assert(again == kept.map(_.getAs[Long]("doc_id")).toSet)
   }
 
+  test("seq_pack: fragments tile fixed-length sequences exactly") {
+    // scrambled ids so the Lehmer hash actually reorders the corpus;
+    // token counts chosen to cross sequence boundaries and leave a
+    // partial tail (total 35 = 4 full 8-token sequences + 3)
+    val ids = Seq(900001L, 5L, 123456L, 777L, 424242L, 31L, 650000L, 88L)
+    val lens = Seq(3, 5, 8, 2, 6, 1, 7, 3)
+    val fixture = ids.zip(lens)
+      .map { case (id, n) => (id, Seq.fill(n)("w").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val L = 8L
+    val out = operators.Sampling.seqPack(fixture, L).collect()
+    // driver-side reference: same deterministic order, same cuts
+    val ordered = ids.zip(lens.map(_.toLong)).sortBy { case (id, _) =>
+      ((id * operators.Sampling.MixMul) % operators.Sampling.MixMod, id)
+    }
+    val total = ordered.map(_._2).sum
+    var start = 0L
+    val expect = scala.collection.mutable.Set[(Long, Long, Long, Long, Long, Long)]()
+    for ((id, n) <- ordered) {
+      var s = start / L
+      while (s <= (start + n - 1) / L) {
+        expect += ((id, s,
+          math.max(s * L - start, 0L), math.max(start - s * L, 0L),
+          math.min(start + n, (s + 1) * L) - math.max(start, s * L),
+          if (s < total / L) 1L else 0L))
+        s += 1
+      }
+      start += n
+    }
+    val got = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == expect, s"fragment manifest mismatch:\n got=$got\n exp=$expect")
+    // invariants a loader depends on: every full sequence is tiled by
+    // exactly L tokens with disjoint offsets; per-doc fragments cover
+    // the doc contiguously
+    out.filter(_.getLong(5) == 1L).groupBy(_.getLong(1)).foreach { case (seq, fr) =>
+      assert(fr.map(_.getLong(4)).sum == L, s"seq $seq not fully tiled")
+      val offs = fr.map(r => (r.getLong(3), r.getLong(3) + r.getLong(4))).sortBy(_._1)
+      assert(offs.head._1 == 0L &&
+        offs.sliding(2).forall { w => w.length < 2 || w(0)._2 == w(1)._1 },
+        s"seq $seq offsets not contiguous: ${offs.toSeq}")
+    }
+    ids.zip(lens).foreach { case (id, n) =>
+      assert(out.filter(_.getLong(0) == id).map(_.getLong(4)).sum == n.toLong,
+        s"doc $id fragments don't cover its $n tokens")
+    }
+  }
+
   test("dedup_cluster: min-label components group transitive near-dups") {
     // 5-node chain: convergence needs multiple propagation rounds (the
     // min label walks one hop per round); plus two isolated nodes
