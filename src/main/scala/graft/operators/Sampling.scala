@@ -61,17 +61,27 @@ object Sampling {
   // Scale: text never moves. The packed position of every doc is a
   // global prefix sum over the skinny (doc_id, n_tokens) frame,
   // computed two-level like kv_cache_plan: per-bucket totals (bucket =
-  // hash prefix, so bucket order IS the global order) → tiny offset
-  // frame broadcast back → in-bucket window. One shuffle of ~16 bytes
-  // per doc; the fragment explode is narrow.
+  // hash-range prefix, so bucket order IS the global order) → tiny
+  // offset frame broadcast back → in-bucket window. One shuffle of
+  // ~16 bytes per doc; the fragment explode is narrow. The bucket
+  // count grows ∝ n (target ~PackTargetBucket docs per bucket — a
+  // FIXED bucket count would make each in-bucket window a single
+  // n/const-sized partition at 100 TB), so the only global sequential
+  // state is the n/target-row offset frame.
   val SeqLen = 128L
-  val PackBkt = 32768L // pack_h DIV 32768 → 32 buckets over the hash range
+  val PackTargetBucket = 1000L
 
-  private[graft] def seqPack(d: DataFrame, seqLen: Long): DataFrame = {
-    val sized = d.select(col("doc_id"),
+  private[graft] def seqPack(d: DataFrame, seqLen: Long,
+      targetBucket: Long = PackTargetBucket): DataFrame = {
+    val pre = d.select(col("doc_id"),
         size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
       .withColumn("pack_h", (col("doc_id") * MixMul) % MixMod)
-      .withColumn("bkt", expr(s"CAST(pack_h DIV $PackBkt AS BIGINT)"))
+    // hash-range width per bucket, sized from n at plan time
+    val n = math.max(pre.count(), 1L)
+    val bktWidth =
+      math.max(MixMod / math.max(n / targetBucket, 1L), 1L)
+    val sized = pre
+      .withColumn("bkt", expr(s"CAST(pack_h DIV $bktWidth AS BIGINT)"))
     val bktOffW = Window.orderBy(col("bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = sized.groupBy(col("bkt"))

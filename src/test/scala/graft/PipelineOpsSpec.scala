@@ -176,6 +176,13 @@ class PipelineOpsSpec extends SparkSpec {
       assert(out.filter(_.getLong(0) == id).map(_.getLong(4)).sum == n.toLong,
         s"doc $id fragments don't cover its $n tokens")
     }
+    // bucketing is an implementation detail of the prefix sum: forcing
+    // ~2 docs per bucket (multi-bucket layout, bucket-boundary offsets
+    // in play) must produce the identical manifest
+    val multiBkt = operators.Sampling.seqPack(fixture, L, targetBucket = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(multiBkt == got, "bucket layout changed the packing")
   }
 
   test("dedup_cluster: min-label components group transitive near-dups") {
