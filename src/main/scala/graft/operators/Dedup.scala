@@ -289,6 +289,77 @@ object Dedup {
       WHERE sh.doc_id % 97 <> 0
       GROUP BY sh.doc_id"""))
 
+  // ---- dedup_span: cross-corpus boilerplate span removal ----
+  // The RefinedWeb/C4 "repeated substring" scrub: exact token spans
+  // that recur across MANY documents (headers, footers, license
+  // blurbs, nav text) are cut from every doc, and the corpus is
+  // rewritten from the surviving spans. Distinct from text_repetition
+  // (within-doc signals) and dedup_minhash (whole-doc near-dups): the
+  // unit here is a span, and the signal is corpus-wide document
+  // frequency.
+  //
+  // Scale: docs split into NON-OVERLAPPING SpanLen-token spans
+  // (narrow); doc frequency per span is one shuffle of the span rows.
+  // The boilerplate set is then SMALL BY CONSTRUCTION — at most
+  // span_rows/SpanBoilerDocs spans can exceed the threshold, and real
+  // thresholds (thousands of docs) make it tiny — so flagging is a
+  // BROADCAST join, not a second corpus shuffle. Reassembly is the one
+  // remaining shuffle (groupBy doc_id, order restored by span index) —
+  // a corpus-rewrite op cannot avoid moving the corpus once.
+  val SpanLen = 3
+  val SpanBoilerDocs = 5L
+
+  private[graft] def spanRows(d: DataFrame): DataFrame =
+    d.withColumn("toks", TextFns.tokens(col("text")))
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(0, (size(toks) - 1) DIV $SpanLen)")).as("j"))
+      .select(col("doc_id"), col("j"),
+        array_join(slice(col("toks"), (col("j") * SpanLen + 1).cast("int"),
+          lit(SpanLen)), " ").as("span"))
+
+  private[graft] def spanDedup(d: DataFrame): DataFrame = {
+    val spans = spanRows(d)
+    val boiler = spans.groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > SpanBoilerDocs)
+      .select(col("span"))
+      .withColumn("is_boiler", lit(true))
+    val flagged = spans.join(broadcast(boiler), Seq("span"), "left")
+      .withColumn("keep", col("is_boiler").isNull)
+    flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_boiler"),
+        collect_list(when(col("keep"), struct(col("j"), col("span"))))
+          .as("kept"))
+      .select(col("doc_id"), col("n_spans"), col("n_boiler"),
+        expr("array_join(transform(array_sort(kept), x -> x.span), ' ')")
+          .as("clean_text"),
+        round(lit(1.0) - col("n_boiler") / col("n_spans"), 6).as("clean_ratio"))
+  }
+
+  private val opSpan = Op(
+    "dedup_span",
+    (s, dir) => spanDedup(docs(s, dir)),
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      sp AS (
+        SELECT doc_id, j,
+          array_to_string(list_slice(toks, j*$SpanLen + 1, (j+1)*$SpanLen), ' ') AS span
+        FROM t, UNNEST(generate_series(0, (len(toks) - 1) // $SpanLen)) AS u(j)),
+      boiler AS (
+        SELECT span FROM sp GROUP BY span
+        HAVING COUNT(DISTINCT doc_id) > $SpanBoilerDocs)
+      SELECT sp.doc_id,
+        COUNT(*) AS n_spans,
+        CAST(SUM(CASE WHEN b.span IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_boiler,
+        COALESCE(string_agg(CASE WHEN b.span IS NULL THEN sp.span END,
+          ' ' ORDER BY sp.j), '') AS clean_text,
+        ROUND(1.0 - SUM(CASE WHEN b.span IS NOT NULL THEN 1 ELSE 0 END)
+          / COUNT(*), 6) AS clean_ratio
+      FROM sp LEFT JOIN boiler b ON sp.span = b.span
+      GROUP BY sp.doc_id"""))
+
   // ---- dedup_cluster: candidate pairs → connected components ----
   // The DECISION step of a dedup pipeline: pairs only say "these two
   // look alike"; the actual keep/drop choice needs transitive CLUSTERS
@@ -393,5 +464,5 @@ object Dedup {
       FROM comp"""))
 
   val ops: Seq[Op] =
-    Seq(opExact, opMinhash, opSimhash, opJaccard, opContam, opCluster)
+    Seq(opExact, opMinhash, opSimhash, opJaccard, opContam, opCluster, opSpan)
 }

@@ -130,6 +130,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(again == kept.map(_.getAs[Long]("doc_id")).toSet)
   }
 
+  test("dedup_span: corpus-frequent spans are cut, rare docs untouched") {
+    // 7 docs share an aligned 3-token footer (doc freq 7 > 5 → boiler);
+    // one doc is unique. Spans are non-overlapping 3-token windows, so
+    // the footer occupies span j=1 of each sharing doc.
+    val fixture = ((0 until 7).map(i =>
+        (i.toLong, s"u${i}a u${i}b u${i}c bp bq br")) :+
+        (99L, "x1 x2 x3")).toDF("doc_id", "text")
+    val out = operators.Dedup.spanDedup(fixture).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    (0 until 7).foreach { i =>
+      val r = out(i.toLong)
+      assert(r.getAs[Long]("n_spans") == 2L && r.getAs[Long]("n_boiler") == 1L)
+      assert(r.getAs[String]("clean_text") == s"u${i}a u${i}b u${i}c",
+        s"doc $i: ${r.getAs[String]("clean_text")}")
+      assert(r.getAs[Double]("clean_ratio") == 0.5)
+    }
+    // the unique doc survives byte-identical
+    assert(out(99L).getAs[Long]("n_boiler") == 0L &&
+      out(99L).getAs[String]("clean_text") == "x1 x2 x3")
+    // the boilerplate flag join must be a broadcast, not a corpus shuffle
+    val plan = operators.Dedup.spanDedup(fixture)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      plan)
+  }
+
   test("seq_pack: fragments tile fixed-length sequences exactly") {
     // scrambled ids so the Lehmer hash actually reorders the corpus;
     // token counts chosen to cross sequence boundaries and leave a
