@@ -258,5 +258,60 @@ object Relational2 {
       EXCEPT
       SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'"""))
 
-  val ops: Seq[Op] = Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25)
+  // ---- q26_asof_join: each purchase ← latest prior view, per user ----
+  // The classic operator Spark lacks natively (DuckDB: ASOF JOIN; Pandas:
+  // merge_asof). The Spark-first shape is NOT a join at all: both sides
+  // union into one stream, and a per-user window ordered by
+  // (ts, side) carries the last non-null view forward onto each
+  // purchase — ONE shuffle on user_id, no range join (whose naive form
+  // is O(views × purchases) per user), no equality key to hash on.
+  // Equal timestamps count as "prior" (DuckDB's >= semantics): views
+  // sort before purchases at a tie. The view side is first deduped to
+  // one row per (user, ts) — max event_id wins — because asof semantics
+  // need a unique right key at each instant.
+  private val q26 = Op(
+    "q26_asof_join",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(struct(col("event_id"), col("value"))).as("m"))
+        .select(col("user_id"), col("ts"),
+          col("m.event_id").as("v_id"), col("m.value").as("v_value"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("p_id"),
+          col("value").as("p_value"))
+      val tagged = v.select(col("user_id"), col("ts"), lit(0).as("side"),
+          lit(null).cast("long").as("p_id"), lit(null).cast("double").as("p_value"),
+          col("v_id"), col("v_value"))
+        .unionByName(p.select(col("user_id"), col("ts"), lit(1).as("side"),
+          col("p_id"), col("p_value"),
+          lit(null).cast("long").as("v_id"), lit(null).cast("double").as("v_value")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("side"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      tagged
+        .withColumn("av_id", last(col("v_id"), ignoreNulls = true).over(w))
+        .withColumn("av_value", last(col("v_value"), ignoreNulls = true).over(w))
+        .withColumn("av_ts",
+          last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("user_id"), col("p_id"), col("ts").as("p_ts"), col("p_value"),
+          col("av_id").as("v_id"), col("av_value").as("v_value"),
+          (unix_micros(col("ts")) - unix_micros(col("av_ts"))).as("gap_us"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT user_id, ts, MAX(event_id) AS v_id,
+          arg_max(value, event_id) AS v_value
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+      p AS (SELECT user_id, ts, event_id AS p_id, value AS p_value
+            FROM events WHERE event_type = 'purchase')
+      SELECT p.user_id, p.p_id, p.ts AS p_ts, p.p_value, v.v_id, v.v_value,
+        epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts"""))
+
+  val ops: Seq[Op] =
+    Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26)
 }

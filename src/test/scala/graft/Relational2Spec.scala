@@ -14,6 +14,33 @@ class Relational2Spec extends SparkSpec {
     }
   }
 
+  test("q26: asof attaches the latest prior view, equal ts counts, none → null") {
+    import spark.implicits._
+    // sf events: every purchase must match the latest view with
+    // v.ts <= p.ts for the same user — verified per-row against a
+    // driver-side replay of the asof rule
+    val out = run("q26_asof_join").collect()
+    val views = Tables.events(spark, sfDir).filter($"event_type" === "view")
+      .selectExpr("user_id", "unix_micros(ts)", "event_id")
+      .as[(Long, Long, Long)].collect()
+    val byUser = views.groupBy(_._1)
+    out.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val pTs = r.getAs[java.sql.Timestamp]("p_ts").getTime * 1000 +
+        (r.getAs[java.sql.Timestamp]("p_ts").getNanos / 1000) % 1000
+      val cands = byUser.getOrElse(u, Array.empty).filter(_._2 <= pTs)
+      if (cands.isEmpty) {
+        assert(r.isNullAt(r.fieldIndex("v_id")), s"user $u: expected no view")
+      } else {
+        val best = cands.maxBy(v => (v._2, v._3))
+        assert(r.getAs[Long]("v_id") == best._3,
+          s"user $u purchase@$pTs: got ${r.getAs[Long]("v_id")}, want ${best._3}")
+        assert(r.getAs[Long]("gap_us") == pTs - best._2)
+      }
+    }
+    assert(out.length > 0 && views.length > 0)
+  }
+
   test("q15: selected supplier(s) hold the maximum revenue") {
     val rows = run("q15_top_supplier").collect()
     val revs = rows.map(_.getAs[Double]("revenue")).distinct
