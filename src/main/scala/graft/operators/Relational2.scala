@@ -312,6 +312,51 @@ object Relational2 {
         epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
       FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts"""))
 
+  // ---- q27_range_join: views within the hour before each purchase ----
+  // The other operator Spark lacks a native physical strategy for: an
+  // interval/range join. Written as a raw inequality join Spark picks
+  // BroadcastNestedLoopJoin — O(|views|·|purchases|) per user and a
+  // broadcast of a fact table. The scale pattern is BINNING: both
+  // sides bucket ts into window-width bins, each purchase probes its
+  // own bin and the one before (2 skinny probe rows), the join becomes
+  // an EQUALITY hash join on (user_id, bin), and the exact range
+  // predicate filters the ~2× candidate surplus. Money sums ride exact
+  // integer cents per the oracle convention.
+  val RangeUs = 3600L * 1000000L // 1 h window, µs
+
+  private val q27 = Op(
+    "q27_range_join",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), unix_micros(col("ts")).as("v_us"),
+          cents(col("value")).as("v_cents"))
+        .withColumn("vbin", expr(s"v_us DIV $RangeUs"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"),
+          unix_micros(col("ts")).as("p_us"))
+        .withColumn("pbin", explode(array(
+          expr(s"p_us DIV $RangeUs - 1"), expr(s"p_us DIV $RangeUs"))))
+      p.join(v,
+          col("user_id") === col("v_user") && col("pbin") === col("vbin") &&
+            col("v_us") <= col("p_us") && col("p_us") - col("v_us") <= RangeUs,
+          "left")
+        .groupBy(col("user_id"), col("p_id"), col("p_ts"))
+        .agg(count(col("v_us")).as("n_views_1h"),
+          (coalesce(sum(col("v_cents")), lit(0L)) / 100.0).as("sum_view_value"))
+    },
+    Some(s"""
+      WITH v AS (SELECT user_id, ts, ${centsSql("value")} AS v_cents
+                 FROM events WHERE event_type = 'view'),
+      p AS (SELECT user_id, event_id AS p_id, ts
+            FROM events WHERE event_type = 'purchase')
+      SELECT p.user_id, p.p_id, p.ts AS p_ts,
+        COUNT(v.ts) AS n_views_1h,
+        COALESCE(CAST(SUM(v.v_cents) AS BIGINT), 0) / 100.0 AS sum_view_value
+      FROM p LEFT JOIN v ON p.user_id = v.user_id
+        AND v.ts <= p.ts AND epoch_us(p.ts) - epoch_us(v.ts) <= $RangeUs
+      GROUP BY 1, 2, 3"""))
+
   val ops: Seq[Op] =
-    Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26)
+    Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27)
 }

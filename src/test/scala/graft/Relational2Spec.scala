@@ -41,6 +41,30 @@ class Relational2Spec extends SparkSpec {
     assert(out.length > 0 && views.length > 0)
   }
 
+  test("q27: binned range join equals the naive inequality join, no BNLJ") {
+    import spark.implicits._
+    val df = run("q27_range_join")
+    // the binning must have produced a hash join — a raw inequality
+    // join degenerates to BroadcastNestedLoopJoin
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+    // driver-side replay of the exact range predicate
+    val e = Tables.events(spark, sfDir)
+    val views = e.filter($"event_type" === "view")
+      .selectExpr("user_id", "unix_micros(ts)")
+      .as[(Long, Long)].collect().groupBy(_._1)
+    val out = df.selectExpr("user_id", "p_id", "unix_micros(p_ts)", "n_views_1h")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (u, pid, pUs, n) =>
+      val expect = views.getOrElse(u, Array.empty).count { case (_, vUs) =>
+        vUs <= pUs && pUs - vUs <= operators.Relational2.RangeUs
+      }
+      assert(n == expect, s"purchase $pid: binned $n vs naive $expect")
+    }
+  }
+
   test("q15: selected supplier(s) hold the maximum revenue") {
     val rows = run("q15_top_supplier").collect()
     val revs = rows.map(_.getAs[Double]("revenue")).distinct
