@@ -84,6 +84,73 @@ object Streams {
         col("contam_ratio"))
   }
 
+  // ---- stream_asof: per-user as-of enrichment on an event stream ----
+
+  case class AsofEv(user_id: Long, event_type: String, event_id: Long,
+      value: Double, ts: java.sql.Timestamp)
+
+  case class AsofState(vId: Long, vValue: Double, vTsMs: Long)
+
+  case class AsofOut(user_id: Long, p_id: Long, p_value: Double,
+      v_id: Option[Long], v_value: Option[Double], gap_ms: Option[Long])
+
+  /** stream_asof — the streaming twin of q26_asof_join: each purchase
+    * is enriched with the user's latest view at or before it, the
+    * moment the purchase arrives. State per user is ONE row (the
+    * newest view by (ts, event_id)), so the store is O(active users)
+    * regardless of stream length; idle users age out one
+    * [[AsofStateTtlMs]] past their own event time (anchored to the
+    * group's own max ts — the global watermark jumps from epoch on the
+    * first batch and would fire every timeout spuriously).
+    *
+    * Within a micro-batch the group's events are replayed in event-time
+    * order (views before purchases at a tie), so intra-batch ordering
+    * matches the batch twin exactly. A view that arrives LATER than an
+    * already-emitted purchase cannot retroactively re-enrich it —
+    * append mode emits once; the event-time watermark bounds how late
+    * such views can be, and the batch q26 is the ground-truth backfill.
+    */
+  val AsofStateTtlMs: Long = 60L * 60 * 1000
+
+  def asofEnriched(events: Dataset[AsofEv]): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, in: Iterator[AsofEv], state: GroupState[AsofState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val evs = in.toSeq.sortBy(e =>
+              (e.ts.getTime, if (e.event_type == "view") 0 else 1, e.event_id))
+            var st = state.getOption.orNull
+            var maxTs = if (st == null) 0L else st.vTsMs
+            val out = Seq.newBuilder[AsofOut]
+            evs.foreach { e =>
+              maxTs = math.max(maxTs, e.ts.getTime)
+              e.event_type match {
+                case "view" =>
+                  if (st == null || e.ts.getTime > st.vTsMs ||
+                      (e.ts.getTime == st.vTsMs && e.event_id >= st.vId))
+                    st = AsofState(e.event_id, e.value, e.ts.getTime)
+                case "purchase" =>
+                  out += (if (st == null)
+                    AsofOut(uid, e.event_id, e.value, None, None, None)
+                  else
+                    AsofOut(uid, e.event_id, e.value, Some(st.vId),
+                      Some(st.vValue), Some(e.ts.getTime - st.vTsMs)))
+                case _ => () // other event types pass through stateless-ly
+              }
+            }
+            if (st != null) state.update(st)
+            if (st != null || state.exists)
+              state.setTimeoutTimestamp(maxTs + AsofStateTtlMs)
+            out.result().iterator
+          }
+      }
+  }
+
   // ---- stream_mr: incremental map-reduce over chunk streams ----
 
   /** One mapped chunk arriving on the stream. `n_chunks_total` is known

@@ -94,6 +94,39 @@ class StreamingSpec extends SparkSpec {
     assert(!plan.contains("Aggregate"), plan)
   }
 
+  test("stream_asof: purchases enrich with the latest prior view across batches") {
+    import graft.streaming.Streams.{AsofEv, AsofOut}
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[AsofEv]
+    val q = Streams.asofEnriched(in.toDS()).writeStream
+      .format("memory").queryName("asof_out").outputMode("append").start()
+    // batch 1: view then purchase (same batch, out-of-order arrival),
+    // plus a purchase with no view at all for user 2
+    in.addData(
+      AsofEv(1L, "purchase", 100L, 9.99, ts("2024-01-01 10:30:00")),
+      AsofEv(1L, "view", 10L, 1.0, ts("2024-01-01 10:00:00")),
+      AsofEv(2L, "purchase", 200L, 5.0, ts("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    val b1 = spark.table("asof_out").as[AsofOut].collect()
+      .map(o => o.p_id -> o).toMap
+    assert(b1(100L).v_id.contains(10L) &&
+      b1(100L).gap_ms.contains(30L * 60 * 1000))
+    assert(b1(200L).v_id.isEmpty, "no view for user 2 → null enrichment")
+    // batch 2: the view state carried over — a later purchase still
+    // sees batch 1's view; a NEWER view then supersedes it
+    in.addData(AsofEv(1L, "purchase", 101L, 2.0, ts("2024-01-01 11:00:00")))
+    q.processAllAvailable()
+    in.addData(
+      AsofEv(1L, "view", 11L, 3.0, ts("2024-01-01 11:30:00")),
+      AsofEv(1L, "purchase", 102L, 4.0, ts("2024-01-01 11:45:00")))
+    q.processAllAvailable()
+    val all = spark.table("asof_out").as[AsofOut].collect()
+      .map(o => o.p_id -> o).toMap
+    q.stop()
+    assert(all(101L).v_id.contains(10L), "state must survive the batch boundary")
+    assert(all(102L).v_id.contains(11L) && all(102L).v_value.contains(3.0))
+  }
+
   test("stream_mr: doc emits the ordered reduce the moment its last chunk arrives") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[ChunkIn]
