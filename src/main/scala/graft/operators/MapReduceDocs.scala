@@ -557,25 +557,18 @@ object MapReduceDocs {
       sum(when(col("n") === i, least(col("cp"), col("cg")))).as(s"c$i")) ++ Seq(
       sum(when(col("n") === 1, col("cp"))).cast("int").as("hl"),
       sum(when(col("n") === 1, col("cg"))).cast("int").as("rl"))
-    val cName = (i: Int) => s"c$i"
     val base = cnt.groupBy(col("doc_id")).agg(pivAggs.head, pivAggs.tail: _*)
       .select((Seq(col("doc_id"), col("hl"), col("rl")) ++
         (1 to 5).map(i => coalesce(col(s"c$i"), lit(0L)).as(s"c$i"))): _*)
-    base
-      .withColumn("ps1", expr(BleuSql.ps(1, cName, "hl", duck = false)))
-      .withColumn("ps2", expr(BleuSql.ps(2, cName, "hl", duck = false)))
-      .withColumn("ps3", expr(BleuSql.ps(3, cName, "hl", duck = false)))
-      .withColumn("ps4", expr(BleuSql.ps(4, cName, "hl", duck = false)))
-      .withColumn("p5raw", expr(BleuSql.p5(cName, "hl")))
-      .withColumn("bp", expr(BleuSql.bp("hl", "rl", duck = false)))
-      .withColumn("p1f", expr("((ps1 + 1.0) + ps1 + ps2) / 3.0"))
-      .withColumn("p2f", expr("(p1f + ps2 + ps3) / 3.0"))
-      .withColumn("p3f", expr("(p2f + ps3 + ps4) / 3.0"))
-      .withColumn("p4f", expr("(p3f + ps4 + p5raw) / 3.0"))
-      .select(col("doc_id"), col("c1").as("clip1"),
-        round(expr(
-          "CASE WHEN c1 = 0 THEN 0.0 ELSE bp * sqrt(sqrt(p1f * p2f * p3f * p4f)) END"),
-          6).as("bleu"))
+    // the whole smoothing cascade is ONE native kernel call
+    // (plans.BleuKernel) — the previous column-tree formulation
+    // collapsed into a projection whose janino compile dominated the
+    // query's wall time; the kernel reproduces its arithmetic order
+    // bit-for-bit (the oracle keeps the expanded SQL form below)
+    graft.plans.GraftFunctions.register(pairs.sparkSession)
+    base.select(col("doc_id"), col("c1").as("clip1"),
+      round(expr("graft_bleu_smooth(array(c1, c2, c3, c4, c5, " +
+        "cast(hl AS bigint), cast(rl AS bigint)))"), 6).as("bleu"))
   }
 
   private val opBleu = Op(

@@ -140,5 +140,9 @@ object GraftFunctions {
       "graft_minhash_sig",
       exprs => MinhashSigExpr(exprs.head),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bleu_smooth",
+      exprs => BleuSmoothExpr(exprs.head),
+      "built-in")
   }
 }
