@@ -291,5 +291,50 @@ object Similarity {
         COALESCE(c.max_cos, -1.0) AS max_cos
       FROM e LEFT JOIN counts c ON e.vec_id = c.vec_id"""))
 
-  val ops: Seq[Op] = Seq(opBrute, opIvf, opEmbedDedup)
+  // ---- embed_quantize: int8 vector quantization + error audit ----
+  // The ANN serving-memory lever at 100 TB: float32 64-dim vectors are
+  // 256 B each; symmetric per-vector int8 (max-abs scale) is 64 B + 8.
+  // Entirely narrow — per-row HOFs over 64-element arrays, no shuffle
+  // at all (the lambda bodies are cheap column refs, not the inlined-
+  // subtree blowup case). Output audits the quantization: scale,
+  // quantized range, and reconstruction MSE.
+  private val opQuantize = Op(
+    "embed_quantize",
+    (s, dir) => {
+      Tables(s, dir, "embeddings")
+        .withColumn("maxabs", expr(
+          "aggregate(embedding, 0D, (a, x) -> greatest(a, abs(cast(x AS double))))"))
+        .withColumn("scale", col("maxabs") / 127.0)
+        .withColumn("q", expr(
+          "CASE WHEN maxabs = 0D THEN transform(embedding, x -> 0) " +
+            "ELSE transform(embedding, x -> cast(round(cast(x AS double) / scale, 0) AS int)) END"))
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          expr("cast(aggregate(q, 2147483647, (a, x) -> least(a, x)) AS bigint)").as("q_min"),
+          expr("cast(aggregate(q, -2147483648, (a, x) -> greatest(a, x)) AS bigint)").as("q_max"),
+          round(expr(
+            "aggregate(zip_with(embedding, q, (x, v) -> " +
+              "(cast(x AS double) - v * scale) * (cast(x AS double) - v * scale)), " +
+              "0D, (a, x) -> a + x)") / size(col("embedding")), 9).as("mse"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, embedding,
+          list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS maxabs
+        FROM embeddings),
+      q AS (
+        SELECT vec_id, embedding, maxabs, maxabs / 127.0 AS scale,
+          CASE WHEN maxabs = 0 THEN [0 for x in embedding]
+            ELSE [CAST(ROUND(CAST(x AS DOUBLE) / (maxabs / 127.0)) AS INT)
+                  for x in embedding] END AS qv
+        FROM e)
+      SELECT vec_id, ROUND(scale, 6) AS scale,
+        CAST(list_min(qv) AS BIGINT) AS q_min,
+        CAST(list_max(qv) AS BIGINT) AS q_max,
+        ROUND(list_sum([(CAST(embedding[i] AS DOUBLE) - qv[i] * scale)
+                        * (CAST(embedding[i] AS DOUBLE) - qv[i] * scale)
+                        for i in generate_series(1, len(embedding))])
+              / len(embedding), 9) AS mse
+      FROM q"""))
+
+  val ops: Seq[Op] = Seq(opBrute, opIvf, opEmbedDedup, opQuantize)
 }

@@ -292,6 +292,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall@3 $recall < 0.6 vs brute force")
   }
 
+  test("embed_quantize: int8 roundtrip error bounded by half a scale step") {
+    val out = run("embed_quantize").collect()
+    assert(out.length > 0)
+    out.foreach { r =>
+      val (qmin, qmax) = (r.getAs[Long]("q_min"), r.getAs[Long]("q_max"))
+      assert(qmin >= -127L && qmax <= 127L, s"int8 range violated: $qmin..$qmax")
+      val scale = r.getAs[Double]("scale")
+      // per-dim error ≤ scale/2 → mse ≤ scale²/4 (+ rounding slack)
+      assert(r.getAs[Double]("mse") <= scale * scale / 4.0 + 1e-9,
+        s"mse ${r.getAs[Double]("mse")} vs bound ${scale * scale / 4.0}")
+    }
+    // the max-abs dimension must hit ±127 exactly (symmetric max-abs scaling)
+    assert(out.exists(r => r.getAs[Long]("q_max") == 127L ||
+      r.getAs[Long]("q_min") == -127L))
+  }
+
   test("dedup_embed kernel: planted near-identical vectors are detected") {
     graft.plans.GraftFunctions.register(spark)
     val v = Array.tabulate(64)(i => (i + 1).toFloat)
