@@ -91,6 +91,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.cosineDescriptor)
     ext.injectFunction(GraftFunctions.lcsDescriptor)
     ext.injectFunction(GraftFunctions.stemDescriptor)
+    ext.injectFunction(GraftFunctions.lshKeysDescriptor)
+    ext.injectFunction(GraftFunctions.simhashDescriptor)
+    ext.injectFunction(GraftFunctions.minhashSigDescriptor)
+    ext.injectFunction(GraftFunctions.bleuSmoothDescriptor)
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectOptimizerRule(_ => PushFilterThroughTopK)
   }
@@ -111,6 +115,29 @@ object GraftFunctions {
     FunctionIdentifier("graft_stem"),
     new ExpressionInfo(classOf[StemTokens].getName, "graft_stem"),
     (exprs: Seq[Expression]) => StemTokens(exprs.head): Expression)
+
+  private[plans] val lshKeysDescriptor = (
+    FunctionIdentifier("graft_lsh_keys"),
+    new ExpressionInfo(classOf[LshBandKeys].getName, "graft_lsh_keys"),
+    (exprs: Seq[Expression]) => LshBandKeys(exprs.head,
+      exprs(1).eval().asInstanceOf[Int],
+      exprs(2).eval().asInstanceOf[Int],
+      exprs(3).eval().asInstanceOf[Int]): Expression)
+
+  private[plans] val simhashDescriptor = (
+    FunctionIdentifier("graft_simhash"),
+    new ExpressionInfo(classOf[SimhashExpr].getName, "graft_simhash"),
+    (exprs: Seq[Expression]) => SimhashExpr(exprs.head): Expression)
+
+  private[plans] val minhashSigDescriptor = (
+    FunctionIdentifier("graft_minhash_sig"),
+    new ExpressionInfo(classOf[MinhashSigExpr].getName, "graft_minhash_sig"),
+    (exprs: Seq[Expression]) => MinhashSigExpr(exprs.head): Expression)
+
+  private[plans] val bleuSmoothDescriptor = (
+    FunctionIdentifier("graft_bleu_smooth"),
+    new ExpressionInfo(classOf[BleuSmoothExpr].getName, "graft_bleu_smooth"),
+    (exprs: Seq[Expression]) => BleuSmoothExpr(exprs.head): Expression)
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The production wiring path: a session created with
+  * `spark.sql.extensions=graft.plans.GraftExtensions` must resolve
+  * every graft kernel WITHOUT any runtime `register()` call.
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  test("GraftExtensions injects every kernel function") {
+    val base = spark // force shared-session init first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    try {
+      val r = s2.sql(
+        "SELECT graft_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c, " +
+          "graft_lcs(array('a', 'b'), array('a', 'c')) AS l, " +
+          "graft_stem(array('running')) AS st, " +
+          "graft_simhash(array('x', 'y')) AS sh, " +
+          "graft_minhash_sig(array('x', 'y', 'z', 'w')) AS mh, " +
+          "graft_lsh_keys(array_repeat(CAST(1.0 AS FLOAT), 64), 4, 24, 5) AS lk, " +
+          "graft_bleu_smooth(array(2L, 1L, 0L, 0L, 0L, 3L, 3L)) AS bs")
+        .head()
+      assert(math.abs(r.getAs[Double]("c") - 1.0) < 1e-12)
+      assert(r.getAs[Long]("l") == 1L)
+      assert(r.getAs[collection.Seq[String]]("st").toSeq == Seq("run"))
+      assert(r.getAs[collection.Seq[Long]]("mh").length == 32)
+      assert(r.getAs[collection.Seq[Long]]("lk").length == 4)
+      val bs = r.getAs[Double]("bs")
+      assert(bs > 0.0 && bs <= 1.0, s"bleu $bs out of range")
+    } finally {
+      // the shared SparkContext stays up; restore the suite session
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}
