@@ -236,6 +236,43 @@ object TextAnalysis {
           '$PhoneRe', '[PHONE]', 'g') AS scrubbed
       FROM documents"""))
 
+  // ---- vocab_topk: tokenizer-vocabulary construction ----
+  // The first step of training any tokenizer: ranked token counts with
+  // document frequencies, cut to the top-V. Scale shape: ONE count
+  // shuffle of skinny (token, doc_id) rows, then a global
+  // TakeOrdered(V) — per-partition heaps, never a full sort — and the
+  // rank window runs over only V rows (V is a constant, so the
+  // single-partition window is bounded regardless of corpus size).
+  val VocabSize = 1000
+
+  private val opVocab = Op(
+    "vocab_topk",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("token"))
+      val counts = toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct(col("doc_id")).as("n_docs"))
+      counts.orderBy(col("n_occ").desc, col("token")).limit(VocabSize)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("n_occ").desc, col("token")))
+            .cast("long"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, u.tok AS token
+        FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)),
+      c AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occ,
+          CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM t GROUP BY 1),
+      r AS (
+        SELECT token, n_occ, n_docs,
+          CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC, token) AS BIGINT) AS rank
+        FROM c)
+      SELECT token, n_occ, n_docs, rank FROM r WHERE rank <= $VocabSize"""))
+
   val ops: Seq[Op] = Seq(opLangId, opQuality, opTokenCount, opFingerprint,
-    opRepetition, opPii)
+    opRepetition, opPii, opVocab)
 }

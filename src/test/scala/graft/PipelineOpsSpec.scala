@@ -413,6 +413,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!out(3L)._3.contains("@") && !out(3L)._3.contains("111-222"))
   }
 
+  test("vocab_topk: contiguous ranks, non-increasing counts, honest top-1") {
+    val out = run("vocab_topk").collect()
+      .sortBy(_.getAs[Long]("rank"))
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("rank")).toSeq == (1L to out.length).toSeq)
+    val occs = out.map(_.getAs[Long]("n_occ"))
+    assert(occs.zip(occs.tail).forall { case (a, b) => a >= b },
+      "counts must be non-increasing in rank")
+    assert(out.forall(r => r.getAs[Long]("n_docs") <= r.getAs[Long]("n_occ")))
+    // independent recount of the rank-1 token
+    val top = out.head
+    val recount = Tables(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") === top.getAs[String]("token")).count()
+    assert(recount == top.getAs[Long]("n_occ"))
+  }
+
   test("text_quality: ratios within [0,1], avg_token_len positive") {
     val out = run("text_quality")
     Seq("digit_ratio", "stopword_ratio", "distinct_ratio").foreach { c =>
