@@ -62,5 +62,56 @@ object Multimodal {
     },
     None)
 
-  val ops: Seq[Op] = Seq(opMeta)
+  // ---- mm_embed: batched payload → embedding (encoder stand-in) ----
+
+  case class MMEmb(doc_id: Long, dim: Long, embedding: Array[Float],
+      norm: Double, batch_size: Long)
+
+  val EmbDim = 64
+
+  /** STUB encoder — stands in for a vision/audio tower forward pass.
+    * Per-dim values come from an xorshift chain seeded by the payload
+    * bytes, then L2-normalized: a pure function of the payload, so the
+    * output is reproducible across partitionings, and UNIT-NORM floats
+    * in the same shape the `embeddings` table uses — the bridge from
+    * multimodal payloads into the ann, dedup_embed, and embed_quantize
+    * operators.
+    */
+  private def encodeBatch(batch: Seq[MMIn]): Seq[MMEmb] = batch.map { r =>
+    var seed = -7046029254386353131L // xxprime; mixed with every byte
+    var p = 0
+    while (p < r.payload.length) {
+      seed = (seed ^ r.payload(p)) * 6364136223846793005L + 1442695040888963407L
+      p += 1
+    }
+    val raw = new Array[Double](EmbDim)
+    var x = if (seed == 0L) 1L else seed
+    var i = 0
+    while (i < EmbDim) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      raw(i) = (x >> 11).toDouble / (1L << 52).toDouble // ~[-1, 1)
+      i += 1
+    }
+    val n = math.sqrt(raw.map(v => v * v).sum)
+    MMEmb(r.doc_id, EmbDim.toLong,
+      raw.map(v => (v / n).toFloat), 1.0, batch.size.toLong)
+  }
+
+  private val opEmbed = Op(
+    "mm_embed",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[MMIn]
+        .mapPartitions(it => it.grouped(BatchSize).flatMap(encodeBatch))
+        .toDF()
+        .select(col("doc_id"), col("dim"),
+          md5(concat_ws(",", expr("transform(embedding, x -> cast(x AS string))")))
+            .as("emb_digest"),
+          round(col("norm"), 6).as("norm"), col("batch_size"))
+    },
+    None)
+
+  val ops: Seq[Op] = Seq(opMeta, opEmbed)
 }

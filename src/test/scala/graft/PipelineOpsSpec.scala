@@ -365,6 +365,23 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("mm_embed: unit-norm encoder output is a pure function of payload") {
+    val out = run("mm_embed").collect()
+    assert(out.length > 0)
+    out.foreach { r =>
+      assert(r.getAs[Long]("dim") == 64L)
+      assert(r.getAs[Double]("norm") == 1.0)
+      assert(r.getAs[Long]("batch_size") <= 64L)
+    }
+    // re-running yields identical digests (payload-pure, batch-independent)
+    val again = operators.Multimodal.ops.find(_.name == "mm_embed").get
+      .query(spark, sfDir)
+    val a = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("emb_digest")).toMap
+    again.collect().foreach { r =>
+      assert(a(r.getAs[Long]("doc_id")) == r.getAs[String]("emb_digest"))
+    }
+  }
+
   test("lang_id: argmax picks the stopword-dominant language; ties fall to en") {
     val fixture = Seq(
       (1L, "der hund und die katze ist hier"), // German stopwords dominate
