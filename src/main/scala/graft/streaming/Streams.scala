@@ -84,6 +84,30 @@ object Streams {
         col("contam_ratio"))
   }
 
+  /** stream_quality — stateless quality gate on ingest (batch twin:
+    * text_quality + text_repetition thresholds). Like stream_contam,
+    * every signal is a per-row column expression — append mode, no
+    * state store, no watermark — because a quality gate that needed
+    * cross-batch state would bottleneck ingest at 100 TB/day. Docs
+    * outside the [minDistinct, maxDigit] band are dropped, the
+    * Gopher-style rule of thumb.
+    */
+  def qualityGated(docs: DataFrame, minDistinctRatio: Double,
+      maxDigitRatio: Double): DataFrame = {
+    val toks = graft.functions.TextFns.tokens(col("text"))
+    docs
+      .withColumn("n_toks", size(toks).cast("long"))
+      .withColumn("distinct_ratio",
+        round(size(array_distinct(toks)).cast("double") / col("n_toks"), 6))
+      .withColumn("digit_ratio",
+        round(regexp_count(col("text"), lit("[0-9]")).cast("double")
+          / length(col("text")), 6))
+      .filter(col("distinct_ratio") >= minDistinctRatio &&
+        col("digit_ratio") <= maxDigitRatio)
+      .select(col("doc_id"), col("text"), col("n_toks"),
+        col("distinct_ratio"), col("digit_ratio"))
+  }
+
   // ---- stream_asof: per-user as-of enrichment on an event stream ----
 
   case class AsofEv(user_id: Long, event_type: String, event_id: Long,

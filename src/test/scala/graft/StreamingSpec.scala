@@ -94,6 +94,23 @@ class StreamingSpec extends SparkSpec {
     assert(!plan.contains("Aggregate"), plan)
   }
 
+  test("stream_quality: low-diversity and digit-heavy docs are gated out") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val df = in.toDF().toDF("doc_id", "text")
+    val q = Streams.qualityGated(df, minDistinctRatio = 0.5, maxDigitRatio = 0.2)
+      .writeStream.format("memory").queryName("qual_out")
+      .outputMode("append").start()
+    in.addData(
+      (1L, "a clean varied sentence with many distinct words"),
+      (2L, "spam spam spam spam spam spam spam spam"), // distinct 1/8
+      (3L, "call 5551234567 now 999 123456 88 77 66"))  // digit-heavy
+    q.processAllAvailable()
+    val kept = spark.table("qual_out").collect().map(_.getAs[Long]("doc_id")).toSet
+    q.stop()
+    assert(kept == Set(1L), s"gate kept $kept")
+  }
+
   test("stream_asof: purchases enrich with the latest prior view across batches") {
     import graft.streaming.Streams.{AsofEv, AsofOut}
     implicit val sql = spark.sqlContext
