@@ -273,6 +273,26 @@ object TextAnalysis {
         FROM c)
       SELECT token, n_occ, n_docs, rank FROM r WHERE rank <= $VocabSize"""))
 
+  // ---- text_compress: compression-ratio quality signal ----
+  // The CCNet/Gopher heuristic: natural prose deflates to ~0.3-0.5 of
+  // its size, templated spam far below that, noise barely at all.
+  // Per-doc, NARROW, via the native graft_deflate_len kernel
+  // (plans.DeflateKernel) — rows-only because the compressed length is
+  // a zlib detail, not portable SQL; the property spec pins semantics.
+  private val opCompress = Op(
+    "text_compress",
+    (s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      docs(s, dir)
+        .withColumn("n_bytes",
+          length(col("text")).cast("long"))
+        .withColumn("n_deflated",
+          expr("graft_deflate_len(cast(text AS binary))"))
+        .select(col("doc_id"), col("n_bytes"), col("n_deflated"),
+          round(col("n_deflated") / col("n_bytes"), 6).as("compress_ratio"))
+    },
+    None)
+
   val ops: Seq[Op] = Seq(opLangId, opQuality, opTokenCount, opFingerprint,
-    opRepetition, opPii, opVocab)
+    opRepetition, opPii, opVocab, opCompress)
 }

@@ -95,6 +95,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.simhashDescriptor)
     ext.injectFunction(GraftFunctions.minhashSigDescriptor)
     ext.injectFunction(GraftFunctions.bleuSmoothDescriptor)
+    ext.injectFunction(GraftFunctions.deflateLenDescriptor)
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectOptimizerRule(_ => PushFilterThroughTopK)
   }
@@ -139,6 +140,11 @@ object GraftFunctions {
     new ExpressionInfo(classOf[BleuSmoothExpr].getName, "graft_bleu_smooth"),
     (exprs: Seq[Expression]) => BleuSmoothExpr(exprs.head): Expression)
 
+  private[plans] val deflateLenDescriptor = (
+    FunctionIdentifier("graft_deflate_len"),
+    new ExpressionInfo(classOf[DeflateLenExpr].getName, "graft_deflate_len"),
+    (exprs: Seq[Expression]) => DeflateLenExpr(exprs.head): Expression)
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine",
@@ -170,6 +176,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bleu_smooth",
       exprs => BleuSmoothExpr(exprs.head),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_deflate_len",
+      exprs => DeflateLenExpr(exprs.head),
       "built-in")
   }
 }

@@ -447,6 +447,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recount == top.getAs[Long]("n_occ"))
   }
 
+  test("text_compress: repetition compresses harder than diverse text") {
+    graft.plans.GraftFunctions.register(spark)
+    val fixture = Seq(
+      (1L, "spam " * 200),                                 // templated
+      (2L, (1 to 200).map(i => s"w$i").mkString(" ")),     // diverse
+      (3L, scala.util.Random.javaRandomToRandom(
+        new java.util.Random(7)).alphanumeric.take(1000).mkString)) // noise
+      .toDF("doc_id", "text")
+    val rows = fixture
+      .withColumn("n_bytes", length(col("text")).cast("long"))
+      .withColumn("n_deflated", expr("graft_deflate_len(cast(text AS binary))"))
+      .withColumn("compress_ratio",
+        round(col("n_deflated") / col("n_bytes"), 6))
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        x.getAs[Double]("compress_ratio")).toMap
+    assert(rows(1L) < rows(2L) && rows(2L) < rows(3L),
+      s"ordering violated: $rows")
+    assert(rows(1L) < 0.1, s"templated text should crush: ${rows(1L)}")
+    assert(rows(3L) > 0.5, s"noise should resist: ${rows(3L)}")
+    // the sf op runs and ratios are sane
+    val op = run("text_compress").collect()
+    assert(op.nonEmpty && op.forall { x =>
+      val c = x.getAs[Double]("compress_ratio")
+      c > 0.0 && c < 1.2
+    })
+  }
+
   test("text_quality: ratios within [0,1], avg_token_len positive") {
     val out = run("text_quality")
     Seq("digit_ratio", "stopword_ratio", "distinct_ratio").foreach { c =>
