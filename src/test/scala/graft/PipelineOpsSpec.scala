@@ -130,6 +130,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(again == kept.map(_.getAs[Long]("doc_id")).toSet)
   }
 
+  test("rows-only ops are run-to-run deterministic (driver hashes rows)") {
+    // SQL-oracle ops get nondeterminism caught by the DuckDB compare;
+    // these have no oracle, so pin determinism here: two runs must
+    // produce the identical multiset of rows
+    val rowsOnly = graft.SparkEntry.allOps.filter(_.oracle.isEmpty)
+    assert(rowsOnly.nonEmpty)
+    rowsOnly.foreach { op =>
+      def snapshot() = op.query(spark, sfDir).collect()
+        .map(_.toString).sorted.mkString("\n")
+      assert(snapshot() == snapshot(), s"${op.name} is nondeterministic")
+    }
+  }
+
   test("dedup_span: corpus-frequent spans are cut, rare docs untouched") {
     // 7 docs share an aligned 3-token footer (doc freq 7 > 5 → boiler);
     // one doc is unique. Spans are non-overlapping 3-token windows, so
