@@ -428,8 +428,11 @@ object Dedup {
     "dedup_cluster",
     (s, dir) => {
       val d = docs(s, dir)
+      // materialized once: the a-side and the shifted b-side would each
+      // re-run the shingle explode + set aggregation otherwise
       val sh = shingleRows(d)
         .groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("sset"))
+        .localCheckpoint()
       val a = sh.select(col("doc_id"), col("sset").as("sa"))
       val b = sh.select((col("doc_id") - 1).as("doc_id"), col("sset").as("sb"))
       // verified near-dup edges: consecutive pairs sharing >= 1 shingle
