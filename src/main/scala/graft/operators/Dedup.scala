@@ -300,14 +300,25 @@ object Dedup {
   //
   // Scale: docs split into NON-OVERLAPPING SpanLen-token spans
   // (narrow); doc frequency per span is one shuffle of the span rows.
-  // The boilerplate set is then SMALL BY CONSTRUCTION — at most
-  // span_rows/SpanBoilerDocs spans can exceed the threshold, and real
-  // thresholds (thousands of docs) make it tiny — so flagging is a
-  // BROADCAST join, not a second corpus shuffle. Reassembly is the one
-  // remaining shuffle (groupBy doc_id, order restored by span index) —
-  // a corpus-rewrite op cannot avoid moving the corpus once.
+  // The boilerplate set is usually small (≤ span_rows/SpanBoilerDocs,
+  // and real thresholds in the thousands make it tiny) — but that bound
+  // is only n_spans/6 at the default threshold, NOT a broadcast
+  // guarantee: a boilerplate-heavy web corpus can push the set to GBs.
+  // So the flag join broadcasts ONLY behind a counted size guard
+  // (the set is materialized for the join anyway, so the count is
+  // free); above the bound it falls back to a shuffle join, which AQE
+  // can still convert at runtime if the bytes turn out small.
+  // Reassembly is the one remaining corpus shuffle (groupBy doc_id,
+  // order restored by span index) — a corpus-rewrite op cannot avoid
+  // moving the corpus once.
   val SpanLen = 3
   val SpanBoilerDocs = 5L
+
+  /** Max boilerplate-set rows the flag join will broadcast: ~16 B/span
+    * row → ≈64 MB in the driver/executor, comfortably under default
+    * broadcast memory but far above any sane threshold's real output.
+    */
+  val SpanBroadcastMaxRows = 4000000L
 
   private[graft] def spanRows(d: DataFrame): DataFrame =
     d.withColumn("toks", TextFns.tokens(col("text")))
@@ -317,14 +328,25 @@ object Dedup {
         array_join(slice(col("toks"), (col("j") * SpanLen + 1).cast("int"),
           lit(SpanLen)), " ").as("span"))
 
-  private[graft] def spanDedup(d: DataFrame): DataFrame = {
+  private[graft] def spanDedup(d: DataFrame,
+      broadcastMaxRows: Long = SpanBroadcastMaxRows): DataFrame = {
     val spans = spanRows(d)
+    // materialized once (the count below and the join both read the
+    // checkpointed blocks — no second span agg), lineage kept flat
     val boiler = spans.groupBy(col("span"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") > SpanBoilerDocs)
       .select(col("span"))
       .withColumn("is_boiler", lit(true))
-    val flagged = spans.join(broadcast(boiler), Seq("span"), "left")
+      .localCheckpoint()
+    // counted broadcast guard: only a provably small boiler set is
+    // pinned on the driver + every executor; above the bound the
+    // MEASURED count overrides any stats estimate and the join is
+    // forced to a shuffled hash join (no sort needed on either side)
+    val boilerSide =
+      if (boiler.count() <= broadcastMaxRows) broadcast(boiler)
+      else boiler.hint("shuffle_hash")
+    val flagged = spans.join(boilerSide, Seq("span"), "left")
       .withColumn("keep", col("is_boiler").isNull)
     flagged.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),

@@ -78,6 +78,24 @@ object Similarity {
   val Rep = 2
   val KmeansIters = 3
 
+  /** Hard cap on the centroid count. k grows ∝ √n (standard IVF
+    * sizing) UP TO this bound, then stays flat: driver-side training
+    * cost is O(sample · k · dim · iters) ≤ 65536·4096·64·3 ≈ 5×10¹²
+    * fused mult-adds — a bounded one-off (minutes on one JIT-vectorized
+    * core, amortized over the whole job) instead of the unbounded
+    * k ∝ √n growth that made training itself the 100 TB bottleneck.
+    * The trade: past n ≈ 3.4×10⁷ (where √n·0.7 crosses 4096) cells
+    * grow ∝ n/k instead of √n, so the probed fraction stops falling
+    * and plateaus at (Rep·NProbe)/k ≈ 0.15 % — still a ~700× scan
+    * prune, with recall unchanged (probe math is scale-free).
+    */
+  val KmeansMaxK = 4096
+
+  /** Centroid count for a corpus of n vectors: k ∝ √n, capped. */
+  private[graft] def ivfK(n: Long): Int =
+    math.max(4, math.min(KmeansMaxK,
+      math.ceil(math.sqrt(n.toDouble) * 0.7).toInt))
+
   /** Rows used to train centroids driver-side. FAISS-style sampled
     * training: quality needs only O(points-per-centroid) samples, so
     * the collect is bounded regardless of n (at 500-row test scale the
@@ -138,10 +156,11 @@ object Similarity {
     (s, dir) => {
       graft.plans.GraftFunctions.register(s)
       val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      // k ∝ √n (the standard IVF sizing): cells stay O(√n) wide, so the
-      // probed fraction (Rep·NProbe)/k falls as the corpus grows
+      // k ∝ √n capped at KmeansMaxK (see its doc for the bounded
+      // training-cost formula): cells stay O(√n) wide until the cap,
+      // so the probed fraction (Rep·NProbe)/k falls as the corpus grows
       val n = e.count()
-      val k = math.max(4, math.ceil(math.sqrt(n.toDouble) * 0.7).toInt)
+      val k = ivfK(n)
       val cents = kmeansCentroids(e, k, KmeansIters)
       val centDf = broadcast(s.createDataFrame(cents.toSeq).toDF("cent_id", "cent_emb"))
       val cells = e.join(centDf)

@@ -162,11 +162,41 @@ class PipelineOpsSpec extends SparkSpec {
     // the unique doc survives byte-identical
     assert(out(99L).getAs[Long]("n_boiler") == 0L &&
       out(99L).getAs[String]("clean_text") == "x1 x2 x3")
-    // the boilerplate flag join must be a broadcast, not a corpus shuffle
+    // a small boiler set passes the counted guard → broadcast flag join
     val plan = operators.Dedup.spanDedup(fixture)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
       plan)
+  }
+
+  test("dedup_span: oversized boiler set is NOT broadcast (counted guard)") {
+    // flood fixture: 40 distinct spans each shared by 7 docs (> threshold
+    // 5) → 40 boiler rows. With the broadcast bound forced to 0 the flag
+    // join must NOT pin the boiler set via an explicit broadcast hint —
+    // at web scale that set is GBs and the hint would OOM the driver.
+    val flood = (0 until 7).map { d =>
+      (d.toLong, (0 until 40).map(s => s"b${s}x b${s}y b${s}z").mkString(" "))
+    }.toDF("doc_id", "text")
+    val guarded = operators.Dedup.spanDedup(flood, broadcastMaxRows = 0L)
+    val plan = guarded.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"boiler set above the bound must shuffle-join, not broadcast:\n$plan")
+    // the guard changes the join strategy only — results are identical
+    def key(r: org.apache.spark.sql.Row) = r.toString
+    val a = guarded.collect().map(key).sorted.toSeq
+    val b = operators.Dedup.spanDedup(flood).collect().map(key).sorted.toSeq
+    assert(a == b, "guarded plan changed results")
+  }
+
+  test("ann_ivf: centroid count is capped — training cost is bounded") {
+    // k ∝ √n below the cap…
+    assert(operators.Similarity.ivfK(500L) ==
+      math.ceil(math.sqrt(500.0) * 0.7).toInt)
+    // …and flat above it: at 10¹² vectors the driver-side Lloyd cost is
+    // O(sample·k·dim·iters) ≤ 65536·4096·64·3 — bounded, not ∝ √n
+    assert(operators.Similarity.ivfK(1000L * 1000 * 1000 * 1000) ==
+      operators.Similarity.KmeansMaxK)
+    assert(operators.Similarity.ivfK(0L) >= 4)
   }
 
   test("seq_pack: fragments tile fixed-length sequences exactly") {
