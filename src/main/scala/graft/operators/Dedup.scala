@@ -80,6 +80,24 @@ object Dedup {
       .drop("toks", "text") // keeps any caller-carried columns (e.g. m)
   }
 
+  /** LSH candidate pairs (a < b, with both sides' copy counts) from the
+    * 8-band self-join over a signature frame carrying (doc_id, m,
+    * bands). The band keys partition the space, so the join never goes
+    * all-pairs; `distinct` collapses multi-band collisions of the same
+    * pair before anything downstream touches them.
+    */
+  private[graft] def minhashBandPairs(sig: DataFrame): DataFrame = {
+    val bandRows = sig.select(col("doc_id"), col("m"),
+      explode(col("bands")).as("band_val"))
+    bandRows.as("x")
+      .join(bandRows.as("y"),
+        col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.m").as("ma"), col("y.m").as("mb"))
+      .distinct()
+  }
+
   /** dedup_minhash with an EXACT-DEDUP PRE-PASS: identical texts are
     * collapsed to one representative (md5 groupBy) BEFORE the shingle
     * explode and signature build, and candidate counts are re-expanded
@@ -110,15 +128,7 @@ object Dedup {
         .join(groups, col("doc_id") === col("rep_id"))
         .select(col("doc_id"), col("chash"), col("m"), col("text")))
       .repartition(col("doc_id"))
-    val bandRows = sig.select(col("doc_id"), col("m"),
-      explode(col("bands")).as("band_val"))
-    val pairs = bandRows.as("x")
-      .join(bandRows.as("y"),
-        col("x.band_val") === col("y.band_val") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        col("x.m").as("ma"), col("y.m").as("mb"))
-      .distinct()
+    val pairs = minhashBandPairs(sig)
     // re-expand: each partner GROUP contributes its full copy count
     val partners = pairs.select(col("a").as("rep_id"), col("mb").as("pm"))
       .union(pairs.select(col("b").as("rep_id"), col("ma").as("pm")))
@@ -417,7 +427,9 @@ object Dedup {
       .union(e.select(col("b").as("x"), col("a").as("y")))
     var labels = und.select(col("x").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint()
-    var prevSum = labels.agg(sum(col("lbl"))).head().getLong(0)
+    // coalesce: an empty edge set (every doc a singleton) sums to null
+    var prevSum =
+      labels.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
     var converged = labels.isEmpty
     var iter = 0
     while (!converged && iter < 20) {
@@ -488,6 +500,70 @@ object Dedup {
         CAST(CASE WHEN cluster_id = doc_id THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
       FROM comp"""))
 
+  // ---- dedup_pipeline: the end-to-end dedup DECISION ----
+  // The full near-dup pipeline wired together — the decision the whole
+  // minhash machinery exists to make: exact pre-pass collapses copy
+  // groups, MinHash LSH banding proposes candidate rep pairs, exact
+  // shingle Jaccard verifies them (killing LSH false positives), and
+  // connected components turns verified pairs into transitive clusters
+  // with one keeper each. Unlike dedup_cluster (which keeps the toy
+  // consecutive-doc edge set so its oracle stays ANSI SQL), the edges
+  // here ARE the LSH candidates.
+  //
+  // Scale: every stage reuses the bounded shapes proven elsewhere —
+  // ids-only exact-dedup shuffle, narrow native signatures, banded
+  // (never all-pairs) candidate join, Jaccard shingle sets gathered
+  // ONLY for docs that appear in a candidate pair (a vanishing fraction
+  // of a real corpus), pointer-jumping components over the verified
+  // edges only. Cluster ids propagate back to exact copies via the
+  // skinny (chash, rep_id) frame, so full texts move zero times.
+  /** Verified-pair Jaccard threshold: candidates below this are LSH
+    * false positives and must not merge clusters.
+    */
+  val PipelineJaccard = 0.5
+
+  private[graft] def dedupPipeline(docsDf: DataFrame): DataFrame = {
+    val d = docsDf.withColumn("chash", md5(col("text")))
+    val groups = d.select(col("chash"), col("doc_id"))
+      .groupBy(col("chash"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("m"))
+    val reps = d.select(col("doc_id"), col("text"))
+      .join(groups, col("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("m"), col("text"))
+    val sig = minhashSigs(reps).repartition(col("doc_id"))
+    val cand = minhashBandPairs(sig).select(col("a"), col("b"))
+    // exact verification: shingle sets only for candidate-touched reps
+    val candDocs = cand.select(col("a").as("doc_id"))
+      .union(cand.select(col("b").as("doc_id"))).distinct()
+    val ssets = shingleRows(
+        reps.join(candDocs, Seq("doc_id")).select(col("doc_id"), col("text")))
+      .groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("sset"))
+    val verified = cand
+      .join(ssets.select(col("doc_id").as("a"), col("sset").as("sa")), Seq("a"))
+      .join(ssets.select(col("doc_id").as("b"), col("sset").as("sb")), Seq("b"))
+      .withColumn("ni", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("nu",
+        (size(col("sa")) + size(col("sb"))).cast("long") - col("ni"))
+      // integer cross-multiplication at t = 1/2: no double rounding
+      .filter(col("ni") * 2 >= col("nu"))
+      .select(col("a"), col("b"))
+    // components over verified rep edges; reps are copy-group minima,
+    // so the component min label IS the cluster-wide min doc_id
+    val comp = connectedComponents(
+      groups.select(col("rep_id").as("doc_id")), verified)
+    d.select(col("doc_id"), col("chash"))
+      .join(groups.select(col("chash"), col("rep_id")), Seq("chash"))
+      .join(comp.select(col("doc_id").as("rep_id"), col("lbl")), Seq("rep_id"))
+      .select(col("doc_id"), col("lbl").as("cluster_id"),
+        when(col("doc_id") === col("lbl"), 1L).otherwise(0L).as("is_keeper"))
+  }
+
+  private val opPipeline = Op(
+    "dedup_pipeline",
+    (s, dir) => dedupPipeline(docs(s, dir)),
+    None)
+
   val ops: Seq[Op] =
-    Seq(opExact, opMinhash, opSimhash, opJaccard, opContam, opCluster, opSpan)
+    Seq(opExact, opMinhash, opSimhash, opJaccard, opContam, opCluster, opSpan,
+      opPipeline)
 }

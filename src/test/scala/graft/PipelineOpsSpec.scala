@@ -274,6 +274,40 @@ class PipelineOpsSpec extends SparkSpec {
       "cluster id must be the component minimum")
   }
 
+  test("dedup_pipeline: LSH candidates → Jaccard verify → transitive clusters") {
+    // sliding-window chain: 24-token docs over t0..t31 at shifts
+    // 0,2,4,6,8 (docs 1,3,4,5,6; doc 2 = exact copy of 1). Adjacent
+    // Jaccard = 20/24 ≈ 0.83 ≥ 0.5 (verified edges, and high enough
+    // that each adjacent pair shares ≥1 LSH band w.p. 99.5 %), endpoint
+    // Jaccard(1,6) = 14/30 ≈ 0.47 < 0.5 — so {1..6} clustering together
+    // PROVES the component step chains verified pairs transitively: the
+    // endpoint edge itself cannot survive verification. 8, 9 are
+    // unrelated singletons.
+    val toks = (0 until 32).map(i => s"t$i")
+    def shifted(from: Int) = toks.slice(from, from + 24).mkString(" ")
+    val fixture = Seq(
+      1L -> shifted(0), 2L -> shifted(0), 3L -> shifted(2), 4L -> shifted(4),
+      5L -> shifted(6), 6L -> shifted(8),
+      8L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      9L -> "lorem ipsum dolor sit amet consectetur adipiscing elit sed do")
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupPipeline(fixture).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(
+      1L -> (1L, 1L), 2L -> (1L, 0L), 3L -> (1L, 0L), 4L -> (1L, 0L),
+      5L -> (1L, 0L), 6L -> (1L, 0L),
+      8L -> (8L, 1L), 9L -> (9L, 1L)), s"pipeline clusters wrong: $out")
+    // op level on real data: total cover, one keeper per cluster,
+    // cluster ids are component minima
+    val op = run("dedup_pipeline")
+    val n = op.count()
+    assert(n == Tables(spark, sfDir, "documents").count() &&
+      op.select("doc_id").distinct().count() == n)
+    assert(op.filter($"is_keeper" === 1).count() ==
+      op.select("cluster_id").distinct().count())
+    assert(op.filter($"cluster_id" > $"doc_id").count() == 0)
+  }
+
   test("contam_ngram: eval-set shingle overlap flags contaminated docs") {
     val fixture = Seq(
       (0L, "alpha beta gamma delta"),   // eval doc (0 % 97 == 0)
