@@ -355,5 +355,42 @@ object Similarity {
               / len(embedding), 9) AS mse
       FROM q"""))
 
-  val ops: Seq[Op] = Seq(opBrute, opIvf, opEmbedDedup, opQuantize)
+  // ---- ann_quantized: int8 serving path for ANN ----
+  // The memory story embed_quantize exists for, closed end-to-end: the
+  // candidate side is stored as int8 codes (4× smaller — the difference
+  // between an in-memory and a spilling ANN index at 100 TB), queries
+  // stay float, and ranking runs ASYMMETRIC cosine via the native
+  // graft_cosine_i8 kernel. A per-vector symmetric scale cancels in
+  // cosine, so the serving index never materializes scales or
+  // reconstructed floats — codes in, ranks out. Same broadcast-queries
+  // + two-phase TopKPerKey shape as ann_cosine_topk; the only loss is
+  // int8 rounding, bounded by the recall spec (≥ 0.9 vs the float path).
+  /** int8 code store: the symmetric max-abs quantization embed_quantize
+    * audits, materialized as (c_id, c_q) for serving.
+    */
+  private[graft] def int8Codes(e: DataFrame): DataFrame =
+    e.withColumn("maxabs", expr(
+        "aggregate(embedding, 0D, (a, x) -> greatest(a, abs(cast(x AS double))))"))
+      .select(col("vec_id").as("c_id"), expr(
+        "CASE WHEN maxabs = 0D THEN transform(embedding, x -> 0) " +
+          "ELSE transform(embedding, x -> " +
+          "cast(round(cast(x AS double) / (maxabs / 127.0), 0) AS int)) END")
+        .as("c_q"))
+
+  private val opQuantAnn = Op(
+    "ann_quantized",
+    (s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val scored = int8Codes(e).join(broadcast(q), col("q_id") =!= col("c_id"))
+        .withColumn("cos", round(expr("graft_cosine_i8(q_emb, c_q)"), 6))
+      graft.plans.TopK.perKey(scored, Seq("q_id"),
+          Seq("cos" -> graft.plans.TopK.Desc, "c_id" -> graft.plans.TopK.Asc), 5)
+        .select(col("q_id"), col("c_id"), col("cos"), col("rk"))
+    },
+    None)
+
+  val ops: Seq[Op] = Seq(opBrute, opIvf, opEmbedDedup, opQuantize, opQuantAnn)
 }

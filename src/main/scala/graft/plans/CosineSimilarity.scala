@@ -89,6 +89,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineDescriptor)
+    ext.injectFunction(GraftFunctions.cosineI8Descriptor)
     ext.injectFunction(GraftFunctions.lcsDescriptor)
     ext.injectFunction(GraftFunctions.stemDescriptor)
     ext.injectFunction(GraftFunctions.lshKeysDescriptor)
@@ -106,6 +107,11 @@ object GraftFunctions {
     FunctionIdentifier("graft_cosine"),
     new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
     (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1)): Expression)
+
+  private[plans] val cosineI8Descriptor = (
+    FunctionIdentifier("graft_cosine_i8"),
+    new ExpressionInfo(classOf[CosineFloatInt8].getName, "graft_cosine_i8"),
+    (exprs: Seq[Expression]) => CosineFloatInt8(exprs.head, exprs(1)): Expression)
 
   private[plans] val lcsDescriptor = (
     FunctionIdentifier("graft_lcs"),
@@ -149,6 +155,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine",
       exprs => CosineSimilarity(exprs.head, exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cosine_i8",
+      exprs => CosineFloatInt8(exprs.head, exprs(1)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_lcs",

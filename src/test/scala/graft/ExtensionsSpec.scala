@@ -20,6 +20,7 @@ class ExtensionsSpec extends SparkSpec {
     try {
       val r = s2.sql(
         "SELECT graft_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c, " +
+          "graft_cosine_i8(array(1.0F, 2.0F), array(10, 20)) AS c8, " +
           "graft_lcs(array('a', 'b'), array('a', 'c')) AS l, " +
           "graft_stem(array('running')) AS st, " +
           "graft_simhash(array('x', 'y')) AS sh, " +
@@ -29,6 +30,7 @@ class ExtensionsSpec extends SparkSpec {
           "graft_deflate_len(CAST('aaaaaaaaaaaaaaaa' AS BINARY)) AS dl")
         .head()
       assert(math.abs(r.getAs[Double]("c") - 1.0) < 1e-12)
+      assert(math.abs(r.getAs[Double]("c8") - 1.0) < 1e-12)
       assert(r.getAs[Long]("l") == 1L)
       assert(r.getAs[collection.Seq[String]]("st").toSeq == Seq("run"))
       assert(r.getAs[collection.Seq[Long]]("mh").length == 32)
