@@ -379,25 +379,21 @@ object MapReduceDocs {
   val GpuCapK = 16000L // 16 GB in the n_chars/1000 size scale
   val CpuCapK = 40000L // reference cpu_total = 40 GB
 
-  /** Capacity-driven placement. The global running sum is computed as a
-    * two-level prefix sum: per-1000-doc bucket totals (one small agg),
-    * bucket offsets via a window over those ~n/1000 rows, then an
-    * in-bucket window PARTITIONED by bucket — no single-partition
-    * window over the full table, so the plan scales (the only global
-    * sequential state is the tiny bucket-offset frame).
+  /** Capacity-driven placement. The global running sum comes from
+    * functions.PrefixSum — per-1000-doc buckets, bucket offsets
+    * windowed within √B superbuckets, one global window over only the
+    * √B superbucket rows — so no window frame grows linearly in n (the
+    * old two-level scheme still ran one single-partition window over
+    * the n/1000 bucket offsets). The doc count that sizes the
+    * superbucket grouping is a doc_id-only column-pruned scan, and only
+    * tunes constants — correctness never depends on it.
     */
   private[graft] def kvPlan(d: DataFrame, gpuCapK: Long, cpuCapK: Long): DataFrame = {
     val sized = d.withColumn("bkt", expr("CAST(doc_id DIV 1000 AS BIGINT)"))
-    val bktOffW = Window.orderBy(col("bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = sized.groupBy(col("bkt"))
-      .agg(sum(col("n_chars")).as("bsum"))
-      .withColumn("boff", coalesce(sum(col("bsum")).over(bktOffW), lit(0L)))
-      .select(col("bkt"), col("boff"))
-    val inBktW = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = sized.join(broadcast(offsets), Seq("bkt"))
-      .withColumn("cum_chars", col("boff") + sum(col("n_chars")).over(inBktW))
+    val nBkts = d.select(col("doc_id")).count() / 1000L + 1L
+    val cum = graft.functions.PrefixSum.exclusive(sized, "n_chars",
+        Seq(col("doc_id")), numBuckets = nBkts, out = "prev_chars")
+      .withColumn("cum_chars", col("prev_chars") + col("n_chars"))
     cum.select(col("doc_id"), md5(col("text")).as("content_hash"),
       round(col("n_chars") / 1000.0, 6).as("size_gb"),
       round(col("cum_chars") / 1000.0, 6).as("cum_gb"),

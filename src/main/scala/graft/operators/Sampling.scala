@@ -59,15 +59,13 @@ object Sampling {
   // needs to assemble sequence tensors from the doc store.
   //
   // Scale: text never moves. The packed position of every doc is a
-  // global prefix sum over the skinny (doc_id, n_tokens) frame,
-  // computed two-level like kv_cache_plan: per-bucket totals (bucket =
-  // hash-range prefix, so bucket order IS the global order) → tiny
-  // offset frame broadcast back → in-bucket window. One shuffle of
-  // ~16 bytes per doc; the fragment explode is narrow. The bucket
-  // count grows ∝ n (target ~PackTargetBucket docs per bucket — a
-  // FIXED bucket count would make each in-bucket window a single
-  // n/const-sized partition at 100 TB), so the only global sequential
-  // state is the n/target-row offset frame.
+  // global prefix sum over the skinny (doc_id, n_tokens) frame via
+  // functions.PrefixSum (bucket = hash-range prefix, so bucket order
+  // IS the global order; bucket count ∝ n, every window frame
+  // O(target) or O(√B) — see PrefixSum's scaladoc). The skinny frame
+  // is checkpointed ONCE: the count that sizes the buckets and the
+  // main plan both read the materialized blocks, so the corpus is
+  // tokenized exactly once per run.
   val SeqLen = 128L
   val PackTargetBucket = 1000L
 
@@ -76,25 +74,17 @@ object Sampling {
     val pre = d.select(col("doc_id"),
         size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
       .withColumn("pack_h", (col("doc_id") * MixMul) % MixMod)
+      .localCheckpoint()
     // hash-range width per bucket, sized from n at plan time
     val n = math.max(pre.count(), 1L)
     val bktWidth =
       math.max(MixMod / math.max(n / targetBucket, 1L), 1L)
     val sized = pre
       .withColumn("bkt", expr(s"CAST(pack_h DIV $bktWidth AS BIGINT)"))
-    val bktOffW = Window.orderBy(col("bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = sized.groupBy(col("bkt"))
-      .agg(sum(col("n_tokens")).as("bsum"))
-      .withColumn("boff", coalesce(sum(col("bsum")).over(bktOffW), lit(0L)))
-      .select(col("bkt"), col("boff"))
-    val inBktW = Window.partitionBy(col("bkt"))
-      .orderBy(col("pack_h"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
     val total = sized.agg(sum(col("n_tokens")).as("total"))
-    sized.join(broadcast(offsets), Seq("bkt"))
-      .withColumn("tok_start",
-        col("boff") + coalesce(sum(col("n_tokens")).over(inBktW), lit(0L)))
+    graft.functions.PrefixSum.exclusive(sized, "n_tokens",
+        Seq(col("pack_h"), col("doc_id")),
+        numBuckets = MixMod / bktWidth + 1, out = "tok_start")
       .crossJoin(broadcast(total))
       .withColumn("seq_id", explode(expr(
         s"sequence(tok_start DIV $seqLen, (tok_start + n_tokens - 1) DIV $seqLen)")))

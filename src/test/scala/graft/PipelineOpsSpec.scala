@@ -254,6 +254,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(multiBkt == got, "bucket layout changed the packing")
   }
 
+  test("prefix sums: the only global window runs over the √B superbucket frame") {
+    // seq_pack and kv_cache_plan both need a global running sum. The
+    // spec pins the recursion depth: exactly ONE window with an empty
+    // partitionSpec (single partition) in each plan, and its input must
+    // be the superbucket aggregate (√B rows) — never the data rows or
+    // the B ∝ n bucket-offset frame the old two-level scheme windowed.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val fixture = (1 to 50).map(i => (i.toLong, ("tok" + i + " ") * (i % 7 + 1)))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length($"text").cast("long"))
+    val plans = Seq(
+      "seq_pack" -> operators.Sampling.seqPack(
+        fixture.select($"doc_id", $"text"), 8L, targetBucket = 4L),
+      "kv_cache_plan" -> operators.MapReduceDocs.kvPlan(fixture, 16L, 40L))
+    plans.foreach { case (name, df) =>
+      val wins = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(wins.size == 1,
+        s"$name: expected exactly one global window, got ${wins.size}")
+      assert(wins.head.child.output.exists(_.name == "_sbsum"),
+        s"$name: the global window must read the superbucket sums, not " +
+          s"a linearly-growing frame: ${wins.head.child.output.map(_.name)}")
+    }
+  }
+
   test("dedup_cluster: min-label components group transitive near-dups") {
     // 5-node chain: convergence needs multiple propagation rounds (the
     // min label walks one hop per round); plus two isolated nodes
@@ -383,6 +409,33 @@ class PipelineOpsSpec extends SparkSpec {
     // the max-abs dimension must hit ±127 exactly (symmetric max-abs scaling)
     assert(out.exists(r => r.getAs[Long]("q_max") == 127L ||
       r.getAs[Long]("q_min") == -127L))
+  }
+
+  test("ann_quantized: int8 serving recall >= 0.9 vs the float path") {
+    // scale cancellation: cos(q, s·c) = cos(q, c) — the kernel sees raw
+    // codes. Hand-check on a known pair first.
+    graft.plans.GraftFunctions.register(spark)
+    val kernel = Seq((Array(1.0f, 2.0f, 2.0f), Array(10, 20, 20)))
+      .toDF("q", "c").selectExpr("graft_cosine_i8(q, c) AS cos")
+      .head().getDouble(0)
+    assert(math.abs(kernel - 1.0) < 1e-12, s"colinear pair must score 1: $kernel")
+    // corrupt (short) codes never rank: NULL, same contract as graft_cosine
+    val bad = Seq((Array(1.0f, 2.0f), Array(1)))
+      .toDF("q", "c").selectExpr("graft_cosine_i8(q, c) AS cos").head()
+    assert(bad.isNullAt(0))
+    // serving-path recall: of each query's float-path top-5, the int8
+    // path must recover >= 90% overall — int8 rounding is the ONLY
+    // difference between the two plans
+    val float5 = run("ann_cosine_topk")
+      .select($"q_id", $"c_id").as[(Long, Long)].collect().toSet
+    val int8 = run("ann_quantized")
+    val hits = int8.select($"q_id", $"c_id").as[(Long, Long)].collect()
+      .count(float5.contains)
+    val recall = hits.toDouble / float5.size
+    assert(recall >= 0.9, s"int8 recall@5 $recall < 0.9 vs float path")
+    // top-k contract: 5 rows per query, ranks contiguous
+    val byQ = int8.collect().groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 10 && byQ.values.forall(_.length == 5))
   }
 
   test("dedup_embed kernel: planted near-identical vectors are detected") {
