@@ -97,6 +97,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.minhashSigDescriptor)
     ext.injectFunction(GraftFunctions.bleuSmoothDescriptor)
     ext.injectFunction(GraftFunctions.deflateLenDescriptor)
+    ext.injectFunction(GraftFunctions.bpeDescriptor)
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectOptimizerRule(_ => PushFilterThroughTopK)
   }
@@ -146,6 +147,20 @@ object GraftFunctions {
     new ExpressionInfo(classOf[BleuSmoothExpr].getName, "graft_bleu_smooth"),
     (exprs: Seq[Expression]) => BleuSmoothExpr(exprs.head): Expression)
 
+  private[plans] val bpeBuilder =
+    (exprs: Seq[Expression]) => {
+      val arr = exprs(1).eval()
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val merges = (0 until arr.numElements())
+        .map(i => arr.getUTF8String(i).toString)
+      BpeEncodeExpr(exprs.head, merges): Expression
+    }
+
+  private[plans] val bpeDescriptor = (
+    FunctionIdentifier("graft_bpe"),
+    new ExpressionInfo(classOf[BpeEncodeExpr].getName, "graft_bpe"),
+    bpeBuilder)
+
   private[plans] val deflateLenDescriptor = (
     FunctionIdentifier("graft_deflate_len"),
     new ExpressionInfo(classOf[DeflateLenExpr].getName, "graft_deflate_len"),
@@ -187,6 +202,8 @@ object GraftFunctions {
       "graft_bleu_smooth",
       exprs => BleuSmoothExpr(exprs.head),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bpe", bpeBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_deflate_len",
       exprs => DeflateLenExpr(exprs.head),
