@@ -10,6 +10,10 @@ import org.apache.spark.sql.SparkSession
   * startup; queries are timed in sorted name order; each result is
   * written to the `noop` sink so EVERY output column is computed —
   * `count()` would let Spark prune the projections being measured.
+  * Each query runs [[Bench.Runs]] times and reports the MEDIAN:
+  * run-to-run noise on a busy box is ±25 % of a single run (SURVEY §7),
+  * which made round-over-round deltas arguable; medians make them
+  * trustworthy. Set SPARK_GRAFT_RUNS=1 for quick iteration.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -43,12 +47,18 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val results = selected.sortBy(_._1).map { case (name, fn) =>
       System.err.println(s"[bench] running $name")
-      System.gc() // drain the previous query's garbage outside the timer
-      name -> time {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val samples = (1 to runs).map { _ =>
+        System.gc() // drain the previous run's garbage outside the timer
+        time {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        }
       }
+      // a failed run (-1.0) poisons the median → report the failure
+      name -> (if (samples.exists(_ < 0)) -1.0
+               else samples.sorted.apply(runs / 2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -58,7 +68,7 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
       .mkString("[", ",", "]")
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

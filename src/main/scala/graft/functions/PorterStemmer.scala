@@ -2,15 +2,20 @@ package graft.functions
 
 /** Porter's suffix-stripping algorithm (M.F. Porter, "An algorithm for
   * suffix stripping", Program 14(3), 1980 — the public, de-facto
-  * standard stemmer). Used by score_rougeL to mirror the reference's
-  * `rouge_scorer(..., use_stemmer=True)` (reference
+  * standard stemmer). Used by score_rougeL to APPROXIMATE the
+  * reference's `rouge_scorer(..., use_stemmer=True)` (reference
   * hanchen_recomp.py:77), which stems tokens longer than 3 chars before
   * the LCS — see [[stemToken]] for that guard.
   *
   * This is the original published algorithm (steps 1a–5b, longest
-  * matching suffix per step). Pure function on lowercase ASCII-ish
-  * tokens; non-letter content passes through untouched by virtue of the
-  * consonant/vowel tests.
+  * matching suffix per step). The reference's NLTK stemmer runs in its
+  * NLTK_EXTENSIONS mode, which departs from the paper on a small set of
+  * special-cased shapes — e.g. "dying"→"die" where the 1980 rules give
+  * "dy" (pinned in the spec) — so score_rougeL can differ from the
+  * NLTK-backed scorer on tokens hitting those extensions; identical
+  * stems on both sides still yield identical ROUGE-L. Pure function on
+  * lowercase ASCII-ish tokens; non-letter content passes through
+  * untouched by virtue of the consonant/vowel tests.
   */
 object PorterStemmer {
 

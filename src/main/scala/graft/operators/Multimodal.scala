@@ -49,16 +49,28 @@ object Multimodal {
     }
   }
 
+  /** Batched decode over a typed Dataset — the op body, exposed so the
+    * spec can drive it with a forced partition layout. `batch_size` in
+    * [[MMMeta]] audits the batch machinery but is a function of the
+    * PARTITION LAYOUT (the last batch per partition is a remainder), so
+    * the op DROPS it from the output: every emitted column must be a
+    * pure function of the payload for the rows-only determinism
+    * contract to hold under repartitioning.
+    */
+  private[graft] def decode(ds: org.apache.spark.sql.Dataset[MMIn]) = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(it => it.grouped(BatchSize).flatMap(decodeBatch))
+  }
+
   private val opMeta = Op(
     "mm_meta",
     (s, dir) => {
       import s.implicits._
-      Tables(s, dir, "documents")
+      decode(Tables(s, dir, "documents")
         .select(col("doc_id"),
           col("text").cast("binary").as("payload"))
-        .as[MMIn]
-        .mapPartitions(it => it.grouped(BatchSize).flatMap(decodeBatch))
-        .toDF()
+        .as[MMIn])
+        .toDF().drop("batch_size")
     },
     None)
 
@@ -97,19 +109,26 @@ object Multimodal {
       raw.map(v => (v / n).toFloat), 1.0, batch.size.toLong)
   }
 
+  /** Batched encode — spec-drivable like [[decode]]; same reason for
+    * the output dropping `batch_size` (partition-layout dependent).
+    */
+  private[graft] def encode(ds: org.apache.spark.sql.Dataset[MMIn]) = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(it => it.grouped(BatchSize).flatMap(encodeBatch))
+  }
+
   private val opEmbed = Op(
     "mm_embed",
     (s, dir) => {
       import s.implicits._
-      Tables(s, dir, "documents")
+      encode(Tables(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .as[MMIn]
-        .mapPartitions(it => it.grouped(BatchSize).flatMap(encodeBatch))
+        .as[MMIn])
         .toDF()
         .select(col("doc_id"), col("dim"),
           md5(concat_ws(",", expr("transform(embedding, x -> cast(x AS string))")))
             .as("emb_digest"),
-          round(col("norm"), 6).as("norm"), col("batch_size"))
+          round(col("norm"), 6).as("norm"))
     },
     None)
 

@@ -7,7 +7,7 @@ class PipelineOpsSpec extends SparkSpec {
   import spark.implicits._
 
   private val all = TextAnalysis.ops ++ Dedup.ops ++ Similarity.ops ++
-    Multimodal.ops
+    Multimodal.ops ++ operators.Sampling.ops
 
   private def run(name: String) =
     all.find(_.name == name).get.query(spark, sfDir)
@@ -128,6 +128,23 @@ class PipelineOpsSpec extends SparkSpec {
     val again = operators.Sampling.mixSample(fixture.orderBy(rand(7)))
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(again == kept.map(_.getAs[Long]("doc_id")).toSet)
+  }
+
+  test("contam_ngram / mix_sample plans: broadcast-only joins, corpus never shuffles to join") {
+    // contam_ngram: the eval vocabulary is the broadcast side of the
+    // flag join; the corpus side must reach it without an exchange
+    val contamPlan = run("contam_ngram").queryExecution.executedPlan.toString
+    assert(contamPlan.contains("BroadcastHashJoin"), contamPlan)
+    assert(!contamPlan.contains("SortMergeJoin") &&
+      !contamPlan.contains("ShuffledHashJoin"),
+      s"the corpus must not shuffle into the eval join:\n$contamPlan")
+    // mix_sample: per-source counts and their min are broadcast tiny
+    // aggregates — the corpus scan itself joins without shuffling
+    val mixPlan = run("mix_sample").queryExecution.executedPlan.toString
+    assert(mixPlan.contains("BroadcastHashJoin"), mixPlan)
+    assert(!mixPlan.contains("SortMergeJoin") &&
+      !mixPlan.contains("ShuffledHashJoin"),
+      s"mix_sample must not shuffle the corpus:\n$mixPlan")
   }
 
   test("rows-only ops are run-to-run deterministic (driver hashes rows)") {
@@ -490,26 +507,41 @@ class PipelineOpsSpec extends SparkSpec {
     out.foreach { r =>
       assert(r.getAs[Long]("byte_len") > 0)
       assert(r.getAs[Long]("width") == r.getAs[Long]("byte_len") % 640 + 1)
-      assert(r.getAs[Long]("batch_size") <= Multimodal.BatchSize)
       assert(r.getAs[String]("magic").length == 8)
     }
+    // batch_size is layout-dependent, so it stays OUT of the op output
+    // (rows-only determinism must hold under repartitioning)…
+    assert(!out.head.schema.fieldNames.contains("batch_size"))
+    // …but the batch machinery is still audited here, on a forced
+    // single-partition layout: 150 rows → batches of 64, 64, 22
+    val fixture = (1 to 150).map(i =>
+      Multimodal.MMIn(i.toLong, s"payload-$i".getBytes)).toDS().repartition(1)
+    val sizes = operators.Multimodal.decode(fixture).collect()
+      .map(_.batch_size).groupBy(identity).view.mapValues(_.length).toMap
+    assert(sizes == Map(64L -> 128, 22L -> 22), s"batch layout wrong: $sizes")
   }
 
-  test("mm_embed: unit-norm encoder output is a pure function of payload") {
+  test("mm_embed: unit-norm encoder output is layout-independent") {
     val out = run("mm_embed").collect()
     assert(out.length > 0)
     out.foreach { r =>
       assert(r.getAs[Long]("dim") == 64L)
       assert(r.getAs[Double]("norm") == 1.0)
-      assert(r.getAs[Long]("batch_size") <= 64L)
     }
-    // re-running yields identical digests (payload-pure, batch-independent)
-    val again = operators.Multimodal.ops.find(_.name == "mm_embed").get
-      .query(spark, sfDir)
+    assert(!out.head.schema.fieldNames.contains("batch_size"))
+    // payload-pure and batch-independent: a DIFFERENT partition layout
+    // (different last-batch remainders) yields identical digests
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[operators.Multimodal.MMIn]
     val a = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("emb_digest")).toMap
-    again.collect().foreach { r =>
-      assert(a(r.getAs[Long]("doc_id")) == r.getAs[String]("emb_digest"))
-    }
+    operators.Multimodal.encode(docs.repartition(7)).toDF()
+      .select(col("doc_id"),
+        md5(concat_ws(",", expr("transform(embedding, x -> cast(x AS string))")))
+          .as("emb_digest"))
+      .collect().foreach { r =>
+        assert(a(r.getAs[Long]("doc_id")) == r.getAs[String]("emb_digest"))
+      }
   }
 
   test("lang_id: argmax picks the stopword-dominant language; ties fall to en") {

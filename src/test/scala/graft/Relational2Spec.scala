@@ -65,6 +65,41 @@ class Relational2Spec extends SparkSpec {
     }
   }
 
+  test("q24: CUBE computes all grouping sets through ONE shuffle (Expand before Exchange)") {
+    val plan = run("q24_cube").queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"CUBE must expand grouping sets:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1,
+      s"CUBE should aggregate through exactly one shuffle, got $shuffles:\n$plan")
+    // map-side partial agg: a partial_count must appear below the Exchange
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      s"no map-side partial aggregation:\n$plan")
+  }
+
+  test("q25: INTERSECT/EXCEPT lower to semi/anti joins on pruned keys") {
+    val df = run("q25_set_ops")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"INTERSECT must lower to a semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"EXCEPT must lower to an anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan)
+    // column pruning: only the key column reaches the scans
+    assert(df.queryExecution.optimizedPlan.toString.contains("o_custkey"))
+  }
+
+  test("q26: the asof plan is JOIN-FREE — union + window, never a range join") {
+    val plan = run("q26_asof_join").queryExecution.executedPlan.toString
+    Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+      "BroadcastNestedLoop", "CartesianProduct").foreach { j =>
+      assert(!plan.contains(j), s"asof must not plan a $j:\n$plan")
+    }
+    assert(plan.contains("Window"), plan)
+    // two key shuffles max: the per-(user, ts) view dedup and the
+    // per-user window — nothing proportional to pairs
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 2, s"asof should shuffle at most twice, got $shuffles:\n$plan")
+  }
+
   test("q15: selected supplier(s) hold the maximum revenue") {
     val rows = run("q15_top_supplier").collect()
     val revs = rows.map(_.getAs[Double]("revenue")).distinct

@@ -180,4 +180,50 @@ class StreamingSpec extends SparkSpec {
     assert(nine.isDefined, "timed-out doc must emit a partial result")
     assert(!nine.get.complete && nine.get.final_summary == "nine-a")
   }
+
+  test("stream_mr: timeout emission REMOVES the doc's state (no leak under a flood)") {
+    // the audit gap named in round 3: MrState is bounded per doc, but a
+    // never-completing doc flood only stays bounded if the timeout path
+    // actually evicts. Proof is behavioral: after doc 5's partial emit,
+    // chunks for the SAME doc id must land in FRESH state — the second
+    // partial emit must NOT contain the first round's chunk.
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[ChunkIn]
+    val q = Streams.incrementalReduce(in.toDS()).writeStream
+      .format("memory").queryName("mr_evict").outputMode("append").start()
+    // round 1: 1 of 3 chunks, then the watermark sails past the timeout
+    in.addData(ChunkIn(5L, 0L, 3, "r1-a", ts("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    in.addData(ChunkIn(7L, 0L, 1, "wm-push", ts("2024-01-01 14:00:00")))
+    q.processAllAvailable()
+    in.addData(ChunkIn(7L, 0L, 1, "wm-push2", ts("2024-01-01 14:00:01")))
+    q.processAllAvailable()
+    val round1 = spark.table("mr_evict").as[DocOut].collect()
+      .filter(_.doc_id == 5L)
+    assert(round1.length == 1 && !round1.head.complete &&
+      round1.head.final_summary == "r1-a")
+    // round 2: same doc id returns with DIFFERENT chunks (fresh ts
+    // inside the watermark); times out again
+    in.addData(ChunkIn(5L, 1L, 3, "r2-b", ts("2024-01-01 14:30:00")))
+    q.processAllAvailable()
+    in.addData(ChunkIn(7L, 0L, 1, "wm-push3", ts("2024-01-01 18:00:00")))
+    q.processAllAvailable()
+    in.addData(ChunkIn(7L, 0L, 1, "wm-push4", ts("2024-01-01 18:00:01")))
+    q.processAllAvailable()
+    val round2 = spark.table("mr_evict").as[DocOut].collect()
+      .filter(_.doc_id == 5L).sortBy(_.final_summary)
+    // state rows after both evictions: nothing in flight but doc 7's
+    // completions were emitted immediately (n_chunks_total = 1), so the
+    // store must be EMPTY — the flood leaks nothing
+    val stateRows = q.recentProgress.reverse
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      .headOption.map(_.numRowsTotal)
+    q.stop()
+    assert(round2.length == 2, s"expected two partial emits: ${round2.toSeq}")
+    assert(round2.map(_.final_summary).toSeq == Seq("r1-a", "r2-b"),
+      "round-2 state must start FRESH — eviction failed if r1-a reappears")
+    assert(round2.forall(!_.complete))
+    assert(stateRows.contains(0L),
+      s"state store must be empty after evictions, got $stateRows rows")
+  }
 }
