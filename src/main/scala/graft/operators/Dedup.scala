@@ -524,14 +524,21 @@ object Dedup {
 
   private[graft] def dedupPipeline(docsDf: DataFrame): DataFrame = {
     val d = docsDf.withColumn("chash", md5(col("text")))
+    // skinny (chash, rep_id, m): materialized once — read by the rep
+    // join, the final copy-group assembly, and nothing recomputes the
+    // corpus-wide hash agg per reference
     val groups = d.select(col("chash"), col("doc_id"))
       .groupBy(col("chash"))
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("m"))
+      .localCheckpoint()
     val reps = d.select(col("doc_id"), col("text"))
       .join(groups, col("doc_id") === col("rep_id"))
       .select(col("doc_id"), col("m"), col("text"))
     val sig = minhashSigs(reps).repartition(col("doc_id"))
+    // candidate pairs feed three consumers (both verify sides + the
+    // touched-doc set) — materialize the band join once
     val cand = minhashBandPairs(sig).select(col("a"), col("b"))
+      .localCheckpoint()
     // exact verification: shingle sets only for candidate-touched reps
     val candDocs = cand.select(col("a").as("doc_id"))
       .union(cand.select(col("b").as("doc_id"))).distinct()
