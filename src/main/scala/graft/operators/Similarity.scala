@@ -151,9 +151,13 @@ object Similarity {
     cents.zipWithIndex.map { case (v, i) => (i, v.map(_.toFloat)) }
   }
 
-  private val opIvf = Op(
-    "ann_ivf",
-    (s, dir) => {
+  /** The IVF probe machinery, shared by the float and int8 serving
+    * paths: identical centroid training, assignment, probing, and pair
+    * dedup — only the FINAL scoring side differs (float embeddings vs
+    * int8 codes through graft_cosine_i8). At 100 TB the int8 variant
+    * is the one that fits candidate vectors in executor memory.
+    */
+  private def ivfRank(s: SparkSession, dir: String, int8: Boolean): DataFrame = {
       graft.plans.GraftFunctions.register(s)
       val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       // k ∝ √n capped at KmeansMaxK (see its doc for the bounded
@@ -185,16 +189,27 @@ object Similarity {
         .agg(min(col("bucket")).as("bucket"))
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val c = if (int8) int8Codes(e)
+              else e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
       val scored = pairs.join(broadcast(q), Seq("q_id")).join(c, Seq("c_id"))
-        .withColumn("cos", round(expr("graft_cosine(q_emb, c_emb)"), 6))
+        .withColumn("cos", round(
+          if (int8) expr("graft_cosine_i8(q_emb, c_q)")
+          else expr("graft_cosine(q_emb, c_emb)"), 6))
       // final ranking via the two-phase TopKPerKey heap operator (k rows
       // per key reach the shuffle), same path ann_cosine_topk uses
       graft.plans.TopK.perKey(scored, Seq("q_id"),
           Seq("cos" -> graft.plans.TopK.Desc, "c_id" -> graft.plans.TopK.Asc), 3)
         .select(col("q_id"), col("bucket").cast("long").as("bucket"),
           col("c_id"), col("cos"), col("rk"))
-    },
+  }
+
+  private val opIvf = Op("ann_ivf", (s, dir) => ivfRank(s, dir, int8 = false), None)
+
+  // the full 100 TB serving story: IVF pruning AND an int8 candidate
+  // store — probes identical to ann_ivf, final scoring asymmetric
+  private val opIvfQuant = Op(
+    "ann_ivf_quantized",
+    (s, dir) => ivfRank(s, dir, int8 = true),
     None)
 
   // ---- dedup_embed: embedding-cosine near-duplicate detection ----
@@ -390,7 +405,35 @@ object Similarity {
           Seq("cos" -> graft.plans.TopK.Desc, "c_id" -> graft.plans.TopK.Asc), 5)
         .select(col("q_id"), col("c_id"), col("cos"), col("rk"))
     },
-    None)
+    // SQL-oracle-able because the whole serving path is: the int8
+    // codes are the embed_quantize formula, and the asymmetric cosine
+    // is a plain dot product over them (scale cancelled)
+    Some("""
+      WITH e AS (
+        SELECT vec_id, embedding,
+          list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS maxabs
+        FROM embeddings),
+      c AS (
+        SELECT vec_id AS c_id,
+          CASE WHEN maxabs = 0 THEN [0 for x in embedding]
+            ELSE [CAST(ROUND(CAST(x AS DOUBLE) / (maxabs / 127.0)) AS INT)
+                  for x in embedding] END AS cq
+        FROM e),
+      q AS (SELECT vec_id AS q_id, embedding AS q_emb
+            FROM embeddings WHERE vec_id < 10),
+      s AS (
+        SELECT q_id, c_id,
+          ROUND(list_sum([CAST(q_emb[i] AS DOUBLE) * CAST(cq[i] AS DOUBLE)
+                          for i in generate_series(1, len(q_emb))])
+            / (sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in q_emb]))
+               * sqrt(list_sum([CAST(y AS DOUBLE) * CAST(y AS DOUBLE) for y in cq]))),
+            6) AS cos
+        FROM q, c WHERE c_id <> q_id),
+      r AS (SELECT q_id, c_id, cos,
+              CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rk
+            FROM s)
+      SELECT q_id, c_id, cos, rk FROM r WHERE rk <= 5"""))
 
-  val ops: Seq[Op] = Seq(opBrute, opIvf, opEmbedDedup, opQuantize, opQuantAnn)
+  val ops: Seq[Op] =
+    Seq(opBrute, opIvf, opIvfQuant, opEmbedDedup, opQuantize, opQuantAnn)
 }

@@ -293,6 +293,112 @@ object TextAnalysis {
     },
     None)
 
+  // ---- quality_filter: the end-to-end curation KEEP/DROP decision ----
+  // What the individual signal ops exist FOR: one gate combining
+  // length, language, digit mass, stopword density, lexical diversity,
+  // and the Gopher repetition filters into a keep bit with the FIRST
+  // failing reason (fixed order, so reasons are deterministic and
+  // auditable — the reason histogram is the curation dashboard).
+  // Thresholds follow the published C4/Gopher shapes scaled to the
+  // synthetic corpus. Plan shape: every scalar signal rides ONE narrow
+  // scan; only the repetition signals aggregate (two skinny shuffles),
+  // then one join back by doc_id.
+  val QfMinToks = 16L
+  val QfMaxToks = 1000L
+  val QfMaxDigit = 0.2
+  val QfMinStop = 0.01
+  val QfMinDistinct = 0.35
+  val QfMaxDupLine = 0.3
+  val QfMaxTopBigram = 0.2
+
+  private[graft] def qualityFilter(d: DataFrame): DataFrame = {
+    val base = predictLang(d)
+      .select(col("doc_id"), col("predicted_lang"), col("hits_en"))
+      .join(d, Seq("doc_id"))
+      .withColumn("toks", TextFns.tokens(col("text")))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .select(col("doc_id"), col("predicted_lang"), col("n_toks"),
+        round(regexp_count(col("text"), lit("[0-9]")).cast("double")
+          / length(col("text")), 6).as("digit_ratio"),
+        round(col("hits_en").cast("double") / col("n_toks"), 6)
+          .as("stopword_ratio"),
+        round(size(array_distinct(col("toks"))).cast("double")
+          / col("n_toks"), 6).as("distinct_ratio"))
+    val rep = repetitionSignals(d)
+      .select(col("doc_id"), col("dup_line_ratio"), col("top_bigram_ratio"))
+    val reason =
+      when(col("n_toks") < QfMinToks, "short")
+        .when(col("n_toks") > QfMaxToks, "long")
+        .when(col("predicted_lang") =!= "en", "lang")
+        .when(col("digit_ratio") > QfMaxDigit, "digits")
+        .when(col("stopword_ratio") < QfMinStop, "stopwords")
+        .when(col("distinct_ratio") < QfMinDistinct, "distinct")
+        .when(col("dup_line_ratio") > QfMaxDupLine, "dup_lines")
+        .when(col("top_bigram_ratio") > QfMaxTopBigram, "top_bigram")
+        .otherwise("ok")
+    base.join(rep, Seq("doc_id"))
+      .withColumn("reason", reason)
+      .withColumn("keep", when(col("reason") === "ok", 1L).otherwise(0L))
+  }
+
+  private val opFilter = Op(
+    "quality_filter",
+    (s, dir) => qualityFilter(docs(s, dir)),
+    Some(s"""
+      WITH h AS (SELECT doc_id, text,
+        ${stop.keys.toSeq.sorted.map(l => s"${hitCount(l)} AS hits_$l").mkString(",\n        ")}
+      FROM documents),
+      base AS (
+        SELECT doc_id,
+          CASE
+            WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es AND hits_en >= hits_zh THEN 'en'
+            WHEN hits_de >= hits_fr AND hits_de >= hits_es AND hits_de >= hits_zh THEN 'de'
+            WHEN hits_fr >= hits_es AND hits_fr >= hits_zh THEN 'fr'
+            WHEN hits_es >= hits_zh THEN 'es' ELSE 'zh' END AS predicted_lang,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+          ROUND(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+            / length(text), 6) AS digit_ratio,
+          ROUND(CAST(hits_en AS DOUBLE)
+            / len(string_split(text, ' ')), 6) AS stopword_ratio,
+          ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')), 6) AS distinct_ratio
+        FROM h),
+      lines AS (
+        SELECT doc_id,
+          CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+          CAST(len(list_distinct(string_split(text, chr(10)))) AS BIGINT) AS n_distinct_lines
+        FROM documents),
+      bg AS (
+        SELECT doc_id,
+          array_to_string(list_slice(string_split(text, ' '), i+1, i+2), ' ') AS bigram
+        FROM documents, UNNEST(generate_series(0, greatest(len(string_split(text, ' ')) - 2, -1))) AS u(i)),
+      cnt AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+      top AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_n,
+                CAST(SUM(c) AS BIGINT) AS n_bigrams
+              FROM cnt GROUP BY 1),
+      full_t AS (
+        SELECT b.*,
+          ROUND((l.n_lines - l.n_distinct_lines) / l.n_lines, 6) AS dup_line_ratio,
+          ROUND(COALESCE(t.top_bigram_n, 0)
+            / GREATEST(COALESCE(t.n_bigrams, 0), 1), 6) AS top_bigram_ratio
+        FROM base b JOIN lines l USING (doc_id) LEFT JOIN top t USING (doc_id)),
+      dec AS (
+        SELECT *,
+          CASE WHEN n_toks < $QfMinToks THEN 'short'
+               WHEN n_toks > $QfMaxToks THEN 'long'
+               WHEN predicted_lang <> 'en' THEN 'lang'
+               WHEN digit_ratio > $QfMaxDigit THEN 'digits'
+               WHEN stopword_ratio < $QfMinStop THEN 'stopwords'
+               WHEN distinct_ratio < $QfMinDistinct THEN 'distinct'
+               WHEN dup_line_ratio > $QfMaxDupLine THEN 'dup_lines'
+               WHEN top_bigram_ratio > $QfMaxTopBigram THEN 'top_bigram'
+               ELSE 'ok' END AS reason
+        FROM full_t)
+      SELECT doc_id, predicted_lang, n_toks, digit_ratio, stopword_ratio,
+        distinct_ratio, dup_line_ratio, top_bigram_ratio, reason,
+        CAST(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM dec"""))
+
   val ops: Seq[Op] = Seq(opLangId, opQuality, opTokenCount, opFingerprint,
-    opRepetition, opPii, opVocab, opCompress)
+    opRepetition, opPii, opVocab, opCompress, opFilter)
 }

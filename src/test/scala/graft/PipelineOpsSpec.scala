@@ -455,6 +455,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(byQ.size == 10 && byQ.values.forall(_.length == 5))
   }
 
+  test("ann_ivf_quantized: int8 scoring keeps the IVF result (recall >= 0.9)") {
+    // probes are identical to ann_ivf (same centroids, same cells) —
+    // the ONLY difference is int8 candidate codes in the final scoring,
+    // so the two top-3 sets must agree almost everywhere
+    val ivf = run("ann_ivf")
+      .select($"q_id", $"c_id").as[(Long, Long)].collect().toSet
+    val ivf8 = run("ann_ivf_quantized")
+    val hits = ivf8.select($"q_id", $"c_id").as[(Long, Long)].collect()
+      .count(ivf.contains)
+    val recall = hits.toDouble / ivf.size
+    assert(recall >= 0.9, s"int8 IVF recall $recall < 0.9 vs float IVF")
+    assert(ivf8.select("q_id").distinct().count() == 10)
+    // the serving plan must rank through the heap operator
+    assert(ivf8.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+  }
+
   test("dedup_embed kernel: planted near-identical vectors are detected") {
     graft.plans.GraftFunctions.register(spark)
     val v = Array.tabulate(64)(i => (i + 1).toFloat)
@@ -634,6 +650,39 @@ class PipelineOpsSpec extends SparkSpec {
       val c = x.getAs[Double]("compress_ratio")
       c > 0.0 && c < 1.2
     })
+  }
+
+  test("quality_filter: every gate fires on its planted doc, first reason wins") {
+    val fixture = Seq(
+      1L -> "tiny doc",                                         // short
+      2L -> ("der hund und die katze ist der hund und die " +
+        "katze ist der hund und die katze"),                    // lang (de)
+      3L -> ("11 22 33 44 55 66 77 88 99 00 12 34 56 78 90 " +
+        "21 the of and to"),                                    // digits
+      4L -> ("alpha beta gamma delta epsilon zeta eta theta " +
+        "iota kappa lambda mu nu xi omicron pi"),               // stopwords
+      5L -> ("the of and to in the of and to in the of and " +
+        "to in the of and to in"),                              // distinct
+      6L -> ("the cat sat on of mat\nthe cat sat on of " +
+        "mat\nthe dog ran to in park"),                         // dup_lines
+      7L -> ("the cat the cat the cat the cat w1 w2 w3 w4 " +
+        "w5 w6 w7 w8"),                                         // top_bigram
+      8L -> ("the quick brown fox jumps over of lazy dog " +
+        "and then runs to in park every day"))                  // ok
+      .toDF("doc_id", "text")
+    val out = operators.TextAnalysis.qualityFilter(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("reason"), r.getAs[Long]("keep"))).toMap
+    assert(out == Map(
+      1L -> ("short", 0L), 2L -> ("lang", 0L), 3L -> ("digits", 0L),
+      4L -> ("stopwords", 0L), 5L -> ("distinct", 0L),
+      6L -> ("dup_lines", 0L), 7L -> ("top_bigram", 0L), 8L -> ("ok", 1L)),
+      s"gate decisions wrong: $out")
+    // op level: keep bit is exactly reason == ok; both outcomes occur
+    val op = run("quality_filter")
+    assert(op.filter(($"reason" === "ok") =!= ($"keep" === 1L)).count() == 0)
+    assert(op.filter($"keep" === 1L).count() > 0)
+    assert(op.filter($"keep" === 0L).count() > 0)
   }
 
   test("text_quality: ratios within [0,1], avg_token_len positive") {
