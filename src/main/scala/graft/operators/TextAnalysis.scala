@@ -399,6 +399,58 @@ object TextAnalysis {
         CAST(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS BIGINT) AS keep
       FROM dec"""))
 
+  // ---- keyword_tfidf: per-doc keyword extraction ----
+  // Top-3 tokens per doc by tf·idf — the tagging/retrieval primitive
+  // (doc keywords, index terms). idf is the INTEGER surrogate
+  // (N·1000) DIV df: exact in both engines (no libm log to drift
+  // cross-engine — ln values are not bit-portable, integer division
+  // is), order-preserving in df, so ranking matches float idf for any
+  // fixed tf. Scale: tf is one shuffle of skinny (doc, token) rows,
+  // df one shuffle of the vocab-sized tf frame, the re-join shuffles
+  // on token (vocab can exceed broadcast at corpus scale), and the
+  // per-doc top-3 runs through the TopKPerKey heap — k rows per
+  // (partition, doc) reach the final exchange, never a full sort.
+  val KwPerDoc = 3
+
+  private[graft] def keywordTfidf(d: DataFrame): DataFrame = {
+    val toks = d.select(col("doc_id"),
+      explode(TextFns.tokens(col("text"))).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, Seq("token")).crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * expr("(n * 1000) DIV df"))
+    graft.plans.TopK.perKey(scored, Seq("doc_id"),
+        Seq("score" -> graft.plans.TopK.Desc, "token" -> graft.plans.TopK.Asc),
+        KwPerDoc)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("score").cast("long").as("score"), col("rk"))
+  }
+
+  private val opKeywords = Op(
+    "keyword_tfidf",
+    (s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      keywordTfidf(docs(s, dir))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, u.tok AS token
+        FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)),
+      tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM t GROUP BY 1, 2),
+      df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      s AS (
+        SELECT doc_id, tf.token, tf.tf, df.df,
+          CAST(tf.tf * ((n.n * 1000) // df.df) AS BIGINT) AS score
+        FROM tf JOIN df USING (token) CROSS JOIN n),
+      r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, token) AS BIGINT) AS rk
+            FROM s)
+      SELECT doc_id, token, tf, df, score, rk FROM r WHERE rk <= $KwPerDoc"""))
+
   val ops: Seq[Op] = Seq(opLangId, opQuality, opTokenCount, opFingerprint,
-    opRepetition, opPii, opVocab, opCompress, opFilter)
+    opRepetition, opPii, opVocab, opCompress, opFilter, opKeywords)
 }

@@ -685,6 +685,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(op.filter($"keep" === 0L).count() > 0)
   }
 
+  test("keyword_tfidf: rare repeated tokens outrank common ones; heap plan") {
+    // doc 1's "zebra" appears twice and only there (df=1): score
+    // 2·(4000 DIV 1) = 8000. "the" is everywhere (df=4): tf·(4000 DIV 4)
+    // = tf·1000 — the corpus-wide term can never beat the rare one.
+    val fixture = Seq(
+      1L -> "the zebra saw the zebra cross",
+      2L -> "the cat sat here quietly today",
+      3L -> "the dog ran fast and far",
+      4L -> "the bird flew high above town")
+      .toDF("doc_id", "text")
+    val out = operators.TextAnalysis.keywordTfidf(fixture).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val top1 = out(1L).minBy(_.getAs[Long]("rk"))
+    assert(top1.getAs[String]("token") == "zebra" &&
+      top1.getAs[Long]("score") == 8000L,
+      s"doc 1 top keyword: ${top1}")
+    // every doc yields exactly KwPerDoc ranked keywords, scores
+    // non-increasing, ties broken lexicographically
+    out.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq == (1L to 3L))
+      val scores = sorted.map(_.getAs[Long]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // the per-doc ranking must run through the heap operator, not a
+    // window sort over the full tf frame
+    val plan = run("keyword_tfidf").queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+  }
+
   test("text_quality: ratios within [0,1], avg_token_len positive") {
     val out = run("text_quality")
     Seq("digit_ratio", "stopword_ratio", "distinct_ratio").foreach { c =>
