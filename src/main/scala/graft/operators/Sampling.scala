@@ -124,5 +124,48 @@ object Sampling {
         UNNEST(generate_series(tok_start // $SeqLen,
           (tok_start + n_tokens - 1) // $SeqLen)) AS u(s)"""))
 
-  val ops: Seq[Op] = Seq(opMix, opPack)
+  // ---- quantile_bins: curriculum/difficulty binning ----
+  // Assign every doc a quartile bin by token count — the curriculum-
+  // learning primitive (order training from short/easy to long/hard)
+  // and the length-bucketing step before seq_pack. The SCALE point:
+  // binning by global rank is usually written ntile() — a full-table
+  // sort through ONE partition. Here exact interpolated quartile
+  // CUTOFFS come from one aggregate (integer token counts → the
+  // (n-1)·p interpolation is exact in both engines, the score_stats
+  // convention), broadcast back, and the assignment is a narrow CASE:
+  // no global sort anywhere, identical bins on any cluster size.
+  private[graft] def quantileBins(d: DataFrame): DataFrame = {
+    val sized = d.select(col("doc_id"),
+      size(TextFns.tokens(col("text"))).cast("long").as("n_toks"))
+    val cuts = sized.agg(
+      expr("percentile(n_toks, 0.25D)").as("q1"),
+      expr("percentile(n_toks, 0.5D)").as("q2"),
+      expr("percentile(n_toks, 0.75D)").as("q3"))
+    sized.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_toks"),
+        when(col("n_toks") <= col("q1"), 0L)
+          .when(col("n_toks") <= col("q2"), 1L)
+          .when(col("n_toks") <= col("q3"), 2L)
+          .otherwise(3L).as("bin"),
+        round(col("q1"), 6).as("q1"), round(col("q2"), 6).as("q2"),
+        round(col("q3"), 6).as("q3"))
+  }
+
+  private val opBins = Op(
+    "quantile_bins",
+    (s, dir) => quantileBins(Tables(s, dir, "documents")),
+    Some("""
+      WITH d AS (SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        FROM documents),
+      c AS (SELECT quantile_cont(n_toks, 0.25) AS q1,
+              quantile_cont(n_toks, 0.5) AS q2,
+              quantile_cont(n_toks, 0.75) AS q3 FROM d)
+      SELECT doc_id, n_toks,
+        CAST(CASE WHEN n_toks <= q1 THEN 0 WHEN n_toks <= q2 THEN 1
+                  WHEN n_toks <= q3 THEN 2 ELSE 3 END AS BIGINT) AS bin,
+        ROUND(q1, 6) AS q1, ROUND(q2, 6) AS q2, ROUND(q3, 6) AS q3
+      FROM d CROSS JOIN c"""))
+
+  val ops: Seq[Op] = Seq(opMix, opPack, opBins)
 }

@@ -451,6 +451,52 @@ object TextAnalysis {
             FROM s)
       SELECT doc_id, token, tf, df, score, rk FROM r WHERE rk <= $KwPerDoc"""))
 
+  // ---- index_build: inverted index (token → posting list) ----
+  // The retrieval-side primitive: one row per vocabulary token with
+  // its bounded posting list. Entries are "docid:pos" with BOTH parts
+  // ZERO-PADDED so lexicographic order IS numeric order — both engines
+  // sort the same strings identically, no struct-sort portability
+  // hazard. Scale: one shuffle on token; posting lists are capped at
+  // [[PostingCap]] entries per row (a stopword's full posting grows
+  // O(corpus) — real indexes chunk posting blocks; the cap bounds row
+  // width while n_postings keeps the true total).
+  val PostingCap = 100
+
+  private[graft] def indexBuild(d: DataFrame): DataFrame = {
+    val toks = d.select(col("doc_id"),
+      posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "token")))
+    toks
+      .withColumn("entry", concat_ws(":",
+        lpad(col("doc_id").cast("string"), 8, "0"),
+        lpad(col("pos").cast("string"), 6, "0")))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_postings"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        expr(s"array_join(slice(array_sort(collect_list(entry)), 1, $PostingCap), ',')")
+          .as("posting"))
+  }
+
+  private val opIndex = Op(
+    "index_build",
+    (s, dir) => indexBuild(docs(s, dir)),
+    Some(s"""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents),
+      t AS (
+        SELECT doc_id, toks[u.i] AS token, u.i - 1 AS pos
+        FROM d, UNNEST(generate_series(1, len(toks))) AS u(i)),
+      e AS (
+        SELECT token, doc_id,
+          lpad(CAST(doc_id AS VARCHAR), 8, '0') || ':' ||
+            lpad(CAST(pos AS VARCHAR), 6, '0') AS entry
+        FROM t)
+      SELECT token,
+        CAST(COUNT(*) AS BIGINT) AS n_postings,
+        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        array_to_string(list_slice(list_sort(list(entry)), 1, $PostingCap), ',')
+          AS posting
+      FROM e GROUP BY token"""))
+
   val ops: Seq[Op] = Seq(opLangId, opQuality, opTokenCount, opFingerprint,
-    opRepetition, opPii, opVocab, opCompress, opFilter, opKeywords)
+    opRepetition, opPii, opVocab, opCompress, opFilter, opKeywords, opIndex)
 }

@@ -715,6 +715,57 @@ class PipelineOpsSpec extends SparkSpec {
     assert(plan.contains("TopKPerKey"), plan)
   }
 
+  test("quantile_bins: quartile cutoffs without a global sort; bins balanced") {
+    val out = run("quantile_bins").collect()
+    val n = out.length
+    assert(n > 0)
+    // every doc gets a bin; bin boundaries respect the cutoffs row-wise
+    out.foreach { r =>
+      val (t, b) = (r.getAs[Long]("n_toks"), r.getAs[Long]("bin"))
+      val (q1, q2, q3) = (r.getAs[Double]("q1"), r.getAs[Double]("q2"),
+        r.getAs[Double]("q3"))
+      assert(q1 <= q2 && q2 <= q3)
+      val expect = if (t <= q1) 0L else if (t <= q2) 1L else if (t <= q3) 2L else 3L
+      assert(b == expect, s"n_toks $t got bin $b vs cutoffs ($q1,$q2,$q3)")
+    }
+    // quartiles: every bin holds >= 15% of docs (exact interpolated
+    // cutoffs on a non-degenerate distribution)
+    val byBin = out.groupBy(_.getAs[Long]("bin")).view.mapValues(_.length)
+    assert(byBin.keys.toSet == Set(0L, 1L, 2L, 3L), s"bins: ${byBin.toMap}")
+    byBin.foreach { case (b, c) =>
+      assert(c >= n * 0.15, s"bin $b holds only $c of $n docs")
+    }
+    // the plan must NOT contain a global sort (the ntile anti-pattern)
+    val plan = run("quantile_bins").queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"),
+      s"quantile binning must not globally sort:\n$plan")
+  }
+
+  test("index_build: postings are sorted, capped, and recoverable") {
+    val fixture = Seq(
+      1L -> "apple banana apple",
+      2L -> "banana cherry",
+      12L -> "apple")  // 2-digit doc id exercises the zero-pad ordering
+      .toDF("doc_id", "text")
+    val out = operators.TextAnalysis.indexBuild(fixture).collect()
+      .map(r => r.getAs[String]("token") -> r).toMap
+    val apple = out("apple")
+    assert(apple.getAs[Long]("n_postings") == 3L)
+    assert(apple.getAs[Long]("n_docs") == 2L)
+    // numeric order via the zero-padded encoding: doc 1 (pos 0, 2), doc 12
+    assert(apple.getAs[String]("posting") ==
+      "00000001:000000,00000001:000002,00000012:000000")
+    assert(out("cherry").getAs[String]("posting") == "00000002:000001")
+    // op level: posting length never exceeds the cap
+    val op = run("index_build").collect()
+    assert(op.nonEmpty)
+    op.foreach { r =>
+      val entries = r.getAs[String]("posting").split(",").length
+      assert(entries <= operators.TextAnalysis.PostingCap &&
+        entries <= r.getAs[Long]("n_postings"))
+    }
+  }
+
   test("text_quality: ratios within [0,1], avg_token_len positive") {
     val out = run("text_quality")
     Seq("digit_ratio", "stopword_ratio", "distinct_ratio").foreach { c =>
