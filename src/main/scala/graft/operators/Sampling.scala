@@ -124,6 +124,47 @@ object Sampling {
         UNNEST(generate_series(tok_start // $SeqLen,
           (tok_start + n_tokens - 1) // $SeqLen)) AS u(s)"""))
 
+  // ---- sample_temperature: temperature-scaled source mixing ----
+  // The multilingual-pretraining mixing rule (XLM-R / mT5 style):
+  // instead of capping every source at the smallest (mix_sample),
+  // sources are downsampled so kept mass ∝ n_s^α — over-represented
+  // sources shrink, the tail keeps most of its rows. α = 1/2 here
+  // BECAUSE it is the one temperature with an integer-exact keep test:
+  // keep iff P = sqrt(n_min/n_s), and with h uniform on [0, M)
+  //   h/M < sqrt(n_min/n_s)  ⟺  h²·n_s < M²·n_min
+  // — both sides exact int64 (h² < 2^40, counts < 2^23 at any test sf),
+  // so Spark and the oracle agree bit-for-bit with no libm pow. Plan
+  // shape = mix_sample's: ONE narrow corpus scan + two broadcast tiny
+  // aggregates; no corpus shuffle, decisions identical on any cluster
+  // size. The hash multiplier differs from mix_sample's so the two
+  // samples are decorrelated.
+  val TempMul = 16807L // Lewis-Goodman-Miller multiplier (public classic)
+
+  private[graft] def sampleTemperature(d: DataFrame): DataFrame = {
+    val counts = d.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    val target = counts.agg(min(col("ns")).as("nmin"))
+    d.join(broadcast(counts), Seq("source"))
+      .crossJoin(broadcast(target))
+      .withColumn("h", (col("doc_id") * TempMul) % MixMod)
+      // integer cross-multiplication of the squared threshold: exact
+      .filter(col("h") * col("h") * col("ns")
+        < lit(MixMod) * lit(MixMod) * col("nmin"))
+      .select(col("doc_id"), col("source"), col("h").as("temp_hash"))
+  }
+
+  private val opTemp = Op(
+    "sample_temperature",
+    (s, dir) => sampleTemperature(Tables(s, dir, "documents")),
+    Some(s"""
+      WITH counts AS (SELECT source, COUNT(*) AS ns FROM documents GROUP BY 1),
+      t AS (SELECT MIN(ns) AS nmin FROM counts)
+      SELECT d.doc_id, d.source,
+        (d.doc_id * $TempMul) % $MixMod AS temp_hash
+      FROM documents d JOIN counts c ON d.source = c.source CROSS JOIN t
+      WHERE ((d.doc_id * $TempMul) % $MixMod)
+              * ((d.doc_id * $TempMul) % $MixMod) * c.ns
+            < CAST($MixMod AS BIGINT) * $MixMod * t.nmin"""))
+
   // ---- quantile_bins: curriculum/difficulty binning ----
   // Assign every doc a quartile bin by token count — the curriculum-
   // learning primitive (order training from short/easy to long/hard)
@@ -167,5 +208,5 @@ object Sampling {
         ROUND(q1, 6) AS q1, ROUND(q2, 6) AS q2, ROUND(q3, 6) AS q3
       FROM d CROSS JOIN c"""))
 
-  val ops: Seq[Op] = Seq(opMix, opPack, opBins)
+  val ops: Seq[Op] = Seq(opMix, opTemp, opPack, opBins)
 }

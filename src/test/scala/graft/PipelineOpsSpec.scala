@@ -130,6 +130,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(again == kept.map(_.getAs[Long]("doc_id")).toSet)
   }
 
+  test("sample_temperature: kept mass ∝ sqrt(source size), integer-exact") {
+    // 400 docs of src A, 16 of src B: α=1/2 keeps B whole
+    // (sqrt(16/16)=1) and A at ~sqrt(16/400)=20 % — between the
+    // balanced cap (16) and no cap (400)
+    val fixture = ((0L until 400L).map(i => (i, "A")) ++
+      (1000L until 1016L).map(i => (i, "B"))).toDF("doc_id", "source")
+    val kept = operators.Sampling.sampleTemperature(fixture).collect()
+    val bySrc = kept.groupBy(_.getAs[String]("source")).map { case (s, r) => s -> r.length }
+    assert(bySrc("B") == 16, s"min source must be kept whole: $bySrc")
+    // the keep test is the exact integer formula — replay it driver-side
+    val m = operators.Sampling.MixMod
+    val expectA = (0L until 400L).count { i =>
+      val h = (i * operators.Sampling.TempMul) % m
+      h * h * 400L < m * m * 16L
+    }
+    assert(bySrc("A") == expectA, s"src A kept ${bySrc("A")}, formula says $expectA")
+    // ~20 % of A ± sampling noise, strictly between the α=1 and α=0 ends
+    assert(expectA > 40 && expectA < 160, s"expected ~80, got $expectA")
+    // same broadcast-only plan contract as mix_sample
+    val plan = run("sample_temperature").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"sample_temperature must not shuffle the corpus:\n$plan")
+  }
+
   test("contam_ngram / mix_sample plans: broadcast-only joins, corpus never shuffles to join") {
     // contam_ngram: the eval vocabulary is the broadcast side of the
     // flag join; the corpus side must reach it without an exchange
