@@ -70,9 +70,18 @@ object Sampling {
   val PackTargetBucket = 1000L
 
   private[graft] def seqPack(d: DataFrame, seqLen: Long,
+      targetBucket: Long = PackTargetBucket): DataFrame =
+    packCounts(d.select(col("doc_id"),
+      size(TextFns.tokens(col("text"))).cast("long").as("n_tokens")),
+      seqLen, targetBucket)
+
+  /** seq_pack over an already-computed skinny (doc_id, n_tokens)
+    * frame — the entry point for pipelines (curate_e2e) that already
+    * carry token counts and must not re-tokenize the corpus.
+    */
+  private[graft] def packCounts(counts: DataFrame, seqLen: Long,
       targetBucket: Long = PackTargetBucket): DataFrame = {
-    val pre = d.select(col("doc_id"),
-        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+    val pre = counts.select(col("doc_id"), col("n_tokens"))
       .withColumn("pack_h", (col("doc_id") * MixMul) % MixMod)
       .localCheckpoint()
     // hash-range width per bucket, sized from n at plan time
@@ -132,13 +141,28 @@ object Sampling {
   // BECAUSE it is the one temperature with an integer-exact keep test:
   // keep iff P = sqrt(n_min/n_s), and with h uniform on [0, M)
   //   h/M < sqrt(n_min/n_s)  ⟺  h²·n_s < M²·n_min
-  // — both sides exact int64 (h² < 2^40, counts < 2^23 at any test sf),
-  // so Spark and the oracle agree bit-for-bit with no libm pow. Plan
+  // — evaluated in decimal(38,0) (see [[tempKeep]]) so both sides are
+  // exact at ANY corpus size, and Spark and the oracle agree
+  // bit-for-bit with no libm pow. Plan
   // shape = mix_sample's: ONE narrow corpus scan + two broadcast tiny
   // aggregates; no corpus shuffle, decisions identical on any cluster
   // size. The hash multiplier differs from mix_sample's so the two
   // samples are decorrelated.
   val TempMul = 16807L // Lewis-Goodman-Miller multiplier (public classic)
+
+  /** The exact keep predicate, exposed for expression-level specs:
+    * h^2 * ns < M^2 * nmin, evaluated in decimal(38,0) so both sides
+    * stay exact at ANY corpus size (raw int64 silently overflows once
+    * a source exceeds ~2^23 docs; decimal(38,0) holds exact products
+    * up to 10^38, and h^2 * ns < 2^40 * 10^25 for any corpus that
+    * could exist). The oracle runs the same comparison in DuckDB
+    * HUGEINT (128-bit) — likewise exact.
+    */
+  private[graft] def tempKeep(h: org.apache.spark.sql.Column,
+      ns: org.apache.spark.sql.Column,
+      nmin: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    h.cast("decimal(38,0)") * h * ns <
+      lit(MixMod).cast("decimal(38,0)") * lit(MixMod) * nmin
 
   private[graft] def sampleTemperature(d: DataFrame): DataFrame = {
     val counts = d.groupBy(col("source")).agg(count(lit(1)).as("ns"))
@@ -146,9 +170,7 @@ object Sampling {
     d.join(broadcast(counts), Seq("source"))
       .crossJoin(broadcast(target))
       .withColumn("h", (col("doc_id") * TempMul) % MixMod)
-      // integer cross-multiplication of the squared threshold: exact
-      .filter(col("h") * col("h") * col("ns")
-        < lit(MixMod) * lit(MixMod) * col("nmin"))
+      .filter(tempKeep(col("h"), col("ns"), col("nmin")))
       .select(col("doc_id"), col("source"), col("h").as("temp_hash"))
   }
 
@@ -161,9 +183,9 @@ object Sampling {
       SELECT d.doc_id, d.source,
         (d.doc_id * $TempMul) % $MixMod AS temp_hash
       FROM documents d JOIN counts c ON d.source = c.source CROSS JOIN t
-      WHERE ((d.doc_id * $TempMul) % $MixMod)
+      WHERE CAST((d.doc_id * $TempMul) % $MixMod AS HUGEINT)
               * ((d.doc_id * $TempMul) % $MixMod) * c.ns
-            < CAST($MixMod AS BIGINT) * $MixMod * t.nmin"""))
+            < CAST($MixMod AS HUGEINT) * $MixMod * t.nmin"""))
 
   // ---- quantile_bins: curriculum/difficulty binning ----
   // Assign every doc a quartile bin by token count — the curriculum-

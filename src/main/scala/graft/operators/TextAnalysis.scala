@@ -35,11 +35,15 @@ object TextAnalysis {
   // ---- lang_id: stopword-profile heuristic language ID ----
   // Argmax over per-language stopword hit counts, fixed priority order
   // en > de > fr > es > zh on ties (deterministic in both engines).
-  /** Argmax over stopword hit counts with fixed en>de>fr>es>zh tie
-    * order; extracted so specs can pin behavior on hand-built docs.
+  private val langs = Seq("en", "de", "fr", "es", "zh")
+
+  /** Appends `hits_*` and `predicted_lang` to `d` IN PLACE — pure
+    * per-row expressions over whatever columns `d` already carries, so
+    * consumers that need both the language signals and other per-doc
+    * columns (quality_filter) get them from ONE narrow scan instead of
+    * a self-join back to the corpus.
     */
-  private[graft] def predictLang(d: DataFrame): DataFrame = {
-    val langs = Seq("en", "de", "fr", "es", "zh")
+  private[graft] def withLangSignals(d: DataFrame): DataFrame = {
     val withCounts = langs.foldLeft(d) { (df, l) =>
       df.withColumn(s"hits_$l", hitCountSpark(l))
     }
@@ -49,9 +53,15 @@ object TextAnalysis {
         val c = col(s"hits_$l")
         acc.when(cols.drop(i + 1).map(o => c >= o).reduce(_ && _), l)
     }.otherwise("zh")
-    withCounts.select(col("doc_id") +: pred.as("predicted_lang") +:
-      langs.map(l => col(s"hits_$l")): _*)
+    withCounts.withColumn("predicted_lang", pred)
   }
+
+  /** Argmax over stopword hit counts with fixed en>de>fr>es>zh tie
+    * order; extracted so specs can pin behavior on hand-built docs.
+    */
+  private[graft] def predictLang(d: DataFrame): DataFrame =
+    withLangSignals(d).select(col("doc_id") +: col("predicted_lang") +:
+      langs.map(l => col(s"hits_$l")): _*)
 
   private val opLangId = Op(
     "lang_id",
@@ -300,9 +310,11 @@ object TextAnalysis {
   // failing reason (fixed order, so reasons are deterministic and
   // auditable — the reason histogram is the curation dashboard).
   // Thresholds follow the published C4/Gopher shapes scaled to the
-  // synthetic corpus. Plan shape: every scalar signal rides ONE narrow
-  // scan; only the repetition signals aggregate (two skinny shuffles),
-  // then one join back by doc_id.
+  // synthetic corpus. Plan shape: every scalar signal — language hits
+  // included, via withLangSignals — rides ONE narrow scan that drops
+  // the text before any exchange; only the repetition signals
+  // aggregate (two skinny shuffles), then one join back by doc_id. No
+  // Exchange in the plan carries the text column (spec-asserted).
   val QfMinToks = 16L
   val QfMaxToks = 1000L
   val QfMaxDigit = 0.2
@@ -312,9 +324,7 @@ object TextAnalysis {
   val QfMaxTopBigram = 0.2
 
   private[graft] def qualityFilter(d: DataFrame): DataFrame = {
-    val base = predictLang(d)
-      .select(col("doc_id"), col("predicted_lang"), col("hits_en"))
-      .join(d, Seq("doc_id"))
+    val base = withLangSignals(d)
       .withColumn("toks", TextFns.tokens(col("text")))
       .withColumn("n_toks", size(col("toks")).cast("long"))
       .select(col("doc_id"), col("predicted_lang"), col("n_toks"),
@@ -456,24 +466,40 @@ object TextAnalysis {
   // its bounded posting list. Entries are "docid:pos" with BOTH parts
   // ZERO-PADDED so lexicographic order IS numeric order — both engines
   // sort the same strings identically, no struct-sort portability
-  // hazard. Scale: one shuffle on token; posting lists are capped at
-  // [[PostingCap]] entries per row (a stopword's full posting grows
-  // O(corpus) — real indexes chunk posting blocks; the cap bounds row
-  // width while n_postings keeps the true total).
+  // hazard. Scale: posting lists are capped at [[PostingCap]] entries
+  // per row (a stopword's full posting grows O(corpus) — real indexes
+  // chunk posting blocks; the cap bounds row width while n_postings
+  // keeps the true total), and the cap is enforced BEFORE any
+  // aggregation buffer exists: TopK.perKey keeps the bottom-PostingCap
+  // entries per token in bounded per-partition heaps, so at most
+  // PostingCap × tokens rows reach the exchange and the collect_list
+  // that assembles the posting string only ever sees ≤ PostingCap rows
+  // per token. The true totals (n_postings, n_docs) come from a
+  // separate skinny count aggregation joined back on token —
+  // constant-size buffers all the way, even for a stopword token whose
+  // full posting list is the corpus.
   val PostingCap = 100
 
   private[graft] def indexBuild(d: DataFrame): DataFrame = {
-    val toks = d.select(col("doc_id"),
-      posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "token")))
-    toks
+    val entries = d.select(col("doc_id"),
+        posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "token")))
       .withColumn("entry", concat_ws(":",
         lpad(col("doc_id").cast("string"), 8, "0"),
         lpad(col("pos").cast("string"), 6, "0")))
-      .groupBy(col("token"))
+    val counts = entries.groupBy(col("token"))
       .agg(count(lit(1)).as("n_postings"),
-        countDistinct(col("doc_id")).as("n_docs"),
-        expr(s"array_join(slice(array_sort(collect_list(entry)), 1, $PostingCap), ',')")
-          .as("posting"))
+        countDistinct(col("doc_id")).as("n_docs"))
+    // bottom-PostingCap per token (Asc on the zero-padded entry IS
+    // numeric order); the ≤ PostingCap survivors per token are the only
+    // rows any collect_list buffer ever holds
+    val capped = graft.plans.TopK.perKey(
+      entries.select(col("token"), col("entry")),
+      Seq("token"), Seq("entry" -> graft.plans.TopK.Asc), PostingCap)
+    val posting = capped.groupBy(col("token"))
+      .agg(expr("array_join(array_sort(collect_list(entry)), ',')")
+        .as("posting"))
+    counts.join(posting, Seq("token"))
+      .select(col("token"), col("n_postings"), col("n_docs"), col("posting"))
   }
 
   private val opIndex = Op(

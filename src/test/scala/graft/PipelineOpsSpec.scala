@@ -791,6 +791,86 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("index_build: cap enforced BEFORE aggregation — bounded buffers") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // the collect_list that assembles posting strings must sit ABOVE
+    // the bounded TopKPerKey heaps, so its buffer only ever holds
+    // <= PostingCap rows per token — never the full posting list of a
+    // stopword (O(corpus) rows in one buffer at 100 TB)
+    val plan = run("index_build").queryExecution.sparkPlan
+    val collectAggs = plan.collect {
+      case a: BaseAggregateExec if a.aggregateExpressions
+        .exists(_.aggregateFunction.toString.contains("collect_list")) => a
+    }
+    assert(collectAggs.nonEmpty, s"expected a collect_list aggregate:\n$plan")
+    collectAggs.foreach { a =>
+      assert(a.find(_.getClass.getSimpleName.startsWith("TopKPerKey")).isDefined,
+        s"collect_list must aggregate the heap-capped frame, not the raw postings:\n$a")
+    }
+    // flood fixture: one token in EVERY doc — the exact shape the cap
+    // exists for. The output row is capped at the numerically smallest
+    // PostingCap entries while the counts keep the true totals.
+    val cap = operators.TextAnalysis.PostingCap
+    val n = cap + 50
+    val flood = (1 to n).map(i => i.toLong -> "flood").toDF("doc_id", "text")
+    val row = operators.TextAnalysis.indexBuild(flood).collect()
+      .find(_.getAs[String]("token") == "flood").get
+    assert(row.getAs[Long]("n_postings") == n.toLong)
+    assert(row.getAs[Long]("n_docs") == n.toLong)
+    val posting = row.getAs[String]("posting").split(",")
+    assert(posting.length == cap, s"expected $cap entries, got ${posting.length}")
+    // bottom-cap in numeric order: docs 1..cap at pos 0
+    assert(posting.head == "00000001:000000" &&
+      posting.last == f"$cap%08d:000000")
+    assert(posting.toSeq == posting.toSeq.sorted)
+  }
+
+  test("sample_temperature: keep test stays exact past int64 overflow") {
+    val m = operators.Sampling.MixMod
+    // ns = 10^10-doc sources (every real 100 TB corpus): h²·ns ≈ 10^22
+    // overflows int64 (≈9.2·10^18); the decimal(38,0) path must agree
+    // with BigInt ground truth on both keep and drop outcomes
+    val cases = Seq(
+      (m - 1L, 10000000000L, 1000000L),     // large h, heavy source → drop
+      (m - 1L, 10000000000L, 10000000000L), // ns == nmin → always keep
+      (123456L, 10000000000L, 9999999L),    // small h → keep
+      (1048000L, 40000000000L, 39999999L))  // h ~ M, ratio ~1 → boundary
+    val df = cases.toDF("h", "ns", "nmin")
+      .withColumn("keep",
+        operators.Sampling.tempKeep(col("h"), col("ns"), col("nmin")))
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getBoolean(3)).toMap
+    cases.foreach { case t @ (h, ns, nmin) =>
+      val expect =
+        BigInt(h) * BigInt(h) * BigInt(ns) < BigInt(m) * BigInt(m) * BigInt(nmin)
+      assert(got(t) == expect, s"case $t: got ${got(t)}, BigInt says $expect")
+    }
+    // prove the fixture is meaningful: the raw int64 product would wrap
+    assert(BigInt(m - 1) * (m - 1) * 10000000000L > BigInt(Long.MaxValue))
+  }
+
+  test("quality_filter: no Exchange carries the corpus text") {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    // every scalar signal (language hits included) rides the one narrow
+    // scan; only skinny per-doc frames may shuffle for the repetition
+    // join — the text column must never cross an exchange. AQE off so
+    // executedPlan is a plain tree with exchanges materialized.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = run("quality_filter").queryExecution.executedPlan
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.nonEmpty, s"expected skinny repetition shuffles:\n$plan")
+      shuffles.foreach { e =>
+        assert(!e.output.exists(_.name == "text"),
+          s"a shuffle carries the corpus text:\n$e")
+      }
+      plan.collect { case e: BroadcastExchangeExec => e }.foreach { e =>
+        assert(!e.output.exists(_.name == "text"),
+          s"a broadcast carries the corpus text:\n$e")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("text_quality: ratios within [0,1], avg_token_len positive") {
     val out = run("text_quality")
     Seq("digit_ratio", "stopword_ratio", "distinct_ratio").foreach { c =>
