@@ -119,15 +119,18 @@ object Dedup {
     // the rep frame carries chash and m through the signature build, so
     // neither the band pipeline nor the final assembly joins back to
     // `groups`
-    // explicit repartition = a shared Exchange: every downstream
-    // reference (both self-join sides, the final assembly) reads the
-    // ONE materialized signature frame via ReusedExchange instead of
-    // re-running the scan + rep join + kernel per reference
+    // materialized ONCE (localCheckpoint): every downstream reference
+    // (both self-join sides, the final assembly) reads the narrow
+    // signature blocks. (History: this was repartition(doc_id) to share
+    // an Exchange — but column pruning pushes only ATTRIBUTES below a
+    // repartition, so the exchange carried the raw TEXT and the kernel
+    // re-ran per consumer above it. The checkpoint keeps the signature
+    // build truly narrow: scan → kernel → blocks, no exchange.)
     val sig = minhashSigs(
       d.select(col("doc_id"), col("text"))
         .join(groups, col("doc_id") === col("rep_id"))
         .select(col("doc_id"), col("chash"), col("m"), col("text")))
-      .repartition(col("doc_id"))
+      .localCheckpoint()
     val pairs = minhashBandPairs(sig)
     // re-expand: each partner GROUP contributes its full copy count
     val partners = pairs.select(col("a").as("rep_id"), col("mb").as("pm"))
@@ -531,19 +534,36 @@ object Dedup {
       .groupBy(col("chash"))
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("m"))
       .localCheckpoint()
+    // counted broadcast guard (the dedup_span pattern) on BOTH joins
+    // that touch rep texts: the skinny side is checkpointed, so the
+    // MEASURED count — not a statistics guess — decides broadcast vs
+    // shuffled-hash. Under the bound the corpus text crosses no
+    // exchange; above it the gather degrades to the unavoidable
+    // shuffle of exactly the touched texts.
+    def counted(f: DataFrame): DataFrame =
+      if (f.count() <= SpanBroadcastMaxRows) broadcast(f)
+      else f.hint("shuffle_hash")
     val reps = d.select(col("doc_id"), col("text"))
-      .join(groups, col("doc_id") === col("rep_id"))
+      .join(counted(groups), col("doc_id") === col("rep_id"))
       .select(col("doc_id"), col("m"), col("text"))
-    val sig = minhashSigs(reps).repartition(col("doc_id"))
+    // narrow signature frame materialized once (no repartition: an
+    // exchange here would carry raw text — see minhashDedup's note)
+    val sig = minhashSigs(reps).localCheckpoint()
     // candidate pairs feed three consumers (both verify sides + the
     // touched-doc set) — materialize the band join once
     val cand = minhashBandPairs(sig).select(col("a"), col("b"))
       .localCheckpoint()
-    // exact verification: shingle sets only for candidate-touched reps
+    // exact verification: shingle sets only for candidate-touched reps.
+    // Checkpointed so the planner sees its REAL size when joining it to
+    // the rep texts: the vanishing-fraction candidate set broadcasts,
+    // and only if candidates genuinely outgrow the broadcast threshold
+    // does the gather fall back to a shuffle.
     val candDocs = cand.select(col("a").as("doc_id"))
       .union(cand.select(col("b").as("doc_id"))).distinct()
+      .localCheckpoint()
     val ssets = shingleRows(
-        reps.join(candDocs, Seq("doc_id")).select(col("doc_id"), col("text")))
+        reps.join(counted(candDocs), Seq("doc_id"))
+          .select(col("doc_id"), col("text")))
       .groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("sset"))
     val verified = cand
       .join(ssets.select(col("doc_id").as("a"), col("sset").as("sa")), Seq("a"))

@@ -7,7 +7,7 @@ class PipelineOpsSpec extends SparkSpec {
   import spark.implicits._
 
   private val all = TextAnalysis.ops ++ Dedup.ops ++ Similarity.ops ++
-    Multimodal.ops ++ operators.Sampling.ops
+    Multimodal.ops ++ operators.Sampling.ops ++ operators.Curate.ops
 
   private def run(name: String) =
     all.find(_.name == name).get.query(spark, sfDir)
@@ -869,6 +869,104 @@ class PipelineOpsSpec extends SparkSpec {
           s"a broadcast carries the corpus text:\n$e")
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("curate_e2e: planted fixture drops exactly one doc set per stage") {
+    graft.plans.GraftFunctions.register(spark)
+    // 19 distinct filler words + one shared stopword; every token
+    // carries a letters-only per-doc tag so cross-doc shingle overlap
+    // is zero (no accidental near-dup candidates, no digit-gate hits)
+    val names = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+      "oscar", "papa", "quebec", "romeo", "sierra")
+    def tag(i: Long) = i.toString.map(c => ('a' + (c - '0')).toChar).mkString
+    def good(t: String) = "the " + names.map(w => s"$w$t").mkString(" ")
+    val web = (Seq(1L, 2L) ++ (4L to 40L)).map(i => (i, good(tag(i)), "web"))
+    val dup = Seq((3L, good(tag(2L)), "web"))   // exact copy of doc 2
+    val books = (101L to 105L).map(i => (i, good(tag(i)), "books"))
+    val bad = Seq((900L, "tiny doc", "web"))    // fails the length gate
+    val fixture = (web ++ dup ++ books ++ bad).toDF("doc_id", "text", "source")
+    val m = operators.Curate.curateE2e(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m.size == 46) // 39 web + 1 dup + 5 books + 1 quality-fail
+    // stage 1: quality — the short doc, with its first failing reason
+    assert(m(900L).getAs[String]("stage") == "quality" &&
+      m(900L).getAs[String]("qf_reason") == "short", s"${m(900L)}")
+    // stage 2: dedup — the exact copy folds into doc 2's cluster
+    assert(m(3L).getAs[String]("stage") == "dedup" &&
+      m(3L).getAs[Long]("cluster_id") == 2L, s"${m(3L)}")
+    // stage 3: mix — replay the exact α=1/2 keep formula driver-side
+    // over the dedup survivors (39 web, 5 books → nmin = 5)
+    val M = operators.Sampling.MixMod
+    val webIds = Seq(1L, 2L) ++ (4L to 40L)
+    val expectMixDrop = webIds.filter { i =>
+      val h = (i * operators.Sampling.TempMul) % M
+      BigInt(h) * h * webIds.length >= BigInt(M) * M * 5
+    }.toSet
+    assert(expectMixDrop.nonEmpty, "fixture must drop at least one doc at mix")
+    val gotMixDrop = m.values.filter(_.getAs[String]("stage") == "mix")
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(gotMixDrop == expectMixDrop,
+      s"mix drops: got $gotMixDrop expected $expectMixDrop")
+    // the smallest source is never downsampled at α = 1/2
+    (101L to 105L).foreach(i => assert(m(i).getAs[String]("stage") == "kept"))
+    // kept docs carry pack coordinates; dropped docs carry sentinels
+    m.values.foreach { r =>
+      if (r.getAs[String]("stage") == "kept") {
+        assert(r.getAs[String]("qf_reason") == "ok")
+        assert(r.getAs[Long]("n_seqs") >= 1L && r.getAs[Long]("first_seq") >= 0L)
+      } else {
+        assert(r.getAs[Long]("n_seqs") == 0L &&
+          r.getAs[Long]("first_seq") == -1L)
+      }
+    }
+    // funnel totals: 46 in = 1 quality + 1 dedup + mix drops + kept
+    val byStage = m.values.groupBy(_.getAs[String]("stage"))
+      .view.mapValues(_.size).toMap
+    assert(byStage == Map("quality" -> 1, "dedup" -> 1,
+      "mix" -> expectMixDrop.size, "kept" -> (44 - expectMixDrop.size)),
+      s"funnel: $byStage")
+  }
+
+  test("curate_e2e: corpus text crosses at most one exchange, whole chain") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.util.QueryExecutionListener
+    graft.plans.GraftFunctions.register(spark)
+    // every job the chain runs (checkpoint materializations included)
+    // flows through the listener; count text-carrying shuffles across
+    // ALL of them — the chain's contract is at most one
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.execution.SparkPlan]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit =
+        plans.add(qe.executedPlan)
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.listenerManager.register(listener)
+    try {
+      operators.Curate.curateE2e(Tables(spark, sfDir, "documents"))
+        .write.format("noop").mode("overwrite").save()
+      // listener delivery is async — wait for the queue to quiesce
+      var last = -1
+      while (plans.size != last) { last = plans.size; Thread.sleep(500) }
+      assert(plans.size > 0, "listener captured no query executions")
+      val textShuffles = plans.toArray(Array.empty[
+          org.apache.spark.sql.execution.SparkPlan])
+        .flatMap(_.collect {
+          // broadcasts count too: pinning the corpus text on every
+          // executor is still the text crossing an exchange
+          case e: org.apache.spark.sql.execution.exchange.Exchange
+              if e.output.exists(_.name == "text") => e
+        })
+      assert(textShuffles.length <= 1,
+        s"corpus text crossed ${textShuffles.length} exchanges:\n" +
+          textShuffles.mkString("\n---\n"))
+    } finally {
+      spark.listenerManager.unregister(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
   }
 
   test("text_quality: ratios within [0,1], avg_token_len positive") {
