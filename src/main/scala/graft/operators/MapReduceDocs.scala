@@ -334,6 +334,15 @@ object MapReduceDocs {
   // aggregate; both engines use the (n-1)·p linear-interpolation
   // definition, and the cents basis keeps the interpolation arithmetic
   // on exact integers).
+  //
+  // Buffer bound: Spark's exact `percentile` holds a (value → count)
+  // map per group, i.e. O(DISTINCT values), NOT O(rows). Here the
+  // domain is integer cents of a bounded price range (`value` is a
+  // synthetic [0, 1000) money column → ≤ 10^5 distinct cents), so the
+  // buffer is a few hundred KB per group at ANY corpus size. For a
+  // genuinely unbounded domain (e.g. free floats), swap in
+  // approx_percentile — the exact form is chosen here because the
+  // bounded domain makes it free and the oracle bit-exact.
   private val opStats = Op(
     "score_stats",
     (s, dir) => {

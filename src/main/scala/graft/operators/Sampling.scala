@@ -197,6 +197,12 @@ object Sampling {
   // (n-1)·p interpolation is exact in both engines, the score_stats
   // convention), broadcast back, and the assignment is a narrow CASE:
   // no global sort anywhere, identical bins on any cluster size.
+  //
+  // Buffer bound: exact `percentile` buffers O(DISTINCT values), not
+  // O(rows) — token counts are small integers bounded by the max doc
+  // length (≤ ~10^6 distinct values no matter how many docs), so the
+  // single aggregate's buffer is bounded at any corpus size. An
+  // unbounded-domain variant would use approx_percentile instead.
   private[graft] def quantileBins(d: DataFrame): DataFrame = {
     val sized = d.select(col("doc_id"),
       size(TextFns.tokens(col("text"))).cast("long").as("n_toks"))

@@ -969,6 +969,57 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_pipeline: corpus text crosses at most one exchange") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    graft.plans.GraftFunctions.register(spark)
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.execution.SparkPlan]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit =
+        plans.add(qe.executedPlan)
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.listenerManager.register(listener)
+    try {
+      run("dedup_pipeline").write.format("noop").mode("overwrite").save()
+      var last = -1
+      while (plans.size != last) { last = plans.size; Thread.sleep(500) }
+      val textMoves = plans.toArray(Array.empty[
+          org.apache.spark.sql.execution.SparkPlan])
+        .flatMap(_.collect {
+          case e: org.apache.spark.sql.execution.exchange.Exchange
+              if e.output.exists(_.name == "text") => e
+        })
+      assert(textMoves.length <= 1,
+        s"dedup_pipeline moved the corpus text ${textMoves.length} times:\n" +
+          textMoves.mkString("\n---\n"))
+    } finally {
+      spark.listenerManager.unregister(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
+  test("exact percentile domains are bounded (buffer = O(distinct), not O(rows))") {
+    // score_stats buffers distinct integer cents, quantile_bins distinct
+    // token counts — pin the bounded-domain argument to the data:
+    // distinct values ≪ rows, and the domains are the documented ones
+    val cents = Tables.events(spark, sfDir)
+      .selectExpr("CAST(ROUND(value * 100) AS BIGINT) AS c")
+    val (nRows, nDistinct) = (cents.count(),
+      cents.distinct().count())
+    assert(nDistinct <= 100001L,
+      s"cents domain unbounded? $nDistinct distinct")
+    val toks = Tables(spark, sfDir, "documents")
+      .selectExpr("CAST(size(split(text, ' ')) AS BIGINT) AS n")
+    val tokMax = toks.agg(max($"n")).head().getLong(0)
+    val tokDistinct = toks.distinct().count()
+    assert(tokDistinct <= tokMax + 1,
+      s"token-count domain exceeds its max-doc-length bound: $tokDistinct > $tokMax")
+    assert(nRows > 0 && nDistinct > 0)
+  }
+
   test("text_quality: ratios within [0,1], avg_token_len positive") {
     val out = run("text_quality")
     Seq("digit_ratio", "stopword_ratio", "distinct_ratio").foreach { c =>
