@@ -48,6 +48,16 @@ object Bench {
     val selected = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    // line-delimited per-query report, APPENDED as each query finishes:
+    // the durable artifact a truncated stdout capture can't eat — the
+    // final stdout JSON line stays the driver contract
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.jsonl"))
+    java.nio.file.Files.deleteIfExists(outPath)
+    def appendLine(line: String): Unit =
+      java.nio.file.Files.writeString(outPath, line + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
     val results = selected.sortBy(_._1).map { case (name, fn) =>
       System.err.println(s"[bench] running $name")
       val samples = (1 to runs).map { _ =>
@@ -57,8 +67,10 @@ object Bench {
         }
       }
       // a failed run (-1.0) poisons the median → report the failure
-      name -> (if (samples.exists(_ < 0)) -1.0
-               else samples.sorted.apply(runs / 2))
+      val sec = if (samples.exists(_ < 0)) -1.0
+                else samples.sorted.apply(runs / 2)
+      appendLine(s"""{"query":"$name","sec":$sec,"runs":$runs}""")
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -68,7 +80,9 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
       .mkString("[", ",", "]")
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    appendLine(line)
+    println(line)
     spark.stop()
   }
 }
