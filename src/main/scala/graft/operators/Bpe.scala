@@ -26,12 +26,27 @@ import org.apache.spark.sql.functions._
   *    the REAL piece stream — the tokenizer-faithful variant of the
   *    reference's `rechunk(ids, chunk_len)`.
   *
-  * Character-level symbols without an end-of-word marker (tokens are
-  * already whitespace-delimited words, so no cross-word merges exist by
-  * construction; the marker variant only matters when decoding back to
-  * text, which these rows never do).
+  * Sennrich-faithful end-of-word handling: the [[Eow]] marker is
+  * attached to each word's LAST character symbol (exactly the public
+  * learn_bpe.py convention), so merges distinguish word-final from
+  * word-internal contexts and the piece stream decodes losslessly back
+  * to text: concatenate pieces, turn each marker into a space, trim —
+  * [[decodePieces]], spec'd by encode→decode identity on the corpus
+  * (the roundtrip_ok column of bpe_encode).
   */
 object Bpe {
+
+  /** End-of-word marker, merged onto each word's final character
+    * symbol (Sennrich learn_bpe.py). Makes encoding invertible.
+    */
+  val Eow = "</w>"
+
+  /** Inverse of the piece stream: concat pieces, marker → space, trim.
+    * Identity with `array_join(tokens, " ")` for any whitespace
+    * tokenization with non-empty tokens.
+    */
+  private[graft] def decodePieces(pieces: org.apache.spark.sql.Column) =
+    rtrim(regexp_replace(array_join(pieces, ""), Eow, " "))
 
   /** Merge rules to train. Real tokenizers use 30k-100k; the synthetic
     * corpus vocabulary saturates far earlier, and the ALGORITHM is
@@ -48,7 +63,11 @@ object Bpe {
   private[graft] def trainMerges(
       wordCounts: Seq[(String, Long)], nMerges: Int): Seq[(String, String)] = {
     var words: Array[(Array[String], Long)] = wordCounts
-      .map { case (w, n) => (w.map(String.valueOf(_)).toArray, n) }.toArray
+      .map { case (w, n) =>
+        val syms = w.map(String.valueOf(_)).toArray
+        if (syms.nonEmpty) syms(syms.length - 1) += Eow // learn_bpe.py init
+        (syms, n)
+      }.toArray
     val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var m = 0
     var exhausted = false
@@ -139,7 +158,12 @@ object Bpe {
           size(col("pieces")).cast("long").as("n_pieces"),
           round(size(col("pieces")) / size(col("toks")).cast("double"), 6)
             .as("pieces_per_word"),
-          md5(array_join(col("pieces"), " ")).as("piece_digest"))
+          md5(array_join(col("pieces"), " ")).as("piece_digest"),
+          // encode→decode identity, verified on every corpus row (the
+          // empty-token filter mirrors the kernel's skip of "" words)
+          (decodePieces(col("pieces")) ===
+            array_join(filter(col("toks"), t => t =!= ""), " "))
+            .cast("long").as("roundtrip_ok"))
     },
     None)
 

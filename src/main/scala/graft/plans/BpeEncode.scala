@@ -74,6 +74,10 @@ final class BpeTable(merges: Seq[String]) extends Serializable {
     var syms = new Array[String](w.length)
     var c = 0
     while (c < w.length) { syms(c) = String.valueOf(w.charAt(c)); c += 1 }
+    // Sennrich learn_bpe.py symbol init: end-of-word marker rides on
+    // the final character, so encoding is invertible (decode = concat
+    // pieces, marker -> space)
+    if (syms.length > 0) syms(syms.length - 1) = syms(syms.length - 1) + "</w>"
     var done = syms.length < 2
     while (!done) {
       // lowest-rank pair present among adjacent symbols
