@@ -108,6 +108,33 @@ object Streams {
         col("distinct_ratio"), col("digit_ratio"))
   }
 
+  /** stream_mix — stateless temperature-mix gate on ingest (batch
+    * twin: sample_temperature). Per-source totals cannot be counted
+    * inside an unbounded stream without an ever-growing aggregation,
+    * so they come from OFFLINE profiling (the previous corpus
+    * snapshot), baked in as a literal source → n_s table; the α = 1/2
+    * keep test is then the SAME pure per-row decimal(38,0) expression
+    * the batch operator uses — append mode, no state store, no
+    * watermark. With counts profiled over the same rows, the kept set
+    * equals the batch operator's exactly (spec-asserted). Docs from
+    * sources absent in the profile are dropped (no mass budget).
+    */
+  def tempMixGated(docs: DataFrame,
+      sourceCounts: Map[String, Long]): DataFrame = {
+    require(sourceCounts.nonEmpty, "source profile must be non-empty")
+    val nmin = sourceCounts.values.min
+    val ns = sourceCounts.foldLeft(lit(null).cast("long")) {
+      case (acc, (s, n)) => when(col("source") === s, n).otherwise(acc)
+    }
+    docs
+      .withColumn("h", (col("doc_id") * graft.operators.Sampling.TempMul)
+        % graft.operators.Sampling.MixMod)
+      .withColumn("ns", ns)
+      .filter(col("ns").isNotNull &&
+        graft.operators.Sampling.tempKeep(col("h"), col("ns"), lit(nmin)))
+      .select(col("doc_id"), col("source"), col("h").as("temp_hash"))
+  }
+
   // ---- stream_asof: per-user as-of enrichment on an event stream ----
 
   case class AsofEv(user_id: Long, event_type: String, event_id: Long,

@@ -111,6 +111,39 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(1L), s"gate kept $kept")
   }
 
+  test("stream_mix: temperature gate matches the batch twin exactly") {
+    implicit val sql = spark.sqlContext
+    // the planted skew of the batch sample_temperature spec: 400 docs
+    // of src A, 16 of src B — the stream gate must keep the identical
+    // id set when its offline profile equals the batch counts
+    val rows = (0L until 400L).map(i => (i, "A")) ++
+      (1000L until 1016L).map(i => (i, "B"))
+    val profile = Map("A" -> 400L, "B" -> 16L)
+    val in = MemoryStream[(Long, String)]
+    val df = in.toDF().toDF("doc_id", "source")
+    val q = Streams.tempMixGated(df, profile).writeStream
+      .format("memory").queryName("mix_gate_out")
+      .outputMode("append").start()
+    // split across two micro-batches + an unprofiled source: stateless
+    // decisions must not depend on batch boundaries
+    in.addData(rows.take(200): _*)
+    q.processAllAvailable()
+    in.addData(rows.drop(200) :+ (5000L, "mystery"): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("mix_gate_out").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("temp_hash")).toMap
+    q.stop()
+    val batch = operators.Sampling
+      .sampleTemperature(rows.toDF("doc_id", "source")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("temp_hash")).toMap
+    assert(streamed == batch,
+      s"stream kept ${streamed.keySet.size} ids, batch ${batch.keySet.size}")
+    assert(!streamed.contains(5000L), "unprofiled source must be dropped")
+    // the gate really ran append-stateless: no state store rows exist
+    assert(q.lastProgress == null ||
+      q.lastProgress.stateOperators.isEmpty)
+  }
+
   test("stream_asof: purchases enrich with the latest prior view across batches") {
     import graft.streaming.Streams.{AsofEv, AsofOut}
     implicit val sql = spark.sqlContext
