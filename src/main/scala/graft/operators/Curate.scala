@@ -7,8 +7,12 @@ import org.apache.spark.sql.functions._
 
 /** curate_e2e — the full training-data curation decision, end-to-end
   * (SURVEY.md §2): the chain every individual gate exists FOR, wired
-  * the way dedup_pipeline wired the dedup stages. One row per INPUT
-  * doc with its disposition:
+  * the way dedup_pipeline wired the dedup stages. The reference's end
+  * state is curated, chunked documents feeding its map-reduce pipeline
+  * (reference datasets/parse.py sectioning → test_proactive.py:152
+  * rechunk); this operator is the decision record of the curation that
+  * precedes that hand-off at corpus scale. One row per INPUT doc with
+  * its disposition:
   *
   *   quality_filter keep-set  → near-dup dedup_pipeline keepers
   *     → sample_temperature mix  → seq_pack training manifest
@@ -58,15 +62,17 @@ object Curate {
     // dedup_span pattern): its MEASURED count — not a checkpoint's
     // unknown statistics — decides broadcast vs shuffled-hash. Under
     // the bound the text crosses no exchange at all; above it this is
-    // the chain's ONE text move. Deliberately NOT checkpointed:
-    // downstream consumers re-read the scan + hash-join (parallel, no
-    // network) — at production scale you'd write survivors to a
-    // bucketed table instead.
+    // the chain's ONE text move. Materialized once: every downstream
+    // consumer (dedup's groups/reps/ssets, the skinny projection)
+    // reads the blocks instead of re-running the corpus scan — and
+    // because every text-side join below is guard-driven, the
+    // checkpoint's unknown statistics can't flip a join to a text
+    // shuffle (spec-audited across all jobs).
     val keepIds = qf.filter(col("qf_keep") === 1L).select("doc_id")
     val keepSide =
       if (keepIds.count() <= Dedup.SpanBroadcastMaxRows) broadcast(keepIds)
       else keepIds.hint("shuffle_hash")
-    val survivors = d.join(keepSide, Seq("doc_id"))
+    val survivors = d.join(keepSide, Seq("doc_id")).localCheckpoint()
     // stage 2: near-dup clustering over quality survivors
     val dd = Dedup.dedupPipeline(survivors.select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("cluster_id"), col("is_keeper"))
