@@ -434,6 +434,94 @@ object Similarity {
             FROM s)
       SELECT q_id, c_id, cos, rk FROM r WHERE rk <= 5"""))
 
+  // ---- ann_pq: product-quantized serving path ----
+  // The deepest rung of the serving-memory ladder (float 256 B → int8
+  // 64 B → PQ [[PqM]] B per vector: 32×): each vector is replaced by
+  // m nearest-subspace-centroid ids and queries rank candidates by ADC
+  // cosine straight from the codebook (Jégou et al., TPAMI 2011). At
+  // 100 TB this is what makes a RAM-resident index possible at all —
+  // 10^12 vectors × 8 B = 8 TB across a 1000-executor fleet.
+  //
+  // Scale shape: codebook training is a bounded driver one-off on the
+  // SAME deterministic hash-ordered sample the IVF trainer uses
+  // (cost ≤ sample·k·dim·iters = 65536·256·64·3 ≈ 3×10⁹ mult-adds —
+  // ~40× cheaper than ann_ivf's documented bound); encoding is one
+  // NARROW kernel pass; serving is the ann_quantized plan with codes
+  // in place of int8 vectors (broadcast queries → codegen ADC →
+  // two-phase TopKPerKey). Rows-only: Lloyd iterations are not
+  // portable SQL — the recall-vs-exact spec is the correctness bound.
+  val PqM = 8
+  val PqK = 256
+
+  /** Flat subspace-major codebook from plain-L2 Lloyd per subspace on
+    * the bounded sample; returns (codebook, effective k) — k shrinks
+    * to the sample size on tiny inputs so centroids stay distinct.
+    */
+  private[graft] def pqCodebook(
+      e: DataFrame, m: Int, k: Int, iters: Int): (Array[Float], Int) = {
+    val sample = e.withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(col("h")).limit(KmeansSampleCap)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val dim = sample.headOption.map(_.length).getOrElse(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val kEff = math.max(1, math.min(k, sample.length))
+    val cb = new Array[Float](m * kEff * dsub)
+    for (j <- 0 until m) {
+      val subs = sample.map(v => v.slice(j * dsub, (j + 1) * dsub))
+      var cents = subs.take(kEff).map(_.clone())
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](dsub))
+        val counts = new Array[Long](cents.length)
+        subs.foreach { u =>
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            var d = 0.0
+            var i = 0
+            while (i < dsub) {
+              val diff = u(i) - cents(c)(i); d += diff * diff; i += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < dsub) { sums(best)(i) += u(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = cents.zipWithIndex.map { case (old, c) =>
+          if (counts(c) == 0) old else sums(c).map(_ / counts(c))
+        }
+      }
+      for (c <- 0 until kEff; i <- 0 until dsub)
+        cb((j * kEff + c) * dsub + i) = cents(c)(i).toFloat
+    }
+    (cb, kEff)
+  }
+
+  private val opPq = Op(
+    "ann_pq",
+    (s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val e = Tables(s, dir, "embeddings")
+      val (cb, kEff) = pqCodebook(e, PqM, PqK, KmeansIters)
+      val cbLit = lit(cb)
+      val codes = e.select(col("vec_id").as("c_id"),
+        call_function("graft_pq_encode",
+          col("embedding"), cbLit, lit(PqM), lit(kEff)).as("c_code"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val scored = codes.join(broadcast(q), col("q_id") =!= col("c_id"))
+        .withColumn("cos", round(call_function("graft_pq_cos",
+          col("q_emb"), col("c_code"), cbLit, lit(PqM), lit(kEff)), 6))
+      graft.plans.TopK.perKey(scored, Seq("q_id"),
+          Seq("cos" -> graft.plans.TopK.Desc, "c_id" -> graft.plans.TopK.Asc), 5)
+        .select(col("q_id"), col("c_id"), col("cos"), col("rk"))
+    },
+    None)
+
   val ops: Seq[Op] =
-    Seq(opBrute, opIvf, opIvfQuant, opEmbedDedup, opQuantize, opQuantAnn)
+    Seq(opBrute, opIvf, opIvfQuant, opEmbedDedup, opQuantize, opQuantAnn, opPq)
 }

@@ -98,6 +98,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.bleuSmoothDescriptor)
     ext.injectFunction(GraftFunctions.deflateLenDescriptor)
     ext.injectFunction(GraftFunctions.bpeDescriptor)
+    ext.injectFunction(GraftFunctions.pqEncodeDescriptor)
+    ext.injectFunction(GraftFunctions.pqCosDescriptor)
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectOptimizerRule(_ => PushFilterThroughTopK)
   }
@@ -161,6 +163,32 @@ object GraftFunctions {
     new ExpressionInfo(classOf[BpeEncodeExpr].getName, "graft_bpe"),
     bpeBuilder)
 
+  private def evalFloats(e: Expression): Seq[Float] = {
+    val arr = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    arr.toFloatArray().toSeq
+  }
+
+  private[plans] val pqEncodeBuilder =
+    (exprs: Seq[Expression]) => PqEncodeExpr(exprs.head, evalFloats(exprs(1)),
+      exprs(2).eval().asInstanceOf[Int],
+      exprs(3).eval().asInstanceOf[Int]): Expression
+
+  private[plans] val pqCosBuilder =
+    (exprs: Seq[Expression]) => PqCosineExpr(exprs.head, exprs(1),
+      evalFloats(exprs(2)),
+      exprs(3).eval().asInstanceOf[Int],
+      exprs(4).eval().asInstanceOf[Int]): Expression
+
+  private[plans] val pqEncodeDescriptor = (
+    FunctionIdentifier("graft_pq_encode"),
+    new ExpressionInfo(classOf[PqEncodeExpr].getName, "graft_pq_encode"),
+    pqEncodeBuilder)
+
+  private[plans] val pqCosDescriptor = (
+    FunctionIdentifier("graft_pq_cos"),
+    new ExpressionInfo(classOf[PqCosineExpr].getName, "graft_pq_cos"),
+    pqCosBuilder)
+
   private[plans] val deflateLenDescriptor = (
     FunctionIdentifier("graft_deflate_len"),
     new ExpressionInfo(classOf[DeflateLenExpr].getName, "graft_deflate_len"),
@@ -204,6 +232,10 @@ object GraftFunctions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bpe", bpeBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_encode", pqEncodeBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_cos", pqCosBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_deflate_len",
       exprs => DeflateLenExpr(exprs.head),

@@ -49,4 +49,39 @@ class CosineSimilaritySpec extends SparkSpec {
     // the "*(1)" prefix marks operators inside a WholeStageCodegen stage
     assert(plan.contains("*(1) Project [graft_cosine"))
   }
+
+  test("pq kernels: hand codebook encode + ADC cosine, ties and guards") {
+    GraftFunctions.register(spark)
+    // m=2 subspaces × k=2 centroids × dsub=2, subspace-major flat:
+    //   j0: c0=(1,0)  c1=(0,1)      j1: c0=(1,1)  c1=(0,2)
+    val cb = Array(1.0f, 0.0f, 0.0f, 1.0f, 1.0f, 1.0f, 0.0f, 2.0f)
+    val rows = Seq(
+      (1L, Array(0.9f, 0.1f, 0.4f, 0.7f)),  // → codes [0,0]
+      (2L, Array(0.1f, 0.9f, 0.1f, 1.8f)),  // → codes [1,1]
+      (3L, Array(0.5f, 0.5f, 0.0f, 0.0f)))  // sub0 equidistant → tie → 0
+      .toDF("id", "v")
+      .withColumn("codes", call_function("graft_pq_encode",
+        $"v", lit(cb), lit(2), lit(2)))
+      .withColumn("cos", call_function("graft_pq_cos",
+        $"v", $"codes", lit(cb), lit(2), lit(2)))
+    val out = rows.collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[collection.Seq[Int]]("codes").toList,
+          r.getAs[Double]("cos"))).toMap
+    assert(out(1L)._1 == List(0, 0), out(1L)._1.toString)
+    assert(out(2L)._1 == List(1, 1), out(2L)._1.toString)
+    assert(out(3L)._1.head == 0, "L2 tie must break to the smaller id")
+    // ADC cosine vs hand math: recon(1) = (1,0,1,1)
+    val x = Array(0.9f, 0.1f, 0.4f, 0.7f).map(_.toDouble)
+    val expect = (x(0) + x(2) + x(3)) /
+      (math.sqrt(x.map(v => v * v).sum) * math.sqrt(3.0))
+    assert(math.abs(out(1L)._2 - expect) < 1e-12, s"${out(1L)._2} vs $expect")
+    // dimension mismatch → NULL, never a plausible code
+    val bad = Seq((9L, Array(1.0f, 2.0f, 3.0f))).toDF("id", "v")
+      .withColumn("codes", call_function("graft_pq_encode",
+        $"v", lit(cb), lit(2), lit(2)))
+      .collect().head
+    assert(bad.isNullAt(bad.fieldIndex("codes")),
+      "length-3 vector must not encode under dsub=2")
+  }
 }

@@ -969,6 +969,26 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("ann_pq: recall vs exact top-5 clears the structureless-data bound") {
+    // synthetic embeddings are near-random — PQ's worst case (measured
+    // mean recall@5 ≈ 0.62 here; clustered real corpora do far better).
+    // Bound mean ≥ 0.5 and every query ≥ 0.2 so a codebook or ADC
+    // regression fails loudly without flaking on the data's noise.
+    val exact = run("ann_cosine_topk").collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("c_id")).toSet).toMap
+    val pq = run("ann_pq").collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("c_id")).toSet).toMap
+    assert(pq.keySet == exact.keySet)
+    pq.values.foreach(s => assert(s.size == 5))
+    val recalls = exact.keys.toSeq.sorted
+      .map(q => (pq(q) & exact(q)).size / 5.0)
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall@5 $mean < 0.5 (per-query: $recalls)")
+    recalls.foreach(r => assert(r >= 0.2, s"a query fell to recall $r"))
+  }
+
   test("dedup_pipeline: corpus text crosses at most one exchange") {
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.util.QueryExecutionListener
