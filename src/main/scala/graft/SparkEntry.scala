@@ -11,7 +11,8 @@ object SparkEntry {
       operators.MapReduceDocs.ops ++
       operators.TextAnalysis.ops ++ operators.Dedup.ops ++
       operators.Similarity.ops ++ operators.Multimodal.ops ++
-      operators.Sampling.ops ++ operators.Bpe.ops ++ operators.Curate.ops
+      operators.Sampling.ops ++ operators.Bpe.ops ++ operators.Curate.ops ++
+      operators.LangModel.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

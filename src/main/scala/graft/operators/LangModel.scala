@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import graft.functions.TextFns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ngram_lm — bigram language-model surprisal as a quality signal.
+  *
+  * The CCNet/Gopher-family pipelines score every document with a small
+  * n-gram LM trained on the corpus (KenLM in the published stacks) and
+  * drop the perplexity tails. This is that operator with the LM scoring
+  * re-expressed INTEGER-EXACT so the DuckDB oracle matches bit-for-bit:
+  * real pipelines sum float log-probs, but libm `ln` is not bit-portable
+  * across engines (same reason keyword_tfidf uses an integer idf
+  * surrogate), so the per-token surprisal here is the integer bit-length
+  * surrogate
+  *
+  *   s(w2|w1) = ilog2( ((c1 + V) * 65536) div (c12 + 1) )
+  *            = 16 + floor-ish log2( 1 / p_add1(w2|w1) )
+  *
+  * with add-one smoothing p = (c12+1)/(c1+V), ilog2(x) =
+  * length(bin(x)) - 1 — pure integer ops both engines evaluate
+  * identically. Granularity is 1 bit per token, which preserves exactly
+  * the ordering information a tail-cut quality filter consumes;
+  * `bits_per_token` (mean surprisal − the 16-bit scale offset) is the
+  * cross-entropy estimate a perplexity threshold would be applied to.
+  *
+  * Overflow bound: (c1 + V) * 65536 needs c1 + V < 2^47 ≈ 1.4e14.
+  * c1 is one context-token's occurrence count and V the vocabulary
+  * size; 100 TB of text is ~2e13 tokens total, so even the degenerate
+  * single-token corpus sits 7× under the bound — int64 is safe at any
+  * realistic corpus scale (no decimal path needed, unlike
+  * sample_temperature whose hash product crosses 2^63 first).
+  *
+  * Scale shape (reference semantics: this is model TRAINING + SCORING
+  * fused over the same corpus, the self-perplexity curation setup):
+  * token/bigram rows are built NARROW with the shifted-zip trick (no
+  * per-doc window shuffle); the count model is two skinny aggregations
+  * (c12 on (w1,w2); c1 folded from c12); scoring joins the skinny
+  * bigram stream to the count table and folds per-doc — the corpus
+  * text itself never crosses an exchange.
+  */
+object LangModel {
+
+  /** Surprisal scale: 16 fractional-ish bits — see overflow bound. */
+  val LmScale = 65536L
+  val LmScaleBits = 16
+
+  private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
+
+  /** (doc_id, w1, w2) rows where w2 is the next token (null at the doc
+    * tail) — ONE narrow generator yields both the full token stream
+    * (w1 column, for the vocabulary count) and the bigram stream
+    * (w2-not-null rows): toks zipped against its own 1-shifted tail,
+    * arrays_zip null-padding the short side.
+    */
+  private[graft] def shifted(d: DataFrame): DataFrame =
+    d.withColumn("toks", TextFns.tokens(col("text")))
+      .withColumn("t1", slice(col("toks"), lit(2),
+        greatest(size(col("toks")) - 1, lit(0))))
+      .select(col("doc_id"),
+        posexplode(arrays_zip(col("toks"), col("t1"))).as(Seq("pos", "z")))
+      .select(col("doc_id"), col("z.toks").as("w1"), col("z.t1").as("w2"))
+
+  private[graft] def ngramLm(d: DataFrame): DataFrame = {
+    val z = shifted(d)
+    // vocabulary size over the FULL token stream (w1 covers every token)
+    val v = z.agg(countDistinct(col("w1")).as("v"))
+    val bg = z.filter(col("w2").isNotNull)
+    // bigram counts: the one corpus-sized aggregation, skinny rows
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    // context counts fold from c2 (vocab-sized, never re-reads the corpus)
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    // counts enriched once (skinny ⋈ skinny), then ONE join of the
+    // bigram stream to the model — both sides shuffle on (w1, w2)/(w1)
+    // keys only; V rides as a broadcast 1-row aggregate
+    val model = c2.join(c1, Seq("w1"))
+    val scored = bg.join(model, Seq("w1", "w2")).crossJoin(broadcast(v))
+      .withColumn("s",
+        (length(bin(expr(s"((c1 + v) * $LmScale) DIV (c12 + 1)"))) - 1)
+          .cast("long"))
+    val agg = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("sum_surprisal"))
+    // single-token docs have no bigrams: keep them with the -1 sentinel
+    // (same convention as dedup_embed's pair-less vectors)
+    d.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_surprisal"), lit(0L)).as("sum_surprisal"),
+        when(col("n_bigrams").isNull, -1.0)
+          .otherwise(round(col("sum_surprisal") / col("n_bigrams")
+            - lit(LmScaleBits.toDouble), 6)).as("bits_per_token"))
+  }
+
+  private val opNgramLm = Op(
+    "ngram_lm",
+    (s, dir) => ngramLm(docs(s, dir)),
+    Some(s"""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents),
+      z AS (
+        SELECT doc_id, toks[i] AS w1,
+          CASE WHEN i < len(toks) THEN toks[i+1] END AS w2
+        FROM d, UNNEST(generate_series(1, len(toks))) AS u(i)),
+      v AS (SELECT CAST(COUNT(DISTINCT w1) AS BIGINT) AS v FROM z),
+      bg AS (SELECT doc_id, w1, w2 FROM z WHERE w2 IS NOT NULL),
+      c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+             FROM bg GROUP BY 1, 2),
+      c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+      sc AS (
+        SELECT bg.doc_id,
+          CAST(length(bin(((c1.c1 + v.v) * $LmScale) // (c2.c12 + 1))) - 1
+            AS BIGINT) AS s
+        FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+      agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                CAST(SUM(s) AS BIGINT) AS sum_surprisal
+              FROM sc GROUP BY 1)
+      SELECT dd.doc_id,
+        COALESCE(a.n_bigrams, 0) AS n_bigrams,
+        COALESCE(a.sum_surprisal, 0) AS sum_surprisal,
+        CASE WHEN a.n_bigrams IS NULL THEN -1.0
+          ELSE ROUND(a.sum_surprisal / a.n_bigrams - $LmScaleBits.0, 6)
+          END AS bits_per_token
+      FROM documents dd LEFT JOIN agg a ON dd.doc_id = a.doc_id"""))
+
+  val ops: Seq[Op] = Seq(opNgramLm)
+}

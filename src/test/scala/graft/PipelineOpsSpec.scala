@@ -7,7 +7,8 @@ class PipelineOpsSpec extends SparkSpec {
   import spark.implicits._
 
   private val all = TextAnalysis.ops ++ Dedup.ops ++ Similarity.ops ++
-    Multimodal.ops ++ operators.Sampling.ops ++ operators.Curate.ops
+    Multimodal.ops ++ operators.Sampling.ops ++ operators.Curate.ops ++
+    operators.LangModel.ops
 
   private def run(name: String) =
     all.find(_.name == name).get.query(spark, sfDir)
@@ -1038,6 +1039,53 @@ class PipelineOpsSpec extends SparkSpec {
     assert(tokDistinct <= tokMax + 1,
       s"token-count domain exceeds its max-doc-length bound: $tokDistinct > $tokMax")
     assert(nRows > 0 && nDistinct > 0)
+  }
+
+  test("ngram_lm: hand-computed add-one surprisal; frequent bigrams score lower") {
+    // corpus: V = {a,b,c,x,e} = 5 distinct tokens.
+    //   bigram counts: (a,b)=2 (b,a)=1 (b,c)=1 (c,c)=1 (e,e)=8
+    //   context counts: a=2 b=2 c=1 e=8
+    // s(w2|w1) = ilog2((c1+V)*65536 div (c12+1)):
+    //   (a,b): (2+5)*65536 div 3 = 152917 → 17    (b,a)/(b,c): 229376 → 17
+    //   (c,c): (1+5)*65536 div 2 = 196608 → 17    (e,e): 13*65536 div 9 = 94663 → 16
+    val docs = Seq(
+      (1L, "a b a b c"),         // 4 bigrams, sum 68 → 68/4 - 16 = 1.0
+      (2L, "c c"),               // 1 bigram, 17 → 1.0
+      (3L, "x"),                 // no bigram → sentinel
+      (4L, "e e e e e e e e e")  // 8 bigrams of the FREQUENT pair → 0.0
+    ).toDF("doc_id", "text")
+    val m = operators.LangModel.ngramLm(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_surprisal"),
+          r.getAs[Double]("bits_per_token"))).toMap
+    assert(m(1L) == ((4L, 68L, 1.0)), s"${m(1L)}")
+    assert(m(2L) == ((1L, 17L, 1.0)), s"${m(2L)}")
+    assert(m(3L) == ((0L, 0L, -1.0)), s"${m(3L)}")
+    assert(m(4L) == ((8L, 128L, 0.0)), s"${m(4L)}")
+    // the quality-signal property the op exists for: the doc made of the
+    // corpus-frequent bigram is "less surprising" than the rare-bigram docs
+    assert(m(4L)._3 < m(1L)._3)
+  }
+
+  test("ngram_lm: no Exchange carries the corpus text") {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    // train + score over the corpus moves only skinny (doc_id, w1, w2)
+    // and count rows; the text column itself must never cross an
+    // exchange. AQE off so executedPlan materializes the exchanges.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = run("ngram_lm").queryExecution.executedPlan
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.nonEmpty, s"expected skinny count shuffles:\n$plan")
+      (shuffles: Seq[org.apache.spark.sql.execution.SparkPlan]).foreach { e =>
+        assert(!e.output.exists(_.name == "text"),
+          s"an exchange carries the corpus text:\n$e")
+      }
+      plan.collect { case e: BroadcastExchangeExec => e }.foreach { e =>
+        assert(!e.output.exists(_.name == "text"),
+          s"a broadcast carries the corpus text:\n$e")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("text_quality: ratios within [0,1], avg_token_len positive") {
