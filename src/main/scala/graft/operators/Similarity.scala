@@ -522,6 +522,88 @@ object Similarity {
     },
     None)
 
+  // ---- dedup_semantic: SemDeDup cluster-then-prune embedding dedup ----
+  // The published semantic-dedup recipe (Abbas et al. 2023, SemDeDup):
+  // k-means the embedding space, then compare pairs ONLY within a
+  // cluster and drop all but one of each cosine-similar group. Differs
+  // from dedup_embed in WHAT it finds: hyperplane LSH catches
+  // near-identical vectors (θ ≈ 0); cluster-scoped comparison catches
+  // semantic duplicates well below LSH collision range, because cluster
+  // membership — not a hash collision — is the candidate generator.
+  //
+  // Scale shape: centroids are the bounded driver one-off shared with
+  // ann_ivf (k ∝ √n capped, sampled Lloyd); assignment ranks ONE
+  // nearest cell through the TopKPerKey heap on skinny (vec_id,
+  // cent_id, ccos) rows; embeddings are gathered back once (the one
+  // embedding-carrying exchange); the within-cluster self-join is
+  // bounded by sub-splitting oversized clusters on xxhash64(vec_id)
+  // (the simhash adaptive-salt move) — expected cluster width is
+  // n/k ∝ √n, but a degenerate corpus (all vectors alike) would
+  // otherwise make one cluster O(n) and the join O(n²). Keeper rule:
+  // a vector is dropped iff a SMALLER-id vector in its (cluster,
+  // sub-bucket) is cosine-similar at ≥ [[SemTau]] — greedy
+  // lowest-id-wins, deterministic, no iterative components needed
+  // (transitive chains are dedup_cluster's job).
+  val SemTau = 0.8
+  val SemMaxCluster = 256L
+
+  private[graft] def semanticDedup(e: DataFrame, k: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(e.sparkSession)
+    val cents = kmeansCentroids(e, k, KmeansIters)
+    val centDf = broadcast(
+      e.sparkSession.createDataFrame(cents.toSeq).toDF("cent_id", "cent_emb"))
+    val cells = e.join(centDf)
+      .withColumn("ccos", expr("graft_cosine(embedding, cent_emb)"))
+      .select(col("vec_id"), col("cent_id"), col("ccos"))
+    val assigned = graft.plans.TopK.perKey(cells, Seq("vec_id"),
+        Seq("ccos" -> graft.plans.TopK.Desc, "cent_id" -> graft.plans.TopK.Asc),
+        1, "crk")
+      .select(col("vec_id"), col("cent_id").as("cluster"))
+    // sub-split oversized clusters so the self-join never goes O(n²):
+    // population via ONE window count over the skinny assignment rows
+    val cn = count(lit(1)).over(Window.partitionBy(col("cluster")))
+    val sized = assigned.withColumn("cn", cn)
+      .withColumn("salt",
+        when(col("cn") > SemMaxCluster,
+          pmod(xxhash64(col("vec_id")),
+            ceil(col("cn") / SemMaxCluster).cast("long")))
+          .otherwise(lit(0L)))
+      .select(col("vec_id"), col("cluster"), col("salt"))
+    val withEmb = sized.join(e, Seq("vec_id"))
+    val pairs = withEmb.as("x")
+      .join(withEmb.as("y"),
+        col("x.cluster") === col("y.cluster") &&
+          col("x.salt") === col("y.salt") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .withColumn("cos",
+        round(expr("graft_cosine(x.embedding, y.embedding)"), 6))
+      .filter(col("cos") >= SemTau)
+      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"), col("cos"))
+    // per-vector fold: n_sim over both pair ends; dropped iff similar
+    // to a smaller id (the y side of any surviving pair)
+    val ends = pairs
+      .select(col("vb").as("vec_id"), lit(1L).as("smaller"), col("cos"))
+      .union(pairs.select(col("va").as("vec_id"), lit(0L).as("smaller"),
+        col("cos")))
+    val per = ends.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_sim"), max(col("cos")).as("max_cos"),
+        max(col("smaller")).as("dropped"))
+    assigned.join(per, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        coalesce(col("n_sim"), lit(0L)).as("n_sim"),
+        coalesce(col("max_cos"), lit(-1.0)).as("max_cos"),
+        (lit(1L) - coalesce(col("dropped"), lit(0L))).as("keep"))
+  }
+
+  private val opSemDedup = Op(
+    "dedup_semantic",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      semanticDedup(e, ivfK(e.count()))
+    },
+    None)
+
   val ops: Seq[Op] =
-    Seq(opBrute, opIvf, opIvfQuant, opEmbedDedup, opQuantize, opQuantAnn, opPq)
+    Seq(opBrute, opIvf, opIvfQuant, opEmbedDedup, opQuantize, opQuantAnn, opPq,
+      opSemDedup)
 }

@@ -1041,6 +1041,50 @@ class PipelineOpsSpec extends SparkSpec {
     assert(nRows > 0 && nDistinct > 0)
   }
 
+  test("dedup_semantic: planted duplicate directions collapse, lowest id kept") {
+    // scaled copies have cosine exactly 1 (direction is all that
+    // matters), so both land in the same nearest-cosine cluster and the
+    // larger id must drop; the orthogonal vector keeps with no pairs
+    def oneHot(i: Int, s: Float) =
+      Array.tabulate(8)(j => if (j == i) s else 0f)
+    val e = Seq(
+      (1L, oneHot(0, 1f)), (2L, oneHot(0, 2f)), // same direction: dup pair
+      (3L, oneHot(1, 1f))                       // orthogonal: unique
+    ).toDF("vec_id", "embedding")
+    val m = Similarity.semanticDedup(e, 2).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("n_sim"), r.getAs[Double]("max_cos"),
+          r.getAs[Long]("keep"))).toMap
+    assert(m(1L) == ((1L, 1.0, 1L)), s"${m(1L)}")  // kept: smallest id
+    assert(m(2L) == ((1L, 1.0, 0L)), s"${m(2L)}")  // dropped: dup of 1
+    assert(m(3L) == ((0L, -1.0, 1L)), s"${m(3L)}") // unique: no pairs
+  }
+
+  test("dedup_semantic: oversized clusters sub-split — pair volume bounded") {
+    // a degenerate corpus (every vector identical) puts all N rows in
+    // ONE cluster: unsalted, the self-join would compare N(N-1)/2 pairs
+    // (~1.1 M at N=1500); the xxhash sub-split caps sub-buckets near
+    // SemMaxCluster so total pair volume stays ~N·SemMaxCluster.
+    val n = 1500
+    val e = (1L to n.toLong).map(i => (i, Array.tabulate(8)(_.toFloat + 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(e, 4).cache()
+    try {
+      val sumSim = out.agg(sum(col("n_sim"))).head.getLong(0)
+      assert(sumSim > 0, "flood found no pairs at all")
+      assert(sumSim < 1000000L,
+        s"pair volume $sumSim ≈ unsalted O(n²) — sub-split not engaged")
+      // exactly one keeper per sub-bucket chain; everything else drops
+      assert(out.filter(col("keep") === 1L).count() < n / 4)
+    } finally out.unpersist()
+  }
+
+  test("dedup_semantic: every dropped vector is a verified near-dup (precision 1)") {
+    val out = run("dedup_semantic").filter(col("keep") === 0L)
+      .filter(col("max_cos") < Similarity.SemTau)
+    assert(out.count() == 0, "a vector dropped without a verified similar pair")
+  }
+
   test("ngram_lm: hand-computed add-one surprisal; frequent bigrams score lower") {
     // corpus: V = {a,b,c,x,e} = 5 distinct tokens.
     //   bigram counts: (a,b)=2 (b,a)=1 (b,c)=1 (c,c)=1 (e,e)=8
