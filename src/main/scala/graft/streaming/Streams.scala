@@ -135,6 +135,43 @@ object Streams {
       .select(col("doc_id"), col("source"), col("h").as("temp_hash"))
   }
 
+  /** stream_ann — streaming ANN serving (batch twin: ann_quantized):
+    * each arriving query vector is answered with its top-k neighbors
+    * within its own micro-batch. The int8 code index is STATIC serving
+    * state — exactly what the quantized family exists for: at 10⁹+
+    * vectors the 64 B/vector codes (8 B under PQ) are what fits in
+    * executor RAM, shipped once per job — here as a plan literal, in
+    * production as a broadcast variable refreshed per index build. The
+    * whole gate is therefore a stateless per-row computation: score
+    * every index code with the SAME asymmetric graft_cosine_i8 kernel
+    * the batch path uses, comparator-sort, slice k — append mode, no
+    * watermark, no state store, and results for a given query are
+    * identical to the batch operator's (spec-asserted). Beyond
+    * [[AnnIndexCap]] codes the index no longer rides whole — that is
+    * the batch path's shard-queries-×-index-partitions territory.
+    */
+  val AnnIndexCap: Int = 1 << 20
+
+  def annServed(queries: DataFrame, index: Seq[(Long, Seq[Int])],
+      k: Int): DataFrame = {
+    require(index.nonEmpty && index.size <= AnnIndexCap,
+      s"serving index must hold 1..$AnnIndexCap codes, got ${index.size}")
+    graft.plans.GraftFunctions.register(queries.sparkSession)
+    queries
+      .withColumn("idx", typedlit(index))
+      .withColumn("scored", expr(
+        "transform(idx, e -> struct(" +
+          "round(graft_cosine_i8(q_emb, e._2), 6) AS cos, e._1 AS c_id))"))
+      .withColumn("hits", expr(
+        "slice(array_sort(filter(scored, e -> e.c_id != q_id), (a, b) -> " +
+          "CASE WHEN a.cos > b.cos THEN -1 WHEN a.cos < b.cos THEN 1 " +
+          "WHEN a.c_id < b.c_id THEN -1 WHEN a.c_id > b.c_id THEN 1 " +
+          s"ELSE 0 END), 1, $k)"))
+      .select(col("q_id"), posexplode(col("hits")).as(Seq("p", "hit")))
+      .select(col("q_id"), col("hit.c_id").as("c_id"),
+        col("hit.cos").as("cos"), (col("p") + 1).cast("long").as("rk"))
+  }
+
   // ---- stream_asof: per-user as-of enrichment on an event stream ----
 
   case class AsofEv(user_id: Long, event_type: String, event_id: Long,

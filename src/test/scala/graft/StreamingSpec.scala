@@ -144,6 +144,40 @@ class StreamingSpec extends SparkSpec {
       q.lastProgress.stateOperators.isEmpty)
   }
 
+  test("stream_ann: served top-k equals the batch ann_quantized exactly") {
+    implicit val sql = spark.sqlContext
+    graft.plans.GraftFunctions.register(spark)
+    val e = graft.Tables(spark, sfDir, "embeddings")
+    // the serving index: the SAME int8 codes the batch path stores
+    val index = operators.Similarity.int8Codes(e).collect()
+      .map(r => (r.getAs[Long]("c_id"), r.getSeq[Int](1))).toSeq
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = Streams.annServed(in.toDF().toDF("q_id", "q_emb"), index, 5)
+      .writeStream.format("memory").queryName("ann_served_out")
+      .outputMode("append").start()
+    // split queries across micro-batches: per-query answers are
+    // stateless, so batch boundaries must not change any result
+    in.addData(queries.take(4): _*)
+    q.processAllAvailable()
+    in.addData(queries.drop(4): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("ann_served_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    // append-stateless: no state store operator participated
+    assert(q.lastProgress == null || q.lastProgress.stateOperators.isEmpty)
+    q.stop()
+    val batch = operators.Similarity.ops.find(_.name == "ann_quantized").get
+      .query(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"),
+        r.getAs[Double]("cos"), r.getAs[Long]("rk"))).toSet
+    assert(streamed == batch,
+      s"stream served ${streamed.size} rows, batch ${batch.size}")
+  }
+
   test("stream_asof: purchases enrich with the latest prior view across batches") {
     import graft.streaming.Streams.{AsofEv, AsofOut}
     implicit val sql = spark.sqlContext
