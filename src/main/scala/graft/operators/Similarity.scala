@@ -555,10 +555,16 @@ object Similarity {
     val cells = e.join(centDf)
       .withColumn("ccos", expr("graft_cosine(embedding, cent_emb)"))
       .select(col("vec_id"), col("cent_id"), col("ccos"))
+    // skinny (vec_id, cluster) rows, consumed by BOTH the pair path and
+    // the final output join — checkpointed so the ×k assignment explode
+    // above it runs once, not once per consumer (the dedup_minhash
+    // shared-frame lesson: repartition would also re-run it, and carry
+    // whatever columns pruning can't push below the exchange)
     val assigned = graft.plans.TopK.perKey(cells, Seq("vec_id"),
         Seq("ccos" -> graft.plans.TopK.Desc, "cent_id" -> graft.plans.TopK.Asc),
         1, "crk")
       .select(col("vec_id"), col("cent_id").as("cluster"))
+      .localCheckpoint()
     // sub-split oversized clusters so the self-join never goes O(n²):
     // population via ONE window count over the skinny assignment rows
     val cn = count(lit(1)).over(Window.partitionBy(col("cluster")))
