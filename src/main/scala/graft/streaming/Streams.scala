@@ -239,6 +239,63 @@ object Streams {
       }
   }
 
+  // ---- stream_pack: per-shard training-sequence packing ----
+
+  case class PackIn(shard: String, doc_id: Long, n_tokens: Long,
+      ts: java.sql.Timestamp)
+
+  case class PackState(tokOffset: Long)
+
+  case class PackFrag(shard: String, doc_id: Long, seq_id: Long,
+      doc_off: Long, seq_off: Long, frag_len: Long)
+
+  /** stream_pack — the streaming twin of seq_pack: docs are packed into
+    * fixed-[[graft.operators.Sampling.SeqLen]]-token training sequences
+    * AS THEY ARRIVE, keyed by shard. Batch seq_pack orders the corpus
+    * by a deterministic hash; a stream's honest order IS arrival order
+    * (ties within a micro-batch replayed by (ts, doc_id) so replays are
+    * deterministic), and packing is inherently sequential — so the
+    * scalable shape is the one real shard writers use: each shard packs
+    * independently with its own running token offset, sequences are
+    * addressed (shard, seq_id), and parallelism comes from sharding,
+    * not from splitting one pack stream. State per shard is ONE long
+    * (the token offset) — O(shards) total, a deployment constant, so
+    * unlike per-doc state no TTL/eviction is needed; fragments emit in
+    * append mode the moment their doc arrives, with the same
+    * (doc_off, seq_off, frag_len) coordinate semantics the batch
+    * manifest carries (token conservation and sequence-slot packing
+    * are spec-asserted across micro-batch boundaries).
+    */
+  def packStream(docs: Dataset[PackIn], seqLen: Long): Dataset[PackFrag] = {
+    import docs.sparkSession.implicits._
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    docs
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[PackState, PackFrag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: String, in: Iterator[PackIn], state: GroupState[PackState]) =>
+          var off = state.getOption.map(_.tokOffset).getOrElse(0L)
+          val out = Seq.newBuilder[PackFrag]
+          in.toSeq.sortBy(e => (e.ts.getTime, e.doc_id)).foreach { e =>
+            if (e.n_tokens > 0) {
+              var s = off / seqLen
+              val last = (off + e.n_tokens - 1) / seqLen
+              while (s <= last) {
+                val fragStart = math.max(off, s * seqLen)
+                val fragEnd = math.min(off + e.n_tokens, (s + 1) * seqLen)
+                out += PackFrag(shard, e.doc_id, s,
+                  fragStart - off, fragStart - s * seqLen,
+                  fragEnd - fragStart)
+                s += 1
+              }
+              off += e.n_tokens
+            }
+          }
+          state.update(PackState(off))
+          out.result().iterator
+      }
+  }
+
   // ---- stream_mr: incremental map-reduce over chunk streams ----
 
   /** One mapped chunk arriving on the stream. `n_chunks_total` is known

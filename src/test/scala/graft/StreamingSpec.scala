@@ -178,6 +178,51 @@ class StreamingSpec extends SparkSpec {
       s"stream served ${streamed.size} rows, batch ${batch.size}")
   }
 
+  test("stream_pack: per-shard packing carries the token offset across batches") {
+    import graft.streaming.Streams.{PackFrag, PackIn}
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[PackIn]
+    val q = Streams.packStream(in.toDS(), seqLen = 8L).writeStream
+      .format("memory").queryName("pack_out").outputMode("append").start()
+    // batch 1 — shard A: d1(5 toks) then d2(6) straddles seq 0→1;
+    //           shard B: d10(10) fills seq 0 and spills 2 into seq 1
+    in.addData(
+      PackIn("A", 1L, 5L, ts("2024-01-01 10:00:00")),
+      PackIn("A", 2L, 6L, ts("2024-01-01 10:00:01")),
+      PackIn("B", 10L, 10L, ts("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    // the pack really is stateful: one offset row per shard
+    assert(q.lastProgress.stateOperators.nonEmpty &&
+      q.lastProgress.stateOperators.head.numRowsTotal == 2L)
+    // batch 2 — shard A continues at offset 11, mid-sequence 1
+    in.addData(PackIn("A", 3L, 4L, ts("2024-01-01 10:01:00")))
+    q.processAllAvailable()
+    val got = spark.table("pack_out").as[PackFrag].collect()
+      .map(f => (f.shard, f.doc_id, f.seq_id) ->
+        (f.doc_off, f.seq_off, f.frag_len)).toMap
+    q.stop()
+    val expect = Map(
+      ("A", 1L, 0L) -> (0L, 0L, 5L),  // d1: tokens 0-4 of seq 0
+      ("A", 2L, 0L) -> (0L, 5L, 3L),  // d2 head fills seq 0
+      ("A", 2L, 1L) -> (3L, 0L, 3L),  // d2 tail opens seq 1
+      ("A", 3L, 1L) -> (0L, 3L, 4L),  // d3 continues seq 1 ACROSS batches
+      ("B", 10L, 0L) -> (0L, 0L, 8L), // d10 fills B's seq 0 exactly
+      ("B", 10L, 1L) -> (8L, 0L, 2L)) // and spills 2 into seq 1
+    assert(got == expect, s"got $got")
+    // token conservation: every doc's fragments sum to its length and
+    // tile the doc contiguously from offset 0
+    val byDoc = got.toSeq.groupBy { case ((s, d, _), _) => (s, d) }
+    byDoc.foreach { case ((s, d), frags) =>
+      val sorted = frags.sortBy(_._2._1)
+      assert(sorted.head._2._1 == 0L, s"doc ($s,$d) does not start at 0")
+      sorted.sliding(2).foreach {
+        case Seq((_, (o1, _, l1)), (_, (o2, _, _))) =>
+          assert(o1 + l1 == o2, s"doc ($s,$d) fragments not contiguous")
+        case _ => ()
+      }
+    }
+  }
+
   test("stream_asof: purchases enrich with the latest prior view across batches") {
     import graft.streaming.Streams.{AsofEv, AsofOut}
     implicit val sql = spark.sqlContext
