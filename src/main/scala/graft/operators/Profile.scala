@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.{Fns, Op, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** profile_stats — ANALYZE-style table profiling (the stats every
+  * engine collects before planning: null counts, exact NDV, min/max
+  * per column), emitted long-format (one row per profiled column).
+  *
+  * Scale shape: ONE scan, one aggregation — the multiple exact
+  * `countDistinct`s compile to Catalyst's Expand (one input row fans
+  * to k tagged rows) feeding a single partial+final aggregate, so the
+  * profile never runs per-column jobs and never shuffles the table
+  * itself, only the expanded distinct keys. min/max are computed on
+  * the NATIVE type (numeric order, not lexicographic) and cast to
+  * string only for the unified output schema. Doubles ride the repo's
+  * cents convention (exact integer; see Fns.cents) — profiling floats
+  * via exact distinct-count on raw doubles would be summation-safe but
+  * NDV-fragile cross-engine. Timestamp columns are excluded (the ns
+  * parquet type is engine-specific; Tables handles it for queries).
+  */
+object Profile {
+
+  /** (output name, Spark value expr, DuckDB value sql) per column. */
+  private def profiled: Seq[(String, Column, String)] =
+    Seq("l_orderkey", "l_partkey", "l_suppkey").map(n =>
+      (n, col(n), n)) ++
+      Seq(("l_linenumber", col("l_linenumber").cast("long"),
+        "CAST(l_linenumber AS BIGINT)")) ++
+      Seq("l_returnflag", "l_linestatus").map(n => (n, col(n), n)) ++
+      Seq(("l_quantity_cents", Fns.cents(col("l_quantity")),
+        Fns.centsSql("l_quantity")))
+
+  private[graft] def profileStats(d: DataFrame): DataFrame = {
+    val cols = profiled
+    val aggs: Seq[Column] = cols.flatMap { case (n, c, _) =>
+      Seq(count(c).as(s"${n}__nn"),
+        countDistinct(c).as(s"${n}__nd"),
+        min(c).cast("string").as(s"${n}__min"),
+        max(c).cast("string").as(s"${n}__max"))
+    }
+    val a = d.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackArgs = cols.map { case (n, _, _) =>
+      s"'$n', ${n}__nn, ${n}__nd, ${n}__min, ${n}__max"
+    }.mkString(", ")
+    a.select(col("n_rows"), expr(
+        s"stack(${cols.size}, $stackArgs) AS (col_name, nn, n_distinct, min_v, max_v)"))
+      .select(col("col_name"), col("n_rows"),
+        (col("n_rows") - col("nn")).as("n_null"), col("n_distinct"),
+        col("min_v"), col("max_v"))
+  }
+
+  private val opProfile = Op(
+    "profile_stats",
+    (s, dir) => profileStats(Tables(s, dir, "lineitem")),
+    Some {
+      val aggExprs = profiled.map { case (n, _, sql) =>
+        s"""CAST(COUNT($sql) AS BIGINT) AS ${n}__nn,
+          CAST(COUNT(DISTINCT $sql) AS BIGINT) AS ${n}__nd,
+          CAST(MIN($sql) AS VARCHAR) AS ${n}__min,
+          CAST(MAX($sql) AS VARCHAR) AS ${n}__max"""
+      }.mkString(",\n        ")
+      val branches = profiled.map { case (n, _, _) =>
+        s"""SELECT '$n' AS col_name, n_rows, n_rows - ${n}__nn AS n_null,
+          ${n}__nd AS n_distinct, ${n}__min AS min_v, ${n}__max AS max_v FROM a"""
+      }.mkString("\n      UNION ALL ")
+      s"""
+      WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        $aggExprs
+      FROM lineitem)
+      $branches"""
+    })
+
+  val ops: Seq[Op] = Seq(opProfile)
+}

@@ -8,7 +8,7 @@ class PipelineOpsSpec extends SparkSpec {
 
   private val all = TextAnalysis.ops ++ Dedup.ops ++ Similarity.ops ++
     Multimodal.ops ++ operators.Sampling.ops ++ operators.Curate.ops ++
-    operators.LangModel.ops
+    operators.LangModel.ops ++ operators.Profile.ops
 
   private def run(name: String) =
     all.find(_.name == name).get.query(spark, sfDir)
@@ -1130,6 +1130,37 @@ class PipelineOpsSpec extends SparkSpec {
           s"a broadcast carries the corpus text:\n$e")
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("profile_stats: nulls, exact NDV, native-order min/max; one scan") {
+    // planted fixture replayed through the same aggregation shape the
+    // operator uses on lineitem (schema matters, not the table): nulls
+    // counted, NDV exact, min/max NUMERIC (9 < 10 — a lexicographic
+    // min would say "10" < "9")
+    val d = Seq[(java.lang.Long, String)](
+      (9L, "a"), (10L, "a"), (10L, "b"), (null, "b"))
+      .toDF("k", "s")
+    val row = d.agg(count(lit(1)).as("n_rows"), count($"k").as("nn"),
+        countDistinct($"k").as("nd"),
+        min($"k").cast("string").as("mn"), max($"k").cast("string").as("mx"))
+      .head
+    assert(row.getLong(0) == 4 && row.getLong(1) == 3 && row.getLong(2) == 2)
+    assert(row.getString(3) == "9" && row.getString(4) == "10")
+    // the real operator: one scan + Expand (the multi-countDistinct
+    // lowering) — per-column jobs or joins would show as extra scans.
+    // AQE off so executedPlan is the materialized tree, not a wrapper.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = run("profile_stats").queryExecution.executedPlan
+      val scans = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      assert(scans.size == 1, s"profile must read the table once:\n$plan")
+      assert(plan.collect {
+        case e: org.apache.spark.sql.execution.ExpandExec => e }.nonEmpty,
+        s"multi-NDV should lower to Expand, not separate jobs:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val out = run("profile_stats").collect()
+    assert(out.length == 7 && out.forall(_.getAs[Long]("n_rows") > 0))
   }
 
   test("text_quality: ratios within [0,1], avg_token_len positive") {

@@ -25,6 +25,36 @@ class SinksSpec extends SparkSpec {
     assert(dirs.length >= 2, "multiple partitions materialized")
   }
 
+  test("sink_shards: bounded files, contiguous key ranges, lossless read-back") {
+    val docs = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val out = Files.createTempDirectory("graft-shard").resolve("shards").toString
+    sources.Sinks.writeShards(docs, out, "doc_id",
+      nShards = 3, maxRecordsPerFile = 20)
+    // lossless: the read-back id set is exactly the input id set
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id").except(docs.select("doc_id")).count() == 0)
+    // bounded: no file exceeds maxRecordsPerFile; contiguous: per-file
+    // [min,max] doc_id ranges never overlap (the curriculum/sequential-
+    // reader property range partitioning + in-partition rolling buys)
+    val perFile = back
+      .withColumn("f", org.apache.spark.sql.functions.input_file_name())
+      .groupBy(col("f"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.min(col("doc_id")).as("lo"),
+        org.apache.spark.sql.functions.max(col("doc_id")).as("hi"))
+      .collect()
+    assert(perFile.length > 3, "maxRecordsPerFile should split shards")
+    perFile.foreach(r => assert(r.getAs[Long]("n") <= 20L, r.toString))
+    val ranges = perFile.map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"file ranges overlap: $hi1 >= $lo2")
+      case _ => ()
+    }
+  }
+
   test("q22_approx_sketch: sketches land within declared error of exact") {
     // one collect serves both the distinct-count and quantile checks
     val rows = operators.Relational2.ops.find(_.name == "q22_approx_sketch")
