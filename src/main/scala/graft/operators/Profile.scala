@@ -8,17 +8,26 @@ import org.apache.spark.sql.functions._
   * engine collects before planning: null counts, exact NDV, min/max
   * per column), emitted long-format (one row per profiled column).
   *
-  * Scale shape: ONE scan, one aggregation — the multiple exact
-  * `countDistinct`s compile to Catalyst's Expand (one input row fans
-  * to k tagged rows) feeding a single partial+final aggregate, so the
-  * profile never runs per-column jobs and never shuffles the table
-  * itself, only the expanded distinct keys. min/max are computed on
-  * the NATIVE type (numeric order, not lexicographic) and cast to
-  * string only for the unified output schema. Doubles ride the repo's
-  * cents convention (exact integer; see Fns.cents) — profiling floats
-  * via exact distinct-count on raw doubles would be summation-safe but
-  * NDV-fragile cross-engine. Timestamp columns are excluded (the ns
-  * parquet type is engine-specific; Tables handles it for queries).
+  * Scale shape — two passes, both bounded (the naive alternative,
+  * k exact `countDistinct`s in one aggregate, lowers to an Expand ×(k+1)
+  * whose first-level aggregate KEYS ON every profiled column at once;
+  * string min/max buffers then force SortAggregate, and the plan sorts
+  * the k-fold-expanded table — measured 15 s vs 1 s at sf0.1):
+  *  1. scalar pass: null counts + native-type min/max in ONE narrow
+  *     no-grouping aggregate (grouping-free SortAggregate needs no
+  *     sort; partial buffers are a constant row per partition);
+  *  2. NDV pass: the table melts to skinny (col_name, value) rows —
+  *     casts are injective (long→string, identity on strings) so NDV
+  *     is preserved — then two hash aggregations with map-side partial
+  *     combine (the vocab_topk shape): the shuffle carries one row per
+  *     DISTINCT (column, value), never per input row.
+  * min/max are computed on the NATIVE type (numeric order, not
+  * lexicographic) and cast to string only for the unified output
+  * schema. Doubles ride the repo's cents convention (exact integer;
+  * see Fns.cents) — profiling floats via exact distinct-count on raw
+  * doubles would be summation-safe but NDV-fragile cross-engine.
+  * Timestamp columns are excluded (the ns parquet type is
+  * engine-specific; Tables handles it for queries).
   */
 object Profile {
 
@@ -36,18 +45,27 @@ object Profile {
     val cols = profiled
     val aggs: Seq[Column] = cols.flatMap { case (n, c, _) =>
       Seq(count(c).as(s"${n}__nn"),
-        countDistinct(c).as(s"${n}__nd"),
         min(c).cast("string").as(s"${n}__min"),
         max(c).cast("string").as(s"${n}__max"))
     }
     val a = d.agg(count(lit(1)).as("n_rows"), aggs: _*)
     val stackArgs = cols.map { case (n, _, _) =>
-      s"'$n', ${n}__nn, ${n}__nd, ${n}__min, ${n}__max"
+      s"'$n', ${n}__nn, ${n}__min, ${n}__max"
     }.mkString(", ")
-    a.select(col("n_rows"), expr(
-        s"stack(${cols.size}, $stackArgs) AS (col_name, nn, n_distinct, min_v, max_v)"))
+    val scalar = a.select(col("n_rows"), expr(
+      s"stack(${cols.size}, $stackArgs) AS (col_name, nn, min_v, max_v)"))
+    val melted = d.select(posexplode(array(cols.map { case (n, c, _) =>
+        struct(lit(n).as("col_name"), c.cast("string").as("v")) }: _*))
+        .as(Seq("i", "kv")))
+      .select(col("kv.col_name").as("col_name"), col("kv.v").as("v"))
+      .filter(col("v").isNotNull)
+    val ndv = melted.groupBy(col("col_name"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("col_name")).agg(count(lit(1)).as("n_distinct"))
+    scalar.join(broadcast(ndv), Seq("col_name"), "left")
       .select(col("col_name"), col("n_rows"),
-        (col("n_rows") - col("nn")).as("n_null"), col("n_distinct"),
+        (col("n_rows") - col("nn")).as("n_null"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
         col("min_v"), col("max_v"))
   }
 

@@ -1132,7 +1132,7 @@ class PipelineOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
-  test("profile_stats: nulls, exact NDV, native-order min/max; one scan") {
+  test("profile_stats: nulls, exact NDV, native-order min/max; sort-free plan") {
     // planted fixture replayed through the same aggregation shape the
     // operator uses on lineitem (schema matters, not the table): nulls
     // counted, NDV exact, min/max NUMERIC (9 < 10 — a lexicographic
@@ -1146,18 +1146,22 @@ class PipelineOpsSpec extends SparkSpec {
       .head
     assert(row.getLong(0) == 4 && row.getLong(1) == 3 && row.getLong(2) == 2)
     assert(row.getString(3) == "9" && row.getString(4) == "10")
-    // the real operator: one scan + Expand (the multi-countDistinct
-    // lowering) — per-column jobs or joins would show as extra scans.
+    // the real operator: two bounded passes (scalar agg + melted NDV)
+    // and NO sort anywhere — the rejected multi-countDistinct shape
+    // sorts the Expand-multiplied table (15 s vs 1 s at sf0.1).
     // AQE off so executedPlan is the materialized tree, not a wrapper.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val plan = run("profile_stats").queryExecution.executedPlan
       val scans = plan.collect {
         case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
-      assert(scans.size == 1, s"profile must read the table once:\n$plan")
+      assert(scans.size == 2, s"scalar pass + NDV pass, no more:\n$plan")
       assert(plan.collect {
-        case e: org.apache.spark.sql.execution.ExpandExec => e }.nonEmpty,
-        s"multi-NDV should lower to Expand, not separate jobs:\n$plan")
+        case s: org.apache.spark.sql.execution.SortExec => s }.isEmpty,
+        s"nothing in the profile needs a sort:\n$plan")
+      assert(plan.collect {
+        case e: org.apache.spark.sql.execution.ExpandExec => e }.isEmpty,
+        s"the Expand multi-NDV lowering is the rejected plan:\n$plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     val out = run("profile_stats").collect()
     assert(out.length == 7 && out.forall(_.getAs[Long]("n_rows") > 0))
