@@ -357,6 +357,29 @@ object Relational2 {
         AND v.ts <= p.ts AND epoch_us(p.ts) - epoch_us(v.ts) <= $RangeUs
       GROUP BY 1, 2, 3"""))
 
+  // ---- q28_skew_salted: hot-key aggregation through the salt path ----
+  // The skew utility (operators.Skew, SURVEY §4) promoted into the
+  // graded query surface: l_returnflag is a genuinely hot key (3
+  // values over the whole table), the canonical case where a plain
+  // groupBy lands each key's full row set on ONE reducer. The salted
+  // two-level plan fans every hot key over `salts` partial reducers
+  // first; both shuffles carry only partial rows. Same answer as the
+  // plain aggregation — the oracle IS the plain GROUP BY, so the
+  // driver's hash compare proves salting changes the plan, not the
+  // result (SkewSpec pins the same equality in-process).
+  private val q28 = Op(
+    "q28_skew_salted",
+    (s, dir) =>
+      Skew.saltedSumCount(Tables(s, dir, "lineitem"),
+          Seq("l_returnflag"), cents(col("l_extendedprice")))
+        .select(col("l_returnflag"),
+          (col("sum_value") / 100.0).as("sum_price"), col("cnt")),
+    Some(s"""
+      SELECT l_returnflag,
+        ${sumMoneySql("l_extendedprice")} AS sum_price,
+        CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1"""))
+
   val ops: Seq[Op] =
-    Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27)
+    Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28)
 }
