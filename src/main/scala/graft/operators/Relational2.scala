@@ -380,6 +380,41 @@ object Relational2 {
         CAST(COUNT(*) AS BIGINT) AS cnt
       FROM lineitem GROUP BY 1"""))
 
+  // ---- q29_sketch_merge: mergeable HLL sketches, shard → union ----
+  // The incremental-stats architecture 100 TB demands: per-shard
+  // DataSketches HLL sketches built in one pass, then UNIONED to any
+  // rollup without rescanning — how an engine maintains NDV stats over
+  // a growing corpus (per-day/per-partition sketches, merged on read).
+  // The sketch state is max-per-register, so union is associative,
+  // commutative, and partition-order-independent: the merged estimate
+  // is bit-deterministic and EQUALS the single-pass sketch over the
+  // whole table at the same lgK (spec-asserted, plus a tolerance bound
+  // vs exact NDV). Shard frame is checkpointed: 3 sketch rows feed
+  // both the per-shard estimates and the union — one table scan total.
+  // Rows-only: the sketch binary is a DataSketches detail, not
+  // portable SQL.
+  val SketchLgK = 14
+
+  private val q29 = Op(
+    "q29_sketch_merge",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val shard = li.groupBy(col("l_returnflag"))
+        .agg(expr(s"hll_sketch_agg(l_partkey, $SketchLgK)").as("sk"),
+          count(lit(1)).as("n_rows"))
+        .localCheckpoint()
+      val perFlag = shard.select(col("l_returnflag"), col("n_rows"),
+        expr("hll_sketch_estimate(sk)").as("est_parts"))
+      val global = shard
+        .agg(sum(col("n_rows")).as("n_rows"),
+          expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_parts"))
+        .select(lit("ALL").as("l_returnflag"), col("n_rows"),
+          col("est_parts"))
+      perFlag.union(global)
+    },
+    None)
+
   val ops: Seq[Op] =
-    Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28)
+    Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
+      q29)
 }

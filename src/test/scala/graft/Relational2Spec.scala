@@ -8,6 +8,32 @@ class Relational2Spec extends SparkSpec {
   private def run(name: String) =
     Relational2.ops.find(_.name == name).get.query(spark, sfDir)
 
+  test("q29_sketch_merge: shard-union estimate == single-pass; within 10% of exact") {
+    import org.apache.spark.sql.functions._
+    val got = run("q29_sketch_merge").collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("est_parts"))).toMap
+    val li = Tables(spark, sfDir, "lineitem")
+    // merge property: union of per-shard sketches must equal the
+    // single-pass sketch over the whole table (same lgK; register
+    // state is a max — order- and shard-independent)
+    val direct = li.agg(expr(
+      s"hll_sketch_estimate(hll_sketch_agg(l_partkey, ${operators.Relational2.SketchLgK}))"))
+      .head.getLong(0)
+    assert(got("ALL")._2 == direct,
+      s"merged ${got("ALL")._2} != single-pass $direct")
+    // accuracy: every estimate within 10% of exact NDV
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("nd")).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("nd")).toMap
+    exact.foreach { case (flag, ex) =>
+      val est = got(flag)._2
+      assert(math.abs(est - ex).toDouble / ex < 0.1,
+        s"$flag: estimate $est vs exact $ex drifted > 10%")
+    }
+    assert(got("ALL")._1 == li.count())
+  }
+
   test("every q15-q21 op executes and returns rows") {
     Relational2.ops.foreach { op =>
       assert(op.query(spark, sfDir).count() > 0, s"${op.name} empty")
