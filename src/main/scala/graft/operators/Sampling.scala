@@ -48,6 +48,46 @@ object Sampling {
       FROM documents d JOIN counts c ON d.source = c.source CROSS JOIN t
       WHERE ((d.doc_id * $MixMul) % $MixMod) * c.ns < $MixMod * t.t"""))
 
+  // ---- sample_stratified: deterministic fixed-k per-stratum sample ----
+  // The eval-set / debug-set primitive mix_sample is NOT: every stratum
+  // contributes exactly k docs (or all of them, if smaller) regardless
+  // of stratum size — the k smallest by the same portable Lehmer hash
+  // (a deterministic shuffle, so the sample is unbiased w.r.t. corpus
+  // order and reproducible on any cluster). Scale: per-stratum top-k
+  // runs through the TopKPerKey bounded heaps — k rows per (partition,
+  // stratum) reach the one skinny shuffle; no rank window ever sees a
+  // full stratum. Ties cannot happen per stratum (doc_id is unique and
+  // the hash is injective mod M on doc_id < M... it is not — hash ties
+  // ARE possible across doc_ids; doc_id breaks them), so the k-set is
+  // exact in both engines.
+  val StratK = 50
+
+  private[graft] def sampleStratified(d: DataFrame): DataFrame = {
+    val hashed = d.select(col("doc_id"), col("source"))
+      .withColumn("strat_hash", (col("doc_id") * MixMul) % MixMod)
+    graft.plans.TopK.perKey(hashed, Seq("source"),
+        Seq("strat_hash" -> graft.plans.TopK.Asc,
+          "doc_id" -> graft.plans.TopK.Asc), StratK)
+      .select(col("source"), col("doc_id"), col("strat_hash"), col("rk"))
+  }
+
+  private val opStrat = Op(
+    "sample_stratified",
+    (s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      sampleStratified(Tables(s, dir, "documents"))
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT source, doc_id, (doc_id * $MixMul) % $MixMod AS strat_hash
+        FROM documents),
+      r AS (
+        SELECT source, doc_id, strat_hash,
+          CAST(ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY strat_hash, doc_id) AS BIGINT) AS rk
+        FROM h)
+      SELECT source, doc_id, strat_hash, rk FROM r WHERE rk <= $StratK"""))
+
   // ---- seq_pack: fixed-length training-sequence packing ----
   // The step between curation and training: docs are laid out in a
   // DETERMINISTIC SHUFFLED order (the Lehmer hash above — a training
@@ -236,5 +276,5 @@ object Sampling {
         ROUND(q1, 6) AS q1, ROUND(q2, 6) AS q2, ROUND(q3, 6) AS q3
       FROM d CROSS JOIN c"""))
 
-  val ops: Seq[Op] = Seq(opMix, opTemp, opPack, opBins)
+  val ops: Seq[Op] = Seq(opMix, opTemp, opPack, opBins, opStrat)
 }

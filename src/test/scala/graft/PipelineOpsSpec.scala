@@ -1132,6 +1132,37 @@ class PipelineOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("sample_stratified: exactly k per stratum, hash-ordered, heap plan") {
+    // small stratum keeps everything; big stratum keeps exactly StratK,
+    // and the kept set is the k smallest by the portable Lehmer hash
+    graft.plans.GraftFunctions.register(spark)
+    val m = graft.operators.Sampling.MixMod
+    val mul = graft.operators.Sampling.MixMul
+    val k = graft.operators.Sampling.StratK
+    val docs = ((1L to 200L).map(i => (i, "big")) ++
+      (1001L to 1005L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val out = graft.operators.Sampling.sampleStratified(docs).collect()
+    val bySrc = out.groupBy(_.getAs[String]("source"))
+    assert(bySrc("small").length == 5 && bySrc("big").length == k)
+    val expectBig = (1L to 200L).map(i => (i * mul % m, i)).sorted.take(k)
+      .map(_._2).toSet
+    assert(bySrc("big").map(_.getAs[Long]("doc_id")).toSet == expectBig)
+    // ranks are contiguous 1..k in hash order
+    assert(bySrc("big").map(_.getAs[Long]("rk")).sorted.sameElements(1L to k))
+    // plan: the custom bounded-heap operator, not a rank window
+    // (AQE off so the executed tree is not an AdaptiveSparkPlan wrapper)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = run("sample_stratified").queryExecution.executedPlan
+      assert(plan.collect {
+        case t: graft.plans.TopKPerKeyFinalExec => t }.nonEmpty,
+        s"expected TopKPerKey heap exec:\n$plan")
+      assert(plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+        s"a rank window over full strata is the rejected plan:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("profile_stats: nulls, exact NDV, native-order min/max; sort-free plan") {
     // planted fixture replayed through the same aggregation shape the
     // operator uses on lineitem (schema matters, not the table): nulls
