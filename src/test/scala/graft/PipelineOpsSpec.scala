@@ -1111,6 +1111,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(m(4L)._3 < m(1L)._3)
   }
 
+  test("ngram_lm: surprisal stays int64-exact at beyond-100TB counts") {
+    // the documented bound: (c1 + V) * 65536 < 2^63 needs c1 + V < 2^47.
+    // Drive the exact expression the operator uses at counts far past
+    // any real corpus (2^45 ≈ 3.5e13 context occurrences — 100 TB of
+    // text is ~2e13 tokens TOTAL) and check against BigInt ground truth.
+    val cases = Seq(
+      (1L << 45, 1L << 40, 1L),          // degenerate hot context, rare bigram
+      (1L << 45, 1L << 40, 1L << 30),    // hot context, hot bigram
+      ((1L << 46) + 12345L, 999L, 7L),   // near the 2^47 headroom edge
+      (3L, 2L, 1L))                      // tiny corpus sanity
+    val df = cases.toDF("c1", "v", "c12")
+      .withColumn("s",
+        (length(bin(expr(s"((c1 + v) * ${operators.LangModel.LmScale}) DIV (c12 + 1)"))) - 1)
+          .cast("long"))
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    cases.foreach { case t @ (c1, v, c12) =>
+      val q = (BigInt(c1) + BigInt(v)) * operators.LangModel.LmScale / (BigInt(c12) + 1)
+      val expect = q.bitLength - 1 // ilog2 for q >= 1
+      assert(got(t) == expect.toLong, s"case $t: got ${got(t)}, BigInt says $expect")
+      // prove the fixture is meaningful: the product approaches but
+      // never crosses int64 under the documented bound
+      assert((BigInt(c1) + BigInt(v)) * operators.LangModel.LmScale
+        <= BigInt(Long.MaxValue))
+    }
+  }
+
   test("ngram_lm: no Exchange carries the corpus text") {
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
     // train + score over the corpus moves only skinny (doc_id, w1, w2)
