@@ -281,28 +281,28 @@ object MapReduceDocs {
       FROM mapped GROUP BY doc_id"""))
 
   // ---- score_f1: SQuAD-style token-overlap F1 (test_proactive.py:110) ----
-  // Same single-pass shape as score_bleu: both sides unpivot into one
-  // (doc_id, tok) count aggregation, and the per-doc aggregation
-  // produces n_common (Σ min(cp,cg)) AND both lengths (Σcp, Σcg) — no
-  // per-side aggregates, no count join, no separate sizes scan.
+  // Scoring is a PER-ROW function, so it deserves no shuffle at all:
+  // the graft_f1_common kernel (plans.TokenOverlap) computes the
+  // multiset overlap Σ min(cp, cg) in one O(n+m) hash pass per row,
+  // and the whole operator is a narrow projection over the pair scan.
+  // (The previous explode + two-aggregation shape paid two corpus-
+  // sized shuffles for the same numbers — the signature-kernel lesson,
+  // README "Per-row functions don't deserve shuffles".)
   private val opF1 = Op(
     "score_f1",
     (s, dir) => {
-      val p = pairs(s, dir)
-      val toks = p.select(col("doc_id"), explode(array(
-          struct(lit("p").as("side"), TextFns.tokens(col("pred")).as("ts")),
-          struct(lit("g").as("side"), TextFns.tokens(col("gt")).as("ts")))).as("sd"))
-        .select(col("doc_id"), col("sd.side").as("side"),
-          explode(col("sd.ts")).as("tok"))
-      val cnt = toks.groupBy(col("doc_id"), col("tok"))
-        .agg(sum(when(col("side") === "p", 1L).otherwise(0L)).as("cp"),
-          sum(when(col("side") === "g", 1L).otherwise(0L)).as("cg"))
-      val agg = cnt.groupBy(col("doc_id"))
-        .agg(sum(col("cp")).as("n_pred"), sum(col("cg")).as("n_gold"),
-          sum(least(col("cp"), col("cg"))).as("n_common"))
+      graft.plans.GraftFunctions.register(s)
+      val scored = pairs(s, dir)
+        .withColumn("pt", TextFns.tokens(col("pred")))
+        .withColumn("gtt", TextFns.tokens(col("gt")))
+        .select(col("doc_id"),
+          size(col("pt")).cast("long").as("n_pred"),
+          size(col("gtt")).cast("long").as("n_gold"),
+          expr("graft_f1_common(pt, gtt)").as("n_common"))
       val prec = col("n_common") / col("n_pred")
       val rec = col("n_common") / col("n_gold")
-      agg.select(col("doc_id"), col("n_pred"), col("n_gold"), col("n_common"),
+      scored.select(col("doc_id"), col("n_pred"), col("n_gold"),
+        col("n_common"),
         when(col("n_common") === 0, lit(0.0))
           .otherwise(round(lit(2.0) * prec * rec / (prec + rec), 6)).as("f1"))
     },

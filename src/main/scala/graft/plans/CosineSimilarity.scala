@@ -97,6 +97,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.minhashSigDescriptor)
     ext.injectFunction(GraftFunctions.bleuSmoothDescriptor)
     ext.injectFunction(GraftFunctions.deflateLenDescriptor)
+    ext.injectFunction(GraftFunctions.f1CommonDescriptor)
     ext.injectFunction(GraftFunctions.bpeDescriptor)
     ext.injectFunction(GraftFunctions.pqEncodeDescriptor)
     ext.injectFunction(GraftFunctions.pqCosDescriptor)
@@ -194,6 +195,11 @@ object GraftFunctions {
     new ExpressionInfo(classOf[DeflateLenExpr].getName, "graft_deflate_len"),
     (exprs: Seq[Expression]) => DeflateLenExpr(exprs.head): Expression)
 
+  private[plans] val f1CommonDescriptor = (
+    FunctionIdentifier("graft_f1_common"),
+    new ExpressionInfo(classOf[TokenOverlap].getName, "graft_f1_common"),
+    (exprs: Seq[Expression]) => TokenOverlap(exprs.head, exprs(1)): Expression)
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine",
@@ -239,6 +245,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_deflate_len",
       exprs => DeflateLenExpr(exprs.head),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_f1_common",
+      exprs => TokenOverlap(exprs.head, exprs(1)),
       "built-in")
   }
 }

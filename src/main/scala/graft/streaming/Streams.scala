@@ -135,6 +135,31 @@ object Streams {
       .select(col("doc_id"), col("source"), col("h").as("temp_hash"))
   }
 
+  /** stream_score — stateless scoring gate on (prediction, reference)
+    * pairs as they arrive (batch twin: score_f1): per-row SQuAD-style
+    * token F1 through the SAME graft_f1_common kernel the batch
+    * operator uses — O(n+m) per row, whole-stage codegen, append mode,
+    * no watermark, no state store. The live-eval shape: model outputs
+    * stream in, pairs below `minF1` are surfaced/dropped at ingest,
+    * and scores for a given pair equal the batch operator's exactly.
+    */
+  def scoreGated(pairs: DataFrame, minF1: Double): DataFrame = {
+    graft.plans.GraftFunctions.register(pairs.sparkSession)
+    val prec = col("n_common") / col("n_pred")
+    val rec = col("n_common") / col("n_gold")
+    pairs
+      .withColumn("pt", graft.functions.TextFns.tokens(col("pred")))
+      .withColumn("gtt", graft.functions.TextFns.tokens(col("gt")))
+      .select(col("doc_id"),
+        size(col("pt")).cast("long").as("n_pred"),
+        size(col("gtt")).cast("long").as("n_gold"),
+        expr("graft_f1_common(pt, gtt)").as("n_common"))
+      .withColumn("f1",
+        when(col("n_common") === 0, lit(0.0))
+          .otherwise(round(lit(2.0) * prec * rec / (prec + rec), 6)))
+      .filter(col("f1") >= minF1)
+  }
+
   /** stream_ann — streaming ANN serving (batch twin: ann_quantized):
     * each arriving query vector is answered with its top-k neighbors
     * within its own micro-batch. The int8 code index is STATIC serving

@@ -28,6 +28,7 @@ class ExtensionsSpec extends SparkSpec {
           "graft_lsh_keys(array_repeat(CAST(1.0 AS FLOAT), 64), 4, 24, 5) AS lk, " +
           "graft_bleu_smooth(array(2L, 1L, 0L, 0L, 0L, 3L, 3L)) AS bs, " +
           "graft_deflate_len(CAST('aaaaaaaaaaaaaaaa' AS BINARY)) AS dl, " +
+          "graft_f1_common(array('a', 'b', 'a'), array('a', 'a', 'c')) AS f1c, " +
           "graft_bpe(array('lowest'), array('e s', 'es t</w>', 'l o', 'lo w')) AS bp")
         .head()
       assert(math.abs(r.getAs[Double]("c") - 1.0) < 1e-12)
@@ -40,6 +41,8 @@ class ExtensionsSpec extends SparkSpec {
       assert(bs > 0.0 && bs <= 1.0, s"bleu $bs out of range")
       val dl = r.getAs[Long]("dl")
       assert(dl > 0L && dl < 16L, s"deflate of 16 repeated bytes: $dl")
+      assert(r.getAs[Long]("f1c") == 2L) // multiset: min(2,2 a's) + 0
+
       assert(r.getAs[collection.Seq[String]]("bp").toSeq ==
         Seq("low", "est</w>"))
     } finally {

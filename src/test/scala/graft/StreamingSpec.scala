@@ -144,6 +144,29 @@ class StreamingSpec extends SparkSpec {
       q.lastProgress.stateOperators.isEmpty)
   }
 
+  test("stream_score: per-row F1 gate, multiset-exact, stateless") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streams.scoreGated(in.toDF().toDF("doc_id", "pred", "gt"), 0.1)
+      .writeStream.format("memory").queryName("score_out")
+      .outputMode("append").start()
+    // batch 1: one keeper (f1 = 0.8), one zero-overlap drop
+    in.addData((1L, "a b c", "a b"), (2L, "x y", "a b"))
+    q.processAllAvailable()
+    // batch 2: multiset counting (repeated 'a' credited at most twice)
+    // and an exact match — per-row decisions, batch boundaries moot
+    in.addData((3L, "a a b", "a a"), (4L, "q", "q"))
+    q.processAllAvailable()
+    val got = spark.table("score_out").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_common"), r.getAs[Double]("f1"))).toMap
+    assert(q.lastProgress == null || q.lastProgress.stateOperators.isEmpty)
+    q.stop()
+    // hand-computed: p=2/3, r=1 → f1 = 0.8 for docs 1 and 3
+    assert(got == Map(
+      1L -> (2L, 0.8), 3L -> (2L, 0.8), 4L -> (1L, 1.0)), s"got $got")
+  }
+
   test("stream_ann: served top-k equals the batch ann_quantized exactly") {
     implicit val sql = spark.sqlContext
     graft.plans.GraftFunctions.register(spark)
