@@ -414,7 +414,50 @@ object Relational2 {
     },
     None)
 
+  // ---- q30_full_outer: reconciliation via FULL OUTER join ----
+  // The audit/reconciliation shape (spend ledger vs activity log):
+  // both sides pre-aggregate to skinny per-key rows FIRST — the outer
+  // join then shuffles two already-reduced frames, never the fact
+  // tables — and presence comes from join-side nullness. Completes the
+  // join-type coverage of the surface (inner/broadcast/semi/anti/
+  // asof/range/salted … + full outer).
+  private val q30 = Op(
+    "q30_full_outer",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey").as("cust_id"))
+        .agg(count(lit(1)).as("n_orders"),
+          sumMoney(col("o_totalprice")).as("sum_spend"))
+      val e = Tables.events(s, dir)
+        .groupBy(col("user_id").as("cust_id"))
+        .agg(count(lit(1)).as("n_events"))
+      o.join(e, Seq("cust_id"), "full_outer")
+        .select(col("cust_id"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("sum_spend"), lit(0.0)).as("sum_spend"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          when(col("n_orders").isNotNull && col("n_events").isNotNull, "both")
+            .when(col("n_orders").isNotNull, "orders_only")
+            .otherwise("events_only").as("presence"))
+    },
+    Some(s"""
+      WITH o AS (
+        SELECT o_custkey AS cust_id, CAST(COUNT(*) AS BIGINT) AS n_orders,
+          ${sumMoneySql("o_totalprice")} AS sum_spend
+        FROM orders GROUP BY 1),
+      e AS (
+        SELECT user_id AS cust_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1)
+      SELECT COALESCE(o.cust_id, e.cust_id) AS cust_id,
+        COALESCE(o.n_orders, 0) AS n_orders,
+        COALESCE(o.sum_spend, 0.0) AS sum_spend,
+        COALESCE(e.n_events, 0) AS n_events,
+        CASE WHEN o.cust_id IS NOT NULL AND e.cust_id IS NOT NULL THEN 'both'
+             WHEN o.cust_id IS NOT NULL THEN 'orders_only'
+             ELSE 'events_only' END AS presence
+      FROM o FULL OUTER JOIN e ON o.cust_id = e.cust_id"""))
+
   val ops: Seq[Op] =
     Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-      q29)
+      q29, q30)
 }

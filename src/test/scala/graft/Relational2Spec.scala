@@ -34,6 +34,31 @@ class Relational2Spec extends SparkSpec {
     assert(got("ALL")._1 == li.count())
   }
 
+  test("q30_full_outer: presence classes partition the key union; counts null-safe") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q30_full_outer").collect()
+    val oKeys = Tables(spark, sfDir, "orders")
+      .select(col("o_custkey")).distinct().count()
+    val eKeys = Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct().count()
+    val both = rows.count(_.getAs[String]("presence") == "both")
+    val oOnly = rows.count(_.getAs[String]("presence") == "orders_only")
+    val eOnly = rows.count(_.getAs[String]("presence") == "events_only")
+    // the three classes tile the key union exactly
+    assert(rows.length == both + oOnly + eOnly)
+    assert(both + oOnly == oKeys && both + eOnly == eKeys)
+    rows.foreach { r =>
+      r.getAs[String]("presence") match {
+        case "both" => assert(r.getAs[Long]("n_orders") > 0 &&
+          r.getAs[Long]("n_events") > 0)
+        case "orders_only" => assert(r.getAs[Long]("n_orders") > 0 &&
+          r.getAs[Long]("n_events") == 0)
+        case _ => assert(r.getAs[Long]("n_orders") == 0 &&
+          r.getAs[Double]("sum_spend") == 0.0)
+      }
+    }
+  }
+
   test("every q15-q21 op executes and returns rows") {
     Relational2.ops.foreach { op =>
       assert(op.query(spark, sfDir).count() > 0, s"${op.name} empty")
