@@ -50,7 +50,24 @@ object Demo {
       round(avg(col("n_chunks")), 3).as("avg_chunks"),
       max(col("total_tokens")).as("max_tokens")).show(false)
 
-    // 5. results out as JSONL (compute_scores.py input shape)
+    // 5. curation signals: bigram-LM surprisal over the corpus (the
+    // perplexity-filter shape) — high bits/token = unusual text
+    val lm = operators.LangModel.ngramLm(unique)
+    lm.filter(col("n_bigrams") > 0)
+      .agg(count(lit(1)).as("scored_docs"),
+        round(avg(col("bits_per_token")), 3).as("avg_bits_per_token"),
+        round(max(col("bits_per_token")), 3).as("max_bits_per_token"))
+      .show(false)
+
+    // 6. training hand-off: pack into fixed-length sequences and write
+    // bounded, key-contiguous shards (what a loader consumes)
+    val packed = operators.Sampling.seqPack(unique, operators.Sampling.SeqLen)
+    sources.Sinks.writeShards(packed, s"$outDir/shards", "seq_id",
+      nShards = 4, maxRecordsPerFile = 10000)
+    println(s"[demo] packed fragments: " +
+      spark.read.parquet(s"$outDir/shards").count())
+
+    // 7. results out as JSONL (compute_scores.py input shape)
     sources.Jsonl.write(
       reduced.select(col("doc_id"), col("n_chunks"), col("total_tokens"),
         col("final_summary")),
