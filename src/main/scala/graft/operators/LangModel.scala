@@ -124,5 +124,83 @@ object LangModel {
           END AS bits_per_token
       FROM documents dd LEFT JOIN agg a ON dd.doc_id = a.doc_id"""))
 
-  val ops: Seq[Op] = Seq(opNgramLm)
+  // ---- colloc_pmi: collocation mining by pointwise mutual information ----
+  // The phrase-detection prep step (Mikolov et al. 2013 word2vec
+  // "phrases"): bigrams whose joint count far exceeds the independence
+  // expectation get merged into single tokens downstream. PMI =
+  // log2(c12·N / (c1a·c1b)) re-expressed with the same integer
+  // machinery as ngram_lm — except c1a·c1b overflows int64 at corpus
+  // scale (each factor can reach ~2e13), so the expectation
+  // denominator is computed in decimal(38,0) FIRST and only its
+  // integral quotient (≤ max(c1a, c1b), back in int64 range) feeds the
+  // bit-length log:
+  //
+  //   expect  = (c1a * c1b) div N          — decimal(38,0), exact
+  //   pmi_s   = ilog2((c12 * 65536) div (expect + 1)) − 16
+  //
+  // Scale shape: identical skinny aggregations to ngram_lm (they share
+  // `shifted`); the PMI projection is per-bigram-type (vocab²-bounded,
+  // not corpus-bounded); the global top-[[PmiTopK]] collocations run
+  // through TakeOrdered per-partition heaps (the vocab_topk shape) and
+  // the rank window covers only the K retained rows.
+  val PmiMinCount = 5L
+  val PmiTopK = 100
+
+  private[graft] def collocPmi(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val z = shifted(d)
+    val bg = z.filter(col("w2").isNotNull)
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val n = c2.agg(sum(col("c12")).as("n"))
+    val scored = c2.filter(col("c12") >= PmiMinCount)
+      .join(c1, Seq("w1"))
+      .join(c1.select(col("w1").as("w2"), col("c1").as("c1b")), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .withColumn("expect", expr(
+        "CAST((CAST(c1 AS DECIMAL(38,0)) * CAST(c1b AS DECIMAL(38,0))) " +
+          "DIV CAST(n AS DECIMAL(38,0)) AS BIGINT)"))
+      .withColumn("pmi_bits",
+        (length(bin(expr(s"(c12 * $LmScale) DIV (expect + 1)"))) - 1
+          - LmScaleBits).cast("long"))
+    scored
+      .orderBy(col("pmi_bits").desc, col("c12").desc, col("w1"), col("w2"))
+      .limit(PmiTopK)
+      .select(col("w1"), col("w2"), col("c12"),
+        col("c1").as("c1a"), col("c1b"), col("pmi_bits"),
+        row_number().over(Window.orderBy(col("pmi_bits").desc,
+          col("c12").desc, col("w1"), col("w2"))).cast("long").as("rank"))
+  }
+
+  private val opColloc = Op(
+    "colloc_pmi",
+    (s, dir) => collocPmi(docs(s, dir)),
+    Some(s"""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents),
+      z AS (
+        SELECT doc_id, toks[i] AS w1,
+          CASE WHEN i < len(toks) THEN toks[i+1] END AS w2
+        FROM d, UNNEST(generate_series(1, len(toks))) AS u(i)),
+      bg AS (SELECT w1, w2 FROM z WHERE w2 IS NOT NULL),
+      c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+             FROM bg GROUP BY 1, 2),
+      c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+      n AS (SELECT CAST(SUM(c12) AS BIGINT) AS n FROM c2),
+      sc AS (
+        SELECT c2.w1, c2.w2, c2.c12, a.c1 AS c1a, b.c1 AS c1b,
+          CAST(length(bin((c2.c12 * $LmScale)
+              // (CAST((CAST(a.c1 AS HUGEINT) * b.c1) // n.n AS BIGINT) + 1)))
+            - 1 - $LmScaleBits AS BIGINT) AS pmi_bits
+        FROM c2 JOIN c1 a ON c2.w1 = a.w1 JOIN c1 b ON c2.w2 = b.w1
+          CROSS JOIN n
+        WHERE c2.c12 >= $PmiMinCount),
+      r AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY pmi_bits DESC, c12 DESC,
+          w1, w2) AS BIGINT) AS rank
+        FROM sc)
+      SELECT w1, w2, c12, c1a, c1b, pmi_bits, rank FROM r
+      WHERE rank <= $PmiTopK"""))
+
+  val ops: Seq[Op] = Seq(opNgramLm, opColloc)
 }

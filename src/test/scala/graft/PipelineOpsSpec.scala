@@ -1138,6 +1138,31 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("colloc_pmi: exclusive pairs outrank high-marginal self-pairs") {
+    // 4 docs of 12 tokens → 11 bigrams each, N = 44.
+    //   (x,y): c12=6, c1x=6, c1y=5 → expect = 30//44 = 0 →
+    //          s = ilog2(6·65536 div 1) = 18 → pmi_bits = 2
+    //   (z,z): c12=11, c1z=11      → expect = 121//44 = 2 →
+    //          s = ilog2(11·65536 div 3) = 17 → pmi_bits = 1
+    // the exclusively-co-occurring pair beats the frequent self-pair —
+    // exactly the signal phrase detection ranks on
+    def alt(a: String, b: String) = Seq.fill(6)(s"$a $b").mkString(" ")
+    val docs = Seq(
+      (1L, alt("x", "y")), (2L, alt("p", "q")), (3L, alt("m", "n")),
+      (4L, Seq.fill(12)("z").mkString(" "))).toDF("doc_id", "text")
+    val out = operators.LangModel.collocPmi(docs).collect()
+    val m = out.map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")) ->
+      (r.getAs[Long]("c12"), r.getAs[Long]("pmi_bits"))).toMap
+    assert(m(("x", "y")) == ((6L, 2L)), s"${m(("x", "y"))}")
+    assert(m(("y", "x")) == ((5L, 2L)), s"${m(("y", "x"))}")
+    assert(m(("z", "z")) == ((11L, 1L)), s"${m(("z", "z"))}")
+    // the self-pair ranks LAST despite having the highest raw count
+    val zRank = out.find(r => r.getAs[String]("w1") == "z").get
+      .getAs[Long]("rank")
+    assert(zRank == out.map(_.getAs[Long]("rank")).max,
+      s"z-z should rank last, got $zRank of ${out.length}")
+  }
+
   test("ngram_lm: no Exchange carries the corpus text") {
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
     // train + score over the corpus moves only skinny (doc_id, w1, w2)
