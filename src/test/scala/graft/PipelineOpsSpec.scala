@@ -1163,6 +1163,37 @@ class PipelineOpsSpec extends SparkSpec {
       s"z-z should rank last, got $zRank of ${out.length}")
   }
 
+  test("colloc_pmi: expectation stays exact where int64 c1a*c1b would wrap") {
+    // at 100 TB each marginal can reach ~2e13: c1a*c1b ≈ 4e26 wraps
+    // int64 (9.2e18) but fits decimal(38,0). Drive the exact expression
+    // the operator uses and check the quotient + pmi against BigInt.
+    val big = 20_000_000_000_000L // 2e13
+    val cases = Seq(
+      (big, big, big, 5L),          // max marginals, rare pair
+      (big, 3L, big, 5L),           // asymmetric marginals
+      (1L << 40, 1L << 40, 1L << 41, 1L << 20)) // powers of two
+    val df = cases.toDF("c1a", "c1b", "n", "c12")
+      .withColumn("expect", expr(
+        "CAST((CAST(c1a AS DECIMAL(38,0)) * CAST(c1b AS DECIMAL(38,0))) " +
+          "DIV CAST(n AS DECIMAL(38,0)) AS BIGINT)"))
+      .withColumn("pmi_bits",
+        (length(bin(expr(s"(c12 * ${operators.LangModel.LmScale}) DIV (expect + 1)"))) - 1
+          - operators.LangModel.LmScaleBits).cast("long"))
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ->
+        (r.getLong(4), r.getLong(5))).toMap
+    cases.foreach { case t @ (c1a, c1b, n, c12) =>
+      val expect = BigInt(c1a) * BigInt(c1b) / n
+      val q = BigInt(c12) * operators.LangModel.LmScale / (expect + 1)
+      val pmi = (if (q >= 1) q.bitLength - 1 else 0) -
+        operators.LangModel.LmScaleBits
+      assert(got(t) == ((expect.toLong, pmi.toLong)),
+        s"case $t: got ${got(t)}, BigInt says ($expect, $pmi)")
+    }
+    // the fixture is meaningful: the raw int64 product would wrap
+    assert(BigInt(big) * big > BigInt(Long.MaxValue))
+  }
+
   test("ngram_lm: no Exchange carries the corpus text") {
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
     // train + score over the corpus moves only skinny (doc_id, w1, w2)
