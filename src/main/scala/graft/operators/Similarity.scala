@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.{Op, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (64-dim float
@@ -566,9 +565,17 @@ object Similarity {
       .select(col("vec_id"), col("cent_id").as("cluster"))
       .localCheckpoint()
     // sub-split oversized clusters so the self-join never goes O(n²):
-    // population via ONE window count over the skinny assignment rows
-    val cn = count(lit(1)).over(Window.partitionBy(col("cluster")))
-    val sized = assigned.withColumn("cn", cn)
+    // populations via a SKINNY groupBy aggregate (map-side partial
+    // combine, parallel across tasks) broadcast back onto the
+    // assignment frame — NOT count().over(partitionBy(cluster)), which
+    // buffers an entire cluster's rows in one window task: on the
+    // degenerate corpus this path exists for (all vectors alike), the
+    // largest cluster is O(n) rows and that single task spills before
+    // the sub-split salt it feeds can even be computed. The aggregate
+    // output is ≤ k ≤ KmeansMaxK = 4096 rows — statically broadcast-safe.
+    val clusterSizes =
+      assigned.groupBy(col("cluster")).agg(count(lit(1)).as("cn"))
+    val sized = assigned.join(broadcast(clusterSizes), Seq("cluster"))
       .withColumn("salt",
         when(col("cn") > SemMaxCluster,
           pmod(xxhash64(col("vec_id")),

@@ -1079,6 +1079,39 @@ class PipelineOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("dedup_semantic: cluster sizing is a skinny aggregate, not a window") {
+    // the rejected plan computed populations with count().over(
+    // partitionBy(cluster)), which buffers an entire cluster's rows in
+    // ONE window task — on the degenerate one-giant-cluster corpus the
+    // largest cluster is O(n) rows and that task spills before the
+    // sub-split salt exists. The shipped plan must carry NO WindowExec
+    // anywhere; sizes come from groupBy(cluster).count() broadcast back
+    // (bounded by k ≤ KmeansMaxK rows).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = run("dedup_semantic").queryExecution.executedPlan
+      assert(plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+        s"a window buffers whole clusters in single tasks:\n$plan")
+      // a cluster-keyed shuffle is allowed only for the skinny count
+      // partials (cluster, cn); the assignment frame itself (rows with
+      // vec_id) must never be redistributed on cluster for sizing
+      val badShuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.isInstanceOf[
+              org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] &&
+              e.outputPartitioning.asInstanceOf[
+                org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+                .expressions.collect {
+                  case a: org.apache.spark.sql.catalyst.expressions.Attribute
+                    => a.name }.toSet == Set("cluster") &&
+              e.output.exists(_.name == "vec_id") => e
+      }
+      assert(badShuffles.isEmpty,
+        s"assignment frame shuffled on cluster for sizing:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("dedup_semantic: every dropped vector is a verified near-dup (precision 1)") {
     val out = run("dedup_semantic").filter(col("keep") === 0L)
       .filter(col("max_cos") < Similarity.SemTau)
