@@ -69,6 +69,47 @@ object Profile {
         col("min_v"), col("max_v"))
   }
 
+  /** profile_sketch — the at-scale profiling mode. profile_stats' NDV
+    * pass is exact and oracle-checked, but exact distinct on a UNIQUE
+    * key column (l_orderkey) shuffles one row per distinct value =
+    * O(rows) — unavoidable for exact, wrong as the ONLY mode at
+    * 100 TB. This variant estimates NDV with the same mergeable
+    * DataSketches HLL machinery q29_sketch_merge uses
+    * (hll_sketch_agg at lgK = [[Relational2.SketchLgK]], ±~1 %),
+    * folded into the SAME single no-grouping aggregate as the null
+    * counts and native-order min/max: ONE table scan, partial sketch
+    * buffers merge map-side, the shuffle carries one constant-size
+    * row per partition — nothing is O(rows) after the scan. Rows-only
+    * (sketch internals aren't portable SQL); the tolerance spec vs
+    * the exact pass is the correctness bound.
+    */
+  private[graft] def profileSketch(d: DataFrame): DataFrame = {
+    val cols = profiled
+    val aggs: Seq[Column] = cols.flatMap { case (n, c, _) =>
+      Seq(count(c).as(s"${n}__nn"),
+        min(c).cast("string").as(s"${n}__min"),
+        max(c).cast("string").as(s"${n}__max"),
+        call_function("hll_sketch_estimate",
+          call_function("hll_sketch_agg", c, lit(Relational2.SketchLgK)))
+          .as(s"${n}__nd"))
+    }
+    val a = d.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackArgs = cols.map { case (n, _, _) =>
+      s"'$n', ${n}__nn, ${n}__nd, ${n}__min, ${n}__max"
+    }.mkString(", ")
+    a.select(col("n_rows"), expr(
+        s"stack(${cols.size}, $stackArgs) " +
+          "AS (col_name, nn, approx_distinct, min_v, max_v)"))
+      .select(col("col_name"), col("n_rows"),
+        (col("n_rows") - col("nn")).as("n_null"),
+        col("approx_distinct"), col("min_v"), col("max_v"))
+  }
+
+  private val opSketch = Op(
+    "profile_sketch",
+    (s, dir) => profileSketch(Tables(s, dir, "lineitem")),
+    None)
+
   private val opProfile = Op(
     "profile_stats",
     (s, dir) => profileStats(Tables(s, dir, "lineitem")),
@@ -90,5 +131,5 @@ object Profile {
       $branches"""
     })
 
-  val ops: Seq[Op] = Seq(opProfile)
+  val ops: Seq[Op] = Seq(opProfile, opSketch)
 }

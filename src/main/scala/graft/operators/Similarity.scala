@@ -150,13 +150,18 @@ object Similarity {
     cents.zipWithIndex.map { case (v, i) => (i, v.map(_.toFloat)) }
   }
 
-  /** The IVF probe machinery, shared by the float and int8 serving
+  /** The IVF probe machinery, shared by the float / int8 / PQ serving
     * paths: identical centroid training, assignment, probing, and pair
-    * dedup — only the FINAL scoring side differs (float embeddings vs
-    * int8 codes through graft_cosine_i8). At 100 TB the int8 variant
-    * is the one that fits candidate vectors in executor memory.
+    * dedup — only the FINAL scoring side differs (float embeddings,
+    * int8 codes through graft_cosine_i8, or PQ codes through the ADC
+    * graft_pq_cos kernel). At 100 TB the quantized variants are the
+    * ones that fit candidate vectors in executor memory; "pq" is the
+    * full IVFADC architecture of Jégou et al. (TPAMI 2011): coarse
+    * cells prune the scan to ~(Rep·NProbe)/k of the corpus AND each
+    * candidate costs [[PqM]] bytes, the combination the paper built
+    * for 10¹²-vector serving.
     */
-  private def ivfRank(s: SparkSession, dir: String, int8: Boolean): DataFrame = {
+  private def ivfRank(s: SparkSession, dir: String, mode: String): DataFrame = {
       graft.plans.GraftFunctions.register(s)
       val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       // k ∝ √n capped at KmeansMaxK (see its doc for the bounded
@@ -188,12 +193,25 @@ object Similarity {
         .agg(min(col("bucket")).as("bucket"))
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val c = if (int8) int8Codes(e)
-              else e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val (c, cosCol) = mode match {
+        case "float" =>
+          (e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")),
+            expr("graft_cosine(q_emb, c_emb)"))
+        case "int8" =>
+          (int8Codes(e), expr("graft_cosine_i8(q_emb, c_q)"))
+        case "pq" =>
+          // second bounded driver one-off beside the coarse centroids:
+          // the per-subspace codebook (cost doc'd at pqCodebook)
+          val (cb, kEff) = pqCodebook(e, PqM, PqK, KmeansIters)
+          val cbLit = lit(cb)
+          (e.select(col("vec_id").as("c_id"),
+            call_function("graft_pq_encode",
+              col("embedding"), cbLit, lit(PqM), lit(kEff)).as("c_code")),
+            call_function("graft_pq_cos",
+              col("q_emb"), col("c_code"), cbLit, lit(PqM), lit(kEff)))
+      }
       val scored = pairs.join(broadcast(q), Seq("q_id")).join(c, Seq("c_id"))
-        .withColumn("cos", round(
-          if (int8) expr("graft_cosine_i8(q_emb, c_q)")
-          else expr("graft_cosine(q_emb, c_emb)"), 6))
+        .withColumn("cos", round(cosCol, 6))
       // final ranking via the two-phase TopKPerKey heap operator (k rows
       // per key reach the shuffle), same path ann_cosine_topk uses
       graft.plans.TopK.perKey(scored, Seq("q_id"),
@@ -202,13 +220,24 @@ object Similarity {
           col("c_id"), col("cos"), col("rk"))
   }
 
-  private val opIvf = Op("ann_ivf", (s, dir) => ivfRank(s, dir, int8 = false), None)
+  private val opIvf = Op("ann_ivf", (s, dir) => ivfRank(s, dir, "float"), None)
 
   // the full 100 TB serving story: IVF pruning AND an int8 candidate
   // store — probes identical to ann_ivf, final scoring asymmetric
   private val opIvfQuant = Op(
     "ann_ivf_quantized",
-    (s, dir) => ivfRank(s, dir, int8 = true),
+    (s, dir) => ivfRank(s, dir, "int8"),
+    None)
+
+  // IVFADC (Jégou 2011): IVF pruning AND PQ codes — the repo's serving
+  // ladder completed. ann_pq brute-forces all codes per query; this
+  // variant scores ONLY probed-cell candidates through the same ADC
+  // kernel, so per-query cost is (Rep·NProbe)/k of the corpus at
+  // PqM bytes per candidate. Rows-only (Lloyd isn't portable SQL);
+  // the recall spec vs float IVF is the correctness bound.
+  private val opIvfPq = Op(
+    "ann_ivf_pq",
+    (s, dir) => ivfRank(s, dir, "pq"),
     None)
 
   // ---- dedup_embed: embedding-cosine near-duplicate detection ----
@@ -617,6 +646,6 @@ object Similarity {
     None)
 
   val ops: Seq[Op] =
-    Seq(opBrute, opIvf, opIvfQuant, opEmbedDedup, opQuantize, opQuantAnn, opPq,
-      opSemDedup)
+    Seq(opBrute, opIvf, opIvfQuant, opIvfPq, opEmbedDedup, opQuantize,
+      opQuantAnn, opPq, opSemDedup)
 }

@@ -497,6 +497,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ivf8.queryExecution.executedPlan.toString.contains("TopKPerKey"))
   }
 
+  test("ann_ivf_pq: IVFADC — probed cells only, ADC recall >= 0.5 vs float IVF") {
+    // probes are identical to ann_ivf (same centroids, same cells) —
+    // the difference is PQ codes + ADC scoring on the candidate side,
+    // so the only loss vs float IVF is subspace quantization. On the
+    // structureless worst-case embeddings the ann_pq brute-force ADC
+    // measures recall@5 ≈ 0.62 vs exact, so 0.5 is the honest bound
+    // for the composed path too.
+    val ivf = run("ann_ivf")
+      .select($"q_id", $"c_id").as[(Long, Long)].collect().toSet
+    val ivfadc = run("ann_ivf_pq")
+    val hits = ivfadc.select($"q_id", $"c_id").as[(Long, Long)].collect()
+      .count(ivf.contains)
+    val recall = hits.toDouble / ivf.size
+    assert(recall >= 0.5, s"IVFADC recall $recall < 0.5 vs float IVF")
+    assert(ivfadc.select("q_id").distinct().count() == 10)
+    // candidates are restricted to probed cells: every surviving pair
+    // records its (min) probed bucket, and per query at most NProbe
+    // distinct cells appear — the scan-prune contract
+    assert(ivfadc.select("q_id", "bucket").distinct().count() <=
+      10L * operators.Similarity.NProbe)
+    // ranking runs through the two-phase heap operator, and the final
+    // scoring side carries PQ codes (c_code), never float embeddings
+    val plan = ivfadc.queryExecution.executedPlan
+    assert(plan.toString.contains("TopKPerKey"), plan.toString)
+    assert(plan.toString.contains("graft_pq_cos"),
+      s"candidate scoring must be the ADC kernel:\n$plan")
+  }
+
   test("dedup_embed kernel: planted near-identical vectors are detected") {
     graft.plans.GraftFunctions.register(spark)
     val v = Array.tabulate(64)(i => (i + 1).toFloat)
@@ -1312,6 +1340,52 @@ class PipelineOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     val out = run("profile_stats").collect()
     assert(out.length == 7 && out.forall(_.getAs[Long]("n_rows") > 0))
+  }
+
+  test("profile_sketch: HLL NDV within 5% of exact; ONE scan, no melt shuffle") {
+    // same profile, NDV via mergeable HLL at lgK=14 (rel err ~0.8%):
+    // every column's estimate must land within 5% of the exact pass,
+    // and nulls/min/max must agree exactly (they share the formulas)
+    val exact = run("profile_stats").collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    val approx = run("profile_sketch").collect()
+    assert(approx.length == exact.size)
+    approx.foreach { r =>
+      val e = exact(r.getAs[String]("col_name"))
+      val (nd, ed) = (r.getAs[Long]("approx_distinct"), e.getAs[Long]("n_distinct"))
+      assert(math.abs(nd - ed).toDouble <= math.max(1.0, 0.05 * ed),
+        s"${r.getAs[String]("col_name")}: approx $nd vs exact $ed")
+      assert(r.getAs[Long]("n_null") == e.getAs[Long]("n_null"))
+      assert(r.getAs[String]("min_v") == e.getAs[String]("min_v") &&
+        r.getAs[String]("max_v") == e.getAs[String]("max_v"))
+    }
+    // the at-scale contract: ONE table scan (profile_stats needs two),
+    // no melted per-value shuffle, no Expand, no sort — the only
+    // exchange carries one constant-size partial-buffer row per task
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = run("profile_sketch").queryExecution.executedPlan
+      assert(plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s }.size == 1,
+        s"sketch profile must be one pass:\n$plan")
+      assert(plan.collect {
+        case e: org.apache.spark.sql.execution.ExpandExec => e }.isEmpty &&
+        plan.collect {
+          case s: org.apache.spark.sql.execution.SortExec => s }.isEmpty,
+        s"Expand/Sort crept into the sketch profile:\n$plan")
+      // the output stack() is a Generate over the ONE aggregate row —
+      // fine; the rejected melted shape is a Generate over scan rows
+      // (no aggregate between it and the file scan)
+      plan.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g }.foreach { g =>
+        assert(g.child.collectFirst {
+          case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+          case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+          case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+        }.nonEmpty,
+          s"a Generate melts raw scan rows — the rejected plan:\n$plan")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("text_quality: ratios within [0,1], avg_token_len positive") {
