@@ -101,6 +101,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.bpeDescriptor)
     ext.injectFunction(GraftFunctions.pqEncodeDescriptor)
     ext.injectFunction(GraftFunctions.pqCosDescriptor)
+    ext.injectFunction(GraftFunctions.mediaMetaDescriptor)
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectOptimizerRule(_ => PushFilterThroughTopK)
   }
@@ -195,6 +196,11 @@ object GraftFunctions {
     new ExpressionInfo(classOf[DeflateLenExpr].getName, "graft_deflate_len"),
     (exprs: Seq[Expression]) => DeflateLenExpr(exprs.head): Expression)
 
+  private[plans] val mediaMetaDescriptor = (
+    FunctionIdentifier("graft_media_meta"),
+    new ExpressionInfo(classOf[MediaMetaExpr].getName, "graft_media_meta"),
+    (exprs: Seq[Expression]) => MediaMetaExpr(exprs.head): Expression)
+
   private[plans] val f1CommonDescriptor = (
     FunctionIdentifier("graft_f1_common"),
     new ExpressionInfo(classOf[TokenOverlap].getName, "graft_f1_common"),
@@ -249,6 +255,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_f1_common",
       exprs => TokenOverlap(exprs.head, exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_media_meta",
+      exprs => MediaMetaExpr(exprs.head),
       "built-in")
   }
 }

@@ -165,15 +165,20 @@ object Streams {
     * within its own micro-batch. The int8 code index is STATIC serving
     * state — exactly what the quantized family exists for: at 10⁹+
     * vectors the 64 B/vector codes (8 B under PQ) are what fits in
-    * executor RAM, shipped once per job — here as a plan literal, in
-    * production as a broadcast variable refreshed per index build. The
-    * whole gate is therefore a stateless per-row computation: score
-    * every index code with the SAME asymmetric graft_cosine_i8 kernel
-    * the batch path uses, comparator-sort, slice k — append mode, no
-    * watermark, no state store, and results for a given query are
-    * identical to the batch operator's (spec-asserted). Beyond
-    * [[AnnIndexCap]] codes the index no longer rides whole — that is
-    * the batch path's shard-queries-×-index-partitions territory.
+    * executor RAM — shipped as a SPARK BROADCAST VARIABLE referenced
+    * from the graft_ann_serve kernel (plans.AnnServe): the plan carries
+    * only the broadcast handle, executors fetch the flat primitive
+    * index (one long[] + one int[]) once per JVM, refreshed per index
+    * build. At [[AnnIndexCap]] codes a plan-literal index would put
+    * ~256 MB into every serialized task; the broadcast costs bytes
+    * (spec-asserted by a plan-size bound). The gate stays a stateless
+    * per-row computation — the kernel scores all codes with the same
+    * asymmetric cosine + HALF_UP 6-decimal round the batch path uses
+    * and keeps top-k by bounded insertion — append mode, no watermark,
+    * no state store, and results for a given query are identical to
+    * the batch operator's (spec-asserted). Beyond [[AnnIndexCap]]
+    * codes the index no longer rides whole — that is the batch path's
+    * shard-queries-×-index-partitions territory.
     */
   val AnnIndexCap: Int = 1 << 20
 
@@ -181,17 +186,28 @@ object Streams {
       k: Int): DataFrame = {
     require(index.nonEmpty && index.size <= AnnIndexCap,
       s"serving index must hold 1..$AnnIndexCap codes, got ${index.size}")
-    graft.plans.GraftFunctions.register(queries.sparkSession)
+    val ss = queries.sparkSession
+    graft.plans.GraftFunctions.register(ss)
+    val dim = index.head._2.length
+    require(index.forall(_._2.length == dim), "ragged index codes")
+    val ids = new Array[Long](index.size)
+    val codes = new Array[Int](index.size * dim)
+    var i = 0
+    index.foreach { case (id, c) =>
+      ids(i) = id
+      var j = 0
+      c.foreach { v => codes(i * dim + j) = v; j += 1 }
+      i += 1
+    }
+    val bc = ss.sparkContext.broadcast(graft.plans.AnnServe.Index(ids, codes, dim))
+    // registered per call so the builder closes over THIS index's
+    // broadcast; queries analyzed earlier keep their bound instance
+    ss.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ann_serve",
+      exprs => graft.plans.AnnServeExpr(exprs.head, exprs(1), bc, k),
+      "built-in")
     queries
-      .withColumn("idx", typedlit(index))
-      .withColumn("scored", expr(
-        "transform(idx, e -> struct(" +
-          "round(graft_cosine_i8(q_emb, e._2), 6) AS cos, e._1 AS c_id))"))
-      .withColumn("hits", expr(
-        "slice(array_sort(filter(scored, e -> e.c_id != q_id), (a, b) -> " +
-          "CASE WHEN a.cos > b.cos THEN -1 WHEN a.cos < b.cos THEN 1 " +
-          "WHEN a.c_id < b.c_id THEN -1 WHEN a.c_id > b.c_id THEN 1 " +
-          s"ELSE 0 END), 1, $k)"))
+      .withColumn("hits", expr("graft_ann_serve(q_emb, q_id)"))
       .select(col("q_id"), posexplode(col("hits")).as(Seq("p", "hit")))
       .select(col("q_id"), col("hit.c_id").as("c_id"),
         col("hit.cos").as("cos"), (col("p") + 1).cast("long").as("rk"))

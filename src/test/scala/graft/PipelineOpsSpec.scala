@@ -572,12 +572,88 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cand == 1L, "identical-direction pair must be a candidate")
   }
 
-  test("mm_meta: metadata is a pure function of payload; batches bounded") {
+  test("mm_meta kernel: hand-computed PNG/JPEG/WAV headers parse exactly") {
+    graft.plans.GraftFunctions.register(spark)
+    // hand-written PNG: signature + IHDR(len 13) with width 300
+    // (0x0000012C), height 7, depth 8, color type 6 (RGBA → 4 channels)
+    val png = Array[Int](
+      0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0x01, 0x2c, 0, 0, 0, 7, 8, 6, 0, 0, 0).map(_.toByte)
+    // hand-written JPEG: SOI, a COM segment (len 4, 2 payload bytes —
+    // the parser must SKIP it by its length), SOF2 (progressive, 0xc2)
+    // precision 12, height 0x0102=258, width 0x0304=772, 1 component
+    val jpg = Array[Int](
+      0xff, 0xd8, 0xff, 0xfe, 0, 4, 'h', 'i',
+      0xff, 0xc2, 0, 11, 12, 0x01, 0x02, 0x03, 0x04, 1, 1, 0x11, 0).map(_.toByte)
+    // hand-written WAV: RIFF/WAVE with a junk chunk BEFORE fmt (the
+    // parser must walk chunks, odd size pads to even), then fmt :
+    // PCM, 2 channels, rate 44100 (0xAC44 LE), bits 24
+    val wav = ("RIFF".getBytes("US-ASCII") :+ 0x2a.toByte :+ 0.toByte :+
+      0.toByte :+ 0.toByte) ++ "WAVE".getBytes("US-ASCII") ++
+      ("junk".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0, 0, 9, 9, 9, 0)) ++
+      "fmt ".getBytes("US-ASCII") ++ Array[Byte](16, 0, 0, 0,
+        1, 0, 2, 0, 0x44.toByte, 0xac.toByte, 0, 0,
+        0x98.toByte, 0x09.toByte, 0x04, 0, 6, 0, 24, 0)
+    val rows = Seq((1L, png), (2L, jpg), (3L, wav), (4L, "nope".getBytes))
+      .toDF("id", "p").selectExpr("id", "graft_media_meta(p) AS m")
+      .collect().map(r => r.getAs[Long]("id") -> r.getSeq[Long](1)).toMap
+    assert(rows(1L) == Seq(1L, 300L, 7L, 4L, 0L, 8L), s"png: ${rows(1L)}")
+    assert(rows(2L) == Seq(2L, 772L, 258L, 1L, 0L, 12L), s"jpeg: ${rows(2L)}")
+    assert(rows(3L) == Seq(3L, 0L, 0L, 2L, 44100L, 24L), s"wav: ${rows(3L)}")
+    assert(rows(4L) == Seq(0L, 0L, 0L, 0L, 0L, 0L), s"unknown: ${rows(4L)}")
+  }
+
+  test("mm_meta builders: the synthetic containers are REAL files (JDK-decodable)") {
+    // the PNG builder's output must survive a full javax.imageio decode
+    // (CRCs and the zlib IDAT stream are real, not just the header)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(operators.Multimodal.buildPng(33, 17)))
+    assert(img != null && img.getWidth == 33 && img.getHeight == 17)
+    // the WAV builder's output must parse via javax.sound.sampled
+    val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(
+        operators.Multimodal.buildWav(2, 22050, 16, Array[Byte](1, 2, 3, 4))))
+      .getFormat
+    assert(fmt.getChannels == 2 && fmt.getSampleRate == 22050f &&
+      fmt.getSampleSizeInBits == 16)
+    // the JPEG skeleton: javax.imageio header read (no entropy decode)
+    // reports the SOF dimensions
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(operators.Multimodal.buildJpeg(99, 41, 3)))
+    val readers = javax.imageio.ImageIO.getImageReaders(in)
+    assert(readers.hasNext, "JDK JPEG reader did not recognize the skeleton")
+    val rd = readers.next()
+    rd.setInput(in)
+    assert(rd.getWidth(0) == 99 && rd.getHeight(0) == 41)
+    rd.dispose()
+  }
+
+  test("mm_meta: parsed metadata matches the planted per-doc parameters") {
     val out = run("mm_meta").collect()
+    assert(out.length > 0)
     out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
       assert(r.getAs[Long]("byte_len") > 0)
-      assert(r.getAs[Long]("width") == r.getAs[Long]("byte_len") % 640 + 1)
-      assert(r.getAs[String]("magic").length == 8)
+      operators.Multimodal.plantedFormat(id) match {
+        case 0 =>
+          assert(r.getAs[String]("format") == "png")
+          assert(r.getAs[Long]("width") == operators.Multimodal.plantedW(id))
+          assert(r.getAs[Long]("height") == operators.Multimodal.plantedH(id))
+          assert(r.getAs[Long]("channels") == 3L && r.getAs[Long]("bits") == 8L)
+        case 1 =>
+          assert(r.getAs[String]("format") == "jpeg")
+          assert(r.getAs[Long]("width") == operators.Multimodal.plantedW(id))
+          assert(r.getAs[Long]("height") == operators.Multimodal.plantedH(id))
+          assert(r.getAs[Long]("channels") == 3L && r.getAs[Long]("bits") == 8L)
+        case _ =>
+          assert(r.getAs[String]("format") == "wav")
+          assert(r.getAs[Long]("channels") ==
+            operators.Multimodal.plantedChannels(id))
+          assert(r.getAs[Long]("sample_rate") ==
+            operators.Multimodal.plantedRate(id))
+          assert(r.getAs[Long]("bits") == 16L)
+      }
     }
     // batch_size is layout-dependent, so it stays OUT of the op output
     // (rows-only determinism must hold under repartitioning)…
@@ -586,7 +662,7 @@ class PipelineOpsSpec extends SparkSpec {
     // single-partition layout: 150 rows → batches of 64, 64, 22
     val fixture = (1 to 150).map(i =>
       Multimodal.MMIn(i.toLong, s"payload-$i".getBytes)).toDS().repartition(1)
-    val sizes = operators.Multimodal.decode(fixture).collect()
+    val sizes = operators.Multimodal.ingest(fixture).collect()
       .map(_.batch_size).groupBy(identity).view.mapValues(_.length).toMap
     assert(sizes == Map(64L -> 128, 22L -> 22), s"batch layout wrong: $sizes")
   }

@@ -178,7 +178,22 @@ class StreamingSpec extends SparkSpec {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val in = MemoryStream[(Long, Array[Float])]
-    val q = Streams.annServed(in.toDF().toDF("q_id", "q_emb"), index, 5)
+    val served = Streams.annServed(in.toDF().toDF("q_id", "q_emb"), index, 5)
+    // the index ships as a broadcast HANDLE, never as plan content: no
+    // literal in the plan may hold the index (the rejected typedlit
+    // shape put every code into every serialized task), and the whole
+    // analyzed plan stays a few KB regardless of index size
+    val bigLits = served.queryExecution.analyzed.expressions.flatMap(_.collect {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal
+          if l.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+            l.value != null &&
+            l.value.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+              .numElements() > 100 => l
+    })
+    assert(bigLits.isEmpty, s"index leaked into the plan as a literal")
+    assert(served.queryExecution.analyzed.toString.length < 10000,
+      "plan size scales with the index — the literal shape is back")
+    val q = served
       .writeStream.format("memory").queryName("ann_served_out")
       .outputMode("append").start()
     // split queries across micro-batches: per-query answers are
