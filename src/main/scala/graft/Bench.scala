@@ -28,7 +28,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: every op body re-registers the graft kernels and
+    // log4j's "function replaced" WARN × 88 queries × runs put thousands
+    // of lines ahead of the final summary — a head-truncated capture
+    // then lost the one line that matters (BENCH_r05 parsed null)
+    spark.sparkContext.setLogLevel("ERROR")
 
     // warmup: codegen, parquet reader, hash-agg + shuffle paths
     spark.range(2000000L).selectExpr("id % 97 AS k", "id AS v")
@@ -58,8 +62,13 @@ object Bench {
       java.nio.file.Files.writeString(outPath, line + "\n",
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
+    // per-query progress is OPT-IN (SPARK_GRAFT_VERBOSE=1): with merged
+    // 2>&1 capture, progress lines land BEFORE the summary and push it
+    // past a head truncation; the per-query record lives in the jsonl
+    // artifact either way
+    val verbose = sys.env.get("SPARK_GRAFT_VERBOSE").contains("1")
     val results = selected.sortBy(_._1).map { case (name, fn) =>
-      System.err.println(s"[bench] running $name")
+      if (verbose) System.err.println(s"[bench] running $name")
       val samples = (1 to runs).map { _ =>
         System.gc() // drain the previous run's garbage outside the timer
         time {

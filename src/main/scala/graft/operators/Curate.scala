@@ -51,12 +51,19 @@ object Curate {
   private[graft] def curateStages(d: DataFrame,
       seqLen: Long = Sampling.SeqLen): CurateStages = {
     // stage 1: quality gate — skinny per-doc decisions, no text in any
-    // exchange; checkpointed once (read by the survivor join AND the
-    // final accounting)
+    // exchange. LAZILY checkpointed so ONE job both materializes the
+    // checkpoint AND measures the keep-set for the guard: the old
+    // shape paid an eager-checkpoint job plus a separate
+    // keepIds.count() guard job; the skinny groupBy(qf_keep) aggregate
+    // below computes the qf partitions (checkpointing them as it goes)
+    // and returns the same measured count.
     val qf = TextAnalysis.qualityFilter(d)
       .select(col("doc_id"), col("reason").as("qf_reason"),
         col("keep").as("qf_keep"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
+    val nKeep = qf.groupBy(col("qf_keep")).count().collect()
+      .collectFirst { case r if r.getLong(0) == 1L => r.getLong(1) }
+      .getOrElse(0L)
     // survivor texts = the corpus scan filtered by the skinny keep-set,
     // with the keep-set side under a counted broadcast guard (the
     // dedup_span pattern): its MEASURED count — not a checkpoint's
@@ -64,13 +71,10 @@ object Curate {
     // the bound the text crosses no exchange at all; above it this is
     // the chain's ONE text move. Materialized once: every downstream
     // consumer (dedup's groups/reps/ssets, the skinny projection)
-    // reads the blocks instead of re-running the corpus scan — and
-    // because every text-side join below is guard-driven, the
-    // checkpoint's unknown statistics can't flip a join to a text
-    // shuffle (spec-audited across all jobs).
+    // reads the blocks instead of re-running the corpus scan.
     val keepIds = qf.filter(col("qf_keep") === 1L).select("doc_id")
     val keepSide =
-      if (keepIds.count() <= Dedup.SpanBroadcastMaxRows) broadcast(keepIds)
+      if (nKeep <= Dedup.SpanBroadcastMaxRows) broadcast(keepIds)
       else keepIds.hint("shuffle_hash")
     val survivors = d.join(keepSide, Seq("doc_id")).localCheckpoint()
     // stage 2: near-dup clustering over quality survivors

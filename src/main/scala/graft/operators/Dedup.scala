@@ -533,13 +533,16 @@ object Dedup {
     val groups = d.select(col("chash"), col("doc_id"))
       .groupBy(col("chash"))
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("m"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // counted broadcast guard (the dedup_span pattern) on BOTH joins
-    // that touch rep texts: the skinny side is checkpointed, so the
-    // MEASURED count — not a statistics guess — decides broadcast vs
-    // shuffled-hash. Under the bound the corpus text crosses no
-    // exchange; above it the gather degrades to the unavoidable
-    // shuffle of exactly the touched texts.
+    // that touch rep texts: the skinny side is LAZILY checkpointed, so
+    // the guard count's ONE job both materializes the checkpoint and
+    // returns the MEASURED size — not a statistics guess — that
+    // decides broadcast vs shuffled-hash (an EAGER checkpoint pays its
+    // own materialization job and then the count is a second one).
+    // Under the bound the corpus text crosses no exchange; above it
+    // the gather degrades to the unavoidable shuffle of exactly the
+    // touched texts.
     def counted(f: DataFrame): DataFrame =
       if (f.count() <= SpanBroadcastMaxRows) broadcast(f)
       else f.hint("shuffle_hash")
@@ -554,13 +557,14 @@ object Dedup {
     val cand = minhashBandPairs(sig).select(col("a"), col("b"))
       .localCheckpoint()
     // exact verification: shingle sets only for candidate-touched reps.
-    // Checkpointed so the planner sees its REAL size when joining it to
-    // the rep texts: the vanishing-fraction candidate set broadcasts,
-    // and only if candidates genuinely outgrow the broadcast threshold
-    // does the gather fall back to a shuffle.
+    // Lazily checkpointed (the guard's count materializes it in its
+    // own job) so the join sees its REAL size: the vanishing-fraction
+    // candidate set broadcasts, and only if candidates genuinely
+    // outgrow the broadcast threshold does the gather fall back to a
+    // shuffle.
     val candDocs = cand.select(col("a").as("doc_id"))
       .union(cand.select(col("b").as("doc_id"))).distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val ssets = shingleRows(
         reps.join(counted(candDocs), Seq("doc_id"))
           .select(col("doc_id"), col("text")))

@@ -1048,11 +1048,24 @@ class PipelineOpsSpec extends SparkSpec {
         plans.add(qe.executedPlan)
       override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
     }
+    // real driver syncs = Spark JOBS (a lazy checkpoint registers a
+    // QueryExecution but runs no job, so the query-execution count
+    // over-reports; the job count is what 100 TB stage latency pays)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val jobListener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobEnd(
+          e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.listenerManager.register(listener)
+    spark.sparkContext.addSparkListener(jobListener)
     try {
       operators.Curate.curateE2e(Tables(spark, sfDir, "documents"))
         .write.format("noop").mode("overwrite").save()
+      // listener delivery is async; the plans-quiesce loop below also
+      // gives the job-end events time to drain
       // listener delivery is async — wait for the queue to quiesce
       var last = -1
       while (plans.size != last) { last = plans.size; Thread.sleep(500) }
@@ -1068,7 +1081,17 @@ class PipelineOpsSpec extends SparkSpec {
       assert(textShuffles.length <= 1,
         s"corpus text crossed ${textShuffles.length} exchanges:\n" +
           textShuffles.mkString("\n---\n"))
+      // job-count budget: the guard counts now MATERIALIZE their lazily
+      // checkpointed frames in their own job (qf, dedup's groups and
+      // candDocs — three eager-checkpoint jobs gone vs the r5 shape);
+      // pin the budget so a checkpoint+count pair doesn't creep back in
+      info(s"curate chain ran ${jobs.get} Spark jobs")
+      assert(jobs.get <= 34,
+        s"curate chain ran ${jobs.get} jobs (r5 shape: 37, lazy-guard " +
+          "shape: 34; a guard count stopped sharing its " +
+          "materialization job?)")
     } finally {
+      spark.sparkContext.removeSparkListener(jobListener)
       spark.listenerManager.unregister(listener)
       spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
