@@ -1323,6 +1323,30 @@ class PipelineOpsSpec extends SparkSpec {
       s"z-z should rank last, got $zRank of ${out.length}")
   }
 
+  test("colloc_pmi: ranking is TakeOrdered heaps; no corpus-sized window") {
+    // the global top-K runs through TakeOrderedAndProject's per-
+    // partition heaps (K rows per task reach the driver); the rank
+    // window is allowed ONLY above the K-row limit — a WindowExec fed
+    // by the unbounded scored frame would buffer every bigram type in
+    // one task
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = run("colloc_pmi").queryExecution.executedPlan
+      assert(plan.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }.nonEmpty, s"top-K must be TakeOrdered heaps:\n$plan")
+      plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.foreach { w =>
+        assert(w.child.collectFirst {
+          case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+          case l: org.apache.spark.sql.execution.GlobalLimitExec => l
+        }.nonEmpty,
+          s"a window runs over the un-limited scored frame:\n$w")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("colloc_pmi: expectation stays exact where int64 c1a*c1b would wrap") {
     // at 100 TB each marginal can reach ~2e13: c1a*c1b ≈ 4e26 wraps
     // int64 (9.2e18) but fits decimal(38,0). Drive the exact expression

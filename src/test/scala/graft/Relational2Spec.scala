@@ -34,6 +34,90 @@ class Relational2Spec extends SparkSpec {
     assert(got("ALL")._1 == li.count())
   }
 
+  test("q28_skew_salted: both shuffles carry partial-aggregate rows only") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    // the salted two-level plan: partial (key, salt) aggregation fans
+    // hot keys over salts reducers, the finalize re-aggregates by key —
+    // so BOTH shuffles move partial sum/count buffers, never raw fact
+    // rows (the plain groupBy lands each hot key's full row set on one
+    // reducer; this plan must not)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = run("q28_skew_salted").queryExecution.executedPlan
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.size == 2,
+        s"two-level salt = exactly two shuffles:\n$plan")
+      shuffles.foreach { e =>
+        assert(!e.output.exists(_.name.contains("l_extendedprice")),
+          s"raw fact rows crossed a shuffle:\n$e")
+        assert(e.child.collectFirst {
+          case a: HashAggregateExec => a }.nonEmpty,
+          s"a shuffle input is not a partial aggregate:\n$e")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q29_sketch_merge: ONE table scan feeds both the shards and the union") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    // the shard sketches are checkpointed at construction; the per-flag
+    // estimates AND the union rollup both read those 3 sketch rows —
+    // across every job the op runs, lineitem is scanned exactly once
+    // (the incremental-stats contract: rollups never rescan)
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.execution.SparkPlan]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit =
+        plans.add(qe.executedPlan)
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.listenerManager.register(listener)
+    try {
+      run("q29_sketch_merge").write.format("noop").mode("overwrite").save()
+      var last = -1
+      while (plans.size != last) { last = plans.size; Thread.sleep(500) }
+      val scans = plans.toArray(Array.empty[
+          org.apache.spark.sql.execution.SparkPlan])
+        .flatMap(_.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s })
+      assert(scans.length == 1,
+        s"lineitem scanned ${scans.length} times across the op's jobs")
+    } finally {
+      spark.listenerManager.unregister(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
+  test("q30_full_outer: both sides pre-aggregate BEFORE the outer join") {
+    import org.apache.spark.sql.catalyst.plans.FullOuter
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    // the reconciliation shape: the outer join shuffles two already-
+    // reduced per-key frames — fact columns (o_totalprice, the event
+    // value) must never cross an exchange, and each join input subtree
+    // must contain its aggregate
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = run("q30_full_outer").queryExecution.executedPlan
+      val fo = plan.collect {
+        case j: BaseJoinExec if j.joinType == FullOuter => j }
+      assert(fo.size == 1, s"exactly one full-outer join:\n$plan")
+      Seq(fo.head.left, fo.head.right).foreach { side =>
+        assert(side.collectFirst {
+          case a: HashAggregateExec => a }.nonEmpty,
+          s"a join side is not pre-aggregated:\n$side")
+      }
+      plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+        assert(!e.output.exists(a =>
+          a.name == "o_totalprice" || a.name == "value"),
+          s"raw fact rows crossed a shuffle:\n$e")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q30_full_outer: presence classes partition the key union; counts null-safe") {
     import org.apache.spark.sql.functions._
     val rows = run("q30_full_outer").collect()
