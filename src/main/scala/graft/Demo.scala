@@ -75,6 +75,46 @@ object Demo {
     println(s"[demo] wrote JSONL results to $outDir/results")
     println(s"[demo] read-back check: " +
       sources.Jsonl.read(spark, s"$outDir/results").count())
+
+    // 8. close the loop the LLM-pipeline tier exists for:
+    //    curate → index → serve. The full curation decision runs over
+    //    the corpus (quality → near-dup → temperature mix → pack),
+    //    the KEPT docs are embedded (the mm_embed encoder stand-in)
+    //    and quantized into the int8 serving index, and the stream_ann
+    //    gate answers live queries from it — top-k per query, exactly
+    //    the batch ann_quantized answers.
+    import spark.implicits._
+    val sourced = unique.withColumn("source",
+      when(pmod(col("doc_id"), lit(2)) === 0, "en").otherwise("zh"))
+    val manifest = operators.Curate.curateE2e(sourced).cache()
+    println("[demo] curation funnel (first dropping stage per doc):")
+    manifest.groupBy(col("stage")).count().orderBy(col("stage")).show(false)
+    val keptDocs = sourced.join(
+      manifest.filter(col("stage") === "kept").select("doc_id"), Seq("doc_id"))
+    val embs = operators.Multimodal.encode(
+        keptDocs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[operators.Multimodal.MMIn])
+      .toDF().select(col("doc_id").as("vec_id"), col("embedding"))
+      .cache()
+    val index = operators.Similarity.int8Codes(embs).collect()
+      .map(r => (r.getAs[Long]("c_id"), r.getSeq[Int](1))).toSeq
+    println(s"[demo] serving index: ${index.size} int8 code vectors " +
+      s"(${index.size * 64} B codes vs ${index.size * 256} B float)")
+    val queries = embs.limit(3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val qStream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val servedQ = streaming.Streams
+      .annServed(qStream.toDF().toDF("q_id", "q_emb"), index, 3)
+      .writeStream.format("memory").queryName("demo_served")
+      .outputMode("append").start()
+    qStream.addData(queries.toIndexedSeq: _*)
+    servedQ.processAllAvailable()
+    println("[demo] streamed top-3 neighbors per live query:")
+    spark.table("demo_served").orderBy(col("q_id"), col("rk")).show(false)
+    servedQ.stop()
     spark.stop()
   }
 }
