@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** search_bm25 — the retrieval query the inverted index exists for:
+  * rank the corpus against a standing query by Okapi BM25 and return
+  * the global top-[[Bm25K]]. Completes the index_build → retrieval
+  * story (index_build materializes postings; this operator runs the
+  * classic ranked lookup end-to-end on the same tokenization).
+  *
+  * BM25(q,d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+  * with the standard k1 = 1.2, b = 0.75 — both exact rationals, so
+  * with avgdl = T/N (T total tokens, N docs) the tf term multiplies
+  * out to the integer-exact
+  *
+  *   44·T·tf / (20·T·tf + 6·T + 18·dl·N)
+  *
+  * and idf uses the Lucene shape ln(1 + (N−df+½)/(df+½)) as the same
+  * bit-length surrogate ngram_lm/colloc_pmi use (no libm log
+  * cross-engine): idf_bits = ilog2((2N+2)·2¹⁶ DIV (2df+1)) − 16.
+  * Per-(doc,term) contributions are scaled by 1000 and integer-
+  * divided in decimal(38,0) — idf_bits·44·T·tf·1000 reaches ~10²⁴ at
+  * 100 TB corpus sizes (T ~ 10¹³, tf ~ 10⁴), far past int64, well
+  * inside decimal(38,0) — then summed per doc as plain bigints.
+  * Deterministic, hash-matchable, exact at any corpus size.
+  *
+  * Scale shape: the token explode is filtered to QUERY TERMS before
+  * anything shuffles (a standing query is a handful of terms — the
+  * surviving fraction is ~|q|/|V|); per-doc length is a narrow size();
+  * df and the (N, T) stats are tiny broadcast aggregates; the global
+  * top-K runs through TakeOrdered per-partition heaps with the rank
+  * window over only the K retained rows (the colloc_pmi shape).
+  */
+object Search {
+
+  val Bm25K = 20
+  /** The standing query: one rare term + two common ones, so ranking
+    * exercises the idf spread (df ≈ 5% vs ≈ 76% of docs).
+    */
+  val QueryTerms = Seq("dup", "vector", "hash")
+  val IdfScale = 65536L
+  val IdfScaleBits = 16
+
+  private[graft] def bm25TopK(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = d.select(col("doc_id"),
+      graft.functions.TextFns.tokens(col("text")).as("toks"))
+    val dl = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+    // only query-term tokens survive past the explode — the one
+    // corpus-sized operation stays narrow and the (doc, term) shuffle
+    // carries ~|q| rows per matching doc
+    val tf = toks.select(col("doc_id"), explode(col("toks")).as("token"))
+      .filter(col("token").isin(QueryTerms: _*))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_bits",
+        (length(bin(expr(s"((2*n + 2) * $IdfScale) DIV (2*df + 1)")))
+          - 1 - IdfScaleBits).cast("long"))
+      .withColumn("contrib", expr(
+        "CAST((CAST(idf_bits AS DECIMAL(38,0)) * 44 * CAST(t AS DECIMAL(38,0))" +
+          " * tf * 1000) DIV (CAST(20 AS DECIMAL(38,0)) * t * tf" +
+          " + CAST(6 AS DECIMAL(38,0)) * t" +
+          " + CAST(18 AS DECIMAL(38,0)) * dl * n) AS BIGINT)"))
+    scored.groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("score"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25K)
+      .select(col("doc_id"), col("score"), col("n_terms"),
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("long").as("rk"))
+  }
+
+  private val opBm25 = Op(
+    "search_bm25",
+    (s, dir) => bm25TopK(Tables(s, dir, "documents")),
+    Some {
+      val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents),
+      dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+      stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(dl) AS BIGINT) AS t FROM dl),
+      tok AS (
+        SELECT doc_id, u.tok AS token
+        FROM d, UNNEST(toks) AS u(tok)
+        WHERE u.tok IN ($terms)),
+      tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM tok GROUP BY 1, 2),
+      df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      sc0 AS (
+        SELECT tf.doc_id, tf.tf, df.df, dl.dl, stats.n, stats.t,
+          CAST(length(bin(((2*n + 2) * $IdfScale) // (2*df + 1)))
+            - 1 - $IdfScaleBits AS BIGINT) AS idf_bits
+        FROM tf JOIN df USING (token)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats),
+      sc AS (
+        SELECT doc_id,
+          CAST((CAST(idf_bits AS HUGEINT) * 44 * t * tf * 1000)
+            // (CAST(20 AS HUGEINT) * t * tf + CAST(6 AS HUGEINT) * t
+               + CAST(18 AS HUGEINT) * dl * n) AS BIGINT) AS contrib
+        FROM sc0),
+      agg AS (SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score,
+                CAST(COUNT(*) AS BIGINT) AS n_terms
+              FROM sc GROUP BY 1),
+      r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+              AS BIGINT) AS rk FROM agg)
+      SELECT doc_id, score, n_terms, rk FROM r WHERE rk <= $Bm25K"""
+    })
+
+  val ops: Seq[Op] = Seq(opBm25)
+}

@@ -8,7 +8,8 @@ class PipelineOpsSpec extends SparkSpec {
 
   private val all = TextAnalysis.ops ++ Dedup.ops ++ Similarity.ops ++
     Multimodal.ops ++ operators.Sampling.ops ++ operators.Curate.ops ++
-    operators.LangModel.ops ++ operators.Profile.ops
+    operators.LangModel.ops ++ operators.Profile.ops ++
+    operators.Search.ops
 
   private def run(name: String) =
     all.find(_.name == name).get.query(spark, sfDir)
@@ -1507,6 +1508,49 @@ class PipelineOpsSpec extends SparkSpec {
           case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
         }.nonEmpty,
           s"a Generate melts raw scan rows — the rejected plan:\n$plan")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("search_bm25: hand-computed scores; query-pruned, heap-ranked plan") {
+    // fixture: N=4 docs, T=12 tokens; query terms dup (df 2) and hash
+    // (df 2); vector absent. idf_bits(df=2) = ilog2(10·65536 DIV 5)−16
+    //   = bitlen(131072)−1−16 = 1.
+    // contrib = (1·44·12·tf·1000) DIV (20·12·tf + 72 + 18·dl·4):
+    //   d1 dup tf=2 dl=3: 1056000 DIV 768 = 1375
+    //   d3 hash tf=1 dl=4: 528000 DIV 600 = 880
+    //   d4 dup/hash tf=1 dl=2: 528000 DIV 456 = 1157 each → 2314
+    val fixture = Seq(
+      (1L, "dup dup cat"), (2L, "cat dog bird"),
+      (3L, "hash cat cat cat"), (4L, "dup hash")).toDF("doc_id", "text")
+    val got = operators.Search.bm25TopK(fixture).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score"),
+        r.getAs[Long]("n_terms"), r.getAs[Long]("rk")))
+    assert(got.toSeq == Seq((4L, 2314L, 2L, 1L), (1L, 1375L, 1L, 2L),
+      (3L, 880L, 1L, 3L)), s"got ${got.toSeq}")
+    // plan: global top-K through TakeOrdered heaps, rank window only
+    // above the K-row limit, and neither the text nor the token arrays
+    // ever cross an exchange (the explode is pruned to query terms
+    // before the skinny (doc, term) shuffle)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = run("search_bm25").queryExecution.executedPlan
+      assert(plan.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }.nonEmpty, s"top-K must be TakeOrdered heaps:\n$plan")
+      plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.foreach { w =>
+        assert(w.child.collectFirst {
+          case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+          case l: org.apache.spark.sql.execution.GlobalLimitExec => l
+        }.nonEmpty, s"a window runs over the un-limited frame:\n$w")
+      }
+      plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }.foreach { e =>
+        assert(!e.output.exists(a => a.name == "text" || a.name == "toks"),
+          s"corpus text/tokens crossed an exchange:\n$e")
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
