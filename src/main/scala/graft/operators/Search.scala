@@ -43,8 +43,11 @@ object Search {
   val IdfScale = 65536L
   val IdfScaleBits = 16
 
-  private[graft] def bm25TopK(d: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Per-doc BM25 scores for every doc matching ≥1 query term — the
+    * shared kernel of the batch top-K and the stream_search gate's
+    * exactness spec.
+    */
+  private[graft] def bm25Scores(d: DataFrame): DataFrame = {
     val toks = d.select(col("doc_id"),
       graft.functions.TextFns.tokens(col("text")).as("toks"))
     val dl = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
@@ -56,8 +59,7 @@ object Search {
       .filter(col("token").isin(QueryTerms: _*))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val scored = tf
-      .join(broadcast(df), Seq("token"))
+    tf.join(broadcast(df), Seq("token"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("idf_bits",
@@ -68,13 +70,36 @@ object Search {
           " * tf * 1000) DIV (CAST(20 AS DECIMAL(38,0)) * t * tf" +
           " + CAST(6 AS DECIMAL(38,0)) * t" +
           " + CAST(18 AS DECIMAL(38,0)) * dl * n) AS BIGINT)"))
-    scored.groupBy(col("doc_id"))
+      .groupBy(col("doc_id"))
       .agg(sum(col("contrib")).as("score"), count(lit(1)).as("n_terms"))
+  }
+
+  private[graft] def bm25TopK(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    bm25Scores(d)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(Bm25K)
       .select(col("doc_id"), col("score"), col("n_terms"),
         row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
           .cast("long").as("rk"))
+  }
+
+  /** Offline corpus profile for the stream_search gate: per-term doc
+    * frequencies plus (N, T) — a bounded driver collect (≤ |q| + 1
+    * rows), the stream_mix "previous corpus snapshot" pattern.
+    */
+  private[graft] def bm25Profile(d: DataFrame): (Map[String, Long], Long, Long) = {
+    val toks = d.select(graft.functions.TextFns.tokens(col("text")).as("toks"),
+      col("doc_id"))
+    val Array(n, t) = toks
+      .agg(count(lit(1)), sum(size(col("toks")).cast("long")))
+      .head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val dfMap = toks.select(col("doc_id"), explode(col("toks")).as("token"))
+      .filter(col("token").isin(QueryTerms: _*))
+      .select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (dfMap, n, t)
   }
 
   private val opBm25 = Op(

@@ -160,6 +160,57 @@ object Streams {
       .filter(col("f1") >= minF1)
   }
 
+  /** stream_search — stateless standing-query (percolation) gate on
+    * ingest (batch twin: search_bm25): each arriving doc is BM25-
+    * scored against the standing query and routed/dropped by
+    * `minScore` the moment it arrives — the alerting shape: "surface
+    * documents matching this query as they stream in". Corpus-global
+    * statistics (per-term df, N, T) cannot be maintained exactly
+    * inside an unbounded stream without an ever-growing aggregation,
+    * so they come from OFFLINE profiling of the previous corpus
+    * snapshot (the stream_mix pattern), baked in as driver constants —
+    * idf_bits per term is then a LITERAL, and the whole score is the
+    * same integer-exact decimal(38,0) formula the batch operator
+    * uses over per-row tf/dl columns: append mode, no watermark, no
+    * state store. With stats profiled over the same rows, scores
+    * equal the batch operator's exactly (spec-asserted).
+    */
+  def searchGated(docs: DataFrame, dfCounts: Map[String, Long],
+      n: Long, t: Long, minScore: Long): DataFrame = {
+    import graft.operators.Search.{IdfScale, IdfScaleBits, QueryTerms}
+    require(n > 0 && t > 0, "corpus profile must be non-empty")
+    val toks = graft.functions.TextFns.tokens(col("text"))
+    val terms = QueryTerms.filter(term => dfCounts.getOrElse(term, 0L) > 0L)
+    require(terms.nonEmpty, "no query term appears in the profile")
+    // per-term tf columns (cheap-body filter lambdas over the token
+    // array — the allowed narrow shape); a zero tf zeroes its term's
+    // contribution through the numerator, no guard needed
+    val withCols = terms.zipWithIndex.foldLeft(
+        docs.withColumn("__dl", size(toks).cast("long"))) {
+      case (acc, (term, i)) =>
+        acc.withColumn(s"__tf_$i",
+          size(filter(toks, x => x === lit(term))).cast("long"))
+    }
+    val contribs = terms.zipWithIndex.map { case (term, i) =>
+      val df = dfCounts(term)
+      // driver-side constant — same surrogate the batch plan computes
+      val idfBits = java.lang.Long.toBinaryString(
+        ((2 * n + 2) * IdfScale) / (2 * df + 1)).length - 1 - IdfScaleBits
+      expr(
+        s"CAST((CAST($idfBits AS DECIMAL(38,0)) * 44 * CAST($t AS DECIMAL(38,0))" +
+          s" * __tf_$i * 1000) DIV (CAST(20 AS DECIMAL(38,0)) * $t * __tf_$i" +
+          s" + CAST(6 AS DECIMAL(38,0)) * $t" +
+          s" + CAST(18 AS DECIMAL(38,0)) * __dl * $n) AS BIGINT)")
+    }
+    withCols
+      .withColumn("score", contribs.reduce(_ + _))
+      .withColumn("n_terms",
+        terms.indices.map(i => when(col(s"__tf_$i") > 0, 1L).otherwise(0L))
+          .reduce(_ + _))
+      .filter(col("n_terms") > 0 && col("score") >= minScore)
+      .select(col("doc_id"), col("score"), col("n_terms"))
+  }
+
   /** stream_ann — streaming ANN serving (batch twin: ann_quantized):
     * each arriving query vector is answered with its top-k neighbors
     * within its own micro-batch. The int8 code index is STATIC serving

@@ -167,6 +167,41 @@ class StreamingSpec extends SparkSpec {
       1L -> (2L, 0.8), 3L -> (2L, 0.8), 4L -> (1L, 1.0)), s"got $got")
   }
 
+  test("stream_search: gated scores equal the batch search_bm25 exactly") {
+    implicit val sql = spark.sqlContext
+    val docs = graft.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    // offline profile over the same rows → per-doc scores must equal
+    // the batch operator's bit-for-bit
+    val (dfCounts, n, t) = operators.Search.bm25Profile(docs)
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.searchGated(in.toDF().toDF("doc_id", "text"),
+        dfCounts, n, t, minScore = 1L)
+      .writeStream.format("memory").queryName("search_out")
+      .outputMode("append").start()
+    // split the corpus across micro-batches: per-doc decisions are
+    // stateless, so batch boundaries must not change any score
+    in.addData(rows.take(rows.length / 2).toIndexedSeq: _*)
+    q.processAllAvailable()
+    in.addData(rows.drop(rows.length / 2).toIndexedSeq: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("search_out").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(q.lastProgress == null || q.lastProgress.stateOperators.isEmpty)
+    q.stop()
+    val batch = operators.Search.bm25Scores(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("score"), r.getAs[Long]("n_terms"))).toMap
+      .filter(_._2._1 >= 1L)
+    assert(streamed == batch,
+      s"stream gated ${streamed.size} docs, batch scored ${batch.size}")
+    // and the TOP of the gate agrees with the batch top-K report
+    val topBatch = operators.Search.ops.head.query(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score"))).toSet
+    assert(topBatch.forall { case (id, s) => streamed(id)._1 == s })
+  }
+
   test("stream_ann: served top-k equals the batch ann_quantized exactly") {
     implicit val sql = spark.sqlContext
     graft.plans.GraftFunctions.register(spark)
