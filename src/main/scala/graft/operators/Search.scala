@@ -141,5 +141,54 @@ object Search {
       SELECT doc_id, score, n_terms, rk FROM r WHERE rk <= $Bm25K"""
     })
 
-  val ops: Seq[Op] = Seq(opBm25)
+  // ---- search_phrase: exact phrase matching ----
+  // The OTHER classic retrieval primitive. A positional INDEX answers
+  // point lookups (index_build materializes doc:pos postings for
+  // that); batch phrase SCORING over a corpus is per-doc work and the
+  // Spark-first shape is therefore fully NARROW — adjacency checked
+  // inside each row's token array via a position comprehension, ZERO
+  // shuffles, no explode, no join (the positional self-join shape
+  // shuffles one row per term occurrence — O(corpus·df) — to compute
+  // something each row already knows). Matching docs emit their hit
+  // count and first 0-based position; plan spec pins the no-exchange
+  // claim.
+  val PhraseTerms = Seq("hash", "join")
+
+  private[graft] def phraseHits(d: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(d.sparkSession)
+    // one codegen Java loop per row (plans.PhraseHits) — the
+    // filter(sequence…) column-expression equivalent runs its lambda
+    // interpreted per position: 1.7 s vs 0.3 s at sf0.1
+    val phraseLit = PhraseTerms.map(w => s"'$w'").mkString(", ")
+    d.select(col("doc_id"),
+        graft.functions.TextFns.tokens(col("text")).as("toks"))
+      .withColumn("hits",
+        expr(s"graft_phrase_hits(toks, array($phraseLit))"))
+      .filter(size(col("hits")) > 0)
+      .select(col("doc_id"),
+        size(col("hits")).cast("long").as("n_hits"),
+        element_at(col("hits"), 1).cast("long").as("first_pos"))
+  }
+
+  private val opPhrase = Op(
+    "search_phrase",
+    (s, dir) => phraseHits(Tables(s, dir, "documents")),
+    Some {
+      val adjacency = PhraseTerms.zipWithIndex.map { case (w, j) =>
+        s"toks[i + $j] = '$w'"
+      }.mkString(" AND ")
+      s"""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents),
+      h AS (
+        SELECT doc_id,
+          [i for i in generate_series(1, len(toks) - ${PhraseTerms.size - 1})
+           if $adjacency] AS hits
+        FROM d)
+      SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_hits,
+        CAST(hits[1] - 1 AS BIGINT) AS first_pos
+      FROM h WHERE len(hits) > 0"""
+    })
+
+  val ops: Seq[Op] = Seq(opBm25, opPhrase)
 }

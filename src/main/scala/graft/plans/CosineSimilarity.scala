@@ -102,6 +102,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.pqEncodeDescriptor)
     ext.injectFunction(GraftFunctions.pqCosDescriptor)
     ext.injectFunction(GraftFunctions.mediaMetaDescriptor)
+    ext.injectFunction(GraftFunctions.phraseHitsDescriptor)
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectOptimizerRule(_ => PushFilterThroughTopK)
   }
@@ -201,6 +202,20 @@ object GraftFunctions {
     new ExpressionInfo(classOf[MediaMetaExpr].getName, "graft_media_meta"),
     (exprs: Seq[Expression]) => MediaMetaExpr(exprs.head): Expression)
 
+  private[plans] val phraseHitsBuilder =
+    (exprs: Seq[Expression]) => {
+      val arr = exprs(1).eval()
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val phrase = (0 until arr.numElements())
+        .map(i => arr.getUTF8String(i).toString)
+      PhraseHitsExpr(exprs.head, phrase): Expression
+    }
+
+  private[plans] val phraseHitsDescriptor = (
+    FunctionIdentifier("graft_phrase_hits"),
+    new ExpressionInfo(classOf[PhraseHitsExpr].getName, "graft_phrase_hits"),
+    phraseHitsBuilder)
+
   private[plans] val f1CommonDescriptor = (
     FunctionIdentifier("graft_f1_common"),
     new ExpressionInfo(classOf[TokenOverlap].getName, "graft_f1_common"),
@@ -260,5 +275,7 @@ object GraftFunctions {
       "graft_media_meta",
       exprs => MediaMetaExpr(exprs.head),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_phrase_hits", phraseHitsBuilder, "built-in")
   }
 }

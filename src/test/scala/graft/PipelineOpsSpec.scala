@@ -1555,6 +1555,31 @@ class PipelineOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("search_phrase: adjacency hits with positions; ZERO-shuffle plan") {
+    // d1: hits at 0-based positions 0 and 3 (overlap-free); d2: terms
+    // present but never adjacent; d3: reversed order — no hit; d4:
+    // shorter than the phrase (the sequence(1,0)/ANSI guard edge)
+    val fixture = Seq(
+      (1L, "hash join x hash join"), (2L, "hash x join"),
+      (3L, "join hash"), (4L, "hash")).toDF("doc_id", "text")
+    val got = operators.Search.phraseHits(fixture).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hits"),
+        r.getAs[Long]("first_pos")))
+    assert(got.toSet == Set((1L, 2L, 0L)), s"got ${got.toSeq}")
+    // phrase scoring is per-doc — the plan must be fully narrow: no
+    // exchange of any kind, no explode, no join
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = run("search_phrase").queryExecution.executedPlan
+      assert(plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }.isEmpty, s"phrase matching shuffled:\n$plan")
+      assert(plan.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+      }.isEmpty, s"the explode+self-join shape is the rejected plan:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("text_quality: ratios within [0,1], avg_token_len positive") {
     val out = run("text_quality")
     Seq("digit_ratio", "stopword_ratio", "distinct_ratio").foreach { c =>
