@@ -190,5 +190,121 @@ object Search {
       FROM h WHERE len(hits) > 0"""
     })
 
-  val ops: Seq[Op] = Seq(opBm25, opPhrase)
+  // ---- hybrid_rrf: hybrid retrieval via reciprocal-rank fusion ----
+  // The fusion step every modern retrieval stack runs (Cormack et al.
+  // 2009, the RAG-pipeline default): combine a lexical ranking
+  // (search_bm25 over `documents`) with a vector ranking (cosine over
+  // the aligned `embeddings` table) by RRF(id) = Σ 1/(C + rank_side),
+  // C = 60. Integer-exact as Σ 10⁶ DIV (60 + rank) — no floats, so
+  // the fused order is deterministic and hash-matchable cross-engine.
+  //
+  // Scale shape: each side reduces to a BOUNDED top-[[RrfPoolK]] pool
+  // first (TakeOrdered per-partition heaps — rank windows only ever
+  // see PoolK rows), so the fusion join is a 50×50-row full outer —
+  // free at any corpus size; a side's missing rank contributes 0 via
+  // null arithmetic. The sides reuse the proven kernels: bm25Scores
+  // and graft_cosine.
+  val RrfK = 20
+  val RrfPoolK = 50
+  val RrfQueryVec = 7L
+  val RrfC = 60L
+  val RrfScale = 1000000L
+
+  private[graft] def hybridRrf(docs: DataFrame, embs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val text = bm25Scores(docs)
+      .orderBy(col("score").desc, col("doc_id")).limit(RrfPoolK)
+      .select(col("doc_id").as("id"),
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("long").as("rank_text"))
+    val q = embs.filter(col("vec_id") === RrfQueryVec)
+      .select(col("embedding").as("q_emb"))
+    val vec = embs.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= RrfQueryVec)
+      .withColumn("cos", round(expr("graft_cosine(q_emb, embedding)"), 6))
+      .orderBy(col("cos").desc, col("vec_id")).limit(RrfPoolK)
+      .select(col("vec_id").as("id"),
+        row_number().over(Window.orderBy(col("cos").desc, col("vec_id")))
+          .cast("long").as("rank_vec"))
+    text.join(vec, Seq("id"), "full_outer")
+      .withColumn("rrf", expr(
+        s"coalesce($RrfScale DIV ($RrfC + rank_text), 0) + " +
+          s"coalesce($RrfScale DIV ($RrfC + rank_vec), 0)"))
+      .orderBy(col("rrf").desc, col("id")).limit(RrfK)
+      .select(col("id"),
+        coalesce(col("rank_text"), lit(-1L)).as("rank_text"),
+        coalesce(col("rank_vec"), lit(-1L)).as("rank_vec"),
+        col("rrf"),
+        row_number().over(Window.orderBy(col("rrf").desc, col("id")))
+          .cast("long").as("rk"))
+  }
+
+  private val opRrf = Op(
+    "hybrid_rrf",
+    (s, dir) =>
+      hybridRrf(Tables(s, dir, "documents"), Tables(s, dir, "embeddings")),
+    Some {
+      val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents),
+      dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+      stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(dl) AS BIGINT) AS t FROM dl),
+      tok AS (
+        SELECT doc_id, u.tok AS token
+        FROM d, UNNEST(toks) AS u(tok)
+        WHERE u.tok IN ($terms)),
+      tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM tok GROUP BY 1, 2),
+      tdf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      sc0 AS (
+        SELECT tf.doc_id, tf.tf, tdf.df, dl.dl, stats.n, stats.t,
+          CAST(length(bin(((2*n + 2) * $IdfScale) // (2*df + 1)))
+            - 1 - $IdfScaleBits AS BIGINT) AS idf_bits
+        FROM tf JOIN tdf USING (token)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats),
+      agg AS (
+        SELECT doc_id, CAST(SUM(
+          CAST((CAST(idf_bits AS HUGEINT) * 44 * t * tf * 1000)
+            // (CAST(20 AS HUGEINT) * t * tf + CAST(6 AS HUGEINT) * t
+               + CAST(18 AS HUGEINT) * dl * n) AS BIGINT)) AS BIGINT) AS score
+        FROM sc0 GROUP BY 1),
+      tr0 AS (SELECT doc_id AS id, CAST(ROW_NUMBER() OVER
+                (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_text
+              FROM agg),
+      tr AS (SELECT * FROM tr0 WHERE rank_text <= $RrfPoolK),
+      e AS (
+        SELECT vec_id, embedding,
+          sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                         for x in embedding])) AS norm
+        FROM embeddings),
+      qv AS (SELECT embedding AS q_emb, norm AS q_norm
+             FROM e WHERE vec_id = $RrfQueryVec),
+      vr0 AS (
+        SELECT vec_id,
+          ROUND(list_sum([CAST(q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+                          for i in generate_series(1, len(q_emb))])
+                / (q_norm * e.norm), 6) AS cos
+        FROM e, qv WHERE e.vec_id <> $RrfQueryVec),
+      vr1 AS (SELECT vec_id AS id, CAST(ROW_NUMBER() OVER
+                (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank_vec
+              FROM vr0),
+      vr AS (SELECT * FROM vr1 WHERE rank_vec <= $RrfPoolK),
+      f AS (
+        SELECT COALESCE(tr.id, vr.id) AS id, rank_text, rank_vec,
+          CAST(COALESCE($RrfScale // ($RrfC + rank_text), 0)
+            + COALESCE($RrfScale // ($RrfC + rank_vec), 0) AS BIGINT) AS rrf
+        FROM tr FULL OUTER JOIN vr ON tr.id = vr.id),
+      r AS (
+        SELECT id, CAST(COALESCE(rank_text, -1) AS BIGINT) AS rank_text,
+          CAST(COALESCE(rank_vec, -1) AS BIGINT) AS rank_vec, rrf,
+          CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, id) AS BIGINT) AS rk
+        FROM f)
+      SELECT id, rank_text, rank_vec, rrf, rk FROM r WHERE rk <= $RrfK"""
+    })
+
+  val ops: Seq[Op] = Seq(opBm25, opPhrase, opRrf)
 }

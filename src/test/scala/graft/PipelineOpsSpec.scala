@@ -1580,6 +1580,55 @@ class PipelineOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("hybrid_rrf: hand-computed fusion; pools bounded; windows above limits") {
+    graft.plans.GraftFunctions.register(spark)
+    // text side = the search_bm25 fixture: scores d4=2314 (rank 1),
+    // d1=1375 (2), d3=880 (3); vector side vs query vec 7 = [1,0,0,0]:
+    // v1 cos 1 (rank 1), v4 cos .707107 (2), v2 cos 0 (3), v3 cos -1
+    // (4). RRF (C=60, scale 1e6):
+    //   id1: 1e6 DIV 62 + 1e6 DIV 61 = 16129 + 16393 = 32522
+    //   id4: 16393 + 16129 = 32522 — TIES id1; smaller id wins -> rk 2
+    //   id3: 15873 + 15625 = 31498                            -> rk 3
+    //   id2: 0 + 15873 = 15873                                -> rk 4
+    val docs = Seq(
+      (1L, "dup dup cat"), (2L, "cat dog bird"),
+      (3L, "hash cat cat cat"), (4L, "dup hash")).toDF("doc_id", "text")
+    val embs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(-1f, 0f, 0f, 0f)), (4L, Array(1f, 1f, 0f, 0f)),
+      (7L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val got = operators.Search.hybridRrf(docs, embs).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("rank_text"),
+        r.getAs[Long]("rank_vec"), r.getAs[Long]("rrf"), r.getAs[Long]("rk")))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1L, 32522L, 1L), (4L, 1L, 2L, 32522L, 2L),
+      (3L, 3L, 4L, 31498L, 3L), (2L, -1L, 3L, 15873L, 4L)),
+      s"got ${got.toSeq}")
+    // real-data properties: output bounded by RrfK, every row's rrf
+    // recomputes from its ranks, and rank windows only see limited
+    // frames (TakeOrdered pools)
+    val out = run("hybrid_rrf").collect()
+    assert(out.length <= operators.Search.RrfK)
+    out.foreach { r =>
+      def part(rank: Long) = if (rank < 0) 0L
+        else operators.Search.RrfScale / (operators.Search.RrfC + rank)
+      assert(r.getAs[Long]("rrf") ==
+        part(r.getAs[Long]("rank_text")) + part(r.getAs[Long]("rank_vec")))
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = run("hybrid_rrf").queryExecution.executedPlan
+      plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.foreach { w =>
+        assert(w.child.collectFirst {
+          case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+          case l: org.apache.spark.sql.execution.GlobalLimitExec => l
+        }.nonEmpty, s"a rank window runs over an un-limited frame:\n$w")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("text_quality: ratios within [0,1], avg_token_len positive") {
     val out = run("text_quality")
     Seq("digit_ratio", "stopword_ratio", "distinct_ratio").foreach { c =>
