@@ -55,6 +55,63 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("sink_ann_index: bundle round-trips; serving from reload == fresh build") {
+    graft.plans.GraftFunctions.register(spark)
+    val e = Tables(spark, sfDir, "embeddings")
+    val out = Files.createTempDirectory("graft-annidx").resolve("idx").toString
+    sources.AnnIndex.write(e, out, nShards = 3)
+    // codes round-trip exactly (id + every int8 component)
+    val fresh = operators.Similarity.int8Codes(e).collect()
+      .map(r => r.getAs[Long]("c_id") -> r.getSeq[Int](1)).toMap
+    val codes = sources.AnnIndex.readCodes(spark, out)
+    val back = codes.collect()
+      .map(r => r.getAs[Long]("c_id") -> r.getSeq[Int](1)).toMap
+    assert(back == fresh, "codes changed across persist/reload")
+    // centroids and the PQ codebook round-trip bit-exactly
+    val k = operators.Similarity.ivfK(e.count())
+    val centsFresh = operators.Similarity
+      .kmeansCentroids(e, k, operators.Similarity.KmeansIters)
+      .map { case (i, v) => i -> v.toSeq }.toMap
+    val centsBack = sources.AnnIndex.readCentroids(spark, out).collect()
+      .map(r => r.getAs[Int]("cent_id") -> r.getSeq[Float](1)).toMap
+    assert(centsBack == centsFresh, "centroids changed across persist/reload")
+    val (cb, m, kEff) = sources.AnnIndex.readPq(spark, out)
+    val (cbFresh, kEffFresh) = operators.Similarity.pqCodebook(
+      e, operators.Similarity.PqM, operators.Similarity.PqK,
+      operators.Similarity.KmeansIters)
+    assert(m == operators.Similarity.PqM && kEff == kEffFresh &&
+      cb.toSeq == cbFresh.toSeq, "PQ codebook changed across persist/reload")
+    // the contract the bundle exists for: serving from the RELOADED
+    // codes equals the freshly-built batch ann_quantized row-for-row
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val served = graft.plans.TopK.perKey(
+        codes.join(broadcast(q), col("q_id") =!= col("c_id"))
+          .withColumn("cos", round(expr("graft_cosine_i8(q_emb, c_q)"), 6)),
+        Seq("q_id"),
+        Seq("cos" -> graft.plans.TopK.Desc, "c_id" -> graft.plans.TopK.Asc), 5)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val batch = operators.Similarity.ops.find(_.name == "ann_quantized").get
+      .query(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"),
+        r.getAs[Double]("cos"), r.getAs[Long]("rk"))).toSet
+    assert(served == batch, "serving from the reloaded bundle diverged")
+    // shard layout: contiguous non-overlapping c_id ranges (the
+    // sequential-loader property)
+    val perFile = codes.withColumn("f", input_file_name())
+      .groupBy(col("f"))
+      .agg(min(col("c_id")).as("lo"), max(col("c_id")).as("hi"))
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+    perFile.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"code shard ranges overlap: $hi1 >= $lo2")
+      case _ => ()
+    }
+  }
+
   test("q22_approx_sketch: sketches land within declared error of exact") {
     // one collect serves both the distinct-count and quantile checks
     val rows = operators.Relational2.ops.find(_.name == "q22_approx_sketch")
