@@ -71,6 +71,9 @@ object Streams {
         concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
           element_at(toks, i + 3))))
       .otherwise(array(array_join(toks, " ")))
+    // incoming columns ride through (drop only the internal temps) so
+    // the gate COMPOSES — stream_curate chains it between the quality
+    // and mix gates without re-deriving source/ts
     docs
       .withColumn("toks", graft.functions.TextFns.tokens(col("text")))
       .withColumn("shings", shings)
@@ -80,8 +83,7 @@ object Streams {
       .withColumn("contam_ratio",
         round(col("n_contam") / col("n_shingles"), 6))
       .filter(col("contam_ratio") < maxRatio)
-      .select(col("doc_id"), col("text"), col("n_shingles"), col("n_contam"),
-        col("contam_ratio"))
+      .drop("toks", "shings")
   }
 
   /** stream_quality — stateless quality gate on ingest (batch twin:
@@ -95,6 +97,8 @@ object Streams {
   def qualityGated(docs: DataFrame, minDistinctRatio: Double,
       maxDigitRatio: Double): DataFrame = {
     val toks = graft.functions.TextFns.tokens(col("text"))
+    // incoming columns ride through so the gate composes (see
+    // contamFiltered's note)
     docs
       .withColumn("n_toks", size(toks).cast("long"))
       .withColumn("distinct_ratio",
@@ -104,8 +108,6 @@ object Streams {
           / length(col("text")), 6))
       .filter(col("distinct_ratio") >= minDistinctRatio &&
         col("digit_ratio") <= maxDigitRatio)
-      .select(col("doc_id"), col("text"), col("n_toks"),
-        col("distinct_ratio"), col("digit_ratio"))
   }
 
   /** stream_mix — stateless temperature-mix gate on ingest (batch
@@ -159,6 +161,28 @@ object Streams {
           .otherwise(round(lit(2.0) * prec * rec / (prec + rec), 6)))
       .filter(col("f1") >= minF1)
   }
+
+  /** stream_curate — the composed stateless ingest firewall (batch
+    * twin: the quality → contamination → mix prefix of curate_e2e):
+    * quality gate, then benchmark decontamination, then the α = 1/2
+    * temperature mix, chained as ONE append-mode stream — every stage
+    * is a per-row decision (the gates were built to carry incoming
+    * columns through precisely so they compose), so the whole firewall
+    * has NO state store, no watermark, and batch boundaries cannot
+    * change any decision. The near-dup stage stays OUTSIDE this chain
+    * by design: exact dedup needs watermarked state (stream_dedup) and
+    * MinHash banding needs cross-doc joins — at 100 TB/day those run
+    * as the batch backfill, while this chain is the cheap gate that
+    * keeps obvious rejects from ever reaching storage.
+    */
+  def curateGated(docs: DataFrame, evalShingles: Seq[String],
+      maxRatio: Double, minDistinctRatio: Double, maxDigitRatio: Double,
+      sourceCounts: Map[String, Long]): DataFrame =
+    tempMixGated(
+      contamFiltered(
+        qualityGated(docs, minDistinctRatio, maxDigitRatio),
+        evalShingles, maxRatio),
+      sourceCounts)
 
   /** stream_search — stateless standing-query (percolation) gate on
     * ingest (batch twin: search_bm25): each arriving doc is BM25-

@@ -167,6 +167,54 @@ class StreamingSpec extends SparkSpec {
       1L -> (2L, 0.8), 3L -> (2L, 0.8), 4L -> (1L, 1.0)), s"got $got")
   }
 
+  test("stream_curate: composed firewall == conjunction of the gates; stateless") {
+    implicit val sql = spark.sqlContext
+    def tag(i: Long) = i.toString.map(c => ('a' + (c - '0')).toChar).mkString
+    // planted per-gate failures: 900 fails quality (distinct 1/8),
+    // 50 fails decontamination (1 of 2 shingles hits the eval set →
+    // ratio 0.5, at the gate), web docs 1..40 face the α=1/2 mix
+    // against the offline profile (web 42 incl. the two rejects,
+    // books 5 = nmin → books always keep)
+    val eval = Seq("contam mark one")
+    val web = (1L to 40L).map(i =>
+      (i, s"web doc ${tag(i)}a ${tag(i)}b ${tag(i)}c", "web"))
+    val books = (101L to 105L).map(i =>
+      (i, s"book text ${tag(i)}a ${tag(i)}b", "books"))
+    val rejects = Seq(
+      (50L, "contam mark one extra", "web"),
+      (900L, "spam spam spam spam spam spam spam spam", "web"))
+    val rows = web ++ books ++ rejects
+    val profile = Map("web" -> 42L, "books" -> 5L)
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streams.curateGated(in.toDF().toDF("doc_id", "text", "source"),
+        eval, maxRatio = 0.5, minDistinctRatio = 0.5, maxDigitRatio = 0.2,
+        profile)
+      .writeStream.format("memory").queryName("curate_gate_out")
+      .outputMode("append").start()
+    // batch boundaries must not change any decision
+    in.addData(rows.take(20): _*)
+    q.processAllAvailable()
+    in.addData(rows.drop(20): _*)
+    q.processAllAvailable()
+    val kept = spark.table("curate_gate_out").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(q.lastProgress == null || q.lastProgress.stateOperators.isEmpty)
+    q.stop()
+    // independent hand-derivation of each gate's predicate
+    val M = operators.Sampling.MixMod
+    def mixKeep(id: Long, ns: Long): Boolean = {
+      val h = id * operators.Sampling.TempMul % M
+      BigInt(h) * h * ns < BigInt(M) * M * 5
+    }
+    val expected =
+      web.collect { case (i, _, _) if mixKeep(i, 42L) => i }.toSet ++
+        books.collect { case (i, _, _) if mixKeep(i, 5L) => i }.toSet
+    assert(!expected.contains(50L) && !expected.contains(900L))
+    assert(web.exists(w => !expected.contains(w._1)),
+      "fixture must drop at least one web doc at the mix")
+    assert(kept == expected, s"kept $kept expected $expected")
+  }
+
   test("stream_search: gated scores equal the batch search_bm25 exactly") {
     implicit val sql = spark.sqlContext
     val docs = graft.Tables(spark, sfDir, "documents")
