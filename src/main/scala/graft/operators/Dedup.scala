@@ -594,7 +594,108 @@ object Dedup {
     (s, dir) => dedupPipeline(docs(s, dir)),
     None)
 
+  // ---- dedup_substring: exact duplicated-substring coverage ----
+  // The Lee et al. 2022 ("Deduplicating Training Data Makes Language
+  // Models Better") shape at fixed window granularity: any
+  // [[SubstrW]]-token span occurring ≥ 2 times ANYWHERE in the corpus
+  // — across docs or repeated within one — marks its tokens
+  // duplicated; overlapping duplicated windows merge into maximal
+  // regions. Differs from dedup_span (boilerplate by doc-frequency
+  // > 5 DISTINCT docs) in counting total occurrences incl. self-
+  // repeats, and from text_repetition (per-doc signals only) in being
+  // corpus-global. The suffix-array original finds variable-length
+  // maximal matches; fixed-window fingerprints are the standard
+  // shuffle-friendly approximation (every duplicated run ≥ W tokens
+  // is found exactly; shorter ones are missed by design).
+  //
+  // Scale shape: windows come from W−1 lead() columns over the
+  // per-doc token frame (ONE doc_id shuffle, codegen — the
+  // interpreted transform-and-slice alternative re-copies W tokens
+  // per position) and immediately reduce to skinny (md5, doc, pos)
+  // rows; the global count shuffles one row per DISTINCT span hash
+  // (map-side combine); only DUPLICATED starts (a vanishing fraction
+  // of a real corpus) flow back, and coverage/regions fold per doc
+  // over the sorted start array in one pass — no position explode.
+  val SubstrW = 8
+  val SubstrMinOccur = 2
+
+  private[graft] def substringDedup(d: DataFrame): DataFrame = {
+    val W = SubstrW
+    val wspec = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = d.select(col("doc_id"),
+      posexplode(graft.functions.TextFns.tokens(col("text")))
+        .as(Seq("pos", "tok")))
+    val withLeads = (1 until W).foldLeft(toks) { case (acc, k) =>
+      acc.withColumn(s"w$k", lead(col("tok"), k).over(wspec))
+    }
+    val spans = withLeads
+      .filter(col(s"w${W - 1}").isNotNull) // full windows only
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ",
+          (col("tok") +: (1 until W).map(k => col(s"w$k"))): _*)).as("h"))
+    val dup = spans.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= SubstrMinOccur).select(col("h"))
+    val starts = spans.join(dup, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+      // one fold computes merged-interval coverage AND region count:
+      // for ascending starts s, new tokens = (s+W-1) - max(end, s-1),
+      // a new region opens iff s > end + 1
+      .withColumn("a", expr(
+        s"""aggregate(starts,
+           named_struct('cov', 0L, 'reg', 0L, 'e', CAST(-2 AS BIGINT)),
+           (a, s) -> named_struct(
+             'cov', a.cov + CAST(s + $W - 1 AS BIGINT)
+               - greatest(a.e, CAST(s - 1 AS BIGINT)),
+             'reg', a.reg + IF(CAST(s AS BIGINT) > a.e + 1, 1L, 0L),
+             'e', CAST(s + $W - 1 AS BIGINT)))"""))
+      .select(col("doc_id"), col("a.cov").as("n_dup_tokens"),
+        col("a.reg").as("n_regions"))
+    d.select(col("doc_id"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long")
+          .as("n_toks"))
+      .join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        coalesce(col("n_regions"), lit(0L)).as("n_regions"),
+        round(coalesce(col("n_dup_tokens"), lit(0L)).cast("double")
+          / col("n_toks"), 6).as("dup_ratio"))
+  }
+
+  private val opSubstr = Op(
+    "dedup_substring",
+    (s, dir) => substringDedup(docs(s, dir)),
+    Some(s"""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents),
+      n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM d),
+      sp AS (
+        SELECT doc_id, i - 1 AS pos,
+          md5(array_to_string(list_slice(toks, i, i + $SubstrW - 1), ' ')) AS h
+        FROM d, UNNEST(generate_series(1, len(toks) - $SubstrW + 1)) AS u(i)),
+      dup AS (SELECT h FROM sp GROUP BY h HAVING COUNT(*) >= $SubstrMinOccur),
+      st AS (SELECT doc_id, pos FROM sp JOIN dup USING (h)),
+      cov AS (
+        SELECT doc_id, CAST(COUNT(DISTINCT p) AS BIGINT) AS n_dup
+        FROM st, UNNEST(generate_series(pos, pos + $SubstrW - 1)) AS t(p)
+        GROUP BY doc_id),
+      lagged AS (
+        SELECT doc_id, pos,
+          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM st),
+      reg AS (
+        SELECT doc_id, CAST(SUM(CASE WHEN prev IS NULL
+            OR pos > prev + $SubstrW THEN 1 ELSE 0 END) AS BIGINT) AS n_regions
+        FROM lagged GROUP BY doc_id)
+      SELECT n.doc_id,
+        COALESCE(cov.n_dup, 0) AS n_dup_tokens,
+        COALESCE(reg.n_regions, 0) AS n_regions,
+        ROUND(CAST(COALESCE(cov.n_dup, 0) AS DOUBLE) / n_toks, 6) AS dup_ratio
+      FROM n LEFT JOIN cov ON n.doc_id = cov.doc_id
+        LEFT JOIN reg ON n.doc_id = reg.doc_id"""))
+
   val ops: Seq[Op] =
     Seq(opExact, opMinhash, opSimhash, opJaccard, opContam, opCluster, opSpan,
-      opPipeline)
+      opPipeline, opSubstr)
 }

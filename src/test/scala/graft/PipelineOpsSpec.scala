@@ -1580,6 +1580,31 @@ class PipelineOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("dedup_substring: cross-doc span, self-repeat merge, clean/short docs") {
+    // W=8. d1 and d2 share the 8-token run s1..s8 (each contributes
+    // one duplicated window): cov 8, 1 region each. d3 repeats its
+    // own 8-token phrase back-to-back: duplicated starts {0, 8} —
+    // adjacent coverage merges into ONE region covering all 16
+    // tokens. d4 is clean; d5 is shorter than W (no windows at all).
+    val s18 = (1 to 8).map(i => s"s$i").mkString(" ")
+    val p18 = (1 to 8).map(i => s"p$i").mkString(" ")
+    val fixture = Seq(
+      (1L, s"u1 u2 $s18 u3"),
+      (2L, s"v1 $s18 v2 v3"),
+      (3L, s"$p18 $p18"),
+      (4L, (1 to 12).map(i => s"c$i").mkString(" ")),
+      (5L, "a b c")).toDF("doc_id", "text")
+    val m = operators.Dedup.substringDedup(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_dup_tokens"), r.getAs[Long]("n_regions"),
+          r.getAs[Double]("dup_ratio"))).toMap
+    assert(m(1L) == ((8L, 1L, 0.727273)), s"${m(1L)}") // 8/11
+    assert(m(2L) == ((8L, 1L, 0.727273)), s"${m(2L)}") // 8/11
+    assert(m(3L) == ((16L, 1L, 1.0)), s"${m(3L)}")     // merged whole-doc
+    assert(m(4L) == ((0L, 0L, 0.0)), s"${m(4L)}")
+    assert(m(5L) == ((0L, 0L, 0.0)), s"${m(5L)}")
+  }
+
   test("hybrid_rrf: hand-computed fusion; pools bounded; windows above limits") {
     graft.plans.GraftFunctions.register(spark)
     // text side = the search_bm25 fixture: scores d4=2314 (rank 1),
