@@ -380,6 +380,39 @@ object Relational2 {
         CAST(COUNT(*) AS BIGINT) AS cnt
       FROM lineitem GROUP BY 1"""))
 
+  // ---- q31_compact_latest: upsert compaction (latest row per key) ----
+  // The lakehouse maintenance shape: an append log of events compacts
+  // to the newest record per (user, event_type) — SCD-1 / CDC upsert
+  // resolution. The canonical rank-window plan buffers each key's full
+  // history in one window task; this runs through the TopKPerKey
+  // two-phase heap at k = 1 (one surviving row per key per partition
+  // reaches the shuffle — at 100 TB the difference between compaction
+  // bounded by keys and compaction bounded by history length).
+  // Recency ties break by event_id DESC (latest writer wins),
+  // compared in exact epoch-µs (unix_micros / DuckDB epoch_us — the
+  // q26 ns-truncation convention).
+  private val q31 = Op(
+    "q31_compact_latest",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+      graft.plans.TopK.perKey(e, Seq("user_id", "event_type"),
+          Seq("ts_us" -> graft.plans.TopK.Desc,
+            "event_id" -> graft.plans.TopK.Desc), 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts_us"), round(col("value"), 6).as("value"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value,
+          ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT user_id, event_type, event_id, ts_us,
+        ROUND(value, 6) AS value
+      FROM r WHERE rn = 1"""))
+
   // ---- q29_sketch_merge: mergeable HLL sketches, shard → union ----
   // The incremental-stats architecture 100 TB demands: per-shard
   // DataSketches HLL sketches built in one pass, then UNIONED to any
@@ -459,5 +492,5 @@ object Relational2 {
 
   val ops: Seq[Op] =
     Seq(q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28,
-      q29, q30)
+      q29, q30, q31)
 }

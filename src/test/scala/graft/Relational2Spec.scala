@@ -118,6 +118,37 @@ class Relational2Spec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q31_compact_latest: one newest row per key via the heap, not a window") {
+    // plan first (before any caching can hide the operator behind an
+    // InMemoryTableScan): two-phase heap at k=1, never a per-key
+    // history window
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = run("q31_compact_latest").queryExecution.executedPlan
+      assert(plan.collect {
+        case t: graft.plans.TopKPerKeyFinalExec => t }.nonEmpty,
+        s"expected the TopKPerKey heap exec:\n$plan")
+      assert(plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty,
+        s"a rank window buffers each key's full history:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val out = run("q31_compact_latest")
+    val e = Tables.events(spark, sfDir)
+    // exactly one row per live (user, event_type) key
+    assert(out.count() ==
+      e.select("user_id", "event_type").distinct().count())
+    assert(out.groupBy("user_id", "event_type").count()
+      .filter(col("count") > 1).count() == 0)
+    // the kept row is the true per-key max (ts_us, event_id)
+    val maxTs = e.groupBy(col("user_id"), col("event_type"))
+      .agg(max(expr("struct(unix_micros(ts) AS ts_us, event_id)")).as("m"))
+      .select(col("user_id"), col("event_type"),
+        col("m.ts_us").as("ts_us"), col("m.event_id").as("event_id"))
+    assert(out.select("user_id", "event_type", "ts_us", "event_id")
+      .except(maxTs).count() == 0)
+  }
+
   test("q30_full_outer: presence classes partition the key union; counts null-safe") {
     import org.apache.spark.sql.functions._
     val rows = run("q30_full_outer").collect()
