@@ -412,6 +412,55 @@ object Streams {
       }
   }
 
+  // ---- stream_compact: incremental latest-per-key materialized view ----
+
+  case class CompactIn(user_id: Long, event_type: String, event_id: Long,
+      value: Double, ts: java.sql.Timestamp)
+
+  case class CompactState(eventId: Long, value: Double, tsUs: Long)
+
+  case class CompactOut(user_id: Long, event_type: String, event_id: Long,
+      ts_us: Long, value: Double)
+
+  /** stream_compact — the streaming twin of q31_compact_latest:
+    * maintain the newest record per (user, event_type) INCREMENTALLY
+    * as the append log streams in, emitting a changelog row whenever a
+    * key's latest changes (the CDC/materialized-view-maintenance
+    * shape — a reader folding the changelog by key holds exactly the
+    * batch compaction's answer, spec-asserted). Recency order matches
+    * the batch twin: exact epoch-µs, ties to the larger event_id; an
+    * out-of-order STALE arrival updates nothing and emits nothing.
+    * State is ONE row per live key — the compacted view's own
+    * cardinality, which is the floor for any exact implementation
+    * (no TTL: evicting a key would forget its latest record; readers
+    * needing bounded state shard by key range upstream).
+    */
+  def compactLatest(events: Dataset[CompactIn]): Dataset[CompactOut] = {
+    import events.sparkSession.implicits._
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[CompactState, CompactOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), in: Iterator[CompactIn],
+            state: GroupState[CompactState]) =>
+          val prev = state.getOption.orNull
+          var st = prev
+          in.foreach { e =>
+            val tsUs = micros(e.ts)
+            if (st == null || tsUs > st.tsUs ||
+                (tsUs == st.tsUs && e.event_id > st.eventId))
+              st = CompactState(e.event_id, e.value, tsUs)
+          }
+          if (st != null && (st ne prev)) {
+            state.update(st)
+            Iterator.single(
+              CompactOut(key._1, key._2, st.eventId, st.tsUs, st.value))
+          } else Iterator.empty
+      }
+  }
+
   // ---- stream_mr: incremental map-reduce over chunk streams ----
 
   /** One mapped chunk arriving on the stream. `n_chunks_total` is known

@@ -299,6 +299,54 @@ class StreamingSpec extends SparkSpec {
       s"stream served ${streamed.size} rows, batch ${batch.size}")
   }
 
+  test("stream_compact: changelog folds to the batch compaction; stale arrivals silent") {
+    import graft.streaming.Streams.{CompactIn, CompactOut}
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[CompactIn]
+    val q = Streams.compactLatest(in.toDS()).writeStream
+      .format("memory").queryName("compact_out").outputMode("append").start()
+    // batch 1: two keys get their first records
+    in.addData(
+      CompactIn(1L, "view", 10L, 1.0, ts("2024-01-01 10:00:00")),
+      CompactIn(1L, "view", 11L, 2.0, ts("2024-01-01 10:05:00")), // newer
+      CompactIn(2L, "click", 20L, 5.0, ts("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    // batch 2: a newer record for key 1, a STALE one for key 2 (must
+    // emit nothing), and an equal-ts tie for key 1/view won by the
+    // larger event_id
+    in.addData(
+      CompactIn(1L, "view", 12L, 3.0, ts("2024-01-01 11:00:00")),
+      CompactIn(1L, "view", 13L, 4.0, ts("2024-01-01 11:00:00")), // ts tie
+      CompactIn(2L, "click", 19L, 9.0, ts("2024-01-01 09:00:00"))) // stale
+    q.processAllAvailable()
+    val log = spark.table("compact_out").as[CompactOut].collect()
+    // state really is one row per live key
+    assert(q.lastProgress.stateOperators.head.numRowsTotal == 2L)
+    q.stop()
+    // batch 1 emitted the within-batch latest (11, 20); batch 2 only
+    // the genuine change (13) — 3 changelog rows total
+    assert(log.length == 3, s"changelog: ${log.toSeq}")
+    assert(!log.exists(_.event_id == 19L), "stale arrival must not emit")
+    // folding the changelog per key == the batch q31 compaction on the
+    // same rows
+    val folded = log.groupBy(o => (o.user_id, o.event_type))
+      .view.mapValues(_.maxBy(o => (o.ts_us, o.event_id))).toMap
+    val allRows = Seq(
+      (1L, "view", 10L, 1.0, ts("2024-01-01 10:00:00")),
+      (1L, "view", 11L, 2.0, ts("2024-01-01 10:05:00")),
+      (2L, "click", 20L, 5.0, ts("2024-01-01 10:00:00")),
+      (1L, "view", 12L, 3.0, ts("2024-01-01 11:00:00")),
+      (1L, "view", 13L, 4.0, ts("2024-01-01 11:00:00")),
+      (2L, "click", 19L, 9.0, ts("2024-01-01 09:00:00")))
+    val expected = allRows.groupBy(r => (r._1, r._2))
+      .view.mapValues(_.maxBy(r => (r._5.getTime, r._3))).toMap
+    expected.foreach { case (k, r) =>
+      val f = folded(k)
+      assert(f.event_id == r._3 && f.value == r._4,
+        s"key $k: folded $f vs expected $r")
+    }
+  }
+
   test("stream_pack: per-shard packing carries the token offset across batches") {
     import graft.streaming.Streams.{PackFrag, PackIn}
     implicit val sql = spark.sqlContext
