@@ -276,5 +276,42 @@ object Sampling {
         ROUND(q1, 6) AS q1, ROUND(q2, 6) AS q2, ROUND(q3, 6) AS q3
       FROM d CROSS JOIN c"""))
 
-  val ops: Seq[Op] = Seq(opMix, opTemp, opPack, opBins, opStrat)
+  // ---- span_corrupt: T5 span-corruption objective prep ----
+  // The training-objective side of data prep (Raffel et al. 2020
+  // §3.1.4): each doc becomes a (corrupted input, target) pair —
+  // non-overlapping spans replaced by <extra_id_k> sentinels in the
+  // input and emitted sentinel-prefixed in the target, losslessly
+  // invertible (the spec reconstructs every corpus doc). Span
+  // placement is the portable Lehmer hash over (doc_id, position)
+  // (plans.SpanCorrupt) — deterministic on every engine/run, expected
+  // mask ratio SpanLen/StartMod = 15 %, the T5 default. One narrow
+  // codegen kernel pass; the output rows carry the pair as digests
+  // plus pure-arithmetic masking stats (n_spans and n_masked derive
+  // from the three lengths: |input| = n − masked + spans,
+  // |target| = spans + masked), so nothing corpus-sized leaves the
+  // row. Rows-only: the sequential greedy isn't portable SQL — the
+  // reconstruction + hand-traced fixtures are the correctness bound.
+  private val opSpanCorrupt = Op(
+    "span_corrupt",
+    (s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        .withColumn("ct", expr("graft_span_corrupt(toks, doc_id)"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          ((size(expr("ct[0]")) + size(expr("ct[1]"))
+            - size(col("toks"))).cast("long") / 2).cast("long").as("n_spans"),
+          (size(expr("ct[1]")) - (size(expr("ct[0]")) + size(expr("ct[1]"))
+            - size(col("toks"))) / 2).cast("long").as("n_masked"),
+          round((size(expr("ct[1]")).cast("double")
+            - (size(expr("ct[0]")) + size(expr("ct[1]"))
+              - size(col("toks"))).cast("double") / 2)
+            / greatest(size(col("toks")), lit(1)), 6).as("mask_ratio"),
+          md5(concat_ws(" ", col("ct").getItem(0))).as("input_digest"),
+          md5(concat_ws(" ", col("ct").getItem(1))).as("target_digest"))
+    },
+    None)
+
+  val ops: Seq[Op] = Seq(opMix, opTemp, opPack, opBins, opStrat, opSpanCorrupt)
 }

@@ -103,6 +103,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.pqCosDescriptor)
     ext.injectFunction(GraftFunctions.mediaMetaDescriptor)
     ext.injectFunction(GraftFunctions.phraseHitsDescriptor)
+    ext.injectFunction(GraftFunctions.spanCorruptDescriptor)
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectOptimizerRule(_ => PushFilterThroughTopK)
   }
@@ -216,6 +217,11 @@ object GraftFunctions {
     new ExpressionInfo(classOf[PhraseHitsExpr].getName, "graft_phrase_hits"),
     phraseHitsBuilder)
 
+  private[plans] val spanCorruptDescriptor = (
+    FunctionIdentifier("graft_span_corrupt"),
+    new ExpressionInfo(classOf[SpanCorruptExpr].getName, "graft_span_corrupt"),
+    (exprs: Seq[Expression]) => SpanCorruptExpr(exprs.head, exprs(1)): Expression)
+
   private[plans] val f1CommonDescriptor = (
     FunctionIdentifier("graft_f1_common"),
     new ExpressionInfo(classOf[TokenOverlap].getName, "graft_f1_common"),
@@ -277,5 +283,9 @@ object GraftFunctions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_phrase_hits", phraseHitsBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_span_corrupt",
+      exprs => SpanCorruptExpr(exprs.head, exprs(1)),
+      "built-in")
   }
 }

@@ -1580,6 +1580,71 @@ class PipelineOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("span_corrupt: hand-traced Lehmer spans; lossless reconstruction corpus-wide") {
+    graft.plans.GraftFunctions.register(spark)
+    // for small (seed, i) the big-mod is identity, so span starts
+    // satisfy 11·(seed+i+1) ≡ 0 (mod 20) ⇔ i ≡ 19 − seed (mod 20):
+    // seed 0 over 25 tokens → one span at 19..21; seed 1 over 4
+    // tokens → first start would be i=18 → untouched
+    val toks25 = (0 until 25).map(i => s"t$i")
+    val fixture = Seq(
+      (0L, toks25.mkString(" ")),
+      (1L, "a b c d")).toDF("doc_id", "text")
+    val pairs = fixture
+      .selectExpr("doc_id", "graft_span_corrupt(split(text, ' '), doc_id) AS ct")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getSeq[scala.collection.Seq[String]](1)(0).toSeq,
+          r.getSeq[scala.collection.Seq[String]](1)(1).toSeq)).toMap
+    assert(pairs(0L)._1 ==
+      toks25.take(19) :+ "<extra_id_0>" :++ toks25.drop(22), s"${pairs(0L)._1}")
+    assert(pairs(0L)._2 == Seq("<extra_id_0>", "t19", "t20", "t21"))
+    assert(pairs(1L)._1 == Seq("a", "b", "c", "d") && pairs(1L)._2.isEmpty)
+    // lossless inversion over the REAL corpus: splice each sentinel's
+    // target span back into the input and recover every doc exactly
+    def invert(input: collection.Seq[String],
+        target: collection.Seq[String]): Seq[String] = {
+      val spans = scala.collection.mutable.Map[String, Vector[String]]()
+      var cur: String = null
+      target.foreach { t =>
+        if (t.startsWith("<extra_id_")) { cur = t; spans(cur) = Vector() }
+        else spans(cur) = spans(cur) :+ t
+      }
+      input.toSeq.flatMap(t =>
+        if (t.startsWith("<extra_id_")) spans(t) else Seq(t))
+    }
+    val docs = Tables(spark, sfDir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS toks",
+        "graft_span_corrupt(split(text, ' '), doc_id) AS ct")
+      .collect()
+    assert(docs.length > 0)
+    var masked = 0L
+    var total = 0L
+    docs.foreach { r =>
+      val orig = r.getSeq[String](1)
+      val in = r.getSeq[scala.collection.Seq[String]](2)(0)
+      val tgt = r.getSeq[scala.collection.Seq[String]](2)(1)
+      assert(invert(in, tgt) == orig.toSeq,
+        s"doc ${r.getLong(0)} did not reconstruct")
+      val spans = in.count(_.startsWith("<extra_id_"))
+      masked += tgt.size - spans
+      total += orig.size
+    }
+    // expected corruption rate SpanLen/StartMod = 15%
+    val ratio = masked.toDouble / total
+    assert(ratio > 0.10 && ratio < 0.20, s"corpus mask ratio $ratio")
+    // and the driver-facing op's arithmetic stats agree with a recount
+    val op = run("span_corrupt").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("n_masked"))).toMap
+    docs.foreach { r =>
+      val in = r.getSeq[scala.collection.Seq[String]](2)(0)
+      val tgt = r.getSeq[scala.collection.Seq[String]](2)(1)
+      val spans = in.count(_.startsWith("<extra_id_")).toLong
+      assert(op(r.getLong(0)) == ((spans, tgt.size - spans)),
+        s"doc ${r.getLong(0)} stats mismatch")
+    }
+  }
+
   test("dedup_substring: cross-doc span, self-repeat merge, clean/short docs") {
     // W=8. d1 and d2 share the 8-token run s1..s8 (each contributes
     // one duplicated window): cov 8, 1 region each. d3 repeats its
