@@ -29,7 +29,14 @@ class ExtensionsSpec extends SparkSpec {
           "graft_bleu_smooth(array(2L, 1L, 0L, 0L, 0L, 3L, 3L)) AS bs, " +
           "graft_deflate_len(CAST('aaaaaaaaaaaaaaaa' AS BINARY)) AS dl, " +
           "graft_f1_common(array('a', 'b', 'a'), array('a', 'a', 'c')) AS f1c, " +
-          "graft_bpe(array('lowest'), array('e s', 'es t</w>', 'l o', 'lo w')) AS bp")
+          "graft_bpe(array('lowest'), array('e s', 'es t</w>', 'l o', 'lo w')) AS bp, " +
+          "graft_pq_encode(array(1.0F, 2.0F), array(1.0F, 2.0F), 2, 1) AS pqe, " +
+          "graft_pq_cos(array(1.0F, 2.0F), " +
+          "  graft_pq_encode(array(1.0F, 2.0F), array(1.0F, 2.0F), 2, 1), " +
+          "  array(1.0F, 2.0F), 2, 1) AS pqc, " +
+          "graft_media_meta(CAST('nope' AS BINARY)) AS mm, " +
+          "graft_phrase_hits(array('a', 'b', 'a', 'b'), array('a', 'b')) AS ph, " +
+          "graft_span_corrupt(array('a'), 0L) AS sc")
         .head()
       assert(math.abs(r.getAs[Double]("c") - 1.0) < 1e-12)
       assert(math.abs(r.getAs[Double]("c8") - 1.0) < 1e-12)
@@ -45,6 +52,13 @@ class ExtensionsSpec extends SparkSpec {
 
       assert(r.getAs[collection.Seq[String]]("bp").toSeq ==
         Seq("low", "est</w>"))
+      assert(r.getAs[collection.Seq[Int]]("pqe").toSeq == Seq(0, 0))
+      assert(math.abs(r.getAs[Double]("pqc") - 1.0) < 1e-12)
+      assert(r.getAs[collection.Seq[Long]]("mm").toSeq ==
+        Seq(0L, 0L, 0L, 0L, 0L, 0L))
+      assert(r.getAs[collection.Seq[Int]]("ph").toSeq == Seq(0, 2))
+      val sc = r.getAs[collection.Seq[collection.Seq[String]]]("sc")
+      assert(sc(0).toSeq == Seq("a") && sc(1).isEmpty)
     } finally {
       // the shared SparkContext stays up; restore the suite session
       SparkSession.clearActiveSession()
