@@ -50,17 +50,21 @@ object Search {
   private[graft] def bm25Scores(d: DataFrame): DataFrame = {
     val toks = d.select(col("doc_id"),
       graft.functions.TextFns.tokens(col("text")).as("toks"))
-    val dl = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+    val stats = toks.agg(count(lit(1)).as("n"),
+      sum(size(col("toks")).cast("long")).as("t"))
     // only query-term tokens survive past the explode — the one
     // corpus-sized operation stays narrow and the (doc, term) shuffle
-    // carries ~|q| rows per matching doc
-    val tf = toks.select(col("doc_id"), explode(col("toks")).as("token"))
+    // carries ~|q| rows per matching doc. The doc length rides the
+    // explode as a grouping column (functionally dependent on doc_id),
+    // so no separate dl scan or doc-keyed join exists in the plan.
+    val tf = toks.select(col("doc_id"),
+        size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("token"))
       .filter(col("token").isin(QueryTerms: _*))
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), Seq("token"))
-      .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("idf_bits",
         (length(bin(expr(s"((2*n + 2) * $IdfScale) DIV (2*df + 1)")))
