@@ -1643,6 +1643,15 @@ class PipelineOpsSpec extends SparkSpec {
       assert(op(r.getLong(0)) == ((spans, tgt.size - spans)),
         s"doc ${r.getLong(0)} stats mismatch")
     }
+    // objective prep is per-doc work: the plan must be fully narrow —
+    // no exchange of any kind
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = run("span_corrupt").queryExecution.executedPlan
+      assert(plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }.isEmpty, s"span corruption shuffled:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("dedup_substring: cross-doc span, self-repeat merge, clean/short docs") {
