@@ -313,5 +313,66 @@ object Sampling {
     },
     None)
 
-  val ops: Seq[Op] = Seq(opMix, opTemp, opPack, opBins, opStrat, opSpanCorrupt)
+  // ---- fim_prep: fill-in-the-middle objective prep ----
+  // The FIM transform (Bavarian et al. 2022 — the code-model data
+  // staple): each doc splits at two deterministic points into
+  // (prefix, middle, suffix) and is re-serialized PSM:
+  // <PRE> prefix <SUF> suffix <MID> middle — trivially invertible, so
+  // the model learns infilling at zero information cost. Split points
+  // are pure Lehmer-hash column arithmetic over doc_id (two
+  // independent multipliers), so unlike span_corrupt no kernel and no
+  // sequential scan is needed: the whole op is slice()/concat
+  // projections — fully NARROW and fully SQL-expressible, so it
+  // carries a complete DuckDB oracle. Output keeps the split
+  // coordinates plus the PSM digest (nothing corpus-sized leaves the
+  // row); section lengths are exact: |prefix| = p1, |middle| =
+  // p2 − p1, |suffix| = n − p2 with 0 ≤ p1 ≤ p2 ≤ n.
+  val FimMul1 = 48271L
+  val FimMul2 = 16807L
+  val FimMod = 2147483647L
+
+  private[graft] def fimPrep(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("p1",
+        expr(s"((doc_id + 1) * $FimMul1 % $FimMod) % (n + 1)"))
+      .withColumn("p2",
+        expr(s"p1 + ((doc_id + 7) * $FimMul2 % $FimMod) % (n - p1 + 1)"))
+      .withColumn("psm", concat_ws(" ", concat(
+        array(lit("<PRE>")), slice(col("toks"), lit(1), col("p1").cast("int")),
+        array(lit("<SUF>")),
+        slice(col("toks"), (col("p2") + 1).cast("int"),
+          (col("n") - col("p2")).cast("int")),
+        array(lit("<MID>")),
+        slice(col("toks"), (col("p1") + 1).cast("int"),
+          (col("p2") - col("p1")).cast("int")))))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("p1"), col("p2"),
+        (col("p2") - col("p1")).as("n_middle"),
+        md5(col("psm")).as("psm_digest"))
+
+  private val opFim = Op(
+    "fim_prep",
+    (s, dir) => fimPrep(Tables(s, dir, "documents")),
+    Some(s"""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        FROM documents),
+      p AS (
+        SELECT doc_id, toks, n,
+          ((doc_id + 1) * $FimMul1 % $FimMod) % (n + 1) AS p1
+        FROM d),
+      q AS (
+        SELECT doc_id, toks, n, p1,
+          p1 + ((doc_id + 7) * $FimMul2 % $FimMod) % (n - p1 + 1) AS p2
+        FROM p)
+      SELECT doc_id, n AS n_tokens, CAST(p1 AS BIGINT) AS p1,
+        CAST(p2 AS BIGINT) AS p2, CAST(p2 - p1 AS BIGINT) AS n_middle,
+        md5(array_to_string(
+          ['<PRE>'] || list_slice(toks, 1, p1) ||
+          ['<SUF>'] || list_slice(toks, p2 + 1, n) ||
+          ['<MID>'] || list_slice(toks, p1 + 1, p2), ' ')) AS psm_digest
+      FROM q"""))
+
+  val ops: Seq[Op] =
+    Seq(opMix, opTemp, opPack, opBins, opStrat, opSpanCorrupt, opFim)
 }

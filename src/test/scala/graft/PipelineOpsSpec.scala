@@ -1654,6 +1654,55 @@ class PipelineOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("fim_prep: hand-traced splits; PSM digest re-derived corpus-wide; narrow") {
+    import java.security.MessageDigest
+    def md5(s: String) = MessageDigest.getInstance("MD5").digest(s.getBytes)
+      .map(b => f"$b%02x").mkString
+    // doc 0, n=5: p1 = 48271 % 6 = 1, p2 = 1 + 117649 % 5 = 5 →
+    //   prefix [a], suffix [], middle [b c d e]
+    // doc 1, n=5: p1 = 96542 % 6 = 2, p2 = 2 + 134456 % 4 = 2 →
+    //   middle empty
+    val fixture = Seq((0L, "a b c d e"), (1L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val m = operators.Sampling.fimPrep(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("p1"), r.getAs[Long]("p2"),
+          r.getAs[String]("psm_digest"))).toMap
+    assert(m(0L)._1 == 1L && m(0L)._2 == 5L, s"${m(0L)}")
+    assert(m(0L)._3 == md5("<PRE> a <SUF> <MID> b c d e"))
+    assert(m(1L)._1 == 2L && m(1L)._2 == 2L, s"${m(1L)}")
+    assert(m(1L)._3 == md5("<PRE> a b <SUF> c d e <MID>"))
+    // corpus-wide: re-derive every doc's PSM string driver-side from
+    // the same Lehmer arithmetic and match the digest — proves the
+    // serialization is exactly the declared invertible layout
+    val docs = Tables(spark, sfDir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS toks").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1)).toMap
+    val out = run("fim_prep").collect()
+    assert(out.length == docs.size)
+    out.foreach { r =>
+      val (id, p1, p2) = (r.getAs[Long]("doc_id"), r.getAs[Long]("p1"),
+        r.getAs[Long]("p2"))
+      val toks = docs(id)
+      val n = toks.length.toLong
+      assert(0 <= p1 && p1 <= p2 && p2 <= n, s"doc $id: $p1 $p2 $n")
+      assert(p1 == ((id + 1) * operators.Sampling.FimMul1
+        % operators.Sampling.FimMod) % (n + 1))
+      val psm = (Seq("<PRE>") ++ toks.take(p1.toInt) ++ Seq("<SUF>") ++
+        toks.drop(p2.toInt) ++ Seq("<MID>") ++
+        toks.slice(p1.toInt, p2.toInt)).mkString(" ")
+      assert(r.getAs[String]("psm_digest") == md5(psm), s"doc $id digest")
+    }
+    // objective prep is per-doc work: fully narrow, no exchange
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = run("fim_prep").queryExecution.executedPlan
+      assert(plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }.isEmpty, s"FIM prep shuffled:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("dedup_substring: cross-doc span, self-repeat merge, clean/short docs") {
     // W=8. d1 and d2 share the 8-token run s1..s8 (each contributes
     // one duplicated window): cov 8, 1 region each. d3 repeats its
