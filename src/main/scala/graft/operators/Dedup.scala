@@ -629,6 +629,11 @@ object Dedup {
     val withLeads = (1 until W).foldLeft(toks) { case (acc, k) =>
       acc.withColumn(s"w$k", lead(col("tok"), k).over(wspec))
     }
+    // span key = md5 hex (32 chars). unhex-ing to 16-byte binary would
+    // halve the shuffled key bytes, but the hex→binary parse costs more
+    // CPU than the narrower key saves (measured 1.9 → 2.5 s at sf0.1
+    // on local shuffle); on a network-bound cluster revisit with a
+    // binary-native digest.
     val spans = withLeads
       .filter(col(s"w${W - 1}").isNotNull) // full windows only
       .select(col("doc_id"), col("pos"),

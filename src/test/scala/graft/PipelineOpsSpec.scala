@@ -1726,6 +1726,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(m(3L) == ((16L, 1L, 1.0)), s"${m(3L)}")     // merged whole-doc
     assert(m(4L) == ((0L, 0L, 0.0)), s"${m(4L)}")
     assert(m(5L) == ((0L, 0L, 0.0)), s"${m(5L)}")
+    // plan: the corpus text never crosses an exchange — spans reduce
+    // to skinny (h, doc, pos) rows before anything shuffles
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = run("dedup_substring").queryExecution.executedPlan
+      plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }.foreach { e =>
+        assert(!e.output.exists(_.name == "text"),
+          s"corpus text crossed an exchange:\n$e")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("hybrid_rrf: hand-computed fusion; pools bounded; windows above limits") {
