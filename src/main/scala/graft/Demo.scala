@@ -115,6 +115,22 @@ object Demo {
     println("[demo] streamed top-3 neighbors per live query:")
     spark.table("demo_served").orderBy(col("q_id"), col("rk")).show(false)
     servedQ.stop()
+
+    // 9. the retrieval surface over the synthetic tables (the demo
+    //    corpus lacks the standing query's vocabulary): BM25 top-5,
+    //    exact phrase hits, and the lexical+vector RRF fusion.
+    val sfDir = "/root/testdata/sf0.001"
+    println("[demo] search_bm25 top-5 (standing query: " +
+      operators.Search.QueryTerms.mkString(" ") + "):")
+    SparkEntry.queries("search_bm25")(spark, sfDir)
+      .filter(col("rk") <= 5).show(false)
+    println("[demo] search_phrase ('" +
+      operators.Search.PhraseTerms.mkString(" ") + "') — first matches:")
+    SparkEntry.queries("search_phrase")(spark, sfDir)
+      .orderBy(col("doc_id")).limit(5).show(false)
+    println("[demo] hybrid_rrf — lexical + vector fusion, top-5:")
+    SparkEntry.queries("hybrid_rrf")(spark, sfDir)
+      .filter(col("rk") <= 5).show(false)
     spark.stop()
   }
 }
