@@ -412,6 +412,25 @@ object Streams {
       }
   }
 
+  /** stream_profile — incremental NDV statistics over an unbounded
+    * stream (batch twins: q29_sketch_merge / profile_sketch): a
+    * streaming aggregation whose buffer is the mergeable DataSketches
+    * HLL — each micro-batch's partial sketches union into the state
+    * store's per-group sketch, so the running estimate is maintained
+    * in O(sketch) state per group with NO replay of past batches (the
+    * continuous-profiling shape: exact distinct over a stream needs
+    * O(distinct) state; the sketch caps it at ~KBs per group at any
+    * cardinality). Because HLL register state is a max, the streamed
+    * estimate after any batch split is BIT-IDENTICAL to the one-shot
+    * batch sketch over the same rows (spec-asserted).
+    */
+  def ndvProfiled(events: DataFrame, lgK: Int): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr(s"hll_sketch_estimate(hll_sketch_agg(user_id, $lgK))")
+          .as("est_users"))
+
   // ---- stream_compact: incremental latest-per-key materialized view ----
 
   case class CompactIn(user_id: Long, event_type: String, event_id: Long,

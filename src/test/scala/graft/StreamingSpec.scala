@@ -299,6 +299,46 @@ class StreamingSpec extends SparkSpec {
       s"stream served ${streamed.size} rows, batch ${batch.size}")
   }
 
+  test("stream_profile: incremental HLL NDV == one-shot batch sketch exactly") {
+    implicit val sql = spark.sqlContext
+    val lgK = operators.Relational2.SketchLgK
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val in = MemoryStream[(String, Long)]
+    val q = Streams.ndvProfiled(in.toDF().toDF("event_type", "user_id"), lgK)
+      .writeStream.format("memory").queryName("profile_out")
+      .outputMode("complete").start()
+    // split the stream: register state is a max, so the final estimate
+    // cannot depend on batch boundaries
+    in.addData(rows.take(rows.length / 3).toIndexedSeq: _*)
+    q.processAllAvailable()
+    in.addData(rows.drop(rows.length / 3).toIndexedSeq: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("profile_out").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the aggregation is genuinely stateful (sketch buffers in the
+    // state store), yet bounded: one row per group
+    assert(q.lastProgress.stateOperators.nonEmpty &&
+      q.lastProgress.stateOperators.head.numRowsTotal == streamed.size.toLong)
+    q.stop()
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr(s"hll_sketch_estimate(hll_sketch_agg(user_id, $lgK))").as("est"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("est"))).toMap
+    assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    // and the estimates are honest: within 10% of exact per group
+    Tables.events(spark, sfDir).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("nd")).collect().foreach { r =>
+        val exact = r.getAs[Long]("nd")
+        val est = streamed(r.getString(0))._2
+        assert(math.abs(est - exact).toDouble / exact < 0.1,
+          s"${r.getString(0)}: est $est vs exact $exact")
+      }
+  }
+
   test("stream_compact: changelog folds to the batch compaction; stale arrivals silent") {
     import graft.streaming.Streams.{CompactIn, CompactOut}
     implicit val sql = spark.sqlContext
