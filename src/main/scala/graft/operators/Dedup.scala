@@ -3,7 +3,6 @@ package graft.operators
 import graft.{Op, Tables}
 import graft.functions.TextFns
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM training-data curation
@@ -182,15 +181,25 @@ object Dedup {
     * cost the adaptive salt bounds.
     */
   private[graft] def simhashPairs(sim: DataFrame, maxBucket: Long): DataFrame = {
+    // localCheckpoint: the skinny (doc_id, simhash, band_id, band_key)
+    // frame is consumed twice (bucket sizing + both join sides); pinning
+    // it keeps the upstream signature kernel single-evaluation.
     val bands = sim.withColumn("band_id", explode(sequence(lit(0), lit(3))))
       .withColumn("band_key",
         expr("(shiftright(simhash, band_id * 16) & 65535)"))
-    // bucket population via a window count — ONE shuffle of the skinny
-    // band rows, and (unlike an agg + join-back) no second evaluation
-    // of the wide-agg signature subtree feeding `bands`
-    val bn = count(lit(1)).over(
-      Window.partitionBy(col("band_id"), col("band_key")))
-    val salted = bands.withColumn("bn", bn)
+      .localCheckpoint()
+    // bucket population via a SKINNY groupBy aggregate (map-side partial
+    // combine, parallel across tasks) broadcast back — NOT
+    // count().over(partitionBy(band_id, band_key)), which buffers an
+    // entire bucket's rows in ONE window task: on a boilerplate flood
+    // (the path this salt exists for) one band bucket is O(n) rows and
+    // that single task spills, serializing the very stage the adaptive
+    // salt protects. The aggregate output is ≤ 4 bands × 2^16 keys of
+    // (long, long, long) rows — a few MB, statically broadcast-safe at
+    // any corpus size.
+    val bucketSizes = bands.groupBy(col("band_id"), col("band_key"))
+      .agg(count(lit(1)).as("bn"))
+    val salted = bands.join(broadcast(bucketSizes), Seq("band_id", "band_key"))
       .withColumn("salt",
         when(col("bn") > maxBucket,
           expr("(shiftright(simhash, ((band_id + 1) % 4) * 16) & 65535)"))

@@ -111,6 +111,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(near.length == 1 && near.head.getAs[Number]("hamming").longValue == 1L)
   }
 
+  test("dedup_simhash: bucket sizing is a skinny aggregate, never a window") {
+    // bucket populations must come from groupBy(band_id, band_key).count()
+    // joined back — a count().over(partitionBy(...)) window buffers an
+    // entire band bucket's rows in ONE task, which is exactly the O(n)
+    // single-task spill the adaptive salt exists to prevent.
+    val sim = Seq((1L, 0xBEEFL), (2L, 0xBEEFL), (3L, 0x1234L))
+      .toDF("doc_id", "simhash")
+    val plan = Dedup.simhashPairs(sim, maxBucket = 256L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"band-bucket sizing regressed to a partition-buffering window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"bucket counts should broadcast back onto the bands frame:\n$plan")
+  }
+
+  test("dedup_simhash: one-giant-bucket corpus (all docs identical band) stays bounded") {
+    // degenerate flood: EVERY doc shares ALL four bands (identical
+    // simhash up to 1 low bit) — the worst case for banding. With the
+    // salt drawn from the next band's bits, identical signatures still
+    // collide, so the guard here is that the pipeline executes the
+    // skinny-aggregate sizing path without buffering and the planted
+    // far doc contributes no pairs.
+    val n = 2000
+    val base = 0x5A5A5A5A5A5ABEEFL
+    val giant = (0 until n).map(k => (k.toLong, base | ((k & 1).toLong << 62)))
+    val sim = (giant :+ (9999L, ~base)).toDF("doc_id", "simhash")
+    // with maxBucket >= n nothing splits: C(2000,2) pairs ≈ 2M would
+    // flow. With maxBucket=256 the sub-split uses band+1 bits — for
+    // identical signatures those collide too (inherent to exact dups;
+    // exact-dedup runs first in the pipeline), but the sizing pass
+    // itself must complete via the aggregate, not a window.
+    val out = Dedup.simhashPairs(sim, maxBucket = 256L)
+    val farPairs = out.filter($"a" === 9999L || $"b" === 9999L).count()
+    assert(farPairs == 0L, s"far doc must not pair: $farPairs")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "giant-bucket path must not window")
+  }
+
   test("mix_sample: balanced source mixing is deterministic and scale-free") {
     // skewed mixture: 100 docs of src A, 10 of src B → target = 10/source
     val fixture = ((0L until 100L).map(i => (i, "A")) ++
