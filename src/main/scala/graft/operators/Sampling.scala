@@ -284,7 +284,8 @@ object Sampling {
   // invertible (the spec reconstructs every corpus doc). Span
   // placement is the portable Lehmer hash over (doc_id, position)
   // (plans.SpanCorrupt) — deterministic on every engine/run, expected
-  // mask ratio SpanLen/StartMod = 15 %, the T5 default. One narrow
+  // mask ratio 3/22 ≈ 13.6 % (in-span positions are never tested for
+  // new starts; near T5's 15 % default). One narrow
   // codegen kernel pass; the output rows carry the pair as digests
   // plus pure-arithmetic masking stats (n_spans and n_masked derive
   // from the three lengths: |input| = n − masked + spans,
@@ -334,10 +335,16 @@ object Sampling {
   private[graft] def fimPrep(d: DataFrame): DataFrame =
     d.select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
+      // doc_id is reduced mod FimMod BEFORE the multiply so the
+      // product stays well inside int64 for any doc_id: the raw
+      // (doc_id + 1) * 48271 silently wraps in Spark (ANSI-off
+      // arithmetic) for doc_id ≳ 1.9e14 while DuckDB promotes —
+      // cross-engine divergence (and a possible negative p1).
       .withColumn("p1",
-        expr(s"((doc_id + 1) * $FimMul1 % $FimMod) % (n + 1)"))
+        expr(s"(((doc_id % $FimMod) + 1) * $FimMul1 % $FimMod) % (n + 1)"))
       .withColumn("p2",
-        expr(s"p1 + ((doc_id + 7) * $FimMul2 % $FimMod) % (n - p1 + 1)"))
+        expr(s"p1 + (((doc_id % $FimMod) + 7) * $FimMul2 % $FimMod)" +
+          s" % (n - p1 + 1)"))
       .withColumn("psm", concat_ws(" ", concat(
         array(lit("<PRE>")), slice(col("toks"), lit(1), col("p1").cast("int")),
         array(lit("<SUF>")),
@@ -359,11 +366,12 @@ object Sampling {
         FROM documents),
       p AS (
         SELECT doc_id, toks, n,
-          ((doc_id + 1) * $FimMul1 % $FimMod) % (n + 1) AS p1
+          (((doc_id % $FimMod) + 1) * $FimMul1 % $FimMod) % (n + 1) AS p1
         FROM d),
       q AS (
         SELECT doc_id, toks, n, p1,
-          p1 + ((doc_id + 7) * $FimMul2 % $FimMod) % (n - p1 + 1) AS p2
+          p1 + (((doc_id % $FimMod) + 7) * $FimMul2 % $FimMod)
+            % (n - p1 + 1) AS p2
         FROM p)
       SELECT doc_id, n AS n_tokens, CAST(p1 AS BIGINT) AS p1,
         CAST(p2 AS BIGINT) AS p2, CAST(p2 - p1 AS BIGINT) AS n_middle,

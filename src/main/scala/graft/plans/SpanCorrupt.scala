@@ -15,11 +15,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * inverts it). "Randomness" is the repo's portable Lehmer hash over
   * (seed, position) — identical on every engine and run, the
   * mix_sample convention — with span starts where
-  * h % [[SpanCorrupt.StartMod]] == 0 and fixed expected span length
-  * [[SpanCorrupt.SpanLen]]: expected mask ratio ≈ SpanLen/StartMod
-  * = 15 %, the T5 default corruption rate. One straight-line Java
-  * loop per row inside whole-stage codegen; sentinel ids cap at
-  * [[SpanCorrupt.MaxSpans]] (the T5 vocabulary reserves 100).
+  * h % [[SpanCorrupt.StartMod]] == 0 and fixed span length
+  * [[SpanCorrupt.SpanLen]]: positions consumed INSIDE a span are never
+  * tested for new starts, so with per-position start probability
+  * p = 1/StartMod the expected mask ratio is 3p/(3p + (1−p)) = 3/22
+  * ≈ 13.6 % — near (slightly under) T5's 15 % default. One
+  * straight-line Java loop per row inside whole-stage codegen;
+  * sentinel ids cap at [[SpanCorrupt.MaxSpans]] (the T5 vocabulary
+  * reserves 100).
   */
 case class SpanCorruptExpr(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -48,16 +51,22 @@ object SpanCorrupt {
     */
   val Mul = 48271L
   val Mod = 2147483647L
-  /** Span starts where hash % StartMod == 0 → ~1/StartMod of
-    * positions; with SpanLen-token spans the expected mask ratio is
-    * SpanLen/StartMod = 15 %.
+  /** Span starts where hash % StartMod == 0 → start probability
+    * p = 1/StartMod per TESTED position; consumed in-span positions
+    * are skipped, so the expected mask ratio is
+    * SpanLen·p / (SpanLen·p + (1−p)) = 3/22 ≈ 13.6 %.
     */
   val StartMod = 20L
   val SpanLen = 3
   val MaxSpans = 100
 
+  /** seed is reduced mod [[Mod]] before the multiply so the product
+    * stays inside int64 for ANY doc_id (the raw (seed + pos + 1) · Mul
+    * would wrap for seed ≳ 1.9e14, diverging across engines); for
+    * seed < Mod the value is unchanged.
+    */
   private[graft] def hash(seed: Long, pos: Int): Long =
-    ((seed + pos + 1) * Mul) % Mod
+    ((java.lang.Math.floorMod(seed, Mod) + pos + 1) * Mul) % Mod
 
   def corrupt(a: ArrayData, seed: Long): ArrayData = {
     val n = a.numElements()

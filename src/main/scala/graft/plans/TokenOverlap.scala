@@ -51,6 +51,11 @@ object TokenOverlap {
     val n = a.numElements()
     val m = b.numElements()
     if (n == 0 || m == 0) return 0L
+    // n >= 2^29 would overflow the Int capacity math below (negative
+    // array size); a single row holding half a billion tokens is far
+    // past any real document — fail loud rather than wrap.
+    require(n < (1 << 29),
+      s"TokenOverlap: left side has $n tokens (max ${1 << 29} per row)")
     val cap = java.lang.Integer.highestOneBit(math.max(2, n) * 2 - 1) * 2
     val mask = cap - 1
     val keys = new Array[UTF8String](cap)

@@ -257,8 +257,34 @@ object Streams {
     */
   val AnnIndexCap: Int = 1 << 20
 
+  /** Lifecycle handle for one served index: dropping the per-call temp
+    * function and destroying the broadcast when the serving stream
+    * terminates. In the documented production pattern (long-lived
+    * session, periodic index refresh) broadcasts otherwise accumulate
+    * on executors indefinitely.
+    */
+  final class AnnServeHandle private[streaming] (
+      val functionName: String,
+      bc: org.apache.spark.broadcast.Broadcast[graft.plans.AnnServe.Index],
+      ss: org.apache.spark.sql.SparkSession) extends AutoCloseable {
+    override def close(): Unit = {
+      ss.sessionState.functionRegistry.dropFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(functionName))
+      bc.destroy()
+    }
+  }
+
+  private val annServeSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def annServed(queries: DataFrame, index: Seq[(Long, Seq[Int])],
-      k: Int): DataFrame = {
+      k: Int): DataFrame = annServedWith(queries, index, k)._1
+
+  /** As [[annServed]], plus the [[AnnServeHandle]] the caller closes
+    * when the stream stops (e.g. from a StreamingQueryListener's
+    * onQueryTerminated) to release the index broadcast.
+    */
+  def annServedWith(queries: DataFrame, index: Seq[(Long, Seq[Int])],
+      k: Int): (DataFrame, AnnServeHandle) = {
     require(index.nonEmpty && index.size <= AnnIndexCap,
       s"serving index must hold 1..$AnnIndexCap codes, got ${index.size}")
     val ss = queries.sparkSession
@@ -275,17 +301,21 @@ object Streams {
       i += 1
     }
     val bc = ss.sparkContext.broadcast(graft.plans.AnnServe.Index(ids, codes, dim))
-    // registered per call so the builder closes over THIS index's
-    // broadcast; queries analyzed earlier keep their bound instance
+    // registered under a PER-CALL unique name so the builder closes
+    // over THIS index's broadcast and later annServed calls can never
+    // rebind a plan analyzed against an earlier index — two served
+    // indices coexisting in one session stay isolated.
+    val fn = s"graft_ann_serve_${annServeSeq.incrementAndGet()}"
     ss.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_ann_serve",
+      fn,
       exprs => graft.plans.AnnServeExpr(exprs.head, exprs(1), bc, k),
       "built-in")
-    queries
-      .withColumn("hits", expr("graft_ann_serve(q_emb, q_id)"))
+    val out = queries
+      .withColumn("hits", expr(s"$fn(q_emb, q_id)"))
       .select(col("q_id"), posexplode(col("hits")).as(Seq("p", "hit")))
       .select(col("q_id"), col("hit.c_id").as("c_id"),
         col("hit.cos").as("cos"), (col("p") + 1).cast("long").as("rk"))
+    (out, new AnnServeHandle(fn, bc, ss))
   }
 
   // ---- stream_asof: per-user as-of enrichment on an event stream ----

@@ -1741,6 +1741,46 @@ class PipelineOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("fim_prep / span_corrupt: extreme doc_ids never wrap int64") {
+    // (doc_id + 1) * 48271 wraps int64 at doc_id ≈ 1.9e14 under
+    // Spark's ANSI-off arithmetic while DuckDB promotes — both
+    // engines now reduce doc_id mod FimMod BEFORE the multiply, so
+    // splits stay valid (0 <= p1 <= p2 <= n) at any id.
+    val hugeIds = Seq(Long.MaxValue, Long.MaxValue - 1, 3_000_000_000_000_000L)
+    val fixture = hugeIds.map(id => (id, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    operators.Sampling.fimPrep(fixture).collect().foreach { r =>
+      val (p1, p2) = (r.getAs[Long]("p1"), r.getAs[Long]("p2"))
+      assert(0 <= p1 && p1 <= p2 && p2 <= 8, s"wrapped split: $p1 $p2")
+    }
+    // same latent pattern in the span-corruption Lehmer hash: huge
+    // seeds must stay non-negative and the transform invertible
+    hugeIds.foreach { seed =>
+      (0 until 50).foreach { pos =>
+        val h = graft.plans.SpanCorrupt.hash(seed, pos)
+        assert(h >= 0L && h < graft.plans.SpanCorrupt.Mod, s"$seed/$pos → $h")
+      }
+    }
+    graft.plans.GraftFunctions.register(spark)
+    val ct = fixture.selectExpr(
+      "split(text, ' ') AS toks",
+      "graft_span_corrupt(split(text, ' '), doc_id) AS ct").collect()
+    ct.foreach { r =>
+      val toks = r.getSeq[String](0)
+      val Seq(input, target) = r.getSeq[scala.collection.Seq[String]](1).toSeq
+      // reconstruct: splice each sentinel's target run back into input
+      val runs = scala.collection.mutable.Map[String, Seq[String]]()
+      var cur: String = null
+      target.foreach { t =>
+        if (t.startsWith("<extra_id_")) { cur = t; runs(cur) = Seq() }
+        else runs(cur) = runs(cur) :+ t
+      }
+      val rebuilt = input.flatMap(t =>
+        if (t.startsWith("<extra_id_")) runs(t) else Seq(t))
+      assert(rebuilt == toks, s"huge-seed corruption not invertible")
+    }
+  }
+
   test("dedup_substring: cross-doc span, self-repeat merge, clean/short docs") {
     // W=8. d1 and d2 share the 8-token run s1..s8 (each contributes
     // one duplicated window): cov 8, 1 region each. d3 repeats its

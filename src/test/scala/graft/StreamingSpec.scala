@@ -299,6 +299,40 @@ class StreamingSpec extends SparkSpec {
       s"stream served ${streamed.size} rows, batch ${batch.size}")
   }
 
+  test("stream_ann: two served indices coexist without cross-binding; handle releases") {
+    implicit val sql = spark.sqlContext
+    graft.plans.GraftFunctions.register(spark)
+    // two DISJOINT indices around orthogonal axes: a query on axis 0
+    // answered from indexB (axis-1 ids) proves cross-contamination
+    val codeA = Seq((100L, Seq(127, 0, 0, 0)), (101L, Seq(90, 90, 0, 0)))
+    val codeB = Seq((200L, Seq(0, 127, 0, 0)), (201L, Seq(0, 90, 90, 0)))
+    val inA = MemoryStream[(Long, Array[Float])]
+    val inB = MemoryStream[(Long, Array[Float])]
+    // analyze A's plan FIRST, then bind B — under a shared function
+    // name A would silently re-resolve against B's broadcast
+    val (servedA, hA) = Streams.annServedWith(inA.toDF().toDF("q_id", "q_emb"), codeA, 1)
+    val (servedB, hB) = Streams.annServedWith(inB.toDF().toDF("q_id", "q_emb"), codeB, 1)
+    assert(hA.functionName != hB.functionName, "per-call names must be unique")
+    val qA = servedA.writeStream.format("memory").queryName("ann_iso_a")
+      .outputMode("append").start()
+    val qB = servedB.writeStream.format("memory").queryName("ann_iso_b")
+      .outputMode("append").start()
+    inA.addData((1L, Array(1f, 0f, 0f, 0f)))
+    inB.addData((2L, Array(0f, 1f, 0f, 0f)))
+    qA.processAllAvailable(); qB.processAllAvailable()
+    val topA = spark.table("ann_iso_a").collect().map(_.getLong(1)).toSet
+    val topB = spark.table("ann_iso_b").collect().map(_.getLong(1)).toSet
+    qA.stop(); qB.stop()
+    assert(topA == Set(100L), s"stream A answered from the wrong index: $topA")
+    assert(topB == Set(200L), s"stream B answered from the wrong index: $topB")
+    // closing the handles drops the temp functions and the broadcasts
+    hA.close(); hB.close()
+    assert(!spark.sessionState.functionRegistry.functionExists(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(hA.functionName)))
+    assert(!spark.sessionState.functionRegistry.functionExists(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(hB.functionName)))
+  }
+
   test("stream_profile: incremental HLL NDV == one-shot batch sketch exactly") {
     implicit val sql = spark.sqlContext
     val lgK = operators.Relational2.SketchLgK
