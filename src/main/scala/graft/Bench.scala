@@ -92,6 +92,12 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     appendLine(line)
     println(line)
+    // the full line above grows with the query count (~3 kB at 95
+    // queries) and a tail-window capture clips its head; this COMPACT
+    // restatement (no per-query map) prints LAST so any tail capture
+    // ends with one complete, parseable JSON object. Per-query numbers
+    // live in the jsonl artifact and the full line either way.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -273,29 +273,38 @@ object Relational2 {
     "q26_asof_join",
     (s, dir) => {
       val e = Tables.events(s, dir)
+      // max_by keeps the view-side dedup a HASH aggregate with map-side
+      // partial combine; max(struct(...)) planned as SortAggregate,
+      // costing two extra per-partition sorts on the fact scan.
       val v = e.filter(col("event_type") === "view")
         .groupBy(col("user_id"), col("ts"))
-        .agg(max(struct(col("event_id"), col("value"))).as("m"))
-        .select(col("user_id"), col("ts"),
-          col("m.event_id").as("v_id"), col("m.value").as("v_value"))
+        .agg(max(col("event_id")).as("v_id"),
+          max_by(col("value"), col("event_id")).as("v_value"))
       val p = e.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"), col("event_id").as("p_id"),
           col("value").as("p_value"))
+      // v_ts is materialized on the view side BEFORE the union: every
+      // carry-forward below is then a bare column reference, so all
+      // three last()s collapse into ONE Window node (a computed
+      // last(when(...)) argument used to split out a second full pass
+      // over each user partition).
       val tagged = v.select(col("user_id"), col("ts"), lit(0).as("side"),
           lit(null).cast("long").as("p_id"), lit(null).cast("double").as("p_value"),
-          col("v_id"), col("v_value"))
+          col("v_id"), col("v_value"), col("ts").as("v_ts"))
         .unionByName(p.select(col("user_id"), col("ts"), lit(1).as("side"),
           col("p_id"), col("p_value"),
-          lit(null).cast("long").as("v_id"), lit(null).cast("double").as("v_value")))
+          lit(null).cast("long").as("v_id"), lit(null).cast("double").as("v_value"),
+          lit(null).cast("timestamp").as("v_ts")))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("ts"), col("side"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)
       tagged
-        .withColumn("av_id", last(col("v_id"), ignoreNulls = true).over(w))
-        .withColumn("av_value", last(col("v_value"), ignoreNulls = true).over(w))
-        .withColumn("av_ts",
-          last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("side"), col("p_id"), col("ts"),
+          col("p_value"),
+          last(col("v_id"), ignoreNulls = true).over(w).as("av_id"),
+          last(col("v_value"), ignoreNulls = true).over(w).as("av_value"),
+          last(col("v_ts"), ignoreNulls = true).over(w).as("av_ts"))
         .filter(col("side") === 1)
         .select(col("user_id"), col("p_id"), col("ts").as("p_ts"), col("p_value"),
           col("av_id").as("v_id"), col("av_value").as("v_value"),
