@@ -695,7 +695,71 @@ object MapReduceDocs {
     },
     None)
 
+  // ---- score_rouge1: stemmed-unigram ROUGE-1 f-measure ----
+  // The reference computes rouge1 ALONGSIDE rougeL with the same
+  // stemmed tokenizer (hanchen_recomp.py:78, `RougeScorer(['rougeL'])`
+  // returns only rougeL but the rouge1 member is the same scorer
+  // family) — overlap = multiset ∩ of Porter-stemmed unigrams,
+  // F = 2·common/(|p|+|g|). Unlike the LCS this IS portable SQL: the
+  // oracle stems its vocabulary with functions.PorterSql (the full
+  // 1980 algorithm as a DuckDB CTE cascade over DISTINCT tokens) and
+  // reuses score_f1's multiset-overlap shape, so the op carries a
+  // FULL hash-checked oracle. Spark side: graft_stem + graft_f1_common
+  // — a fully narrow projection over the pair scan (per-row functions
+  // deserve no shuffles). NLTK-divergence note carried from
+  // score_rougeL: the reference's NLTK stemmer runs NLTK_EXTENSIONS
+  // special cases (e.g. "dying"→"die" vs Porter-1980 "dy"); identical
+  // stems on both sides still yield identical ROUGE-1.
+  private val opRouge1 = Op(
+    "score_rouge1",
+    (s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val d = docs(s, dir)
+        .withColumn("toks10",
+          slice(TextFns.tokens(TextFns.normalize(col("text"))), 1, 10))
+        .withColumn("st", expr("graft_stem(toks10)"))
+      val a = d.select(col("doc_id"), col("st").as("pt"))
+      val b = d.select((col("doc_id") - 1).as("doc_id"), col("st").as("gt"))
+      a.join(b, "doc_id")
+        .select(col("doc_id"),
+          size(col("pt")).cast("long").as("n_pred"),
+          size(col("gt")).cast("long").as("n_gold"),
+          expr("graft_f1_common(pt, gt)").as("n_common"))
+        .select(col("doc_id"), col("n_pred"), col("n_gold"), col("n_common"),
+          when(col("n_common") === 0, lit(0.0))
+            .otherwise(round(lit(2.0) * col("n_common")
+              / (col("n_pred") + col("n_gold")), 6)).as("rouge1"))
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id,
+          list_slice(string_split(${TextFns.normalizeSql("text")}, ' '), 1, 10) AS toks
+        FROM documents),
+      rpairs AS (SELECT a.doc_id, a.toks AS pt, b.toks AS gt
+        FROM d a JOIN d b ON b.doc_id = a.doc_id + 1),
+      rtoks AS (
+        SELECT doc_id, 'p' AS side, t AS tok FROM rpairs, UNNEST(pt) AS u(t)
+        UNION ALL
+        SELECT doc_id, 'g' AS side, t AS tok FROM rpairs, UNNEST(gt) AS u(t)),
+      rvocab AS (SELECT DISTINCT tok FROM rtoks WHERE length(tok) > 3),
+      ${graft.functions.PorterSql.ctes("rvocab")},
+      stoks AS (SELECT doc_id, side,
+          CASE WHEN length(tok) <= 3 THEN tok ELSE s.st END AS stok
+        FROM rtoks LEFT JOIN stemmed s USING (tok)),
+      cnt AS (SELECT doc_id, stok,
+          SUM(CASE WHEN side = 'p' THEN 1 ELSE 0 END) AS cp,
+          SUM(CASE WHEN side = 'g' THEN 1 ELSE 0 END) AS cg
+        FROM stoks GROUP BY 1, 2),
+      agg AS (SELECT doc_id,
+          CAST(SUM(cp) AS BIGINT) AS n_pred,
+          CAST(SUM(cg) AS BIGINT) AS n_gold,
+          CAST(SUM(LEAST(cp, cg)) AS BIGINT) AS n_common
+        FROM cnt GROUP BY 1)
+      SELECT doc_id, n_pred, n_gold, n_common,
+        CASE WHEN n_common = 0 THEN 0.0
+             ELSE ROUND(2.0 * n_common / (n_pred + n_gold), 6) END AS rouge1
+      FROM agg"""))
+
   val ops: Seq[Op] = Seq(opNormalize, opChunk, opMap, opReduce, opPipeline,
     opE2e, opEmSubstr, opF1, opStats, opKv, opRatioSplit, opFoldReduce, opBleu,
-    opHasAnswer, opRougeL)
+    opHasAnswer, opRougeL, opRouge1)
 }

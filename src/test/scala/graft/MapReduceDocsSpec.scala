@@ -182,6 +182,37 @@ class MapReduceDocsSpec extends SparkSpec {
     assert(df.getAs[Long]("stemLcs") == 3L)
   }
 
+  test("score_rouge1: hand-computed stemmed-unigram f-measure; narrow plan") {
+    graft.plans.GraftFunctions.register(spark)
+    // stems: running→run, cats→cat; multiset overlap of
+    // p = [run, cat, sat] and g = [run, run, cat]: min-counts
+    // run 1, cat 1 → common 2; F = 2·2/(3+3) = 0.666667
+    val df = Seq((1L,
+        Seq("running", "cats", "sat"), Seq("run", "running", "cat")))
+      .toDF("id", "p", "g")
+      .selectExpr("graft_f1_common(graft_stem(p), graft_stem(g)) AS c")
+      .head()
+    assert(df.getAs[Long]("c") == 2L)
+    val out = MapReduceDocs.ops.find(_.name == "score_rouge1").get
+      .query(spark, sfDir)
+    assert(out.filter($"rouge1" < 0 || $"rouge1" > 1).count() == 0)
+    assert(out.filter($"n_common" === 0 && $"rouge1" =!= 0.0).count() == 0)
+    // bound: unigram overlap can never be beaten by the LCS, so
+    // rouge1 >= rougeL per doc (same tokens, same stems)
+    val rl = MapReduceDocs.ops.find(_.name == "score_rougeL").get
+      .query(spark, sfDir).select($"doc_id", $"rouge_l")
+    val joined = out.join(rl, "doc_id")
+    assert(joined.filter($"rouge1" < $"rouge_l" - 1e-9).count() == 0,
+      "ROUGE-1 must dominate ROUGE-L")
+    // per-row scoring deserves no shuffle beyond the pair join
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = MapReduceDocs.ops.find(_.name == "score_rouge1").get
+        .query(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin") || !plan.contains("Window"), plan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("graft_lcs: hand-computed LCS values and ROUGE-L formula") {
     graft.plans.GraftFunctions.register(spark)
     val df = Seq(
