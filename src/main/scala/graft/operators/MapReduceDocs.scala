@@ -374,6 +374,36 @@ object MapReduceDocs {
         ROUND(quantile_cont(${centsSql("value")}, 0.95) / 100.0, 6) AS p95_value
       FROM events GROUP BY event_type"""))
 
+  // ---- score_stats_sketch: mergeable-quantile fleet stats ----
+  // The at-scale companion to score_stats (the profile_sketch move
+  // applied to quantiles): exact `percentile` buffers O(DISTINCT
+  // values) per group — free on the pinned cents domain, wrong as the
+  // ONLY mode for an unbounded one. One KLL sketch (plans.KllQuantiles,
+  // k = 200 → ±~1.65 % RANK error) per event_type is built in a single
+  // pass — constant-size partial buffers merge map-side, the shuffle
+  // carries one sketch per (partition, group) — and p50/p95 read out
+  // of the same binary in the post-projection. The sketch column is
+  // also the shard→fleet rollup unit: graft_kll_merge unions per-shard
+  // sketches without re-reading rows (merge == single-pass spec'd).
+  // Rows-only: sketch compaction draws the published algorithm's
+  // random bits, so estimates carry a rank-error BOUND, not
+  // bit-stability — the spec asserts the bound vs the exact pass.
+  private val opStatsSketch = Op(
+    "score_stats_sketch",
+    (s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val e = Tables.events(s, dir)
+      e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          expr(s"graft_kll_agg(CAST(${centsSql("value")} AS DOUBLE))").as("sk"))
+        .select(col("event_type"), col("n"), col("min_value"), col("max_value"),
+          round(expr("graft_kll_quantile(sk, 0.5D)") / 100.0, 6).as("p50_approx"),
+          round(expr("graft_kll_quantile(sk, 0.95D)") / 100.0, 6).as("p95_approx"))
+    },
+    None)
+
   // ---- kv_cache_plan (kv_store/kv_loading_interface.py:28-126) ----
   // Content-addressed placement with PER-TIER CAPACITY BUDGETS: the
   // reference's add_kv/decide_tier_to_add track occupied GB against
@@ -760,6 +790,6 @@ object MapReduceDocs {
       FROM agg"""))
 
   val ops: Seq[Op] = Seq(opNormalize, opChunk, opMap, opReduce, opPipeline,
-    opE2e, opEmSubstr, opF1, opStats, opKv, opRatioSplit, opFoldReduce, opBleu,
-    opHasAnswer, opRougeL, opRouge1)
+    opE2e, opEmSubstr, opF1, opStats, opStatsSketch, opKv, opRatioSplit,
+    opFoldReduce, opBleu, opHasAnswer, opRougeL, opRouge1)
 }

@@ -287,5 +287,25 @@ object GraftFunctions {
       "graft_span_corrupt",
       exprs => SpanCorruptExpr(exprs.head, exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kll_agg",
+      exprs => KllAggExpr(exprs.head,
+        if (exprs.length > 1) exprs(1).eval().asInstanceOf[Int]
+        else KllQuantiles.DefaultK).toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kll_merge",
+      exprs => KllMergeAggExpr(exprs.head,
+        if (exprs.length > 1) exprs(1).eval().asInstanceOf[Int]
+        else KllQuantiles.DefaultK).toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kll_quantile",
+      exprs => KllQuantileExpr(exprs.head, exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kll_rank",
+      exprs => KllRankExpr(exprs.head, exprs(1)),
+      "built-in")
   }
 }
