@@ -161,7 +161,9 @@ object Similarity {
     * candidate costs [[PqM]] bytes, the combination the paper built
     * for 10¹²-vector serving.
     */
-  private def ivfRank(s: SparkSession, dir: String, mode: String): DataFrame = {
+  private def ivfRank(s: SparkSession, dir: String, mode: String,
+      candPred: Option[org.apache.spark.sql.Column] = None,
+      probeBoost: Int = 1): DataFrame = {
       graft.plans.GraftFunctions.register(s)
       val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       // k ∝ √n capped at KmeansMaxK (see its doc for the bounded
@@ -178,12 +180,26 @@ object Similarity {
       // cells; assignment keeps rank ≤ Rep (boundary replication) and
       // queries probe rank ≤ NProbe — the second scoring subtree the
       // old shape paid for the probe side is gone
+      val nprobe = NProbe * probeBoost
       val ranked = graft.plans.TopK.perKey(cells, Seq("vec_id"),
         Seq("ccos" -> graft.plans.TopK.Desc, "cent_id" -> graft.plans.TopK.Asc),
-        math.max(Rep, NProbe), "crk")
-      val assigned = ranked.filter(col("crk") <= Rep)
+        math.max(Rep, nprobe), "crk")
+      val assignedAll = ranked.filter(col("crk") <= Rep)
         .select(col("vec_id").as("c_id"), col("cent_id").as("bucket"))
-      val probed = ranked.filter(col("vec_id") < 10 && col("crk") <= NProbe)
+      // filtered serving (ann_filtered): the metadata predicate prunes
+      // the CANDIDATE side here — BELOW the probe join, the ADC scoring
+      // and the top-k heap — via a semi-join against a skinny id frame
+      // whose comparison predicate pushes into the parquet scan.
+      // Post-filtering the final top-k instead would return < k rows
+      // and waste ADC work on candidates the caller can never see.
+      val assigned = candPred match {
+        case Some(p) =>
+          val allowed = Tables(s, dir, "embeddings")
+            .filter(p).select(col("vec_id").as("c_id"))
+          assignedAll.join(allowed, Seq("c_id"), "left_semi")
+        case None => assignedAll
+      }
+      val probed = ranked.filter(col("vec_id") < 10 && col("crk") <= nprobe)
         .select(col("vec_id").as("q_id"), col("cent_id").as("bucket"))
       // candidate ids from the probed cells only; a pair can meet in up
       // to Rep·NProbe cells → dedup on ids BEFORE gathering embeddings
@@ -238,6 +254,32 @@ object Similarity {
   private val opIvfPq = Op(
     "ann_ivf_pq",
     (s, dir) => ivfRank(s, dir, "pq"),
+    None)
+
+  /** The metadata predicate ann_filtered serves under (every real
+    * RAG/serving stack filters by source/date/language WHILE ranking);
+    * a plain comparison so it reaches the parquet scan as a pushed
+    * filter.
+    */
+  val FilteredPred: org.apache.spark.sql.Column = col("label") <= 4
+
+  /** Filtered serving probes NProbe x this: with predicate selectivity
+    * s the probed cells hold ~s x the usual candidates, so ~1/s more
+    * cells restore the candidate volume (the standard over-probe move
+    * of filtered vector search). FilteredPred keeps ~half the corpus
+    * -> boost 2.
+    */
+  val FilterProbeBoost = 2
+
+  // filtered ANN serving: IVFADC probing composed with a metadata
+  // predicate that prunes candidates BEFORE ADC scoring (see the
+  // candPred branch in ivfRank — semi-join below the heap, predicate
+  // pushed into the candidate scan). Rows-only; specs assert every
+  // result satisfies the predicate, recall vs exact FILTERED
+  // brute-force, and the filter's position below the heap in the plan.
+  private val opFiltered = Op(
+    "ann_filtered",
+    (s, dir) => ivfRank(s, dir, "pq", Some(FilteredPred), FilterProbeBoost),
     None)
 
   // ---- dedup_embed: embedding-cosine near-duplicate detection ----
@@ -646,6 +688,6 @@ object Similarity {
     None)
 
   val ops: Seq[Op] =
-    Seq(opBrute, opIvf, opIvfQuant, opIvfPq, opEmbedDedup, opQuantize,
-      opQuantAnn, opPq, opSemDedup)
+    Seq(opBrute, opIvf, opIvfQuant, opIvfPq, opFiltered, opEmbedDedup,
+      opQuantize, opQuantAnn, opPq, opSemDedup)
 }
