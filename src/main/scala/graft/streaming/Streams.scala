@@ -461,6 +461,70 @@ object Streams {
         expr(s"hll_sketch_estimate(hll_sketch_agg(user_id, $lgK))")
           .as("est_users"))
 
+  // ---- stream_index: incremental inverted-index maintenance ----
+
+  case class IndexEntry(token: String, doc_id: Long, entry: String)
+
+  case class IndexFragState(unused: Long)
+
+  case class IndexFrag(token: String, n_postings_delta: Long,
+      n_docs_delta: Long, posting_frag: String)
+
+  /** stream_index — the retrieval family's streaming twin: maintain
+    * index_build's posting lists INCREMENTALLY as documents arrive.
+    * Each micro-batch emits one DELTA row per touched token —
+    * (n_postings_delta, n_docs_delta, posting_frag) — in append mode;
+    * a reader folds fragments per token (sum the deltas, merge-sort
+    * the fragments, keep the bottom [[operators.TextAnalysis
+    * .PostingCap]]) and holds exactly the batch index — the same
+    * changelog-fold contract stream_compact carries, with compaction
+    * the q31 latest/fold pattern (spec-asserted across batch splits).
+    *
+    * Why the fold is EXACT: a document's tokens arrive in one batch,
+    * so per-batch distinct-doc counts add disjointly; and any entry in
+    * the corpus-wide bottom-cap is necessarily within its own batch's
+    * bottom-cap for that token, so no fragment ever drops a globally
+    * surviving entry. The cap is enforced per micro-batch by a BOUNDED
+    * insertion buffer (≤ PostingCap entries per token in memory, the
+    * index_build TopK move applied inside the group iterator), and the
+    * operator keeps ZERO state-store rows — fragments are pure
+    * functions of the batch, so there is nothing to checkpoint and no
+    * state to grow with the vocabulary (spec-asserted).
+    */
+  def indexDeltas(docs: DataFrame): Dataset[IndexFrag] = {
+    import docs.sparkSession.implicits._
+    val cap = graft.operators.TextAnalysis.PostingCap
+    val entries = docs.select(col("doc_id"),
+        posexplode(graft.functions.TextFns.tokens(col("text")))
+          .as(Seq("pos", "token")))
+      .select(col("token"), col("doc_id"),
+        concat_ws(":", lpad(col("doc_id").cast("string"), 8, "0"),
+          lpad(col("pos").cast("string"), 6, "0")).as("entry"))
+      .as[IndexEntry]
+    entries.groupByKey(_.token)
+      .flatMapGroupsWithState[IndexFragState, IndexFrag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (token: String, in: Iterator[IndexEntry],
+            state: GroupState[IndexFragState]) =>
+          // bottom-cap under lexicographic order (the zero-padded
+          // entry makes it numeric order): bounded insertion, never
+          // more than cap entries buffered even for a stopword token
+          val keep = new java.util.TreeSet[String]()
+          val seenDocs = new java.util.HashSet[java.lang.Long]()
+          var n = 0L
+          in.foreach { e =>
+            n += 1
+            seenDocs.add(e.doc_id)
+            if (keep.size < cap) keep.add(e.entry)
+            else if (e.entry < keep.last) { keep.pollLast(); keep.add(e.entry) }
+          }
+          // state is never updated: fragments are stateless per-batch
+          // functions; the reader's fold is the materialized view
+          Iterator.single(IndexFrag(token, n, seenDocs.size.toLong,
+            String.join(",", keep)))
+      }
+  }
+
   // ---- stream_compact: incremental latest-per-key materialized view ----
 
   case class CompactIn(user_id: Long, event_type: String, event_id: Long,

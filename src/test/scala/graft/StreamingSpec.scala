@@ -250,6 +250,51 @@ class StreamingSpec extends SparkSpec {
     assert(topBatch.forall { case (id, s) => streamed(id)._1 == s })
   }
 
+  test("stream_index: folded posting deltas equal the batch index across batch splits") {
+    implicit val sql = spark.sqlContext
+    val cap = operators.TextAnalysis.PostingCap
+    val docs = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).take(120)
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.indexDeltas(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("idx_frags")
+      .outputMode("append").start()
+    // three uneven micro-batches — fragment rows must fold to the
+    // batch answer regardless of how the corpus was split
+    in.addData(docs.take(40): _*)
+    q.processAllAvailable()
+    in.addData(docs.slice(40, 50): _*)
+    q.processAllAvailable()
+    in.addData(docs.drop(50): _*)
+    q.processAllAvailable()
+    // ZERO state-store rows: fragments are pure per-batch functions
+    assert(q.lastProgress.stateOperators.isEmpty ||
+      q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+      "stream_index must keep no state")
+    q.stop()
+    // reader-side compaction (the q31/stream_compact fold): sum the
+    // deltas, merge the fragments, keep the bottom cap
+    val folded = spark.table("idx_frags").collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("n_postings_delta"),
+        r.getAs[Long]("n_docs_delta"), r.getAs[String]("posting_frag")))
+      .groupBy(_._1).map { case (tok, frags) =>
+        val posting = frags.flatMap(_._4.split(",")).filter(_.nonEmpty)
+          .sorted.take(cap).mkString(",")
+        tok -> (frags.map(_._2).sum, frags.map(_._3).sum, posting)
+      }
+    val batch = operators.TextAnalysis.indexBuild(
+        docs.toSeq.toDF("doc_id", "text")).collect()
+      .map(r => r.getAs[String]("token") ->
+        (r.getAs[Long]("n_postings"), r.getAs[Long]("n_docs"),
+          r.getAs[String]("posting"))).toMap
+    assert(folded.keySet == batch.keySet,
+      s"vocab drift: ${(folded.keySet diff batch.keySet).take(5)} / ${(batch.keySet diff folded.keySet).take(5)}")
+    folded.foreach { case (tok, got) =>
+      assert(got == batch(tok), s"token '$tok': folded $got != batch ${batch(tok)}")
+    }
+  }
+
   test("stream_ann: served top-k equals the batch ann_quantized exactly") {
     implicit val sql = spark.sqlContext
     graft.plans.GraftFunctions.register(spark)
