@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Generate a larger scale-factor of the driver's synthetic tables for
+scale-validation benchmarks (VERDICT r06 #2). Only the tables the six
+most expensive queries read (documents, embeddings, lineitem), with
+the same schemas and the measured sf0.1 distributions:
+
+- documents: tokens iid-uniform over the 31-word vocab, doc length
+  ~ U[10, 100]; ~3%% near-dup copies (one mutated token per 25) and
+  ~0.16%% exact dups to preserve the dedup ops' candidate structure.
+- embeddings: dim-64 uniform(-1/3, 1/3) floats, labels U[0, 9].
+- lineitem: TPC-H-ish columns with sf0.1's domains scaled 10x
+  (orderkey ~unique -> the exact-NDV stress profile_stats documents).
+
+Usage: gen_sf.py OUTDIR MULT   (MULT=10 -> sf1 from the sf0.1 shape)
+Deterministic (seed 4242). Writes parquet via pyarrow.
+"""
+import sys
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = ("a agg batch big column customer data dup fast filter group hash "
+         "join key line merge order part query row scan slow small sort "
+         "spark stream table the value vector window").split()
+assert len(VOCAB) == 31
+LANGS = ["en", "en", "zh", "es", "fr", "de"]  # en ~2x the rest (sf0.1)
+
+
+def gen_documents(out, n, rng):
+    texts, langs, sources = [], [], []
+    base = []
+    for i in range(n):
+        ln = int(rng.integers(10, 101))
+        toks = [VOCAB[j] for j in rng.integers(0, 31, ln)]
+        r = rng.random()
+        if i > 10 and r < 0.0016:        # exact dup of an earlier doc
+            toks = base[int(rng.integers(0, len(base)))][:]
+        elif i > 10 and r < 0.03:        # near dup: mutate 1 token / 25
+            toks = base[int(rng.integers(0, len(base)))][:]
+            for p in range(0, len(toks), 25):
+                toks[p] = VOCAB[int(rng.integers(0, 31))]
+        base.append(toks)
+        if len(base) > 2000:
+            base.pop(0)
+        texts.append(" ".join(toks))
+        langs.append(LANGS[int(rng.integers(0, len(LANGS)))])
+        sources.append(f"src{int(rng.integers(0, 20))}")
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(langs),
+        "source": pa.array(sources),
+        "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+    })
+    pq.write_table(t, f"{out}/documents.parquet")
+
+
+def gen_embeddings(out, n, rng):
+    emb = rng.uniform(-1.0 / 3, 1.0 / 3, size=(n, 64)).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+        "label": pa.array(rng.integers(0, 10, n), pa.int32()),
+    })
+    pq.write_table(t, f"{out}/embeddings.parquet")
+
+
+def gen_lineitem(out, n, mult, rng):
+    orders = int(150000 * mult)
+    okey = rng.integers(0, orders, n)
+    day0 = np.datetime64("1995-01-02")
+    t = pa.table({
+        "l_orderkey": pa.array(okey, pa.int64()),
+        "l_partkey": pa.array(rng.integers(0, 20000 * mult, n), pa.int64()),
+        "l_suppkey": pa.array(rng.integers(0, 1000 * mult, n), pa.int64()),
+        "l_linenumber": pa.array(rng.integers(1, 8, n), pa.int32()),
+        "l_quantity": pa.array(rng.integers(1, 51, n).astype(np.float64)),
+        "l_extendedprice": pa.array(
+            np.round(rng.uniform(900.0, 105000.0, n), 2)),
+        "l_discount": pa.array(rng.integers(0, 11, n) / 100.0),
+        "l_tax": pa.array(rng.integers(0, 9, n) / 100.0),
+        "l_returnflag": pa.array(
+            np.array(["A", "N", "R"])[rng.integers(0, 3, n)]),
+        "l_linestatus": pa.array(np.array(["O", "F"])[rng.integers(0, 2, n)]),
+        "l_shipdate": pa.array(
+            day0 + rng.integers(0, 2500, n).astype("timedelta64[D]")),
+    })
+    pq.write_table(t, f"{out}/lineitem.parquet")
+
+
+if __name__ == "__main__":
+    out, mult = sys.argv[1], int(sys.argv[2])
+    import os
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(4242)
+    gen_documents(out, 5000 * mult, rng)
+    gen_embeddings(out, 2000 * mult, rng)
+    gen_lineitem(out, 600000 * mult, mult, rng)
+    print(f"wrote sf={mult}x0.1 tables to {out}")
