@@ -709,7 +709,99 @@ object Dedup {
       FROM n LEFT JOIN cov ON n.doc_id = cov.doc_id
         LEFT JOIN reg ON n.doc_id = reg.doc_id"""))
 
+  // ---- dedup_substr_ladder: multi-granularity substring coverage ----
+  // Fixed W=8 finds every duplicated run ≥ 8 tokens but reports its
+  // extent at 8-token granularity; the W-ladder {8, 16, 32} closes
+  // toward Lee 2022's variable-length matches by reporting coverage
+  // at three granularities FROM ONE PASS: a single 31-lead frame (one
+  // doc_id shuffle — the W=32 leads subsume the smaller windows), all
+  // three span hashes computed in one projection and unpivoted with
+  // stack, so the global duplicate count is ONE combined skinny
+  // (w, h) shuffle with map-side combine instead of three scans. Per
+  // (doc, w) coverage/regions reuse the one-pass interval fold.
+  val SubstrWs: Seq[Int] = Seq(8, 16, 32)
+
+  private[graft] def substringLadder(d: DataFrame): DataFrame = {
+    val maxW = SubstrWs.max
+    val wspec = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = d.select(col("doc_id"),
+      posexplode(graft.functions.TextFns.tokens(col("text")))
+        .as(Seq("pos", "tok")))
+    val withLeads = (1 until maxW).foldLeft(toks) { case (acc, k) =>
+      acc.withColumn(s"w$k", lead(col("tok"), k).over(wspec))
+    }
+    def hashW(w: Int) = when(col(s"w${w - 1}").isNotNull,
+      md5(concat_ws(" ", (col("tok") +: (1 until w).map(k => col(s"w$k"))): _*)))
+    val hashed = withLeads.select(col("doc_id"), col("pos"),
+      hashW(8).as("h8"), hashW(16).as("h16"), hashW(32).as("h32"))
+    val spans = hashed.select(col("doc_id"), col("pos"),
+        expr("stack(3, 8L, h8, 16L, h16, 32L, h32) AS (w, h)"))
+      .filter(col("h").isNotNull)
+    val dup = spans.groupBy(col("w"), col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= SubstrMinOccur).select(col("w"), col("h"))
+    val starts = spans.join(dup, Seq("w", "h"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+      .withColumn("a", expr(
+        """aggregate(starts,
+           named_struct('cov', 0L, 'reg', 0L, 'e', CAST(-2 AS BIGINT)),
+           (a, s) -> named_struct(
+             'cov', a.cov + CAST(s AS BIGINT) + w - 1
+               - greatest(a.e, CAST(s - 1 AS BIGINT)),
+             'reg', a.reg + IF(CAST(s AS BIGINT) > a.e + 1, 1L, 0L),
+             'e', CAST(s AS BIGINT) + w - 1))"""))
+      .select(col("doc_id"), col("w"), col("a.cov").as("n_dup_tokens"),
+        col("a.reg").as("n_regions"))
+    d.select(col("doc_id"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long")
+          .as("n_toks"))
+      .withColumn("w", explode(array(SubstrWs.map(w => lit(w.toLong)): _*)))
+      .join(starts, Seq("doc_id", "w"), "left")
+      .select(col("doc_id"), col("w"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        coalesce(col("n_regions"), lit(0L)).as("n_regions"),
+        round(coalesce(col("n_dup_tokens"), lit(0L)).cast("double")
+          / col("n_toks"), 6).as("dup_ratio"))
+  }
+
+  private val opSubstrLadder = Op(
+    "dedup_substr_ladder",
+    (s, dir) => substringLadder(docs(s, dir)),
+    Some(s"""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents),
+      n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM d),
+      ws AS (SELECT CAST(w AS BIGINT) AS w
+             FROM (VALUES (8), (16), (32)) AS t(w)),
+      sp AS (
+        SELECT doc_id, w, i - 1 AS pos,
+          md5(array_to_string(list_slice(toks, i, i + w - 1), ' ')) AS h
+        FROM d, ws, UNNEST(generate_series(1, len(toks) - w + 1)) AS u(i)),
+      dup AS (SELECT w, h FROM sp GROUP BY w, h
+              HAVING COUNT(*) >= $SubstrMinOccur),
+      st AS (SELECT doc_id, w, pos FROM sp JOIN dup USING (w, h)),
+      cov AS (
+        SELECT doc_id, w, CAST(COUNT(DISTINCT p) AS BIGINT) AS n_dup
+        FROM st, UNNEST(generate_series(pos, pos + w - 1)) AS t(p)
+        GROUP BY doc_id, w),
+      lagged AS (
+        SELECT doc_id, w, pos,
+          lag(pos) OVER (PARTITION BY doc_id, w ORDER BY pos) AS prev
+        FROM st),
+      reg AS (
+        SELECT doc_id, w, CAST(SUM(CASE WHEN prev IS NULL
+            OR pos > prev + w THEN 1 ELSE 0 END) AS BIGINT) AS n_regions
+        FROM lagged GROUP BY doc_id, w)
+      SELECT n.doc_id, ws.w,
+        COALESCE(cov.n_dup, 0) AS n_dup_tokens,
+        COALESCE(reg.n_regions, 0) AS n_regions,
+        ROUND(CAST(COALESCE(cov.n_dup, 0) AS DOUBLE) / n_toks, 6) AS dup_ratio
+      FROM n CROSS JOIN ws
+        LEFT JOIN cov ON n.doc_id = cov.doc_id AND ws.w = cov.w
+        LEFT JOIN reg ON n.doc_id = reg.doc_id AND ws.w = reg.w"""))
+
   val ops: Seq[Op] =
     Seq(opExact, opMinhash, opSimhash, opJaccard, opContam, opCluster, opSpan,
-      opPipeline, opSubstr)
+      opPipeline, opSubstr, opSubstrLadder)
 }

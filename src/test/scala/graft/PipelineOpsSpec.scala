@@ -1871,6 +1871,66 @@ class PipelineOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("dedup_substr_ladder: per-W coverage from one lead frame; fixtures at every W") {
+    // d1/d2 share an 8-token run with DIFFERENT contexts: visible at
+    // W=8 only (no duplicated 16- or 32-window contains it).
+    // d6/d7 share a 16-token run: at W=8 the nine duplicated windows
+    // merge to the full 16-token region; at W=16 one window covers the
+    // same 16; invisible at W=32.
+    // d8 is a 32-token phrase repeated back-to-back (64 tokens): the
+    // self-repeat is visible at EVERY W and always merges to one
+    // whole-doc region (adjacent coverage).
+    // d4 clean; d5 shorter than every W.
+    val s18 = (1 to 8).map(i => s"s$i").mkString(" ")
+    val q116 = (1 to 16).map(i => s"q$i").mkString(" ")
+    val r132 = (1 to 32).map(i => s"r$i").mkString(" ")
+    val fixture = Seq(
+      (1L, s"u1 u2 $s18 u3"),
+      (2L, s"v1 $s18 v2 v3"),
+      (4L, (1 to 12).map(i => s"c$i").mkString(" ")),
+      (5L, "a b c"),
+      (6L, s"x1 $q116 x2"),
+      (7L, s"y1 y2 $q116"),
+      (8L, s"$r132 $r132")).toDF("doc_id", "text")
+    val m = operators.Dedup.substringLadder(fixture).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("w")) ->
+        (r.getAs[Long]("n_dup_tokens"), r.getAs[Long]("n_regions"))).toMap
+    assert(m.size == 7 * 3, "one row per (doc, W)")
+    assert(m((1L, 8L)) == ((8L, 1L)) && m((2L, 8L)) == ((8L, 1L)))
+    assert(m((1L, 16L)) == ((0L, 0L)) && m((1L, 32L)) == ((0L, 0L)))
+    assert(m((6L, 8L)) == ((16L, 1L)) && m((7L, 8L)) == ((16L, 1L)))
+    assert(m((6L, 16L)) == ((16L, 1L)) && m((7L, 16L)) == ((16L, 1L)))
+    assert(m((6L, 32L)) == ((0L, 0L)) && m((7L, 32L)) == ((0L, 0L)))
+    // the self-repeat covers the whole doc at every granularity
+    Seq(8L, 16L, 32L).foreach { w =>
+      assert(m((8L, w)) == ((64L, 1L)), s"d8 at W=$w: ${m((8L, w))}")
+    }
+    Seq(8L, 16L, 32L).foreach { w =>
+      assert(m((4L, w)) == ((0L, 0L)) && m((5L, w)) == ((0L, 0L)))
+    }
+    // one pass ACROSS W: every WindowExec is the SAME shared 31-lead
+    // frame feeding all three granularities (two instances appear —
+    // the duplicate-count build and probe consumers, as in the base
+    // op — but none is a per-W window), and text never shuffles
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = run("dedup_substr_ladder").queryExecution.executedPlan
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty && windows.size <= 2,
+        s"expected the two shared-lead consumers, got ${windows.size}:\n$plan")
+      windows.foreach(w => assert(w.windowExpression.size == 31,
+        s"a window without the full 31-lead frame means per-W passes:\n$w"))
+      plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }.foreach { e =>
+        assert(!e.output.exists(_.name == "text"),
+          s"corpus text crossed an exchange:\n$e")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("hybrid_rrf: hand-computed fusion; pools bounded; windows above limits") {
     graft.plans.GraftFunctions.register(spark)
     // text side = the search_bm25 fixture: scores d4=2314 (rank 1),
