@@ -202,5 +202,71 @@ object LangModel {
       SELECT w1, w2, c12, c1a, c1b, pmi_bits, rank FROM r
       WHERE rank <= $PmiTopK"""))
 
-  val ops: Seq[Op] = Seq(opNgramLm, opColloc)
+  // ---- skipgram_pairs: windowed co-occurrence counts (embedding prep) ----
+  // The word2vec/GloVe training-data step colloc_pmi's adjacent
+  // bigrams don't cover: the SYMMETRIC co-occurrence matrix over a
+  // ±[[SkipWindow]] token window with the GloVe 1/d distance
+  // weighting, re-expressed integer-exact as Σ 12 DIV d
+  // (12/1..12/4 = 12, 6, 4, 3 — exact integers, hash-matchable).
+  //
+  // Scale shape: the shifted-zip trick generalized — toks zipped
+  // against its own 1..W-shifted tails in ONE narrow projection (no
+  // per-doc window shuffle, no positional self-join: the join shape
+  // shuffles O(corpus · W) rows to compute what each row already
+  // holds), stacked to (center, context, d) rows in both directions,
+  // then ONE skinny count aggregation with map-side combine — the
+  // pair frame entering the exchange is vocab²·W-bounded per
+  // partition after partial aggregation, and corpus text never
+  // crosses an exchange.
+  val SkipWindow = 4
+  val SkipMinCount = 5L
+
+  private[graft] def skipgramPairs(d: DataFrame, minCount: Long): DataFrame = {
+    val withT = (1 to SkipWindow).foldLeft(
+      d.withColumn("toks", TextFns.tokens(col("text")))) { case (acc, k) =>
+      acc.withColumn(s"t$k", slice(col("toks"), lit(k + 1),
+        greatest(size(col("toks")) - k, lit(0))))
+    }
+    val zipped = arrays_zip(
+      (col("toks") +: (1 to SkipWindow).map(k => col(s"t$k"))): _*)
+    val z = withT.select(col("doc_id"),
+        posexplode(zipped).as(Seq("pos", "z")))
+      .select((col("z.toks").as("w") +:
+        (1 to SkipWindow).map(k => col(s"z.t$k").as(s"c$k"))): _*)
+    val stackArgs = (1 to SkipWindow).map(k =>
+      s"w, c$k, CAST($k AS BIGINT), c$k, w, CAST($k AS BIGINT)")
+      .mkString(", ")
+    val stacked = z.select(expr(
+        s"stack(${2 * SkipWindow}, $stackArgs) AS (center, context, d)"))
+      .filter(col("center").isNotNull && col("context").isNotNull)
+    stacked.groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("12 DIV d")).as("weight12"))
+      .filter(col("n_pairs") >= minCount)
+  }
+
+  private val opSkipgram = Op(
+    "skipgram_pairs",
+    (s, dir) => skipgramPairs(docs(s, dir), SkipMinCount),
+    Some(s"""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents),
+      t AS (
+        SELECT doc_id, i AS pos, toks[i] AS w
+        FROM d, UNNEST(generate_series(1, len(toks))) AS u(i)),
+      p AS (
+        SELECT a.w AS center, b.w AS context, b.pos - a.pos AS dd
+        FROM t a JOIN t b ON a.doc_id = b.doc_id
+          AND b.pos > a.pos AND b.pos <= a.pos + $SkipWindow),
+      sym AS (
+        SELECT center, context, dd FROM p
+        UNION ALL
+        SELECT context AS center, center AS context, dd FROM p)
+      SELECT center, context,
+        CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(SUM(12 // dd) AS BIGINT) AS weight12
+      FROM sym GROUP BY 1, 2
+      HAVING COUNT(*) >= $SkipMinCount"""))
+
+  val ops: Seq[Op] = Seq(opNgramLm, opColloc, opSkipgram)
 }

@@ -1491,6 +1491,41 @@ class PipelineOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("skipgram_pairs: hand-computed symmetric window counts; narrow build") {
+    // "a b c a", window ±4, weight 12/d. Forward pairs (center, ctx, d):
+    // (a,b,1) (a,c,2) (a,a,3) (b,c,1) (b,a,2) (c,a,1); symmetric table
+    // adds every reverse. Counts: (a,b)=(b,a)=2 w18 (d∈{1,2}),
+    // (a,c)=(c,a)=2 w18, (b,c)=(c,b)=1 w12, (a,a)=2 w8 (d=3 twice).
+    val fixture = Seq((1L, "a b c a")).toDF("doc_id", "text")
+    val m = operators.LangModel.skipgramPairs(fixture, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("weight12"))).toMap
+    assert(m(("a", "b")) == ((2L, 18L)) && m(("b", "a")) == ((2L, 18L)))
+    assert(m(("a", "c")) == ((2L, 18L)) && m(("c", "a")) == ((2L, 18L)))
+    assert(m(("b", "c")) == ((1L, 12L)) && m(("c", "b")) == ((1L, 12L)))
+    assert(m(("a", "a")) == ((2L, 8L)), s"${m(("a", "a"))}")
+    assert(m.size == 7)
+    // the matrix is symmetric by construction on real data too
+    val real = run("skipgram_pairs").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("weight12"))).toMap
+    real.foreach { case ((a, b), v) =>
+      assert(real((b, a)) == v, s"asymmetric at ($a, $b)")
+    }
+    // narrow build: the ONLY shuffle is the skinny pair count — no
+    // per-doc window, no positional self-join, text never moves
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = run("skipgram_pairs").queryExecution.executedPlan
+      assert(!plan.toString.contains("WindowExec"), plan.toString)
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.size == 1, s"expected exactly the pair-count shuffle:\n$plan")
+      assert(!shuffles.head.output.exists(_.name == "text"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("sample_stratified: exactly k per stratum, hash-ordered, heap plan") {
     // small stratum keeps everything; big stratum keeps exactly StratK,
     // and the kept set is the k smallest by the portable Lehmer hash
