@@ -147,6 +147,53 @@ object MapReduceDocs {
     (s, dir) => chunked(docs(s, dir)),
     Some(chunkCte + "\nSELECT doc_id, chunk_id, n_tokens, chunk_text FROM chunks"))
 
+  // ---- mr_chunk_overlap: sliding-window chunking with stride ----
+  // The RAG-ingestion shape mr_chunk's DISJOINT chunks don't cover:
+  // retrieval corpora chunk with OVERLAP (size 64, stride 48 → 16
+  // shared tokens) so no answer span is ever split across a boundary.
+  // Start rule: a window starts at every multiple of the stride that
+  // still contributes NEW tokens — n_chunks = 1 + ceil(max(n−size,0)
+  // / stride) — so the tail chunk may be short but never redundant.
+  // Per-doc arithmetic + slice: fully NARROW (one Generate per doc,
+  // no shuffle at all), digests instead of chunk text leaving the row.
+  val OvSize = 64
+  val OvStride = 48
+
+  private[graft] def chunkOverlap(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("nc",
+        lit(1L) + expr(s"(greatest(n - $OvSize, 0L) + ${OvStride - 1}) DIV $OvStride"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(expr("sequence(0L, nc - 1)")).as("chunk_id"))
+      .withColumn("start_pos", col("chunk_id") * OvStride)
+      .withColumn("n_chunk_toks",
+        least(lit(OvSize.toLong), col("n") - col("start_pos")))
+      .select(col("doc_id"), col("chunk_id"), col("start_pos"),
+        col("n_chunk_toks"),
+        md5(concat_ws(" ", expr(
+          s"slice(toks, CAST(start_pos + 1 AS INT), CAST(n_chunk_toks AS INT))")))
+          .as("chunk_digest"))
+
+  private val opChunkOverlap = Op(
+    "mr_chunk_overlap",
+    (s, dir) => chunkOverlap(docs(s, dir)),
+    Some(s"""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        FROM documents),
+      c AS (SELECT doc_id, toks, n,
+          1 + (greatest(n - $OvSize, 0) + ${OvStride - 1}) // $OvStride AS nc
+        FROM d)
+      SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+        CAST(k * $OvStride AS BIGINT) AS start_pos,
+        CAST(least($OvSize, n - k * $OvStride) AS BIGINT) AS n_chunk_toks,
+        md5(array_to_string(
+          list_slice(toks, k * $OvStride + 1,
+            k * $OvStride + least($OvSize, n - k * $OvStride)), ' '))
+          AS chunk_digest
+      FROM c, UNNEST(generate_series(0, nc - 1)) AS u(k)"""))
+
   // ---- mr_map ----
   private val opMap = Op(
     "mr_map",
@@ -789,7 +836,7 @@ object MapReduceDocs {
              ELSE ROUND(2.0 * n_common / (n_pred + n_gold), 6) END AS rouge1
       FROM agg"""))
 
-  val ops: Seq[Op] = Seq(opNormalize, opChunk, opMap, opReduce, opPipeline,
-    opE2e, opEmSubstr, opF1, opStats, opStatsSketch, opKv, opRatioSplit,
-    opFoldReduce, opBleu, opHasAnswer, opRougeL, opRouge1)
+  val ops: Seq[Op] = Seq(opNormalize, opChunk, opChunkOverlap, opMap,
+    opReduce, opPipeline, opE2e, opEmSubstr, opF1, opStats, opStatsSketch,
+    opKv, opRatioSplit, opFoldReduce, opBleu, opHasAnswer, opRougeL, opRouge1)
 }

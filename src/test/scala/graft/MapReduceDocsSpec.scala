@@ -182,6 +182,52 @@ class MapReduceDocsSpec extends SparkSpec {
     assert(df.getAs[Long]("stemLcs") == 3L)
   }
 
+  test("mr_chunk_overlap: stride windows cover every token; tail never redundant") {
+    import java.security.MessageDigest
+    def md5(s: String) = MessageDigest.getInstance("MD5").digest(s.getBytes)
+      .map(b => f"$b%02x").mkString
+    // n=100, size 64, stride 48: chunks at 0 (64 toks) and 48 (52 toks)
+    // — chunk 2 covers 48..99, overlapping 16 with chunk 1's 0..63.
+    // n=64: exactly one chunk. n=10 (< size): one short chunk.
+    // n=150: chunks at 0, 48, 96 (54 toks).
+    val mk = (n: Int) => (1 to n).map(i => s"t$i").mkString(" ")
+    val fixture = Seq((1L, mk(100)), (2L, mk(64)), (3L, mk(10)), (4L, mk(150)))
+      .toDF("doc_id", "text")
+    val out = operators.MapReduceDocs.chunkOverlap(fixture).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) ->
+        (r.getAs[Long]("start_pos"), r.getAs[Long]("n_chunk_toks"),
+          r.getAs[String]("chunk_digest"))).toMap
+    assert(out.keySet == Set((1L, 0L), (1L, 1L), (2L, 0L), (3L, 0L),
+      (4L, 0L), (4L, 1L), (4L, 2L)))
+    assert(out((1L, 0L)) == ((0L, 64L, md5((1 to 64).map(i => s"t$i").mkString(" ")))))
+    assert(out((1L, 1L)) == ((48L, 52L, md5((49 to 100).map(i => s"t$i").mkString(" ")))))
+    assert(out((3L, 0L))._2 == 10L)
+    assert(out((4L, 2L)) == ((96L, 54L, md5((97 to 150).map(i => s"t$i").mkString(" ")))))
+    // every token is covered, and every chunk past the first adds
+    // new tokens (start + size of the previous chunk < doc end)
+    Seq(1L, 2L, 3L, 4L).foreach { id =>
+      val chunks = out.filter(_._1._1 == id).toSeq.sortBy(_._1._2).map(_._2)
+      val n = Map(1L -> 100L, 2L -> 64L, 3L -> 10L, 4L -> 150L)(id)
+      assert(chunks.head._1 == 0L)
+      assert(chunks.last._1 + chunks.last._2 == n, s"doc $id tail uncovered")
+      chunks.sliding(2).foreach {
+        case Seq((s1, l1, _), (s2, l2, _)) =>
+          assert(s2 <= s1 + l1, s"doc $id gap between chunks")
+          assert(s2 + l2 > s1 + l1, s"doc $id chunk adds no new tokens")
+        case _ =>
+      }
+    }
+    // chunking is per-doc arithmetic: fully narrow, no exchange
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = MapReduceDocs.ops.find(_.name == "mr_chunk_overlap").get
+        .query(spark, sfDir).queryExecution.executedPlan
+      assert(plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }.isEmpty, s"overlap chunking shuffled:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("score_rouge1: hand-computed stemmed-unigram f-measure; narrow plan") {
     graft.plans.GraftFunctions.register(spark)
     // stems: running→run, cats→cat; multiset overlap of
