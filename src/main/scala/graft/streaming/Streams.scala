@@ -461,6 +461,32 @@ object Streams {
         expr(s"hll_sketch_estimate(hll_sketch_agg(user_id, $lgK))")
           .as("est_users"))
 
+  /** stream_quantile — incremental quantile statistics over an
+    * unbounded stream (batch twin: score_stats_sketch): the
+    * stream_profile move applied to quantiles — a streaming
+    * aggregation whose state-store buffer IS the mergeable KLL
+    * sketch (graft_kll_agg's TypedImperativeAggregate buffer
+    * serializes into per-group state), so each micro-batch's partial
+    * sketches merge into the running one with NO replay of past rows
+    * and O(sketch ≈ KBs) state per group at ANY row count — exact
+    * streaming percentiles would hold O(distinct) state. Estimates
+    * carry the same ±~1.65 % rank-error contract as the batch sketch
+    * (KLL compaction draws the published algorithm's random bits, so
+    * the bound — not bit-stability — is the contract, unlike the HLL
+    * twin whose register-max state is bit-identical to batch).
+    */
+  def quantileProfiled(events: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(events.sparkSession)
+    events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("graft_kll_agg(CAST(CAST(ROUND(value * 100) AS BIGINT) AS DOUBLE))")
+          .as("sk"))
+      .select(col("event_type"), col("n_rows"),
+        round(expr("graft_kll_quantile(sk, 0.5D)") / 100.0, 6).as("p50_approx"),
+        round(expr("graft_kll_quantile(sk, 0.95D)") / 100.0, 6).as("p95_approx"))
+  }
+
   // ---- stream_index: incremental inverted-index maintenance ----
 
   case class IndexEntry(token: String, doc_id: Long, entry: String)

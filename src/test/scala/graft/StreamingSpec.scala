@@ -378,6 +378,48 @@ class StreamingSpec extends SparkSpec {
       org.apache.spark.sql.catalyst.FunctionIdentifier(hB.functionName)))
   }
 
+  test("stream_quantile: KLL state buffer — rank bound holds across batch splits") {
+    implicit val sql = spark.sqlContext
+    graft.plans.GraftFunctions.register(spark)
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val in = MemoryStream[(String, Double)]
+    val q = Streams.quantileProfiled(in.toDF().toDF("event_type", "value"))
+      .writeStream.format("memory").queryName("quantile_out")
+      .outputMode("complete").start()
+    // uneven splits: the per-group sketch in the state store absorbs
+    // each batch's partials; no past row is ever replayed
+    in.addData(rows.take(rows.length / 4).toIndexedSeq: _*)
+    q.processAllAvailable()
+    in.addData(rows.slice(rows.length / 4, rows.length / 3).toIndexedSeq: _*)
+    q.processAllAvailable()
+    in.addData(rows.drop(rows.length / 3).toIndexedSeq: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("quantile_out").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_rows"),
+        r.getAs[Double]("p50_approx"), r.getAs[Double]("p95_approx"))).toMap
+    // stateful but bounded: ONE state row (one sketch) per group —
+    // exact streaming percentiles would hold O(distinct) state
+    assert(q.lastProgress.stateOperators.nonEmpty &&
+      q.lastProgress.stateOperators.head.numRowsTotal == streamed.size.toLong)
+    q.stop()
+    // counts exact; estimates honor the batch sketch's rank bound vs
+    // the true distribution (bit-equality is NOT the contract — KLL
+    // compaction is randomized by the published algorithm)
+    val byType = rows.groupBy(_._1).map { case (t, rs) =>
+      t -> rs.map(r => math.round(r._2 * 100)).sorted
+    }
+    streamed.foreach { case (t, (n, p50, p95)) =>
+      val cents = byType(t)
+      assert(n == cents.length.toLong, s"$t count")
+      val r50 = cents.count(_ <= p50 * 100.0).toDouble / cents.length
+      val r95 = cents.count(_ <= p95 * 100.0).toDouble / cents.length
+      assert(math.abs(r50 - 0.50) <= 0.04, s"$t streamed p50 rank $r50")
+      assert(math.abs(r95 - 0.95) <= 0.04, s"$t streamed p95 rank $r95")
+    }
+  }
+
   test("stream_profile: incremental HLL NDV == one-shot batch sketch exactly") {
     implicit val sql = spark.sqlContext
     val lgK = operators.Relational2.SketchLgK
