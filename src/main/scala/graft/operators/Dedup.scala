@@ -722,19 +722,37 @@ object Dedup {
   val SubstrWs: Seq[Int] = Seq(8, 16, 32)
 
   private[graft] def substringLadder(d: DataFrame): DataFrame = {
-    val maxW = SubstrWs.max
     val wspec = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     val toks = d.select(col("doc_id"),
       posexplode(graft.functions.TextFns.tokens(col("text")))
         .as(Seq("pos", "tok")))
-    val withLeads = (1 until maxW).foldLeft(toks) { case (acc, k) =>
+    // COMPOSED hashing keeps the shared frame W=8-wide instead of 32:
+    // h16(p) = md5(h8(p) ‖ h8(p+8)), h32(p) = md5(h16(p) ‖ h16(p+16))
+    // — equality of a composed hash ⇔ equality of both halves ⇔
+    // equality of the full window (same duplicate semantics; both
+    // engines compose identically so the oracle still hash-matches).
+    // vs the direct 31-lead form: window buffers carry ≤ 7 token
+    // columns + one 32-char digest instead of 31 token columns, and
+    // per-position md5 bytes drop ~3× (the W=32 variant re-hashed a
+    // 32-token concat at every position). lead(h8)/lead(h16) chain on
+    // the SAME window spec — one exchange + one sort, three thin
+    // WindowExecs (spec-bounded).
+    val withLeads = (1 until 8).foldLeft(toks) { case (acc, k) =>
       acc.withColumn(s"w$k", lead(col("tok"), k).over(wspec))
     }
-    def hashW(w: Int) = when(col(s"w${w - 1}").isNotNull,
-      md5(concat_ws(" ", (col("tok") +: (1 until w).map(k => col(s"w$k"))): _*)))
-    val hashed = withLeads.select(col("doc_id"), col("pos"),
-      hashW(8).as("h8"), hashW(16).as("h16"), hashW(32).as("h32"))
+    val h8 = withLeads
+      .withColumn("h8", when(col("w7").isNotNull,
+        md5(concat_ws(" ", (col("tok") +: (1 until 8).map(k => col(s"w$k"))): _*))))
+      .select(col("doc_id"), col("pos"), col("h8"))
+    // h8(p+8) non-null ⇒ the doc extends past p+15 ⇒ h8(p) non-null
+    val h16 = h8.withColumn("h8b", lead(col("h8"), 8).over(wspec))
+      .withColumn("h16", when(col("h8b").isNotNull,
+        md5(concat(col("h8"), col("h8b")))))
+      .select(col("doc_id"), col("pos"), col("h8"), col("h16"))
+    val hashed = h16.withColumn("h16b", lead(col("h16"), 16).over(wspec))
+      .withColumn("h32", when(col("h16b").isNotNull,
+        md5(concat(col("h16"), col("h16b")))))
     val spans = hashed.select(col("doc_id"), col("pos"),
         expr("stack(3, 8L, h8, 16L, h16, 32L, h32) AS (w, h)"))
       .filter(col("h").isNotNull)
@@ -774,10 +792,20 @@ object Dedup {
       n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM d),
       ws AS (SELECT CAST(w AS BIGINT) AS w
              FROM (VALUES (8), (16), (32)) AS t(w)),
+      h8 AS (
+        SELECT doc_id, i - 1 AS pos,
+          md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS h
+        FROM d, UNNEST(generate_series(1, len(toks) - 7)) AS u(i)),
+      h16 AS (
+        SELECT a.doc_id, a.pos, md5(a.h || b.h) AS h
+        FROM h8 a JOIN h8 b ON a.doc_id = b.doc_id AND b.pos = a.pos + 8),
+      h32 AS (
+        SELECT a.doc_id, a.pos, md5(a.h || b.h) AS h
+        FROM h16 a JOIN h16 b ON a.doc_id = b.doc_id AND b.pos = a.pos + 16),
       sp AS (
-        SELECT doc_id, w, i - 1 AS pos,
-          md5(array_to_string(list_slice(toks, i, i + w - 1), ' ')) AS h
-        FROM d, ws, UNNEST(generate_series(1, len(toks) - w + 1)) AS u(i)),
+        SELECT doc_id, CAST(8 AS BIGINT) AS w, pos, h FROM h8
+        UNION ALL SELECT doc_id, 16, pos, h FROM h16
+        UNION ALL SELECT doc_id, 32, pos, h FROM h32),
       dup AS (SELECT w, h FROM sp GROUP BY w, h
               HAVING COUNT(*) >= $SubstrMinOccur),
       st AS (SELECT doc_id, w, pos FROM sp JOIN dup USING (w, h)),

@@ -1943,20 +1943,21 @@ class PipelineOpsSpec extends SparkSpec {
     Seq(8L, 16L, 32L).foreach { w =>
       assert(m((4L, w)) == ((0L, 0L)) && m((5L, w)) == ((0L, 0L)))
     }
-    // one pass ACROSS W: every WindowExec is the SAME shared 31-lead
-    // frame feeding all three granularities (two instances appear —
-    // the duplicate-count build and probe consumers, as in the base
-    // op — but none is a per-W window), and text never shuffles
+    // one pass ACROSS W: the composed-hash chain (7 token leads →
+    // lead(h8) → lead(h16)) is ≤ 3 thin WindowExecs per consumer
+    // (duplicate-count build + probe, as in the base op) over ONE
+    // doc_id exchange each — never a 31-lead frame and never a per-W
+    // token pass — and text never shuffles
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val plan = run("dedup_substr_ladder").queryExecution.executedPlan
       val windows = plan.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w
       }
-      assert(windows.nonEmpty && windows.size <= 2,
-        s"expected the two shared-lead consumers, got ${windows.size}:\n$plan")
-      windows.foreach(w => assert(w.windowExpression.size == 31,
-        s"a window without the full 31-lead frame means per-W passes:\n$w"))
+      assert(windows.nonEmpty && windows.size <= 6,
+        s"expected <= 3 thin windows x 2 consumers, got ${windows.size}:\n$plan")
+      windows.foreach(w => assert(w.windowExpression.size <= 7,
+        s"window frame wider than the 7 token leads:\n$w"))
       plan.collect {
         case e: org.apache.spark.sql.execution.exchange.Exchange => e
       }.foreach { e =>
