@@ -523,6 +523,48 @@ object TextAnalysis {
           AS posting
       FROM e GROUP BY token"""))
 
+  // ---- data_card: per-(lang, source) corpus composition summary ----
+  // The dataset-documentation deliverable every released corpus ships
+  // (datasheets / data cards): docs, tokens, chars and corpus SHARES
+  // per (lang, source) slice. Shares ride as exact integer basis
+  // points (n·10⁴ DIV total — hash-matchable; a float ratio would
+  // diverge in the last ulp across engines). Scale shape: ONE scan →
+  // one skinny groupBy (≤ langs × sources rows), totals folded from
+  // the group frame (never a second scan) and broadcast back.
+  private val opDataCard = Op(
+    "data_card",
+    (s, dir) => {
+      val d = docs(s, dir)
+      // localCheckpoint pins the skinny group frame (≤ langs × sources
+      // rows) so the totals fold reads IT, not a second corpus scan
+      val byLs = d.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextFns.tokens(col("text"))).cast("long")).as("n_tokens"),
+          sum(col("n_chars")).as("sum_chars"))
+        .localCheckpoint()
+      val tot = byLs.agg(sum(col("n_docs")).as("td"),
+        sum(col("n_tokens")).as("tt"))
+      byLs.crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+          col("sum_chars"),
+          expr("n_docs * 10000 DIV td").as("doc_share_bp"),
+          expr("n_tokens * 10000 DIV tt").as("tok_share_bp"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT lang, source,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+          CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY 1, 2),
+      t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS td,
+                   CAST(SUM(n_tokens) AS BIGINT) AS tt FROM g)
+      SELECT lang, source, n_docs, n_tokens, sum_chars,
+        n_docs * 10000 // td AS doc_share_bp,
+        n_tokens * 10000 // tt AS tok_share_bp
+      FROM g CROSS JOIN t"""))
+
   val ops: Seq[Op] = Seq(opLangId, opQuality, opTokenCount, opFingerprint,
-    opRepetition, opPii, opVocab, opCompress, opFilter, opKeywords, opIndex)
+    opRepetition, opPii, opVocab, opCompress, opFilter, opKeywords, opIndex,
+    opDataCard)
 }

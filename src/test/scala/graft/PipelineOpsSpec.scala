@@ -963,6 +963,36 @@ class PipelineOpsSpec extends SparkSpec {
       s"quantile binning must not globally sort:\n$plan")
   }
 
+  test("data_card: slice sums reconcile with the corpus; shares sum to ~10000 bp") {
+    val out = run("data_card").collect()
+    val d = Tables(spark, sfDir, "documents")
+    assert(out.map(_.getAs[Long]("n_docs")).sum == d.count())
+    val totChars = d.agg(sum($"n_chars")).head.getLong(0)
+    assert(out.map(_.getAs[Long]("sum_chars")).sum == totChars)
+    // integer-floor shares: each slice's bp is exact, the total can
+    // undershoot 10000 by at most the slice count
+    val bpSum = out.map(_.getAs[Long]("doc_share_bp")).sum
+    assert(bpSum <= 10000L && bpSum > 10000L - out.length, s"bp sum $bpSum")
+    // hand-check one slice against a direct filter
+    val r = out.head
+    val direct = d.filter($"lang" === r.getAs[String]("lang") &&
+      $"source" === r.getAs[String]("source")).count()
+    assert(r.getAs[Long]("n_docs") == direct)
+    // the corpus is scanned ONCE — inside the localCheckpoint that
+    // materializes the skinny group frame; the final plan reads only
+    // that checkpoint (zero parquet scans: totals and shares fold
+    // from ≤ langs × sources rows, never a second pass)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = run("data_card").queryExecution.executedPlan
+      assert(plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.isEmpty, s"final plan re-scans the corpus:\n$plan")
+      assert(plan.toString.contains("Scan ExistingRDD"),
+        s"expected the checkpointed group frame:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("index_build: postings are sorted, capped, and recoverable") {
     val fixture = Seq(
       1L -> "apple banana apple",
