@@ -221,7 +221,10 @@ object LangModel {
   val SkipWindow = 4
   val SkipMinCount = 5L
 
-  private[graft] def skipgramPairs(d: DataFrame, minCount: Long): DataFrame = {
+  /** The narrow (center, context, d) pair stream shared by the batch
+    * aggregation and the streaming delta twin.
+    */
+  private[graft] def skipgramStacked(d: DataFrame): DataFrame = {
     val withT = (1 to SkipWindow).foldLeft(
       d.withColumn("toks", TextFns.tokens(col("text")))) { case (acc, k) =>
       acc.withColumn(s"t$k", slice(col("toks"), lit(k + 1),
@@ -236,10 +239,13 @@ object LangModel {
     val stackArgs = (1 to SkipWindow).map(k =>
       s"w, c$k, CAST($k AS BIGINT), c$k, w, CAST($k AS BIGINT)")
       .mkString(", ")
-    val stacked = z.select(expr(
+    z.select(expr(
         s"stack(${2 * SkipWindow}, $stackArgs) AS (center, context, d)"))
       .filter(col("center").isNotNull && col("context").isNotNull)
-    stacked.groupBy(col("center"), col("context"))
+  }
+
+  private[graft] def skipgramPairs(d: DataFrame, minCount: Long): DataFrame = {
+    skipgramStacked(d).groupBy(col("center"), col("context"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(expr("12 DIV d")).as("weight12"))
       .filter(col("n_pairs") >= minCount)

@@ -551,6 +551,41 @@ object Streams {
       }
   }
 
+  // ---- stream_skipgram: incremental co-occurrence maintenance ----
+
+  case class SkipPair(center: String, context: String, d: Long)
+
+  case class SkipFragState(unused: Long)
+
+  case class SkipFrag(center: String, context: String,
+      n_delta: Long, w_delta: Long)
+
+  /** stream_skipgram — incremental co-occurrence maintenance (batch
+    * twin: skipgram_pairs): each micro-batch emits one DELTA row per
+    * touched (center, context) pair — count and Σ 12 DIV d weight
+    * deltas — in append mode; the reader folds deltas per pair (plain
+    * sums — a doc's pairs arrive in one batch, so deltas add
+    * disjointly) and holds EXACTLY the batch co-occurrence matrix
+    * (spec across batch splits). Same zero-state contract as
+    * stream_index: fragments are pure per-batch functions, nothing in
+    * the state store grows with the vocabulary; the continuously-
+    * retrained-embeddings feed.
+    */
+  def skipgramDeltas(docs: DataFrame): Dataset[SkipFrag] = {
+    import docs.sparkSession.implicits._
+    graft.operators.LangModel.skipgramStacked(docs).as[SkipPair]
+      .groupByKey(p => (p.center, p.context))
+      .flatMapGroupsWithState[SkipFragState, SkipFrag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (String, String), in: Iterator[SkipPair],
+            state: GroupState[SkipFragState]) =>
+          var n = 0L
+          var w = 0L
+          in.foreach { p => n += 1; w += 12L / p.d }
+          Iterator.single(SkipFrag(key._1, key._2, n, w))
+      }
+  }
+
   // ---- stream_compact: incremental latest-per-key materialized view ----
 
   case class CompactIn(user_id: Long, event_type: String, event_id: Long,

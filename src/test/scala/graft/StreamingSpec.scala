@@ -295,6 +295,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream_skipgram: folded pair deltas equal the batch co-occurrence matrix") {
+    implicit val sql = spark.sqlContext
+    val docs = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).take(90)
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.skipgramDeltas(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("skip_frags")
+      .outputMode("append").start()
+    in.addData(docs.take(30): _*)
+    q.processAllAvailable()
+    in.addData(docs.slice(30, 35): _*)
+    q.processAllAvailable()
+    in.addData(docs.drop(35): _*)
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.isEmpty ||
+      q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+      "stream_skipgram must keep no state")
+    q.stop()
+    val folded = spark.table("skip_frags").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_delta"), r.getAs[Long]("w_delta")))
+      .groupBy(_._1).map { case (k, vs) =>
+        k -> (vs.map(_._2._1).sum, vs.map(_._2._2).sum)
+      }
+    val batch = operators.LangModel.skipgramPairs(
+        docs.toSeq.toDF("doc_id", "text"), minCount = 1L).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("weight12"))).toMap
+    assert(folded.keySet == batch.keySet, "pair-set drift")
+    folded.foreach { case (k, v) =>
+      assert(v == batch(k), s"pair $k: folded $v != batch ${batch(k)}")
+    }
+  }
+
   test("stream_ann: served top-k equals the batch ann_quantized exactly") {
     implicit val sql = spark.sqlContext
     graft.plans.GraftFunctions.register(spark)
