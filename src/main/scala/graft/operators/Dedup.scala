@@ -829,7 +829,100 @@ object Dedup {
         LEFT JOIN cov ON n.doc_id = cov.doc_id AND ws.w = cov.w
         LEFT JOIN reg ON n.doc_id = reg.doc_id AND ws.w = reg.w"""))
 
+  // ---- dedup_incremental: new shard vs historical fingerprints ----
+  // The INGEST-TIME shape of dedup: a production corpus grows in
+  // shards, and each arriving shard is checked against the standing
+  // corpus WITHOUT re-pairing history with itself — the asymmetric
+  // join is the point (new × history fingerprints only; a full re-run
+  // of dedup_exact/dedup_substring over corpus+shard re-pays the
+  // whole history every ingest). History here is the doc_id <
+  // [[IncrSplit]] prefix (the standing corpus the driver data
+  // provides); fingerprints are the md5 content hash (exact dups) and
+  // the W=8 span hashes (Lee 2022 containment — how much of each new
+  // doc already exists verbatim in history). Both sides reduce to
+  // skinny hash frames before the join; history text never leaves its
+  // scan. Output per NEW doc: exact-dup flag + duplicated-token
+  // coverage vs history (same interval fold as dedup_substring).
+  val IncrSplit = 250L
+
+  private[graft] def incrementalDedup(d: DataFrame, split: Long): DataFrame = {
+    val W = SubstrW
+    val hist = d.filter(col("doc_id") < split)
+    val fresh = d.filter(col("doc_id") >= split)
+    val histHash = hist.select(md5(col("text")).as("th")).distinct()
+    def spansOf(side: DataFrame) = {
+      val wspec = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val toks = side.select(col("doc_id"),
+        posexplode(graft.functions.TextFns.tokens(col("text")))
+          .as(Seq("pos", "tok")))
+      val withLeads = (1 until W).foldLeft(toks) { case (acc, k) =>
+        acc.withColumn(s"w$k", lead(col("tok"), k).over(wspec))
+      }
+      withLeads.filter(col(s"w${W - 1}").isNotNull)
+        .select(col("doc_id"), col("pos"),
+          md5(concat_ws(" ",
+            (col("tok") +: (1 until W).map(k => col(s"w$k"))): _*)).as("h"))
+    }
+    val histSpans = spansOf(hist).select(col("h")).distinct()
+    val newSpans = spansOf(fresh)
+    val starts = newSpans.join(histSpans, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+      .withColumn("a", expr(
+        s"""aggregate(starts,
+           named_struct('cov', 0L, 'e', CAST(-2 AS BIGINT)),
+           (a, s) -> named_struct(
+             'cov', a.cov + CAST(s + $W - 1 AS BIGINT)
+               - greatest(a.e, CAST(s - 1 AS BIGINT)),
+             'e', CAST(s + $W - 1 AS BIGINT)))"""))
+      .select(col("doc_id"), col("a.cov").as("n_hist_tokens"))
+    fresh.select(col("doc_id"), md5(col("text")).as("th"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long")
+          .as("n_toks"))
+      .join(histHash.withColumn("is_exact_dup", lit(1L)), Seq("th"), "left")
+      .join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("is_exact_dup"), lit(0L)).as("is_exact_dup"),
+        coalesce(col("n_hist_tokens"), lit(0L)).as("n_hist_tokens"),
+        round(coalesce(col("n_hist_tokens"), lit(0L)).cast("double")
+          / col("n_toks"), 6).as("hist_coverage"))
+  }
+
+  private val opIncremental = Op(
+    "dedup_incremental",
+    (s, dir) => incrementalDedup(docs(s, dir), IncrSplit),
+    Some(s"""
+      WITH hist AS (SELECT doc_id, text FROM documents
+        WHERE doc_id < $IncrSplit),
+      fresh AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+        FROM documents WHERE doc_id >= $IncrSplit),
+      hh AS (SELECT DISTINCT md5(text) AS th FROM hist),
+      hsp AS (
+        SELECT DISTINCT md5(array_to_string(
+          list_slice(string_split(text, ' '), i, i + $SubstrW - 1), ' ')) AS h
+        FROM hist, UNNEST(generate_series(1,
+          len(string_split(text, ' ')) - $SubstrW + 1)) AS u(i)),
+      nsp AS (
+        SELECT doc_id, i - 1 AS pos,
+          md5(array_to_string(list_slice(toks, i, i + $SubstrW - 1), ' ')) AS h
+        FROM fresh, UNNEST(generate_series(1, len(toks) - $SubstrW + 1)) AS u(i)),
+      st AS (SELECT doc_id, pos FROM nsp JOIN hsp USING (h)),
+      cov AS (
+        SELECT doc_id, CAST(COUNT(DISTINCT p) AS BIGINT) AS n_hist
+        FROM st, UNNEST(generate_series(pos, pos + $SubstrW - 1)) AS t(p)
+        GROUP BY doc_id)
+      SELECT f.doc_id,
+        CAST(CASE WHEN hh.th IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+          AS is_exact_dup,
+        COALESCE(cov.n_hist, 0) AS n_hist_tokens,
+        ROUND(CAST(COALESCE(cov.n_hist, 0) AS DOUBLE)
+          / len(f.toks), 6) AS hist_coverage
+      FROM fresh f
+      LEFT JOIN hh ON md5(f.text) = hh.th
+      LEFT JOIN cov ON f.doc_id = cov.doc_id"""))
+
   val ops: Seq[Op] =
     Seq(opExact, opMinhash, opSimhash, opJaccard, opContam, opCluster, opSpan,
-      opPipeline, opSubstr, opSubstrLadder)
+      opPipeline, opSubstr, opSubstrLadder, opIncremental)
 }

@@ -1997,6 +1997,43 @@ class PipelineOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("dedup_incremental: new docs checked against history only; asymmetric join") {
+    // history (id < 10): h1 carries the 8-run s1..s8; h2 is the exact
+    // text new doc 12 repeats. New shard (id >= 10): d10 contains the
+    // historical run (coverage 8), d11 is fresh (coverage 0), d12 is
+    // an exact copy of h2 (flag + full coverage), d13 shorter than W.
+    val s18 = (1 to 8).map(i => s"s$i").mkString(" ")
+    val h2text = (1 to 12).map(i => s"z$i").mkString(" ")
+    val fixture = Seq(
+      (1L, s"a1 a2 $s18 a3"),
+      (2L, h2text),
+      (10L, s"b1 $s18 b2"),
+      (11L, (1 to 15).map(i => s"f$i").mkString(" ")),
+      (12L, h2text),
+      (13L, "q1 q2 q3")).toDF("doc_id", "text")
+    val m = operators.Dedup.incrementalDedup(fixture, split = 10L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("is_exact_dup"), r.getAs[Long]("n_hist_tokens"))).toMap
+    assert(m.keySet == Set(10L, 11L, 12L, 13L), "history rows must not appear")
+    assert(m(10L) == ((0L, 8L)), s"${m(10L)}")
+    assert(m(11L) == ((0L, 0L)), s"${m(11L)}")
+    assert(m(12L) == ((1L, 12L)), s"${m(12L)}")
+    assert(m(13L) == ((0L, 0L)), s"${m(13L)}")
+    // the asymmetric-ingest contract: history joins in only as skinny
+    // DISTINCT hash frames — its text reduces before any join, and no
+    // history-with-history pairing exists anywhere in the plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = run("dedup_incremental").queryExecution.executedPlan
+      plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }.foreach { e =>
+        assert(!e.output.exists(_.name == "text"),
+          s"corpus text crossed an exchange:\n$e")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("hybrid_rrf: hand-computed fusion; pools bounded; windows above limits") {
     graft.plans.GraftFunctions.register(spark)
     // text side = the search_bm25 fixture: scores d4=2314 (rank 1),
