@@ -260,6 +260,41 @@ object Sampling {
         round(col("q3"), 6).as("q3"))
   }
 
+  // ---- quantile_bins_sketch: the at-scale binning mode ----
+  // quantile_bins' exact `percentile` buffers O(DISTINCT n_toks) per
+  // aggregate — safe on the bounded token-length domain, wrong as the
+  // ONLY mode for an unbounded difficulty score (loss, perplexity, …).
+  // Same cutoff→CASE shape, but the cutoffs come from ONE mergeable
+  // KLL sketch (constant-size partials, map-side combine — the
+  // score_stats_sketch machinery): rank error ≤ ~1.65 % means a doc
+  // can land one bin off ONLY within that band around a cutoff —
+  // curriculum semantics are insensitive to that. Rows-only (KLL
+  // compaction is randomized); spec bounds each cutoff's empirical
+  // rank and the resulting bin-population balance.
+  private[graft] def quantileBinsSketch(d: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(d.sparkSession)
+    val sized = d.select(col("doc_id"),
+      size(TextFns.tokens(col("text"))).cast("long").as("n_toks"))
+    val cuts = sized.agg(
+        expr("graft_kll_agg(CAST(n_toks AS DOUBLE))").as("sk"))
+      .select(expr("graft_kll_quantile(sk, 0.25D)").as("q1"),
+        expr("graft_kll_quantile(sk, 0.5D)").as("q2"),
+        expr("graft_kll_quantile(sk, 0.75D)").as("q3"))
+    sized.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_toks"),
+        when(col("n_toks") <= col("q1"), 0L)
+          .when(col("n_toks") <= col("q2"), 1L)
+          .when(col("n_toks") <= col("q3"), 2L)
+          .otherwise(3L).as("bin"),
+        round(col("q1"), 6).as("q1"), round(col("q2"), 6).as("q2"),
+        round(col("q3"), 6).as("q3"))
+  }
+
+  private val opBinsSketch = Op(
+    "quantile_bins_sketch",
+    (s, dir) => quantileBinsSketch(Tables(s, dir, "documents")),
+    None)
+
   private val opBins = Op(
     "quantile_bins",
     (s, dir) => quantileBins(Tables(s, dir, "documents")),
@@ -382,5 +417,5 @@ object Sampling {
       FROM q"""))
 
   val ops: Seq[Op] =
-    Seq(opMix, opTemp, opPack, opBins, opStrat, opSpanCorrupt, opFim)
+    Seq(opMix, opTemp, opPack, opBins, opBinsSketch, opStrat, opSpanCorrupt, opFim)
 }

@@ -72,6 +72,38 @@ class KllSpec extends SparkSpec {
     inv.foreach(r => assert(math.abs(r - 0.5) <= RankTol, s"rank∘quantile $r"))
   }
 
+  test("quantile_bins_sketch: cutoffs within rank tolerance; bins near-balanced") {
+    graft.plans.GraftFunctions.register(spark)
+    val out = operators.Sampling.quantileBinsSketch(
+      Tables(spark, sfDir, "documents")).collect()
+    val n = out.length
+    assert(n > 0)
+    // each cutoff's empirical rank within the KLL bound
+    val lens = out.map(_.getAs[Long]("n_toks")).sorted
+    val r = out.head
+    Seq(("q1", 0.25), ("q2", 0.50), ("q3", 0.75)).foreach { case (c, q) =>
+      val cut = r.getAs[Double](c)
+      val rank = lens.count(_ <= cut).toDouble / n
+      assert(math.abs(rank - q) <= RankTol, s"$c rank $rank vs $q")
+    }
+    // bin assignment is consistent with the broadcast cutoffs, and no
+    // bin strays further from n/4 than the rank tolerance allows
+    out.foreach { row =>
+      val (t, b) = (row.getAs[Long]("n_toks"), row.getAs[Long]("bin"))
+      val expect =
+        if (t <= row.getAs[Double]("q1")) 0L
+        else if (t <= row.getAs[Double]("q2")) 1L
+        else if (t <= row.getAs[Double]("q3")) 2L else 3L
+      assert(b == expect)
+    }
+    val byBin = out.groupBy(_.getAs[Long]("bin")).map { case (b, rs) => b -> rs.length }
+    (0L to 3L).foreach { b =>
+      val share = byBin.getOrElse(b, 0).toDouble / n
+      assert(math.abs(share - 0.25) <= 2 * RankTol + 0.02,
+        s"bin $b share $share far from balanced")
+    }
+  }
+
   test("score_stats_sketch plan: one scan, no O(rows) shuffle after it") {
     graft.plans.GraftFunctions.register(spark)
     val plan = operators.MapReduceDocs.ops.find(_.name == "score_stats_sketch").get
