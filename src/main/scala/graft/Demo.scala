@@ -131,6 +131,22 @@ object Demo {
     println("[demo] hybrid_rrf — lexical + vector fusion, top-5:")
     SparkEntry.queries("hybrid_rrf")(spark, sfDir)
       .filter(col("rk") <= 5).show(false)
+
+    // 10. round-7 surface: the corpus data card (what a release
+    //     ships), incremental ingest checked against the standing
+    //     corpus's fingerprints, and metadata-FILTERED ANN serving
+    //     (predicate pruned below the ADC scoring, not post-filtered).
+    println("[demo] data_card — corpus composition (top slices by docs):")
+    SparkEntry.queries("data_card")(spark, sfDir)
+      .orderBy(col("n_docs").desc).limit(5).show(false)
+    println("[demo] dedup_incremental — arriving docs vs history " +
+      "(most-covered first):")
+    SparkEntry.queries("dedup_incremental")(spark, sfDir)
+      .orderBy(col("hist_coverage").desc, col("doc_id")).limit(5).show(false)
+    println("[demo] ann_filtered — top-3 neighbors among label<=4 " +
+      "candidates only:")
+    SparkEntry.queries("ann_filtered")(spark, sfDir)
+      .orderBy(col("q_id"), col("rk")).limit(9).show(false)
     spark.stop()
   }
 }
