@@ -922,7 +922,40 @@ object Dedup {
       LEFT JOIN hh ON md5(f.text) = hh.th
       LEFT JOIN cov ON f.doc_id = cov.doc_id"""))
 
+  // ---- dedup_incr_minhash: NEAR-dup check of a shard vs history ----
+  // dedup_incremental's exact/containment check extended to near-dups:
+  // the standing corpus keeps only its DISTINCT LSH band values (8 per
+  // doc, skinny longs — the persistent ingest fingerprint store, tiny
+  // beside the text), and each arriving doc's bands probe that set —
+  // an (edited) copy of ANY historical doc collides on ≥1 of its 8
+  // bands w.h.p. Asymmetric like the parent op: no history×history
+  // pairing, history text never leaves its scan; cost per ingest is
+  // O(shard bands) probes. Rows-only (the minhash kernel is not
+  // portable SQL); the fixture pins exact copies at 8/8 bands, edited
+  // copies ≥ 1, fresh docs at 0.
+  private[graft] def incrementalMinhash(d: DataFrame, split: Long): DataFrame = {
+    val histBands = minhashSigs(d.filter(col("doc_id") < split))
+      .select(explode(col("bands")).as("band_val")).distinct()
+    val freshSigs = minhashSigs(d.filter(col("doc_id") >= split))
+    val hits = freshSigs
+      .select(col("doc_id"), explode(col("bands")).as("band_val"))
+      .join(histBands, Seq("band_val"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("band_val")).as("n_hist_bands"))
+    freshSigs.select(col("doc_id"), col("sig_digest"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("sig_digest"),
+        coalesce(col("n_hist_bands"), lit(0L)).as("n_hist_bands"),
+        when(coalesce(col("n_hist_bands"), lit(0L)) >= 1L, 1L)
+          .otherwise(0L).as("near_hist"))
+  }
+
+  private val opIncrMinhash = Op(
+    "dedup_incr_minhash",
+    (s, dir) => incrementalMinhash(docs(s, dir), IncrSplit),
+    None)
+
   val ops: Seq[Op] =
     Seq(opExact, opMinhash, opSimhash, opJaccard, opContam, opCluster, opSpan,
-      opPipeline, opSubstr, opSubstrLadder, opIncremental)
+      opPipeline, opSubstr, opSubstrLadder, opIncremental, opIncrMinhash)
 }

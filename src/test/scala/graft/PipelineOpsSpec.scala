@@ -2036,6 +2036,35 @@ class PipelineOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("dedup_incr_minhash: near-dups of history collide; fresh docs do not") {
+    val base = "spark query engine with fast columnar scans and wide hash joins today ok"
+    val edited = base.replace("columnar", "vectorized")
+    val fixture = Seq(
+      (1L, base),
+      (2L, "completely different historical content about mixing corpus sources"),
+      (10L, base),                                     // exact copy → 8/8 bands
+      (11L, edited),                                   // near-dup → >= 1 band
+      (12L, "zebra yak xylophone wombat vulture unicorn tiger snake raven quail"))
+      .toDF("doc_id", "text")
+    val m = operators.Dedup.incrementalMinhash(fixture, split = 10L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_hist_bands"), r.getAs[Long]("near_hist"))).toMap
+    assert(m.keySet == Set(10L, 11L, 12L), "history rows must not appear")
+    assert(m(10L) == ((8L, 1L)), s"exact copy must collide on all bands: ${m(10L)}")
+    assert(m(11L)._1 >= 1L && m(11L)._2 == 1L, s"edited copy missed: ${m(11L)}")
+    assert(m(12L) == ((0L, 0L)), s"fresh doc flagged: ${m(12L)}")
+    // asymmetric ingest: text never crosses an exchange (the history
+    // fingerprint store is 8 skinny longs per doc)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = run("dedup_incr_minhash").queryExecution.executedPlan
+      plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }.foreach(e => assert(!e.output.exists(_.name == "text"),
+        s"corpus text crossed an exchange:\n$e"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("hybrid_rrf: hand-computed fusion; pools bounded; windows above limits") {
     graft.plans.GraftFunctions.register(spark)
     // text side = the search_bm25 fixture: scores d4=2314 (rank 1),
