@@ -551,6 +551,30 @@ object Streams {
       }
   }
 
+  // ---- stream_ingest: exact-dup gate vs the standing corpus ----
+
+  /** stream_ingest — the deployment shape of dedup_incremental: docs
+    * arrive as a stream and are flagged against the STANDING corpus's
+    * content hashes via a STREAM-STATIC join (the static side is a
+    * bounded-size fingerprint frame Spark re-plans per micro-batch —
+    * no state store, no watermark; history itself never streams).
+    * Append mode, stateless: each arriving doc leaves with its
+    * is_exact_dup flag the moment it arrives, and the flags equal the
+    * batch dedup_incremental's exactly (spec across batch splits).
+    * Near-dup banding rides the same pattern with the band frame
+    * (dedup_incr_minhash's store); containment needs the span frame —
+    * both are batch backfill territory when the store outgrows a
+    * replanned join side.
+    */
+  def ingestGate(docs: DataFrame, historyHashes: DataFrame): DataFrame =
+    docs
+      .withColumn("th", md5(col("text")))
+      .join(historyHashes.select(col("th"), lit(1L).as("is_exact_dup")),
+        Seq("th"), "left")
+      .select(col("doc_id"),
+        coalesce(col("is_exact_dup"), lit(0L)).as("is_exact_dup"),
+        md5(col("text")).as("content_hash"))
+
   // ---- stream_skipgram: incremental co-occurrence maintenance ----
 
   case class SkipPair(center: String, context: String, d: Long)

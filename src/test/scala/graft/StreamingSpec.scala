@@ -295,6 +295,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream_ingest: stream-static exact-dup gate equals batch dedup_incremental") {
+    implicit val sql = spark.sqlContext
+    val split = operators.Dedup.IncrSplit
+    val all = Tables(spark, sfDir, "documents").select($"doc_id", $"text")
+    val history = all.filter($"doc_id" < split)
+      .select(md5($"text").as("th")).distinct()
+    val fresh = all.filter($"doc_id" >= split).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // plant one arriving doc that copies a history doc verbatim —
+    // the gate must flag it (this sf carries no natural cross-split
+    // exact dup)
+    val histText = all.filter($"doc_id" === 0L).head.getString(1)
+    val planted = (999999L, histText)
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.ingestGate(in.toDF().toDF("doc_id", "text"), history)
+      .writeStream.format("memory").queryName("ingest_out")
+      .outputMode("append").start()
+    in.addData(fresh.take(fresh.length / 2): _*)
+    q.processAllAvailable()
+    in.addData((fresh.drop(fresh.length / 2) :+ planted): _*)
+    q.processAllAvailable()
+    // stateless: the static fingerprint side is re-planned per batch,
+    // nothing lands in a state store
+    assert(q.lastProgress.stateOperators.isEmpty ||
+      q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L))
+    q.stop()
+    val streamed = spark.table("ingest_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = SparkEntry.queries("dedup_incremental")(spark, sfDir)
+      .select($"doc_id", $"is_exact_dup").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed.keySet == batch.keySet + 999999L)
+    batch.foreach { case (id, f) =>
+      assert(streamed(id) == f, s"doc $id: streamed flag ${streamed(id)} != batch $f")
+    }
+    assert(streamed(999999L) == 1L, "planted copy of history must be flagged")
+  }
+
   test("stream_skipgram: folded pair deltas equal the batch co-occurrence matrix") {
     implicit val sql = spark.sqlContext
     val docs = Tables(spark, sfDir, "documents")
