@@ -184,6 +184,11 @@ object Dedup {
     // localCheckpoint: the skinny (doc_id, simhash, band_id, band_key)
     // frame is consumed twice (bucket sizing + both join sides); pinning
     // it keeps the upstream signature kernel single-evaluation.
+    // Single-box scope: localCheckpoint blocks are NOT fault-tolerant —
+    // an executor loss (or dynamic-allocation decommission) on a real
+    // cluster loses partitions permanently. Beyond one box, swap for
+    // persist(MEMORY_AND_DISK) + explicit unpersist (recomputable
+    // lineage) or reliable checkpoint() to a cluster-visible dir.
     val bands = sim.withColumn("band_id", explode(sequence(lit(0), lit(3))))
       .withColumn("band_key",
         expr("(shiftright(simhash, band_id * 16) & 65535)"))
@@ -843,30 +848,49 @@ object Dedup {
   // skinny hash frames before the join; history text never leaves its
   // scan. Output per NEW doc: exact-dup flag + duplicated-token
   // coverage vs history (same interval fold as dedup_substring).
+  // At deployment the history frames come from the PERSISTED
+  // sources.Fingerprints bundle via [[incrementalDedupFrom]] — an
+  // ingest tick scans the skinny store parquet, never history text
+  // (plan-spec'd in SinksSpec); this driver query derives them in-line
+  // so the DuckDB oracle sees one self-contained input.
   val IncrSplit = 250L
 
-  private[graft] def incrementalDedup(d: DataFrame, split: Long): DataFrame = {
+  /** (doc_id, pos, h) rows: md5 over each [[SubstrW]]-token sliding
+    * window — the span-fingerprint kernel shared by the derive-fresh
+    * and store-fed ingest paths (and the shape `sink_fingerprints`
+    * persists, minus pos/doc_id on the history side).
+    */
+  private[graft] def spanHashes(side: DataFrame): DataFrame = {
     val W = SubstrW
-    val hist = d.filter(col("doc_id") < split)
-    val fresh = d.filter(col("doc_id") >= split)
-    val histHash = hist.select(md5(col("text")).as("th")).distinct()
-    def spansOf(side: DataFrame) = {
-      val wspec = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("pos"))
-      val toks = side.select(col("doc_id"),
-        posexplode(graft.functions.TextFns.tokens(col("text")))
-          .as(Seq("pos", "tok")))
-      val withLeads = (1 until W).foldLeft(toks) { case (acc, k) =>
-        acc.withColumn(s"w$k", lead(col("tok"), k).over(wspec))
-      }
-      withLeads.filter(col(s"w${W - 1}").isNotNull)
-        .select(col("doc_id"), col("pos"),
-          md5(concat_ws(" ",
-            (col("tok") +: (1 until W).map(k => col(s"w$k"))): _*)).as("h"))
+    val wspec = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = side.select(col("doc_id"),
+      posexplode(graft.functions.TextFns.tokens(col("text")))
+        .as(Seq("pos", "tok")))
+    val withLeads = (1 until W).foldLeft(toks) { case (acc, k) =>
+      acc.withColumn(s"w$k", lead(col("tok"), k).over(wspec))
     }
-    val histSpans = spansOf(hist).select(col("h")).distinct()
-    val newSpans = spansOf(fresh)
-    val starts = newSpans.join(histSpans, Seq("h"))
+    withLeads.filter(col(s"w${W - 1}").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ",
+          (col("tok") +: (1 until W).map(k => col(s"w$k"))): _*)).as("h"))
+  }
+
+  /** Core of the ingest check, parameterized on the HISTORY
+    * fingerprint frames so the caller chooses their provenance:
+    * derived fresh from history text ([[incrementalDedup]], the
+    * oracled driver query) or read back from the persisted
+    * `sink_fingerprints` bundle (sources.Fingerprints — the 100 TB
+    * deployment shape, where an ingest tick must scan the skinny
+    * store, never re-derive history from text). Both sides reduce to
+    * hash frames before the joins; output schema is identical either
+    * way (round-trip spec asserts row-for-row equality).
+    */
+  private[graft] def incrementalDedupFrom(fresh: DataFrame,
+      histHash: DataFrame, histSpans: DataFrame): DataFrame = {
+    val W = SubstrW
+    val newSpans = spanHashes(fresh)
+    val starts = newSpans.join(histSpans.select(col("h")).distinct(), Seq("h"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("starts"))
       .withColumn("a", expr(
@@ -880,13 +904,26 @@ object Dedup {
     fresh.select(col("doc_id"), md5(col("text")).as("th"),
         size(graft.functions.TextFns.tokens(col("text"))).cast("long")
           .as("n_toks"))
-      .join(histHash.withColumn("is_exact_dup", lit(1L)), Seq("th"), "left")
+      .join(histHash.select(col("th")).withColumn("is_exact_dup", lit(1L)),
+        Seq("th"), "left")
       .join(starts, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("is_exact_dup"), lit(0L)).as("is_exact_dup"),
         coalesce(col("n_hist_tokens"), lit(0L)).as("n_hist_tokens"),
-        round(coalesce(col("n_hist_tokens"), lit(0L)).cast("double")
-          / col("n_toks"), 6).as("hist_coverage"))
+        // n_toks == 0 guard: an empty-text doc must read as 0.0
+        // coverage, not null (the DuckDB oracle's string_split('')
+        // yields one empty token, so it lands at 0.0 on that side too)
+        when(col("n_toks") === 0L, lit(0.0)).otherwise(
+          round(coalesce(col("n_hist_tokens"), lit(0L)).cast("double")
+            / col("n_toks"), 6)).as("hist_coverage"))
+  }
+
+  private[graft] def incrementalDedup(d: DataFrame, split: Long): DataFrame = {
+    val hist = d.filter(col("doc_id") < split)
+    incrementalDedupFrom(
+      d.filter(col("doc_id") >= split),
+      hist.select(md5(col("text")).as("th")).distinct(),
+      spanHashes(hist))
   }
 
   private val opIncremental = Op(
@@ -925,21 +962,25 @@ object Dedup {
   // ---- dedup_incr_minhash: NEAR-dup check of a shard vs history ----
   // dedup_incremental's exact/containment check extended to near-dups:
   // the standing corpus keeps only its DISTINCT LSH band values (8 per
-  // doc, skinny longs — the persistent ingest fingerprint store, tiny
-  // beside the text), and each arriving doc's bands probe that set —
+  // doc, skinny longs — persisted as the `bands/` frame of the
+  // sources.Fingerprints bundle, tiny beside the text; the driver
+  // query derives them in-line so DuckDB sees one self-contained
+  // input), and each arriving doc's bands probe that set —
   // an (edited) copy of ANY historical doc collides on ≥1 of its 8
   // bands w.h.p. Asymmetric like the parent op: no history×history
   // pairing, history text never leaves its scan; cost per ingest is
   // O(shard bands) probes. Rows-only (the minhash kernel is not
   // portable SQL); the fixture pins exact copies at 8/8 bands, edited
   // copies ≥ 1, fresh docs at 0.
-  private[graft] def incrementalMinhash(d: DataFrame, split: Long): DataFrame = {
-    val histBands = minhashSigs(d.filter(col("doc_id") < split))
-      .select(explode(col("bands")).as("band_val")).distinct()
-    val freshSigs = minhashSigs(d.filter(col("doc_id") >= split))
+  /** Store-fed core: the history side is a DISTINCT band-value frame of
+    * the caller's provenance — derived ([[incrementalMinhash]]) or the
+    * reloaded `sink_fingerprints` band store. */
+  private[graft] def incrementalMinhashFrom(fresh: DataFrame,
+      histBands: DataFrame): DataFrame = {
+    val freshSigs = minhashSigs(fresh)
     val hits = freshSigs
       .select(col("doc_id"), explode(col("bands")).as("band_val"))
-      .join(histBands, Seq("band_val"))
+      .join(histBands.select(col("band_val")).distinct(), Seq("band_val"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("band_val")).as("n_hist_bands"))
     freshSigs.select(col("doc_id"), col("sig_digest"))
@@ -949,6 +990,12 @@ object Dedup {
         when(coalesce(col("n_hist_bands"), lit(0L)) >= 1L, 1L)
           .otherwise(0L).as("near_hist"))
   }
+
+  private[graft] def incrementalMinhash(d: DataFrame, split: Long): DataFrame =
+    incrementalMinhashFrom(
+      d.filter(col("doc_id") >= split),
+      minhashSigs(d.filter(col("doc_id") < split))
+        .select(explode(col("bands")).as("band_val")))
 
   private val opIncrMinhash = Op(
     "dedup_incr_minhash",

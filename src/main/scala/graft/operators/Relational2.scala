@@ -276,6 +276,13 @@ object Relational2 {
       // max_by keeps the view-side dedup a HASH aggregate with map-side
       // partial combine; max(struct(...)) planned as SortAggregate,
       // costing two extra per-partition sorts on the fact scan.
+      // CONTRACT: event_id is unique per row (the events generator's
+      // primary key), so max_by's ordering key never ties and the pick
+      // is deterministic. A composite tie-break (struct ordering key)
+      // would force this back to SortAggregate — hash agg buffers must
+      // stay primitive — so uniqueness is the cheaper invariant; it is
+      // also what v_id's own max() already relies on to pair with
+      // v_value.
       val v = e.filter(col("event_type") === "view")
         .groupBy(col("user_id"), col("ts"))
         .agg(max(col("event_id")).as("v_id"),

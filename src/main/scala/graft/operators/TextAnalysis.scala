@@ -536,7 +536,9 @@ object TextAnalysis {
     (s, dir) => {
       val d = docs(s, dir)
       // localCheckpoint pins the skinny group frame (≤ langs × sources
-      // rows) so the totals fold reads IT, not a second corpus scan
+      // rows) so the totals fold reads IT, not a second corpus scan.
+      // (Not fault-tolerant beyond one box — see the simhashPairs note
+      // in Dedup.scala; a cluster run would persist() instead.)
       val byLs = d.groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(size(TextFns.tokens(col("text"))).cast("long")).as("n_tokens"),

@@ -55,7 +55,7 @@ object TokenOverlap {
     // array size); a single row holding half a billion tokens is far
     // past any real document — fail loud rather than wrap.
     require(n < (1 << 29),
-      s"TokenOverlap: left side has $n tokens (max ${1 << 29} per row)")
+      s"TokenOverlap: left side has $n tokens (must be < ${1 << 29} per row)")
     val cap = java.lang.Integer.highestOneBit(math.max(2, n) * 2 - 1) * 2
     val mask = cap - 1
     val keys = new Array[UTF8String](cap)

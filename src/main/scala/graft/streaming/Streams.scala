@@ -276,8 +276,23 @@ object Streams {
 
   private val annServeSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  private val annServeLegacy =
+    new java.util.concurrent.atomic.AtomicReference[AnnServeHandle](null)
+
+  /** Legacy no-handle overload: each call RELEASES the previous legacy
+    * call's temp function + broadcast (so a refresh loop on this API
+    * holds one live index, not an unbounded accumulation), at the cost
+    * of breaking any still-running stream served by that older index.
+    * Refresh loops that overlap streams must use [[annServedWith]] and
+    * close() each handle on its own stream's termination.
+    */
   def annServed(queries: DataFrame, index: Seq[(Long, Seq[Int])],
-      k: Int): DataFrame = annServedWith(queries, index, k)._1
+      k: Int): DataFrame = {
+    val (out, handle) = annServedWith(queries, index, k)
+    val prev = annServeLegacy.getAndSet(handle)
+    if (prev != null) prev.close()
+    out
+  }
 
   /** As [[annServed]], plus the [[AnnServeHandle]] the caller closes
     * when the stream stops (e.g. from a StreamingQueryListener's
@@ -561,10 +576,13 @@ object Streams {
     * Append mode, stateless: each arriving doc leaves with its
     * is_exact_dup flag the moment it arrives, and the flags equal the
     * batch dedup_incremental's exactly (spec across batch splits).
-    * Near-dup banding rides the same pattern with the band frame
-    * (dedup_incr_minhash's store); containment needs the span frame —
-    * both are batch backfill territory when the store outgrows a
-    * replanned join side.
+    * In deployment `historyHashes` is the PERSISTED
+    * sources.Fingerprints `content/` frame (spec-verified) — the
+    * static side is a parquet scan of the skinny store, never a
+    * re-derivation over history text. Near-dup banding is
+    * [[ingestMinhashGate]] below on the `bands/` frame; containment
+    * needs the span frame — batch backfill territory when the store
+    * outgrows a replanned join side.
     */
   def ingestGate(docs: DataFrame, historyHashes: DataFrame): DataFrame =
     docs
@@ -574,6 +592,60 @@ object Streams {
       .select(col("doc_id"),
         coalesce(col("is_exact_dup"), lit(0L)).as("is_exact_dup"),
         md5(col("text")).as("content_hash"))
+
+  // ---- stream_ingest_minhash: near-dup gate vs the persisted store ----
+
+  private[streaming] case class BandProbe(doc_id: Long, sig_digest: String,
+      band_val: Long, hit: Long)
+
+  case class MinhashGateOut(doc_id: Long, sig_digest: String,
+      n_hist_bands: Long, near_hist: Long)
+
+  /** stream_ingest_minhash — the NEAR-dup half of the ingest firewall
+    * as an actual stream (batch twin: dedup_incr_minhash): each
+    * arriving doc's 8 LSH band values probe the PERSISTED band store
+    * (sources.Fingerprints `bands/`) via a stream-static left join —
+    * an (edited) copy of any historical doc collides on ≥ 1 band
+    * w.h.p. The per-doc roll-up (distinct matched bands) runs inside a
+    * zero-state flatMapGroupsWithState — a doc's 8 band rows arrive in
+    * ONE micro-batch, so the group iterator sees them all and nothing
+    * needs the state store (the stream_index contract; state rows stay
+    * 0, spec-asserted). Append mode, stateless: each doc leaves with
+    * its n_hist_bands the moment it arrives, equal to the batch
+    * dedup_incr_minhash's against the same store (spec across uneven
+    * batch splits with a planted edited copy). The static side is the
+    * RELOADED store parquet — at no point does ingest re-run the
+    * minhash kernel over history.
+    */
+  def ingestMinhashGate(docs: DataFrame, bandStore: DataFrame):
+      Dataset[MinhashGateOut] = {
+    import docs.sparkSession.implicits._
+    val probes = graft.operators.Dedup.minhashSigs(docs)
+      .select(col("doc_id"), col("sig_digest"),
+        explode(col("bands")).as("band_val"))
+      .join(bandStore.select(col("band_val"), lit(1L).as("hit")),
+        Seq("band_val"), "left")
+      .select(col("doc_id"), col("sig_digest"), col("band_val"),
+        coalesce(col("hit"), lit(0L)).as("hit"))
+      .as[BandProbe]
+    probes.groupByKey(_.doc_id)
+      .flatMapGroupsWithState[IndexFragState, MinhashGateOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: Long, in: Iterator[BandProbe],
+            state: GroupState[IndexFragState]) =>
+          // distinct matched band values — mirrors the batch
+          // countDistinct; 8 entries max, bounded by construction
+          val matched = new java.util.HashSet[java.lang.Long]()
+          var digest = ""
+          in.foreach { p =>
+            digest = p.sig_digest
+            if (p.hit == 1L) matched.add(p.band_val)
+          }
+          val n = matched.size.toLong
+          Iterator.single(MinhashGateOut(id, digest, n,
+            if (n >= 1L) 1L else 0L))
+      }
+  }
 
   // ---- stream_skipgram: incremental co-occurrence maintenance ----
 

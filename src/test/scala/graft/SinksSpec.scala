@@ -112,6 +112,52 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("sink_fingerprints: ingest from the reloaded store == derive-fresh; history text never scanned") {
+    val split = operators.Dedup.IncrSplit
+    val all = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val base = Files.createTempDirectory("graft-fp")
+    val storePath = base.resolve("store").toString
+    val histPath = base.resolve("histdocs").toString
+    val freshPath = base.resolve("shard").toString
+    all.filter(col("doc_id") < split).write.parquet(histPath)
+    all.filter(col("doc_id") >= split).write.parquet(freshPath)
+    // the expensive offline pass: derive + persist history fingerprints ONCE
+    sources.Fingerprints.write(spark.read.parquet(histPath), storePath, nShards = 3)
+    // an ingest tick: arriving shard vs the RELOADED store frames
+    val fresh = spark.read.parquet(freshPath)
+    val storeFed = operators.Dedup.incrementalDedupFrom(fresh,
+      sources.Fingerprints.readContent(spark, storePath),
+      sources.Fingerprints.readSpans(spark, storePath))
+    val storeFedMh = operators.Dedup.incrementalMinhashFrom(fresh,
+      sources.Fingerprints.readBands(spark, storePath))
+    // the scale contract the store exists for: the ingest plan scans
+    // ONLY store parquet + the arriving shard — never history text
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Seq("exact+containment" -> storeFed, "minhash" -> storeFedMh)
+        .foreach { case (nm, df) =>
+          val scans = df.queryExecution.executedPlan.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+          }
+          assert(scans.nonEmpty, s"$nm: expected parquet scans")
+          scans.foreach { f =>
+            val roots = f.relation.location.rootPaths.mkString(",")
+            assert(!roots.contains("histdocs"),
+              s"$nm ingest re-scans history text: $roots")
+            assert(roots.contains("store") || roots.contains("shard"),
+              s"$nm ingest scans an unexpected input: $roots")
+          }
+        }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // round-trip: flags from the reloaded store equal derive-fresh row-for-row
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toList).toSet
+    assert(rows(storeFed) == rows(operators.Dedup.incrementalDedup(all, split)),
+      "store-fed exact/containment ingest diverged from derive-fresh")
+    assert(rows(storeFedMh) == rows(operators.Dedup.incrementalMinhash(all, split)),
+      "store-fed minhash ingest diverged from derive-fresh")
+  }
+
   test("q22_approx_sketch: sketches land within declared error of exact") {
     // one collect serves both the distinct-count and quantile checks
     val rows = operators.Relational2.ops.find(_.name == "q22_approx_sketch")

@@ -299,8 +299,13 @@ class StreamingSpec extends SparkSpec {
     implicit val sql = spark.sqlContext
     val split = operators.Dedup.IncrSplit
     val all = Tables(spark, sfDir, "documents").select($"doc_id", $"text")
-    val history = all.filter($"doc_id" < split)
-      .select(md5($"text").as("th")).distinct()
+    // the static side is the PERSISTED fingerprint store — the gate's
+    // per-batch re-plan scans skinny store parquet, never re-derives
+    // md5 over history text
+    val store = java.nio.file.Files.createTempDirectory("graft-ingest")
+      .resolve("store").toString
+    sources.Fingerprints.write(all.filter($"doc_id" < split), store, nShards = 2)
+    val history = sources.Fingerprints.readContent(spark, store)
     val fresh = all.filter($"doc_id" >= split).collect()
       .map(r => (r.getLong(0), r.getString(1)))
     // plant one arriving doc that copies a history doc verbatim —
@@ -331,6 +336,53 @@ class StreamingSpec extends SparkSpec {
       assert(streamed(id) == f, s"doc $id: streamed flag ${streamed(id)} != batch $f")
     }
     assert(streamed(999999L) == 1L, "planted copy of history must be flagged")
+  }
+
+  test("stream_ingest_minhash: band-store probe equals batch dedup_incr_minhash") {
+    implicit val sql = spark.sqlContext
+    val split = operators.Dedup.IncrSplit
+    val all = Tables(spark, sfDir, "documents").select($"doc_id", $"text")
+    val store = java.nio.file.Files.createTempDirectory("graft-ingest-mh")
+      .resolve("store").toString
+    sources.Fingerprints.write(all.filter($"doc_id" < split), store, nShards = 2)
+    val bandStore = sources.Fingerprints.readBands(spark, store)
+    val freshRows = all.filter($"doc_id" >= split).collect()
+      .map(r => (r.getLong(0), r.getString(1))).take(120)
+    // plant an exact copy (8/8 bands) and an edited copy (>= 1 band)
+    // of a history doc — this sf carries no natural cross-split near-dup
+    val histText = all.filter($"doc_id" === 0L).head.getString(1)
+    val toks = histText.split(" ")
+    toks(toks.length / 2) = "edited-token-xyz"
+    val docs = (freshRows :+ (999998L, histText)) :+ (999999L, toks.mkString(" "))
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.ingestMinhashGate(in.toDF().toDF("doc_id", "text"), bandStore)
+      .writeStream.format("memory").queryName("ingest_mh_out")
+      .outputMode("append").start()
+    // uneven splits: a doc's 8 band rows still land in ONE batch
+    in.addData(docs.take(docs.length / 3): _*)
+    q.processAllAvailable()
+    in.addData(docs.slice(docs.length / 3, docs.length / 3 + 5): _*)
+    q.processAllAvailable()
+    in.addData(docs.drop(docs.length / 3 + 5): _*)
+    q.processAllAvailable()
+    // zero-state: the store side is re-planned static parquet, the
+    // per-doc roll-up keeps nothing across batches
+    assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+      "near-dup gate must keep zero state rows")
+    q.stop()
+    val streamed = spark.table("ingest_mh_out").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_hist_bands"), r.getAs[Long]("near_hist"))).toMap
+    val batch = operators.Dedup.incrementalMinhashFrom(
+        docs.toSeq.toDF("doc_id", "text"), bandStore).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_hist_bands"), r.getAs[Long]("near_hist"))).toMap
+    assert(streamed == batch,
+      s"stream diverged from batch on ${streamed.toSet.diff(batch.toSet).take(5)}")
+    assert(streamed(999998L) == ((8L, 1L)),
+      s"exact copy must collide on all 8 bands: ${streamed(999998L)}")
+    assert(streamed(999999L)._1 >= 1L && streamed(999999L)._2 == 1L,
+      s"edited copy missed: ${streamed(999999L)}")
   }
 
   test("stream_skipgram: folded pair deltas equal the batch co-occurrence matrix") {
