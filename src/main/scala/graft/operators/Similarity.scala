@@ -687,7 +687,115 @@ object Similarity {
     },
     None)
 
+  // ---- mine_bitext: margin-based parallel-pair mining ----
+  // The CCMatrix/LASER bitext-mining step over the reference's own
+  // data shape (reference datasets/parse.py:20-31 — en-zh / en-fr
+  // aligned corpora; opus_short_outputs_*): candidate translation
+  // pairs between a SOURCE and a TARGET embedding side, scored by the
+  // RATIO margin of Artetxe & Schwenk 2019 ("Margin-based Parallel
+  // Corpus Mining with Multilingual Sentence Embeddings"):
+  //
+  //   margin(x, y) = cos(x, y) / (avgTopK(x) / 2 + avgTopK(y) / 2)
+  //
+  // — a hub sentence y that is moderately close to EVERYTHING carries
+  // a large avgTopK(y) denominator and loses to the genuine pair even
+  // at equal raw cosine (the hubness failure cosine thresholds have).
+
+  /** Neighbor-pool size for the margin denominators (the k of
+    * mean-of-top-k; Artetxe & Schwenk use 4). */
+  val MineK = 4
+
+  /** Accept threshold on the ratio margin. Structure-less pairs score
+    * ≈ 1 (best cosine ≈ pool mean); genuine translations score well
+    * above (their cosine dominates both pools). 1.2 is in the range
+    * the paper's BUCC tuning lands on. */
+  val MineThreshold = 1.2
+
+  /** Margin scoring + forward best-match over a PRE-BUILT candidate
+    * frame (s_id, t_id, cos). Pools are the top-[[MineK]] cosines per
+    * side OF THE CANDIDATE FRAME — the standard index-retrieved
+    * approximation of the true k-NN pool (CCMatrix mines margins over
+    * FAISS candidates, not exact neighborhoods). Both pool builds and
+    * the final best-match run through the bounded TopKPerKey heap, so
+    * only k rows per key reach any shuffle.
+    */
+  private[graft] def mineBitextScored(scored: DataFrame): DataFrame = {
+    import graft.plans.TopK
+    val fwd = TopK.perKey(scored, Seq("s_id"),
+        Seq("cos" -> TopK.Desc, "t_id" -> TopK.Asc), MineK)
+      .groupBy(col("s_id")).agg(avg(col("cos")).as("s_avg"))
+    val bwd = TopK.perKey(scored, Seq("t_id"),
+        Seq("cos" -> TopK.Desc, "s_id" -> TopK.Asc), MineK)
+      .groupBy(col("t_id")).agg(avg(col("cos")).as("t_avg"))
+    val margins = scored.join(fwd, Seq("s_id")).join(bwd, Seq("t_id"))
+      .withColumn("margin",
+        when(col("s_avg") + col("t_avg") > 0,
+          round(col("cos") * 2.0 / (col("s_avg") + col("t_avg")), 6))
+          .otherwise(lit(0.0)))
+    TopK.perKey(margins, Seq("s_id"),
+        Seq("margin" -> TopK.Desc, "t_id" -> TopK.Asc), 1)
+      .select(col("s_id"), col("t_id"), col("cos"), col("margin"),
+        when(col("margin") > MineThreshold, 1L).otherwise(0L).as("accepted"))
+  }
+
+  /** End-to-end mining: cross-side LSH banding generates the candidate
+    * pairs (the dedup_embed hyperplane kernel on BOTH sides, joined on
+    * (band, key) — pair volume stays linear in n via the adaptive bit
+    * count, never all-pairs), cosine-scored once, then margin-ranked.
+    * Sources with no candidate in any shared bucket still emit a row
+    * (t_id −1, margin 0) so the output is one decision per source
+    * sentence. At 100 TB the candidate stage swaps LSH for the
+    * persisted IVF index (sink_ann_index) unchanged above the
+    * (s_id, t_id, cos) seam.
+    */
+  private[graft] def mineBitext(src: DataFrame, tgt: DataFrame,
+      bits: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(src.sparkSession)
+    def bandRows(e: DataFrame, idName: String) = e
+      .withColumn("keys",
+        expr(s"graft_lsh_keys(embedding, $EmbBands, $EmbMaxBits, $bits)"))
+      .select(col("vec_id").as(idName),
+        posexplode(col("keys")).as(Seq("j", "band_key")))
+    val cand = bandRows(src, "s_id")
+      .join(bandRows(tgt, "t_id"), Seq("j", "band_key"))
+      .select(col("s_id"), col("t_id")).distinct()
+    // scored once, consumed three times (fwd pool, bwd pool, margin
+    // join) — pin the skinny frame (same single-box note as
+    // simhashPairs; a cluster run persists instead)
+    val scored = cand
+      .join(src.select(col("vec_id").as("s_id"), col("embedding").as("q_emb")),
+        Seq("s_id"))
+      .join(tgt.select(col("vec_id").as("t_id"), col("embedding").as("c_emb")),
+        Seq("t_id"))
+      .withColumn("cos", round(expr("graft_cosine(q_emb, c_emb)"), 6))
+      .select(col("s_id"), col("t_id"), col("cos"))
+      .localCheckpoint()
+    src.select(col("vec_id").as("s_id"))
+      .join(mineBitextScored(scored), Seq("s_id"), "left")
+      .select(col("s_id"),
+        coalesce(col("t_id"), lit(-1L)).as("t_id"),
+        coalesce(col("cos"), lit(-1.0)).as("cos"),
+        coalesce(col("margin"), lit(0.0)).as("margin"),
+        coalesce(col("accepted"), lit(0L)).as("accepted"))
+  }
+
+  // even vec_ids play the source language, odd the target — the
+  // deterministic stand-in for parse.py's two aligned files. Rows-only
+  // (margin pools come from LSH candidates; not portable SQL): the
+  // hand fixture pins planted pairs + hub demotion, the plan spec pins
+  // bounded pools and no cartesian anywhere.
+  private val opMineBitext = Op(
+    "mine_bitext",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      mineBitext(
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1),
+        embBits(e.count() / 2))
+    },
+    None)
+
   val ops: Seq[Op] =
     Seq(opBrute, opIvf, opIvfQuant, opIvfPq, opFiltered, opEmbedDedup,
-      opQuantize, opQuantAnn, opPq, opSemDedup)
+      opQuantize, opQuantAnn, opPq, opSemDedup, opMineBitext)
 }

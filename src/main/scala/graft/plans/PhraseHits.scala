@@ -32,8 +32,12 @@ case class PhraseHitsExpr(child: Expression, phrase: Seq[String])
     PhraseHitsExpr.hits(a.asInstanceOf[ArrayData], phraseU8)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // Java SOURCE type name: classOf[Array[_]].getName returns the JVM
+    // binary form "[L...;" which janino rejects ("Unexpected token [")
+    // — the broken cast silently dropped the whole stage to interpreted
+    // eval, exactly what this kernel exists to avoid
     val ref = ctx.addReferenceObj("phrase", phraseU8,
-      classOf[Array[UTF8String]].getName)
+      s"${classOf[UTF8String].getName}[]")
     defineCodeGen(ctx, ev, a => s"graft.plans.PhraseHitsExpr.hits($a, $ref)")
   }
 

@@ -42,6 +42,74 @@ object AnnIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/pq")
   }
 
+  // ---- ann_upsert: incremental index maintenance ----
+
+  /** ann_upsert (SURVEY.md §2 sources/sinks) — serve-time corpora
+    * grow, and a bundle rebuild re-pays k-means + PQ training + a
+    * full-history encode per refresh. Arriving vectors are instead
+    * encoded with the bundle's PERSISTED model: int8 codes
+    * (model-free), top-[[graft.operators.Similarity.Rep]] coarse-cell
+    * assignment against the persisted centroids (ivfRank's boundary
+    * replication, kept as an array so the row count stays one per
+    * vector), and PQ codes through the persisted codebook. History
+    * rows are never read, re-encoded, or rewritten — the upsert plan
+    * scans the delta + the KB-sized model frames only (plan-spec'd).
+    * Every encode step is a deterministic per-vector function of the
+    * persisted model, so int8 serving over codes/ ∪ upserts/ is
+    * EXACTLY serving over a full rebuild's codes on the union corpus
+    * (spec, the stream_ann equality pattern). Model drift — enough
+    * upserts that the frozen centroids/codebook stop fitting the data
+    * — is the explicit rebuild trigger (the offline [[write]] path),
+    * the same freshness contract FAISS's add-with-ids carries.
+    */
+  def upsertFrame(newVecs: DataFrame, path: String): DataFrame = {
+    val spark = newVecs.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    val cents = broadcast(readCentroids(spark, path))
+    val (cb, m, kEff) = readPq(spark, path)
+    val cells = newVecs.select(col("vec_id"), col("embedding"))
+      .join(cents)
+      .withColumn("ccos", expr("graft_cosine(embedding, cent_emb)"))
+      .select(col("vec_id"), col("cent_id"), col("ccos"))
+    val assigned = graft.plans.TopK.perKey(cells, Seq("vec_id"),
+        Seq("ccos" -> graft.plans.TopK.Desc,
+          "cent_id" -> graft.plans.TopK.Asc),
+        Similarity.Rep, "crk")
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("crk"), col("cent_id"))))
+        .as("cr"))
+      .select(col("vec_id").as("c_id"),
+        expr("transform(cr, x -> x.cent_id)").as("cent_ids"))
+    Similarity.int8Codes(newVecs)
+      .join(newVecs.select(col("vec_id").as("c_id"),
+        call_function("graft_pq_encode",
+          col("embedding"), lit(cb), lit(m), lit(kEff)).as("c_code")),
+        Seq("c_id"))
+      .join(assigned, Seq("c_id"))
+  }
+
+  /** Appends the encoded delta as new range-sharded files under
+    * `upserts/` — contiguous c_id ranges within each batch; old shards
+    * are never rewritten (append-only, the log-structured move).
+    */
+  def upsert(newVecs: DataFrame, path: String, nShards: Int = 1): Unit =
+    upsertFrame(newVecs, path)
+      .repartitionByRange(nShards, col("c_id"))
+      .sortWithinPartitions(col("c_id"))
+      .write.mode("append").parquet(s"$path/upserts")
+
+  /** The full servable int8 code set: base build ∪ upserted deltas
+    * (absent `upserts/` — a never-upserted bundle — just the base).
+    */
+  def readServable(spark: SparkSession, path: String): DataFrame = {
+    val up = new org.apache.hadoop.fs.Path(s"$path/upserts")
+    val fs = up.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = readCodes(spark, path)
+    if (fs.exists(up))
+      base.union(spark.read.parquet(up.toString).select(col("c_id"), col("c_q")))
+    else base
+  }
+
   def readCodes(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/codes")
 

@@ -2121,4 +2121,82 @@ class PipelineOpsSpec extends SparkSpec {
     }
     assert(out.filter($"avg_token_len" <= 0).count() == 0)
   }
+
+  test("mine_bitext: margin ranks planted pairs first and demotes the hub decoy") {
+    // hand candidate frame: two genuine pairs (0↔1, 2↔3), a HUB target
+    // (9) moderately close to BOTH sources, and noise pairs. Pools
+    // (MineK=4 keeps all): s0 avg=(.99+.80+.10)/3, s2 avg=(.98+.80+.05)/3,
+    // t1 avg=(.99+.05)/2, t3 avg=(.98+.10)/2, t9 avg=(.80+.80)/2=.80.
+    //   margin(0,1)=1.98/(0.63+0.52)≈1.7217  margin(0,9)=1.60/1.43≈1.1189
+    //   margin(2,3)=1.96/(0.61+0.54)≈1.7043  margin(2,9)=1.60/1.41≈1.1348
+    // the hub's inflated backward pool is exactly what the ratio margin
+    // divides away — despite cos .80 it stays under the 1.2 gate.
+    val scored = Seq(
+      (0L, 1L, 0.99), (2L, 3L, 0.98),
+      (0L, 9L, 0.80), (2L, 9L, 0.80),
+      (0L, 3L, 0.10), (2L, 1L, 0.05))
+      .toDF("s_id", "t_id", "cos")
+    val best = Similarity.mineBitextScored(scored).collect()
+      .map(r => r.getAs[Long]("s_id") ->
+        (r.getAs[Long]("t_id"), r.getAs[Double]("margin"),
+          r.getAs[Long]("accepted"))).toMap
+    assert(best.keySet == Set(0L, 2L))
+    assert(best(0L)._1 == 1L && best(2L)._1 == 3L,
+      s"genuine pairs must out-rank the hub: $best")
+    assert(math.abs(best(0L)._2 - 1.721739) < 1e-4, s"${best(0L)}")
+    assert(math.abs(best(2L)._2 - 1.704348) < 1e-4, s"${best(2L)}")
+    assert(best(0L)._3 == 1L && best(2L)._3 == 1L, s"margins above gate: $best")
+    // a structure-less world: best cos ≈ pool mean → margin ≈ 1, rejected
+    val flat = Seq((0L, 1L, 0.5), (0L, 3L, 0.5), (2L, 1L, 0.5), (2L, 3L, 0.5))
+      .toDF("s_id", "t_id", "cos")
+    Similarity.mineBitextScored(flat).collect().foreach { r =>
+      assert(math.abs(r.getAs[Double]("margin") - 1.0) < 1e-9 &&
+        r.getAs[Long]("accepted") == 0L, r.toString)
+    }
+  }
+
+  test("mine_bitext: end-to-end LSH mining finds exact-scale planted pairs") {
+    // tgt_i is an exact POSITIVE-SCALE copy of src_i: sign bits (hence
+    // every LSH band key) are scale-invariant, so the planted pair is a
+    // guaranteed candidate — no reliance on hyperplane luck
+    def v(dim: Int, at: Int, scale: Float) =
+      Array.tabulate(dim)(i => if (i == at) scale else 0.0f).toSeq
+    val src = Seq((0L, v(4, 0, 2.0f)), (2L, v(4, 1, 3.0f)), (4L, v(4, 2, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val tgt = Seq((1L, v(4, 0, 0.5f)), (3L, v(4, 1, 1.5f)), (5L, v(4, 2, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.mineBitext(src, tgt, bits = 2).collect()
+      .map(r => r.getAs[Long]("s_id") ->
+        (r.getAs[Long]("t_id"), r.getAs[Double]("cos"))).toMap
+    assert(out.keySet == Set(0L, 2L, 4L), "one decision per source")
+    assert(out(0L) == ((1L, 1.0)) && out(2L) == ((3L, 1.0)) &&
+      out(4L) == ((5L, 1.0)), s"planted exact pairs must win: $out")
+    // driver shape on real data: one row per even-id source, targets
+    // odd (or -1 when no shared bucket), margins non-negative, and the
+    // plan stays banded + heap-bounded — no cartesian anywhere
+    val e = Tables(spark, sfDir, "embeddings")
+    val nSrc = e.filter($"vec_id" % 2 === 0).count()
+    val full = run("mine_bitext")
+    val rows = full.collect()
+    assert(rows.length.toLong == nSrc)
+    rows.foreach { r =>
+      val t = r.getAs[Long]("t_id")
+      assert(r.getAs[Long]("s_id") % 2 == 0 && (t == -1L || t % 2 == 1))
+      assert(r.getAs[Double]("margin") >= 0.0)
+      assert(Set(0L, 1L).contains(r.getAs[Long]("accepted")))
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = run("mine_bitext").queryExecution.executedPlan
+      assert(plan.toString.contains("TopKPerKey"),
+        "margin pools must run through the bounded heap")
+      plan.foreach {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+          fail(s"all-pairs join in mining plan:\n$c")
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+          fail(s"nested-loop join in mining plan:\n$b")
+        case _ => ()
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

@@ -112,6 +112,79 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("ann_upsert: delta-only encode with the persisted model; union serve == full rebuild") {
+    graft.plans.GraftFunctions.register(spark)
+    val e = Tables(spark, sfDir, "embeddings")
+    val base = Files.createTempDirectory("graft-upsert")
+    val idx = base.resolve("idx").toString
+    val deltaPath = base.resolve("delta").toString
+    sources.AnnIndex.write(e.filter(col("vec_id") < 400), idx, nShards = 3)
+    e.filter(col("vec_id") >= 400).select(col("vec_id"), col("embedding"))
+      .write.parquet(deltaPath)
+    val delta = spark.read.parquet(deltaPath)
+    // upsert cost touches ONLY the delta + the KB-sized model frames —
+    // never history codes or history embeddings
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val scans = sources.AnnIndex.upsertFrame(delta, idx)
+        .queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }
+      assert(scans.nonEmpty)
+      scans.foreach { f =>
+        val roots = f.relation.location.rootPaths.mkString(",")
+        assert(!roots.contains("codes"), s"upsert re-reads history codes: $roots")
+        assert(roots.contains("delta") || roots.contains("centroids") ||
+          roots.contains("pq"), s"upsert scans an unexpected input: $roots")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    sources.AnnIndex.upsert(delta, idx, nShards = 2)
+    // serving from bundle + upserts == serving from a FULL REBUILD on
+    // the union corpus (int8 codes are a per-vector function, so the
+    // rebuild's code set is identical — the stream_ann equality shape)
+    val rebuilt = base.resolve("rebuild").toString
+    sources.AnnIndex.write(e, rebuilt, nShards = 3)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def serve(codes: org.apache.spark.sql.DataFrame) = graft.plans.TopK.perKey(
+        codes.join(broadcast(q), col("q_id") =!= col("c_id"))
+          .withColumn("cos", round(expr("graft_cosine_i8(q_emb, c_q)"), 6)),
+        Seq("q_id"),
+        Seq("cos" -> graft.plans.TopK.Desc, "c_id" -> graft.plans.TopK.Asc), 5)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(serve(sources.AnnIndex.readServable(spark, idx)) ==
+      serve(sources.AnnIndex.readCodes(spark, rebuilt)),
+      "union serving diverged from the full rebuild")
+    // upserted rows used the PERSISTED model: PQ codes re-derive from
+    // the reloaded codebook; first assigned cell == independent argmax
+    // against the reloaded centroids (ties to the smaller cent_id)
+    val ups = spark.read.parquet(s"$idx/upserts")
+    assert(ups.count() == delta.count())
+    val (cb, m, kEff) = sources.AnnIndex.readPq(spark, idx)
+    val wantPq = delta.select(col("vec_id").as("c_id"),
+      call_function("graft_pq_encode",
+        col("embedding"), lit(cb), lit(m), lit(kEff)).as("want"))
+    assert(ups.join(wantPq, Seq("c_id"))
+      .filter(col("c_code") =!= col("want")).count() == 0,
+      "upserted PQ codes diverge from the persisted codebook")
+    val cents = sources.AnnIndex.readCentroids(spark, idx)
+    val wantCell = delta.join(broadcast(cents))
+      .withColumn("ccos", expr("graft_cosine(embedding, cent_emb)"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"),
+        struct(col("ccos"), -col("cent_id"))).as("want_cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    ups.select(col("c_id"), col("cent_ids")).collect().foreach { r =>
+      val cells = r.getSeq[Int](1)
+      assert(cells.length <= operators.Similarity.Rep &&
+        cells.distinct.length == cells.length, r.toString)
+      assert(cells.head == wantCell(r.getLong(0)),
+        s"vec ${r.getLong(0)}: stored cell ${cells.head} != persisted-centroid argmax ${wantCell(r.getLong(0))}")
+    }
+  }
+
   test("sink_fingerprints: ingest from the reloaded store == derive-fresh; history text never scanned") {
     val split = operators.Dedup.IncrSplit
     val all = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
