@@ -95,9 +95,14 @@ object Bench {
     // the full line above grows with the query count (~3 kB at 95
     // queries) and a tail-window capture clips its head; this COMPACT
     // restatement (no per-query map) prints LAST so any tail capture
-    // ends with one complete, parseable JSON object. Per-query numbers
-    // live in the jsonl artifact and the full line either way.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"failed":$failed,"sf":"$sfDir"}""")
+    // ends with one complete, parseable JSON object — and is ALSO the
+    // jsonl artifact's final line, so `tail -1 bench_out.jsonl` always
+    // json-parses even when sbt appends its own epilogue to stdout.
+    // Per-query numbers live in the preceding jsonl lines and the full
+    // line either way.
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"failed":$failed,"sf":"$sfDir"}"""
+    appendLine(compact)
+    println(compact)
     spark.stop()
   }
 }

@@ -836,7 +836,83 @@ object MapReduceDocs {
              ELSE ROUND(2.0 * n_common / (n_pred + n_gold), 6) END AS rouge1
       FROM agg"""))
 
+  // ---- score_rouge2: stemmed-BIGRAM ROUGE-2 f-measure ----
+  // Closes the ROUGE family the reference's scorer instantiates
+  // (hanchen_recomp.py:76-78, the google-research rouge_scorer whose
+  // ['rouge1','rouge2','rougeL'] share one stemmed tokenizer):
+  // overlap = multiset ∩ of Porter-stemmed bigrams,
+  // F = 2·common/(|p2|+|g2|). Bigrams form NARROW from the stemmed
+  // array (two shifted slices zipped — ≤ 9 elements per row, no
+  // explode, no shuffle beyond the same pair join rouge1 pays), and
+  // the multiset overlap reuses the graft_f1_common kernel unchanged
+  // (bigram strings are just tokens to it). FULL SQL oracle: the
+  // PorterSql cascade stems the vocabulary, positions survive via
+  // generate_series, and the +1 self-join rebuilds the same bigrams.
+  private val opRouge2 = Op(
+    "score_rouge2",
+    (s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val bigrams = expr(
+        "zip_with(slice(st, 1, greatest(size(st) - 1, 0)), " +
+          "slice(st, 2, greatest(size(st) - 1, 0)), " +
+          "(x, y) -> concat(x, ' ', y))")
+      val d = docs(s, dir)
+        .withColumn("toks10",
+          slice(TextFns.tokens(TextFns.normalize(col("text"))), 1, 10))
+        .withColumn("st", expr("graft_stem(toks10)"))
+        .withColumn("b2", bigrams)
+      val a = d.select(col("doc_id"), col("b2").as("pt"))
+      val b = d.select((col("doc_id") - 1).as("doc_id"), col("b2").as("gt"))
+      a.join(b, "doc_id")
+        .select(col("doc_id"),
+          size(col("pt")).cast("long").as("n_pred"),
+          size(col("gt")).cast("long").as("n_gold"),
+          expr("graft_f1_common(pt, gt)").as("n_common"))
+        .select(col("doc_id"), col("n_pred"), col("n_gold"), col("n_common"),
+          when(col("n_common") === 0, lit(0.0))
+            .otherwise(round(lit(2.0) * col("n_common")
+              / (col("n_pred") + col("n_gold")), 6)).as("rouge2"))
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id,
+          list_slice(string_split(${TextFns.normalizeSql("text")}, ' '), 1, 10) AS toks
+        FROM documents),
+      rp AS (SELECT a.doc_id, a.toks AS pt, b.toks AS gt
+        FROM d a JOIN d b ON b.doc_id = a.doc_id + 1),
+      rt AS (
+        SELECT doc_id, 'p' AS side, i, pt[i] AS tok
+        FROM rp, UNNEST(generate_series(1, len(pt))) AS u(i)
+        UNION ALL
+        SELECT doc_id, 'g' AS side, i, gt[i] AS tok
+        FROM rp, UNNEST(generate_series(1, len(gt))) AS u(i)),
+      rvocab AS (SELECT DISTINCT tok FROM rt WHERE length(tok) > 3),
+      ${graft.functions.PorterSql.ctes("rvocab")},
+      st2 AS (SELECT doc_id, side, i,
+          CASE WHEN length(tok) <= 3 THEN tok ELSE s.st END AS stok
+        FROM rt LEFT JOIN stemmed s USING (tok)),
+      bg AS (SELECT x.doc_id, x.side, x.stok || ' ' || y.stok AS bgram
+        FROM st2 x JOIN st2 y
+          ON y.doc_id = x.doc_id AND y.side = x.side AND y.i = x.i + 1),
+      cnt AS (SELECT doc_id, bgram,
+          SUM(CASE WHEN side = 'p' THEN 1 ELSE 0 END) AS cp,
+          SUM(CASE WHEN side = 'g' THEN 1 ELSE 0 END) AS cg
+        FROM bg GROUP BY 1, 2),
+      agg AS (SELECT doc_id,
+          CAST(SUM(cp) AS BIGINT) AS n_pred,
+          CAST(SUM(cg) AS BIGINT) AS n_gold,
+          CAST(SUM(LEAST(cp, cg)) AS BIGINT) AS n_common
+        FROM cnt GROUP BY 1)
+      SELECT rp.doc_id,
+        COALESCE(agg.n_pred, 0) AS n_pred,
+        COALESCE(agg.n_gold, 0) AS n_gold,
+        COALESCE(agg.n_common, 0) AS n_common,
+        CASE WHEN COALESCE(agg.n_common, 0) = 0 THEN 0.0
+             ELSE ROUND(2.0 * agg.n_common / (agg.n_pred + agg.n_gold), 6)
+        END AS rouge2
+      FROM rp LEFT JOIN agg USING (doc_id)"""))
+
   val ops: Seq[Op] = Seq(opNormalize, opChunk, opChunkOverlap, opMap,
     opReduce, opPipeline, opE2e, opEmSubstr, opF1, opStats, opStatsSketch,
-    opKv, opRatioSplit, opFoldReduce, opBleu, opHasAnswer, opRougeL, opRouge1)
+    opKv, opRatioSplit, opFoldReduce, opBleu, opHasAnswer, opRougeL,
+    opRouge1, opRouge2)
 }

@@ -49,18 +49,48 @@ object Multimodal {
     bb.array()
   }
 
+  /** Deterministic luma at (x, y) for a seeded synthetic image: a
+    * SplitMix64-style mix of (seed, x, y) — per-doc content the
+    * perceptual hash can actually distinguish (all-zero payloads hash
+    * identically by construction). Shared with the specs so a planted
+    * one-pixel edit is expressible.
+    */
+  private[graft] def plantedLuma(seed: Long, x: Int, y: Int): Int = {
+    var z = seed * 0x9e3779b97f4a7c15L + x * 0xbf58476d1ce4e5b9L +
+      y * 0x94d049bb133111ebL
+    z ^= z >>> 30; z *= 0xbf58476d1ce4e5b9L
+    z ^= z >>> 27; z *= 0x94d049bb133111ebL
+    ((z >>> 33) & 0xff).toInt
+  }
+
   /** A complete, decodable truecolor PNG: signature, IHDR (8-bit,
     * color type 2), one IDAT holding the zlib stream of h scanlines
-    * (filter byte + w×3 zero samples), IEND. Every chunk CRC is real —
-    * javax.imageio decodes the result (spec-verified).
+    * (filter byte + w×3 samples from `luma` — gray written to all
+    * three channels; null luma keeps the legacy all-zero image), IEND.
+    * Every chunk CRC is real — javax.imageio decodes the result
+    * (spec-verified).
     */
-  private[graft] def buildPng(w: Int, h: Int): Array[Byte] = {
+  private[graft] def buildPng(w: Int, h: Int,
+      luma: (Int, Int) => Int = null): Array[Byte] = {
     val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
     val ihdr = java.nio.ByteBuffer.allocate(13)
     ihdr.putInt(w)
     ihdr.putInt(h)
     ihdr.put(Array[Byte](8, 2, 0, 0, 0)) // depth, truecolor, deflate, filter0, no interlace
     val raw = new Array[Byte]((1 + w * 3) * h)
+    if (luma != null) {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = (luma(x, y) & 0xff).toByte
+          val p = y * (1 + w * 3) + 1 + x * 3
+          raw(p) = v; raw(p + 1) = v; raw(p + 2) = v
+          x += 1
+        }
+        y += 1
+      }
+    }
     val d = new java.util.zip.Deflater()
     val zs = new java.io.ByteArrayOutputStream()
     try {
@@ -138,7 +168,9 @@ object Multimodal {
   private def buildBatch(batch: Seq[MMIn]): Seq[MMRaw] = batch.map { r =>
     val id = r.doc_id
     val payload = (id % 3) match {
-      case 0 => buildPng(plantedW(id), plantedH(id))
+      // seeded per-doc pixel content: headers (mm_meta's surface) are
+      // unchanged, but mm_phash gets images that actually differ
+      case 0 => buildPng(plantedW(id), plantedH(id), plantedLuma(id, _, _))
       case 1 => buildJpeg(plantedW(id), plantedH(id), 3)
       case _ => buildWav(plantedChannels(id), plantedRate(id), 16, r.payload)
     }
@@ -240,5 +272,48 @@ object Multimodal {
     },
     None)
 
-  val ops: Seq[Op] = Seq(opMeta, opEmbed)
+  // ---- mm_phash: perceptual near-dup over the multimodal column ----
+
+  /** Near-dup pairs count as "near" under this dHash hamming bound —
+    * the one-pixel-edit spec bound; unrelated images land near 32. */
+  val PhashMaxHamming = 8
+
+  /** mm_phash — the dedup ladder extended to the multimodal tier:
+    * every PNG payload is pixel-decoded BY THE ENGINE (graft_dhash,
+    * plans.Phash: Inflater + RFC 2083 defilter + luma — zero codec
+    * libraries) into a 64-bit perceptual difference hash, then
+    * near-dups cluster through the EXACT machinery dedup_simhash
+    * already proved at scale: 4×16-bit hamming bands with adaptive
+    * bucket sub-splitting sized by a skinny groupBy count broadcast
+    * back — never a window, never an all-pairs join. Non-PNG payloads
+    * (JPEG skeletons carry no entropy data, WAVs no pixels) fall out
+    * with a NULL hash before any shuffle. A re-encoded, resized or
+    * slightly-edited image shares its gradient signature, which
+    * byte-exact dedup_exact can never see.
+    */
+  private val opPhash = Op(
+    "mm_phash",
+    (s, dir) => {
+      import s.implicits._
+      graft.plans.GraftFunctions.register(s)
+      val hashes = ingest(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[MMIn])
+        .toDF()
+        .select(col("doc_id"), expr("graft_dhash(payload)").as("simhash"))
+        .filter(col("simhash").isNotNull)
+      val pairs = Dedup.simhashPairs(hashes, Dedup.SimhashMaxBucket)
+        .filter(col("hamming") <= PhashMaxHamming)
+      val perDoc = pairs.select(col("a").as("doc_id"), col("hamming"))
+        .union(pairs.select(col("b").as("doc_id"), col("hamming")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_near_dups"), min(col("hamming")).as("min_hamming"))
+      hashes.join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("simhash").as("phash"),
+          coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+          coalesce(col("min_hamming"), lit(-1L)).as("min_hamming"))
+    },
+    None)
+
+  val ops: Seq[Op] = Seq(opMeta, opEmbed, opPhash)
 }

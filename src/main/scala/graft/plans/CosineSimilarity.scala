@@ -284,6 +284,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_phrase_hits", phraseHitsBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dhash",
+      exprs => DHashExpr(exprs.head),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_span_corrupt",
       exprs => SpanCorruptExpr(exprs.head, exprs(1)),
       "built-in")

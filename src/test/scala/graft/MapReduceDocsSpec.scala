@@ -259,6 +259,38 @@ class MapReduceDocsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("score_rouge2: hand-computed stemmed-bigram overlap; counts align with rouge1") {
+    graft.plans.GraftFunctions.register(spark)
+    // stems: running→run, cats→cat. p bigrams = [run cat, cat sat];
+    // g bigrams = [run cat, cat mat] → multiset common 1
+    def bi(c: String) =
+      s"zip_with(slice($c, 1, greatest(size($c)-1, 0)), " +
+        s"slice($c, 2, greatest(size($c)-1, 0)), (x, y) -> concat(x, ' ', y))"
+    val r = Seq((Seq("running", "cats", "sat"), Seq("run", "cat", "mat")))
+      .toDF("p", "g")
+      .selectExpr("graft_stem(p) AS sp", "graft_stem(g) AS sg")
+      .selectExpr(s"${bi("sp")} AS bp", s"${bi("sg")} AS bg")
+      .selectExpr("bp", "bg", "graft_f1_common(bp, bg) AS c").head()
+    assert(r.getSeq[String](0) == Seq("run cat", "cat sat"), r.toString)
+    assert(r.getSeq[String](1) == Seq("run cat", "cat mat"), r.toString)
+    assert(r.getAs[Long]("c") == 1L)
+    // op level: bounded scores, zero-common ⇒ zero score, and the
+    // bigram counts are exactly rouge1's unigram counts minus one
+    // (same 10-token slice, same stems — stemming preserves counts)
+    val r2 = MapReduceDocs.ops.find(_.name == "score_rouge2").get
+      .query(spark, sfDir)
+    assert(r2.filter($"rouge2" < 0 || $"rouge2" > 1).count() == 0)
+    assert(r2.filter($"n_common" === 0 && $"rouge2" =!= 0.0).count() == 0)
+    val r1 = MapReduceDocs.ops.find(_.name == "score_rouge1").get
+      .query(spark, sfDir)
+      .select($"doc_id", $"n_pred".as("np1"), $"n_gold".as("ng1"))
+    val j = r2.join(r1, "doc_id")
+    assert(j.filter($"n_pred" =!= greatest($"np1" - 1, lit(0L))).count() == 0,
+      "pred bigram count must be unigram count - 1")
+    assert(j.filter($"n_gold" =!= greatest($"ng1" - 1, lit(0L))).count() == 0,
+      "gold bigram count must be unigram count - 1")
+  }
+
   test("graft_lcs: hand-computed LCS values and ROUGE-L formula") {
     graft.plans.GraftFunctions.register(spark)
     val df = Seq(

@@ -2122,6 +2122,85 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.filter($"avg_token_len" <= 0).count() == 0)
   }
 
+  test("mm_phash: dHash invariants — identical 0, one-pixel edit near, unrelated far") {
+    graft.plans.GraftFunctions.register(spark)
+    def lum(seed: Long)(x: Int, y: Int) = Multimodal.plantedLuma(seed, x, y)
+    val base = Multimodal.buildPng(32, 24, lum(42L))
+    val same = Multimodal.buildPng(32, 24, lum(42L))
+    val edited = Multimodal.buildPng(32, 24,
+      (x, y) => if (x == 7 && y == 5) 255 - lum(42L)(7, 5) else lum(42L)(x, y))
+    val other = Multimodal.buildPng(32, 24, lum(1042L))
+    val jpeg = Multimodal.buildJpeg(10, 10, 3)
+    val rows = Seq((1L, base), (2L, same), (3L, edited), (4L, other), (5L, jpeg))
+      .toDF("doc_id", "payload")
+      .select($"doc_id", expr("graft_dhash(payload)").as("h")).collect()
+    val h = rows.filter(!_.isNullAt(1)).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h.keySet == Set(1L, 2L, 3L, 4L), "JPEG skeleton must hash NULL")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(h(1L) == h(2L), "identical payloads must hash identically")
+    assert(ham(h(1L), h(3L)) <= Multimodal.PhashMaxHamming,
+      s"one-pixel edit drifted ${ham(h(1L), h(3L))} bits")
+    assert(ham(h(1L), h(4L)) > 16,
+      s"unrelated images too close: ${ham(h(1L), h(4L))} bits")
+  }
+
+  test("mm_phash: kernel decode matches javax.imageio on JDK-encoded (filtered) PNGs") {
+    // the JDK PNG encoder emits real adaptive scanline filters
+    // (Sub/Up/Paeth), so decoding its output exercises the defilter
+    // branches our zero-filter builder never produces; the expected
+    // hash recomputes from the DECODED pixel grid independently
+    graft.plans.GraftFunctions.register(spark)
+    val (w, hgt) = (40, 30)
+    val img = new java.awt.image.BufferedImage(
+      w, hgt, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until hgt; x <- 0 until w) {
+      val v = Multimodal.plantedLuma(7L, x, y)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    val jdkPng = baos.toByteArray
+    val got = Seq((1L, jdkPng)).toDF("doc_id", "payload")
+      .select(expr("graft_dhash(payload)")).head()
+    assert(!got.isNullAt(0), "kernel refused a JDK-encoded PNG")
+    // independent expectation from the BufferedImage's own pixels
+    val cells = Array.tabulate(8, 9) { (cy, cx) =>
+      val (y0, y1) = (cy * hgt / 8, math.max(cy * hgt / 8 + 1, (cy + 1) * hgt / 8))
+      val (x0, x1) = (cx * w / 9, math.max(cx * w / 9 + 1, (cx + 1) * w / 9))
+      var sum = 0L
+      for (y <- y0 until y1; x <- x0 until x1) {
+        val rgb = img.getRGB(x, y)
+        sum += ((rgb >> 16 & 0xff) + (rgb >> 8 & 0xff) + (rgb & 0xff)) / 3
+      }
+      (sum / ((x1 - x0).toLong * (y1 - y0))).toInt
+    }
+    var want = 0L
+    for (bit <- 0 until 64)
+      if (cells(bit / 8)(bit % 8 + 1) > cells(bit / 8)(bit % 8)) want |= 1L << bit
+    assert(got.getLong(0) == want,
+      f"kernel hash ${got.getLong(0)}%016x != imageio-derived $want%016x")
+  }
+
+  test("mm_phash: op output shape and banded (window-free) plan") {
+    val out = run("mm_phash").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 3 == 0, "only PNG docs carry a phash")
+      val mh = r.getAs[Long]("min_hamming")
+      assert(mh == -1L || (mh >= 0L && mh <= Multimodal.PhashMaxHamming))
+      assert((mh == -1L) == (r.getAs[Long]("n_near_dups") == 0L))
+    }
+    // inherits the dedup_simhash bucket contract: population sizing by
+    // skinny aggregate broadcast, never a window over band buckets
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = run("mm_phash").queryExecution.executedPlan
+      assert(plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, s"band bucket sizing regressed to a window:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("mine_bitext: margin ranks planted pairs first and demotes the hub decoy") {
     // hand candidate frame: two genuine pairs (0↔1, 2↔3), a HUB target
     // (9) moderately close to BOTH sources, and noise pairs. Pools
