@@ -78,6 +78,14 @@ object Bench {
       // a failed run (-1.0) poisons the median → report the failure
       val sec = if (samples.exists(_ < 0)) -1.0
                 else samples.sorted.apply(runs / 2)
+      // drop the query's persisted residue (localCheckpoint blocks,
+      // cached frames) before the next query: leftover storage blocks
+      // squeeze unified execution memory and tax every LATER query —
+      // measured as a uniform ~15-20% inflation across the suite once
+      // enough checkpoint-carrying queries accumulate in one JVM
+      spark.sqlContext.clearCache()
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
       appendLine(s"""{"query":"$name","sec":$sec,"runs":$runs}""")
       name -> sec
     }

@@ -904,7 +904,12 @@ object Dedup {
     fresh.select(col("doc_id"), md5(col("text")).as("th"),
         size(graft.functions.TextFns.tokens(col("text"))).cast("long")
           .as("n_toks"))
-      .join(histHash.select(col("th")).withColumn("is_exact_dup", lit(1L)),
+      // DISTINCT guards against cross-shard duplicate hashes in an
+      // APPENDED store (Fingerprints.append never rewrites history, so
+      // the same th can recur across shard files) — without it a dup
+      // th would fan the left join out and duplicate fresh rows
+      .join(histHash.select(col("th")).distinct()
+          .withColumn("is_exact_dup", lit(1L)),
         Seq("th"), "left")
       .join(starts, Seq("doc_id"), "left")
       .select(col("doc_id"),

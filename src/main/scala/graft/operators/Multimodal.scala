@@ -315,5 +315,36 @@ object Multimodal {
     },
     None)
 
+  /** 16-bit hamming-band rows (band_id, band_key) of a (…, phash)
+    * frame — the dedup_simhash banding applied to perceptual hashes;
+    * shared by the store writer (sources.Fingerprints.writePhashBands),
+    * the batch probe below and the streaming gate
+    * (streaming.Streams.ingestPhashGate).
+    */
+  private[graft] def phashBandRows(df: DataFrame): DataFrame =
+    df.withColumn("band_id", explode(sequence(lit(0L), lit(3L))))
+      .withColumn("band_key", expr("(shiftright(phash, band_id * 16) & 65535)"))
+
+  /** Batch core of the multimodal ingest near-dup check: each doc's 4
+    * phash band keys probe the PERSISTED band store — an (edited) copy
+    * of any historical image collides on ≥ 1 band (a one-pixel edit
+    * moves ≤ 2 hash bits, so ≥ 2 of the 4 16-bit bands stay intact).
+    * Asymmetric like dedup_incr_minhash: history pixels are decoded
+    * once at store build, never per ingest.
+    */
+  private[graft] def phashProbe(hashes: DataFrame,
+      bandStore: DataFrame): DataFrame = {
+    val hits = phashBandRows(hashes)
+      .join(bandStore.select(col("band_id"), col("band_key")).distinct(),
+        Seq("band_id", "band_key"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("band_id")).as("n_hist_bands"))
+    hashes.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("phash"),
+        coalesce(col("n_hist_bands"), lit(0L)).as("n_hist_bands"),
+        when(coalesce(col("n_hist_bands"), lit(0L)) >= 1L, 1L)
+          .otherwise(0L).as("near_hist"))
+  }
+
   val ops: Seq[Op] = Seq(opMeta, opEmbed, opPhash)
 }

@@ -35,21 +35,50 @@ import org.apache.spark.sql.functions._
   */
 object Fingerprints {
 
-  def write(hist: DataFrame, path: String, nShards: Int = 4): Unit = {
-    hist.select(md5(col("text")).as("th")).distinct()
-      .repartitionByRange(nShards, col("th"))
-      .sortWithinPartitions(col("th"))
-      .write.mode("overwrite").parquet(s"$path/content")
-    Dedup.minhashSigs(hist)
-      .select(explode(col("bands")).as("band_val")).distinct()
-      .repartitionByRange(nShards, col("band_val"))
-      .sortWithinPartitions(col("band_val"))
-      .write.mode("overwrite").parquet(s"$path/bands")
-    Dedup.spanHashes(hist).select(col("h")).distinct()
-      .repartitionByRange(nShards, col("h"))
-      .sortWithinPartitions(col("h"))
-      .write.mode("overwrite").parquet(s"$path/spans")
+  private def writeFrames(docs: DataFrame, path: String, nShards: Int,
+      mode: String): Unit = {
+    def shard(df: DataFrame, key: String, sub: String): Unit =
+      df.distinct()
+        .repartitionByRange(nShards, col(key))
+        .sortWithinPartitions(col(key))
+        .write.mode(mode).parquet(s"$path/$sub")
+    shard(docs.select(md5(col("text")).as("th")), "th", "content")
+    shard(Dedup.minhashSigs(docs)
+      .select(explode(col("bands")).as("band_val")), "band_val", "bands")
+    shard(Dedup.spanHashes(docs).select(col("h")), "h", "spans")
   }
+
+  def write(hist: DataFrame, path: String, nShards: Int = 4): Unit =
+    writeFrames(hist, path, nShards, "overwrite")
+
+  /** The store-MAINTENANCE half of the ingest loop (gate, then
+    * remember): an accepted shard's fingerprints land as NEW
+    * range-sharded files — old shards are never read or rewritten
+    * (append-only, the same log-structured move as ann_upsert).
+    * Cross-shard duplicate hash values are tolerated by contract:
+    * every store consumer reduces its probe side to DISTINCT before
+    * joining (spec'd), so append needs no read-modify-write of
+    * history — at 100 TB a dedup-on-write would re-pay the store
+    * scan per ingest tick for no semantic gain.
+    */
+  def append(shard: DataFrame, path: String, nShards: Int = 1): Unit =
+    writeFrames(shard, path, nShards, "append")
+
+  /** Multimodal extension of the store: distinct 16-bit hamming-band
+    * keys of the corpus's perceptual hashes (mm_phash) — the image
+    * half of the ingest firewall. `hashes` is a (…, phash) frame;
+    * history pixels are decoded exactly once, here.
+    */
+  def writePhashBands(hashes: DataFrame, path: String, nShards: Int = 1,
+      mode: String = "overwrite"): Unit =
+    graft.operators.Multimodal.phashBandRows(hashes)
+      .select(col("band_id"), col("band_key")).distinct()
+      .repartitionByRange(nShards, col("band_id"), col("band_key"))
+      .sortWithinPartitions(col("band_id"), col("band_key"))
+      .write.mode(mode).parquet(s"$path/phash_bands")
+
+  def readPhashBands(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/phash_bands")
 
   def readContent(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/content")

@@ -587,7 +587,11 @@ object Streams {
   def ingestGate(docs: DataFrame, historyHashes: DataFrame): DataFrame =
     docs
       .withColumn("th", md5(col("text")))
-      .join(historyHashes.select(col("th"), lit(1L).as("is_exact_dup")),
+      // DISTINCT: an appended store can carry the same th across shard
+      // files (Fingerprints.append) — a dup would fan the left join
+      // out and emit a doc twice
+      .join(historyHashes.select(col("th")).distinct()
+          .withColumn("is_exact_dup", lit(1L)),
         Seq("th"), "left")
       .select(col("doc_id"),
         coalesce(col("is_exact_dup"), lit(0L)).as("is_exact_dup"),
@@ -623,7 +627,8 @@ object Streams {
     val probes = graft.operators.Dedup.minhashSigs(docs)
       .select(col("doc_id"), col("sig_digest"),
         explode(col("bands")).as("band_val"))
-      .join(bandStore.select(col("band_val"), lit(1L).as("hit")),
+      .join(bandStore.select(col("band_val")).distinct()
+          .withColumn("hit", lit(1L)),
         Seq("band_val"), "left")
       .select(col("doc_id"), col("sig_digest"), col("band_val"),
         coalesce(col("hit"), lit(0L)).as("hit"))
@@ -644,6 +649,56 @@ object Streams {
           val n = matched.size.toLong
           Iterator.single(MinhashGateOut(id, digest, n,
             if (n >= 1L) 1L else 0L))
+      }
+  }
+
+  // ---- stream_ingest_phash: perceptual near-dup gate (multimodal) ----
+
+  private[streaming] case class PhashProbeRow(doc_id: Long, phash: Long,
+      band_id: Long, hit: Long)
+
+  case class PhashGateOut(doc_id: Long, phash: Long,
+      n_hist_bands: Long, near_hist: Long)
+
+  /** stream_ingest_phash — the ingest firewall extended to the
+    * MULTIMODAL tier (batch core: operators.Multimodal.phashProbe):
+    * each arriving image payload is pixel-decoded to its 64-bit dHash
+    * by the graft_dhash kernel (narrow, per-row), its 4 hamming-band
+    * keys probe the PERSISTED phash band store stream-static, and the
+    * per-doc roll-up runs in the same zero-state
+    * flatMapGroupsWithState shape as ingestMinhashGate. A re-encoded
+    * or slightly-edited copy of any historical image flags on arrival
+    * (a one-pixel edit moves ≤ 2 hash bits → ≥ 2 bands intact);
+    * non-PNG payloads pass through untested (no phash row). History
+    * pixels are decoded ONCE at store build — never per micro-batch.
+    */
+  def ingestPhashGate(docs: DataFrame, bandStore: DataFrame):
+      Dataset[PhashGateOut] = {
+    import docs.sparkSession.implicits._
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val hashed = docs
+      .withColumn("phash", expr("graft_dhash(payload)"))
+      .filter(col("phash").isNotNull)
+    val probes = graft.operators.Multimodal.phashBandRows(hashed)
+      .join(bandStore.select(col("band_id"), col("band_key")).distinct()
+          .withColumn("hit", lit(1L)),
+        Seq("band_id", "band_key"), "left")
+      .select(col("doc_id"), col("phash"), col("band_id"),
+        coalesce(col("hit"), lit(0L)).as("hit"))
+      .as[PhashProbeRow]
+    probes.groupByKey(_.doc_id)
+      .flatMapGroupsWithState[IndexFragState, PhashGateOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: Long, in: Iterator[PhashProbeRow],
+            state: GroupState[IndexFragState]) =>
+          val matched = new java.util.HashSet[java.lang.Long]()
+          var ph = 0L
+          in.foreach { p =>
+            ph = p.phash
+            if (p.hit == 1L) matched.add(p.band_id)
+          }
+          val n = matched.size.toLong
+          Iterator.single(PhashGateOut(id, ph, n, if (n >= 1L) 1L else 0L))
       }
   }
 

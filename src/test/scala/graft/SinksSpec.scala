@@ -225,10 +225,33 @@ class SinksSpec extends SparkSpec {
     // round-trip: flags from the reloaded store equal derive-fresh row-for-row
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq.toList).toSet
-    assert(rows(storeFed) == rows(operators.Dedup.incrementalDedup(all, split)),
+    val wantExact = rows(operators.Dedup.incrementalDedup(all, split))
+    val wantMh = rows(operators.Dedup.incrementalMinhash(all, split))
+    assert(rows(storeFed) == wantExact,
       "store-fed exact/containment ingest diverged from derive-fresh")
-    assert(rows(storeFedMh) == rows(operators.Dedup.incrementalMinhash(all, split)),
+    assert(rows(storeFedMh) == wantMh,
       "store-fed minhash ingest diverged from derive-fresh")
+    // store MAINTENANCE: a store grown by append (two half-history
+    // shards, second appended — old files never rewritten) gates
+    // identically to a one-shot build; cross-shard duplicate hashes
+    // are absorbed by the consumers' DISTINCT probe sides
+    val grownPath = base.resolve("grown").toString
+    val hist = spark.read.parquet(histPath)
+    sources.Fingerprints.write(hist.filter(col("doc_id") < split / 2), grownPath, nShards = 2)
+    val before = new java.io.File(s"$grownPath/content")
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    sources.Fingerprints.append(hist.filter(col("doc_id") >= split / 2), grownPath, nShards = 2)
+    val after = new java.io.File(s"$grownPath/content")
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    assert(before.subsetOf(after) && after.size > before.size,
+      "append must add files, never rewrite old shards")
+    assert(rows(operators.Dedup.incrementalDedupFrom(fresh,
+        sources.Fingerprints.readContent(spark, grownPath),
+        sources.Fingerprints.readSpans(spark, grownPath))) == wantExact,
+      "appended store diverged on the exact/containment gate")
+    assert(rows(operators.Dedup.incrementalMinhashFrom(fresh,
+        sources.Fingerprints.readBands(spark, grownPath))) == wantMh,
+      "appended store diverged on the minhash gate")
   }
 
   test("q22_approx_sketch: sketches land within declared error of exact") {

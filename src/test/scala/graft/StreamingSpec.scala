@@ -385,6 +385,58 @@ class StreamingSpec extends SparkSpec {
       s"edited copy missed: ${streamed(999999L)}")
   }
 
+  test("stream_ingest_phash: perceptual band-store probe equals batch; copies flag on arrival") {
+    implicit val sql = spark.sqlContext
+    graft.plans.GraftFunctions.register(spark)
+    def png(seed: Long) = operators.Multimodal.buildPng(32, 24,
+      operators.Multimodal.plantedLuma(seed, _, _))
+    // standing corpus: 40 images, pixels decoded ONCE into the store
+    val hist = (0L until 40L).map(i => (i, png(i))).toDF("doc_id", "payload")
+    val histHashes = hist.select($"doc_id",
+      expr("graft_dhash(payload)").as("phash"))
+    val store = java.nio.file.Files.createTempDirectory("graft-phstore")
+      .resolve("store").toString
+    sources.Fingerprints.writePhashBands(histHashes, store, nShards = 2)
+    val bandStore = sources.Fingerprints.readPhashBands(spark, store)
+    // arriving: fresh images, an EXACT copy of history image 3, a
+    // one-pixel EDIT of history image 5, and a WAV (no phash row)
+    val edited = operators.Multimodal.buildPng(32, 24,
+      (x, y) => if (x == 1 && y == 1)
+        255 - operators.Multimodal.plantedLuma(5L, 1, 1)
+      else operators.Multimodal.plantedLuma(5L, x, y))
+    val wav = operators.Multimodal.buildWav(1, 8000, 16, Array[Byte](1, 2))
+    val docs = ((100L until 130L).map(i => (i, png(i))) :+
+      (998L, png(3L))) :+ (999L, edited) :+ (700L, wav)
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = Streams.ingestPhashGate(in.toDF().toDF("doc_id", "payload"), bandStore)
+      .writeStream.format("memory").queryName("ingest_ph_out")
+      .outputMode("append").start()
+    in.addData(docs.take(11): _*)
+    q.processAllAvailable()
+    in.addData(docs.drop(11): _*)
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+      "perceptual gate must keep zero state rows")
+    q.stop()
+    val streamed = spark.table("ingest_ph_out").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_hist_bands"), r.getAs[Long]("near_hist"))).toMap
+    // non-PNG payloads pass through untested
+    assert(!streamed.contains(700L), "WAV must not produce a phash row")
+    val batch = operators.Multimodal.phashProbe(
+        docs.toDF("doc_id", "payload")
+          .select($"doc_id", expr("graft_dhash(payload)").as("phash"))
+          .filter($"phash".isNotNull),
+        bandStore).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_hist_bands"), r.getAs[Long]("near_hist"))).toMap
+    assert(streamed == batch, s"stream diverged from batch")
+    assert(streamed(998L) == ((4L, 1L)),
+      s"exact image copy must collide on all 4 bands: ${streamed(998L)}")
+    assert(streamed(999L)._1 >= 2L && streamed(999L)._2 == 1L,
+      s"one-pixel edit (<=2 hash bits) must keep >=2 bands: ${streamed(999L)}")
+  }
+
   test("stream_skipgram: folded pair deltas equal the batch co-occurrence matrix") {
     implicit val sql = spark.sqlContext
     val docs = Tables(spark, sfDir, "documents")
