@@ -121,9 +121,14 @@ object Phash {
     val h = u32(20).toInt
     val depth = b(24) & 0xff
     val color = b(25) & 0xff
+    val compression = b(26) & 0xff
+    val filterMethod = b(27) & 0xff
     val interlace = b(28) & 0xff
     if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return null
     if (depth != 8 || interlace != 0) return null
+    // only compression 0 (deflate) and filter method 0 are defined
+    // (RFC 2083 §4.1.1) — anything else would decode to garbage
+    if (compression != 0 || filterMethod != 0) return null
     val bpp = color match {
       case 0 => 1 // grayscale
       case 2 => 3 // truecolor
@@ -136,7 +141,9 @@ object Phash {
     var ok = true
     while (ok && p + 8 <= b.length) {
       val len = u32(p).toInt
-      if (len < 0 || p + 12 + len > b.length) ok = false
+      // long arithmetic: a crafted len near 2^31 must not wrap the sum
+      // negative and slip past the bound (nor wrap the p advance below)
+      if (len < 0 || p.toLong + 12L + len > b.length) ok = false
       else {
         val tag = new String(b, p + 4, 4, "US-ASCII")
         if (tag == "IDAT") zs.write(b, p + 8, len)
@@ -153,7 +160,10 @@ object Phash {
       var off = 0
       while (off < rawLen && !inf.finished()) {
         val n = inf.inflate(raw, off, rawLen - off)
-        if (n == 0 && inf.needsInput()) return null // truncated stream
+        // zero progress for ANY reason (truncated input, FDICT preset
+        // dictionary, …) means the stream cannot complete — bail rather
+        // than spin on a crafted payload
+        if (n == 0) return null
         off += n
       }
       if (off < rawLen) return null

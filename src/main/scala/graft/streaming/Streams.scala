@@ -290,7 +290,15 @@ object Streams {
       k: Int): DataFrame = {
     val (out, handle) = annServedWith(queries, index, k)
     val prev = annServeLegacy.getAndSet(handle)
-    if (prev != null) prev.close()
+    if (prev != null) {
+      // the previous index may still be serving a running stream — warn
+      // so concurrent users know to migrate to annServedWith + close()
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "annServed: releasing the previous legacy serving index; any " +
+          "stream still using it will fail — use annServedWith for " +
+          "overlapping streams")
+      prev.close()
+    }
     out
   }
 

@@ -2144,6 +2144,43 @@ class PipelineOpsSpec extends SparkSpec {
       s"unrelated images too close: ${ham(h(1L), h(4L))} bits")
   }
 
+  test("mm_phash: adversarial payloads hash NULL — no crash, no hang") {
+    import graft.plans.Phash
+    val good = Multimodal.buildPng(16, 16, Multimodal.plantedLuma(9L, _, _))
+    assert(Phash.dhash(good) != null, "baseline payload must decode")
+
+    // (1) declared chunk length near 2^31: Int arithmetic would wrap
+    // the bounds check negative and index past the buffer — must
+    // refuse, not throw (first IDAT length field sits at offset 33)
+    val hugeLen = good.clone()
+    java.nio.ByteBuffer.wrap(hugeLen, 33, 4).putInt(0x7ffffff0)
+    assert(Phash.dhash(hugeLen) == null)
+
+    // (2) zlib stream with FDICT set: inflate() returns 0 with
+    // needsInput()==false and finished()==false — must bail, not spin
+    // (CMF=0x78, FLG=0x20 keeps (CMF·256+FLG) % 31 == 0)
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + body.length)
+      bb.putInt(body.length)
+      bb.put(tag.getBytes("US-ASCII")); bb.put(body); bb.putInt(0)
+      bb.array() // CRC unchecked by the kernel
+    }
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(16).putInt(16).put(Array[Byte](8, 0, 0, 0, 0)).array()
+    val fdict = sig ++ chunk("IHDR", ihdr) ++
+      chunk("IDAT", Array[Byte](0x78, 0x20, 0, 0, 0, 1)) ++
+      chunk("IEND", Array.emptyByteArray)
+    assert(Phash.dhash(fdict) == null)
+
+    // (3) nonzero IHDR compression / filter method: only method 0 is
+    // defined — decoding as-if-standard would hash garbage
+    val badComp = good.clone(); badComp(26) = 1
+    val badFilt = good.clone(); badFilt(27) = 1
+    assert(Phash.dhash(badComp) == null)
+    assert(Phash.dhash(badFilt) == null)
+  }
+
   test("mm_phash: kernel decode matches javax.imageio on JDK-encoded (filtered) PNGs") {
     // the JDK PNG encoder emits real adaptive scanline filters
     // (Sub/Up/Paeth), so decoding its output exercises the defilter
