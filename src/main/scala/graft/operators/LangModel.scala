@@ -274,5 +274,125 @@ object LangModel {
       FROM sym GROUP BY 1, 2
       HAVING COUNT(*) >= $SkipMinCount"""))
 
-  val ops: Seq[Op] = Seq(opNgramLm, opColloc, opSkipgram)
+  // ---- perplexity_filter: reference-LM curation (the CCNet shape) ----
+  // ngram_lm is SELF-perplexity (model trained on the corpus it
+  // scores); CCNet (Wenzek 2020) instead trains the LM on a CURATED
+  // reference corpus (Wikipedia) and buckets the crawl per language
+  // into head/middle/tail at the 1/3 and 2/3 perplexity cuts — the
+  // middle+head slices become training data. This operator is that
+  // decision: the add-one bigram model (ngram_lm's integer-exact
+  // surprisal surrogate) is trained ONLY on the reference sources,
+  // every document is scored against the FROZEN model (a bigram the
+  // reference never saw gets the full add-one penalty via the left
+  // join's coalesce-to-zero counts), and each language is split into
+  // equal-count thirds by mean surprisal.
+  //
+  // Scale shape: the model is two skinny aggregations over the
+  // reference slice only (the filter reaches the parquet scan); the
+  // corpus-sized work is ONE left join of the bigram stream to the
+  // skinny model on (w1, w2) — text never crosses an exchange. The
+  // head/middle/tail ranks run over the per-DOC stats frame (4 skinny
+  // columns), partitioned by language; at 100 TB the exact per-lang
+  // sort is the CCNet algorithm itself, and the sketch shortcut is
+  // already in the library (quantile_bins_sketch: KLL cuts + CASE)
+  // when a one-bin-off tolerance is acceptable.
+
+  /** Sources 'src0'..'src<n-1>' form the curated reference slice. */
+  val RefSourceCount = 5
+
+  private[graft] def perplexityFilter(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val refPred = expr(s"CAST(substring(source, 4) AS INT) < $RefSourceCount")
+    val zt = shifted(d.filter(refPred))
+    val v = zt.agg(countDistinct(col("w1")).as("v"))
+    val c2 = zt.filter(col("w2").isNotNull)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val bg = shifted(d).filter(col("w2").isNotNull)
+    // c2 and c1 join SEPARATELY (unlike ngram_lm's fused model): an
+    // unseen bigram with a KNOWN context must keep that context's
+    // count — the add-one penalty is (c1+V)·S, not (0+V)·S
+    val scored = bg.join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("s", (length(bin(expr(
+        s"((coalesce(c1, 0L) + v) * $LmScale) DIV (coalesce(c12, 0L) + 1)")))
+        - 1).cast("long"))
+    val agg = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("sum_surprisal"))
+    val perDoc = d.select(col("doc_id"), col("lang"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_surprisal"), lit(0L)).as("sum_surprisal"))
+      // bigram-less docs carry no LM evidence: ordered last (worst),
+      // never 0/0 (ANSI-safe); ord is IEEE division of two exact
+      // int64s — bit-identical cross-engine, doc_id breaks ties
+      .withColumn("no_bg", when(col("n_bigrams") === 0L, 1).otherwise(0))
+      .withColumn("ord", when(col("n_bigrams") === 0L, 0.0)
+        .otherwise(col("sum_surprisal") / col("n_bigrams")))
+    val nl = perDoc.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+    val rn = row_number().over(Window.partitionBy(col("lang"))
+      .orderBy(col("no_bg"), col("ord"), col("doc_id")))
+    perDoc.join(broadcast(nl), Seq("lang"))
+      .withColumn("rn", rn)
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("sum_surprisal"),
+        when(col("n_bigrams") === 0L, -1.0)
+          .otherwise(round(col("sum_surprisal") / col("n_bigrams")
+            - lit(LmScaleBits.toDouble), 6)).as("bits_per_token"),
+        when(expr("((rn - 1) * 3) DIV nl") === 0L, "head")
+          .when(expr("((rn - 1) * 3) DIV nl") === 1L, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  private val opPplFilter = Op(
+    "perplexity_filter",
+    (s, dir) => perplexityFilter(docs(s, dir)),
+    Some(s"""
+      WITH d AS (SELECT doc_id, lang, source,
+          string_split(text, ' ') AS toks FROM documents),
+      zt AS (
+        SELECT doc_id, toks[i] AS w1,
+          CASE WHEN i < len(toks) THEN toks[i+1] END AS w2
+        FROM d, UNNEST(generate_series(1, len(toks))) AS u(i)
+        WHERE CAST(substring(source, 4) AS INT) < $RefSourceCount),
+      v AS (SELECT CAST(COUNT(DISTINCT w1) AS BIGINT) AS v FROM zt),
+      c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+             FROM zt WHERE w2 IS NOT NULL GROUP BY 1, 2),
+      c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+      bg AS (
+        SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        FROM d, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)),
+      sc AS (
+        SELECT bg.doc_id,
+          CAST(length(bin(((COALESCE(c1.c1, 0) + v.v) * $LmScale)
+            // (COALESCE(c2.c12, 0) + 1))) - 1 AS BIGINT) AS s
+        FROM bg LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
+          CROSS JOIN v),
+      agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                CAST(SUM(s) AS BIGINT) AS sum_surprisal
+              FROM sc GROUP BY 1),
+      pd AS (
+        SELECT dd.doc_id, dd.lang,
+          COALESCE(a.n_bigrams, 0) AS n_bigrams,
+          COALESCE(a.sum_surprisal, 0) AS sum_surprisal
+        FROM documents dd LEFT JOIN agg a ON dd.doc_id = a.doc_id),
+      rk AS (
+        SELECT *,
+          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+            (CASE WHEN n_bigrams = 0 THEN 1 ELSE 0 END),
+            (CASE WHEN n_bigrams = 0 THEN 0.0
+              ELSE sum_surprisal / n_bigrams END), doc_id) AS rn,
+          COUNT(*) OVER (PARTITION BY lang) AS nl
+        FROM pd)
+      SELECT doc_id, lang, n_bigrams, sum_surprisal,
+        CASE WHEN n_bigrams = 0 THEN -1.0
+          ELSE ROUND(sum_surprisal / n_bigrams - $LmScaleBits.0, 6)
+          END AS bits_per_token,
+        CASE ((rn - 1) * 3) // nl WHEN 0 THEN 'head'
+          WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+      FROM rk"""))
+
+  val ops: Seq[Op] = Seq(opNgramLm, opColloc, opSkipgram, opPplFilter)
 }

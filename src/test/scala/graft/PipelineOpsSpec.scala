@@ -1502,6 +1502,54 @@ class PipelineOpsSpec extends SparkSpec {
     assert(BigInt(big) * big > BigInt(Long.MaxValue))
   }
 
+  test("perplexity_filter: frozen reference model, OOV penalty, per-lang thirds") {
+    // reference slice (src0..src4): "a b a b a b" + "a b a b"
+    //   → c2: (a,b)=5 (b,a)=3; c1: a=5 b=3; V = {a,b} = 2
+    // s(a,b) = ilog2(7·65536 div 6 = 76458)  = 16
+    // s(b,a) = ilog2(5·65536 div 4 = 81920)  = 16
+    // fully-OOV bigram: ilog2((0+2)·65536 div 1) = 17
+    // OOV continuation of known context b: ilog2((3+2)·65536 div 1) = 18
+    val docs = Seq(
+      (1L, "a b a b a b", "en", "src0"),
+      (2L, "a b a b", "en", "src0"),
+      (3L, "a b a b", "en", "src9"),    // in-model: 2·16+16 = 48, bpt 0.0
+      (4L, "q r s t u v", "en", "src9"),// 5 OOV bigrams · 17 = 85, bpt 1.0
+      (5L, "z", "en", "src9"),          // bigram-less → sentinel, ranked last
+      (6L, "a b q r", "en", "src9")     // 16 + 18 + 17 = 51, bpt 1.0
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = operators.LangModel.perplexityFilter(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_surprisal"),
+          r.getAs[Double]("bits_per_token"), r.getAs[String]("bucket")))).toMap
+    assert(out(3L) == ((3L, 48L, 0.0, "middle")), s"${out(3L)}")
+    assert(out(4L) == ((5L, 85L, 1.0, "middle")), s"${out(4L)}")
+    assert(out(6L) == ((3L, 51L, 1.0, "tail")), s"${out(6L)}")
+    assert(out(5L) == ((0L, 0L, -1.0, "tail")), s"${out(5L)}")
+    // 6 docs, one lang → thirds of 2: ranks (by mean surprisal, doc_id
+    // ties, bigram-less last) are 1,2,3 @ ord 16 then 4,6 @ 17 then 5
+    assert(out(1L)._4 == "head" && out(2L)._4 == "head")
+    // the CCNet property: reference-like text beats out-of-domain text
+    assert(out(3L)._3 < out(4L)._3)
+  }
+
+  test("perplexity_filter: no Exchange carries the corpus text") {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = run("perplexity_filter").queryExecution.executedPlan
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.nonEmpty, s"expected skinny count shuffles:\n$plan")
+      (shuffles: Seq[org.apache.spark.sql.execution.SparkPlan]).foreach { e =>
+        assert(!e.output.exists(_.name == "text"),
+          s"an exchange carries the corpus text:\n$e")
+      }
+      plan.collect { case e: BroadcastExchangeExec => e }.foreach { e =>
+        assert(!e.output.exists(_.name == "text"),
+          s"a broadcast carries the corpus text:\n$e")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("ngram_lm: no Exchange carries the corpus text") {
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
     // train + score over the corpus moves only skinny (doc_id, w1, w2)
