@@ -12,7 +12,8 @@ object SparkEntry {
       operators.TextAnalysis.ops ++ operators.Dedup.ops ++
       operators.Similarity.ops ++ operators.Multimodal.ops ++
       operators.Sampling.ops ++ operators.Bpe.ops ++ operators.Curate.ops ++
-      operators.LangModel.ops ++ operators.Profile.ops ++
+      operators.LangModel.ops ++ operators.Graph.ops ++
+      operators.Profile.ops ++
       operators.Search.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

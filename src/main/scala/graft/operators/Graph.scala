@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** graph_pagerank — link-graph centrality as a data-quality signal.
+  *
+  * The web-scale curation stacks rank the HOST GRAPH and use the rank
+  * as a document-quality prior (Common Crawl publishes harmonic/PageRank
+  * host rankings; CCNet/RefinedWeb-family pipelines filter or stratify
+  * by them). The reference corpus has no hyperlinks, so the graph here
+  * is the navigation graph its event log induces: consecutive events of
+  * one user link the previous item to the next (`props.k` is the item),
+  * exactly how a session-based "domain A leads to domain B" edge list
+  * is mined from crawl logs. The op then runs PageRank (Page et al.
+  * 1999) for a fixed [[PrIters]] rounds at damping 0.85.
+  *
+  * Everything is INTEGER fixed-point so the DuckDB oracle matches
+  * bit-for-bit (the [[graft.functions.PorterSql]] precedent: the oracle
+  * SQL is GENERATED, one CTE per iteration, same recurrence):
+  *
+  *   r_0(v)   = S div N
+  *   r_{t+1}(v) = (15·(S div N) + 85·Σ_{e:u→v} w(e)·(r_t(u) div out(u)))
+  *                div 100
+  *
+  * with S = 10^15. Bounds: per-source contributions sum to ≤ r_t(u), so
+  * any node's inflow ≤ S and 85·inflow ≤ 8.5e16 — int64-safe at any
+  * graph size (rank mass only shrinks: integer div truncation + dangling
+  * nodes leak mass, the standard simplification — ORDERING, which is
+  * what a quality filter consumes, is unaffected).
+  *
+  * Scale shape: transitions are one per-user window over the event log
+  * (user_id is the natural partition key); the graph collapses to a
+  * skinny weighted edge list ≪ the log. Each iteration is one
+  * shuffle-join of edges to the rank frame on src plus one groupBy dst
+  * — both co-partitioned on node keys; the edge frame (joined with
+  * out-degrees once) is checkpointed so 8 rounds reuse one
+  * materialization, and every round's rank frame is checkpointed to
+  * keep lineage flat (the dedup_cluster pointer-jumping discipline).
+  * Rank rows are 2 longs/node — a 1000-executor run shuffles node-count
+  * rows, never the event log, after round 0.
+  */
+object Graph {
+
+  /** Fixed-point scale for rank mass. */
+  val PrScale = 1000000000000000L // 1e15
+
+  /** Fixed iteration count — host-rank pipelines run a constant number
+    * of sweeps, not to convergence (ordering stabilizes much earlier).
+    */
+  val PrIters = 8
+
+  private def events(s: SparkSession, dir: String) = Tables(s, dir, "events")
+
+  /** Weighted item→item transition edges from the event log. */
+  private[graft] def transitionEdges(ev: DataFrame): DataFrame = {
+    val item = ev.select(col("user_id"), col("event_id"),
+      expr("CAST(get_json_object(props, '$.k') AS INT)").as("it"))
+    // event_id is unique and insertion-ordered: the one ORDER BY both
+    // engines sort identically (ts has ns-vs-µs tie ambiguity)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    item.withColumn("src", lag(col("it"), 1).over(w))
+      .filter(col("src").isNotNull)
+      .groupBy(col("src"), col("it").as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  private[graft] def pagerank(ev: DataFrame): DataFrame = {
+    val edges = transitionEdges(ev)
+    val outdeg = edges.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
+    // one materialization feeds all rounds
+    val e = edges.join(outdeg, Seq("src")).localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct().localCheckpoint()
+    val nN = nodes.agg(count(lit(1)).as("n"))
+    var ranks = nodes.crossJoin(broadcast(nN))
+      .select(col("node"), expr(s"$PrScale DIV n").as("r"))
+    for (_ <- 1 to PrIters) {
+      val contrib = e.join(ranks, e("src") === ranks("node"))
+        .select(col("dst"), expr("w * (r DIV outdeg)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("cin"))
+      ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .crossJoin(broadcast(nN))
+        .select(col("node"),
+          expr(s"(15 * ($PrScale DIV n) + 85 * coalesce(cin, 0L)) DIV 100")
+            .as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("r").as("rank_fp"))
+  }
+
+  private def iterSql(t: Int): String = {
+    val prev = if (t == 1) "r0" else s"r${t - 1}"
+    s"""r$t AS (
+        SELECT nodes.node,
+          CAST((15 * ($PrScale // nn.n) + 85 * COALESCE(c.cin, 0)) // 100
+            AS BIGINT) AS r
+        FROM nodes
+        LEFT JOIN (
+          SELECT e.dst, SUM(e.w * ($prev.r // e.outdeg)) AS cin
+          FROM e JOIN $prev ON e.src = $prev.node
+          GROUP BY e.dst) c ON nodes.node = c.dst
+        CROSS JOIN nn)"""
+  }
+
+  private val opPagerank = Op(
+    "graph_pagerank",
+    (s, dir) => pagerank(events(s, dir)),
+    Some(s"""
+      WITH ev AS (
+        SELECT user_id, event_id,
+          CAST(regexp_extract(props, '[0-9]+') AS INT) AS it
+        FROM events),
+      tr AS (
+        SELECT LAG(it) OVER (PARTITION BY user_id ORDER BY event_id)
+            AS src, it AS dst
+        FROM ev),
+      eg AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+             FROM tr WHERE src IS NOT NULL GROUP BY 1, 2),
+      od AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outdeg
+             FROM eg GROUP BY 1),
+      e AS (SELECT eg.src, eg.dst, eg.w, od.outdeg
+            FROM eg JOIN od ON eg.src = od.src),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+      r0 AS (SELECT node, CAST($PrScale // n AS BIGINT) AS r
+             FROM nodes CROSS JOIN nn),
+      ${(1 to PrIters).map(iterSql).mkString(",\n      ")}
+      SELECT node, r AS rank_fp FROM r$PrIters"""))
+
+  val ops: Seq[Op] = Seq(opPagerank)
+}

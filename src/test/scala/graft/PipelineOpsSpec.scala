@@ -1550,6 +1550,39 @@ class PipelineOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("graph_pagerank: equals an independent in-memory integer evaluation; hub ranks first") {
+    // three user sessions; session 3 funnels into hub item 9
+    val sessions = Seq(
+      1L -> Seq(1, 2, 3, 1, 2),
+      2L -> Seq(2, 1, 4),
+      3L -> Seq(5, 9, 6, 9, 7, 9))
+    var eid = 0L
+    val ev = sessions.flatMap { case (u, its) =>
+      its.map { it => eid += 1; (eid, u, s"""{"k": $it}""") }
+    }.toDF("event_id", "user_id", "props")
+    val got = operators.Graph.pagerank(ev).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+    // independent evaluation of the published recurrence in plain Scala
+    val S = operators.Graph.PrScale
+    val pairs = sessions.flatMap { case (_, its) => its.zip(its.tail) }
+    val w = pairs.groupBy(identity).map { case (e, g) => e -> g.size.toLong }
+    val outdeg = w.groupBy(_._1._1).map { case (s0, g) => s0 -> g.values.sum }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val n = nodes.size.toLong
+    var r = nodes.map(_ -> S / n).toMap
+    for (_ <- 1 to operators.Graph.PrIters) {
+      val cin = w.toSeq.groupBy(_._1._2).map { case (dst, es) =>
+        dst -> es.map { case ((s0, _), we) => we * (r(s0) / outdeg(s0)) }.sum
+      }
+      r = nodes.map(v => v -> (15L * (S / n) + 85L * cin.getOrElse(v, 0L)) / 100L).toMap
+    }
+    assert(got == r, s"spark=$got\nref  =$r")
+    // truncation only ever LEAKS rank mass — never creates it
+    assert(got.values.sum <= S)
+    assert(got(9) == got.values.max, "the funnel hub must rank first")
+  }
+
   test("ngram_lm: no Exchange carries the corpus text") {
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
     // train + score over the corpus moves only skinny (doc_id, w1, w2)
