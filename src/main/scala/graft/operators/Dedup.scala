@@ -1007,7 +1007,78 @@ object Dedup {
     (s, dir) => incrementalMinhash(docs(s, dir), IncrSplit),
     None)
 
+  // ---- ingest_bloom: constant-size pre-gate for the ingest firewall ----
+  // dedup_incremental's exact gate probes the persisted content-hash
+  // store with a JOIN — at 100 TB that shuffles every arriving shard's
+  // hashes against a billion-row store even when (the common case)
+  // almost every arriving doc is new. The standard fix is a Bloom
+  // filter of the store: a CONSTANT-SIZE sketch (Spark's own
+  // runtime-filter machinery, BloomFilterAggregate /
+  // BloomFilterMightContain, surfaced as graft_bloom_agg /
+  // graft_bloom_contains) that rides as one bounded driver value and
+  // answers "definitely new" per row with ZERO shuffle. Only bloom
+  // SURVIVORS (true dups + the bounded false-positive trickle) reach
+  // the exact confirm join, so the join's probe side shrinks from
+  // |shard| to ~|dups|. False negatives are impossible (bloom
+  // guarantee), so the end-to-end verdict equals dedup_incremental's
+  // exact flag row-for-row — which is exactly what the SQL oracle
+  // checks; the fp-rate/pruning behavior is spec territory.
+  // The one-row driver collect of the sketch is the bounded-scalar
+  // precedent (k-means caps, counted broadcast guards): ~1 MB at the
+  // session's runtime-filter defaults, 8 MB at the Spark cap.
+
+  /** Store-fed core: `histHash` is the content-hash frame of the
+    * caller's provenance — derived fresh ([[bloomGate]], the oracled
+    * driver query) or the reloaded `sink_fingerprints` `content/`
+    * store. Output: (doc_id, bloom_pass, is_exact_dup); bloom_pass
+    * is the sketch's probabilistic verdict (kept for observability),
+    * is_exact_dup the confirmed one.
+    */
+  private[graft] def bloomGateFrom(fresh: DataFrame,
+      histHash: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(fresh.sparkSession)
+    val bloomBytes = histHash.select(col("th"))
+      .agg(call_function("graft_bloom_agg", xxhash64(col("th"))).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    // empty history → null sketch → nothing passes (vacuously correct)
+    val bf = if (bloomBytes == null) lit(null).cast("binary")
+      else lit(bloomBytes)
+    val gated = fresh.select(col("doc_id"), md5(col("text")).as("th"))
+      .withColumn("bloom_pass",
+        when(call_function("graft_bloom_contains", bf, xxhash64(col("th"))),
+          1L).otherwise(0L))
+    val confirmed = gated.filter(col("bloom_pass") === 1L)
+      .join(histHash.select(col("th")).distinct()
+          .withColumn("hit", lit(1L)), Seq("th"), "left")
+      .select(col("doc_id"), col("hit"))
+    gated.select(col("doc_id"), col("bloom_pass"))
+      .join(confirmed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("bloom_pass"),
+        coalesce(col("hit"), lit(0L)).as("is_exact_dup"))
+  }
+
+  private[graft] def bloomGate(d: DataFrame, split: Long): DataFrame =
+    bloomGateFrom(
+      d.filter(col("doc_id") >= split),
+      d.filter(col("doc_id") < split).select(md5(col("text")).as("th")))
+      // the sketch's raw verdict is not cross-engine-expressible; the
+      // driver query ships the deterministic end-to-end columns
+      .select(col("doc_id"), col("is_exact_dup"))
+
+  private val opBloomGate = Op(
+    "ingest_bloom",
+    (s, dir) => bloomGate(docs(s, dir), IncrSplit),
+    Some(s"""
+      WITH hh AS (SELECT DISTINCT md5(text) AS th FROM documents
+        WHERE doc_id < $IncrSplit)
+      SELECT f.doc_id,
+        CAST(CASE WHEN hh.th IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+          AS is_exact_dup
+      FROM documents f LEFT JOIN hh ON md5(f.text) = hh.th
+      WHERE f.doc_id >= $IncrSplit"""))
+
   val ops: Seq[Op] =
     Seq(opExact, opMinhash, opSimhash, opJaccard, opContam, opCluster, opSpan,
-      opPipeline, opSubstr, opSubstrLadder, opIncremental, opIncrMinhash)
+      opPipeline, opSubstr, opSubstrLadder, opIncremental, opIncrMinhash,
+      opBloomGate)
 }

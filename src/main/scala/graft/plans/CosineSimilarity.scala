@@ -104,6 +104,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.mediaMetaDescriptor)
     ext.injectFunction(GraftFunctions.phraseHitsDescriptor)
     ext.injectFunction(GraftFunctions.spanCorruptDescriptor)
+    ext.injectFunction(GraftFunctions.bloomAggDescriptor)
+    ext.injectFunction(GraftFunctions.bloomContainsDescriptor)
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectOptimizerRule(_ => PushFilterThroughTopK)
   }
@@ -147,6 +149,40 @@ object GraftFunctions {
     FunctionIdentifier("graft_minhash_sig"),
     new ExpressionInfo(classOf[MinhashSigExpr].getName, "graft_minhash_sig"),
     (exprs: Seq[Expression]) => MinhashSigExpr(exprs.head): Expression)
+
+  // Spark's OWN runtime-filter bloom machinery (BloomFilterAggregate /
+  // BloomFilterMightContain) surfaced as callable functions — the
+  // engine ships the constant-size sketch + membership probe but only
+  // wires them into its internal join-filter rule; the ingest_bloom
+  // pre-gate calls them directly. 1-arg agg form uses the session's
+  // runtime-filter size defaults; the 3-arg form pins (items, bits).
+  private[plans] val bloomAggBuilder = (exprs: Seq[Expression]) =>
+    (exprs.size match {
+      case 1 => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs.head)
+      case 2 => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs.head, exprs(1))
+      case _ => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs.head, exprs(1), exprs(2))
+    }): Expression
+
+  private[plans] val bloomContainsBuilder = (exprs: Seq[Expression]) =>
+    new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      exprs.head, exprs(1)): Expression
+
+  private[plans] val bloomAggDescriptor = (
+    FunctionIdentifier("graft_bloom_agg"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+      "graft_bloom_agg"),
+    bloomAggBuilder)
+
+  private[plans] val bloomContainsDescriptor = (
+    FunctionIdentifier("graft_bloom_contains"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+      "graft_bloom_contains"),
+    bloomContainsBuilder)
 
   private[plans] val bleuSmoothDescriptor = (
     FunctionIdentifier("graft_bleu_smooth"),
@@ -263,6 +299,10 @@ object GraftFunctions {
       "graft_bleu_smooth",
       exprs => BleuSmoothExpr(exprs.head),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg", bloomAggBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_contains", bloomContainsBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bpe", bpeBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -1583,6 +1583,67 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(9) == got.values.max, "the funnel hub must rank first")
   }
 
+  test("ingest_bloom: no false negatives, bounded survivors, == exact gate, store-fed") {
+    // history: 40 docs; shard: 60 fresh + 5 planted exact copies
+    val hist = (0L until 40L).map(i => (i, s"history doc $i body ${i * 7}"))
+    val dupOf = Seq(3L, 11L, 19L, 27L, 35L)
+    val shard = (100L until 160L).map(i => (i, s"fresh doc $i payload ${i * 13}")) ++
+      dupOf.zipWithIndex.map { case (h, j) => (200L + j, s"history doc $h body ${h * 7}") }
+    val d = (hist ++ shard).toDF("doc_id", "text")
+    val out = operators.Dedup.bloomGateFrom(
+      d.filter($"doc_id" >= 100L),
+      d.filter($"doc_id" < 100L).select(md5($"text").as("th"))).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // bloom guarantee: every true dup passes the sketch AND confirms
+    dupOf.indices.foreach { j =>
+      assert(out(200L + j) == ((1L, 1L)), s"dup ${200L + j}: ${out(200L + j)}")
+    }
+    // no fresh doc is ever CONFIRMED a dup (fp dies at the exact join)
+    (100L until 160L).foreach(i => assert(out(i)._2 == 0L))
+    // the pre-gate prunes: survivors ≈ dups (+ a vanishing fp trickle
+    // at the default 1M-item sizing over 40 inserted hashes)
+    val survivors = out.values.count(_._1 == 1L)
+    assert(survivors >= 5 && survivors <= 10, s"survivors=$survivors")
+
+    // verdict == dedup_incremental's exact flag, row-for-row, and the
+    // store-fed path (reloaded sink_fingerprints content frame) agrees
+    val store = java.nio.file.Files.createTempDirectory("bloomstore").toString
+    sources.Fingerprints.write(d.filter($"doc_id" < 100L), store, nShards = 2)
+    val fromStore = operators.Dedup.bloomGateFrom(
+      d.filter($"doc_id" >= 100L),
+      sources.Fingerprints.readContent(spark, store)).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val exact = operators.Dedup.incrementalDedup(d, 100L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("is_exact_dup")).toMap
+    out.foreach { case (id, (_, dup)) =>
+      assert(exact(id) == dup, s"doc $id: bloom verdict $dup != exact ${exact(id)}")
+      assert(fromStore(id) == dup, s"doc $id: store-fed ${fromStore(id)} != $dup")
+    }
+  }
+
+  test("ingest_bloom: confirm join probes only bloom survivors") {
+    // the exact join's stream side must be the bloom-filtered frame,
+    // not the full shard: with AQE off, find the join and check its
+    // probe subtree carries the bloom_pass filter
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = run("ingest_bloom").queryExecution.executedPlan
+      val gatedJoins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+            if j.children.exists(_.toString.contains("might_contain")) => j
+      }
+      assert(gatedJoins.nonEmpty,
+        s"no join probes the bloom-survivor frame:\n$plan")
+      // bonus inference Catalyst makes from the equi-join constraint:
+      // the bloom predicate propagates to the HISTORY side too, so the
+      // store scan itself is pre-filtered by the sketch
+      assert(plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.toString.contains("might_contain") => s
+      }.nonEmpty, s"bloom predicate not pushed into a scan:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("ngram_lm: no Exchange carries the corpus text") {
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
     // train + score over the corpus moves only skinny (doc_id, w1, w2)
