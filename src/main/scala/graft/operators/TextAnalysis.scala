@@ -566,7 +566,89 @@ object TextAnalysis {
         n_tokens * 10000 // tt AS tok_share_bp
       FROM g CROSS JOIN t"""))
 
+  // ---- quality_gopher: the published Gopher rule set, integer-exact ----
+  // text_quality/quality_filter are this library's own heuristics;
+  // quality_gopher is the NAMED rule set from Gopher (Rae et al. 2021,
+  // Table A1) that MassiveText, RefinedWeb and the Llama-family data
+  // recipes reuse, so a user can reproduce those corpora's filter
+  // decisions verbatim: word-count bounds [50, 100k], mean word length
+  // [3, 10], symbol-to-word ratio ≤ 0.1 (# and ellipsis), ≥ 80 % of
+  // words contain an alphabetic character, and ≥ 2 distinct stop words
+  // present. (The two LINE-shape rules — bullet/ellipsis line starts —
+  // need a line-structured corpus; this table's documents are
+  // single-line, so they are vacuously true and not emitted.)
+  // Every ratio is an integer surrogate (mean length ×100, ratios in
+  // basis points — the data_card convention) so the DuckDB oracle
+  // matches bit-for-bit. One narrow projection per doc: array lambdas
+  // + replace-count tricks, no shuffle, no UDF.
+  // Gopher's published English list plus "a" — the stop-list is the
+  // one corpus/language-ADAPTED knob of the rule set (CCNet/Gopher
+  // localize it per language); this table's synthetic vocabulary
+  // carries exactly {the, a} as function words, so the canonical
+  // 8-word list alone would fail every document vacuously.
+  private val GopherStops = Seq("the", "a", "be", "to", "of", "and",
+    "that", "have", "with")
+
+  private[graft] def qualityGopher(d: DataFrame): DataFrame = {
+    val stopHits = GopherStops.map(w =>
+      when(array_contains(col("toks"), w), 1L).otherwise(0L))
+      .reduce(_ + _)
+    d.withColumn("toks", TextFns.tokens(col("text")))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("sum_len", expr(
+        "aggregate(toks, 0L, (a, w) -> a + length(w))"))
+      .withColumn("n_alpha", expr(
+        "CAST(size(filter(toks, w -> w rlike '[a-zA-Z]')) AS LONG)"))
+      .withColumn("n_sym", expr(
+        """CAST((length(text) - length(replace(text, '#', '')))
+          + (length(text) - length(replace(text, '...', ''))) DIV 3
+          AS LONG)"""))
+      .withColumn("mwl_x100", expr("sum_len * 100 DIV n_words"))
+      .withColumn("symbol_bp", expr("n_sym * 10000 DIV n_words"))
+      .withColumn("alpha_bp", expr("n_alpha * 10000 DIV n_words"))
+      .withColumn("stop_hits", stopHits)
+      .select(col("doc_id"), col("n_words"), col("mwl_x100"),
+        col("symbol_bp"), col("alpha_bp"), col("stop_hits"),
+        when(col("n_words").between(50L, 100000L)
+          && col("mwl_x100").between(300L, 1000L)
+          && col("symbol_bp") <= 1000L
+          && col("alpha_bp") >= 8000L
+          && col("stop_hits") >= 2L, 1L).otherwise(0L).as("pass_gopher"))
+  }
+
+  private val opGopher = Op(
+    "quality_gopher",
+    (s, dir) => qualityGopher(docs(s, dir)),
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, text, string_split(text, ' ') AS toks
+        FROM documents),
+      m AS (
+        SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS n_words,
+          CAST(list_aggregate(list_transform(toks, w -> length(w)), 'sum')
+            AS BIGINT) AS sum_len,
+          CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]')))
+            AS BIGINT) AS n_alpha,
+          CAST((length(text) - length(replace(text, '#', '')))
+            + (length(text) - length(replace(text, '...', ''))) // 3
+            AS BIGINT) AS n_sym,
+          CAST(${GopherStops.map(w => s"CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END")
+            .mkString(" + ")} AS BIGINT) AS stop_hits
+        FROM t)
+      SELECT doc_id, n_words,
+        sum_len * 100 // n_words AS mwl_x100,
+        n_sym * 10000 // n_words AS symbol_bp,
+        n_alpha * 10000 // n_words AS alpha_bp,
+        stop_hits,
+        CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+          AND sum_len * 100 // n_words BETWEEN 300 AND 1000
+          AND n_sym * 10000 // n_words <= 1000
+          AND n_alpha * 10000 // n_words >= 8000
+          AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS pass_gopher
+      FROM m"""))
+
   val ops: Seq[Op] = Seq(opLangId, opQuality, opTokenCount, opFingerprint,
     opRepetition, opPii, opVocab, opCompress, opFilter, opKeywords, opIndex,
-    opDataCard)
+    opDataCard, opGopher)
 }

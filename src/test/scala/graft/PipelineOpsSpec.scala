@@ -1583,6 +1583,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(9) == got.values.max, "the funnel hub must rank first")
   }
 
+  test("quality_gopher: each rule trips independently on planted docs") {
+    val body = Array.fill(60)("word").zipWithIndex
+      .map { case (w, i) => if (i == 0) "the" else if (i == 1) "a" else w }
+    val good = body.mkString(" ")                       // 60 words, mwl 3.63
+    val short = "the a word word word"                  // n_words 5 < 50
+    val longWords = (Seq("the", "a") ++
+      Array.fill(58)("supercalifragilistic")).mkString(" ") // mwl > 10
+    val symbols = (Seq("the", "a") ++ Array.fill(29)("word") ++
+      Array.fill(29)("#")).mkString(" ")                // 29 '#' / 60 words
+    val nonAlpha = (Seq("the", "a") ++ Array.fill(19)("word") ++
+      Array.fill(39)("123")).mkString(" ")              // alpha 21/60 < 80 %
+    val noStops = Array.fill(60)("word").mkString(" ")  // 0 stop hits
+    val d = Seq((1L, good), (2L, short), (3L, longWords), (4L, symbols),
+      (5L, nonAlpha), (6L, noStops)).toDF("doc_id", "text")
+    val out = operators.TextAnalysis.qualityGopher(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("pass_gopher") == 1L, s"${out(1L)}")
+    (2L to 6L).foreach(i =>
+      assert(out(i).getAs[Long]("pass_gopher") == 0L, s"doc $i: ${out(i)}"))
+    // integer surrogates: 60 words of summed length 236 → 393;
+    // 29 symbols over 60 words → 4833 bp; 21 alpha words → 3500 bp
+    assert(out(1L).getAs[Long]("mwl_x100") == 393L)
+    assert(out(4L).getAs[Long]("symbol_bp") == 4833L)
+    assert(out(5L).getAs[Long]("alpha_bp") == 3500L)
+    assert(out(6L).getAs[Long]("stop_hits") == 0L)
+  }
+
   test("ingest_bloom: no false negatives, bounded survivors, == exact gate, store-fed") {
     // history: 40 docs; shard: 60 fresh + 5 planted exact copies
     val hist = (0L until 40L).map(i => (i, s"history doc $i body ${i * 7}"))
