@@ -300,14 +300,29 @@ object LangModel {
   /** Sources 'src0'..'src<n-1>' form the curated reference slice. */
   val RefSourceCount = 5
 
-  private[graft] def perplexityFilter(d: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The reference model's three frames: bigram counts (w1, w2, c12),
+    * context counts (w1, c1), vocabulary size (one row, v) — trained
+    * on the curated slice only. This is the shape `sources.LmModel`
+    * persists: derive once, score every later shard/stream against it.
+    */
+  private[graft] def refCounts(d: DataFrame):
+      (DataFrame, DataFrame, DataFrame) = {
     val refPred = expr(s"CAST(substring(source, 4) AS INT) < $RefSourceCount")
     val zt = shifted(d.filter(refPred))
     val v = zt.agg(countDistinct(col("w1")).as("v"))
     val c2 = zt.filter(col("w2").isNotNull)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    (c2, c1, v)
+  }
+
+  /** Score `d` against a FROZEN model of the caller's provenance —
+    * trained in-line ([[perplexityFilter]], the oracled driver query)
+    * or reloaded from the persisted `sources.LmModel` bundle. Output
+    * per doc: (doc_id, lang, n_bigrams, sum_surprisal, no_bg, ord).
+    */
+  private[graft] def scoreAgainst(d: DataFrame, c2: DataFrame,
+      c1: DataFrame, v: DataFrame): DataFrame = {
     val bg = shifted(d).filter(col("w2").isNotNull)
     // c2 and c1 join SEPARATELY (unlike ngram_lm's fused model): an
     // unseen bigram with a KNOWN context must keep that context's
@@ -320,7 +335,7 @@ object LangModel {
         - 1).cast("long"))
     val agg = scored.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("sum_surprisal"))
-    val perDoc = d.select(col("doc_id"), col("lang"))
+    d.select(col("doc_id"), col("lang"))
       .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
@@ -331,19 +346,52 @@ object LangModel {
       .withColumn("no_bg", when(col("n_bigrams") === 0L, 1).otherwise(0))
       .withColumn("ord", when(col("n_bigrams") === 0L, 0.0)
         .otherwise(col("sum_surprisal") / col("n_bigrams")))
+  }
+
+  /** bits_per_token output column shared by the batch op and the
+    * streaming gate. */
+  private[graft] def bptCol: org.apache.spark.sql.Column =
+    when(col("n_bigrams") === 0L, -1.0)
+      .otherwise(round(col("sum_surprisal") / col("n_bigrams")
+        - lit(LmScaleBits.toDouble), 6))
+
+  private[graft] def perplexityFilter(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (c2, c1, v) = refCounts(d)
+    val perDoc = scoreAgainst(d, c2, c1, v)
     val nl = perDoc.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
     val rn = row_number().over(Window.partitionBy(col("lang"))
       .orderBy(col("no_bg"), col("ord"), col("doc_id")))
     perDoc.join(broadcast(nl), Seq("lang"))
       .withColumn("rn", rn)
       .select(col("doc_id"), col("lang"), col("n_bigrams"),
-        col("sum_surprisal"),
-        when(col("n_bigrams") === 0L, -1.0)
-          .otherwise(round(col("sum_surprisal") / col("n_bigrams")
-            - lit(LmScaleBits.toDouble), 6)).as("bits_per_token"),
+        col("sum_surprisal"), bptCol.as("bits_per_token"),
         when(expr("((rn - 1) * 3) DIV nl") === 0L, "head")
           .when(expr("((rn - 1) * 3) DIV nl") === 1L, "middle")
           .otherwise("tail").as("bucket"))
+  }
+
+  /** Per-language threshold VALUES realizing the batch thirds: the
+    * largest mean-surprisal inside head and inside middle (bigram-less
+    * docs excluded — they bucket 'tail' by the sentinel rule). This is
+    * what deployment persists and applies to LATER data: CCNet computes
+    * its perplexity cutoffs once and ships them as constants; a
+    * boundary TIE in future data goes to the earlier bucket.
+    */
+  private[graft] def langCuts(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (c2, c1, v) = refCounts(d)
+    val perDoc = scoreAgainst(d, c2, c1, v)
+    val nl = perDoc.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+    val rn = row_number().over(Window.partitionBy(col("lang"))
+      .orderBy(col("no_bg"), col("ord"), col("doc_id")))
+    perDoc.join(broadcast(nl), Seq("lang"))
+      .withColumn("rn", rn)
+      .withColumn("b", expr("((rn - 1) * 3) DIV nl"))
+      .filter(col("no_bg") === 0)
+      .groupBy(col("lang"))
+      .agg(max(when(col("b") === 0L, col("ord"))).as("cut_head"),
+        max(when(col("b") <= 1L, col("ord"))).as("cut_mid"))
   }
 
   private val opPplFilter = Op(

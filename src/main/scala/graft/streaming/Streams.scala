@@ -710,6 +710,80 @@ object Streams {
       }
   }
 
+  // ---- stream_perplexity: LM scoring against the persisted model ----
+
+  private[streaming] case class PplxProbe(doc_id: Long, lang: String, s: Long)
+
+  case class PplxScore(doc_id: Long, lang: String, n_bigrams: Long,
+    sum_surprisal: Long)
+
+  /** stream_perplexity — the deployment shape of perplexity_filter:
+    * docs arrive as a stream and are scored against the FROZEN
+    * reference LM from the persisted `sources.LmModel` bundle
+    * (stream-static left joins to the skinny `bigrams/` + `contexts/`
+    * frames — the reference corpus is never re-scanned, the
+    * sink_fingerprints contract applied to the model tier). Bigram
+    * rows are generated narrow (the shifted-zip trick); the per-doc
+    * roll-up runs in the same zero-state flatMapGroupsWithState shape
+    * as ingestMinhashGate (a doc's bigram rows arrive in one
+    * micro-batch; state rows stay 0, spec'd). Bucketing applies the
+    * persisted per-language cut VALUES (`cuts/`) — the CCNet
+    * deployment rule: thresholds computed once on the reference run,
+    * shipped as constants; a boundary tie goes to the earlier bucket,
+    * and a language absent from the cuts frame scores 'tail'
+    * (unknown-language caution). Bigram-less docs keep the batch
+    * sentinel (-1.0 bits, 'tail') via a stateless union branch.
+    * `v` is the bundle's one-row `meta/` scalar, read at stream BUILD
+    * time (model-load, not per-batch — the annServed lifecycle).
+    */
+  def perplexityGate(docs: DataFrame, bigrams: DataFrame,
+      contexts: DataFrame, v: Long, cuts: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toks = docs.withColumn("toks",
+      graft.functions.TextFns.tokens(col("text")))
+    val bg = toks
+      .withColumn("t1", slice(col("toks"), lit(2),
+        greatest(size(col("toks")) - 1, lit(0))))
+      .select(col("doc_id"), col("lang"),
+        posexplode(arrays_zip(col("toks"), col("t1"))).as(Seq("pos", "z")))
+      .select(col("doc_id"), col("lang"),
+        col("z.toks").as("w1"), col("z.t1").as("w2"))
+      .filter(col("w2").isNotNull)
+    val scored = bg.join(bigrams, Seq("w1", "w2"), "left")
+      .join(contexts, Seq("w1"), "left")
+      .withColumn("s", (length(bin(expr(
+        s"""((coalesce(c1, 0L) + ${v}L) * ${graft.operators.LangModel.LmScale})
+            DIV (coalesce(c12, 0L) + 1)"""))) - 1).cast("long"))
+      .select(col("doc_id"), col("lang"), col("s")).as[PplxProbe]
+    val perDoc = scored.groupByKey(_.doc_id)
+      .flatMapGroupsWithState[IndexFragState, PplxScore](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: Long, in: Iterator[PplxProbe],
+            state: GroupState[IndexFragState]) =>
+          var n = 0L; var sum = 0L; var lang = ""
+          in.foreach { p => n += 1; sum += p.s; lang = p.lang }
+          Iterator.single(PplxScore(id, lang, n, sum))
+      }
+    // bigram-less docs never reach the probe path — keep the batch
+    // sentinel via a stateless side branch
+    val lone = toks.filter(size(col("toks")) < 2)
+      .select(col("doc_id"), col("lang"),
+        lit(0L).as("n_bigrams"), lit(0L).as("sum_surprisal"))
+    perDoc.toDF().union(lone)
+      .join(cuts, Seq("lang"), "left")
+      .withColumn("ord", when(col("n_bigrams") === 0L, 0.0)
+        .otherwise(col("sum_surprisal") / col("n_bigrams")))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("sum_surprisal"),
+        graft.operators.LangModel.bptCol.as("bits_per_token"),
+        when(col("n_bigrams") === 0L, "tail")
+          .when(col("ord") <=
+            coalesce(col("cut_head"), lit(Double.NegativeInfinity)), "head")
+          .when(col("ord") <=
+            coalesce(col("cut_mid"), lit(Double.NegativeInfinity)), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   // ---- stream_skipgram: incremental co-occurrence maintenance ----
 
   case class SkipPair(center: String, context: String, d: Long)

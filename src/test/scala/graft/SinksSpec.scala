@@ -254,6 +254,47 @@ class SinksSpec extends SparkSpec {
       "appended store diverged on the minhash gate")
   }
 
+  test("sink_lm: scoring from the reloaded model == in-line training; ref corpus never re-scanned") {
+    val all = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val base = Files.createTempDirectory("graft-lm")
+    val refPath = base.resolve("refdocs").toString
+    val shardPath = base.resolve("shard").toString
+    val modelPath = base.resolve("model").toString
+    all.write.parquet(refPath)
+    all.filter(col("doc_id") >= 250L).write.parquet(shardPath)
+    // the expensive offline pass: train + persist the model ONCE
+    sources.LmModel.write(spark.read.parquet(refPath), modelPath)
+    val shard = spark.read.parquet(shardPath)
+    val storeFed = sources.LmModel.scoreFrom(shard, modelPath)
+    // scale contract: a scoring tick scans the skinny model bundle +
+    // the arriving shard — never the reference corpus
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val scans = storeFed.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty)
+      scans.foreach { f =>
+        val roots = f.relation.location.rootPaths.mkString(",")
+        assert(!roots.contains("refdocs"),
+          s"scoring re-scans the reference corpus: $roots")
+        assert(roots.contains("model") || roots.contains("shard"),
+          s"scoring scans an unexpected input: $roots")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // round-trip: reloaded-model scores == in-line-trained, row-for-row
+    val (c2, c1, v) = operators.LangModel.refCounts(all)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toList).toSet
+    assert(rows(storeFed) ==
+      rows(operators.LangModel.scoreAgainst(shard, c2, c1, v)),
+      "store-fed scoring diverged from in-line training")
+    // the persisted cut values round-trip too
+    assert(rows(sources.LmModel.readCuts(spark, modelPath)) ==
+      rows(operators.LangModel.langCuts(all)))
+  }
+
   test("q22_approx_sketch: sketches land within declared error of exact") {
     // one collect serves both the distinct-count and quantile checks
     val rows = operators.Relational2.ops.find(_.name == "q22_approx_sketch")

@@ -437,6 +437,76 @@ class StreamingSpec extends SparkSpec {
       s"one-pixel edit (<=2 hash bits) must keep >=2 bands: ${streamed(999L)}")
   }
 
+  test("stream_perplexity: persisted-model scores == batch; cut-rule bucketing; zero state") {
+    implicit val sql = spark.sqlContext
+    val all = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text", $"lang", $"source")
+    val base = java.nio.file.Files.createTempDirectory("graft-lm-stream")
+    val modelPath = base.resolve("model").toString
+    sources.LmModel.write(all, modelPath)
+    val bigrams = sources.LmModel.readBigrams(spark, modelPath)
+    val contexts = sources.LmModel.readContexts(spark, modelPath)
+    val v = sources.LmModel.readMeta(spark, modelPath).head().getLong(0)
+    val cuts = sources.LmModel.readCuts(spark, modelPath)
+    val cutMap = cuts.collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    // arriving shard: 120 corpus docs + a planted bigram-less doc and
+    // a verbatim copy of a batch-HEAD doc (must score head on arrival)
+    val batchOp = SparkEntry.queries("perplexity_filter")(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    val headDoc = all.filter($"doc_id" === batchOp.collectFirst {
+      case (id, "head") => id }.get).head()
+    val arriving = all.filter($"doc_id" >= 250L).limit(120).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))) ++
+      Seq((999998L, "solo", "en"),
+        (999999L, headDoc.getString(1), headDoc.getString(2)))
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streams.perplexityGate(in.toDF().toDF("doc_id", "text", "lang"),
+        bigrams, contexts, v, cuts)
+      .writeStream.format("memory").queryName("pplx_out")
+      .outputMode("append").start()
+    in.addData(arriving.take(40): _*)
+    q.processAllAvailable()
+    in.addData(arriving.slice(40, 45): _*)
+    q.processAllAvailable()
+    in.addData(arriving.drop(45): _*)
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+      "perplexity gate must keep zero state rows")
+    q.stop()
+    val streamed = spark.table("pplx_out").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_surprisal"),
+          r.getAs[Double]("bits_per_token"), r.getAs[String]("bucket")))).toMap
+    assert(streamed.size == arriving.length)
+    // scores equal the batch store-fed scoring exactly
+    val docsDF = arriving.toSeq.toDF("doc_id", "text", "lang")
+    val batch = sources.LmModel.scoreFrom(docsDF, modelPath).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_surprisal")))).toMap
+    batch.foreach { case (id, (n, s)) =>
+      assert(streamed(id)._1 == n && streamed(id)._2 == s,
+        s"doc $id: streamed (${streamed(id)._1},${streamed(id)._2}) != batch ($n,$s)")
+    }
+    // bucketing is EXACTLY the published cut rule (ties → earlier bucket)
+    streamed.foreach { case (id, (n, s, _, bucket)) =>
+      val lang = arriving.find(_._1 == id).get._3
+      val want =
+        if (n == 0L) "tail"
+        else cutMap.get(lang) match {
+          case None => "tail"
+          case Some((ch, cm)) =>
+            val ord = s.toDouble / n
+            if (ord <= ch) "head" else if (ord <= cm) "middle" else "tail"
+        }
+      assert(bucket == want, s"doc $id: bucket $bucket != rule $want")
+    }
+    assert(streamed(999998L) == ((0L, 0L, -1.0, "tail")),
+      s"bigram-less sentinel: ${streamed(999998L)}")
+    assert(streamed(999999L)._4 == "head",
+      s"verbatim copy of a head doc must score head: ${streamed(999999L)}")
+  }
+
   test("stream_skipgram: folded pair deltas equal the batch co-occurrence matrix") {
     implicit val sql = spark.sqlContext
     val docs = Tables(spark, sfDir, "documents")
