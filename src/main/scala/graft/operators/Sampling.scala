@@ -325,8 +325,13 @@ object Sampling {
   // plus pure-arithmetic masking stats (n_spans and n_masked derive
   // from the three lengths: |input| = n − masked + spans,
   // |target| = spans + masked), so nothing corpus-sized leaves the
-  // row. Rows-only: the sequential greedy isn't portable SQL — the
-  // reconstruction + hand-traced fixtures are the correctness bound.
+  // row. FULL SQL oracle (r9, upgraded from rows-only): the
+  // sequential greedy replays exactly in a DuckDB RECURSIVE CTE —
+  // one level per outer-loop iteration (a span consumes its whole
+  // 3-token run in one step), state = (i, k, input, target, masked);
+  // the Lehmer trigger is the same integer formula, and the digests
+  // md5 the same space-joined strings. Validated against a python
+  // mirror of the kernel on every sf0.001 doc before wiring.
   private val opSpanCorrupt = Op(
     "span_corrupt",
     (s, dir) => {
@@ -347,7 +352,42 @@ object Sampling {
           md5(concat_ws(" ", col("ct").getItem(0))).as("input_digest"),
           md5(concat_ws(" ", col("ct").getItem(1))).as("target_digest"))
     },
-    None)
+    Some {
+      import graft.plans.SpanCorrupt.{Mod, Mul, SpanLen, StartMod, MaxSpans}
+      val trig = s"s.k < $MaxSpans AND " +
+        s"((s.doc_id % $Mod + s.i + 1) * $Mul) % $Mod % $StartMod = 0"
+      s"""
+      WITH RECURSIVE t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+          len(string_split(text, ' ')) AS n
+        FROM documents),
+      st AS (
+        SELECT doc_id, 0 AS i, 0 AS k, '' AS inp, '' AS tgt, 0 AS nm FROM t
+        UNION ALL
+        SELECT s.doc_id,
+          CASE WHEN $trig THEN least(s.i + $SpanLen, t.n) ELSE s.i + 1 END,
+          CASE WHEN $trig THEN s.k + 1 ELSE s.k END,
+          CASE WHEN $trig
+            THEN (CASE WHEN s.inp = '' THEN '<extra_id_' || s.k || '>'
+                  ELSE s.inp || ' <extra_id_' || s.k || '>' END)
+            ELSE (CASE WHEN s.inp = '' THEN t.toks[s.i + 1]
+                  ELSE s.inp || ' ' || t.toks[s.i + 1] END) END,
+          CASE WHEN $trig
+            THEN (CASE WHEN s.tgt = '' THEN '<extra_id_' || s.k || '>'
+                  ELSE s.tgt || ' <extra_id_' || s.k || '>' END) || ' ' ||
+              array_to_string(
+                list_slice(t.toks, s.i + 1, least(s.i + $SpanLen, t.n)), ' ')
+            ELSE s.tgt END,
+          CASE WHEN $trig THEN s.nm + least($SpanLen, t.n - s.i)
+            ELSE s.nm END
+        FROM st s JOIN t ON s.doc_id = t.doc_id
+        WHERE s.i < t.n)
+      SELECT s.doc_id, CAST(t.n AS BIGINT) AS n_tokens,
+        CAST(s.k AS BIGINT) AS n_spans, CAST(s.nm AS BIGINT) AS n_masked,
+        ROUND(CAST(s.nm AS DOUBLE) / t.n, 6) AS mask_ratio,
+        md5(s.inp) AS input_digest, md5(s.tgt) AS target_digest
+      FROM st s JOIN t ON s.doc_id = t.doc_id WHERE s.i = t.n"""
+    })
 
   // ---- fim_prep: fill-in-the-middle objective prep ----
   // The FIM transform (Bavarian et al. 2022 — the code-model data
