@@ -795,7 +795,50 @@ object Similarity {
     },
     None)
 
+  // ---- ann_range_search: radius query (all neighbors within cos ≥ τ) ----
+  // The retrieval primitive top-k can't express: SemDeDup-style "give
+  // me EVERYTHING closer than τ" — result size is data-dependent, so
+  // no heap bounds it. Exact path mirrors ann_cosine_topk (bounded
+  // broadcast query set × one candidate scan, fused codegen cosine)
+  // with the FILTER replacing the heap; the predicate tests the
+  // UNROUNDED cosine (IEEE-identical cross-engine) so the boundary
+  // can't flap against the rounded output column. At an open-ended
+  // query set the scan side routes through the LSH band machinery
+  // (dedup_embed: pairs within radius collide w.h.p.) or the IVF
+  // cells (ann_filtered precedent) — radius pruning composes with
+  // both; the exact form here is the oracle-checkable contract.
+  val RangeTau = 0.10
+
+  private val opRange = Op(
+    "ann_range_search",
+    (s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      c.join(broadcast(q), col("q_id") =!= col("c_id"))
+        .withColumn("cos_raw", expr("graft_cosine(q_emb, c_emb)"))
+        .filter(col("cos_raw") >= RangeTau)
+        .select(col("q_id"), col("c_id"), round(col("cos_raw"), 6).as("cos"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, embedding,
+          sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS norm
+        FROM embeddings),
+      q AS (SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm
+            FROM e WHERE vec_id < 10),
+      s AS (
+        SELECT q_id, e.vec_id AS c_id,
+          list_sum([CAST(q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+                    for i in generate_series(1, len(q_emb))])
+            / (q_norm * e.norm) AS cos_raw
+        FROM q, e WHERE e.vec_id <> q_id)
+      SELECT q_id, c_id, ROUND(cos_raw, 6) AS cos
+      FROM s WHERE cos_raw >= $RangeTau"""))
+
   val ops: Seq[Op] =
     Seq(opBrute, opIvf, opIvfQuant, opIvfPq, opFiltered, opEmbedDedup,
-      opQuantize, opQuantAnn, opPq, opSemDedup, opMineBitext)
+      opQuantize, opQuantAnn, opPq, opSemDedup, opMineBitext, opRange)
 }

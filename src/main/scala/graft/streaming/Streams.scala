@@ -710,6 +710,51 @@ object Streams {
       }
   }
 
+  // ---- stream_graph: incremental navigation-edge maintenance ----
+
+  private[streaming] case class EdgeEvent(user_id: Long, event_id: Long,
+    it: Int)
+
+  case class LastItem(it: Int)
+
+  case class EdgeDelta(src: Int, dst: Int, w_delta: Long)
+
+  /** stream_graph — incremental maintenance of graph_pagerank's input
+    * (batch twin: Graph.transitionEdges): events arrive as a stream
+    * and each micro-batch emits one DELTA row per touched (src, dst)
+    * transition edge. Unlike the per-doc gates, a user's session SPANS
+    * batches, so this is the stream_pack state discipline, not the
+    * zero-state one: exactly ONE item of state per user (their last
+    * seen item) bridges consecutive batches — state is O(users),
+    * independent of event volume. Within a batch a user's events sort
+    * by event_id (the engine-portable order the batch op windows by);
+    * ACROSS batches the contract is in-order arrival per user (the
+    * log-shipping assumption — lateness belongs to the watermarked
+    * ops). The reader folds w_delta by plain sums and holds EXACTLY
+    * the batch edge list (spec across splits that cut sessions
+    * mid-stride); PageRank then runs batch-side on the folded edges —
+    * rank itself is a global fixpoint, not a per-row gate.
+    */
+  def transitionDeltas(events: DataFrame): Dataset[EdgeDelta] = {
+    import events.sparkSession.implicits._
+    val ev = events.select(col("user_id"), col("event_id"),
+      expr("CAST(get_json_object(props, '$.k') AS INT)").as("it"))
+      .as[EdgeEvent]
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastItem, EdgeDelta](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (u: Long, in: Iterator[EdgeEvent], state: GroupState[LastItem]) =>
+          val evs = in.toArray.sortBy(_.event_id)
+          if (evs.isEmpty) Iterator.empty
+          else {
+            val items = state.getOption.map(_.it).toSeq ++ evs.map(_.it)
+            state.update(LastItem(evs.last.it))
+            items.zip(items.tail).groupBy(identity).iterator
+              .map { case ((s, d), g) => EdgeDelta(s, d, g.size.toLong) }
+          }
+      }
+  }
+
   // ---- stream_perplexity: LM scoring against the persisted model ----
 
   private[streaming] case class PplxProbe(doc_id: Long, lang: String, s: Long)

@@ -1583,6 +1583,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(9) == got.values.max, "the funnel hub must rank first")
   }
 
+  test("ann_range_search: exactly the pairs within the radius") {
+    val out = run("ann_range_search").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val e = Tables(spark, sfDir, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = (for {
+      q <- e.keys.filter(_ < 10); c <- e.keys if c != q
+      if cos(e(q), e(c)) >= operators.Similarity.RangeTau
+    } yield (q, c)).toSet
+    assert(out.keySet == want,
+      s"missing=${(want -- out.keySet).take(3)} extra=${(out.keySet -- want).take(3)}")
+    out.values.foreach(v => assert(v >= operators.Similarity.RangeTau - 1e-6))
+  }
+
   test("quality_gopher: each rule trips independently on planted docs") {
     val body = Array.fill(60)("word").zipWithIndex
       .map { case (w, i) => if (i == 0) "the" else if (i == 1) "a" else w }

@@ -437,6 +437,39 @@ class StreamingSpec extends SparkSpec {
       s"one-pixel edit (<=2 hash bits) must keep >=2 bands: ${streamed(999L)}")
   }
 
+  test("stream_graph: folded edge deltas equal the batch transition edges across session cuts") {
+    implicit val sql = spark.sqlContext
+    val evRows = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", $"props")
+      .orderBy($"event_id").limit(600).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val in = MemoryStream[(Long, Long, String)]
+    val q = Streams.transitionDeltas(
+        in.toDF().toDF("user_id", "event_id", "props"))
+      .writeStream.format("memory").queryName("graph_out")
+      .outputMode("append").start()
+    // splits cut most users' sessions mid-stride — the one-item state
+    // must bridge the gap or cross-batch edges vanish
+    in.addData(evRows.take(200): _*)
+    q.processAllAvailable()
+    in.addData(evRows.slice(200, 201): _*)
+    q.processAllAvailable()
+    in.addData(evRows.drop(201): _*)
+    q.processAllAvailable()
+    val st = q.lastProgress.stateOperators
+    assert(st.nonEmpty && st.forall(_.numRowsTotal <= 150L),
+      s"state must be <= one row per user: ${st.map(_.numRowsTotal).toSeq}")
+    q.stop()
+    val folded = spark.table("graph_out")
+      .groupBy($"src", $"dst").agg(sum($"w_delta").as("w")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val batch = operators.Graph.transitionEdges(
+        evRows.toSeq.toDF("user_id", "event_id", "props")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(folded == batch,
+      s"diff=${(folded.toSet diff batch.toSet).take(3)} / ${(batch.toSet diff folded.toSet).take(3)}")
+  }
+
   test("stream_perplexity: persisted-model scores == batch; cut-rule bucketing; zero state") {
     implicit val sql = spark.sqlContext
     val all = Tables(spark, sfDir, "documents")
