@@ -719,14 +719,22 @@ object Similarity {
     * the final best-match run through the bounded TopKPerKey heap, so
     * only k rows per key reach any shuffle.
     */
+  /** Backward pool means (mean of top-[[MineK]] cosines per TARGET)
+    * — the hub-correction denominators; persisted by
+    * sources.BitextIndex so a stream miner never re-pools history. */
+  private[graft] def bwdPool(scored: DataFrame): DataFrame = {
+    import graft.plans.TopK
+    TopK.perKey(scored, Seq("t_id"),
+        Seq("cos" -> TopK.Desc, "s_id" -> TopK.Asc), MineK)
+      .groupBy(col("t_id")).agg(avg(col("cos")).as("t_avg"))
+  }
+
   private[graft] def mineBitextScored(scored: DataFrame): DataFrame = {
     import graft.plans.TopK
     val fwd = TopK.perKey(scored, Seq("s_id"),
         Seq("cos" -> TopK.Desc, "t_id" -> TopK.Asc), MineK)
       .groupBy(col("s_id")).agg(avg(col("cos")).as("s_avg"))
-    val bwd = TopK.perKey(scored, Seq("t_id"),
-        Seq("cos" -> TopK.Desc, "s_id" -> TopK.Asc), MineK)
-      .groupBy(col("t_id")).agg(avg(col("cos")).as("t_avg"))
+    val bwd = bwdPool(scored)
     val margins = scored.join(fwd, Seq("s_id")).join(bwd, Seq("t_id"))
       .withColumn("margin",
         when(col("s_avg") + col("t_avg") > 0,
@@ -748,28 +756,41 @@ object Similarity {
     * persisted IVF index (sink_ann_index) unchanged above the
     * (s_id, t_id, cos) seam.
     */
-  private[graft] def mineBitext(src: DataFrame, tgt: DataFrame,
+  /** LSH band rows of one embedding side — shared by the in-line
+    * miner and the persisted bitext index (sources.BitextIndex). */
+  private[graft] def mineBandRows(e: DataFrame, idName: String,
       bits: Int): DataFrame = {
-    graft.plans.GraftFunctions.register(src.sparkSession)
-    def bandRows(e: DataFrame, idName: String) = e
-      .withColumn("keys",
+    graft.plans.GraftFunctions.register(e.sparkSession)
+    e.withColumn("keys",
         expr(s"graft_lsh_keys(embedding, $EmbBands, $EmbMaxBits, $bits)"))
       .select(col("vec_id").as(idName),
         posexplode(col("keys")).as(Seq("j", "band_key")))
-    val cand = bandRows(src, "s_id")
-      .join(bandRows(tgt, "t_id"), Seq("j", "band_key"))
+  }
+
+  /** Candidate generation + cosine scoring (the seam the 100 TB path
+    * swaps for the persisted IVF index): LSH-banded pairs, distinct,
+    * scored once. */
+  private[graft] def mineScored(src: DataFrame, tgt: DataFrame,
+      bits: Int): DataFrame = {
+    val cand = mineBandRows(src, "s_id", bits)
+      .join(mineBandRows(tgt, "t_id", bits), Seq("j", "band_key"))
       .select(col("s_id"), col("t_id")).distinct()
-    // scored once, consumed three times (fwd pool, bwd pool, margin
-    // join) — pin the skinny frame (same single-box note as
-    // simhashPairs; a cluster run persists instead)
-    val scored = cand
+    cand
       .join(src.select(col("vec_id").as("s_id"), col("embedding").as("q_emb")),
         Seq("s_id"))
       .join(tgt.select(col("vec_id").as("t_id"), col("embedding").as("c_emb")),
         Seq("t_id"))
       .withColumn("cos", round(expr("graft_cosine(q_emb, c_emb)"), 6))
       .select(col("s_id"), col("t_id"), col("cos"))
-      .localCheckpoint()
+  }
+
+  private[graft] def mineBitext(src: DataFrame, tgt: DataFrame,
+      bits: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(src.sparkSession)
+    // scored once, consumed three times (fwd pool, bwd pool, margin
+    // join) — pin the skinny frame (same single-box note as
+    // simhashPairs; a cluster run persists instead)
+    val scored = mineScored(src, tgt, bits).localCheckpoint()
     src.select(col("vec_id").as("s_id"))
       .join(mineBitextScored(scored), Seq("s_id"), "left")
       .select(col("s_id"),

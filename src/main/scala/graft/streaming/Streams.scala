@@ -710,6 +710,93 @@ object Streams {
       }
   }
 
+  // ---- stream_bitext: online mining vs the persisted target index ----
+
+  private[streaming] case class BitextProbe(s_id: Long,
+    t_id: Option[Long], cos: Option[Double], t_avg: Option[Double])
+
+  case class BitextOut(s_id: Long, t_id: Long, cos: Double,
+    margin: Double, accepted: Long)
+
+  /** stream_bitext — the serving shape of mine_bitext: source
+    * sentences arrive as a stream and mine against the PERSISTED
+    * target index (sources.BitextIndex): band rows generate NARROW per
+    * arriving vector, probe the store's `bands/` stream-static, score
+    * against `vecs/`, and take the hub-correction denominator from the
+    * BUILD-time `stats/` pools — the standing target corpus is never
+    * re-banded, re-scored or re-pooled per batch. The forward pool
+    * (mean of the source's own top-k) is complete the moment the
+    * source arrives — its candidate set is a pure function of its own
+    * bands × the store — so stream == batch EXACTLY across any batch
+    * split when the stats come from the same corpus (spec); a target
+    * whose true pool drifts as new sources accumulate keeps its
+    * build-time denominator — the documented staleness, rebuild is
+    * the trigger (ann_upsert contract). LEFT joins keep sources with
+    * zero collisions flowing to the roll-up, which emits the batch
+    * op's (-1, margin 0) no-candidate row. Zero state rows: per-doc
+    * roll-up only (the stream_index contract); per-group buffering is
+    * one source's candidate list (bucket volume, bounded by the
+    * adaptive bit count — the hub risk lives on the target side,
+    * which is exactly what the persisted pools price in).
+    */
+  def bitextGate(src: DataFrame, bands: DataFrame, vecs: DataFrame,
+      stats: DataFrame, bits: Int): Dataset[BitextOut] = {
+    import src.sparkSession.implicits._
+    graft.plans.GraftFunctions.register(src.sparkSession)
+    val S = graft.operators.Similarity
+    val sb = src
+      .withColumn("keys", expr(
+        s"graft_lsh_keys(embedding, ${S.EmbBands}, ${S.EmbMaxBits}, $bits)"))
+      .select(col("vec_id").as("s_id"), col("embedding").as("q_emb"),
+        posexplode(col("keys")).as(Seq("j", "band_key")))
+    val probes = sb
+      .join(bands.select(col("j"), col("band_key"), col("t_id")).distinct(),
+        Seq("j", "band_key"), "left")
+      .join(vecs.select(col("t_id"), col("embedding").as("c_emb")),
+        Seq("t_id"), "left")
+      .join(stats, Seq("t_id"), "left")
+      .select(col("s_id"), col("t_id"),
+        round(expr("graft_cosine(q_emb, c_emb)"), 6).as("cos"),
+        col("t_avg"))
+      .as[BitextProbe]
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // plain locals: the executor closure must not drag the Similarity
+    // module (not serializable) along
+    val mineK = S.MineK
+    val threshold = S.MineThreshold
+    probes.groupByKey(_.s_id)
+      .flatMapGroupsWithState[IndexFragState, BitextOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: Long, in: Iterator[BitextProbe],
+            state: GroupState[IndexFragState]) =>
+          // dedupe band collisions by t_id (the batch .distinct())
+          val seen = new java.util.HashSet[java.lang.Long]()
+          val cands = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Double, Double)]
+          in.foreach { p =>
+            p.t_id.foreach { t =>
+              if (seen.add(t))
+                cands += ((t, p.cos.get, p.t_avg.getOrElse(0.0)))
+            }
+          }
+          if (cands.isEmpty) Iterator.single(BitextOut(id, -1L, -1.0, 0.0, 0L))
+          else {
+            val sorted = cands.sortBy { case (t, c, _) => (-c, t) }
+            val top = sorted.take(mineK)
+            val sAvg = top.map(_._2).sum / top.size
+            val best = cands.iterator.map { case (t, c, tAvg) =>
+              val m = if (sAvg + tAvg > 0) round6(c * 2.0 / (sAvg + tAvg))
+                else 0.0
+              (t, c, m)
+            }.minBy { case (t, _, m) => (-m, t) }
+            Iterator.single(BitextOut(id, best._1, best._2, best._3,
+              if (best._3 > threshold) 1L else 0L))
+          }
+      }
+  }
+
   // ---- stream_graph: incremental navigation-edge maintenance ----
 
   private[streaming] case class EdgeEvent(user_id: Long, event_id: Long,

@@ -437,6 +437,52 @@ class StreamingSpec extends SparkSpec {
       s"one-pixel edit (<=2 hash bits) must keep >=2 bands: ${streamed(999L)}")
   }
 
+  test("stream_bitext: mining vs the persisted target index equals batch mine_bitext") {
+    implicit val sql = spark.sqlContext
+    val e = Tables(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding")
+    val src = e.filter($"vec_id" % 2 === 0)
+    val tgt = e.filter($"vec_id" % 2 === 1)
+    val bits = operators.Similarity.embBits(e.count() / 2)
+    val base = java.nio.file.Files.createTempDirectory("graft-bitext")
+    val idx = base.resolve("index").toString
+    sources.BitextIndex.write(src, tgt, idx, bits)
+    assert(sources.BitextIndex.readBits(spark, idx) == bits)
+    val arriving = src.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.bitextGate(
+        in.toDF().toDF("vec_id", "embedding")
+          .select($"vec_id", $"embedding".cast("array<float>")),
+        sources.BitextIndex.readBands(spark, idx),
+        sources.BitextIndex.readVecs(spark, idx),
+        sources.BitextIndex.readStats(spark, idx), bits)
+      .writeStream.format("memory").queryName("bitext_out")
+      .outputMode("append").start()
+    in.addData(arriving.take(80): _*)
+    q.processAllAvailable()
+    in.addData(arriving.slice(80, 83): _*)
+    q.processAllAvailable()
+    in.addData(arriving.drop(83): _*)
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+      "bitext gate must keep zero state rows")
+    q.stop()
+    val streamed = spark.table("bitext_out").collect()
+      .map(r => r.getAs[Long]("s_id") ->
+        ((r.getAs[Long]("t_id"), r.getAs[Double]("cos"),
+          r.getAs[Double]("margin"), r.getAs[Long]("accepted")))).toMap
+    val batch = operators.Similarity.mineBitext(src, tgt, bits).collect()
+      .map(r => r.getAs[Long]("s_id") ->
+        ((r.getAs[Long]("t_id"), r.getAs[Double]("cos"),
+          r.getAs[Double]("margin"), r.getAs[Long]("accepted")))).toMap
+    assert(streamed.keySet == batch.keySet)
+    val diffs = batch.collect {
+      case (id, b) if streamed(id) != b => (id, streamed(id), b)
+    }
+    assert(diffs.isEmpty, s"stream diverged on ${diffs.take(3)}")
+  }
+
   test("stream_graph: folded edge deltas equal the batch transition edges across session cuts") {
     implicit val sql = spark.sqlContext
     val evRows = Tables.events(spark, sfDir)
