@@ -305,10 +305,16 @@ object LangModel {
     * on the curated slice only. This is the shape `sources.LmModel`
     * persists: derive once, score every later shard/stream against it.
     */
+  /** Token/bigram rows of the curated reference slice of `d` — the
+    * input both the one-shot trainer and the store's append path count
+    * over (sources.LmModel). */
+  private[graft] def refShifted(d: DataFrame): DataFrame =
+    shifted(d.filter(
+      expr(s"CAST(substring(source, 4) AS INT) < $RefSourceCount")))
+
   private[graft] def refCounts(d: DataFrame):
       (DataFrame, DataFrame, DataFrame) = {
-    val refPred = expr(s"CAST(substring(source, 4) AS INT) < $RefSourceCount")
-    val zt = shifted(d.filter(refPred))
+    val zt = refShifted(d)
     val v = zt.agg(countDistinct(col("w1")).as("v"))
     val c2 = zt.filter(col("w2").isNotNull)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))

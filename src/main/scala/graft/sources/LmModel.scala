@@ -17,34 +17,76 @@ import org.apache.spark.sql.functions._
   *   contexts/  (w1, c1)       — context totals (kept SEPARATE from
   *                               bigrams: an unseen bigram with a known
   *                               context must still find c1)
-  *   meta/      (v)            — one row, vocabulary size
+  *   vocab/     (w1)           — distinct reference tokens (v derives
+  *                               from it, because a COUNT is not
+  *                               append-mergeable but a distinct-token
+  *                               frame is — the Fingerprints move)
   *   cuts/      (lang, cut_head, cut_mid) — the per-language mean-
   *               surprisal thresholds realizing the batch op's thirds;
   *               CCNet-style: computed once, applied as constants
+  *
+  * Store MAINTENANCE via [[append]] (the grow-the-reference loop):
+  * counts are ADDITIVE, so a new accepted reference shard's partial
+  * (w1,w2,c12)/(w1,c1)/vocab frames land as NEW files — history is
+  * never read or rewritten — and every reader FOLDS: bigrams/contexts
+  * sum per key, vocab distinct-counts (the consumers'-DISTINCT
+  * contract Fingerprints uses, here a SUM-fold). The cuts are NOT
+  * additive (they rank the scored corpus); [[refreshCuts]] recomputes
+  * them on the caller's cadence — between refreshes a grown model
+  * scores with slightly stale thresholds, the documented drift
+  * (ann_upsert contract).
   */
 object LmModel {
 
-  def write(all: DataFrame, path: String, nShards: Int = 2): Unit = {
-    val (c2, c1, v) = graft.operators.LangModel.refCounts(all)
-    c2.repartitionByRange(nShards, col("w1"), col("w2"))
+  private def writeFrames(all: DataFrame, path: String, nShards: Int,
+      mode: String): Unit = {
+    val zt = graft.operators.LangModel.refShifted(all)
+    zt.filter(col("w2").isNotNull)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .repartitionByRange(nShards, col("w1"), col("w2"))
       .sortWithinPartitions(col("w1"), col("w2"))
-      .write.mode("overwrite").parquet(s"$path/bigrams")
-    c1.repartitionByRange(nShards, col("w1"))
+      .write.mode(mode).parquet(s"$path/bigrams")
+    zt.filter(col("w2").isNotNull)
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      .repartitionByRange(nShards, col("w1"))
       .sortWithinPartitions(col("w1"))
-      .write.mode("overwrite").parquet(s"$path/contexts")
-    v.coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    graft.operators.LangModel.langCuts(all)
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/cuts")
+      .write.mode(mode).parquet(s"$path/contexts")
+    zt.select(col("w1")).distinct()
+      .repartitionByRange(nShards, col("w1"))
+      .write.mode(mode).parquet(s"$path/vocab")
   }
 
+  def write(all: DataFrame, path: String, nShards: Int = 2): Unit = {
+    writeFrames(all, path, nShards, "overwrite")
+    refreshCuts(all, path)
+  }
+
+  /** Append a new accepted reference shard's partial counts as new
+    * files (history untouched); readers fold. Refresh the cuts on
+    * your own cadence via [[refreshCuts]]. */
+  def append(shard: DataFrame, path: String, nShards: Int = 1): Unit =
+    writeFrames(shard, path, nShards, "append")
+
+  /** Recompute the per-language cut values from the current corpus —
+    * the non-additive half of the bundle. */
+  def refreshCuts(all: DataFrame, path: String): Unit =
+    graft.operators.LangModel.langCuts(all)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/cuts")
+
+  /** Folded per-(w1, w2) counts — append-safe. */
   def readBigrams(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/bigrams")
+      .groupBy(col("w1"), col("w2")).agg(sum(col("c12")).as("c12"))
 
+  /** Folded per-context counts — append-safe. */
   def readContexts(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/contexts")
+      .groupBy(col("w1")).agg(sum(col("c1")).as("c1"))
 
+  /** Vocabulary size as a one-row frame — distinct across shards. */
   def readMeta(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/meta")
+    spark.read.parquet(s"$path/vocab")
+      .agg(countDistinct(col("w1")).as("v"))
 
   def readCuts(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/cuts")

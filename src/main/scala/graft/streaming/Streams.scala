@@ -951,6 +951,46 @@ object Streams {
       }
   }
 
+  // ---- stream_data_card: incremental corpus-datasheet maintenance ----
+
+  private[streaming] case class CardIn(doc_id: Long, lang: String,
+    source: String, n_toks: Long, n_chars: Long)
+
+  case class CardDelta(lang: String, source: String, d_docs: Long,
+    d_tokens: Long, d_chars: Long)
+
+  /** stream_data_card — incremental maintenance of the data_card
+    * datasheet (batch twin): each micro-batch emits one DELTA row per
+    * touched (lang, source) slice — doc/token/char count deltas — in
+    * the stream_skipgram zero-state shape (counts are pure per-batch
+    * functions; nothing in the state store grows with the corpus).
+    * The reader folds deltas by plain sums and derives the share
+    * columns from the folded totals — identical to the batch op's
+    * basis points, because shares are a pure function of the counts
+    * (spec: fold across uneven splits == batch data_card row-for-row,
+    * shares included). The continuously-published corpus datasheet:
+    * ingest keeps the card current without ever re-scanning the
+    * standing corpus.
+    */
+  def dataCardDeltas(docs: DataFrame): Dataset[CardDelta] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("lang"), col("source"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long")
+          .as("n_toks"),
+        // the table's n_chars column, matching the batch op's sum
+        col("n_chars").cast("long").as("n_chars"))
+      .as[CardIn]
+      .groupByKey(c => (c.lang, c.source))
+      .flatMapGroupsWithState[SkipFragState, CardDelta](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (String, String), in: Iterator[CardIn],
+            state: GroupState[SkipFragState]) =>
+          var d = 0L; var t = 0L; var c = 0L
+          in.foreach { r => d += 1; t += r.n_toks; c += r.n_chars }
+          Iterator.single(CardDelta(key._1, key._2, d, t, c))
+      }
+  }
+
   // ---- stream_compact: incremental latest-per-key materialized view ----
 
   case class CompactIn(user_id: Long, event_type: String, event_id: Long,

@@ -293,6 +293,20 @@ class SinksSpec extends SparkSpec {
     // the persisted cut values round-trip too
     assert(rows(sources.LmModel.readCuts(spark, modelPath)) ==
       rows(operators.LangModel.langCuts(all)))
+    // store MAINTENANCE: a model grown by append (half the corpus,
+    // second half appended — counts are additive, readers fold) scores
+    // identically to the one-shot build; old files never rewritten
+    val grownPath = base.resolve("grown").toString
+    sources.LmModel.write(all.filter(col("doc_id") < 250L), grownPath)
+    val before = new java.io.File(s"$grownPath/bigrams")
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    sources.LmModel.append(all.filter(col("doc_id") >= 250L), grownPath)
+    val after = new java.io.File(s"$grownPath/bigrams")
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    assert(before.subsetOf(after) && after.size > before.size,
+      "append must add files, never rewrite old shards")
+    assert(rows(sources.LmModel.scoreFrom(shard, grownPath)) ==
+      rows(storeFed), "appended model diverged from the one-shot build")
   }
 
   test("q22_approx_sketch: sketches land within declared error of exact") {

@@ -437,6 +437,41 @@ class StreamingSpec extends SparkSpec {
       s"one-pixel edit (<=2 hash bits) must keep >=2 bands: ${streamed(999L)}")
   }
 
+  test("stream_data_card: folded slice deltas + derived shares equal batch data_card") {
+    implicit val sql = spark.sqlContext
+    val rows = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    val in = MemoryStream[(Long, String, String, String, Long)]
+    val q = Streams.dataCardDeltas(
+        in.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .writeStream.format("memory").queryName("card_out")
+      .outputMode("append").start()
+    in.addData(rows.take(170): _*)
+    q.processAllAvailable()
+    in.addData(rows.slice(170, 171): _*)
+    q.processAllAvailable()
+    in.addData(rows.drop(171): _*)
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L))
+    q.stop()
+    // fold deltas, derive shares exactly as the batch op does
+    val folded = spark.table("card_out")
+      .groupBy($"lang", $"source")
+      .agg(sum($"d_docs").as("n_docs"), sum($"d_tokens").as("n_tokens"),
+        sum($"d_chars").as("sum_chars"))
+    val tot = folded.agg(sum($"n_docs").as("td"), sum($"n_tokens").as("tt"))
+    val got = folded.crossJoin(broadcast(tot))
+      .select($"lang", $"source", $"n_docs", $"n_tokens", $"sum_chars",
+        expr("n_docs * 10000 DIV td").as("doc_share_bp"),
+        expr("n_tokens * 10000 DIV tt").as("tok_share_bp"))
+      .collect().map(_.toSeq.toList).toSet
+    val want = SparkEntry.queries("data_card")(spark, sfDir)
+      .collect().map(_.toSeq.toList).toSet
+    assert(got == want, s"diff=${(got diff want).take(2)} / ${(want diff got).take(2)}")
+  }
+
   test("stream_bitext: mining vs the persisted target index equals batch mine_bitext") {
     implicit val sql = spark.sqlContext
     val e = Tables(spark, sfDir, "embeddings")
