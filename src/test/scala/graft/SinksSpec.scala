@@ -309,6 +309,50 @@ class SinksSpec extends SparkSpec {
       rows(storeFed), "appended model diverged from the one-shot build")
   }
 
+  test("ingest_e2e: gate-then-remember — tick N+1 rejects what tick N accepted") {
+    import spark.implicits._
+    val all = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val base = Files.createTempDirectory("graft-ingest-e2e")
+    val store = base.resolve("store").toString
+    sources.Fingerprints.write(all.filter(col("doc_id") < 100L), store, nShards = 2)
+    val histText = all.filter(col("doc_id") === 5L).head.getString(1)
+
+    // tick 1: fresh docs + an exact copy of history + an edited copy
+    val t1 = all.filter(col("doc_id") >= 300L && col("doc_id") < 340L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val toks = histText.split(" "); toks(toks.length / 2) = "edited-xyz"
+    val tick1 = (t1 :+ (900001L, histText)) :+ (900002L, toks.mkString(" "))
+    val d1 = sources.Ingest.gateAndRemember(
+      tick1.toSeq.toDF("doc_id", "text"), store)
+    val m1 = d1.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Long]("is_exact_dup"), r.getAs[Long]("near_hist"),
+        r.getAs[Long]("accept")))).toMap
+    assert(m1(900001L)._1 == 1L && m1(900001L)._3 == 0L,
+      s"exact copy of history must be rejected: ${m1(900001L)}")
+    assert(m1(900002L)._2 == 1L && m1(900002L)._3 == 0L,
+      s"edited copy of history must be band-flagged: ${m1(900002L)}")
+    val acc1 = m1.filter(_._2._3 == 1L).keySet
+    assert(acc1.nonEmpty && acc1.subsetOf(t1.map(_._1).toSet))
+
+    // tick 2: copies of a tick-1-ACCEPTED doc must now be rejected via
+    // the grown store (exact copy) and band-flagged (edited copy)
+    val adopted = acc1.min
+    val adoptedText = t1.find(_._1 == adopted).get._2
+    val tk2 = adoptedText.split(" "); tk2(tk2.length / 2) = "edited-abc"
+    val tick2 = Seq((900003L, adoptedText), (900004L, tk2.mkString(" ")),
+      (900005L, "a genuinely novel document body zq"))
+    val m2 = sources.Ingest.gateAndRemember(
+        tick2.toSeq.toDF("doc_id", "text"), store)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("is_exact_dup"), r.getAs[Long]("near_hist"),
+          r.getAs[Long]("accept")))).toMap
+    assert(m2(900003L)._1 == 1L && m2(900003L)._3 == 0L,
+      s"copy of a tick-1-accepted doc must be rejected: ${m2(900003L)}")
+    assert(m2(900004L)._2 == 1L && m2(900004L)._3 == 0L,
+      s"edited copy of a tick-1-accepted doc must be flagged: ${m2(900004L)}")
+    assert(m2(900005L) == ((0L, 0L, 1L)), s"novel doc: ${m2(900005L)}")
+  }
+
   test("q22_approx_sketch: sketches land within declared error of exact") {
     // one collect serves both the distinct-count and quantile checks
     val rows = operators.Relational2.ops.find(_.name == "q22_approx_sketch")
