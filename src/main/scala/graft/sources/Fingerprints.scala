@@ -64,6 +64,38 @@ object Fingerprints {
   def append(shard: DataFrame, path: String, nShards: Int = 1): Unit =
     writeFrames(shard, path, nShards, "append")
 
+  /** Log-structured COMPACTION — the other half of the append story:
+    * many ingest ticks leave many small shard files (and cross-shard
+    * duplicate hashes the consumers' DISTINCT absorbs); compact
+    * rewrites each frame as `nShards` clean range-sharded files with
+    * the duplicates folded out. Gating is unchanged before/after
+    * (spec) — this is purely the file-count/bytes lever, run on the
+    * maintenance cadence (the stream_index → stream_compact
+    * relationship, applied to the store tier). The rewrite stages
+    * through a temp dir then swaps, so a reader mid-compaction sees
+    * either the old files or the new — never a half-written frame.
+    */
+  def compact(spark: SparkSession, path: String, nShards: Int = 4): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    Seq("content" -> "th", "bands" -> "band_val", "spans" -> "h")
+      .foreach { case (sub, key) =>
+        val dir = new java.io.File(s"$path/$sub")
+        if (dir.exists()) {
+          val tmp = s"$path/.$sub.compact"
+          spark.read.parquet(s"$path/$sub").distinct()
+            .repartitionByRange(nShards, col(key))
+            .sortWithinPartitions(col(key))
+            .write.mode("overwrite").parquet(tmp)
+          val old = new java.io.File(s"$path/.$sub.old")
+          java.nio.file.Files.move(dir.toPath, old.toPath)
+          java.nio.file.Files.move(new java.io.File(tmp).toPath, dir.toPath)
+          rm(old)
+        }
+      }
+  }
+
   /** Multimodal extension of the store: distinct 16-bit hamming-band
     * keys of the corpus's perceptual hashes (mm_phash) — the image
     * half of the ingest firewall. `hashes` is a (…, phash) frame;

@@ -252,6 +252,22 @@ class SinksSpec extends SparkSpec {
     assert(rows(operators.Dedup.incrementalMinhashFrom(fresh,
         sources.Fingerprints.readBands(spark, grownPath))) == wantMh,
       "appended store diverged on the minhash gate")
+    // COMPACTION: fold the appended files back to nShards clean ones —
+    // gating identical, file count reduced (the log-structured lever)
+    val filesBefore = new java.io.File(s"$grownPath/content")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    sources.Fingerprints.compact(spark, grownPath, nShards = 2)
+    val filesAfter = new java.io.File(s"$grownPath/content")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(filesAfter == 2 && filesAfter < filesBefore,
+      s"compact must fold $filesBefore files to 2, got $filesAfter")
+    assert(rows(operators.Dedup.incrementalDedupFrom(fresh,
+        sources.Fingerprints.readContent(spark, grownPath),
+        sources.Fingerprints.readSpans(spark, grownPath))) == wantExact,
+      "compacted store diverged on the exact/containment gate")
+    assert(rows(operators.Dedup.incrementalMinhashFrom(fresh,
+        sources.Fingerprints.readBands(spark, grownPath))) == wantMh,
+      "compacted store diverged on the minhash gate")
   }
 
   test("sink_lm: scoring from the reloaded model == in-line training; ref corpus never re-scanned") {
