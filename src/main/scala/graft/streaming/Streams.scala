@@ -797,6 +797,32 @@ object Streams {
       }
   }
 
+  // ---- stream_upsert: streaming index maintenance sink ----
+
+  /** stream_upsert — ann_upsert as a streaming sink: arriving vectors
+    * are encoded with the bundle's FROZEN model (persisted centroids,
+    * PQ codebook, int8 scale — sources.AnnIndex.upsertFrame) and
+    * appended as new `upserts/` shards, one foreachBatch call per
+    * micro-batch. Because the encode is a per-vector deterministic
+    * function of the frozen model, the result is BATCH-INDEPENDENT:
+    * streaming the deltas in any split yields byte-identical servable
+    * codes to a single batch upsert (spec), and serving from the
+    * grown bundle equals a full rebuild on the union corpus (the
+    * ann_upsert equality, inherited). History is never re-read or
+    * re-encoded per batch; model drift remains the explicit offline
+    * rebuild trigger. Caller `.start()`s the returned writer and owns
+    * checkpointing (exactly-once across restarts rides on the sink's
+    * append semantics + the caller's checkpoint dir, like every
+    * file-sink deployment).
+    */
+  def upsertSink(newVecs: DataFrame, path: String, nShards: Int = 1):
+      org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    newVecs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) graft.sources.AnnIndex.upsert(batch, path, nShards)
+    }
+
   // ---- stream_graph: incremental navigation-edge maintenance ----
 
   private[streaming] case class EdgeEvent(user_id: Long, event_id: Long,

@@ -437,6 +437,44 @@ class StreamingSpec extends SparkSpec {
       s"one-pixel edit (<=2 hash bits) must keep >=2 bands: ${streamed(999L)}")
   }
 
+  test("stream_upsert: streamed deltas yield byte-identical servable codes to one batch upsert") {
+    implicit val sql = spark.sqlContext
+    graft.plans.GraftFunctions.register(spark)
+    val e = Tables(spark, sfDir, "embeddings")
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-upsert")
+    val idxStream = base.resolve("idx_stream").toString
+    val idxBatch = base.resolve("idx_batch").toString
+    sources.AnnIndex.write(e.filter($"vec_id" < 400), idxStream, nShards = 2)
+    sources.AnnIndex.write(e.filter($"vec_id" < 400), idxBatch, nShards = 2)
+    val delta = e.filter($"vec_id" >= 400)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    // one-shot reference upsert
+    sources.AnnIndex.upsert(
+      delta.toSeq.toDF("vec_id", "embedding")
+        .select($"vec_id", $"embedding".cast("array<float>")), idxBatch)
+    // streamed in three uneven batches
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.upsertSink(
+        in.toDF().toDF("vec_id", "embedding")
+          .select($"vec_id", $"embedding".cast("array<float>")), idxStream)
+      .start()
+    in.addData(delta.take(30): _*)
+    q.processAllAvailable()
+    in.addData(delta.slice(30, 31): _*)
+    q.processAllAvailable()
+    in.addData(delta.drop(31): _*)
+    q.processAllAvailable()
+    q.stop()
+    def servable(p: String) = sources.AnnIndex.readServable(spark, p)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val got = servable(idxStream)
+    val want = servable(idxBatch)
+    assert(got.keySet == want.keySet)
+    val bad = want.collect { case (id, c) if got(id) != c => id }
+    assert(bad.isEmpty, s"codes diverged for ${bad.take(5)}")
+  }
+
   test("stream_data_card: folded slice deltas + derived shares equal batch data_card") {
     implicit val sql = spark.sqlContext
     val rows = Tables(spark, sfDir, "documents")
