@@ -130,5 +130,60 @@ object Graph {
       ${(1 to PrIters).map(iterSql).mkString(",\n      ")}
       SELECT node, r AS rank_fp FROM r$PrIters"""))
 
-  val ops: Seq[Op] = Seq(opPagerank)
+  // ---- q32_khop_reach: bounded k-hop neighborhoods (recursive CTE) ----
+  // The ego-network primitive (k-hop reachability with min-hop
+  // distance) — a standard graph feature for quality scoring — and
+  // deliberately expressed through Spark 4's NEW `WITH RECURSIVE`
+  // SQL surface so the library exercises it: the declarative BFS is
+  // handed to Catalyst, which plans each recursion level as an
+  // ordinary join (the "declare, don't hand-schedule" rule applied to
+  // the newest surface). Spark's recursive CTEs support UNION ALL
+  // only (no frontier dedup), so the depth bound is load-bearing: at
+  // k=2 the path volume is Σ out-deg² per seed — fine on any real
+  // navigation graph; UNBOUNDED reachability on a cyclic graph needs
+  // the dedup_cluster pointer-jumping loop instead (documented, not
+  // this op). min-hop folds at the end with a plain GROUP BY.
+  val KhopDepth = 2
+  val KhopSeeds = 3
+
+  private val opKhop = Op(
+    "q32_khop_reach",
+    (s, dir) => {
+      transitionEdges(events(s, dir)).select(col("src"), col("dst"))
+        .createOrReplaceTempView("graft_eg_khop")
+      s.sql(s"""
+        WITH RECURSIVE seeds AS (
+          SELECT src AS seed FROM graft_eg_khop GROUP BY src
+          ORDER BY src LIMIT $KhopSeeds),
+        reach(seed, node, depth) AS (
+          SELECT seed, seed AS node, 0 AS depth FROM seeds
+          UNION ALL
+          SELECT r.seed, e.dst, r.depth + 1
+          FROM reach r JOIN graft_eg_khop e ON e.src = r.node
+          WHERE r.depth < $KhopDepth)
+        SELECT seed, node, CAST(MIN(depth) AS BIGINT) AS hops
+        FROM reach GROUP BY seed, node""")
+    },
+    Some(s"""
+      WITH RECURSIVE ev AS (
+        SELECT user_id, event_id,
+          CAST(regexp_extract(props, '[0-9]+') AS INT) AS it
+        FROM events),
+      tr AS (
+        SELECT LAG(it) OVER (PARTITION BY user_id ORDER BY event_id)
+            AS src, it AS dst
+        FROM ev),
+      eg AS (SELECT src, dst FROM tr WHERE src IS NOT NULL GROUP BY 1, 2),
+      seeds AS (SELECT src AS seed FROM eg GROUP BY src
+        ORDER BY src LIMIT $KhopSeeds),
+      reach(seed, node, depth) AS (
+        SELECT seed, seed AS node, 0 AS depth FROM seeds
+        UNION ALL
+        SELECT r.seed, e.dst, r.depth + 1
+        FROM reach r JOIN eg e ON e.src = r.node
+        WHERE r.depth < $KhopDepth)
+      SELECT seed, node, CAST(MIN(depth) AS BIGINT) AS hops
+      FROM reach GROUP BY 1, 2"""))
+
+  val ops: Seq[Op] = Seq(opPagerank, opKhop)
 }

@@ -8,8 +8,8 @@ class PipelineOpsSpec extends SparkSpec {
 
   private val all = TextAnalysis.ops ++ Dedup.ops ++ Similarity.ops ++
     Multimodal.ops ++ operators.Sampling.ops ++ operators.Curate.ops ++
-    operators.LangModel.ops ++ operators.Profile.ops ++
-    operators.Search.ops
+    operators.LangModel.ops ++ operators.Graph.ops ++
+    operators.Profile.ops ++ operators.Search.ops
 
   private def run(name: String) =
     all.find(_.name == name).get.query(spark, sfDir)
@@ -1691,6 +1691,28 @@ class PipelineOpsSpec extends SparkSpec {
             if s.toString.contains("might_contain") => s
       }.nonEmpty, s"bloom predicate not pushed into a scan:\n$plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q32_khop_reach: equals an independent BFS over the same edges") {
+    val edges = operators.Graph.transitionEdges(Tables.events(spark, sfDir))
+      .select($"src", $"dst").collect()
+      .map(r => r.getInt(0) -> r.getInt(1))
+    val adj = edges.groupBy(_._1).map { case (s, g) => s -> g.map(_._2).toSet }
+    val seeds = edges.map(_._1).distinct.sorted.take(operators.Graph.KhopSeeds)
+    val want = (for {
+      seed <- seeds
+      d0 = Map(seed -> 0L)
+      d1 = adj.getOrElse(seed, Set.empty)
+        .map(_ -> 1L).toMap.filterNot { case (n, _) => d0.contains(n) } ++ d0
+      d2 = d1.keys.filter(d1(_) == 1L)
+        .flatMap(n => adj.getOrElse(n, Set.empty)).map(_ -> 2L).toMap
+        .filterNot { case (n, _) => d1.contains(n) } ++ d1
+      (node, hops) <- d2
+    } yield (seed, node) -> hops).toMap
+    val got = run("q32_khop_reach").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == want,
+      s"diff=${(got.toSet diff want.toSet).take(3)} / ${(want.toSet diff got.toSet).take(3)}")
   }
 
   test("ngram_lm: no Exchange carries the corpus text") {
