@@ -67,8 +67,14 @@ object Graph {
       .agg(count(lit(1)).as("w"))
   }
 
-  private[graft] def pagerank(ev: DataFrame): DataFrame = {
-    val edges = transitionEdges(ev)
+  private[graft] def pagerank(ev: DataFrame): DataFrame =
+    pagerankEdges(transitionEdges(ev))
+
+  /** The rank loop over an edge frame of the caller's provenance —
+    * derived in-line ([[pagerank]], the oracled driver query) or the
+    * reloaded `sink_graph` store (sources.GraphStore.pagerankFrom:
+    * rank sweeps never re-window the event log). */
+  private[graft] def pagerankEdges(edges: DataFrame): DataFrame = {
     val outdeg = edges.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
     // one materialization feeds all rounds
     val e = edges.join(outdeg, Seq("src")).localCheckpoint()

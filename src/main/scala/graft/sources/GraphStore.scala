@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sink_graph — persistence for the navigation edge list
+  * (graph_pagerank's input; stream_graph's output), completing the
+  * derive-once arc for the graph tier: the event log is windowed into
+  * transition edges ONCE (or maintained incrementally by
+  * stream_graph's deltas), and every rank run reads the folded skinny
+  * edge store instead of re-windowing the log — at 100 TB the log
+  * scan dwarfs the 8 rank sweeps it feeds.
+  *
+  * Layout: `edges/` (src, dst, w) range-sharded on (src, dst). Edge
+  * WEIGHTS are additive, so maintenance is the LmModel move, not the
+  * Fingerprints one: `append` lands a delta's partial counts as new
+  * files and [[readEdges]] folds by summing per (src, dst) —
+  * stream_graph's per-batch deltas append verbatim (same schema).
+  * [[compact]] folds the accumulated files back to clean shards on
+  * the maintenance cadence (temp-dir + swap, the Fingerprints
+  * staging).
+  */
+object GraphStore {
+
+  def write(edges: DataFrame, path: String, nShards: Int = 2): Unit =
+    edges.select(col("src"), col("dst"), col("w"))
+      .repartitionByRange(nShards, col("src"), col("dst"))
+      .sortWithinPartitions(col("src"), col("dst"))
+      .write.mode("overwrite").parquet(s"$path/edges")
+
+  /** Append a delta edge frame (src, dst, w) — counts additive,
+    * history untouched; readers fold. stream_graph's CardDelta-style
+    * (src, dst, w_delta) output appends here after a rename. */
+  def append(delta: DataFrame, path: String, nShards: Int = 1): Unit =
+    delta.select(col("src"), col("dst"), col("w"))
+      .repartitionByRange(nShards, col("src"), col("dst"))
+      .sortWithinPartitions(col("src"), col("dst"))
+      .write.mode("append").parquet(s"$path/edges")
+
+  /** Folded per-(src, dst) weights — append-safe. */
+  def readEdges(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/edges")
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+
+  /** Fold the accumulated append files to nShards clean ones (weights
+    * summed); gating/rank results identical before and after. */
+  def compact(spark: SparkSession, path: String, nShards: Int = 2): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    val dir = new java.io.File(s"$path/edges")
+    val tmp = s"$path/.edges.compact"
+    readEdges(spark, path)
+      .repartitionByRange(nShards, col("src"), col("dst"))
+      .sortWithinPartitions(col("src"), col("dst"))
+      .write.mode("overwrite").parquet(tmp)
+    val old = new java.io.File(s"$path/.edges.old")
+    java.nio.file.Files.move(dir.toPath, old.toPath)
+    java.nio.file.Files.move(new java.io.File(tmp).toPath, dir.toPath)
+    rm(old)
+  }
+
+  /** PageRank over the RELOADED store — the rank sweeps never touch
+    * the event log (equal to the in-line op when the store holds the
+    * same log's edges, spec'd). */
+  def pagerankFrom(spark: SparkSession, path: String): DataFrame =
+    graft.operators.Graph.pagerankEdges(readEdges(spark, path))
+}

@@ -369,6 +369,42 @@ class SinksSpec extends SparkSpec {
     assert(m2(900005L) == ((0L, 0L, 1L)), s"novel doc: ${m2(900005L)}")
   }
 
+  test("sink_graph: rank from the reloaded store == in-line; deltas append, compact folds") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val edges = operators.Graph.transitionEdges(ev)
+    val base = Files.createTempDirectory("graft-graphstore")
+    val store = base.resolve("store").toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toList).toSet
+    val want = rows(operators.Graph.pagerank(ev))
+    // one-shot build: store-fed rank == in-line, log never re-windowed
+    sources.GraphStore.write(edges, store)
+    assert(rows(sources.GraphStore.pagerankFrom(spark, store)) == want)
+    // grown store: half the edges + the other half appended as two
+    // deltas (weights additive, readers fold) ranks identically
+    val grown = base.resolve("grown").toString
+    sources.GraphStore.write(edges.filter($"src" % 2 === 0), grown)
+    sources.GraphStore.append(edges.filter($"src" % 2 === 1 && $"dst" % 2 === 0)
+      .withColumnRenamed("w", "w"), grown)
+    sources.GraphStore.append(edges.filter($"src" % 2 === 1 && $"dst" % 2 === 1), grown)
+    // overlapping delta: the SAME (src, dst) keys land in a second
+    // file with zero weight — the reader's per-key SUM must fold them
+    sources.GraphStore.append(
+      edges.filter($"src" % 2 === 0).withColumn("w", lit(0L)), grown)
+    assert(rows(sources.GraphStore.pagerankFrom(spark, grown)) == want,
+      "grown store diverged from the one-shot rank")
+    // compaction: file count folds, rank unchanged
+    val before = new java.io.File(s"$grown/edges")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    sources.GraphStore.compact(spark, grown, nShards = 2)
+    val after = new java.io.File(s"$grown/edges")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after == 2 && after < before)
+    assert(rows(sources.GraphStore.pagerankFrom(spark, grown)) == want,
+      "compacted store diverged")
+  }
+
   test("q22_approx_sketch: sketches land within declared error of exact") {
     // one collect serves both the distinct-count and quantile checks
     val rows = operators.Relational2.ops.find(_.name == "q22_approx_sketch")
