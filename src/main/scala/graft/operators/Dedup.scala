@@ -1037,8 +1037,18 @@ object Dedup {
   private[graft] def bloomGateFrom(fresh: DataFrame,
       histHash: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(fresh.sparkSession)
+    // size the sketch from the ACTUAL store cardinality (bounded
+    // driver scalar, the counted-guard precedent): the 1-arg default
+    // assumes 1M items and silently SATURATES at a billion-hash store
+    // — fp rate → 1 and the pre-gate stops pruning. ~10 bits/item
+    // ≈ 1 % fpp, capped at Spark's runtime-filter byte budget; past
+    // the cap the fp rate grows (never correctness — fps die at the
+    // confirm join) and the lever is sharding the sketch by hash range
+    val nHist = math.max(histHash.count(), 1L)
+    val bits = math.min(nHist * 10L, 67108864L * 8L)
     val bloomBytes = histHash.select(col("th"))
-      .agg(call_function("graft_bloom_agg", xxhash64(col("th"))).as("bf"))
+      .agg(call_function("graft_bloom_agg", xxhash64(col("th")),
+        lit(nHist), lit(bits)).as("bf"))
       .head().getAs[Array[Byte]](0)
     // empty history → null sketch → nothing passes (vacuously correct)
     val bf = if (bloomBytes == null) lit(null).cast("binary")
@@ -1047,14 +1057,21 @@ object Dedup {
       .withColumn("bloom_pass",
         when(call_function("graft_bloom_contains", bf, xxhash64(col("th"))),
           1L).otherwise(0L))
-    val confirmed = gated.filter(col("bloom_pass") === 1L)
+    // two narrow branches unioned instead of a doc_id re-join: the
+    // survivors branch keeps might_contain as a LIVE predicate (so
+    // Catalyst still propagates it to the history-side scan through
+    // the th equi-join — plan-spec'd) and nothing shard-sized ever
+    // crosses an exchange; the non-survivor branch is a second narrow
+    // scan, strictly cheaper than shuffling the shard on doc_id
+    val survivors = gated.filter(col("bloom_pass") === 1L)
       .join(histHash.select(col("th")).distinct()
           .withColumn("hit", lit(1L)), Seq("th"), "left")
-      .select(col("doc_id"), col("hit"))
-    gated.select(col("doc_id"), col("bloom_pass"))
-      .join(confirmed, Seq("doc_id"), "left")
       .select(col("doc_id"), col("bloom_pass"),
         coalesce(col("hit"), lit(0L)).as("is_exact_dup"))
+    survivors.union(
+      gated.filter(col("bloom_pass") === 0L)
+        .select(col("doc_id"), col("bloom_pass"),
+          lit(0L).as("is_exact_dup")))
   }
 
   private[graft] def bloomGate(d: DataFrame, split: Long): DataFrame =

@@ -56,12 +56,24 @@ object LangModel {
     * arrays_zip null-padding the short side.
     */
   private[graft] def shifted(d: DataFrame): DataFrame =
+    shiftedWith(d, Nil)
+
+  /** The zip-shift generator with pass-through columns — ONE kernel
+    * shared by the batch ops and the streaming gate so the
+    * stream == batch score equality can never drift apart on
+    * tokenization (carrying `lang` through the generator is how
+    * stream_perplexity keys its roll-up). */
+  private[graft] def shiftedWith(d: DataFrame,
+      extra: Seq[String]): DataFrame = {
+    val keep = extra.map(col)
     d.withColumn("toks", TextFns.tokens(col("text")))
       .withColumn("t1", slice(col("toks"), lit(2),
         greatest(size(col("toks")) - 1, lit(0))))
-      .select(col("doc_id"),
-        posexplode(arrays_zip(col("toks"), col("t1"))).as(Seq("pos", "z")))
-      .select(col("doc_id"), col("z.toks").as("w1"), col("z.t1").as("w2"))
+      .select(col("doc_id") +: keep :+
+        posexplode(arrays_zip(col("toks"), col("t1"))).as(Seq("pos", "z")): _*)
+      .select(col("doc_id") +: keep :+
+        col("z.toks").as("w1") :+ col("z.t1").as("w2"): _*)
+  }
 
   private[graft] def ngramLm(d: DataFrame): DataFrame = {
     val z = shifted(d)

@@ -98,6 +98,21 @@ object AnnIndex {
       .sortWithinPartitions(col("c_id"))
       .write.mode("append").parquet(s"$path/upserts")
 
+  /** IDEMPOTENT upsert keyed by a caller-supplied batch id: the delta
+    * lands under `upserts/bid=<id>/` with OVERWRITE semantics, so a
+    * replay of the same batch (a streaming restart re-running an
+    * uncommitted micro-batch) rewrites the same directory instead of
+    * appending duplicates — this is what makes Streams.upsertSink
+    * exactly-once across restarts. readServable's recursive upserts/
+    * read discovers the bid partition dirs transparently.
+    */
+  def upsertBatch(newVecs: DataFrame, path: String, batchId: Long,
+      nShards: Int = 1): Unit =
+    upsertFrame(newVecs, path)
+      .repartitionByRange(nShards, col("c_id"))
+      .sortWithinPartitions(col("c_id"))
+      .write.mode("overwrite").parquet(s"$path/upserts/bid=$batchId")
+
   /** The full servable int8 code set: base build ∪ upserted deltas
     * (absent `upserts/` — a never-upserted bundle — just the base).
     */

@@ -75,26 +75,23 @@ object Fingerprints {
     * through a temp dir then swaps, so a reader mid-compaction sees
     * either the old files or the new — never a half-written frame.
     */
-  def compact(spark: SparkSession, path: String, nShards: Int = 4): Unit = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-    }
+  def compact(spark: SparkSession, path: String, nShards: Int = 4): Unit =
     Seq("content" -> "th", "bands" -> "band_val", "spans" -> "h")
       .foreach { case (sub, key) =>
         val dir = new java.io.File(s"$path/$sub")
+        val tmp = new java.io.File(s"$path/.$sub.compact")
+        val old = new java.io.File(s"$path/.$sub.old")
+        // heal a crashed previous compaction BEFORE testing liveness —
+        // a death inside the swap window leaves the frame as `.old`
+        StoreMaintenance.recover(dir, tmp, old)
         if (dir.exists()) {
-          val tmp = s"$path/.$sub.compact"
-          spark.read.parquet(s"$path/$sub").distinct()
+          spark.read.parquet(dir.toString).distinct()
             .repartitionByRange(nShards, col(key))
             .sortWithinPartitions(col(key))
-            .write.mode("overwrite").parquet(tmp)
-          val old = new java.io.File(s"$path/.$sub.old")
-          java.nio.file.Files.move(dir.toPath, old.toPath)
-          java.nio.file.Files.move(new java.io.File(tmp).toPath, dir.toPath)
-          rm(old)
+            .write.mode("overwrite").parquet(tmp.toString)
+          StoreMaintenance.swap(dir, tmp, old)
         }
       }
-  }
 
   /** Multimodal extension of the store: distinct 16-bit hamming-band
     * keys of the corpus's perceptual hashes (mm_phash) — the image

@@ -43,21 +43,18 @@ object GraphStore {
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
 
   /** Fold the accumulated append files to nShards clean ones (weights
-    * summed); gating/rank results identical before and after. */
+    * summed); gating/rank results identical before and after.
+    * Crash-safe through the shared StoreMaintenance staging. */
   def compact(spark: SparkSession, path: String, nShards: Int = 2): Unit = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-    }
     val dir = new java.io.File(s"$path/edges")
-    val tmp = s"$path/.edges.compact"
+    val tmp = new java.io.File(s"$path/.edges.compact")
+    val old = new java.io.File(s"$path/.edges.old")
+    StoreMaintenance.recover(dir, tmp, old)
     readEdges(spark, path)
       .repartitionByRange(nShards, col("src"), col("dst"))
       .sortWithinPartitions(col("src"), col("dst"))
-      .write.mode("overwrite").parquet(tmp)
-    val old = new java.io.File(s"$path/.edges.old")
-    java.nio.file.Files.move(dir.toPath, old.toPath)
-    java.nio.file.Files.move(new java.io.File(tmp).toPath, dir.toPath)
-    rm(old)
+      .write.mode("overwrite").parquet(tmp.toString)
+    StoreMaintenance.swap(dir, tmp, old)
   }
 
   /** PageRank over the RELOADED store — the rank sweeps never touch

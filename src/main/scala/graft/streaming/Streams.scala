@@ -775,11 +775,13 @@ object Streams {
           val seen = new java.util.HashSet[java.lang.Long]()
           val cands = scala.collection.mutable.ArrayBuffer
             .empty[(Long, Double, Double)]
+          // candidates need BOTH a store hit and a scorable cosine —
+          // graft_cosine nulls on dimension mismatch (corrupt arriving
+          // vector / vecs-bands drift); tolerate like the batch path
+          // instead of killing the query on Option.get
           in.foreach { p =>
-            p.t_id.foreach { t =>
-              if (seen.add(t))
-                cands += ((t, p.cos.get, p.t_avg.getOrElse(0.0)))
-            }
+            for (t <- p.t_id; c <- p.cos)
+              if (seen.add(t)) cands += ((t, c, p.t_avg.getOrElse(0.0)))
           }
           if (cands.isEmpty) Iterator.single(BitextOut(id, -1L, -1.0, 0.0, 0L))
           else {
@@ -811,16 +813,19 @@ object Streams {
     * ann_upsert equality, inherited). History is never re-read or
     * re-encoded per batch; model drift remains the explicit offline
     * rebuild trigger. Caller `.start()`s the returned writer and owns
-    * checkpointing (exactly-once across restarts rides on the sink's
-    * append semantics + the caller's checkpoint dir, like every
-    * file-sink deployment).
+    * the checkpoint dir; exactly-once across restarts holds because
+    * each batch writes to its OWN `upserts/bid=<batchId>/` dir with
+    * overwrite semantics (AnnIndex.upsertBatch) — a replayed
+    * micro-batch rewrites its directory instead of appending
+    * duplicates.
     */
   def upsertSink(newVecs: DataFrame, path: String, nShards: Int = 1):
       org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
     newVecs.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) graft.sources.AnnIndex.upsert(batch, path, nShards)
+      (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.AnnIndex.upsertBatch(batch, path, batchId, nShards)
     }
 
   // ---- stream_graph: incremental navigation-edge maintenance ----
@@ -852,6 +857,10 @@ object Streams {
     import events.sparkSession.implicits._
     val ev = events.select(col("user_id"), col("event_id"),
       expr("CAST(get_json_object(props, '$.k') AS INT)").as("it"))
+      // a malformed props (no numeric $.k) casts to null, which cannot
+      // encode into the primitive Int field — drop it like the batch
+      // twin's null-src filter instead of crashing the query
+      .filter(col("it").isNotNull)
       .as[EdgeEvent]
     ev.groupByKey(_.user_id)
       .flatMapGroupsWithState[LastItem, EdgeDelta](
@@ -897,15 +906,10 @@ object Streams {
   def perplexityGate(docs: DataFrame, bigrams: DataFrame,
       contexts: DataFrame, v: Long, cuts: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val toks = docs.withColumn("toks",
-      graft.functions.TextFns.tokens(col("text")))
-    val bg = toks
-      .withColumn("t1", slice(col("toks"), lit(2),
-        greatest(size(col("toks")) - 1, lit(0))))
-      .select(col("doc_id"), col("lang"),
-        posexplode(arrays_zip(col("toks"), col("t1"))).as(Seq("pos", "z")))
-      .select(col("doc_id"), col("lang"),
-        col("z.toks").as("w1"), col("z.t1").as("w2"))
+    // the SHARED zip-shift generator (LangModel.shiftedWith) — the
+    // stream must tokenize exactly as the batch scorer or the
+    // round-trip equality silently breaks
+    val bg = graft.operators.LangModel.shiftedWith(docs, Seq("lang"))
       .filter(col("w2").isNotNull)
     val scored = bg.join(bigrams, Seq("w1", "w2"), "left")
       .join(contexts, Seq("w1"), "left")
@@ -924,7 +928,8 @@ object Streams {
       }
     // bigram-less docs never reach the probe path — keep the batch
     // sentinel via a stateless side branch
-    val lone = toks.filter(size(col("toks")) < 2)
+    val lone = docs
+      .filter(size(graft.functions.TextFns.tokens(col("text"))) < 2)
       .select(col("doc_id"), col("lang"),
         lit(0L).as("n_bigrams"), lit(0L).as("sum_surprisal"))
     perDoc.toDF().union(lone)

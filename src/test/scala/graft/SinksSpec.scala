@@ -369,6 +369,29 @@ class SinksSpec extends SparkSpec {
     assert(m2(900005L) == ((0L, 0L, 1L)), s"novel doc: ${m2(900005L)}")
   }
 
+  test("store compaction heals a crash inside the swap window") {
+    val all = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 50L)
+    val base = Files.createTempDirectory("graft-crash")
+    val store = base.resolve("store").toString
+    sources.Fingerprints.write(all, store, nShards = 2)
+    val want = sources.Fingerprints.readContent(spark, store)
+      .collect().map(_.getString(0)).toSet
+    // simulate death BETWEEN the two renames: the live frame sits
+    // aside as .old, the frame dir is gone
+    java.nio.file.Files.move(
+      new java.io.File(s"$store/content").toPath,
+      new java.io.File(s"$store/.content.old").toPath)
+    // and a stale tmp from an earlier crash on another frame
+    new java.io.File(s"$store/.bands.compact").mkdirs()
+    sources.Fingerprints.compact(spark, store, nShards = 2)
+    assert(sources.Fingerprints.readContent(spark, store)
+      .collect().map(_.getString(0)).toSet == want,
+      "recovery must restore the frame that was mid-swap")
+    assert(!new java.io.File(s"$store/.content.old").exists())
+    assert(!new java.io.File(s"$store/.bands.compact").exists())
+  }
+
   test("sink_graph: rank from the reloaded store == in-line; deltas append, compact folds") {
     import spark.implicits._
     val ev = Tables.events(spark, sfDir)
