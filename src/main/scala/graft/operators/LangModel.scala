@@ -303,11 +303,22 @@ object LangModel {
   // reference slice only (the filter reaches the parquet scan); the
   // corpus-sized work is ONE left join of the bigram stream to the
   // skinny model on (w1, w2) — text never crosses an exchange. The
-  // head/middle/tail ranks run over the per-DOC stats frame (4 skinny
-  // columns), partitioned by language; at 100 TB the exact per-lang
-  // sort is the CCNet algorithm itself, and the sketch shortcut is
-  // already in the library (quantile_bins_sketch: KLL cuts + CASE)
-  // when a one-bin-off tolerance is acceptable.
+  // head/middle/tail split has TWO modes:
+  //   * the exact mode ([[perplexityFilter]], the oracled driver
+  //     query) ranks the per-doc stats frame with a per-language
+  //     window — O(docs-per-lang) rows through one task's sort, which
+  //     is the q31-rejected shape at 100 TB (language is the textbook
+  //     skewed key: a 90%-English corpus puts billions of rows in one
+  //     task);
+  //   * the DEPLOYMENT mode ([[langCutsSketch]] →
+  //     `perplexity_cuts_sketch`, and `sources.LmModel.refreshCuts`'s
+  //     default) derives the two cut VALUES per language from ONE
+  //     mergeable KLL sketch over `ord` (constant-size state, map-side
+  //     combine — the quantile_bins_sketch shape) and applies them as
+  //     a narrow CASE. Rank error ≤ ~1.65 % means a doc can land one
+  //     bucket off ONLY inside that band around a cut — CCNet's
+  //     head/middle/tail semantics are insensitive to that
+  //     (PerplexitySketchSpec bounds the disagreement).
 
   /** Sources 'src0'..'src<n-1>' form the curated reference slice. */
   val RefSourceCount = 5
@@ -412,6 +423,60 @@ object LangModel {
         max(when(col("b") <= 1L, col("ord"))).as("cut_mid"))
   }
 
+  /** Deployment-path cut derivation: the same (lang, cut_head,
+    * cut_mid) frame as [[langCuts]], but from ONE mergeable KLL
+    * sketch per language over `ord` — constant-size aggregation state
+    * instead of a per-language task-local sort. The target ranks are
+    * the exact mode's boundary positions ceil(nl/3) and ceil(2·nl/3)
+    * (counted over ALL docs — bigram-less docs rank last, exactly as
+    * the window orders them), re-normalized to the scored (no_bg = 0)
+    * population the sketch actually holds and clamped to 1 when a
+    * boundary lands inside the bigram-less tail (the exact mode's
+    * max-over-bucket then also saturates at the largest scored ord).
+    */
+  private[graft] def cutsFromPerDoc(perDoc: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(perDoc.sparkSession)
+    perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("nl"),
+        sum(lit(1L) - col("no_bg")).as("ns"),
+        expr("graft_kll_agg(CASE WHEN no_bg = 0 THEN ord END)").as("sk"))
+      .filter(col("ns") > 0L)
+      .select(col("lang"),
+        expr("""graft_kll_quantile(sk, least(CAST(1.0 AS DOUBLE),
+          CAST((nl + 2) DIV 3 AS DOUBLE) / CAST(ns AS DOUBLE)))""")
+          .as("cut_head"),
+        expr("""graft_kll_quantile(sk, least(CAST(1.0 AS DOUBLE),
+          CAST((2 * nl + 2) DIV 3 AS DOUBLE) / CAST(ns AS DOUBLE)))""")
+          .as("cut_mid"))
+  }
+
+  /** [[langCuts]]'s scale twin: train + score + sketch-derived cuts.
+    * This is what `sources.LmModel.refreshCuts` persists by default. */
+  private[graft] def langCutsSketch(d: DataFrame): DataFrame = {
+    val (c2, c1, v) = refCounts(d)
+    cutsFromPerDoc(scoreAgainst(d, c2, c1, v))
+  }
+
+  /** Apply persisted/derived cut VALUES to a scored per-doc frame —
+    * the CCNet deployment rule, shared with the streaming gate
+    * (streaming.Streams.perplexityGate keeps its own copy fused into
+    * the stateless select): ties go to the earlier bucket, bigram-less
+    * docs and unknown languages score 'tail'. Narrow CASE over a
+    * broadcast cuts frame — no window, no per-language shuffle beyond
+    * the scoring aggregation itself.
+    */
+  private[graft] def applyCuts(perDoc: DataFrame,
+      cuts: DataFrame): DataFrame =
+    perDoc.join(broadcast(cuts), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("sum_surprisal"), bptCol.as("bits_per_token"),
+        when(col("n_bigrams") === 0L, "tail")
+          .when(col("ord") <=
+            coalesce(col("cut_head"), lit(Double.NegativeInfinity)), "head")
+          .when(col("ord") <=
+            coalesce(col("cut_mid"), lit(Double.NegativeInfinity)), "middle")
+          .otherwise("tail").as("bucket"))
+
   private val opPplFilter = Op(
     "perplexity_filter",
     (s, dir) => perplexityFilter(docs(s, dir)),
@@ -460,5 +525,23 @@ object LangModel {
           WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
       FROM rk"""))
 
-  val ops: Seq[Op] = Seq(opNgramLm, opColloc, opSkipgram, opPplFilter)
+  // rows-only by design: KLL compaction draws random bits, so two
+  // builds may place a within-band doc in adjacent buckets — the spec
+  // bounds the disagreement vs the exact window instead
+  // (PerplexitySketchSpec), the determinism-exemption rule the other
+  // *_sketch ops follow. The per-doc frame is localCheckpointed ONCE
+  // so the cut derivation and the bucket application don't each re-pay
+  // the corpus-sized scoring join (the q32 edge-view discipline).
+  private val opPplSketch = Op(
+    "perplexity_cuts_sketch",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val (c2, c1, v) = refCounts(d)
+      val perDoc = scoreAgainst(d, c2, c1, v).localCheckpoint()
+      applyCuts(perDoc, cutsFromPerDoc(perDoc))
+    },
+    None)
+
+  val ops: Seq[Op] =
+    Seq(opNgramLm, opColloc, opSkipgram, opPplFilter, opPplSketch)
 }

@@ -68,9 +68,18 @@ object LmModel {
     writeFrames(shard, path, nShards, "append")
 
   /** Recompute the per-language cut values from the current corpus —
-    * the non-additive half of the bundle. */
-  def refreshCuts(all: DataFrame, path: String): Unit =
-    graft.operators.LangModel.langCuts(all)
+    * the non-additive half of the bundle. The DEFAULT derivation is
+    * the KLL-sketch path (`LangModel.langCutsSketch`): one mergeable
+    * constant-size sketch per language, no per-language task-local
+    * sort — at 100 TB a 90%-English corpus would put billions of rows
+    * through the exact window's single task, the q31-rejected shape.
+    * `exact = true` keeps the window for small reference corpora
+    * where bit-reproducible cuts matter more than the skew bound.
+    */
+  def refreshCuts(all: DataFrame, path: String,
+      exact: Boolean = false): Unit =
+    (if (exact) graft.operators.LangModel.langCuts(all)
+     else graft.operators.LangModel.langCutsSketch(all))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/cuts")
 
   /** Folded per-(w1, w2) counts — append-safe. */

@@ -1532,6 +1532,74 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(3L)._3 < out(4L)._3)
   }
 
+  test("perplexity_cuts_sketch: scores == exact; disagreement confined to the rank band; adjacent buckets only") {
+    val exact = run("perplexity_filter").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_surprisal"),
+          r.getAs[Double]("bits_per_token"), r.getAs[String]("bucket")))).toMap
+    val sk = run("perplexity_cuts_sketch")
+    assert(sk.columns.toSeq == Seq("doc_id", "lang", "n_bigrams",
+      "sum_surprisal", "bits_per_token", "bucket"))
+    val skm = sk.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_surprisal"),
+          r.getAs[Double]("bits_per_token"), r.getAs[String]("bucket"),
+          r.getAs[String]("lang")))).toMap
+    assert(skm.keySet == exact.keySet)
+    // the SCORES are mode-independent — only the bucket boundary may move
+    skm.foreach { case (id, (n, s, bpt, _, _)) =>
+      assert((n, s, bpt) == ((exact(id)._1, exact(id)._2, exact(id)._3)),
+        s"doc $id: sketch-mode scores diverged from exact")
+    }
+    // exact per-language ranks, driver-side on the skinny stats
+    val ranked = skm.toSeq.groupBy(_._2._5).map { case (lang, ds) =>
+      val ordered = ds.sortBy { case (id, (n, s, _, _, _)) =>
+        (if (n == 0L) 1 else 0, if (n == 0L) 0.0 else s.toDouble / n, id)
+      }.map(_._1)
+      lang -> ordered
+    }
+    val buckets = Seq("head", "middle", "tail")
+    var disagree = 0
+    skm.foreach { case (id, (_, _, _, b, lang)) =>
+      val eb = exact(id)._4
+      if (b != eb) {
+        disagree += 1
+        assert(math.abs(buckets.indexOf(b) - buckets.indexOf(eb)) == 1,
+          s"doc $id: sketch bucket $b not adjacent to exact $eb")
+        // a flip is legal ONLY inside the ±1.65% rank band (+1 doc
+        // discretization slack) around one of the two cut positions
+        val order = ranked(lang)
+        val nl = order.size
+        val rn = order.indexOf(id) + 1
+        val band = 0.0165 * nl + 1.0
+        val nearCut = Seq((nl + 2) / 3, (2 * nl + 2) / 3)
+          .exists(b3 => math.abs(rn - b3) <= band)
+        assert(nearCut,
+          s"doc $id (rank $rn/$nl in $lang) flipped $eb→$b outside the band")
+      }
+    }
+    assert(disagree <= skm.size / 10,
+      s"sketch mode disagrees on $disagree/${skm.size} docs")
+  }
+
+  test("perplexity_cuts_sketch: deployment path has no window over the per-doc frame") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = Tables(spark, sfDir, "documents")
+      val (c2, c1, v) = operators.LangModel.refCounts(docs)
+      val perDoc = operators.LangModel.scoreAgainst(docs, c2, c1, v)
+      // cut derivation + application, exactly what LmModel.refreshCuts
+      // (default) + a scoring tick run — end to end, no WindowExec
+      val deployed = operators.LangModel.applyCuts(perDoc,
+        operators.LangModel.cutsFromPerDoc(perDoc))
+      val wins = deployed.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.isEmpty,
+        s"deployment path must not sort a language in one task:\n$wins")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("perplexity_filter: no Exchange carries the corpus text") {
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
     spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -306,7 +306,31 @@ class SinksSpec extends SparkSpec {
     assert(rows(storeFed) ==
       rows(operators.LangModel.scoreAgainst(shard, c2, c1, v)),
       "store-fed scoring diverged from in-line training")
-    // the persisted cut values round-trip too
+    // the DEFAULT persisted cuts are the KLL-sketch derivation (no
+    // per-language window at refresh time): each cut value's empirical
+    // rank among that language's scored ords sits inside the sketch's
+    // ±1.65% band (+1-doc slack) around the exact thirds boundary
+    val perDoc = operators.LangModel.scoreAgainst(all, c2, c1, v)
+      .collect().map(r => (r.getAs[String]("lang"),
+        r.getAs[Int]("no_bg"), r.getAs[Double]("ord")))
+    val byLang = perDoc.groupBy(_._1)
+    sources.LmModel.readCuts(spark, modelPath).collect().foreach { r =>
+      val (lang, cutH, cutM) =
+        (r.getString(0), r.getDouble(1), r.getDouble(2))
+      val nl = byLang(lang).length
+      val ords = byLang(lang).filter(_._2 == 0).map(_._3).sorted
+      val ns = ords.length
+      val tol = 0.0165 + 1.0 / ns
+      def check(cut: Double, b3: Long): Unit = {
+        val rank = ords.count(_ <= cut).toDouble / ns
+        val target = math.min(1.0, b3.toDouble / ns)
+        assert(math.abs(rank - target) <= tol,
+          s"$lang cut at rank $rank, target $target, tol $tol")
+      }
+      check(cutH, (nl + 2) / 3); check(cutM, (2L * nl + 2) / 3)
+    }
+    // exact mode stays available and reproduces the window bit-for-bit
+    sources.LmModel.refreshCuts(all, modelPath, exact = true)
     assert(rows(sources.LmModel.readCuts(spark, modelPath)) ==
       rows(operators.LangModel.langCuts(all)))
     // store MAINTENANCE: a model grown by append (half the corpus,
