@@ -78,18 +78,16 @@ object Fingerprints {
   def compact(spark: SparkSession, path: String, nShards: Int = 4): Unit =
     Seq("content" -> "th", "bands" -> "band_val", "spans" -> "h")
       .foreach { case (sub, key) =>
-        val dir = new java.io.File(s"$path/$sub")
-        val tmp = new java.io.File(s"$path/.$sub.compact")
-        val old = new java.io.File(s"$path/.$sub.old")
+        val (dir, tmp, old) = StoreMaintenance.staging(path, sub)
         // heal a crashed previous compaction BEFORE testing liveness —
         // a death inside the swap window leaves the frame as `.old`
-        StoreMaintenance.recover(dir, tmp, old)
-        if (dir.exists()) {
+        StoreMaintenance.recover(spark, dir, tmp, old)
+        if (StoreMaintenance.exists(spark, dir)) {
           spark.read.parquet(dir.toString).distinct()
             .repartitionByRange(nShards, col(key))
             .sortWithinPartitions(col(key))
             .write.mode("overwrite").parquet(tmp.toString)
-          StoreMaintenance.swap(dir, tmp, old)
+          StoreMaintenance.swap(spark, dir, tmp, old)
         }
       }
 

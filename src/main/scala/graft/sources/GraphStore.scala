@@ -46,15 +46,13 @@ object GraphStore {
     * summed); gating/rank results identical before and after.
     * Crash-safe through the shared StoreMaintenance staging. */
   def compact(spark: SparkSession, path: String, nShards: Int = 2): Unit = {
-    val dir = new java.io.File(s"$path/edges")
-    val tmp = new java.io.File(s"$path/.edges.compact")
-    val old = new java.io.File(s"$path/.edges.old")
-    StoreMaintenance.recover(dir, tmp, old)
+    val (dir, tmp, old) = StoreMaintenance.staging(path, "edges")
+    StoreMaintenance.recover(spark, dir, tmp, old)
     readEdges(spark, path)
       .repartitionByRange(nShards, col("src"), col("dst"))
       .sortWithinPartitions(col("src"), col("dst"))
       .write.mode("overwrite").parquet(tmp.toString)
-    StoreMaintenance.swap(dir, tmp, old)
+    StoreMaintenance.swap(spark, dir, tmp, old)
   }
 
   /** PageRank over the RELOADED store — the rank sweeps never touch
