@@ -43,6 +43,28 @@ object Search {
   val IdfScale = 65536L
   val IdfScaleBits = 16
 
+  /** The BM25 arithmetic over pre-derived frames — the kernel BOTH
+    * the inline corpus path and the persisted-index path
+    * ([[graft.sources.SearchIndex.bm25From]]) run, so store-fed
+    * scores are bit-equal to inline by construction (all-integer):
+    * `tf` is (token, doc_id, dl, tf), `df` (token, df), `stats` one
+    * row (n, t).
+    */
+  private[graft] def scoreTf(tf: DataFrame, df: DataFrame,
+      stats: DataFrame): DataFrame =
+    tf.join(broadcast(df), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_bits",
+        (length(bin(expr(s"((2*n + 2) * $IdfScale) DIV (2*df + 1)")))
+          - 1 - IdfScaleBits).cast("long"))
+      .withColumn("contrib", expr(
+        "CAST((CAST(idf_bits AS DECIMAL(38,0)) * 44 * CAST(t AS DECIMAL(38,0))" +
+          " * tf * 1000) DIV (CAST(20 AS DECIMAL(38,0)) * t * tf" +
+          " + CAST(6 AS DECIMAL(38,0)) * t" +
+          " + CAST(18 AS DECIMAL(38,0)) * dl * n) AS BIGINT)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("score"), count(lit(1)).as("n_terms"))
+
   /** Per-doc BM25 scores for every doc matching ≥1 query term — the
     * shared kernel of the batch top-K and the stream_search gate's
     * exactness spec.
@@ -64,29 +86,22 @@ object Search {
       .groupBy(col("doc_id"), col("dl"), col("token"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    tf.join(broadcast(df), Seq("token"))
-      .crossJoin(broadcast(stats))
-      .withColumn("idf_bits",
-        (length(bin(expr(s"((2*n + 2) * $IdfScale) DIV (2*df + 1)")))
-          - 1 - IdfScaleBits).cast("long"))
-      .withColumn("contrib", expr(
-        "CAST((CAST(idf_bits AS DECIMAL(38,0)) * 44 * CAST(t AS DECIMAL(38,0))" +
-          " * tf * 1000) DIV (CAST(20 AS DECIMAL(38,0)) * t * tf" +
-          " + CAST(6 AS DECIMAL(38,0)) * t" +
-          " + CAST(18 AS DECIMAL(38,0)) * dl * n) AS BIGINT)"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("contrib")).as("score"), count(lit(1)).as("n_terms"))
+    scoreTf(tf, df, stats)
   }
 
-  private[graft] def bm25TopK(d: DataFrame): DataFrame = {
+  /** Global top-[[Bm25K]] with a dense rank — the rank window runs
+    * over only the K retained rows. */
+  private[graft] def topK(scores: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    bm25Scores(d)
+    scores
       .orderBy(col("score").desc, col("doc_id"))
       .limit(Bm25K)
       .select(col("doc_id"), col("score"), col("n_terms"),
         row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
           .cast("long").as("rk"))
   }
+
+  private[graft] def bm25TopK(d: DataFrame): DataFrame = topK(bm25Scores(d))
 
   /** Offline corpus profile for the stream_search gate: per-term doc
     * frequencies plus (N, T) — a bounded driver collect (≤ |q| + 1

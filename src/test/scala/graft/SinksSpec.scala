@@ -452,6 +452,78 @@ class SinksSpec extends SparkSpec {
       "compacted store diverged")
   }
 
+  test("sink_index: retrieval from the reloaded bundle == inline; corpus never re-scanned") {
+    val all = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val base = Files.createTempDirectory("graft-sidx-store")
+    val corpusPath = base.resolve("corpusdocs").toString
+    val storePath = base.resolve("store").toString
+    all.write.parquet(corpusPath)
+    // the expensive offline pass: index the corpus ONCE
+    sources.SearchIndex.write(
+      spark.read.parquet(corpusPath), storePath, nShards = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toList).toSet
+    val want = rows(operators.Search.bm25TopK(all))
+    val wantIdx = rows(operators.TextAnalysis.indexBuild(all))
+    // store-fed BM25 == inline search_bm25 row-for-row
+    assert(rows(sources.SearchIndex.bm25From(spark, storePath)) == want,
+      "store-fed BM25 diverged from inline search_bm25")
+    // folded positional postings == one-shot index_build
+    assert(rows(sources.SearchIndex.readPostings(spark, storePath)) == wantIdx,
+      "store postings diverged from index_build")
+    // the stream_search profile gate from the skinny df/stats frames
+    // == the corpus re-scan it replaces
+    assert(sources.SearchIndex.profileFrom(spark, storePath) ==
+      operators.Search.bm25Profile(all),
+      "store-fed profile diverged from bm25Profile")
+    // scale contract: a scoring tick scans ONLY the bundle — never
+    // the corpus text the index was derived from
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val scans = sources.SearchIndex.bm25From(spark, storePath)
+        .queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }
+      assert(scans.nonEmpty, "expected parquet scans")
+      scans.foreach { f =>
+        val roots = f.relation.location.rootPaths.mkString(",")
+        assert(!roots.contains("corpusdocs"),
+          s"scoring re-scans corpus text: $roots")
+        assert(roots.contains("store"), s"unexpected input: $roots")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // grown store: half the corpus + the other half appended (counts
+    // additive, a doc lands in exactly one shard) probes identically;
+    // old files never rewritten
+    val grown = base.resolve("grown").toString
+    sources.SearchIndex.write(all.filter(col("doc_id") < 250L), grown)
+    val before = new java.io.File(s"$grown/tf")
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    sources.SearchIndex.append(all.filter(col("doc_id") >= 250L), grown)
+    val after = new java.io.File(s"$grown/tf")
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    assert(before.subsetOf(after) && after.size > before.size,
+      "append must add files, never rewrite old shards")
+    assert(rows(sources.SearchIndex.bm25From(spark, grown)) == want,
+      "appended bundle diverged on BM25")
+    assert(rows(sources.SearchIndex.readPostings(spark, grown)) == wantIdx,
+      "appended bundle diverged on postings")
+    // compaction folds the log back to nShards clean files — probes
+    // unchanged (crash-safety itself is covered by the shared
+    // StoreMaintenance staging spec above)
+    val filesBefore = new java.io.File(s"$grown/tf")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    sources.SearchIndex.compact(spark, grown, nShards = 2)
+    val filesAfter = new java.io.File(s"$grown/tf")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(filesAfter == 2 && filesAfter < filesBefore,
+      s"compact must fold $filesBefore tf files to 2, got $filesAfter")
+    assert(rows(sources.SearchIndex.bm25From(spark, grown)) == want,
+      "compacted bundle diverged on BM25")
+    assert(rows(sources.SearchIndex.readPostings(spark, grown)) == wantIdx,
+      "compacted bundle diverged on postings")
+  }
+
   test("q22_approx_sketch: sketches land within declared error of exact") {
     // one collect serves both the distinct-count and quantile checks
     val rows = operators.Relational2.ops.find(_.name == "q22_approx_sketch")

@@ -293,6 +293,17 @@ class StreamingSpec extends SparkSpec {
     folded.foreach { case (tok, got) =>
       assert(got == batch(tok), s"token '$tok': folded $got != batch ${batch(tok)}")
     }
+    // the deltas ARE the sink_index postings/ schema: appended
+    // verbatim into a bundle, the store's fold is the batch index
+    val bundle = java.nio.file.Files.createTempDirectory("graft-sidx")
+      .resolve("bundle").toString
+    sources.SearchIndex.appendDeltas(spark.table("idx_frags"), bundle)
+    val stored = sources.SearchIndex.readPostings(spark, bundle).collect()
+      .map(r => r.getAs[String]("token") ->
+        (r.getAs[Long]("n_postings"), r.getAs[Long]("n_docs"),
+          r.getAs[String]("posting"))).toMap
+    assert(stored == batch,
+      "store-folded postings diverged from the batch index")
   }
 
   test("stream_ingest: stream-static exact-dup gate equals batch dedup_incremental") {
