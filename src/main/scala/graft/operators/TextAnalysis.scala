@@ -589,11 +589,71 @@ object TextAnalysis {
   private val GopherStops = Seq("the", "a", "be", "to", "of", "and",
     "that", "have", "with")
 
+  // Gopher Table A1's repetition sub-table ceilings (r10): fraction
+  // of characters in DUPLICATE n-grams (n = 5..10 at 15 % down to
+  // 10 %) and in the MOST COMMON n-gram (n = 2..4 at 20/18/16 %),
+  // as integer basis points over length(text). The paper's prose
+  // leaves the duplicate-char count ambiguous (implementations
+  // disagree on overlap handling); this library pins the SET-WISE
+  // reading — chars in non-first occurrences, Σ over distinct
+  // n-grams of (count−1)·len — because it is order-free, exactly
+  // computable in one aggregation, and oracle-matchable bit-for-bit.
+  private[graft] val GopherDupBp = Seq(5 -> 1500L, 6 -> 1400L,
+    7 -> 1300L, 8 -> 1200L, 9 -> 1100L, 10 -> 1000L)
+  private[graft] val GopherTopBp = Seq(2 -> 2000L, 3 -> 1800L, 4 -> 1600L)
+
+  /** Per-doc repetition signals for the rule set: one ROW-LOCAL
+    * n-gram generation for all n in 2..10 (hash + char length only —
+    * the Dedup span-hash move, so the count shuffle carries 9 skinny
+    * long rows per token position, never gram strings), one map-side-
+    * combinable count, one conditional roll-up. No window, no join.
+    */
+  private[graft] def gopherRepetition(d: DataFrame): DataFrame = {
+    val grams = d
+      .withColumn("toks", TextFns.tokens(col("text")))
+      .withColumn("lt", length(col("text")).cast("long"))
+      // slice-of-sequence instead of sequence(1, m): Spark's sequence
+      // DESCENDS when m < 1, so the empty case must come from slice
+      .withColumn("gs", expr(
+        """flatten(transform(sequence(2, 10), n ->
+             transform(
+               transform(
+                 slice(sequence(1, greatest(size(toks), 1)), 1,
+                   greatest(size(toks) - n + 1, 0)),
+                 i -> array_join(slice(toks, i, n), ' ')),
+               g -> struct(n AS n, xxhash64(g) AS h,
+                 CAST(length(g) AS LONG) AS len))))"""))
+      .select(col("doc_id"), col("lt"), explode(col("gs")).as("g"))
+      .select(col("doc_id"), col("lt"), col("g.n").as("n"),
+        col("g.h").as("h"), col("g.len").as("len"))
+    // within-doc gram counts: keys are (doc, n, hash) — collisions
+    // would have to land inside ONE doc's ≤9·tokens grams (and match
+    // len too); len rides as a grouping column like bm25's dl
+    val counts = grams
+      .groupBy(col("doc_id"), col("lt"), col("n"), col("h"), col("len"))
+      .agg(count(lit(1)).as("c"))
+    val aggs = GopherDupBp.map { case (n, _) =>
+      sum(when(col("n") === n && col("c") >= 2L,
+        (col("c") - 1L) * col("len")).otherwise(0L)).as(s"dup$n")
+    } ++ GopherTopBp.map { case (n, _) =>
+      max(when(col("n") === n, col("c") * col("len"))).as(s"top$n")
+    }
+    counts.groupBy(col("doc_id"), col("lt"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id") +: (
+        GopherDupBp.map { case (n, _) =>
+          expr(s"coalesce(dup$n, 0) * 10000 DIV lt").as(s"dup${n}_bp") } ++
+        GopherTopBp.map { case (n, _) =>
+          expr(s"coalesce(top$n, 0) * 10000 DIV lt").as(s"top${n}_bp") }): _*)
+  }
+
   private[graft] def qualityGopher(d: DataFrame): DataFrame = {
     val stopHits = GopherStops.map(w =>
       when(array_contains(col("toks"), w), 1L).otherwise(0L))
       .reduce(_ + _)
-    d.withColumn("toks", TextFns.tokens(col("text")))
+    val repCols = (GopherDupBp.map(n => s"dup${n._1}_bp") ++
+      GopherTopBp.map(n => s"top${n._1}_bp"))
+    val base = d.withColumn("toks", TextFns.tokens(col("text")))
       .withColumn("n_words", size(col("toks")).cast("long"))
       .withColumn("sum_len", expr(
         "aggregate(toks, 0L, (a, w) -> a + length(w))"))
@@ -607,19 +667,50 @@ object TextAnalysis {
       .withColumn("symbol_bp", expr("n_sym * 10000 DIV n_words"))
       .withColumn("alpha_bp", expr("n_alpha * 10000 DIV n_words"))
       .withColumn("stop_hits", stopHits)
-      .select(col("doc_id"), col("n_words"), col("mwl_x100"),
-        col("symbol_bp"), col("alpha_bp"), col("stop_hits"),
+    // a <2-token doc generates no grams at all — absent from the
+    // repetition frame, its signals coalesce to 0 (vacuous pass,
+    // mirrored by the oracle's LEFT JOIN)
+    val rep = base.select(col("doc_id"), col("text"))
+      .transform(gopherRepetition)
+    val passRep = GopherDupBp.map { case (n, bp) =>
+      col(s"dup${n}_bp") <= bp } ++ GopherTopBp.map { case (n, bp) =>
+      col(s"top${n}_bp") <= bp }
+    base.join(rep, Seq("doc_id"), "left")
+      .select(Seq(col("doc_id"), col("n_words"), col("mwl_x100"),
+        col("symbol_bp"), col("alpha_bp"), col("stop_hits")) ++
+        repCols.map(c => coalesce(col(c), lit(0L)).as(c)) :+
         when(col("n_words").between(50L, 100000L)
           && col("mwl_x100").between(300L, 1000L)
           && col("symbol_bp") <= 1000L
           && col("alpha_bp") >= 8000L
-          && col("stop_hits") >= 2L, 1L).otherwise(0L).as("pass_gopher"))
+          && col("stop_hits") >= 2L
+          && passRep.map(p => coalesce(p, lit(true)))
+               .reduce(_ && _), 1L).otherwise(0L).as("pass_gopher"): _*)
   }
 
   private val opGopher = Op(
     "quality_gopher",
     (s, dir) => qualityGopher(docs(s, dir)),
-    Some(s"""
+    Some {
+      val dupDefs = GopherDupBp.map { case (n, _) =>
+        s"""CAST(COALESCE(SUM(CASE WHEN n = $n AND c >= 2
+           THEN (c - 1) * glen ELSE 0 END), 0) AS BIGINT) AS dup$n"""
+      }.mkString(",\n          ")
+      val topDefs = GopherTopBp.map { case (n, _) =>
+        s"""CAST(COALESCE(MAX(CASE WHEN n = $n THEN c * glen END), 0)
+           AS BIGINT) AS top$n"""
+      }.mkString(",\n          ")
+      val bpDefs = (GopherDupBp.map { case (n, _) =>
+        s"CAST(COALESCE(r.dup$n * 10000 // r.lt, 0) AS BIGINT) AS dup${n}_bp"
+      } ++ GopherTopBp.map { case (n, _) =>
+        s"CAST(COALESCE(r.top$n * 10000 // r.lt, 0) AS BIGINT) AS top${n}_bp"
+      }).mkString(",\n          ")
+      val bpCols = (GopherDupBp.map(p => s"dup${p._1}_bp") ++
+        GopherTopBp.map(p => s"top${p._1}_bp")).mkString(", ")
+      val repPass = (GopherDupBp.map { case (n, bp) =>
+        s"dup${n}_bp <= $bp" } ++ GopherTopBp.map { case (n, bp) =>
+        s"top${n}_bp <= $bp" }).mkString("\n          AND ")
+      s"""
       WITH t AS (
         SELECT doc_id, text, string_split(text, ' ') AS toks
         FROM documents),
@@ -635,18 +726,40 @@ object TextAnalysis {
             AS BIGINT) AS n_sym,
           CAST(${GopherStops.map(w => s"CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END")
             .mkString(" + ")} AS BIGINT) AS stop_hits
-        FROM t)
-      SELECT doc_id, n_words,
-        sum_len * 100 // n_words AS mwl_x100,
-        n_sym * 10000 // n_words AS symbol_bp,
-        n_alpha * 10000 // n_words AS alpha_bp,
-        stop_hits,
+        FROM t),
+      g AS (
+        SELECT t.doc_id, CAST(length(t.text) AS BIGINT) AS lt, nn.n AS n,
+          array_to_string(list_slice(t.toks, u.i, u.i + nn.n - 1), ' ') AS gram
+        FROM t,
+          UNNEST(generate_series(2, 10)) AS nn(n),
+          UNNEST(generate_series(1, greatest(len(t.toks) - nn.n + 1, 0))) AS u(i)),
+      c AS (
+        SELECT doc_id, lt, n, gram, CAST(length(gram) AS BIGINT) AS glen,
+          CAST(COUNT(*) AS BIGINT) AS c
+        FROM g GROUP BY doc_id, lt, n, gram),
+      r AS (
+        SELECT doc_id, lt,
+          $dupDefs,
+          $topDefs
+        FROM c GROUP BY doc_id, lt),
+      f AS (
+        SELECT m.doc_id, m.n_words,
+          m.sum_len * 100 // m.n_words AS mwl_x100,
+          m.n_sym * 10000 // m.n_words AS symbol_bp,
+          m.n_alpha * 10000 // m.n_words AS alpha_bp,
+          m.stop_hits,
+          $bpDefs
+        FROM m LEFT JOIN r ON m.doc_id = r.doc_id)
+      SELECT doc_id, n_words, mwl_x100, symbol_bp, alpha_bp, stop_hits,
+        $bpCols,
         CAST(CASE WHEN n_words BETWEEN 50 AND 100000
-          AND sum_len * 100 // n_words BETWEEN 300 AND 1000
-          AND n_sym * 10000 // n_words <= 1000
-          AND n_alpha * 10000 // n_words >= 8000
-          AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS pass_gopher
-      FROM m"""))
+          AND mwl_x100 BETWEEN 300 AND 1000
+          AND symbol_bp <= 1000
+          AND alpha_bp >= 8000
+          AND stop_hits >= 2
+          AND $repPass THEN 1 ELSE 0 END AS BIGINT) AS pass_gopher
+      FROM f"""
+    })
 
   val ops: Seq[Op] = Seq(opLangId, opQuality, opTokenCount, opFingerprint,
     opRepetition, opPii, opVocab, opCompress, opFilter, opKeywords, opIndex,

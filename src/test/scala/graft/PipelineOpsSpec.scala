@@ -1674,9 +1674,10 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("quality_gopher: each rule trips independently on planted docs") {
-    val body = Array.fill(60)("word").zipWithIndex
-      .map { case (w, i) => if (i == 0) "the" else if (i == 1) "a" else w }
-    val good = body.mkString(" ")                       // 60 words, mwl 3.63
+    // DISTINCT-word body so the repetition sub-table stays silent on
+    // docs planted for the five legacy rules
+    val base = Seq("the", "a") ++ (1 to 58).map(i => s"word$i")
+    val good = base.mkString(" ")
     val short = "the a word word word"                  // n_words 5 < 50
     val longWords = (Seq("the", "a") ++
       Array.fill(58)("supercalifragilistic")).mkString(" ") // mwl > 10
@@ -1684,20 +1685,77 @@ class PipelineOpsSpec extends SparkSpec {
       Array.fill(29)("#")).mkString(" ")                // 29 '#' / 60 words
     val nonAlpha = (Seq("the", "a") ++ Array.fill(19)("word") ++
       Array.fill(39)("123")).mkString(" ")              // alpha 21/60 < 80 %
-    val noStops = Array.fill(60)("word").mkString(" ")  // 0 stop hits
-    val d = Seq((1L, good), (2L, short), (3L, longWords), (4L, symbols),
-      (5L, nonAlpha), (6L, noStops)).toDF("doc_id", "text")
-    val out = operators.TextAnalysis.qualityGopher(d).collect()
+    val noStops = (1 to 60).map(i => s"word$i").mkString(" ") // 0 stop hits
+    // repetition sub-table (r10): one doc per rule — a phrase of
+    // exactly n words repeated with DISTINCT fillers between
+    // occurrences, so no gram spanning a boundary ever repeats;
+    // sub-grams of a repeated phrase inevitably repeat too, so each
+    // doc asserts ITS signal crossed ITS ceiling, not exclusivity
+    def planted(n: Int, reps: Int, tag: String): String = {
+      val phrase = (1 to n).map(j => s"$tag${n}x$j")
+      (base ++ (1 to reps).flatMap(k => phrase :+ s"fill$tag$n$k"))
+        .mkString(" ")
+    }
+    val dupDocs = operators.TextAnalysis.GopherDupBp.map { case (n, _) =>
+      n -> planted(n, 4, "repgram") }
+    val topDocs = operators.TextAnalysis.GopherTopBp.map { case (n, _) =>
+      n -> planted(n, 12, "topgram") }
+    val docs: Seq[(Long, String)] =
+      Seq((1L, good), (2L, short), (3L, longWords), (4L, symbols),
+        (5L, nonAlpha), (6L, noStops)) ++
+      dupDocs.zipWithIndex.map { case ((_, t), i) => (10L + i, t) } ++
+      topDocs.zipWithIndex.map { case ((_, t), i) => (20L + i, t) }
+    val out = operators.TextAnalysis.qualityGopher(
+        docs.toDF("doc_id", "text")).collect()
       .map(r => r.getLong(0) -> r).toMap
     assert(out(1L).getAs[Long]("pass_gopher") == 1L, s"${out(1L)}")
     (2L to 6L).foreach(i =>
       assert(out(i).getAs[Long]("pass_gopher") == 0L, s"doc $i: ${out(i)}"))
-    // integer surrogates: 60 words of summed length 236 → 393;
-    // 29 symbols over 60 words → 4833 bp; 21 alpha words → 3500 bp
-    assert(out(1L).getAs[Long]("mwl_x100") == 393L)
+    // integer surrogates of the legacy rules
+    assert(out(1L).getAs[Long]("mwl_x100") == 571L)
     assert(out(4L).getAs[Long]("symbol_bp") == 4833L)
     assert(out(5L).getAs[Long]("alpha_bp") == 3500L)
     assert(out(6L).getAs[Long]("stop_hits") == 0L)
+    // brute-force mirror of the set-wise repetition definitions
+    def mirror(text: String): Map[String, Long] = {
+      val toks = text.split(" ")
+      val lt = text.length.toLong
+      def grams(n: Int): Seq[String] =
+        if (toks.length < n) Seq.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      (operators.TextAnalysis.GopherDupBp.map { case (n, _) =>
+        s"dup${n}_bp" -> grams(n).groupBy(identity).values
+          .filter(_.size >= 2)
+          .map(g => (g.size - 1).toLong * g.head.length).sum * 10000L / lt
+      } ++ operators.TextAnalysis.GopherTopBp.map { case (n, _) =>
+        val byG = grams(n).groupBy(identity)
+        s"top${n}_bp" -> (if (byG.isEmpty) 0L
+          else byG.values.map(g => g.size.toLong * g.head.length).max
+            * 10000L / lt)
+      }).toMap
+    }
+    val byId = docs.toMap
+    (Seq(1L) ++ dupDocs.indices.map(10L + _) ++ topDocs.indices.map(20L + _))
+      .foreach { id =>
+        mirror(byId(id)).foreach { case (c, v) =>
+          assert(out(id).getAs[Long](c) == v,
+            s"doc $id col $c: got ${out(id).getAs[Long](c)}, mirror $v")
+        }
+      }
+    dupDocs.zipWithIndex.foreach { case ((n, _), i) =>
+      val ceil = operators.TextAnalysis.GopherDupBp.toMap.apply(n)
+      assert(out(10L + i).getAs[Long](s"dup${n}_bp") > ceil,
+        s"dup$n doc does not trip its ceiling: ${out(10L + i)}")
+      assert(out(10L + i).getAs[Long]("pass_gopher") == 0L)
+    }
+    topDocs.zipWithIndex.foreach { case ((n, _), i) =>
+      val ceil = operators.TextAnalysis.GopherTopBp.toMap.apply(n)
+      assert(out(20L + i).getAs[Long](s"top${n}_bp") > ceil,
+        s"top$n doc does not trip its ceiling: ${out(20L + i)}")
+      assert(out(20L + i).getAs[Long]("pass_gopher") == 0L)
+    }
+    // the distinct-word passing doc carries clean repetition signals
+    assert(out(1L).getAs[Long]("dup5_bp") == 0L)
   }
 
   test("ingest_bloom: no false negatives, bounded survivors, == exact gate, store-fed") {
