@@ -29,7 +29,15 @@ object Ingest {
   /** One tick: gate `shard` against the store at `storePath`, append
     * the accepted docs' fingerprints, return the per-doc decision
     * frame (doc_id, bloom_pass, is_exact_dup, n_hist_bands,
-    * near_hist, accept).
+    * near_hist, n_img_bands, img_hist, accept).
+    *
+    * If the shard carries a binary `payload` column, image rows
+    * (PNG-decodable — graft_dhash yields null otherwise) also probe
+    * the store's `phash_bands/` frame (the stream_ingest_phash core):
+    * an exact or edited copy of any historical image band-collides
+    * and is rejected, and ACCEPTED images' bands append to the store
+    * so the next tick sees them — the multimodal half of the
+    * firewall. Text-only shards leave the two image columns at 0.
     */
   def gateAndRemember(shard: DataFrame, storePath: String,
       nShards: Int = 1): DataFrame = {
@@ -38,20 +46,46 @@ object Ingest {
       Fingerprints.readContent(s, storePath))
     val near = graft.operators.Dedup.incrementalMinhashFrom(shard,
       Fingerprints.readBands(s, storePath))
-    val decided = exact
+    // image tier: decode arriving pixels ONCE (localCheckpoint — the
+    // same frame feeds the probe and the accepted-band append)
+    val imgHashes = if (shard.columns.contains("payload")) {
+      graft.plans.GraftFunctions.register(s)
+      Some(shard.select(col("doc_id"),
+          expr("graft_dhash(payload)").as("phash"))
+        .filter(col("phash").isNotNull)
+        .localCheckpoint())
+    } else None
+    val imgProbe = imgHashes.map { h =>
+      graft.operators.Multimodal.phashProbe(h,
+          Fingerprints.readPhashBands(s, storePath))
+        .select(col("doc_id"), col("n_hist_bands").as("n_img_bands"),
+          col("near_hist").as("img_hist"))
+    }
+    val decided0 = exact
       .join(near.select(col("doc_id"), col("n_hist_bands"),
         col("near_hist")), Seq("doc_id"))
+    val decided = imgProbe.fold(
+        decided0.withColumn("n_img_bands", lit(0L))
+          .withColumn("img_hist", lit(0L))) { p =>
+        decided0.join(p, Seq("doc_id"), "left")
+          .withColumn("n_img_bands", coalesce(col("n_img_bands"), lit(0L)))
+          .withColumn("img_hist", coalesce(col("img_hist"), lit(0L)))
+      }
       .withColumn("accept",
-        when(col("is_exact_dup") === 0L && col("near_hist") === 0L, 1L)
-          .otherwise(0L))
+        when(col("is_exact_dup") === 0L && col("near_hist") === 0L
+          && col("img_hist") === 0L, 1L).otherwise(0L))
       // the decision frame is consumed twice (append filter + the
       // caller's audit view) and the gates must not re-probe the store
       // after it has grown — pin it before the append mutates state
       .localCheckpoint()
-    val accepted = shard.join(
-      decided.filter(col("accept") === 1L).select(col("doc_id")),
-      Seq("doc_id"))
-    Fingerprints.append(accepted, storePath, nShards)
+    val acceptedIds = decided.filter(col("accept") === 1L)
+      .select(col("doc_id"))
+    Fingerprints.append(shard.join(acceptedIds, Seq("doc_id")),
+      storePath, nShards)
+    imgHashes.foreach { h =>
+      Fingerprints.writePhashBands(h.join(acceptedIds, Seq("doc_id")),
+        storePath, nShards, mode = "append")
+    }
     decided
   }
 }

@@ -393,6 +393,52 @@ class SinksSpec extends SparkSpec {
     assert(m2(900005L) == ((0L, 0L, 1L)), s"novel doc: ${m2(900005L)}")
   }
 
+  test("ingest_e2e: image payloads gate via phash_bands; accepted bands are remembered") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    def png(seed: Long) = operators.Multimodal.buildPng(32, 24,
+      operators.Multimodal.plantedLuma(seed, _, _))
+    val base = Files.createTempDirectory("graft-ingest-mm")
+    val store = base.resolve("store").toString
+    // history: text fingerprints + image bands (pixels decoded ONCE)
+    sources.Fingerprints.write(
+      Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 100L), store, nShards = 2)
+    sources.Fingerprints.writePhashBands(
+      (0L until 20L).map(i => (500L + i, png(i))).toDF("doc_id", "payload")
+        .select($"doc_id", expr("graft_dhash(payload)").as("phash"))
+        .filter($"phash".isNotNull), store, nShards = 2)
+    def tick(rows: Seq[(Long, String, Option[Array[Byte]])]) =
+      sources.Ingest.gateAndRemember(
+          rows.toDF("doc_id", "text", "payload"), store)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("img_hist"), r.getAs[Long]("accept")))).toMap
+    // tick 1: a fresh image, a copy of a HISTORY image, plain text
+    val m1 = tick(Seq(
+      (900001L, "tick one novel image document alpha", Some(png(100L))),
+      (900002L, "tick one novel image document beta", Some(png(7L))),
+      (900003L, "tick one plain text document gamma", None)))
+    assert(m1(900001L) == ((0L, 1L)), s"fresh image: ${m1(900001L)}")
+    assert(m1(900002L) == ((1L, 0L)),
+      s"copy of a history image must band-flag: ${m1(900002L)}")
+    assert(m1(900003L) == ((0L, 1L)), s"plain text: ${m1(900003L)}")
+    // tick 2: exact copy AND one-pixel edit of the tick-1-ACCEPTED
+    // image — both must flag via the bands tick 1 appended
+    val edited = operators.Multimodal.buildPng(32, 24,
+      (x, y) => if (x == 2 && y == 3)
+        255 - operators.Multimodal.plantedLuma(100L, 2, 3)
+      else operators.Multimodal.plantedLuma(100L, x, y))
+    val m2 = tick(Seq(
+      (900011L, "tick two fresh text body delta", Some(png(100L))),
+      (900012L, "tick two fresh text body epsilon", Some(edited)),
+      (900013L, "tick two fresh text body zeta", None)))
+    assert(m2(900011L) == ((1L, 0L)),
+      s"copy of a tick-1-accepted image must flag: ${m2(900011L)}")
+    assert(m2(900012L) == ((1L, 0L)),
+      s"edited copy of a tick-1-accepted image must flag: ${m2(900012L)}")
+    assert(m2(900013L) == ((0L, 1L)), s"novel text: ${m2(900013L)}")
+  }
+
   test("store compaction heals a crash inside the swap window") {
     val all = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("text")).filter(col("doc_id") < 50L)
