@@ -54,10 +54,17 @@ object Graph {
 
   private def events(s: SparkSession, dir: String) = Tables(s, dir, "events")
 
-  /** Weighted item→item transition edges from the event log. */
+  /** Weighted item→item transition edges from the event log. A
+    * malformed props (no numeric `$.k`) is dropped BEFORE the lag
+    * chain, so the surrounding transitions bridge over it — the same
+    * rule the streaming twin (Streams.transitionDeltas) applies, which
+    * is what keeps "folded stream deltas == batch edges" true on dirty
+    * input; keeping the null in the chain would instead emit null-dst
+    * edges that surface as a phantom node in the rank loop. */
   private[graft] def transitionEdges(ev: DataFrame): DataFrame = {
     val item = ev.select(col("user_id"), col("event_id"),
       expr("CAST(get_json_object(props, '$.k') AS INT)").as("it"))
+      .filter(col("it").isNotNull)
     // event_id is unique and insertion-ordered: the one ORDER BY both
     // engines sort identically (ts has ns-vs-µs tie ambiguity)
     val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
@@ -117,8 +124,9 @@ object Graph {
     Some(s"""
       WITH ev AS (
         SELECT user_id, event_id,
-          CAST(regexp_extract(props, '[0-9]+') AS INT) AS it
-        FROM events),
+          CAST(json_extract_string(props, '$.k') AS INT) AS it
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL),
       tr AS (
         SELECT LAG(it) OVER (PARTITION BY user_id ORDER BY event_id)
             AS src, it AS dst
@@ -178,8 +186,9 @@ object Graph {
     Some(s"""
       WITH RECURSIVE ev AS (
         SELECT user_id, event_id,
-          CAST(regexp_extract(props, '[0-9]+') AS INT) AS it
-        FROM events),
+          CAST(json_extract_string(props, '$.k') AS INT) AS it
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL),
       tr AS (
         SELECT LAG(it) OVER (PARTITION BY user_id ORDER BY event_id)
             AS src, it AS dst

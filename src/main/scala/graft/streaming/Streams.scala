@@ -858,8 +858,10 @@ object Streams {
     val ev = events.select(col("user_id"), col("event_id"),
       expr("CAST(get_json_object(props, '$.k') AS INT)").as("it"))
       // a malformed props (no numeric $.k) casts to null, which cannot
-      // encode into the primitive Int field — drop it like the batch
-      // twin's null-src filter instead of crashing the query
+      // encode into the primitive Int field — drop it BEFORE the chain,
+      // the rule the batch twin (Graph.transitionEdges) shares: both
+      // sides bridge transitions over a malformed event, so the folded
+      // deltas == batch edges equality survives dirty input
       .filter(col("it").isNotNull)
       .as[EdgeEvent]
     ev.groupByKey(_.user_id)

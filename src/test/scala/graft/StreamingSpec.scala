@@ -569,10 +569,18 @@ class StreamingSpec extends SparkSpec {
 
   test("stream_graph: folded edge deltas equal the batch transition edges across session cuts") {
     implicit val sql = spark.sqlContext
-    val evRows = Tables.events(spark, sfDir)
+    val corpusRows = Tables.events(spark, sfDir)
       .select($"user_id", $"event_id", $"props")
       .orderBy($"event_id").limit(600).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // plant a malformed event (no numeric $.k) BETWEEN two valid events
+    // of one user: both engines must bridge the chain over it (drop it
+    // pre-window), or the folded==batch equality breaks on dirty input
+    val uMal = corpusRows.head._1
+    val maxId = corpusRows.map(_._2).max
+    val evRows = corpusRows ++ Seq(
+      (uMal, maxId + 1, """{"oops": true}"""),
+      (uMal, maxId + 2, """{"k": 7}"""))
     val in = MemoryStream[(Long, Long, String)]
     val q = Streams.transitionDeltas(
         in.toDF().toDF("user_id", "event_id", "props"))
