@@ -63,7 +63,7 @@ object Graph {
     * edges that surface as a phantom node in the rank loop. */
   private[graft] def transitionEdges(ev: DataFrame): DataFrame = {
     val item = ev.select(col("user_id"), col("event_id"),
-      expr("CAST(get_json_object(props, '$.k') AS INT)").as("it"))
+      expr("TRY_CAST(get_json_object(props, '$.k') AS INT)").as("it"))
       .filter(col("it").isNotNull)
     // event_id is unique and insertion-ordered: the one ORDER BY both
     // engines sort identically (ts has ns-vs-µs tie ambiguity)
@@ -123,10 +123,11 @@ object Graph {
     (s, dir) => pagerank(events(s, dir)),
     Some(s"""
       WITH ev AS (
-        SELECT user_id, event_id,
-          CAST(json_extract_string(props, '$.k') AS INT) AS it
-        FROM events
-        WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        SELECT user_id, event_id, it FROM (
+          SELECT user_id, event_id,
+            TRY_CAST(json_extract_string(props, '$$.k') AS INT) AS it
+          FROM events WHERE json_valid(props))
+        WHERE it IS NOT NULL),
       tr AS (
         SELECT LAG(it) OVER (PARTITION BY user_id ORDER BY event_id)
             AS src, it AS dst
@@ -185,10 +186,11 @@ object Graph {
     },
     Some(s"""
       WITH RECURSIVE ev AS (
-        SELECT user_id, event_id,
-          CAST(json_extract_string(props, '$.k') AS INT) AS it
-        FROM events
-        WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        SELECT user_id, event_id, it FROM (
+          SELECT user_id, event_id,
+            TRY_CAST(json_extract_string(props, '$$.k') AS INT) AS it
+          FROM events WHERE json_valid(props))
+        WHERE it IS NOT NULL),
       tr AS (
         SELECT LAG(it) OVER (PARTITION BY user_id ORDER BY event_id)
             AS src, it AS dst

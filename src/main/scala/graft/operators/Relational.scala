@@ -249,7 +249,7 @@ object Relational {
     (s, dir) => {
       val byUser = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
-      val gapUs = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1)
+      val gapUs = unix_micros(col("ts").cast("timestamp")) - lag(unix_micros(col("ts").cast("timestamp")), 1)
         .over(byUser)
       Tables.events(s, dir)
         .withColumn("new_s",

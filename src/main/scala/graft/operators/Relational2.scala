@@ -315,7 +315,7 @@ object Relational2 {
         .filter(col("side") === 1)
         .select(col("user_id"), col("p_id"), col("ts").as("p_ts"), col("p_value"),
           col("av_id").as("v_id"), col("av_value").as("v_value"),
-          (unix_micros(col("ts")) - unix_micros(col("av_ts"))).as("gap_us"))
+          (unix_micros(col("ts").cast("timestamp")) - unix_micros(col("av_ts").cast("timestamp"))).as("gap_us"))
     },
     Some("""
       WITH v AS (
@@ -345,12 +345,12 @@ object Relational2 {
     (s, dir) => {
       val e = Tables.events(s, dir)
       val v = e.filter(col("event_type") === "view")
-        .select(col("user_id").as("v_user"), unix_micros(col("ts")).as("v_us"),
+        .select(col("user_id").as("v_user"), unix_micros(col("ts").cast("timestamp")).as("v_us"),
           cents(col("value")).as("v_cents"))
         .withColumn("vbin", expr(s"v_us DIV $RangeUs"))
       val p = e.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"),
-          unix_micros(col("ts")).as("p_us"))
+          unix_micros(col("ts").cast("timestamp")).as("p_us"))
         .withColumn("pbin", explode(array(
           expr(s"p_us DIV $RangeUs - 1"), expr(s"p_us DIV $RangeUs"))))
       p.join(v,
@@ -412,7 +412,7 @@ object Relational2 {
     (s, dir) => {
       val e = Tables.events(s, dir)
         .select(col("user_id"), col("event_type"), col("event_id"),
-          unix_micros(col("ts")).as("ts_us"), col("value"))
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("value"))
       graft.plans.TopK.perKey(e, Seq("user_id", "event_type"),
           Seq("ts_us" -> graft.plans.TopK.Desc,
             "event_id" -> graft.plans.TopK.Desc), 1)

@@ -856,7 +856,7 @@ object Streams {
   def transitionDeltas(events: DataFrame): Dataset[EdgeDelta] = {
     import events.sparkSession.implicits._
     val ev = events.select(col("user_id"), col("event_id"),
-      expr("CAST(get_json_object(props, '$.k') AS INT)").as("it"))
+      expr("TRY_CAST(get_json_object(props, '$.k') AS INT)").as("it"))
       // a malformed props (no numeric $.k) casts to null, which cannot
       // encode into the primitive Int field — drop it BEFORE the chain,
       // the rule the batch twin (Graph.transitionEdges) shares: both

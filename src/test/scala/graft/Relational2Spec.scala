@@ -142,7 +142,7 @@ class Relational2Spec extends SparkSpec {
       .filter(col("count") > 1).count() == 0)
     // the kept row is the true per-key max (ts_us, event_id)
     val maxTs = e.groupBy(col("user_id"), col("event_type"))
-      .agg(max(expr("struct(unix_micros(ts) AS ts_us, event_id)")).as("m"))
+      .agg(max(expr("struct(unix_micros(cast(ts as timestamp)) AS ts_us, event_id)")).as("m"))
       .select(col("user_id"), col("event_type"),
         col("m.ts_us").as("ts_us"), col("m.event_id").as("event_id"))
     assert(out.select("user_id", "event_type", "ts_us", "event_id")
@@ -187,13 +187,20 @@ class Relational2Spec extends SparkSpec {
     // driver-side replay of the asof rule
     val out = run("q26_asof_join").collect()
     val views = Tables.events(spark, sfDir).filter($"event_type" === "view")
-      .selectExpr("user_id", "unix_micros(ts)", "event_id")
+      .selectExpr("user_id", "unix_micros(cast(ts as timestamp))", "event_id")
       .as[(Long, Long, Long)].collect()
     val byUser = views.groupBy(_._1)
     out.foreach { r =>
       val u = r.getAs[Long]("user_id")
-      val pTs = r.getAs[java.sql.Timestamp]("p_ts").getTime * 1000 +
-        (r.getAs[java.sql.Timestamp]("p_ts").getNanos / 1000) % 1000
+      // the events table's ts may be LTZ (java.sql.Timestamp) or NTZ
+      // (LocalDateTime, read-as-UTC) depending on the parquet writer
+      val pTs = r.get(r.fieldIndex("p_ts")) match {
+        case t: java.sql.Timestamp =>
+          t.getTime * 1000 + (t.getNanos / 1000) % 1000
+        case d: java.time.LocalDateTime =>
+          d.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
+            d.getNano / 1000L
+      }
       val cands = byUser.getOrElse(u, Array.empty).filter(_._2 <= pTs)
       if (cands.isEmpty) {
         assert(r.isNullAt(r.fieldIndex("v_id")), s"user $u: expected no view")
@@ -218,9 +225,9 @@ class Relational2Spec extends SparkSpec {
     // driver-side replay of the exact range predicate
     val e = Tables.events(spark, sfDir)
     val views = e.filter($"event_type" === "view")
-      .selectExpr("user_id", "unix_micros(ts)")
+      .selectExpr("user_id", "unix_micros(cast(ts as timestamp))")
       .as[(Long, Long)].collect().groupBy(_._1)
-    val out = df.selectExpr("user_id", "p_id", "unix_micros(p_ts)", "n_views_1h")
+    val out = df.selectExpr("user_id", "p_id", "unix_micros(cast(p_ts as timestamp))", "n_views_1h")
       .as[(Long, Long, Long, Long)].collect()
     assert(out.nonEmpty)
     out.foreach { case (u, pid, pUs, n) =>

@@ -615,6 +615,12 @@ class StreamingSpec extends SparkSpec {
     val base = java.nio.file.Files.createTempDirectory("graft-lm-stream")
     val modelPath = base.resolve("model").toString
     sources.LmModel.write(all, modelPath)
+    // pin EXACT cuts: this spec asserts a batch-HEAD doc streams as
+    // head, and the sketch-default cuts are only rank-banded (±1.65%)
+    // — a boundary doc could legitimately flip. The sketch contract
+    // has its own band assertion in SinksSpec; bit-equality here needs
+    // the exact derivation.
+    sources.LmModel.refreshCuts(all, modelPath, exact = true)
     val bigrams = sources.LmModel.readBigrams(spark, modelPath)
     val contexts = sources.LmModel.readContexts(spark, modelPath)
     val v = sources.LmModel.readMeta(spark, modelPath).head().getLong(0)
