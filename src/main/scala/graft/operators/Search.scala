@@ -229,10 +229,20 @@ object Search {
   val RrfC = 60L
   val RrfScale = 1000000L
 
-  private[graft] def hybridRrf(docs: DataFrame, embs: DataFrame): DataFrame = {
+  private[graft] def hybridRrf(docs: DataFrame, embs: DataFrame): DataFrame =
+    hybridRrfScores(bm25Scores(docs), embs)
+
+  /** The RRF fusion over a PRE-DERIVED per-doc BM25 scores frame —
+    * the kernel both the inline corpus path ([[hybridRrf]]) and the
+    * persisted-index serving path
+    * ([[graft.sources.SearchIndex.hybridRrfFrom]]) run, so store-fed
+    * fusion is bit-equal to inline by construction (the scoreTf /
+    * bm25From precedent, extended to the fused ranking). */
+  private[graft] def hybridRrfScores(textScores: DataFrame,
+      embs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    graft.plans.GraftFunctions.register(docs.sparkSession)
-    val text = bm25Scores(docs)
+    graft.plans.GraftFunctions.register(embs.sparkSession)
+    val text = textScores
       .orderBy(col("score").desc, col("doc_id")).limit(RrfPoolK)
       .select(col("doc_id").as("id"),
         row_number().over(Window.orderBy(col("score").desc, col("doc_id")))

@@ -132,12 +132,32 @@ object SearchIndex {
     * bit-equal to the inline search_bm25 because both run
     * [[graft.operators.Search.scoreTf]] on the same integer frames. */
   def bm25From(spark: SparkSession, path: String,
-      terms: Seq[String] = graft.operators.Search.QueryTerms): DataFrame = {
+      terms: Seq[String] = graft.operators.Search.QueryTerms): DataFrame =
+    graft.operators.Search.topK(scoresFrom(spark, path, terms))
+
+  /** Per-doc BM25 scores from the skinny bundle (no top-K) — the
+    * frame the fused ranking consumes. */
+  private def scoresFrom(spark: SparkSession, path: String,
+      terms: Seq[String]): DataFrame = {
     val tf = readTf(spark, path).filter(col("token").isin(terms: _*))
     val df = readDf(spark, path).filter(col("token").isin(terms: _*))
-    graft.operators.Search.topK(
-      graft.operators.Search.scoreTf(tf, df, readStats(spark, path)))
+    graft.operators.Search.scoreTf(tf, df, readStats(spark, path))
   }
+
+  /** Store-fed hybrid retrieval: the LEXICAL ranking comes from the
+    * persisted index (corpus text never scanned — the [[bm25From]]
+    * plan contract), the vector ranking derives from the embeddings
+    * frame, and the RRF fusion is the shared
+    * [[graft.operators.Search.hybridRrfScores]] kernel — so the fused
+    * top-K is bit-equal to the inline `hybrid_rrf` whenever the store
+    * holds the same corpus (round-trip spec). At 100 TB this is the
+    * serving shape: a standing query fuses two skinny rankings; the
+    * posting probe prunes to the query terms' token-range shards. */
+  def hybridRrfFrom(spark: SparkSession, path: String,
+      embs: DataFrame,
+      terms: Seq[String] = graft.operators.Search.QueryTerms): DataFrame =
+    graft.operators.Search.hybridRrfScores(
+      scoresFrom(spark, path, terms), embs)
 
   /** The stream_search gate profile — (df per term, N, T) — from the
     * skinny df/stats frames, replacing the corpus re-scan of

@@ -522,6 +522,21 @@ class SinksSpec extends SparkSpec {
     assert(sources.SearchIndex.profileFrom(spark, storePath) ==
       operators.Search.bm25Profile(all),
       "store-fed profile diverged from bm25Profile")
+    // store-fed hybrid fusion: lexical ranking from the bundle, vector
+    // ranking inline, fusion through the shared hybridRrfScores kernel
+    // — fused top-K == inline hybrid_rrf row-for-row, and the lexical
+    // side's scans never touch the corpus text
+    val embs = Tables(spark, sfDir, "embeddings")
+    val hybridStore = sources.SearchIndex.hybridRrfFrom(spark, storePath, embs)
+    assert(rows(hybridStore) == rows(operators.Search.hybridRrf(all, embs)),
+      "store-fed hybrid_rrf diverged from inline fusion")
+    hybridStore.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.foreach { f =>
+      val roots = f.relation.location.rootPaths.mkString(",")
+      assert(!roots.contains("corpusdocs"),
+        s"hybrid serving re-scans corpus text: $roots")
+    }
     // scale contract: a scoring tick scans ONLY the bundle — never
     // the corpus text the index was derived from
     spark.conf.set("spark.sql.adaptive.enabled", "false")
