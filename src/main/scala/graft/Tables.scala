@@ -40,4 +40,18 @@ object Tables {
         nsLongToTs(spark.read.parquet(path))
     }
   }
+
+  /** Rebalance a frame for expensive per-row compute when the scan
+    * yields fewer partitions than the session's parallelism — the
+    * single-file / single-row-group case, where parquet cannot split
+    * and an entire heavy narrow kernel would run in ONE task. At
+    * cluster scale the input splits already cover the cores, the
+    * condition is false, and no exchange is added — this must never
+    * become an unconditional repartition (that exchange would carry
+    * the corpus text; the Dedup signature-build history).
+    */
+  def rebalance(d: DataFrame): DataFrame = {
+    val par = d.sparkSession.sparkContext.defaultParallelism
+    if (d.rdd.getNumPartitions < par) d.repartition(par) else d
+  }
 }

@@ -602,50 +602,64 @@ object TextAnalysis {
     7 -> 1300L, 8 -> 1200L, 9 -> 1100L, 10 -> 1000L)
   private[graft] val GopherTopBp = Seq(2 -> 2000L, 3 -> 1800L, 4 -> 1600L)
 
-  /** Per-doc repetition signals for the rule set: one ROW-LOCAL
-    * n-gram generation for all n in 2..10 (hash + char length only —
-    * the Dedup span-hash move, so the count shuffle carries 9 skinny
-    * long rows per token position, never gram strings), one map-side-
-    * combinable count, one conditional roll-up. No window, no join.
+  /** Per-doc repetition signals for the rule set, computed ROW-LOCALLY
+    * — ZERO shuffle, zero join: the repetition rules are per-doc
+    * quantities, so they stay embarrassingly parallel gates like the
+    * rest of Table A1. (The r10 shape exploded 9 gram structs per
+    * token position into a count shuffle and joined the roll-up back;
+    * at 100 TB that exchange is corpus-token-sized for a purely
+    * row-local signal, and at ANY scale the per-gram STRING build
+    * (array_join slice) + string hash dominated the kernel — measured
+    * 25 s for sf0.1's 5k docs vs ~1 s row-local.)
+    *
+    * Shape per n: tokens hash once (`th`), gram key = xxhash64 over
+    * the length-n slice of `th` (long ops, never gram strings), gram
+    * char length = fold over the token-length slice + (n−1) spaces;
+    * `array_sort` groups equal grams adjacent, then ONE linear fold
+    * computes the signal — duplicate-char mass Σ(count−1)·len for
+    * n = 5..10 (every non-first occurrence of a gram adds its len:
+    * exactly the set-wise reading), max count·len for n = 2..4. Each
+    * output column embeds its own sorted frame exactly once, so no
+    * cross-column sharing is needed and projection collapse cannot
+    * duplicate a sort. Collisions would need two distinct grams of
+    * one doc and one n to collide on xxhash64 over their token-hash
+    * arrays. A gram-less doc (size < n) folds to 0 — the old left
+    * join's coalesce, now vacuous.
     */
-  private[graft] def gopherRepetition(d: DataFrame): DataFrame = {
-    val grams = d
-      .withColumn("toks", TextFns.tokens(col("text")))
-      .withColumn("lt", length(col("text")).cast("long"))
-      // slice-of-sequence instead of sequence(1, m): Spark's sequence
-      // DESCENDS when m < 1, so the empty case must come from slice
-      .withColumn("gs", expr(
-        """flatten(transform(sequence(2, 10), n ->
-             transform(
-               transform(
-                 slice(sequence(1, greatest(size(toks), 1)), 1,
-                   greatest(size(toks) - n + 1, 0)),
-                 i -> array_join(slice(toks, i, n), ' ')),
-               g -> struct(n AS n, xxhash64(g) AS h,
-                 CAST(length(g) AS LONG) AS len))))"""))
-      .select(col("doc_id"), col("lt"), explode(col("gs")).as("g"))
-      .select(col("doc_id"), col("lt"), col("g.n").as("n"),
-        col("g.h").as("h"), col("g.len").as("len"))
-    // within-doc gram counts: keys are (doc, n, hash) — collisions
-    // would have to land inside ONE doc's ≤9·tokens grams (and match
-    // len too); len rides as a grouping column like bm25's dl
-    val counts = grams
-      .groupBy(col("doc_id"), col("lt"), col("n"), col("h"), col("len"))
-      .agg(count(lit(1)).as("c"))
-    val aggs = GopherDupBp.map { case (n, _) =>
-      sum(when(col("n") === n && col("c") >= 2L,
-        (col("c") - 1L) * col("len")).otherwise(0L)).as(s"dup$n")
-    } ++ GopherTopBp.map { case (n, _) =>
-      max(when(col("n") === n, col("c") * col("len"))).as(s"top$n")
-    }
-    counts.groupBy(col("doc_id"), col("lt"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id") +: (
-        GopherDupBp.map { case (n, _) =>
-          expr(s"coalesce(dup$n, 0) * 10000 DIV lt").as(s"dup${n}_bp") } ++
-        GopherTopBp.map { case (n, _) =>
-          expr(s"coalesce(top$n, 0) * 10000 DIV lt").as(s"top${n}_bp") }): _*)
-  }
+  private def repSortSql(n: Int): String =
+    // slice-of-sequence instead of sequence(1, m): Spark's sequence
+    // DESCENDS when m < 1, so the empty case must come from slice
+    s"""array_sort(transform(
+          slice(sequence(1, greatest(size(toks), 1)), 1,
+            greatest(size(toks) - $n + 1, 0)),
+          i -> named_struct(
+            'h', slice(th, i, $n),
+            'len', aggregate(slice(tl, i, $n),
+              CAST(${n - 1} AS BIGINT), (a, x) -> a + x))))"""
+
+  /** Fraction (bp) of chars in non-first occurrences of n-grams: one
+    * pass over the sorted frame, adding len whenever the previous
+    * gram hash repeats. */
+  private def dupBpSql(n: Int): String =
+    s"""aggregate(${repSortSql(n)},
+          named_struct('ph', CAST(array() AS ARRAY<BIGINT>),
+            's', CAST(0 AS BIGINT)),
+          (acc, x) -> named_struct('ph', x.h,
+            's', acc.s + IF(x.h = acc.ph, x.len, CAST(0 AS BIGINT))),
+          acc -> acc.s) * 10000 DIV greatest(lt, 1)"""
+
+  /** Fraction (bp) of chars in the most common n-gram: the same pass
+    * tracking the current run length and the best count·len. */
+  private def topBpSql(n: Int): String =
+    s"""aggregate(${repSortSql(n)},
+          named_struct('ph', CAST(array() AS ARRAY<BIGINT>),
+            'c', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
+          (acc, x) -> IF(x.h = acc.ph,
+            named_struct('ph', x.h, 'c', acc.c + 1L,
+              'best', greatest(acc.best, (acc.c + 1L) * x.len)),
+            named_struct('ph', x.h, 'c', CAST(1 AS BIGINT),
+              'best', greatest(acc.best, x.len))),
+          acc -> acc.best) * 10000 DIV greatest(lt, 1)"""
 
   private[graft] def qualityGopher(d: DataFrame): DataFrame = {
     val stopHits = GopherStops.map(w =>
@@ -653,7 +667,11 @@ object TextAnalysis {
       .reduce(_ + _)
     val repCols = (GopherDupBp.map(n => s"dup${n._1}_bp") ++
       GopherTopBp.map(n => s"top${n._1}_bp"))
-    val base = d.withColumn("toks", TextFns.tokens(col("text")))
+    // the repetition folds are the one heavy per-row kernel in this
+    // library; a single-row-group local file would run them in ONE
+    // task (conditional — no exchange when splits ≥ cores)
+    val base = graft.Tables.rebalance(d)
+      .withColumn("toks", TextFns.tokens(col("text")))
       .withColumn("n_words", size(col("toks")).cast("long"))
       .withColumn("sum_len", expr(
         "aggregate(toks, 0L, (a, w) -> a + length(w))"))
@@ -667,25 +685,29 @@ object TextAnalysis {
       .withColumn("symbol_bp", expr("n_sym * 10000 DIV n_words"))
       .withColumn("alpha_bp", expr("n_alpha * 10000 DIV n_words"))
       .withColumn("stop_hits", stopHits)
-    // a <2-token doc generates no grams at all — absent from the
-    // repetition frame, its signals coalesce to 0 (vacuous pass,
-    // mirrored by the oracle's LEFT JOIN)
-    val rep = base.select(col("doc_id"), col("text"))
-      .transform(gopherRepetition)
-    val passRep = GopherDupBp.map { case (n, bp) =>
+      // repetition sub-table inputs + signals, all row-local (no
+      // explode, no count shuffle, no join back — see [[repSortSql]])
+      .withColumn("lt", length(col("text")).cast("long"))
+      .withColumn("th", expr("transform(toks, t -> xxhash64(t))"))
+      .withColumn("tl",
+        expr("transform(toks, t -> CAST(length(t) AS BIGINT))"))
+    val withRep = (GopherDupBp.map { case (n, _) =>
+      s"dup${n}_bp" -> dupBpSql(n) } ++ GopherTopBp.map { case (n, _) =>
+      s"top${n}_bp" -> topBpSql(n) })
+      .foldLeft(base) { case (df, (c, sql)) => df.withColumn(c, expr(sql)) }
+    val passRep = (GopherDupBp.map { case (n, bp) =>
       col(s"dup${n}_bp") <= bp } ++ GopherTopBp.map { case (n, bp) =>
-      col(s"top${n}_bp") <= bp }
-    base.join(rep, Seq("doc_id"), "left")
+      col(s"top${n}_bp") <= bp }).reduce(_ && _)
+    withRep
       .select(Seq(col("doc_id"), col("n_words"), col("mwl_x100"),
         col("symbol_bp"), col("alpha_bp"), col("stop_hits")) ++
-        repCols.map(c => coalesce(col(c), lit(0L)).as(c)) :+
+        repCols.map(col) :+
         when(col("n_words").between(50L, 100000L)
           && col("mwl_x100").between(300L, 1000L)
           && col("symbol_bp") <= 1000L
           && col("alpha_bp") >= 8000L
           && col("stop_hits") >= 2L
-          && passRep.map(p => coalesce(p, lit(true)))
-               .reduce(_ && _), 1L).otherwise(0L).as("pass_gopher"): _*)
+          && passRep, 1L).otherwise(0L).as("pass_gopher"): _*)
   }
 
   private val opGopher = Op(
