@@ -65,6 +65,30 @@ def gen_embeddings(out, n, rng):
     pq.write_table(t, f"{out}/embeddings.parquet")
 
 
+def gen_events(out, n, mult, rng):
+    """Measured sf0.1 shape: 100k events / 1500 users (~66 per user),
+    props = {"k": U[0,100)} (node domain FIXED as the log grows — the
+    Common-Crawl-style item catalog grows far slower than the log;
+    graph_pagerank's node frame stays ~100 while edge weights fold),
+    ts uniform over 30 days, event_id = ts order (insertion-ordered)."""
+    users = rng.integers(0, 1500 * mult, n)
+    day0 = np.datetime64("2024-01-01T00:00:00.000000")
+    ts = np.sort(day0 + rng.integers(0, 30 * 86400 * 10**6, n)
+                 .astype("timedelta64[us]"))
+    types = np.array(["view", "view", "click", "purchase", "signup",
+                      "error"])
+    t = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": pa.array(types[rng.integers(0, 6, n)]),
+        "value": pa.array(np.round(rng.uniform(0.0, 560.0, n), 2)),
+        "props": pa.array(['{"k": %d}' % k
+                           for k in rng.integers(0, 100, n)]),
+    })
+    pq.write_table(t, f"{out}/events.parquet")
+
+
 def gen_lineitem(out, n, mult, rng):
     orders = int(150000 * mult)
     okey = rng.integers(0, orders, n)
@@ -96,4 +120,5 @@ if __name__ == "__main__":
     gen_documents(out, 5000 * mult, rng)
     gen_embeddings(out, 2000 * mult, rng)
     gen_lineitem(out, 600000 * mult, mult, rng)
+    gen_events(out, 100000 * mult, mult, rng)
     print(f"wrote sf={mult}x0.1 tables to {out}")
