@@ -661,16 +661,18 @@ object TextAnalysis {
               'best', greatest(acc.best, x.len))),
           acc -> acc.best) * 10000 DIV greatest(lt, 1)"""
 
-  private[graft] def qualityGopher(d: DataFrame): DataFrame = {
+  /** Every Table A1 signal + the pass verdict as ADDED columns over
+    * the incoming frame — the shared kernel of the batch operator and
+    * the streaming gate ([[graft.streaming.Streams.gopherGated]]).
+    * Row-local by construction (see [[repSortSql]]), so the streaming
+    * twin needs no state; helper columns are dropped and incoming
+    * columns ride through so the gate composes.
+    */
+  private[graft] def gopherSignals(d: DataFrame): DataFrame = {
     val stopHits = GopherStops.map(w =>
       when(array_contains(col("toks"), w), 1L).otherwise(0L))
       .reduce(_ + _)
-    val repCols = (GopherDupBp.map(n => s"dup${n._1}_bp") ++
-      GopherTopBp.map(n => s"top${n._1}_bp"))
-    // the repetition folds are the one heavy per-row kernel in this
-    // library; a single-row-group local file would run them in ONE
-    // task (conditional — no exchange when splits ≥ cores)
-    val base = graft.Tables.rebalance(d)
+    val base = d
       .withColumn("toks", TextFns.tokens(col("text")))
       .withColumn("n_words", size(col("toks")).cast("long"))
       .withColumn("sum_len", expr(
@@ -699,16 +701,27 @@ object TextAnalysis {
       col(s"dup${n}_bp") <= bp } ++ GopherTopBp.map { case (n, bp) =>
       col(s"top${n}_bp") <= bp }).reduce(_ && _)
     withRep
-      .select(Seq(col("doc_id"), col("n_words"), col("mwl_x100"),
-        col("symbol_bp"), col("alpha_bp"), col("stop_hits")) ++
-        repCols.map(col) :+
+      .withColumn("pass_gopher",
         when(col("n_words").between(50L, 100000L)
           && col("mwl_x100").between(300L, 1000L)
           && col("symbol_bp") <= 1000L
           && col("alpha_bp") >= 8000L
           && col("stop_hits") >= 2L
-          && passRep, 1L).otherwise(0L).as("pass_gopher"): _*)
+          && passRep, 1L).otherwise(0L))
+      .drop("toks", "sum_len", "n_alpha", "n_sym", "lt", "th", "tl")
   }
+
+  private[graft] val GopherSignalCols: Seq[String] =
+    Seq("n_words", "mwl_x100", "symbol_bp", "alpha_bp", "stop_hits") ++
+      GopherDupBp.map(n => s"dup${n._1}_bp") ++
+      GopherTopBp.map(n => s"top${n._1}_bp") :+ "pass_gopher"
+
+  private[graft] def qualityGopher(d: DataFrame): DataFrame =
+    // the repetition folds are the one heavy per-row kernel in this
+    // library; a single-row-group local file would run them in ONE
+    // task (conditional — no exchange when splits ≥ cores)
+    gopherSignals(graft.Tables.rebalance(d))
+      .select(col("doc_id") +: GopherSignalCols.map(col): _*)
 
   private val opGopher = Op(
     "quality_gopher",

@@ -110,6 +110,25 @@ object Streams {
         col("digit_ratio") <= maxDigitRatio)
   }
 
+  /** stream_gopher — the PUBLISHED Gopher rule set (Rae et al. 2021
+    * Table A1, quality_gopher's full signal table incl. all nine
+    * repetition ceilings) as a stateless ingest gate. The r11
+    * row-local repetition kernel is what makes this gate possible at
+    * all: the previous shape counted grams through a shuffle + join
+    * back — not expressible as a per-row streaming decision without
+    * state — whereas now every signal is a per-row column expression
+    * (TextAnalysis.gopherSignals, the SAME kernel the batch operator
+    * selects from), so the full named rule set gates arriving docs in
+    * append mode with no state store, no watermark, and verdicts
+    * equal to the batch operator's row-for-row (spec). Rejected docs
+    * are dropped; kept docs carry the signal columns for audit and
+    * incoming columns ride through so the gate composes
+    * (contamFiltered's note).
+    */
+  def gopherGated(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.gopherSignals(docs)
+      .filter(col("pass_gopher") === 1L)
+
   /** stream_mix — stateless temperature-mix gate on ingest (batch
     * twin: sample_temperature). Per-source totals cannot be counted
     * inside an unbounded stream without an ever-growing aggregation,

@@ -111,6 +111,51 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(1L), s"gate kept $kept")
   }
 
+  test("stream_gopher: full Table A1 verdicts == batch row-for-row; stateless") {
+    implicit val sql = spark.sqlContext
+    // the batch spec's planted corpus: one passing doc, one doc per
+    // legacy rule, one doc per repetition ceiling (phrase of exactly
+    // n words repeated with distinct fillers)
+    val base = Seq("the", "a") ++ (1 to 58).map(i => s"word$i")
+    def planted(n: Int, reps: Int, tag: String): String = {
+      val phrase = (1 to n).map(j => s"$tag${n}x$j")
+      (base ++ (1 to reps).flatMap(k => phrase :+ s"fill$tag$n$k"))
+        .mkString(" ")
+    }
+    val docs: Seq[(Long, String)] =
+      Seq((1L, base.mkString(" ")),
+        (2L, "the a word word word"),
+        (6L, (1 to 60).map(i => s"word$i").mkString(" "))) ++
+      operators.TextAnalysis.GopherDupBp.zipWithIndex.map {
+        case ((n, _), i) => (10L + i, planted(n, 4, "repgram")) } ++
+      operators.TextAnalysis.GopherTopBp.zipWithIndex.map {
+        case ((n, _), i) => (20L + i, planted(n, 12, "topgram")) }
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.gopherGated(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gopher_out")
+      .outputMode("append").start()
+    // split mid-corpus: every decision is per-row, so batch
+    // boundaries must not matter
+    in.addData(docs.take(4): _*)
+    q.processAllAvailable()
+    in.addData(docs.drop(4): _*)
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+      "gopher gate must keep zero state rows")
+    q.stop()
+    val cols = operators.TextAnalysis.GopherSignalCols
+    def sig(r: org.apache.spark.sql.Row) =
+      r.getAs[Long]("doc_id") -> cols.map(c => r.getAs[Long](c))
+    val streamed = spark.table("gopher_out").collect().map(sig).toMap
+    val batch = operators.TextAnalysis.qualityGopher(
+        docs.toDF("doc_id", "text")).collect().map(sig).toMap
+    val batchKept = batch.filter(_._2.last == 1L)
+    assert(streamed == batchKept,
+      s"stream kept ${streamed.keySet}, batch kept ${batchKept.keySet}")
+    // only the clean doc survives the planted corpus
+    assert(streamed.keySet == Set(1L), s"gate kept ${streamed.keySet}")
+  }
+
   test("stream_mix: temperature gate matches the batch twin exactly") {
     implicit val sql = spark.sqlContext
     // the planted skew of the batch sample_temperature spec: 400 docs
