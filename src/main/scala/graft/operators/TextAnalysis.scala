@@ -602,64 +602,20 @@ object TextAnalysis {
     7 -> 1300L, 8 -> 1200L, 9 -> 1100L, 10 -> 1000L)
   private[graft] val GopherTopBp = Seq(2 -> 2000L, 3 -> 1800L, 4 -> 1600L)
 
-  /** Per-doc repetition signals for the rule set, computed ROW-LOCALLY
-    * — ZERO shuffle, zero join: the repetition rules are per-doc
-    * quantities, so they stay embarrassingly parallel gates like the
-    * rest of Table A1. (The r10 shape exploded 9 gram structs per
-    * token position into a count shuffle and joined the roll-up back;
-    * at 100 TB that exchange is corpus-token-sized for a purely
-    * row-local signal, and at ANY scale the per-gram STRING build
-    * (array_join slice) + string hash dominated the kernel — measured
-    * 25 s for sf0.1's 5k docs vs ~1 s row-local.)
-    *
-    * Shape per n: tokens hash once (`th`), gram key = xxhash64 over
-    * the length-n slice of `th` (long ops, never gram strings), gram
-    * char length = fold over the token-length slice + (n−1) spaces;
-    * `array_sort` groups equal grams adjacent, then ONE linear fold
-    * computes the signal — duplicate-char mass Σ(count−1)·len for
-    * n = 5..10 (every non-first occurrence of a gram adds its len:
-    * exactly the set-wise reading), max count·len for n = 2..4. Each
-    * output column embeds its own sorted frame exactly once, so no
-    * cross-column sharing is needed and projection collapse cannot
-    * duplicate a sort. Collisions would need two distinct grams of
-    * one doc and one n to collide on xxhash64 over their token-hash
-    * arrays. A gram-less doc (size < n) folds to 0 — the old left
-    * join's coalesce, now vacuous.
+  /** The repetition signals are per-doc quantities computed ROW-LOCALLY
+    * — zero shuffle, zero join: they stay embarrassingly parallel
+    * gates like the rest of Table A1, and since r11 they come from
+    * ONE native kernel pass ([[graft.plans.GopherRepetition]] —
+    * token interning, rolling polynomial gram keys, open-addressed
+    * count maps; see its scaladoc for the arithmetic). History: the
+    * r10 shape exploded 9 gram structs per token position (gram
+    * STRING build + string hash each) into a count shuffle and
+    * joined the roll-up back — measured 25 s at sf0.1 vs 1.75 s for
+    * the interim row-local SQL fold vs ~0.3 s for the kernel; at
+    * 100 TB the exchange it removed is corpus-token-sized. A
+    * gram-less doc (size < n) yields 0 — the old left join's
+    * coalesce, now vacuous.
     */
-  private def repSortSql(n: Int): String =
-    // slice-of-sequence instead of sequence(1, m): Spark's sequence
-    // DESCENDS when m < 1, so the empty case must come from slice
-    s"""array_sort(transform(
-          slice(sequence(1, greatest(size(toks), 1)), 1,
-            greatest(size(toks) - $n + 1, 0)),
-          i -> named_struct(
-            'h', slice(th, i, $n),
-            'len', aggregate(slice(tl, i, $n),
-              CAST(${n - 1} AS BIGINT), (a, x) -> a + x))))"""
-
-  /** Fraction (bp) of chars in non-first occurrences of n-grams: one
-    * pass over the sorted frame, adding len whenever the previous
-    * gram hash repeats. */
-  private def dupBpSql(n: Int): String =
-    s"""aggregate(${repSortSql(n)},
-          named_struct('ph', CAST(array() AS ARRAY<BIGINT>),
-            's', CAST(0 AS BIGINT)),
-          (acc, x) -> named_struct('ph', x.h,
-            's', acc.s + IF(x.h = acc.ph, x.len, CAST(0 AS BIGINT))),
-          acc -> acc.s) * 10000 DIV greatest(lt, 1)"""
-
-  /** Fraction (bp) of chars in the most common n-gram: the same pass
-    * tracking the current run length and the best count·len. */
-  private def topBpSql(n: Int): String =
-    s"""aggregate(${repSortSql(n)},
-          named_struct('ph', CAST(array() AS ARRAY<BIGINT>),
-            'c', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
-          (acc, x) -> IF(x.h = acc.ph,
-            named_struct('ph', x.h, 'c', acc.c + 1L,
-              'best', greatest(acc.best, (acc.c + 1L) * x.len)),
-            named_struct('ph', x.h, 'c', CAST(1 AS BIGINT),
-              'best', greatest(acc.best, x.len))),
-          acc -> acc.best) * 10000 DIV greatest(lt, 1)"""
 
   /** Every Table A1 signal + the pass verdict as ADDED columns over
     * the incoming frame — the shared kernel of the batch operator and
@@ -669,6 +625,7 @@ object TextAnalysis {
     * columns ride through so the gate composes.
     */
   private[graft] def gopherSignals(d: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(d.sparkSession)
     val stopHits = GopherStops.map(w =>
       when(array_contains(col("toks"), w), 1L).otherwise(0L))
       .reduce(_ + _)
@@ -687,16 +644,14 @@ object TextAnalysis {
       .withColumn("symbol_bp", expr("n_sym * 10000 DIV n_words"))
       .withColumn("alpha_bp", expr("n_alpha * 10000 DIV n_words"))
       .withColumn("stop_hits", stopHits)
-      // repetition sub-table inputs + signals, all row-local (no
-      // explode, no count shuffle, no join back — see [[repSortSql]])
-      .withColumn("lt", length(col("text")).cast("long"))
-      .withColumn("th", expr("transform(toks, t -> xxhash64(t))"))
-      .withColumn("tl",
-        expr("transform(toks, t -> CAST(length(t) AS BIGINT))"))
-    val withRep = (GopherDupBp.map { case (n, _) =>
-      s"dup${n}_bp" -> dupBpSql(n) } ++ GopherTopBp.map { case (n, _) =>
-      s"top${n}_bp" -> topBpSql(n) })
-      .foldLeft(base) { case (df, (c, sql)) => df.withColumn(c, expr(sql)) }
+      // all nine repetition signals from ONE native kernel pass (no
+      // explode, no count shuffle, no join back — plans.GopherRepetition)
+      .withColumn("rep", expr(
+        "graft_gopher_rep(toks, CAST(length(text) AS BIGINT))"))
+    val repIdx = (GopherDupBp.map { case (n, _) => s"dup${n}_bp" } ++
+      GopherTopBp.map { case (n, _) => s"top${n}_bp" }).zipWithIndex
+    val withRep = repIdx.foldLeft(base) { case (df, (c, i)) =>
+      df.withColumn(c, element_at(col("rep"), i + 1)) }
     val passRep = (GopherDupBp.map { case (n, bp) =>
       col(s"dup${n}_bp") <= bp } ++ GopherTopBp.map { case (n, bp) =>
       col(s"top${n}_bp") <= bp }).reduce(_ && _)
@@ -708,7 +663,7 @@ object TextAnalysis {
           && col("alpha_bp") >= 8000L
           && col("stop_hits") >= 2L
           && passRep, 1L).otherwise(0L))
-      .drop("toks", "sum_len", "n_alpha", "n_sym", "lt", "th", "tl")
+      .drop("toks", "sum_len", "n_alpha", "n_sym", "rep")
   }
 
   private[graft] val GopherSignalCols: Seq[String] =

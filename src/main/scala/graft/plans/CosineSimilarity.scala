@@ -104,6 +104,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.mediaMetaDescriptor)
     ext.injectFunction(GraftFunctions.phraseHitsDescriptor)
     ext.injectFunction(GraftFunctions.spanCorruptDescriptor)
+    ext.injectFunction(GraftFunctions.gopherRepDescriptor)
     ext.injectFunction(GraftFunctions.bloomAggDescriptor)
     ext.injectFunction(GraftFunctions.bloomContainsDescriptor)
     ext.injectPlannerStrategy(_ => TopKStrategy)
@@ -258,6 +259,11 @@ object GraftFunctions {
     new ExpressionInfo(classOf[SpanCorruptExpr].getName, "graft_span_corrupt"),
     (exprs: Seq[Expression]) => SpanCorruptExpr(exprs.head, exprs(1)): Expression)
 
+  private[plans] val gopherRepDescriptor = (
+    FunctionIdentifier("graft_gopher_rep"),
+    new ExpressionInfo(classOf[GopherRepetition].getName, "graft_gopher_rep"),
+    (exprs: Seq[Expression]) => GopherRepetition(exprs.head, exprs(1)): Expression)
+
   private[plans] val f1CommonDescriptor = (
     FunctionIdentifier("graft_f1_common"),
     new ExpressionInfo(classOf[TokenOverlap].getName, "graft_f1_common"),
@@ -330,6 +336,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_span_corrupt",
       exprs => SpanCorruptExpr(exprs.head, exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_gopher_rep",
+      exprs => GopherRepetition(exprs.head, exprs(1)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kll_agg",

@@ -1700,11 +1700,18 @@ class PipelineOpsSpec extends SparkSpec {
       n -> planted(n, 4, "repgram") }
     val topDocs = operators.TextAnalysis.GopherTopBp.map { case (n, _) =>
       n -> planted(n, 12, "topgram") }
+    // kernel edge shapes (r11 native GopherRepetition): multi-byte
+    // BMP chars (numChars vs bytes), a one-token doc (no grams of any
+    // n), and a same-token flood (every 2-gram identical)
+    val multiByte = (base.take(40) ++
+      (1 to 4).flatMap(k => Seq("的是", "不了在", s"uniq$k"))).mkString(" ")
+    val flood = (Seq("the", "a") ++ Array.fill(58)("bb")).mkString(" ")
     val docs: Seq[(Long, String)] =
       Seq((1L, good), (2L, short), (3L, longWords), (4L, symbols),
         (5L, nonAlpha), (6L, noStops)) ++
       dupDocs.zipWithIndex.map { case ((_, t), i) => (10L + i, t) } ++
-      topDocs.zipWithIndex.map { case ((_, t), i) => (20L + i, t) }
+      topDocs.zipWithIndex.map { case ((_, t), i) => (20L + i, t) } ++
+      Seq((30L, multiByte), (31L, "solo"), (32L, flood))
     val out = operators.TextAnalysis.qualityGopher(
         docs.toDF("doc_id", "text")).collect()
       .map(r => r.getLong(0) -> r).toMap
@@ -1735,7 +1742,8 @@ class PipelineOpsSpec extends SparkSpec {
       }).toMap
     }
     val byId = docs.toMap
-    (Seq(1L) ++ dupDocs.indices.map(10L + _) ++ topDocs.indices.map(20L + _))
+    (Seq(1L, 30L, 31L, 32L) ++ dupDocs.indices.map(10L + _) ++
+      topDocs.indices.map(20L + _))
       .foreach { id =>
         mirror(byId(id)).foreach { case (c, v) =>
           assert(out(id).getAs[Long](c) == v,
