@@ -164,34 +164,29 @@ object TextAnalysis {
   // ---- text_repetition: Gopher-style repetition filters ----
   // The two classic repetition signals used to drop low-quality docs at
   // pre-training scale: the fraction of duplicate lines and the mass of
-  // the single most frequent 2-gram. Bigram rows are built with the
-  // shifted-zip trick (narrow, codegen); one shuffle per aggregation
-  // level, both carrying a few skinny rows per doc.
+  // the single most frequent 2-gram. Both are per-doc quantities, so
+  // since r11 the whole frame is ONE narrow projection: the line
+  // signals were always row-local expressions, and the top-bigram
+  // stats come from the native count kernel (plans.TopGramCount) —
+  // the (doc, bigram) count shuffle + per-doc roll-up + join back of
+  // the old shape are gone (at 100 TB that exchange carried a row per
+  // token position of the corpus for a row-local signal).
   private[graft] def repetitionSignals(d: DataFrame): DataFrame = {
-    val lines = d.select(col("doc_id"),
+    graft.plans.GraftFunctions.register(d.sparkSession)
+    d.withColumn("tg", expr(
+        "graft_top_ngram_count(split(text, ' '), 2)"))
+      .select(col("doc_id"),
         size(split(col("text"), "\n")).cast("long").as("n_lines"),
         size(array_distinct(split(col("text"), "\n"))).cast("long")
-          .as("n_distinct_lines"))
-    val toks = d.withColumn("toks", TextFns.tokens(col("text")))
-    val bigrams = toks
-      .withColumn("t1", slice(col("toks"), lit(2),
-        greatest(size(col("toks")) - 1, lit(0))))
-      .select(col("doc_id"),
-        posexplode(arrays_zip(col("toks"), col("t1"))).as(Seq("pos", "z")))
-      .filter(col("z.t1").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", col("z.toks"), col("z.t1")).as("bigram"))
-    val top = bigrams.groupBy(col("doc_id"), col("bigram"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("c")).as("top_bigram_n"), sum(col("c")).as("n_bigrams"))
-    lines.join(top, Seq("doc_id"), "left")
+          .as("n_distinct_lines"),
+        element_at(col("tg"), 1).as("top_bigram_n"),
+        element_at(col("tg"), 2).as("n_bigrams"))
       .select(col("doc_id"), col("n_lines"),
         round((col("n_lines") - col("n_distinct_lines")) / col("n_lines"), 6)
           .as("dup_line_ratio"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        round(coalesce(col("top_bigram_n"), lit(0L))
-          / greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L)), 6)
+        col("n_bigrams"),
+        round(col("top_bigram_n")
+          / greatest(col("n_bigrams"), lit(1L)), 6)
           .as("top_bigram_ratio"))
   }
 
@@ -310,11 +305,12 @@ object TextAnalysis {
   // failing reason (fixed order, so reasons are deterministic and
   // auditable — the reason histogram is the curation dashboard).
   // Thresholds follow the published C4/Gopher shapes scaled to the
-  // synthetic corpus. Plan shape: every scalar signal — language hits
-  // included, via withLangSignals — rides ONE narrow scan that drops
-  // the text before any exchange; only the repetition signals
-  // aggregate (two skinny shuffles), then one join back by doc_id. No
-  // Exchange in the plan carries the text column (spec-asserted).
+  // synthetic corpus. Plan shape: every signal — language hits
+  // (withLangSignals), ratios, and since r11 the repetition pair
+  // (plans.TopGramCount) — rides ONE narrow scan; no aggregation, no
+  // join, no Exchange at all (the old shape shuffled (doc, bigram)
+  // counts and joined back; spec-asserted text-free plan, now
+  // exchange-free outright).
   val QfMinToks = 16L
   val QfMaxToks = 1000L
   val QfMaxDigit = 0.2
@@ -324,18 +320,28 @@ object TextAnalysis {
   val QfMaxTopBigram = 0.2
 
   private[graft] def qualityFilter(d: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(d.sparkSession)
     val base = withLangSignals(d)
       .withColumn("toks", TextFns.tokens(col("text")))
       .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("nl", size(split(col("text"), "\n")).cast("long"))
+      .withColumn("ndl",
+        size(array_distinct(split(col("text"), "\n"))).cast("long"))
+      // repetition signals inline via the count kernel (row-local
+      // since r11): the rep join this gate used to pay is gone
+      .withColumn("tg", expr("graft_top_ngram_count(toks, 2)"))
       .select(col("doc_id"), col("predicted_lang"), col("n_toks"),
         round(regexp_count(col("text"), lit("[0-9]")).cast("double")
           / length(col("text")), 6).as("digit_ratio"),
         round(col("hits_en").cast("double") / col("n_toks"), 6)
           .as("stopword_ratio"),
         round(size(array_distinct(col("toks"))).cast("double")
-          / col("n_toks"), 6).as("distinct_ratio"))
-    val rep = repetitionSignals(d)
-      .select(col("doc_id"), col("dup_line_ratio"), col("top_bigram_ratio"))
+          / col("n_toks"), 6).as("distinct_ratio"),
+        round((col("nl") - col("ndl")) / col("nl"), 6)
+          .as("dup_line_ratio"),
+        round(element_at(col("tg"), 1)
+          / greatest(element_at(col("tg"), 2), lit(1L)), 6)
+          .as("top_bigram_ratio"))
     val reason =
       when(col("n_toks") < QfMinToks, "short")
         .when(col("n_toks") > QfMaxToks, "long")
@@ -346,7 +352,7 @@ object TextAnalysis {
         .when(col("dup_line_ratio") > QfMaxDupLine, "dup_lines")
         .when(col("top_bigram_ratio") > QfMaxTopBigram, "top_bigram")
         .otherwise("ok")
-    base.join(rep, Seq("doc_id"))
+    base
       .withColumn("reason", reason)
       .withColumn("keep", when(col("reason") === "ok", 1L).otherwise(0L))
   }

@@ -105,6 +105,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.phraseHitsDescriptor)
     ext.injectFunction(GraftFunctions.spanCorruptDescriptor)
     ext.injectFunction(GraftFunctions.gopherRepDescriptor)
+    ext.injectFunction(GraftFunctions.topGramDescriptor)
     ext.injectFunction(GraftFunctions.bloomAggDescriptor)
     ext.injectFunction(GraftFunctions.bloomContainsDescriptor)
     ext.injectPlannerStrategy(_ => TopKStrategy)
@@ -264,6 +265,11 @@ object GraftFunctions {
     new ExpressionInfo(classOf[GopherRepetition].getName, "graft_gopher_rep"),
     (exprs: Seq[Expression]) => GopherRepetition(exprs.head, exprs(1)): Expression)
 
+  private[plans] val topGramDescriptor = (
+    FunctionIdentifier("graft_top_ngram_count"),
+    new ExpressionInfo(classOf[TopGramCount].getName, "graft_top_ngram_count"),
+    (exprs: Seq[Expression]) => TopGramCount(exprs.head, exprs(1)): Expression)
+
   private[plans] val f1CommonDescriptor = (
     FunctionIdentifier("graft_f1_common"),
     new ExpressionInfo(classOf[TokenOverlap].getName, "graft_f1_common"),
@@ -340,6 +346,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_gopher_rep",
       exprs => GopherRepetition(exprs.head, exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_top_ngram_count",
+      exprs => TopGramCount(exprs.head, exprs(1)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kll_agg",

@@ -61,6 +61,44 @@ case class GopherRepetition(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression: COUNT-based top-n-gram stats —
+  * (most-common-n-gram occurrence count, total n-gram count) as a
+  * 2-element long array. The count-flavored sibling of
+  * [[GopherRepetition]] (which grades CHARACTER mass): this is what
+  * text_repetition's top_bigram_ratio and quality_filter's
+  * top_bigram gate consume, and making it a row-local kernel removes
+  * the (doc, gram) count shuffle + per-doc roll-up + join back those
+  * operators paid — the quality tier becomes fully narrow. Same
+  * machinery: token interning, rolling polynomial keys, one
+  * open-addressed count map.
+  *
+  * Children: (tokens array<string>, n int literal). Returns
+  * [top_count, total_grams]; a doc with fewer than n tokens returns
+  * [0, 0] (the old left join's coalesce).
+  */
+case class TopGramCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes =
+    Seq(ArrayType(StringType), org.apache.spark.sql.types.IntegerType)
+
+  override def dataType: DataType = ArrayType(LongType)
+
+  override def prettyName: String = "graft_top_ngram_count"
+
+  override def nullSafeEval(toks: Any, n: Any): Any =
+    GopherRepetition.topGramCount(
+      toks.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.plans.GopherRepetition.topGramCount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TopGramCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object GopherRepetition {
 
   /** n-gram spans graded: dup mass for 5..10, top mass for 2..4. */
@@ -81,33 +119,76 @@ object GopherRepetition {
     z ^ (z >>> 31)
   }
 
+  /** Interns tokens to dense ids (≥ 1; 0 marks "empty" downstream)
+    * via linear-probe open addressing; also records per-token char
+    * counts. Shared by both expressions. */
+  private def intern(toks: ArrayData, m: Int): (Array[Long], Array[Long]) = {
+    require(m < (1 << 29),
+      s"GopherRepetition: $m tokens in one row (must be < ${1 << 29})")
+    val cap = java.lang.Integer.highestOneBit(math.max(2, m) * 2 - 1) * 2
+    val mask = cap - 1
+    val keys = new Array[UTF8String](cap)
+    val ids = new Array[Int](cap)
+    val tokId = new Array[Long](m) // as long for key arithmetic
+    val tokChars = new Array[Long](m)
+    var nextId = 1
+    var i = 0
+    while (i < m) {
+      val t = toks.getUTF8String(i)
+      if (t == null) { tokId(i) = 0L; tokChars(i) = 0L }
+      else {
+        var p = t.hashCode & mask
+        while (keys(p) != null && !keys(p).equals(t)) p = (p + 1) & mask
+        if (keys(p) == null) { keys(p) = t; ids(p) = nextId; nextId += 1 }
+        tokId(i) = ids(p).toLong
+        tokChars(i) = t.numChars().toLong
+      }
+      i += 1
+    }
+    (tokId, tokChars)
+  }
+
+  def topGramCount(toks: ArrayData, n: Int): ArrayData = {
+    val m = toks.numElements()
+    val out = new Array[Long](2)
+    val g = m - n + 1
+    if (n >= 1 && g >= 1) {
+      val (tokId, _) = intern(toks, m)
+      var pn = 1L
+      var j = 0
+      while (j < n) { pn *= P; j += 1 }
+      val gcap = java.lang.Integer.highestOneBit(math.max(2, g) * 2 - 1) * 2
+      val gmask = gcap - 1
+      val gkeys = new Array[Long](gcap)
+      val gcnt = new Array[Int](gcap)
+      var top = 0
+      var k = 0L
+      j = 0
+      while (j < n) { k = k * P + tokId(j); j += 1 }
+      var i = 0
+      while (i < g) {
+        if (i > 0) k = k * P + tokId(i + n - 1) - pn * tokId(i - 1)
+        val h = mix(k)
+        var p = (h & gmask).toInt
+        val key = if (h == 0L) 1L else h
+        while (gkeys(p) != 0L && gkeys(p) != key) p = (p + 1) & gmask
+        if (gkeys(p) == 0L) { gkeys(p) = key; gcnt(p) = 1 }
+        else gcnt(p) += 1
+        if (gcnt(p) > top) top = gcnt(p)
+        i += 1
+      }
+      out(0) = top.toLong
+      out(1) = g.toLong
+    }
+    new GenericArrayData(out)
+  }
+
   def signals(toks: ArrayData, lt: Long): ArrayData = {
     val m = toks.numElements()
     val out = new Array[Long](DupNs.length + TopNs.length)
     if (m >= 2) {
-      require(m < (1 << 29),
-        s"GopherRepetition: $m tokens in one row (must be < ${1 << 29})")
-      // intern tokens to dense ids; record each token's char length
-      val cap = java.lang.Integer.highestOneBit(math.max(2, m) * 2 - 1) * 2
-      val mask = cap - 1
-      val keys = new Array[UTF8String](cap)
-      val ids = new Array[Int](cap)
-      val tokId = new Array[Long](m) // as long for key arithmetic
-      val tokChars = new Array[Long](m)
-      var nextId = 1 // 0 stays "empty" in the gram tables
+      val (tokId, tokChars) = intern(toks, m)
       var i = 0
-      while (i < m) {
-        val t = toks.getUTF8String(i)
-        if (t == null) { tokId(i) = 0L; tokChars(i) = 0L }
-        else {
-          var p = t.hashCode & mask
-          while (keys(p) != null && !keys(p).equals(t)) p = (p + 1) & mask
-          if (keys(p) == null) { keys(p) = t; ids(p) = nextId; nextId += 1 }
-          tokId(i) = ids(p).toLong
-          tokChars(i) = t.numChars().toLong
-        }
-        i += 1
-      }
       // prefix char sums so a gram's length is O(1)
       val prefix = new Array[Long](m + 1)
       i = 0

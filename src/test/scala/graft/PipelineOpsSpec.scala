@@ -1078,25 +1078,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(BigInt(m - 1) * (m - 1) * 10000000000L > BigInt(Long.MaxValue))
   }
 
-  test("quality_filter: no Exchange carries the corpus text") {
-    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
-    // every scalar signal (language hits included) rides the one narrow
-    // scan; only skinny per-doc frames may shuffle for the repetition
-    // join — the text column must never cross an exchange. AQE off so
-    // executedPlan is a plain tree with exchanges materialized.
+  test("quality_filter: the whole gate is ONE narrow scan — no Exchange at all") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    // every signal — language hits, ratios, and (r11) the repetition
+    // pair via the TopGramCount kernel — is a per-row expression over
+    // the one corpus scan: the plan must contain no exchange of any
+    // kind (the old shape shuffled skinny (doc, bigram) counts and
+    // joined back; the spec then only pinned text out of exchanges).
+    // AQE off so executedPlan is a plain tree.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val plan = run("quality_filter").queryExecution.executedPlan
-      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
-      assert(shuffles.nonEmpty, s"expected skinny repetition shuffles:\n$plan")
-      shuffles.foreach { e =>
-        assert(!e.output.exists(_.name == "text"),
-          s"a shuffle carries the corpus text:\n$e")
-      }
-      plan.collect { case e: BroadcastExchangeExec => e }.foreach { e =>
-        assert(!e.output.exists(_.name == "text"),
-          s"a broadcast carries the corpus text:\n$e")
-      }
+      val exchanges = plan.collect { case e: Exchange => e }
+      assert(exchanges.isEmpty,
+        s"quality gate must be fully narrow:\n$plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
