@@ -1761,6 +1761,51 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(1L).getAs[Long]("dup5_bp") == 0L)
   }
 
+  test("repetition kernels: 400 seeded random docs == brute force on every signal") {
+    // fuzz the native kernels' machinery — token interning, rolling
+    // polynomial keys incl. the drop-out term, open-addressed maps
+    // under heavy collision load (8-token vocab → most grams repeat)
+    // — against the same set-wise definitions the planted-doc spec
+    // mirrors. BMP-only vocab so java String length == codepoints.
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("a", "bb", "ccc", "的是", "word", "x1", "yy2", "zzz33")
+    val dupNs = operators.TextAnalysis.GopherDupBp.map(_._1)
+    val topNs = operators.TextAnalysis.GopherTopBp.map(_._1)
+    (1 to 400).foreach { _ =>
+      val m = rnd.nextInt(81)
+      val toks = Vector.fill(m)(vocab(rnd.nextInt(vocab.length)))
+      val text = toks.mkString(" ")
+      val lt = math.max(text.length.toLong, 1L)
+      val arr = new GenericArrayData(
+        toks.map(UTF8String.fromString).toArray[Any])
+      def grams(n: Int): Seq[String] =
+        if (m < n) Seq.empty else toks.sliding(n).map(_.mkString(" ")).toSeq
+      val rep = graft.plans.GopherRepetition
+        .signals(arr, text.length.toLong).toLongArray()
+      dupNs.zipWithIndex.foreach { case (n, i) =>
+        val want = grams(n).groupBy(identity).values.filter(_.size >= 2)
+          .map(g => (g.size - 1).toLong * g.head.length).sum * 10000L / lt
+        assert(rep(i) == want, s"dup$n: got ${rep(i)}, want $want: '$text'")
+      }
+      topNs.zipWithIndex.foreach { case (n, i) =>
+        val byG = grams(n).groupBy(identity)
+        val want = (if (byG.isEmpty) 0L
+          else byG.values.map(g => g.size.toLong * g.head.length).max) *
+          10000L / lt
+        assert(rep(dupNs.length + i) == want,
+          s"top$n: got ${rep(dupNs.length + i)}, want $want: '$text'")
+      }
+      val tg = graft.plans.GopherRepetition.topGramCount(arr, 2).toLongArray()
+      val bg = grams(2)
+      val wantTop = if (bg.isEmpty) 0L
+        else bg.groupBy(identity).values.map(_.size.toLong).max
+      assert(tg(0) == wantTop && tg(1) == bg.length.toLong,
+        s"topGramCount: got ${tg.toSeq}, want ($wantTop, ${bg.length}): '$text'")
+    }
+  }
+
   test("ingest_bloom: no false negatives, bounded survivors, == exact gate, store-fed") {
     // history: 40 docs; shard: 60 fresh + 5 planted exact copies
     val hist = (0L until 40L).map(i => (i, s"history doc $i body ${i * 7}"))
