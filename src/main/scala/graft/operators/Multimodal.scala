@@ -346,5 +346,98 @@ object Multimodal {
           .otherwise(0L).as("near_hist"))
   }
 
-  val ops: Seq[Op] = Seq(opMeta, opEmbed, opPhash)
+  // ---- mm_resize: in-engine thumbnailing for the encoder front ----
+
+  /** Thumbnail grid — the encoder-preprocessing convention of fixed
+    * small square inputs. */
+  val ThumbW = 16
+  val ThumbH = 16
+
+  /** mm_resize — the preprocessing step between a raw multimodal
+    * column and an encoder: every PNG payload is pixel-decoded BY THE
+    * ENGINE and box-filtered to a [[ThumbW]]×[[ThumbH]] luma
+    * thumbnail (plans.LumaResize — mm_phash's block-mean generalized
+    * to an arbitrary grid), entirely row-local and codegen'd: at
+    * 100 TB the resize rides the ingest scan like every other mm
+    * kernel, no shuffle, no codec library, no driver loop. Non-PNG
+    * payloads (and adversarial headers the decoder refuses) surface
+    * `ok = 0` with a null digest instead of killing the job — the
+    * mm_phash total-ness contract. Output is the rows-only
+    * determinism shape: a digest of the thumbnail bytes plus its
+    * exact dimensions, every column a pure function of the payload.
+    */
+  private val opResize = Op(
+    "mm_resize",
+    (s, dir) => {
+      import s.implicits._
+      graft.plans.GraftFunctions.register(s)
+      ingest(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[MMIn])
+        .toDF().drop("batch_size")
+        .select(col("doc_id"),
+          expr(s"graft_luma_resize(payload, $ThumbW, $ThumbH)").as("thumb"))
+        .select(col("doc_id"),
+          when(col("thumb").isNotNull, 1L).otherwise(0L).as("ok"),
+          lit(ThumbW.toLong).as("thumb_w"), lit(ThumbH.toLong).as("thumb_h"),
+          length(col("thumb")).cast("long").as("thumb_len"),
+          md5(col("thumb")).as("thumb_digest"))
+    },
+    None)
+
+  // ---- mm_frames: frame-sampling over a video-shaped column ----
+
+  /** Frames per synthetic clip and the sampling stride. */
+  val ClipFrames = 6
+  val FrameStride = 3
+
+  case class MMClip(doc_id: Long, frames: Seq[Array[Byte]])
+
+  /** Batched clip synthesis — the video-column stand-in: a clip is an
+    * ARRAY of opaque frame payloads (each a structurally real PNG
+    * whose pixel content is seeded per (doc, frame), so consecutive
+    * frames differ the way video frames do). Same mapPartitions
+    * plumbing as [[ingest]].
+    */
+  private def clipBatch(batch: Seq[MMIn]): Seq[MMClip] = batch.map { r =>
+    val id = r.doc_id
+    MMClip(id, (0 until ClipFrames).map { f =>
+      buildPng(plantedW(id), plantedH(id),
+        plantedLuma(id * ClipFrames + f, _, _))
+    })
+  }
+
+  private[graft] def clips(ds: org.apache.spark.sql.Dataset[MMIn]) = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(it => it.grouped(BatchSize).flatMap(clipBatch))
+  }
+
+  /** mm_frames — frame-sampling over the clip column: keep every
+    * [[FrameStride]]-th frame, THEN decode (perceptual-hash) only the
+    * survivors. The ordering is the entire point at scale — sampling
+    * is a predicate on the frame INDEX of still-opaque binaries, so
+    * the decode kernel runs on |frames|/stride of the data; a plan
+    * that decoded first would pay the full pixel cost to throw most
+    * of it away (spec pins the Filter below the hash Project). The
+    * sampled frames land in the same dHash space mm_phash banded, so
+    * cross-clip near-dup frame detection composes downstream.
+    */
+  private val opFrames = Op(
+    "mm_frames",
+    (s, dir) => {
+      import s.implicits._
+      graft.plans.GraftFunctions.register(s)
+      clips(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[MMIn])
+        .toDF()
+        .select(col("doc_id"),
+          posexplode(col("frames")).as(Seq("frame_idx", "frame")))
+        .filter(col("frame_idx") % FrameStride === 0)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          expr("graft_dhash(frame)").as("frame_hash"))
+    },
+    None)
+
+  val ops: Seq[Op] = Seq(opMeta, opEmbed, opPhash, opResize, opFrames)
 }

@@ -106,6 +106,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.spanCorruptDescriptor)
     ext.injectFunction(GraftFunctions.gopherRepDescriptor)
     ext.injectFunction(GraftFunctions.topGramDescriptor)
+    ext.injectFunction(GraftFunctions.lumaResizeDescriptor)
     ext.injectFunction(GraftFunctions.bloomAggDescriptor)
     ext.injectFunction(GraftFunctions.bloomContainsDescriptor)
     ext.injectPlannerStrategy(_ => TopKStrategy)
@@ -270,6 +271,12 @@ object GraftFunctions {
     new ExpressionInfo(classOf[TopGramCount].getName, "graft_top_ngram_count"),
     (exprs: Seq[Expression]) => TopGramCount(exprs.head, exprs(1)): Expression)
 
+  private[plans] val lumaResizeDescriptor = (
+    FunctionIdentifier("graft_luma_resize"),
+    new ExpressionInfo(classOf[LumaResizeExpr].getName, "graft_luma_resize"),
+    (exprs: Seq[Expression]) =>
+      LumaResizeExpr(exprs.head, exprs(1), exprs(2)): Expression)
+
   private[plans] val f1CommonDescriptor = (
     FunctionIdentifier("graft_f1_common"),
     new ExpressionInfo(classOf[TokenOverlap].getName, "graft_f1_common"),
@@ -350,6 +357,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_top_ngram_count",
       exprs => TopGramCount(exprs.head, exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_luma_resize",
+      exprs => LumaResizeExpr(exprs.head, exprs(1), exprs(2)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kll_agg",

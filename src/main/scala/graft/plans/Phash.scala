@@ -107,7 +107,7 @@ object Phash {
   /** Full PNG pixel decode to integer luma, or null when the payload
     * is not a baseline 8-bit gray/RGB/RGBA non-interlaced PNG.
     */
-  private def decodeGray(b: Array[Byte]): (Array[Int], Int, Int) = {
+  private[plans] def decodeGray(b: Array[Byte]): (Array[Int], Int, Int) = {
     if (b == null || b.length < 45) return null
     var i = 0
     while (i < 8) { if (b(i) != Sig(i)) return null; i += 1 }

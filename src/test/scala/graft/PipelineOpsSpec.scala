@@ -2509,6 +2509,86 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.filter($"avg_token_len" <= 0).count() == 0)
   }
 
+  test("mm_resize: thumbnail == brute-force block means; edits cell-local; non-PNG refuses") {
+    graft.plans.GraftFunctions.register(spark)
+    val (w, h) = (32, 24)
+    val tw = Multimodal.ThumbW
+    val th = Multimodal.ThumbH
+    def lum(x: Int, y: Int) = Multimodal.plantedLuma(7L, x, y)
+    // independent mirror straight from the planted luma (buildPng
+    // writes r=g=b=luma and the decoder's (r+g+b)/3 returns it)
+    def mirror(l: (Int, Int) => Int): Array[Byte] = {
+      val out = new Array[Byte](tw * th)
+      for (cy <- 0 until th; cx <- 0 until tw) {
+        val y0 = cy * h / th; val y1 = math.max(y0 + 1, (cy + 1) * h / th)
+        val x0 = cx * w / tw; val x1 = math.max(x0 + 1, (cx + 1) * w / tw)
+        var sum = 0L
+        for (y <- y0 until y1; x <- x0 until x1) sum += (l(x, y) & 0xff)
+        out(cy * tw + cx) = (sum / ((x1 - x0).toLong * (y1 - y0))).toByte
+      }
+      out
+    }
+    val rows = Seq(
+      (1L, Multimodal.buildPng(w, h, lum)),
+      // top-bit flip: the containing cell's mean moves by >= 32, so
+      // the edit is visible through the integer division
+      (2L, Multimodal.buildPng(w, h,
+        (x, y) => if (x == 9 && y == 11) lum(9, 11) ^ 0x80 else lum(x, y))),
+      (3L, Multimodal.buildJpeg(10, 10, 3))).toDF("doc_id", "payload")
+      .select($"doc_id",
+        expr(s"graft_luma_resize(payload, $tw, $th)").as("t")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1))).toMap
+    assert(rows(3L) == null, "non-PNG must refuse to resize")
+    assert(java.util.Arrays.equals(rows(1L), mirror(lum)),
+      "thumbnail != brute-force block means")
+    val diff = rows(1L).zip(rows(2L)).count { case (a, b) => a != b }
+    assert(diff == 1, s"one-pixel edit touched $diff cells")
+    // grid finer than the source: blocks stay non-empty (the dhash
+    // nearest-pixel convention)
+    val tt = graft.plans.LumaResize.resize(
+      Multimodal.buildPng(3, 2, lum), tw, th)
+    assert(tt != null && tt.length == tw * th)
+    // op shape: PNG-formatted docs resize, others surface ok=0
+    val op = run("mm_resize").collect()
+    assert(op.nonEmpty)
+    op.foreach { r =>
+      if (r.getAs[Long]("doc_id") % 3 == 0)
+        assert(r.getAs[Long]("ok") == 1L &&
+          r.getAs[Long]("thumb_len") == tw.toLong * th, s"$r")
+      else assert(r.getAs[Long]("ok") == 0L &&
+        r.isNullAt(r.fieldIndex("thumb_digest")), s"$r")
+    }
+  }
+
+  test("mm_frames: stride sampling before decode; hashes == direct kernel on planted frames") {
+    graft.plans.GraftFunctions.register(spark)
+    val out = run("mm_frames")
+    // decode AFTER sample: the dhash projection sits ABOVE the
+    // frame_idx filter (parents print first in the plan tree), so the
+    // pixel kernel only ever sees the sampled |frames|/stride subset
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_dhash"), plan)
+    assert(plan.indexOf("graft_dhash") < plan.indexOf(s"% ${Multimodal.FrameStride}"),
+      s"decode must happen after stride sampling:\n$plan")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val wantIdx = (0 until Multimodal.ClipFrames by Multimodal.FrameStride)
+      .map(_.toLong).toSet
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rs) =>
+      assert(rs.map(_.getAs[Long]("frame_idx")).toSet == wantIdx,
+        s"doc $id sampled ${rs.map(_.getAs[Long]("frame_idx")).toSeq}")
+      rs.foreach { r =>
+        val f = r.getAs[Long]("frame_idx")
+        val direct = graft.plans.Phash.dhash(Multimodal.buildPng(
+          Multimodal.plantedW(id), Multimodal.plantedH(id),
+          Multimodal.plantedLuma(id * Multimodal.ClipFrames + f, _, _)))
+        assert(direct != null && r.getAs[Long]("frame_hash") == direct,
+          s"doc $id frame $f: streamed hash != direct decode")
+      }
+    }
+  }
+
   test("mm_phash: dHash invariants — identical 0, one-pixel edit near, unrelated far") {
     graft.plans.GraftFunctions.register(spark)
     def lum(seed: Long)(x: Int, y: Int) = Multimodal.plantedLuma(seed, x, y)
