@@ -399,10 +399,17 @@ object Multimodal {
     * frames differ the way video frames do). Same mapPartitions
     * plumbing as [[ingest]].
     */
+  /** Clip frame dimensions: the PNG-branch planting for EVERY doc —
+    * plantedW/H's large branches (≤640×480) describe JPEG/WAV header
+    * fields, and building six ~1 MB PNG frames per doc would make the
+    * synthesis stand-in, not the operator, the measured cost. */
+  private[graft] def frameW(id: Long): Int = (id % 64 + 1).toInt
+  private[graft] def frameH(id: Long): Int = (id % 48 + 1).toInt
+
   private def clipBatch(batch: Seq[MMIn]): Seq[MMClip] = batch.map { r =>
     val id = r.doc_id
     MMClip(id, (0 until ClipFrames).map { f =>
-      buildPng(plantedW(id), plantedH(id),
+      buildPng(frameW(id), frameH(id),
         plantedLuma(id * ClipFrames + f, _, _))
     })
   }

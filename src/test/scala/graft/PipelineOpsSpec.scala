@@ -2581,7 +2581,7 @@ class PipelineOpsSpec extends SparkSpec {
       rs.foreach { r =>
         val f = r.getAs[Long]("frame_idx")
         val direct = graft.plans.Phash.dhash(Multimodal.buildPng(
-          Multimodal.plantedW(id), Multimodal.plantedH(id),
+          Multimodal.frameW(id), Multimodal.frameH(id),
           Multimodal.plantedLuma(id * Multimodal.ClipFrames + f, _, _)))
         assert(direct != null && r.getAs[Long]("frame_hash") == direct,
           s"doc $id frame $f: streamed hash != direct decode")
