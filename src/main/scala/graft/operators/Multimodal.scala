@@ -429,20 +429,31 @@ object Multimodal {
     * sampled frames land in the same dHash space mm_phash banded, so
     * cross-clip near-dup frame detection composes downstream.
     */
+  /** The sample-then-decode transform itself — shared verbatim by
+    * the batch operator and the streaming twin
+    * ([[graft.streaming.Streams.framesSampled]]): every step
+    * (generate, index predicate, hash projection) is a per-row
+    * expression, which is exactly why the stream side needs no
+    * state. */
+  private[graft] def sampleFrames(clipFrame: DataFrame,
+      stride: Int = FrameStride): DataFrame = {
+    graft.plans.GraftFunctions.register(clipFrame.sparkSession)
+    clipFrame
+      .select(col("doc_id"),
+        posexplode(col("frames")).as(Seq("frame_idx", "frame")))
+      .filter(col("frame_idx") % stride === 0)
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        expr("graft_dhash(frame)").as("frame_hash"))
+  }
+
   private val opFrames = Op(
     "mm_frames",
     (s, dir) => {
       import s.implicits._
-      graft.plans.GraftFunctions.register(s)
-      clips(Tables(s, dir, "documents")
+      sampleFrames(clips(Tables(s, dir, "documents")
           .select(col("doc_id"), col("text").cast("binary").as("payload"))
           .as[MMIn])
-        .toDF()
-        .select(col("doc_id"),
-          posexplode(col("frames")).as(Seq("frame_idx", "frame")))
-        .filter(col("frame_idx") % FrameStride === 0)
-        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
-          expr("graft_dhash(frame)").as("frame_hash"))
+        .toDF())
     },
     None)
 

@@ -679,6 +679,21 @@ object Streams {
       }
   }
 
+  /** stream_frames — frame-sampling on ingest (batch twin: mm_frames):
+    * arriving video-shaped rows (clip = array of opaque frame
+    * payloads) are stride-sampled and only the SURVIVING frames reach
+    * the pixel kernel — the decode-after-sample ordering is what
+    * bounds ingest cost to |frames|/stride of the wire volume, and
+    * every step (generate, index predicate, hash projection) is a
+    * per-row expression: append mode, no state store, no watermark,
+    * hashes equal the batch operator's row-for-row (spec). The
+    * sampled hashes land in the same dHash space the phash band gate
+    * probes, so a frame-level ingest firewall composes downstream.
+    */
+  def framesSampled(clips: DataFrame,
+      stride: Int = graft.operators.Multimodal.FrameStride): DataFrame =
+    graft.operators.Multimodal.sampleFrames(clips, stride)
+
   // ---- stream_ingest_phash: perceptual near-dup gate (multimodal) ----
 
   private[streaming] case class PhashProbeRow(doc_id: Long, phash: Long,

@@ -156,6 +156,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.keySet == Set(1L), s"gate kept ${streamed.keySet}")
   }
 
+  test("stream_frames: sample-then-decode on arriving clips == batch; stateless") {
+    implicit val sql = spark.sqlContext
+    import operators.Multimodal
+    // 30 clips of 6 planted frames each, split mid-clip-set across
+    // micro-batches: every decision is per-row, so boundaries must
+    // not matter and no state may accumulate
+    val rows: Seq[(Long, Seq[Array[Byte]])] = (1L to 30L).map { id =>
+      id -> (0 until Multimodal.ClipFrames).map { f =>
+        Multimodal.buildPng(Multimodal.frameW(id), Multimodal.frameH(id),
+          Multimodal.plantedLuma(id * Multimodal.ClipFrames + f, _, _))
+      }
+    }
+    val in = MemoryStream[(Long, Seq[Array[Byte]])]
+    val q = Streams.framesSampled(in.toDF().toDF("doc_id", "frames"))
+      .writeStream.format("memory").queryName("frames_out")
+      .outputMode("append").start()
+    in.addData(rows.take(11): _*)
+    q.processAllAvailable()
+    in.addData(rows.drop(11): _*)
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+      "frame sampler must keep zero state rows")
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx")) ->
+        r.getAs[Long]("frame_hash")
+    val streamed = spark.table("frames_out").collect().map(key).toMap
+    val batch = Multimodal.sampleFrames(rows.toDF("doc_id", "frames"))
+      .collect().map(key).toMap
+    assert(streamed == batch,
+      s"stream ${streamed.size} rows != batch ${batch.size}")
+    assert(streamed.keySet.map(_._2) ==
+      (0 until Multimodal.ClipFrames by Multimodal.FrameStride)
+        .map(_.toLong).toSet)
+  }
+
   test("stream_mix: temperature gate matches the batch twin exactly") {
     implicit val sql = spark.sqlContext
     // the planted skew of the batch sample_temperature spec: 400 docs
