@@ -437,6 +437,9 @@ object Multimodal {
     * state. */
   private[graft] def sampleFrames(clipFrame: DataFrame,
       stride: Int = FrameStride): DataFrame = {
+    // `% 0` would silently drop every frame (NULL predicate) in
+    // non-ANSI mode and crash under ANSI — surface the misuse instead
+    require(stride >= 1, s"sampleFrames: stride must be >= 1, got $stride")
     graft.plans.GraftFunctions.register(clipFrame.sparkSession)
     clipFrame
       .select(col("doc_id"),

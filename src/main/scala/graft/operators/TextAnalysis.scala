@@ -171,6 +171,21 @@ object TextAnalysis {
   // the (doc, bigram) count shuffle + per-doc roll-up + join back of
   // the old shape are gone (at 100 TB that exchange carried a row per
   // token position of the corpus for a row-local signal).
+  /** The two published repetition ratios as column expressions —
+    * ONE definition shared by the audit op ([[repetitionSignals]])
+    * and the keep/drop gate ([[qualityFilter]]), so the two can
+    * never disagree on a doc. The coalesces preserve the old left
+    * join's NULL-text behavior (stats 0, ratio 0.0), which is also
+    * what the DuckDB oracle's COALESCE emits. */
+  private def topBigramN(tg: org.apache.spark.sql.Column) =
+    coalesce(element_at(tg, 1), lit(0L))
+  private def nBigrams(tg: org.apache.spark.sql.Column) =
+    coalesce(element_at(tg, 2), lit(0L))
+  private def topBigramRatio(tg: org.apache.spark.sql.Column) =
+    round(topBigramN(tg) / greatest(nBigrams(tg), lit(1L)), 6)
+  private def dupLineRatio(nl: org.apache.spark.sql.Column,
+      ndl: org.apache.spark.sql.Column) = round((nl - ndl) / nl, 6)
+
   private[graft] def repetitionSignals(d: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(d.sparkSession)
     d.withColumn("tg", expr(
@@ -179,15 +194,12 @@ object TextAnalysis {
         size(split(col("text"), "\n")).cast("long").as("n_lines"),
         size(array_distinct(split(col("text"), "\n"))).cast("long")
           .as("n_distinct_lines"),
-        element_at(col("tg"), 1).as("top_bigram_n"),
-        element_at(col("tg"), 2).as("n_bigrams"))
+        col("tg"))
       .select(col("doc_id"), col("n_lines"),
-        round((col("n_lines") - col("n_distinct_lines")) / col("n_lines"), 6)
+        dupLineRatio(col("n_lines"), col("n_distinct_lines"))
           .as("dup_line_ratio"),
-        col("n_bigrams"),
-        round(col("top_bigram_n")
-          / greatest(col("n_bigrams"), lit(1L)), 6)
-          .as("top_bigram_ratio"))
+        nBigrams(col("tg")).as("n_bigrams"),
+        topBigramRatio(col("tg")).as("top_bigram_ratio"))
   }
 
   private val opRepetition = Op(
@@ -337,11 +349,8 @@ object TextAnalysis {
           .as("stopword_ratio"),
         round(size(array_distinct(col("toks"))).cast("double")
           / col("n_toks"), 6).as("distinct_ratio"),
-        round((col("nl") - col("ndl")) / col("nl"), 6)
-          .as("dup_line_ratio"),
-        round(element_at(col("tg"), 1)
-          / greatest(element_at(col("tg"), 2), lit(1L)), 6)
-          .as("top_bigram_ratio"))
+        dupLineRatio(col("nl"), col("ndl")).as("dup_line_ratio"),
+        topBigramRatio(col("tg")).as("top_bigram_ratio"))
     val reason =
       when(col("n_toks") < QfMinToks, "short")
         .when(col("n_toks") > QfMaxToks, "long")
@@ -617,7 +626,7 @@ object TextAnalysis {
     * r10 shape exploded 9 gram structs per token position (gram
     * STRING build + string hash each) into a count shuffle and
     * joined the roll-up back — measured 25 s at sf0.1 vs 1.75 s for
-    * the interim row-local SQL fold vs ~0.3 s for the kernel; at
+    * the interim row-local SQL fold vs ~0.4 s for the kernel; at
     * 100 TB the exchange it removed is corpus-token-sized. A
     * gram-less doc (size < n) yields 0 — the old left join's
     * coalesce, now vacuous.
@@ -626,38 +635,43 @@ object TextAnalysis {
   /** Every Table A1 signal + the pass verdict as ADDED columns over
     * the incoming frame — the shared kernel of the batch operator and
     * the streaming gate ([[graft.streaming.Streams.gopherGated]]).
-    * Row-local by construction (see [[repSortSql]]), so the streaming
+    * Row-local by construction (see
+    * [[graft.plans.GopherRepetition]]), so the streaming
     * twin needs no state; helper columns are dropped and incoming
     * columns ride through so the gate composes.
     */
   private[graft] def gopherSignals(d: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(d.sparkSession)
     val stopHits = GopherStops.map(w =>
-      when(array_contains(col("toks"), w), 1L).otherwise(0L))
+      when(array_contains(col("_g_toks"), w), 1L).otherwise(0L))
       .reduce(_ + _)
+    // internal helper columns carry a _g_ prefix so the gate's
+    // "incoming columns ride through" contract survives a stream
+    // whose schema legitimately holds a toks/rep/sum_len column;
+    // only the 15 documented signal names are overwritten
     val base = d
-      .withColumn("toks", TextFns.tokens(col("text")))
-      .withColumn("n_words", size(col("toks")).cast("long"))
-      .withColumn("sum_len", expr(
-        "aggregate(toks, 0L, (a, w) -> a + length(w))"))
-      .withColumn("n_alpha", expr(
-        "CAST(size(filter(toks, w -> w rlike '[a-zA-Z]')) AS LONG)"))
-      .withColumn("n_sym", expr(
+      .withColumn("_g_toks", TextFns.tokens(col("text")))
+      .withColumn("n_words", size(col("_g_toks")).cast("long"))
+      .withColumn("_g_sum_len", expr(
+        "aggregate(_g_toks, 0L, (a, w) -> a + length(w))"))
+      .withColumn("_g_n_alpha", expr(
+        "CAST(size(filter(_g_toks, w -> w rlike '[a-zA-Z]')) AS LONG)"))
+      .withColumn("_g_n_sym", expr(
         """CAST((length(text) - length(replace(text, '#', '')))
           + (length(text) - length(replace(text, '...', ''))) DIV 3
           AS LONG)"""))
-      .withColumn("mwl_x100", expr("sum_len * 100 DIV n_words"))
-      .withColumn("symbol_bp", expr("n_sym * 10000 DIV n_words"))
-      .withColumn("alpha_bp", expr("n_alpha * 10000 DIV n_words"))
+      .withColumn("mwl_x100", expr("_g_sum_len * 100 DIV n_words"))
+      .withColumn("symbol_bp", expr("_g_n_sym * 10000 DIV n_words"))
+      .withColumn("alpha_bp", expr("_g_n_alpha * 10000 DIV n_words"))
       .withColumn("stop_hits", stopHits)
       // all nine repetition signals from ONE native kernel pass (no
       // explode, no count shuffle, no join back — plans.GopherRepetition)
-      .withColumn("rep", expr(
-        "graft_gopher_rep(toks, CAST(length(text) AS BIGINT))"))
+      .withColumn("_g_rep", expr(
+        "graft_gopher_rep(_g_toks, CAST(length(text) AS BIGINT))"))
     val repIdx = (GopherDupBp.map { case (n, _) => s"dup${n}_bp" } ++
       GopherTopBp.map { case (n, _) => s"top${n}_bp" }).zipWithIndex
     val withRep = repIdx.foldLeft(base) { case (df, (c, i)) =>
-      df.withColumn(c, element_at(col("rep"), i + 1)) }
+      df.withColumn(c, element_at(col("_g_rep"), i + 1)) }
     val passRep = (GopherDupBp.map { case (n, bp) =>
       col(s"dup${n}_bp") <= bp } ++ GopherTopBp.map { case (n, bp) =>
       col(s"top${n}_bp") <= bp }).reduce(_ && _)
@@ -669,7 +683,7 @@ object TextAnalysis {
           && col("alpha_bp") >= 8000L
           && col("stop_hits") >= 2L
           && passRep, 1L).otherwise(0L))
-      .drop("toks", "sum_len", "n_alpha", "n_sym", "rep")
+      .drop("_g_toks", "_g_sum_len", "_g_n_alpha", "_g_n_sym", "_g_rep")
   }
 
   private[graft] val GopherSignalCols: Seq[String] =

@@ -121,7 +121,12 @@ object GopherRepetition {
 
   /** Interns tokens to dense ids (≥ 1; 0 marks "empty" downstream)
     * via linear-probe open addressing; also records per-token char
-    * counts. Shared by both expressions. */
+    * counts. Shared by both expressions. The fail-loud bound follows
+    * the TokenOverlap precedent (not the mm kernels' return-null
+    * convention): 2²⁹ tokens means a multi-GiB single row, which is
+    * an upstream ingestion bug to surface, not a payload variant to
+    * tolerate — silently emitting zero signals would PASS the doc
+    * through every repetition ceiling. */
   private def intern(toks: ArrayData, m: Int): (Array[Long], Array[Long]) = {
     require(m < (1 << 29),
       s"GopherRepetition: $m tokens in one row (must be < ${1 << 29})")
@@ -148,34 +153,58 @@ object GopherRepetition {
     (tokId, tokChars)
   }
 
+  /** Fills the open-addressed n-gram count map over `tokId`: rolling
+    * polynomial keys (k_i = Σ_j id[i+j]·P^(n-1-j), advanced O(1) per
+    * position via the P^n drop-out term), splitmix-mixed, 0 marking
+    * an empty slot (the 2⁻⁶⁴ real zero key remaps to 1). `prefix`
+    * (char-prefix sums) may be null when gram char lengths are not
+    * needed. Returns (keys, counts, lens — null iff prefix was null,
+    * capacity). The ONE copy of the rolling-hash and probing
+    * invariants both expressions share.
+    */
+  private def countGrams(tokId: Array[Long], prefix: Array[Long],
+      m: Int, n: Int): (Array[Long], Array[Int], Array[Long], Int) = {
+    val g = m - n + 1
+    var pn = 1L
+    var j = 0
+    while (j < n) { pn *= P; j += 1 }
+    val gcap = java.lang.Integer.highestOneBit(math.max(2, g) * 2 - 1) * 2
+    val gmask = gcap - 1
+    val gkeys = new Array[Long](gcap)
+    val gcnt = new Array[Int](gcap)
+    val glen = if (prefix == null) null else new Array[Long](gcap)
+    var k = 0L
+    j = 0
+    while (j < n) { k = k * P + tokId(j); j += 1 }
+    var i = 0
+    while (i < g) {
+      if (i > 0) k = k * P + tokId(i + n - 1) - pn * tokId(i - 1)
+      val h = mix(k)
+      var p = (h & gmask).toInt
+      val key = if (h == 0L) 1L else h
+      while (gkeys(p) != 0L && gkeys(p) != key) p = (p + 1) & gmask
+      if (gkeys(p) == 0L) {
+        gkeys(p) = key
+        gcnt(p) = 1
+        if (glen != null) glen(p) = prefix(i + n) - prefix(i) + (n - 1)
+      } else gcnt(p) += 1
+      i += 1
+    }
+    (gkeys, gcnt, glen, gcap)
+  }
+
   def topGramCount(toks: ArrayData, n: Int): ArrayData = {
     val m = toks.numElements()
     val out = new Array[Long](2)
     val g = m - n + 1
     if (n >= 1 && g >= 1) {
       val (tokId, _) = intern(toks, m)
-      var pn = 1L
-      var j = 0
-      while (j < n) { pn *= P; j += 1 }
-      val gcap = java.lang.Integer.highestOneBit(math.max(2, g) * 2 - 1) * 2
-      val gmask = gcap - 1
-      val gkeys = new Array[Long](gcap)
-      val gcnt = new Array[Int](gcap)
+      val (gkeys, gcnt, _, gcap) = countGrams(tokId, null, m, n)
       var top = 0
-      var k = 0L
-      j = 0
-      while (j < n) { k = k * P + tokId(j); j += 1 }
-      var i = 0
-      while (i < g) {
-        if (i > 0) k = k * P + tokId(i + n - 1) - pn * tokId(i - 1)
-        val h = mix(k)
-        var p = (h & gmask).toInt
-        val key = if (h == 0L) 1L else h
-        while (gkeys(p) != 0L && gkeys(p) != key) p = (p + 1) & gmask
-        if (gkeys(p) == 0L) { gkeys(p) = key; gcnt(p) = 1 }
-        else gcnt(p) += 1
-        if (gcnt(p) > top) top = gcnt(p)
-        i += 1
+      var p = 0
+      while (p < gcap) {
+        if (gkeys(p) != 0L && gcnt(p) > top) top = gcnt(p)
+        p += 1
       }
       out(0) = top.toLong
       out(1) = g.toLong
@@ -188,54 +217,29 @@ object GopherRepetition {
     val out = new Array[Long](DupNs.length + TopNs.length)
     if (m >= 2) {
       val (tokId, tokChars) = intern(toks, m)
-      var i = 0
       // prefix char sums so a gram's length is O(1)
       val prefix = new Array[Long](m + 1)
-      i = 0
+      var i = 0
       while (i < m) { prefix(i + 1) = prefix(i) + tokChars(i); i += 1 }
       var slot = 0
       while (slot < DupNs.length + TopNs.length) {
         val isDup = slot < DupNs.length
         val n = if (isDup) DupNs(slot) else TopNs(slot - DupNs.length)
-        val g = m - n + 1
-        if (g >= 1) {
-          // rolling polynomial key: k_i = Σ_j id[i+j]·P^(n-1-j),
-          // advanced per position; pn = P^n for the drop-out term
-          var pn = 1L
-          var j = 0
-          while (j < n) { pn *= P; j += 1 }
-          val gcap =
-            java.lang.Integer.highestOneBit(math.max(2, g) * 2 - 1) * 2
-          val gmask = gcap - 1
-          val gkeys = new Array[Long](gcap)
-          val gcnt = new Array[Int](gcap)
-          val glen = new Array[Long](gcap)
+        if (m - n + 1 >= 1) {
+          val (gkeys, gcnt, glen, gcap) = countGrams(tokId, prefix, m, n)
           var dup = 0L
           var top = 0L
-          var k = 0L
-          j = 0
-          while (j < n) { k = k * P + tokId(j); j += 1 }
-          i = 0
-          while (i < g) {
-            if (i > 0) k = k * P + tokId(i + n - 1) - pn * tokId(i - 1)
-            val len = prefix(i + n) - prefix(i) + (n - 1)
-            val h = mix(k)
-            var p = (h & gmask).toInt
-            // 0 marks empty: remap the (2^-64) colliding real key
-            val key = if (h == 0L) 1L else h
-            while (gkeys(p) != 0L && gkeys(p) != key) p = (p + 1) & gmask
-            if (gkeys(p) == 0L) {
-              gkeys(p) = key; gcnt(p) = 1; glen(p) = len
-              if (!isDup && len > top) top = len
-            } else {
-              gcnt(p) += 1
-              if (isDup) dup += glen(p)
-              else {
+          var p = 0
+          while (p < gcap) {
+            if (gkeys(p) != 0L) {
+              if (isDup) {
+                if (gcnt(p) >= 2) dup += (gcnt(p) - 1).toLong * glen(p)
+              } else {
                 val mass = gcnt(p).toLong * glen(p)
                 if (mass > top) top = mass
               }
             }
-            i += 1
+            p += 1
           }
           out(slot) = (if (isDup) dup else top) * 10000L / math.max(lt, 1L)
         }

@@ -50,8 +50,9 @@ case class LumaResizeExpr(first: Expression, second: Expression,
 
 object LumaResize {
 
-  /** Target grids beyond this are refused (64 MB of thumbnail for a
-    * row is an input error, not a workload). */
+  /** Target grids beyond this are refused (a 1 MB thumbnail — one
+    * luma byte per cell — for a single row is an input error, not a
+    * workload). */
   val MaxTargetPixels = 1 << 20
 
   def resize(b: Array[Byte], tw: Int, th: Int): Array[Byte] = {

@@ -803,7 +803,8 @@ class PipelineOpsSpec extends SparkSpec {
       (1L, "spam spam spam spam"),          // top bigram "spam spam" = 3/3
       (2L, "all words here are different"), // every bigram unique: 1/4
       (3L, "line\nline\nother"),            // 1 dup line of 3
-      (4L, "one"))                           // no bigrams at all
+      (4L, "one"),                           // no bigrams at all
+      (5L, null))                            // NULL text: stats 0, not null
       .toDF("doc_id", "text")
     val out = operators.TextAnalysis.repetitionSignals(fixture).collect()
       .map(r => r.getAs[Long]("doc_id") ->
@@ -813,6 +814,9 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(2L) == (0.0, 4L, 0.25))
     assert(out(3L)._1 > 0.33 && out(3L)._1 < 0.34)
     assert(out(4L) == (0.0, 0L, 0.0))
+    // the bigram stats coalesce like the oracle's LEFT JOIN did: a
+    // NULL text must yield (0, 0.0), never null-propagate
+    assert(out(5L)._2 == 0L && out(5L)._3 == 0.0)
   }
 
   test("pii_scrub: emails and phones are redacted and counted") {
