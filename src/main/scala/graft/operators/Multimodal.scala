@@ -453,8 +453,13 @@ object Multimodal {
     "mm_frames",
     (s, dir) => {
       import s.implicits._
-      sampleFrames(clips(Tables(s, dir, "documents")
-          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      // clip synthesis is the heavy per-row stand-in for reading a
+      // real video column; a single-row-group local file would build
+      // every clip in ONE task (conditional — no exchange when the
+      // scan already covers the cores)
+      sampleFrames(clips(graft.Tables.rebalance(
+          Tables(s, dir, "documents")
+            .select(col("doc_id"), col("text").cast("binary").as("payload")))
           .as[MMIn])
         .toDF())
     },
