@@ -49,8 +49,17 @@ object Tables {
     * condition is false, and no exchange is added — this must never
     * become an unconditional repartition (that exchange would carry
     * the corpus text; the Dedup signature-build history).
+    *
+    * Batch-only: `d.rdd` forces a physical plan (pre-AQE partition
+    * count — exactly the scan split count we want to test) and would
+    * throw on a streaming frame, so streaming callers are refused
+    * up front with a clear message.
     */
   def rebalance(d: DataFrame): DataFrame = {
+    require(!d.isStreaming,
+      "Tables.rebalance is batch-only (d.rdd is undefined on a " +
+        "streaming DataFrame); streaming sources size partitions " +
+        "via maxFilesPerTrigger / source options instead")
     val par = d.sparkSession.sparkContext.defaultParallelism
     if (d.rdd.getNumPartitions < par) d.repartition(par) else d
   }

@@ -639,6 +639,14 @@ object TextAnalysis {
     * [[graft.plans.GopherRepetition]]), so the streaming
     * twin needs no state; helper columns are dropped and incoming
     * columns ride through so the gate composes.
+    *
+    * Blast radius: the repetition kernel fail-louds on a row with
+    * ≥2²⁹ tokens (a multi-GiB document — an upstream ingestion bug),
+    * which aborts the whole JOB, not just the row. On a 100 TB run
+    * put a cheap `length(text) < cap` quarantine filter upstream of
+    * this gate if the corpus may carry pathological rows; the kernel
+    * itself stays strict so corruption can never silently pass every
+    * repetition ceiling.
     */
   private[graft] def gopherSignals(d: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(d.sparkSession)

@@ -182,11 +182,18 @@ object GopherRepetition {
       val h = mix(k)
       var p = (h & gmask).toInt
       val key = if (h == 0L) 1L else h
-      while (gkeys(p) != 0L && gkeys(p) != key) p = (p + 1) & gmask
+      // When char lengths are tracked, gram identity is (hash, len):
+      // a 64-bit collision between distinct grams must ALSO collide
+      // on char length to merge — restores the old shape's grouping
+      // guard at zero extra cost (len is already O(1) from prefix).
+      val len = if (glen == null) 0L else prefix(i + n) - prefix(i) + (n - 1)
+      while (gkeys(p) != 0L &&
+          !(gkeys(p) == key && (glen == null || glen(p) == len)))
+        p = (p + 1) & gmask
       if (gkeys(p) == 0L) {
         gkeys(p) = key
         gcnt(p) = 1
-        if (glen != null) glen(p) = prefix(i + n) - prefix(i) + (n - 1)
+        if (glen != null) glen(p) = len
       } else gcnt(p) += 1
       i += 1
     }

@@ -2568,13 +2568,38 @@ class PipelineOpsSpec extends SparkSpec {
   test("mm_frames: stride sampling before decode; hashes == direct kernel on planted frames") {
     graft.plans.GraftFunctions.register(spark)
     val out = run("mm_frames")
-    // decode AFTER sample: the dhash projection sits ABOVE the
-    // frame_idx filter (parents print first in the plan tree), so the
-    // pixel kernel only ever sees the sampled |frames|/stride subset
-    val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("graft_dhash"), plan)
-    assert(plan.indexOf("graft_dhash") < plan.indexOf(s"% ${Multimodal.FrameStride}"),
-      s"decode must happen after stride sampling:\n$plan")
+    // decode AFTER sample: the dhash ProjectExec must have the
+    // frame_idx FilterExec as a DESCENDANT (structural walk — string
+    // positions of "% 3" in the dump were brittle against unrelated
+    // modulo expressions and explain-format changes)
+    import org.apache.spark.sql.execution.{FilterExec, ProjectExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def descendants(p: SparkPlan): Seq[SparkPlan] = p match {
+      // AQE's wrapper is a LEAF node — recurse into its current plan
+      case a: AdaptiveSparkPlanExec => a +: descendants(a.executedPlan)
+      case _ => p +: p.children.flatMap(descendants)
+    }
+    val execPlans = descendants(out.queryExecution.executedPlan)
+    val dhashProjects = execPlans.collect {
+      case pr: ProjectExec
+          if pr.projectList.exists(_.exists(_.prettyName == "graft_dhash")) =>
+        pr
+    }
+    assert(dhashProjects.nonEmpty,
+      s"no ProjectExec computes graft_dhash:\n${out.queryExecution.executedPlan}")
+    dhashProjects.foreach { pr =>
+      val strideFilterBelow = pr.children.flatMap(descendants).exists {
+        case f: FilterExec =>
+          f.condition.references.exists(_.name == "frame_idx") &&
+            f.condition.exists(
+              _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Remainder])
+        case _ => false
+      }
+      assert(strideFilterBelow,
+        s"decode must happen after stride sampling (frame_idx % " +
+          s"${Multimodal.FrameStride} FilterExec must be a descendant of " +
+          s"the dhash ProjectExec):\n${out.queryExecution.executedPlan}")
+    }
     val rows = out.collect()
     assert(rows.nonEmpty)
     val wantIdx = (0 until Multimodal.ClipFrames by Multimodal.FrameStride)
