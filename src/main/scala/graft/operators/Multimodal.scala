@@ -201,9 +201,8 @@ object Multimodal {
         .as[MMIn])
         .toDF().drop("batch_size")
         .select(col("doc_id"),
-          length(col("payload")).cast("long").as("byte_len"),
           expr("graft_media_meta(payload)").as("m"))
-        .select(col("doc_id"), col("byte_len"),
+        .select(col("doc_id"),
           expr("CASE m[0] WHEN 1 THEN 'png' WHEN 2 THEN 'jpeg' " +
             "WHEN 3 THEN 'wav' ELSE 'unknown' END").as("format"),
           col("m").getItem(1).as("width"),
@@ -212,7 +211,28 @@ object Multimodal {
           col("m").getItem(4).as("sample_rate"),
           col("m").getItem(5).as("bits"))
     },
-    None)
+    // The synthesis plants every container parameter as a pure
+    // function of doc_id (plantedFormat/W/H/Channels/Rate above), so
+    // the oracle recomputes what the HEADER PARSER must report from
+    // doc_id arithmetic alone — a full planted-truth proof that
+    // graft_media_meta recovers the real PNG/JPEG/WAV header fields,
+    // not a tautological re-run of the kernel. (The payload byte
+    // length is deflate-dependent for PNG and deliberately NOT part
+    // of the op surface.)
+    Some("""
+      SELECT doc_id,
+        CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+          ELSE 'wav' END AS format,
+        CAST(CASE doc_id % 3 WHEN 0 THEN doc_id % 64 + 1
+          WHEN 1 THEN doc_id % 640 + 1 ELSE 0 END AS BIGINT) AS width,
+        CAST(CASE doc_id % 3 WHEN 0 THEN doc_id % 48 + 1
+          WHEN 1 THEN doc_id % 480 + 1 ELSE 0 END AS BIGINT) AS height,
+        CAST(CASE doc_id % 3 WHEN 2 THEN doc_id % 2 + 1
+          ELSE 3 END AS BIGINT) AS channels,
+        CAST(CASE doc_id % 3 WHEN 2 THEN 8000 + (doc_id % 8) * 4000
+          ELSE 0 END AS BIGINT) AS sample_rate,
+        CAST(CASE doc_id % 3 WHEN 2 THEN 16 ELSE 8 END AS BIGINT) AS bits
+      FROM documents"""))
 
   // ---- mm_embed: batched payload → embedding (encoder stand-in) ----
 
@@ -449,6 +469,92 @@ object Multimodal {
         expr("graft_dhash(frame)").as("frame_hash"))
   }
 
+  /** The mm_frames planted-truth oracle: the sampled frames are PNGs
+    * whose every pixel is [[plantedLuma]](doc_id·ClipFrames+f, x, y)
+    * at [[frameW]]×[[frameH]] — all pure doc_id arithmetic — and the
+    * engine's dHash of such a frame is therefore ALSO pure arithmetic
+    * (lossless 8-bit decode recovers the planted luma exactly;
+    * truecolor luma (v+v+v)/3 = v). The oracle recomputes the full
+    * pipeline in DuckDB SQL: SplitMix-style luma per pixel (64-bit
+    * wrap via HUGEINT mod-2⁶⁴ with a 32-bit split multiply, since a
+    * 64×64-bit product overflows even HUGEINT), 9×8 block means with
+    * the kernel's exact floor boundaries, and the 64 left-neighbor
+    * comparisons — proving the PNG encode→decode→hash round-trip
+    * recovers the planted truth, and pinning the sampled index set
+    * {0, 3, …} at the same time. ~1 M pixel rows at sf0.01.
+    */
+  private def framesOracleSql: String = {
+    val m64 = "18446744073709551616::HUGEINT"
+    // splitmix64 constants, unsigned decimal (Scala Long wrap on the
+    // engine side == unsigned mod-2^64 congruence here)
+    val p1 = "11400714819323198485::HUGEINT" // 0x9e3779b97f4a7c15
+    val p2 = "13787848793156543929::HUGEINT" // 0xbf58476d1ce4e5b9
+    val p3 = "10723151780598845931::HUGEINT" // 0x94d049bb133111eb
+    // (a * b) mod 2^64 for a in [0, 2^64): direct HUGEINT multiply can
+    // reach 2^127.6 and overflow, so split a at 32 bits
+    def mulmod(a: String, b: String) =
+      s"((($a) % 4294967296::HUGEINT) * $b + (((($a) // 4294967296::HUGEINT)" +
+        s" * $b) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $m64"
+    // x ^ (x >>> n) — UBIGINT carries the 64-bit pattern (logical
+    // shift, xor), HUGEINT carries the arithmetic
+    def xorShift(v: String, n: Int) =
+      s"CAST(xor(CAST($v AS UBIGINT), CAST($v AS UBIGINT) >> $n) AS HUGEINT)"
+    val z0 = s"((CAST(seed AS HUGEINT) * $p1 + CAST(x AS HUGEINT) * $p2" +
+      s" + CAST(y AS HUGEINT) * $p3) % $m64)"
+    val z2 = mulmod(xorShift(mulmod(xorShift(z0, 30), p2), 27), p3)
+    val sampled = (0 until ClipFrames by FrameStride).mkString(", ")
+    s"""
+      WITH fr AS (
+        SELECT doc_id, unnest([$sampled]) AS frame_idx FROM documents
+      ), dims AS (
+        SELECT doc_id, frame_idx,
+          doc_id % 64 + 1 AS w, doc_id % 48 + 1 AS h,
+          doc_id * $ClipFrames + frame_idx AS seed
+        FROM fr
+      ), cells AS (
+        -- the kernel's 9x8 grid: floor boundaries, never-empty blocks
+        SELECT d.doc_id, d.frame_idx, d.seed, cy.cy, cx.cx,
+          (cx.cx * d.w) // 9 AS x0,
+          greatest((cx.cx * d.w) // 9 + 1, ((cx.cx + 1) * d.w) // 9) AS x1,
+          (cy.cy * d.h) // 8 AS y0,
+          greatest((cy.cy * d.h) // 8 + 1, ((cy.cy + 1) * d.h) // 8) AS y1
+        FROM dims d
+        CROSS JOIN (SELECT unnest(range(8)) AS cy) cy
+        CROSS JOIN (SELECT unnest(range(9)) AS cx) cx
+      ), px AS (
+        SELECT doc_id, frame_idx, seed, cy, cx, y0, y1,
+          unnest(range(x0, x1)) AS x
+        FROM cells
+      ), pxy AS (
+        SELECT doc_id, frame_idx, seed, cy, cx, x,
+          unnest(range(y0, y1)) AS y
+        FROM px
+      ), lum AS (
+        SELECT doc_id, frame_idx, cy, cx,
+          CAST((CAST(z2 AS UBIGINT) >> 33) & 255 AS BIGINT) AS g
+        FROM (
+          SELECT doc_id, frame_idx, cy, cx, $z2 AS z2 FROM pxy
+        )
+      ), cm AS (
+        SELECT doc_id, frame_idx, cy, cx, SUM(g) // COUNT(*) AS mean
+        FROM lum GROUP BY doc_id, frame_idx, cy, cx
+      ), bits AS (
+        SELECT a.doc_id, a.frame_idx,
+          COALESCE(SUM(CASE WHEN b.mean > a.mean
+            THEN CAST(1 AS HUGEINT) << CAST(a.cy * 8 + a.cx AS INTEGER)
+            ELSE 0::HUGEINT END), 0::HUGEINT) AS uh
+        FROM cm a JOIN cm b
+          ON a.doc_id = b.doc_id AND a.frame_idx = b.frame_idx
+         AND a.cy = b.cy AND b.cx = a.cx + 1
+        WHERE a.cx < 8
+        GROUP BY a.doc_id, a.frame_idx
+      )
+      SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
+          THEN uh - $m64 ELSE uh END AS BIGINT) AS frame_hash
+      FROM bits"""
+  }
+
   private val opFrames = Op(
     "mm_frames",
     (s, dir) => {
@@ -463,7 +569,7 @@ object Multimodal {
           .as[MMIn])
         .toDF())
     },
-    None)
+    Some(framesOracleSql))
 
   val ops: Seq[Op] = Seq(opMeta, opEmbed, opPhash, opResize, opFrames)
 }

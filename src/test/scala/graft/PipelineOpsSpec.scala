@@ -728,7 +728,6 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.length > 0)
     out.foreach { r =>
       val id = r.getAs[Long]("doc_id")
-      assert(r.getAs[Long]("byte_len") > 0)
       operators.Multimodal.plantedFormat(id) match {
         case 0 =>
           assert(r.getAs[String]("format") == "png")
