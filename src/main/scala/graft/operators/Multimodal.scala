@@ -366,6 +366,37 @@ object Multimodal {
           .otherwise(0L).as("near_hist"))
   }
 
+  /** Clip-tier probe of the persisted band store: every SAMPLED
+    * frame's 4 hamming bands probe `phash_bands/`, and a clip is
+    * near-historical when ANY sampled frame collides on ≥ 1 band —
+    * the [[phashProbe]] firewall lifted from single images to
+    * video-shaped rows (frame hashes live in the SAME dHash band
+    * space, which is exactly why the composition is a join, not a
+    * new index). Input: (doc_id, frame_idx, frame_hash) from
+    * [[sampleFrames]]; output one row per doc. Asymmetric like the
+    * image tier: history pixels were decoded once at store
+    * build/append, never per ingest; the probe joins skinny band
+    * rows (≤ 4·|sampled frames| per clip) against the distinct
+    * store keys.
+    */
+  private[graft] def clipProbe(frameHashes: DataFrame,
+      bandStore: DataFrame): DataFrame = {
+    val hits = phashBandRows(
+        frameHashes.select(col("doc_id"), col("frame_idx"),
+          col("frame_hash").as("phash")))
+      .join(bandStore.select(col("band_id"), col("band_key")).distinct(),
+        Seq("band_id", "band_key"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("frame_idx"), col("band_id"))
+        .as("n_clip_bands"))
+    frameHashes.select(col("doc_id")).distinct()
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_clip_bands"), lit(0L)).as("n_clip_bands"),
+        when(coalesce(col("n_clip_bands"), lit(0L)) >= 1L, 1L)
+          .otherwise(0L).as("clip_hist"))
+  }
+
   // ---- mm_resize: in-engine thumbnailing for the encoder front ----
 
   /** Thumbnail grid — the encoder-preprocessing convention of fixed

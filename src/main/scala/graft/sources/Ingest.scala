@@ -29,7 +29,8 @@ object Ingest {
   /** One tick: gate `shard` against the store at `storePath`, append
     * the accepted docs' fingerprints, return the per-doc decision
     * frame (doc_id, bloom_pass, is_exact_dup, n_hist_bands,
-    * near_hist, n_img_bands, img_hist, accept).
+    * near_hist, n_img_bands, img_hist, n_clip_bands, clip_hist,
+    * accept).
     *
     * If the shard carries a binary `payload` column, image rows
     * (PNG-decodable — graft_dhash yields null otherwise) also probe
@@ -38,6 +39,15 @@ object Ingest {
     * and is rejected, and ACCEPTED images' bands append to the store
     * so the next tick sees them — the multimodal half of the
     * firewall. Text-only shards leave the two image columns at 0.
+    *
+    * If the shard carries a `frames` column (array<binary> — the
+    * video-shaped clip column), clips stride-sample BEFORE decode
+    * (Multimodal.sampleFrames, the mm_frames core) and every sampled
+    * frame's bands probe the SAME `phash_bands/` store: a clip
+    * sharing ≥ 1 sampled frame with any accepted historical clip (or
+    * image — one band space) flags `clip_hist` and is rejected, and
+    * accepted clips' sampled-frame bands append so the next tick sees
+    * them. The decode cost per arriving clip stays |frames|/stride.
     */
   def gateAndRemember(shard: DataFrame, storePath: String,
       nShards: Int = 1): DataFrame = {
@@ -61,19 +71,40 @@ object Ingest {
         .select(col("doc_id"), col("n_hist_bands").as("n_img_bands"),
           col("near_hist").as("img_hist"))
     }
+    // clip tier: stride-sample, THEN decode only survivors (the
+    // mm_frames contract), once (localCheckpoint — probe + append)
+    val clipHashes = if (shard.columns.contains("frames")) {
+      graft.plans.GraftFunctions.register(s)
+      Some(graft.operators.Multimodal.sampleFrames(
+          shard.select(col("doc_id"), col("frames")))
+        .filter(col("frame_hash").isNotNull)
+        .localCheckpoint())
+    } else None
+    val clipProbe = clipHashes.map { h =>
+      graft.operators.Multimodal.clipProbe(h,
+        Fingerprints.readPhashBands(s, storePath))
+    }
     val decided0 = exact
       .join(near.select(col("doc_id"), col("n_hist_bands"),
         col("near_hist")), Seq("doc_id"))
-    val decided = imgProbe.fold(
+    val withImg = imgProbe.fold(
         decided0.withColumn("n_img_bands", lit(0L))
           .withColumn("img_hist", lit(0L))) { p =>
         decided0.join(p, Seq("doc_id"), "left")
           .withColumn("n_img_bands", coalesce(col("n_img_bands"), lit(0L)))
           .withColumn("img_hist", coalesce(col("img_hist"), lit(0L)))
       }
+    val decided = clipProbe.fold(
+        withImg.withColumn("n_clip_bands", lit(0L))
+          .withColumn("clip_hist", lit(0L))) { p =>
+        withImg.join(p, Seq("doc_id"), "left")
+          .withColumn("n_clip_bands", coalesce(col("n_clip_bands"), lit(0L)))
+          .withColumn("clip_hist", coalesce(col("clip_hist"), lit(0L)))
+      }
       .withColumn("accept",
         when(col("is_exact_dup") === 0L && col("near_hist") === 0L
-          && col("img_hist") === 0L, 1L).otherwise(0L))
+          && col("img_hist") === 0L && col("clip_hist") === 0L, 1L)
+          .otherwise(0L))
       // the decision frame is consumed twice (append filter + the
       // caller's audit view) and the gates must not re-probe the store
       // after it has grown — pin it before the append mutates state
@@ -84,6 +115,12 @@ object Ingest {
       storePath, nShards)
     imgHashes.foreach { h =>
       Fingerprints.writePhashBands(h.join(acceptedIds, Seq("doc_id")),
+        storePath, nShards, mode = "append")
+    }
+    clipHashes.foreach { h =>
+      Fingerprints.writePhashBands(
+        h.select(col("doc_id"), col("frame_hash").as("phash"))
+          .join(acceptedIds, Seq("doc_id")),
         storePath, nShards, mode = "append")
     }
     decided

@@ -744,6 +744,57 @@ object Streams {
       }
   }
 
+  // ---- stream_ingest_clip: the firewall lifted to video-shaped rows ----
+
+  private[streaming] case class ClipProbeRow(doc_id: Long, slot: Long,
+    hit: Long)
+
+  case class ClipGateOut(doc_id: Long, n_clip_bands: Long, clip_hist: Long)
+
+  /** stream_ingest_clip — the clip tier of the ingest firewall (batch
+    * core: operators.Multimodal.clipProbe, wired into
+    * Ingest.gateAndRemember): arriving video-shaped rows
+    * stride-sample BEFORE decode ([[framesSampled]] — the per-clip
+    * pixel cost stays |frames|/stride), each SAMPLED frame's 4
+    * hamming bands probe the persisted `phash_bands/` store
+    * stream-static, and the per-clip roll-up (distinct
+    * (frame_idx, band) collisions, flag at ≥ 1) runs in the same
+    * zero-state flatMapGroupsWithState shape as [[ingestPhashGate]]
+    * — every derived row of one clip lands in the same micro-batch
+    * as the clip itself, so no watermark and no state rows. A clip sharing ≥ 1 sampled
+    * frame (exact or one-pixel-edited) with any accepted historical
+    * clip or image — one shared dHash band space — flags on arrival;
+    * clips whose sampled frames are all undecodable emit no row
+    * (pass through untested), matching the batch gate's left-join 0.
+    */
+  def ingestClipGate(clips: DataFrame, bandStore: DataFrame):
+      Dataset[ClipGateOut] = {
+    import clips.sparkSession.implicits._
+    val sampled = framesSampled(clips).filter(col("frame_hash").isNotNull)
+    val probes = graft.operators.Multimodal.phashBandRows(
+        sampled.select(col("doc_id"), col("frame_idx"),
+          col("frame_hash").as("phash")))
+      .join(bandStore.select(col("band_id"), col("band_key")).distinct()
+          .withColumn("hit", lit(1L)),
+        Seq("band_id", "band_key"), "left")
+      // slot = the (frame_idx, band_id) pair packed to one key: the
+      // batch probe's countDistinct(frame_idx, band_id), streamable
+      .select(col("doc_id"),
+        (col("frame_idx") * 4L + col("band_id")).as("slot"),
+        coalesce(col("hit"), lit(0L)).as("hit"))
+      .as[ClipProbeRow]
+    probes.groupByKey(_.doc_id)
+      .flatMapGroupsWithState[IndexFragState, ClipGateOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: Long, in: Iterator[ClipProbeRow],
+            state: GroupState[IndexFragState]) =>
+          val matched = new java.util.HashSet[java.lang.Long]()
+          in.foreach(p => if (p.hit == 1L) matched.add(p.slot))
+          val n = matched.size.toLong
+          Iterator.single(ClipGateOut(id, n, if (n >= 1L) 1L else 0L))
+      }
+  }
+
   // ---- stream_bitext: online mining vs the persisted target index ----
 
   private[streaming] case class BitextProbe(s_id: Long,

@@ -439,6 +439,65 @@ class SinksSpec extends SparkSpec {
     assert(m2(900013L) == ((0L, 1L)), s"novel text: ${m2(900013L)}")
   }
 
+  test("ingest_e2e: clip shards gate via sampled-frame bands; accepted clips are remembered") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    def frame(seed: Long) = operators.Multimodal.buildPng(32, 24,
+      operators.Multimodal.plantedLuma(seed, _, _))
+    // a clip = ClipFrames seeded frames; sampled indices are 0 and 3
+    def clip(seedBase: Long): Seq[Array[Byte]] =
+      (0 until operators.Multimodal.ClipFrames).map(f => frame(seedBase + f))
+    val base = Files.createTempDirectory("graft-ingest-clip")
+    val store = base.resolve("store").toString
+    sources.Fingerprints.write(
+      Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 100L), store, nShards = 2)
+    // history: an accepted clip's SAMPLED frames (indices 0, 3 of
+    // seedBase 1000) live in the one shared dHash band space
+    sources.Fingerprints.writePhashBands(
+      Seq((500L, frame(1000L)), (501L, frame(1003L)))
+        .toDF("doc_id", "payload")
+        .select($"doc_id", expr("graft_dhash(payload)").as("phash"))
+        .filter($"phash".isNotNull), store, nShards = 2)
+    def tick(rows: Seq[(Long, String, Seq[Array[Byte]])]) =
+      sources.Ingest.gateAndRemember(
+          rows.toDF("doc_id", "text", "frames"), store)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("clip_hist"), r.getAs[Long]("accept")))).toMap
+    // tick 1: fresh clip A; clip B re-using the HISTORY clip's sampled
+    // frame 0; clip C re-using only a NON-sampled history frame (idx 1)
+    // — C must pass: the gate sees sampled indices only, by design
+    val clipB = frame(1000L) +: clip(3000L).tail
+    val clipC = clip(4000L).updated(1, frame(1001L))
+    val m1 = tick(Seq(
+      (910001L, "tick one novel clip document alpha", clip(2000L)),
+      (910002L, "tick one novel clip document beta", clipB),
+      (910003L, "tick one novel clip document gamma", clipC)))
+    assert(m1(910001L) == ((0L, 1L)), s"fresh clip: ${m1(910001L)}")
+    assert(m1(910002L) == ((1L, 0L)),
+      s"clip sharing a sampled history frame must flag: ${m1(910002L)}")
+    assert(m1(910003L) == ((0L, 1L)),
+      s"clip sharing only a NON-sampled frame must pass: ${m1(910003L)}")
+    // tick 2: the loop closes — clips sharing a sampled frame of the
+    // tick-1-ACCEPTED clip A (exact copy AND one-pixel edit) flag on
+    // arrival via the bands tick 1 appended
+    val editedA3 = operators.Multimodal.buildPng(32, 24,
+      (x, y) => if (x == 5 && y == 7)
+        255 - operators.Multimodal.plantedLuma(2003L, 5, 7)
+      else operators.Multimodal.plantedLuma(2003L, x, y))
+    val m2 = tick(Seq(
+      (910011L, "tick two novel clip document delta",
+        frame(2000L) +: clip(5000L).tail),
+      (910012L, "tick two novel clip document epsilon",
+        clip(6000L).updated(3, editedA3)),
+      (910013L, "tick two novel clip document zeta", clip(7000L))))
+    assert(m2(910011L) == ((1L, 0L)),
+      s"clip sharing a tick-1-accepted sampled frame must flag: ${m2(910011L)}")
+    assert(m2(910012L) == ((1L, 0L)),
+      s"clip with an edited copy of an accepted sampled frame must flag: ${m2(910012L)}")
+    assert(m2(910013L) == ((0L, 1L)), s"fresh clip: ${m2(910013L)}")
+  }
+
   test("store compaction heals a crash inside the swap window") {
     val all = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("text")).filter(col("doc_id") < 50L)

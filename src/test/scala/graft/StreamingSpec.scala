@@ -529,6 +529,64 @@ class StreamingSpec extends SparkSpec {
       s"one-pixel edit (<=2 hash bits) must keep >=2 bands: ${streamed(999L)}")
   }
 
+  test("stream_ingest_clip: sampled-frame band probe equals batch; sampled-frame reuse flags on arrival") {
+    implicit val sql = spark.sqlContext
+    graft.plans.GraftFunctions.register(spark)
+    def frame(seed: Long) = operators.Multimodal.buildPng(32, 24,
+      operators.Multimodal.plantedLuma(seed, _, _))
+    def clip(seedBase: Long): Seq[Array[Byte]] =
+      (0 until operators.Multimodal.ClipFrames).map(f => frame(seedBase + f))
+    // standing store: the sampled frames (idx 0, 3) of history clips
+    val store = java.nio.file.Files.createTempDirectory("graft-clipstore")
+      .resolve("store").toString
+    sources.Fingerprints.writePhashBands(
+      Seq((500L, frame(1000L)), (501L, frame(1003L)))
+        .toDF("doc_id", "payload")
+        .select($"doc_id", expr("graft_dhash(payload)").as("phash"))
+        .filter($"phash".isNotNull), store, nShards = 2)
+    val bandStore = sources.Fingerprints.readPhashBands(spark, store)
+    // arriving clips: fresh; sampled-frame reuse of history; edited
+    // copy of a sampled history frame; NON-sampled-frame reuse (must
+    // pass — the gate sees sampled indices only)
+    val editedH3 = operators.Multimodal.buildPng(32, 24,
+      (x, y) => if (x == 4 && y == 2)
+        255 - operators.Multimodal.plantedLuma(1003L, 4, 2)
+      else operators.Multimodal.plantedLuma(1003L, x, y))
+    val docs = Seq(
+      (100L, clip(2000L)),
+      (101L, frame(1000L) +: clip(3000L).tail),
+      (102L, clip(4000L).updated(3, editedH3)),
+      (103L, clip(5000L).updated(1, frame(1001L))))
+    val in = MemoryStream[(Long, Seq[Array[Byte]])]
+    val q = Streams.ingestClipGate(in.toDF().toDF("doc_id", "frames"), bandStore)
+      .writeStream.format("memory").queryName("ingest_clip_out")
+      .outputMode("append").start()
+    in.addData(docs.take(2): _*)
+    q.processAllAvailable()
+    in.addData(docs.drop(2): _*)
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+      "clip gate must keep zero state rows")
+    q.stop()
+    val streamed = spark.table("ingest_clip_out").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_clip_bands"), r.getAs[Long]("clip_hist"))).toMap
+    val batch = operators.Multimodal.clipProbe(
+        operators.Multimodal.sampleFrames(docs.toDF("doc_id", "frames"))
+          .filter($"frame_hash".isNotNull),
+        bandStore).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_clip_bands"), r.getAs[Long]("clip_hist"))).toMap
+    assert(streamed == batch, s"stream diverged from batch: $streamed vs $batch")
+    assert(streamed(100L) == ((0L, 0L)), s"fresh clip: ${streamed(100L)}")
+    assert(streamed(101L) == ((4L, 1L)),
+      s"exact sampled-frame reuse must collide on all 4 bands: ${streamed(101L)}")
+    assert(streamed(102L)._1 >= 2L && streamed(102L)._2 == 1L,
+      s"edited sampled frame (<=2 hash bits) must keep >=2 bands: ${streamed(102L)}")
+    assert(streamed(103L) == ((0L, 0L)),
+      s"non-sampled-frame reuse must pass: ${streamed(103L)}")
+  }
+
   test("stream_upsert: streamed deltas yield byte-identical servable codes to one batch upsert") {
     implicit val sql = spark.sqlContext
     graft.plans.GraftFunctions.register(spark)
