@@ -70,13 +70,24 @@ object Dedup {
     */
   private[graft] def minhashSigs(d: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(d.sparkSession)
+    // ONE fused kernel computes signature + bands; sig and bands are
+    // cheap slices of its 40-long output. The old shape derived bands
+    // from the sig COLUMN via an 8-element transform lambda — a
+    // consumer pruned to bands alone had the sig expression
+    // CollapseProject-inlined INTO the lambda (textually one
+    // reference, but a lambda body runs per element), re-running the
+    // full 32-min signature kernel 8x per row on every probe path
+    // (measured 6x wall at sf1 on dedup_incr_minhash). With slices, a
+    // bands-only consumer inlines the kernel into one slice (1 eval);
+    // a sig+bands consumer references it twice, which blocks inlining
+    // of a non-cheap expression (still 1 eval behind the barrier).
     d.withColumn("toks", TextFns.tokens(col("text")))
-      .withColumn("sig", expr("graft_minhash_sig(toks)"))
-      .withColumn("bands", expr(
-        "transform(sequence(0, 7), b -> xxhash64(cast(b AS string), slice(sig, b*4 + 1, 4)))"))
+      .withColumn("_mh", expr("graft_minhash_all(toks)"))
+      .withColumn("sig", expr("slice(_mh, 1, 32)"))
+      .withColumn("bands", expr("slice(_mh, 33, 8)"))
       .withColumn("sig_digest",
         md5(concat_ws(",", expr("transform(sig, x -> cast(x AS string))"))))
-      .drop("toks", "text") // keeps any caller-carried columns (e.g. m)
+      .drop("toks", "text", "_mh") // keeps caller-carried columns (e.g. m)
   }
 
   /** LSH candidate pairs (a < b, with both sides' copy counts) from the

@@ -95,6 +95,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.lshKeysDescriptor)
     ext.injectFunction(GraftFunctions.simhashDescriptor)
     ext.injectFunction(GraftFunctions.minhashSigDescriptor)
+    ext.injectFunction(GraftFunctions.minhashBandsDescriptor)
+    ext.injectFunction(GraftFunctions.minhashAllDescriptor)
     ext.injectFunction(GraftFunctions.bleuSmoothDescriptor)
     ext.injectFunction(GraftFunctions.deflateLenDescriptor)
     ext.injectFunction(GraftFunctions.f1CommonDescriptor)
@@ -152,6 +154,16 @@ object GraftFunctions {
     FunctionIdentifier("graft_minhash_sig"),
     new ExpressionInfo(classOf[MinhashSigExpr].getName, "graft_minhash_sig"),
     (exprs: Seq[Expression]) => MinhashSigExpr(exprs.head): Expression)
+
+  private[plans] val minhashBandsDescriptor = (
+    FunctionIdentifier("graft_minhash_bands"),
+    new ExpressionInfo(classOf[MinhashBandsExpr].getName, "graft_minhash_bands"),
+    (exprs: Seq[Expression]) => MinhashBandsExpr(exprs.head): Expression)
+
+  private[plans] val minhashAllDescriptor = (
+    FunctionIdentifier("graft_minhash_all"),
+    new ExpressionInfo(classOf[MinhashAllExpr].getName, "graft_minhash_all"),
+    (exprs: Seq[Expression]) => MinhashAllExpr(exprs.head): Expression)
 
   // Spark's OWN runtime-filter bloom machinery (BloomFilterAggregate /
   // BloomFilterMightContain) surfaced as callable functions — the
@@ -313,6 +325,14 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash_sig",
       exprs => MinhashSigExpr(exprs.head),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_bands",
+      exprs => MinhashBandsExpr(exprs.head),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_all",
+      exprs => MinhashAllExpr(exprs.head),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bleu_smooth",

@@ -61,21 +61,34 @@ object SignatureKernels {
     * than 3 tokens contribute one whole-text shingle), matching
     * shingleRows + the rotate/xor hash families.
     */
-  def minhashSig(a: ArrayData): ArrayData = {
+  private def minhashMins(a: ArrayData): Array[Long] = {
     val n = a.numElements()
     val mins = Array.fill(32)(Long.MaxValue)
     val nShingles = if (n >= 3) n - 2 else 1
+    // shingle bytes assembled by DIRECT UTF-8 byte copy — the
+    // StringBuilder formulation paid two UTF-8↔UTF-16 round-trips per
+    // shingle; concatenating the raw token bytes with ' ' separators
+    // hashes the exact same byte sequence (spec-pinned vs the column
+    // formulation), at a fraction of the per-shingle cost
+    var buf = new Array[Byte](128)
     var p = 0
     while (p < nShingles) {
-      val sb = new java.lang.StringBuilder()
+      var len = 0
       var t = p
       val end = if (n >= 3) p + 3 else n
       while (t < end) {
-        if (t > p) sb.append(' ')
-        sb.append(a.getUTF8String(t).toString)
+        val s = a.getUTF8String(t)
+        val nb = s.numBytes()
+        val need = len + nb + 1
+        if (need > buf.length)
+          buf = java.util.Arrays.copyOf(buf, math.max(need, buf.length * 2))
+        if (t > p) { buf(len) = ' '; len += 1 }
+        s.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + len)
+        len += nb
         t += 1
       }
-      val base = hashUtf8(UTF8String.fromString(sb.toString))
+      val base = XXH64.hashUnsafeBytes(buf,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, XxSeed)
       var i = 0
       while (i < 32) {
         val rot = if (i == 0) base
@@ -86,7 +99,65 @@ object SignatureKernels {
       }
       p += 1
     }
-    new GenericArrayData(mins)
+    mins
+  }
+
+  def minhashSig(a: ArrayData): ArrayData =
+    new GenericArrayData(minhashMins(a))
+
+  /** The 8 LSH band values DIRECTLY from the tokens — signature build
+    * and banding fused into one kernel pass. Bit-identical to the old
+    * column formulation `transform(sequence(0, 7), b ->
+    * xxhash64(cast(b AS string), slice(sig, b*4+1, 4)))` (spec-pinned):
+    * Spark's XxHash64 folds children left-to-right with the running
+    * hash as seed — the band index's decimal string bytes first, then
+    * the 4 sig longs in order.
+    *
+    * Why this exists (the hot-path lesson): when a consumer prunes to
+    * `bands` alone, CollapseProject inlines the `sig` column INTO the
+    * transform lambda — textually one reference, but the lambda body
+    * runs once PER ELEMENT, so the whole 32-min signature kernel
+    * evaluated 8× per row (measured 6× wall on the sf1 probe path).
+    * Deriving bands in one self-contained expression makes the band
+    * build exactly one kernel eval per row under ANY projection
+    * pruning, which no optimizer rewrite can undo.
+    */
+  def minhashBands(a: ArrayData): ArrayData =
+    new GenericArrayData(bandsOf(minhashMins(a)))
+
+  private def bandsOf(mins: Array[Long]): Array[Long] = {
+    val out = new Array[Long](8)
+    var b = 0
+    while (b < 8) {
+      val bs = UTF8String.fromString(java.lang.Integer.toString(b))
+      var h = XXH64.hashUnsafeBytes(
+        bs.getBaseObject, bs.getBaseOffset, bs.numBytes(), XxSeed)
+      var i = b * 4
+      val end = i + 4
+      while (i < end) { h = XXH64.hashLong(mins(i), h); i += 1 }
+      out(b) = h
+      b += 1
+    }
+    out
+  }
+
+  /** Signature AND bands in one pass: 40 longs — [0,32) the minima,
+    * [32,40) the band values. The shape `minhashSigs` consumes: `sig`
+    * and `bands` become cheap slices of ONE kernel output, so a
+    * consumer pruned to either column (or both) pays exactly one
+    * kernel eval per row — the bands-only probe path can inline the
+    * kernel into its single slice (1 eval), and a sig+bands consumer
+    * references the kernel twice, which blocks CollapseProject from
+    * inlining a non-cheap expression (still 1 eval behind the
+    * projection barrier).
+    */
+  def minhashAll(a: ArrayData): ArrayData = {
+    val mins = minhashMins(a)
+    val bands = bandsOf(mins)
+    val out = new Array[Long](40)
+    System.arraycopy(mins, 0, out, 0, 32)
+    System.arraycopy(bands, 0, out, 32, 8)
+    new GenericArrayData(out)
   }
 }
 
@@ -121,5 +192,45 @@ case class MinhashSigExpr(child: Expression)
     defineCodeGen(ctx, ev, a => s"graft.plans.SignatureKernels.minhashSig($a)")
 
   override protected def withNewChildInternal(newChild: Expression): MinhashSigExpr =
+    copy(child = newChild)
+}
+
+/** `graft_minhash_bands(array<string>) -> array<long>` (8 LSH band
+  * values, signature + banding in one kernel pass — see
+  * [[SignatureKernels.minhashBands]]).
+  */
+case class MinhashBandsExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_bands"
+
+  override def nullSafeEval(a: Any): Any =
+    SignatureKernels.minhashBands(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.plans.SignatureKernels.minhashBands($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashBandsExpr =
+    copy(child = newChild)
+}
+
+/** `graft_minhash_all(array<string>) -> array<long>` (40 longs:
+  * 32 signature minima ++ 8 band values — see
+  * [[SignatureKernels.minhashAll]]).
+  */
+case class MinhashAllExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_all"
+
+  override def nullSafeEval(a: Any): Any =
+    SignatureKernels.minhashAll(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.plans.SignatureKernels.minhashAll($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashAllExpr =
     copy(child = newChild)
 }

@@ -81,6 +81,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(hamming(sim(1L), sim(3L)) > 8, "unrelated docs should be far")
   }
 
+  test("minhash bands kernel == the transform/slice/xxhash64 column formulation") {
+    // graft_minhash_bands fuses signature + banding into one kernel
+    // eval (the CollapseProject-inlining fix); its values must stay
+    // BIT-IDENTICAL to the original column formulation — persisted
+    // band stores and every probe path depend on the band space not
+    // moving. Random docs incl. sub-shingle-length and empty edges.
+    graft.plans.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val vocab = "a b c d e f g h i j k l m n o p".split(" ")
+    val docs = ((1 to 200).map { i =>
+      val n = rnd.nextInt(60) // 0..59 tokens
+      (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(" "))
+    } :+ (900L, "one") :+ (901L, "two words") :+ (902L, ""))
+      .toDF("doc_id", "text")
+      .withColumn("toks", functions.TextFns.tokens($"text"))
+    val both = docs.select($"doc_id",
+      expr("graft_minhash_bands(toks)").as("fused"),
+      expr("transform(sequence(0, 7), b -> xxhash64(cast(b AS string), " +
+        "slice(graft_minhash_sig(toks), b*4 + 1, 4)))").as("legacy"),
+      expr("slice(graft_minhash_all(toks), 33, 8)").as("all_bands"),
+      expr("slice(graft_minhash_all(toks), 1, 32)").as("all_sig"),
+      expr("graft_minhash_sig(toks)").as("legacy_sig"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"band mismatch for doc ${r.getLong(0)}")
+      assert(r.getSeq[Long](3) == r.getSeq[Long](2),
+        s"minhash_all band mismatch for doc ${r.getLong(0)}")
+      assert(r.getSeq[Long](4) == r.getSeq[Long](5),
+        s"minhash_all sig mismatch for doc ${r.getLong(0)}")
+    }
+  }
+
   test("signature builds are narrow — no shuffle before banding") {
     val docs = Seq((1L, "a b c d e"), (2L, "f g h i j")).toDF("doc_id", "text")
     val simPlan = Dedup.simhashOf(docs).queryExecution.executedPlan.toString
