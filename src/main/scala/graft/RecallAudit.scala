@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale recall audit for the ANN serving ladder (VERDICT r11 #5):
+  * measures recall@k of the approximate serving paths against exact
+  * brute-force cosine over the SAME query/candidate universe, at
+  * whatever scale factor the argument points at. The fixture-scale
+  * recall bounds live in the spec suite; this main re-proves them at
+  * sf1 so the numbers can sit next to the timing rows in
+  * BENCH_sf1.json.
+  *
+  * Prints one JSON line: {"recall": {op: r@k, ...}, "sf": dir}.
+  *
+  *   ann_ivf      @3 vs exact top-3 (all candidates)
+  *   ann_pq       @5 vs exact top-5 (all candidates)
+  *   ann_ivf_pq   @3 vs exact top-3 (all candidates)
+  *   ann_filtered @3 vs exact top-3 over the FILTERED candidate set
+  *                (the predicate the op serves under)
+  */
+object RecallAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.codegen.maxFields", "300")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.plans.GraftFunctions.register(spark)
+
+    /** Exact float top-k per query (vec_id < 10) over `cand`. */
+    def bruteTopK(cand: DataFrame, k: Int): Map[Long, Set[Long]] = {
+      val e = Tables(spark, sfDir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val c = cand.select(col("vec_id").as("c_id"),
+        col("embedding").as("c_emb"))
+      val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+        .withColumn("cos", round(expr("graft_cosine(q_emb, c_emb)"), 6))
+      graft.plans.TopK.perKey(scored, Seq("q_id"),
+          Seq("cos" -> graft.plans.TopK.Desc, "c_id" -> graft.plans.TopK.Asc), k)
+        .select(col("q_id"), col("c_id")).collect()
+        .groupBy(_.getLong(0))
+        .map { case (q2, rs) => q2 -> rs.map(_.getLong(1)).toSet }
+    }
+
+    def approxTopK(name: String, k: Int): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, sfDir)
+        .filter(col("rk") <= k)
+        .select(col("q_id"), col("c_id")).collect()
+        .groupBy(_.getLong(0))
+        .map { case (q2, rs) => q2 -> rs.map(_.getLong(1)).toSet }
+
+    def recall(brute: Map[Long, Set[Long]],
+        approx: Map[Long, Set[Long]]): Double = {
+      val total = brute.values.map(_.size).sum
+      val hit = brute.map { case (q2, ids) =>
+        (ids & approx.getOrElse(q2, Set.empty)).size }.sum
+      hit.toDouble / total
+    }
+
+    val allCand = Tables(spark, sfDir, "embeddings")
+    val filteredCand = allCand.filter(operators.Similarity.FilteredPred)
+    val brute3 = bruteTopK(allCand, 3)
+    val brute5 = bruteTopK(allCand, 5)
+    val brute3f = bruteTopK(filteredCand, 3)
+
+    val rows = Seq(
+      "ann_ivf" -> recall(brute3, approxTopK("ann_ivf", 3)),
+      "ann_pq" -> recall(brute5, approxTopK("ann_pq", 5)),
+      "ann_ivf_pq" -> recall(brute3, approxTopK("ann_ivf_pq", 3)),
+      "ann_filtered" -> recall(brute3f, approxTopK("ann_filtered", 3)))
+    // the over-probe dial: recall vs probed fraction on the float IVF
+    // path (probeBoost multiplies NProbe; scan cost is proportional)
+    def boosted(boost: Int): Map[Long, Set[Long]] =
+      operators.Similarity.ivfRank(spark, sfDir, "float", None, boost)
+        .filter(col("rk") <= 3)
+        .select(col("q_id"), col("c_id")).collect()
+        .groupBy(_.getLong(0))
+        .map { case (q2, rs) => q2 -> rs.map(_.getLong(1)).toSet }
+    val curve = Seq(2, 4, 8).map(b =>
+      s""""ann_ivf@x$b":${f"${recall(brute3, boosted(b))}%.4f"}""")
+      .mkString(",")
+    val body = rows.map { case (n, r) => f""""$n":$r%.4f""" }.mkString(",")
+    println(s"""{"recall":{$body},"probe_boost_curve":{$curve},"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

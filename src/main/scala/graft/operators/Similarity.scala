@@ -86,7 +86,17 @@ object Similarity {
     * The trade: past n ≈ 3.4×10⁷ (where √n·0.7 crosses 4096) cells
     * grow ∝ n/k instead of √n, so the probed fraction stops falling
     * and plateaus at (Rep·NProbe)/k ≈ 0.15 % — still a ~700× scan
-    * prune, with recall unchanged (probe math is scale-free).
+    * prune. Recall under that prune is DATA-dependent: on corpora
+    * where neighbors concentrate in the nearest cells (the clustered
+    * real-data case the published IVF scaling assumes) constant
+    * NProbe holds recall as k grows; on structure-less uniform
+    * vectors (this repo's synthetic worst case) recall decays with
+    * the probed fraction — measured 0.83 @ sf0.01 (6/16 cells),
+    * 0.37 @ sf0.1 (6/31), and the RecallAudit main records the sf1
+    * row next to the timings in BENCH_sf1.json. The dial is
+    * `probeBoost` (ann_filtered's over-probe lever, available to any
+    * ivfRank caller): recall rises with probed fraction at
+    * proportional scan cost — RecallAudit measures the curve.
     */
   val KmeansMaxK = 4096
 
@@ -161,7 +171,7 @@ object Similarity {
     * candidate costs [[PqM]] bytes, the combination the paper built
     * for 10¹²-vector serving.
     */
-  private def ivfRank(s: SparkSession, dir: String, mode: String,
+  private[graft] def ivfRank(s: SparkSession, dir: String, mode: String,
       candPred: Option[org.apache.spark.sql.Column] = None,
       probeBoost: Int = 1): DataFrame = {
       graft.plans.GraftFunctions.register(s)
