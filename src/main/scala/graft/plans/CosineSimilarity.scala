@@ -97,6 +97,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.minhashSigDescriptor)
     ext.injectFunction(GraftFunctions.minhashBandsDescriptor)
     ext.injectFunction(GraftFunctions.minhashAllDescriptor)
+    ext.injectFunction(GraftFunctions.normalizeDescriptor)
     ext.injectFunction(GraftFunctions.bleuSmoothDescriptor)
     ext.injectFunction(GraftFunctions.deflateLenDescriptor)
     ext.injectFunction(GraftFunctions.f1CommonDescriptor)
@@ -159,6 +160,11 @@ object GraftFunctions {
     FunctionIdentifier("graft_minhash_bands"),
     new ExpressionInfo(classOf[MinhashBandsExpr].getName, "graft_minhash_bands"),
     (exprs: Seq[Expression]) => MinhashBandsExpr(exprs.head): Expression)
+
+  private[plans] val normalizeDescriptor = (
+    FunctionIdentifier("graft_normalize"),
+    new ExpressionInfo(classOf[NormalizeTextExpr].getName, "graft_normalize"),
+    (exprs: Seq[Expression]) => NormalizeTextExpr(exprs.head): Expression)
 
   private[plans] val minhashAllDescriptor = (
     FunctionIdentifier("graft_minhash_all"),
@@ -333,6 +339,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash_all",
       exprs => MinhashAllExpr(exprs.head),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_normalize",
+      exprs => NormalizeTextExpr(exprs.head),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bleu_smooth",

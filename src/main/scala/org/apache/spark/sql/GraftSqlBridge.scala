@@ -13,4 +13,15 @@ object GraftSqlBridge {
 
   def analyzed(df: Dataset[Row]): LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
+  /** Column ↔ Expression, so session-free helpers (e.g.
+    * TextFns.normalize) can wrap custom expressions without the
+    * function registry (which is per-session and not guaranteed
+    * installed at every call site).
+    */
+  def column(e: catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  def expression(c: Column): catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }

@@ -81,6 +81,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(hamming(sim(1L), sim(3L)) > 8, "unrelated docs should be far")
   }
 
+  test("normalize kernel == the lower/regex-chain column formulation (fuzz + edges)") {
+    // the fused byte-scan kernel must be BIT-identical to the regex
+    // chain it replaced — the DuckDB oracle still runs the expanded
+    // regex form, so any divergence breaks the scoring family's hashes
+    val edges = Seq(
+      "", " ", "\t\n\r\f", "a", "an", "the", "a an the",
+      "A piece of THE pie, an apple; a_b the_end a1 the9",
+      "don't stop-me.now!", "  leading and trailing  ",
+      "naïve café — em-dash…unicode ØÆ Aa THE thé",
+      "the\tquick\nbrownfox\ffalls\rover", "a.n the.e a,n",
+      "[brackets]{braces}(parens)<angles>|pipe\\back`tick~tilde",
+      "__underscores__ stay_or_go", "a" * 300, "mixed ANd An aN tHe THe")
+    val rnd = new scala.util.Random(11)
+    val alphabet =
+      "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789" +
+        " \t\n.,;:!?'\"-_()[]{}&%$#@~`|\\/^*+=<>éøπ漢字 "
+    val fuzz = (1 to 400).map { _ =>
+      val len = rnd.nextInt(80)
+      (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val rows = (edges ++ fuzz).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "text")
+      .select($"id", $"text",
+        functions.TextFns.normalize($"text").as("kernel"),
+        functions.TextFns.normalizeLegacy($"text").as("legacy"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(2) == r.getString(3),
+        s"normalize mismatch on ${r.getString(1).take(60).mkString}: " +
+          s"kernel=[${r.getString(2)}] legacy=[${r.getString(3)}]")
+    }
+  }
+
   test("minhash bands kernel == the transform/slice/xxhash64 column formulation") {
     // graft_minhash_bands fuses signature + banding into one kernel
     // eval (the CollapseProject-inlining fix); its values must stay
