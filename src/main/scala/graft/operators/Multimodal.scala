@@ -333,7 +333,102 @@ object Multimodal {
           coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
           coalesce(col("min_hamming"), lit(-1L)).as("min_hamming"))
     },
-    None)
+    Some(phashOracleSql))
+
+  /** mm_phash planted-truth oracle (r12 — the third rows-only → SQL
+    * conversion of the tier): DuckDB replays the ENTIRE op — the
+    * engine's PNG decode is lossless on the planted 8-bit gray, so
+    * the dHash is pure doc_id arithmetic (the mm_frames replay at the
+    * per-doc dims), and the banded/salted near-dup search is plain
+    * relational algebra: 4×16-bit band keys via arithmetic-shift+mask
+    * (identical bit semantics both engines, verified incl. the sign
+    * bit), bucket populations, the adaptive sub-split's salt rule,
+    * the same-band same-salt self-join, bit_count(xor) hamming, the
+    * ≤ [[PhashMaxHamming]] verify, and the per-doc roll-up. Proves
+    * decode + hash + candidate machinery end-to-end against an
+    * independent engine, not just the kernel.
+    */
+  private def phashOracleSql: String = {
+    val z2 = PlantedSql.z2
+    val m64 = PlantedSql.M64
+    s"""
+      WITH png AS (
+        SELECT doc_id, doc_id % 64 + 1 AS w, doc_id % 48 + 1 AS h,
+          doc_id AS seed
+        FROM documents WHERE doc_id % 3 = 0
+      ), cells AS (
+        SELECT p.doc_id, p.seed, cy.cy, cx.cx,
+          (cx.cx * p.w) // 9 AS x0,
+          greatest((cx.cx * p.w) // 9 + 1, ((cx.cx + 1) * p.w) // 9) AS x1,
+          (cy.cy * p.h) // 8 AS y0,
+          greatest((cy.cy * p.h) // 8 + 1, ((cy.cy + 1) * p.h) // 8) AS y1
+        FROM png p
+        CROSS JOIN (SELECT unnest(range(8)) AS cy) cy
+        CROSS JOIN (SELECT unnest(range(9)) AS cx) cx
+      ), px AS (
+        SELECT doc_id, seed, cy, cx, y0, y1,
+          unnest(range(x0, x1)) AS x
+        FROM cells
+      ), pxy AS (
+        SELECT doc_id, seed, cy, cx, x,
+          unnest(range(y0, y1)) AS y
+        FROM px
+      ), lum AS (
+        SELECT doc_id, cy, cx,
+          CAST((CAST(z2 AS UBIGINT) >> 33) & 255 AS BIGINT) AS g
+        FROM (SELECT doc_id, cy, cx, $z2 AS z2 FROM pxy)
+      ), cm AS (
+        SELECT doc_id, cy, cx, SUM(g) // COUNT(*) AS mean
+        FROM lum GROUP BY doc_id, cy, cx
+      ), ph AS (
+        SELECT a.doc_id,
+          CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
+            THEN uh - $m64 ELSE uh END AS BIGINT) AS phash
+        FROM (
+          SELECT a.doc_id,
+            COALESCE(SUM(CASE WHEN b.mean > a.mean
+              THEN CAST(1 AS HUGEINT) << CAST(a.cy * 8 + a.cx AS INTEGER)
+              ELSE 0::HUGEINT END), 0::HUGEINT) AS uh
+          FROM cm a JOIN cm b
+            ON a.doc_id = b.doc_id AND a.cy = b.cy AND b.cx = a.cx + 1
+          WHERE a.cx < 8
+          GROUP BY a.doc_id) a
+      ), bands AS (
+        SELECT doc_id, phash, bi.band_id,
+          (phash >> CAST(bi.band_id * 16 AS INTEGER)) & 65535 AS band_key
+        FROM ph CROSS JOIN (SELECT unnest(range(4)) AS band_id) bi
+      ), sized AS (
+        SELECT band_id, band_key, COUNT(*) AS bn
+        FROM bands GROUP BY band_id, band_key
+      ), salted AS (
+        SELECT b.doc_id, b.phash, b.band_id, b.band_key,
+          CASE WHEN s.bn > ${Dedup.SimhashMaxBucket}
+            THEN (b.phash >> CAST(((b.band_id + 1) % 4) * 16 AS INTEGER))
+              & 65535
+            ELSE 0 END AS salt
+        FROM bands b JOIN sized s
+          ON b.band_id = s.band_id AND b.band_key = s.band_key
+      ), pairs AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+          bit_count(xor(x.phash, y.phash)) AS hamming
+        FROM salted x JOIN salted y
+          ON x.band_id = y.band_id AND x.band_key = y.band_key
+         AND x.salt = y.salt AND x.doc_id < y.doc_id
+      ), near AS (
+        SELECT * FROM pairs WHERE hamming <= $PhashMaxHamming
+      ), perdoc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_near_dups,
+          CAST(MIN(hamming) AS BIGINT) AS min_hamming
+        FROM (
+          SELECT a AS doc_id, hamming FROM near
+          UNION ALL SELECT b AS doc_id, hamming FROM near)
+        GROUP BY doc_id
+      )
+      SELECT ph.doc_id, ph.phash,
+        COALESCE(p.n_near_dups, 0) AS n_near_dups,
+        COALESCE(p.min_hamming, -1) AS min_hamming
+      FROM ph LEFT JOIN perdoc p ON ph.doc_id = p.doc_id"""
+  }
 
   /** 16-bit hamming-band rows (band_id, band_key) of a (…, phash)
     * frame — the dedup_simhash banding applied to perceptual hashes;
@@ -417,6 +512,88 @@ object Multimodal {
     * determinism shape: a digest of the thumbnail bytes plus its
     * exact dimensions, every column a pure function of the payload.
     */
+  /** Shared SQL fragments for the planted-truth oracles: the
+    * [[plantedLuma]] SplitMix chain re-expressed in DuckDB HUGEINT
+    * mod-2⁶⁴ arithmetic (64-bit wrap via a 32-bit split multiply — a
+    * full 64×64 product overflows even HUGEINT; xor/logical-shift ride
+    * on UBIGINT, which carries the 64-bit pattern exactly). `z2`
+    * expects columns `seed`, `x`, `y` in scope; `(z2 >> 33) & 255`
+    * is the planted luma byte.
+    */
+  private object PlantedSql {
+    val M64 = "18446744073709551616::HUGEINT"
+    val P1 = "11400714819323198485::HUGEINT" // 0x9e3779b97f4a7c15
+    val P2 = "13787848793156543929::HUGEINT" // 0xbf58476d1ce4e5b9
+    val P3 = "10723151780598845931::HUGEINT" // 0x94d049bb133111eb
+    def mulmod(a: String, b: String): String =
+      s"((($a) % 4294967296::HUGEINT) * $b + (((($a) // 4294967296::HUGEINT)" +
+        s" * $b) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $M64"
+    def xorShift(v: String, n: Int): String =
+      s"CAST(xor(CAST($v AS UBIGINT), CAST($v AS UBIGINT) >> $n) AS HUGEINT)"
+    val z0: String =
+      s"((CAST(seed AS HUGEINT) * $P1 + CAST(x AS HUGEINT) * $P2" +
+        s" + CAST(y AS HUGEINT) * $P3) % $M64)"
+    val z2: String = mulmod(xorShift(mulmod(xorShift(z0, 30), P2), 27), P3)
+  }
+
+  /** mm_resize planted-truth oracle — the mm_frames replay applied to
+    * the thumbnail kernel: PNG docs' pixels are pure doc_id
+    * arithmetic, so DuckDB recomputes the [[ThumbW]]×[[ThumbH]] box
+    * means and digests the thumbnail's HEX STRING (DuckDB's md5 is
+    * VARCHAR-only, so both engines digest the uppercase hex form —
+    * same information, engine-portable). Non-PNG rows are the op's
+    * refusal shape (ok = 0, null digest) — also recomputed from
+    * doc_id % 3.
+    */
+  private def resizeOracleSql: String = {
+    val z2 = PlantedSql.z2
+    s"""
+      WITH png AS (
+        SELECT doc_id, doc_id % 64 + 1 AS w, doc_id % 48 + 1 AS h,
+          doc_id AS seed
+        FROM documents WHERE doc_id % 3 = 0
+      ), cells AS (
+        SELECT p.doc_id, p.seed, cy.cy, cx.cx,
+          (cx.cx * p.w) // $ThumbW AS x0,
+          greatest((cx.cx * p.w) // $ThumbW + 1,
+            ((cx.cx + 1) * p.w) // $ThumbW) AS x1,
+          (cy.cy * p.h) // $ThumbH AS y0,
+          greatest((cy.cy * p.h) // $ThumbH + 1,
+            ((cy.cy + 1) * p.h) // $ThumbH) AS y1
+        FROM png p
+        CROSS JOIN (SELECT unnest(range($ThumbH)) AS cy) cy
+        CROSS JOIN (SELECT unnest(range($ThumbW)) AS cx) cx
+      ), px AS (
+        SELECT doc_id, seed, cy, cx, y0, y1,
+          unnest(range(x0, x1)) AS x
+        FROM cells
+      ), pxy AS (
+        SELECT doc_id, seed, cy, cx, x,
+          unnest(range(y0, y1)) AS y
+        FROM px
+      ), lum AS (
+        SELECT doc_id, cy, cx,
+          CAST((CAST(z2 AS UBIGINT) >> 33) & 255 AS BIGINT) AS g
+        FROM (SELECT doc_id, cy, cx, $z2 AS z2 FROM pxy)
+      ), cm AS (
+        SELECT doc_id, cy, cx, SUM(g) // COUNT(*) AS mean
+        FROM lum GROUP BY doc_id, cy, cx
+      ), hexed AS (
+        SELECT doc_id,
+          string_agg(lpad(hex(mean), 2, '0'), '' ORDER BY cy, cx) AS hx
+        FROM cm GROUP BY doc_id
+      )
+      SELECT d.doc_id,
+        CAST(CASE WHEN d.doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS ok,
+        CAST($ThumbW AS BIGINT) AS thumb_w,
+        CAST($ThumbH AS BIGINT) AS thumb_h,
+        CASE WHEN d.doc_id % 3 = 0
+          THEN CAST(${ThumbW * ThumbH} AS BIGINT) ELSE NULL END AS thumb_len,
+        CASE WHEN d.doc_id % 3 = 0 THEN md5(h.hx) ELSE NULL END
+          AS thumb_digest
+      FROM documents d LEFT JOIN hexed h ON d.doc_id = h.doc_id"""
+  }
+
   private val opResize = Op(
     "mm_resize",
     (s, dir) => {
@@ -432,9 +609,12 @@ object Multimodal {
           when(col("thumb").isNotNull, 1L).otherwise(0L).as("ok"),
           lit(ThumbW.toLong).as("thumb_w"), lit(ThumbH.toLong).as("thumb_h"),
           length(col("thumb")).cast("long").as("thumb_len"),
-          md5(col("thumb")).as("thumb_digest"))
+          // digest the HEX of the thumbnail (uppercase, 2 chars/byte)
+          // so the DuckDB oracle — whose md5 takes VARCHAR only — can
+          // recompute it from the planted pixel arithmetic
+          md5(hex(col("thumb"))).as("thumb_digest"))
     },
-    None)
+    Some(resizeOracleSql))
 
   // ---- mm_frames: frame-sampling over a video-shaped column ----
 
@@ -515,24 +695,8 @@ object Multimodal {
     * {0, 3, …} at the same time. ~1 M pixel rows at sf0.01.
     */
   private def framesOracleSql: String = {
-    val m64 = "18446744073709551616::HUGEINT"
-    // splitmix64 constants, unsigned decimal (Scala Long wrap on the
-    // engine side == unsigned mod-2^64 congruence here)
-    val p1 = "11400714819323198485::HUGEINT" // 0x9e3779b97f4a7c15
-    val p2 = "13787848793156543929::HUGEINT" // 0xbf58476d1ce4e5b9
-    val p3 = "10723151780598845931::HUGEINT" // 0x94d049bb133111eb
-    // (a * b) mod 2^64 for a in [0, 2^64): direct HUGEINT multiply can
-    // reach 2^127.6 and overflow, so split a at 32 bits
-    def mulmod(a: String, b: String) =
-      s"((($a) % 4294967296::HUGEINT) * $b + (((($a) // 4294967296::HUGEINT)" +
-        s" * $b) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $m64"
-    // x ^ (x >>> n) — UBIGINT carries the 64-bit pattern (logical
-    // shift, xor), HUGEINT carries the arithmetic
-    def xorShift(v: String, n: Int) =
-      s"CAST(xor(CAST($v AS UBIGINT), CAST($v AS UBIGINT) >> $n) AS HUGEINT)"
-    val z0 = s"((CAST(seed AS HUGEINT) * $p1 + CAST(x AS HUGEINT) * $p2" +
-      s" + CAST(y AS HUGEINT) * $p3) % $m64)"
-    val z2 = mulmod(xorShift(mulmod(xorShift(z0, 30), p2), 27), p3)
+    val m64 = PlantedSql.M64
+    val z2 = PlantedSql.z2
     val sampled = (0 until ClipFrames by FrameStride).mkString(", ")
     s"""
       WITH fr AS (
