@@ -43,6 +43,19 @@ object Dedup {
         concat_ws(" ", col("z.toks"), col("z.t1"), col("z.t2")).as("shingle"))
   }
 
+  /** Per-doc DISTINCT shingle sets as a NARROW projection
+    * (plans.ShingleSetExpr): the old explode → groupBy → collect_set
+    * shape reassembled a pure per-row function through a
+    * corpus-token-sized exchange. Used by every consumer that wants
+    * SETS; [[shingleRows]] stays for per-occurrence multiplicity
+    * (contam_ngram) and position carry (dedup_span).
+    */
+  private[graft] def shingleSets(d: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(d.sparkSession)
+    d.withColumn("toks", TextFns.tokens(col("text")))
+      .select(col("doc_id"), expr("graft_shingle_set(toks)").as("sset"))
+  }
+
   // ---- dedup_exact: content-hash groupBy (one shuffle) ----
   private val opExact = Op(
     "dedup_exact",
@@ -255,8 +268,7 @@ object Dedup {
   private val opJaccard = Op(
     "ngram_jaccard",
     (s, dir) => {
-      val sh = shingleRows(docs(s, dir))
-        .groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("sset"))
+      val sh = shingleSets(docs(s, dir))
       val a = sh.select(col("doc_id"), col("sset").as("sa"))
       val b = sh.select((col("doc_id") - 1).as("doc_id"), col("sset").as("sb"))
       a.join(b, "doc_id")
@@ -491,10 +503,8 @@ object Dedup {
     (s, dir) => {
       val d = docs(s, dir)
       // materialized once: the a-side and the shifted b-side would each
-      // re-run the shingle explode + set aggregation otherwise
-      val sh = shingleRows(d)
-        .groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("sset"))
-        .localCheckpoint()
+      // re-run the narrow shingle-set kernel otherwise
+      val sh = shingleSets(d).localCheckpoint()
       val a = sh.select(col("doc_id"), col("sset").as("sa"))
       val b = sh.select((col("doc_id") - 1).as("doc_id"), col("sset").as("sb"))
       // verified near-dup edges: consecutive pairs sharing >= 1 shingle
@@ -590,10 +600,9 @@ object Dedup {
     val candDocs = cand.select(col("a").as("doc_id"))
       .union(cand.select(col("b").as("doc_id"))).distinct()
       .localCheckpoint(eager = false)
-    val ssets = shingleRows(
-        reps.join(counted(candDocs), Seq("doc_id"))
-          .select(col("doc_id"), col("text")))
-      .groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("sset"))
+    val ssets = shingleSets(
+      reps.join(counted(candDocs), Seq("doc_id"))
+        .select(col("doc_id"), col("text")))
     val verified = cand
       .join(ssets.select(col("doc_id").as("a"), col("sset").as("sa")), Seq("a"))
       .join(ssets.select(col("doc_id").as("b"), col("sset").as("sb")), Seq("b"))

@@ -98,6 +98,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.minhashBandsDescriptor)
     ext.injectFunction(GraftFunctions.minhashAllDescriptor)
     ext.injectFunction(GraftFunctions.normalizeDescriptor)
+    ext.injectFunction(GraftFunctions.shingleSetDescriptor)
     ext.injectFunction(GraftFunctions.bleuSmoothDescriptor)
     ext.injectFunction(GraftFunctions.deflateLenDescriptor)
     ext.injectFunction(GraftFunctions.f1CommonDescriptor)
@@ -160,6 +161,11 @@ object GraftFunctions {
     FunctionIdentifier("graft_minhash_bands"),
     new ExpressionInfo(classOf[MinhashBandsExpr].getName, "graft_minhash_bands"),
     (exprs: Seq[Expression]) => MinhashBandsExpr(exprs.head): Expression)
+
+  private[plans] val shingleSetDescriptor = (
+    FunctionIdentifier("graft_shingle_set"),
+    new ExpressionInfo(classOf[ShingleSetExpr].getName, "graft_shingle_set"),
+    (exprs: Seq[Expression]) => ShingleSetExpr(exprs.head): Expression)
 
   private[plans] val normalizeDescriptor = (
     FunctionIdentifier("graft_normalize"),
@@ -343,6 +349,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_normalize",
       exprs => NormalizeTextExpr(exprs.head),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingle_set",
+      exprs => ShingleSetExpr(exprs.head),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bleu_smooth",

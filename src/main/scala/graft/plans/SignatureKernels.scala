@@ -122,6 +122,43 @@ object SignatureKernels {
     * build exactly one kernel eval per row under ANY projection
     * pruning, which no optimizer rewrite can undo.
     */
+  /** Distinct 3-token shingle strings, first-occurrence order (see
+    * [[ShingleSetExpr]]). Byte-level concat — no UTF-16 round-trips.
+    */
+  def shingleSet(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val win = if (n >= 3) 3 else n
+    val nShingles = if (n >= 3) n - 2 else 1
+    val seen = new java.util.HashSet[UTF8String]()
+    val out = new java.util.ArrayList[UTF8String](nShingles)
+    var buf = new Array[Byte](128)
+    var p = 0
+    while (p < nShingles) {
+      var len = 0
+      var t = p
+      val end = p + win
+      while (t < end) {
+        val s = a.getUTF8String(t)
+        val nb = s.numBytes()
+        val need = len + nb + 1
+        if (need > buf.length)
+          buf = java.util.Arrays.copyOf(buf, math.max(need, buf.length * 2))
+        if (t > p) { buf(len) = ' '; len += 1 }
+        s.writeToMemory(buf,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + len)
+        len += nb
+        t += 1
+      }
+      // fromBytes WRAPS the array (no copy) — the reused buffer must
+      // be copied out per shingle or later windows would overwrite
+      // earlier set entries in place
+      val sh = UTF8String.fromBytes(java.util.Arrays.copyOfRange(buf, 0, len))
+      if (seen.add(sh)) out.add(sh)
+      p += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   def minhashBands(a: ArrayData): ArrayData =
     new GenericArrayData(bandsOf(minhashMins(a)))
 
@@ -212,6 +249,38 @@ case class MinhashBandsExpr(child: Expression)
     defineCodeGen(ctx, ev, a => s"graft.plans.SignatureKernels.minhashBands($a)")
 
   override protected def withNewChildInternal(newChild: Expression): MinhashBandsExpr =
+    copy(child = newChild)
+}
+
+/** `graft_shingle_set(array<string>) -> array<string>` — the DISTINCT
+  * 3-token shingles of a token list, built per row in one kernel pass
+  * (byte-level concat, first-occurrence order; docs shorter than 3
+  * tokens yield their whole text as the one shingle — the
+  * [[graft.operators.Dedup.shingleRows]] convention, including the
+  * empty doc's [""], which matches the ANSI oracle's `[text]` arm).
+  *
+  * Exists so per-doc shingle SETS are a narrow projection: the old
+  * shape exploded shingle rows into a corpus-token-sized groupBy /
+  * collect_set exchange just to reassemble what is a pure per-row
+  * function — at 100 TB that shuffle moves every token of the corpus
+  * once, for nothing. Consumers: dedup_cluster, ngram_jaccard, the
+  * dedup_pipeline candidate gather. (contam_ngram keeps the exploded
+  * ROW shape deliberately — it needs per-occurrence multiplicity.)
+  */
+case class ShingleSetExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingle_set"
+
+  override def nullSafeEval(a: Any): Any =
+    SignatureKernels.shingleSet(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.plans.SignatureKernels.shingleSet($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleSetExpr =
     copy(child = newChild)
 }
 

@@ -81,6 +81,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(hamming(sim(1L), sim(3L)) > 8, "unrelated docs should be far")
   }
 
+  test("shingle-set kernel == the explode/collect_set formulation (set equality)") {
+    // the narrow kernel replaced a corpus-token-sized exchange; the
+    // SETS must be identical (order-free — every consumer is
+    // set-semantic) including the <3-token and repeated-shingle edges
+    val rnd = new scala.util.Random(5)
+    val vocab = "a b c d e".split(" ")
+    val docs = ((1 to 120).map { i =>
+      val n = rnd.nextInt(12)
+      (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(" "))
+    } :+ (900L, "one") :+ (901L, "two words") :+
+      (902L, "x y z x y z x y z")) // repeated shingles collapse
+      .toDF("doc_id", "text")
+    val legacy = Dedup.shingleRows(docs)
+      .groupBy($"doc_id").agg(collect_set($"shingle").as("sset"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val kernel = Dedup.shingleSets(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    // legacy emits NO row for zero-token docs; every doc here has >= 1
+    assert(kernel.keySet == legacy.keySet, "doc coverage diverged")
+    kernel.foreach { case (id, s) =>
+      assert(s == legacy(id), s"shingle set mismatch for doc $id")
+    }
+    // the kernel build must be narrow — no exchange before the sets
+    val plan = Dedup.shingleSets(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("normalize kernel == the lower/regex-chain column formulation (fuzz + edges)") {
     // the fused byte-scan kernel must be BIT-identical to the regex
     // chain it replaced — the DuckDB oracle still runs the expanded
