@@ -614,43 +614,24 @@ object MapReduceDocs {
     * positions, all codegen).
     */
   private[graft] def bleuScores(pairs: DataFrame): DataFrame = {
-    val sides = pairs.select(col("doc_id"), explode(array(
-        struct(lit("p").as("side"), col("pt").as("toks")),
-        struct(lit("g").as("side"), col("gt").as("toks")))).as("sd"))
-      .select(col("doc_id"), col("sd.side").as("side"), col("sd.toks").as("toks"))
-    // NB: Spark's sequence(0, -1) yields [0, -1] (inferred step -1) —
-    // the size >= n filter runs BEFORE the position explode
-    val grams = sides
-      .select(col("doc_id"), col("side"), col("toks"),
-        explode(sequence(lit(1), lit(5))).as("n"))
-      .filter(size(col("toks")) >= col("n"))
-      .select(col("doc_id"), col("side"), col("n"), col("toks"),
-        explode(sequence(lit(0), size(col("toks")) - col("n"))).as("i"))
-      .select(col("doc_id"), col("side"), col("n"),
-        array_join(slice(col("toks"), col("i") + 1, col("n")), " ").as("gram"))
-    val cnt = grams.groupBy(col("doc_id"), col("n"), col("gram"))
-      .agg(sum(when(col("side") === "p", 1L).otherwise(0L)).as("cp"),
-        sum(when(col("side") === "g", 1L).otherwise(0L)).as("cg"))
-    // ONE per-doc aggregation produces everything downstream: clip_n
-    // (Σ_gram least(cp,cg) per order) AND the lengths — hl/rl are just
-    // the total unigram occurrence counts (Σcp / Σcg over n=1 rows) —
-    // so there is no second scan of the pairs join and no length join
-    val pivAggs = (1 to 5).map(i =>
-      sum(when(col("n") === i, least(col("cp"), col("cg")))).as(s"c$i")) ++ Seq(
-      sum(when(col("n") === 1, col("cp"))).cast("int").as("hl"),
-      sum(when(col("n") === 1, col("cg"))).cast("int").as("rl"))
-    val base = cnt.groupBy(col("doc_id")).agg(pivAggs.head, pivAggs.tail: _*)
-      .select((Seq(col("doc_id"), col("hl"), col("rl")) ++
-        (1 to 5).map(i => coalesce(col(s"c$i"), lit(0L)).as(s"c$i"))): _*)
-    // the whole smoothing cascade is ONE native kernel call
-    // (plans.BleuKernel) — the previous column-tree formulation
-    // collapsed into a projection whose janino compile dominated the
-    // query's wall time; the kernel reproduces its arithmetic order
-    // bit-for-bit (the oracle keeps the expanded SQL form below)
+    // FULLY NARROW scoring (r12): the clipped n-gram counts of a
+    // (pt, gt) pair are a pure per-row function — one
+    // graft_bleu_counts kernel call replaces the old
+    // explode(2 sides × 5 orders × positions) → corpus-gram count
+    // shuffle → per-doc pivot chain, and the smoothing cascade stays
+    // the graft_bleu_smooth kernel. The only exchange left in
+    // score_bleu is the caller's pair-construction join; nothing
+    // gram-shaped ever shuffles. Counts are value-identical to the
+    // old shape (the kernel iterates hypothesis grams and clips
+    // against reference counts — grams on one side only contribute
+    // min(·, 0) = 0). The DuckDB oracle keeps the expanded
+    // relational form.
     graft.plans.GraftFunctions.register(pairs.sparkSession)
-    base.select(col("doc_id"), col("c1").as("clip1"),
-      round(expr("graft_bleu_smooth(array(c1, c2, c3, c4, c5, " +
-        "cast(hl AS bigint), cast(rl AS bigint)))"), 6).as("bleu"))
+    pairs
+      .withColumn("bc", expr("graft_bleu_counts(pt, gt)"))
+      .select(col("doc_id"),
+        element_at(col("bc"), 1).as("clip1"),
+        round(expr("graft_bleu_smooth(bc)"), 6).as("bleu"))
   }
 
   private val opBleu = Op(

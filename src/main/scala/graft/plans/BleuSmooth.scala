@@ -1,9 +1,9 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 
 /** Native BLEU-4 chencherry-method7 smoothing kernel.
   *
@@ -56,6 +56,92 @@ object BleuKernel {
     val bp = if (hl >= rl) 1.0 else math.exp(1.0 - rl.toDouble / hl.toDouble)
     bp * math.sqrt(math.sqrt(p1f * p2f * p3f * p4f))
   }
+}
+
+object BleuCounts {
+  /** Clipped n-gram match counts for n = 1..5 between a hypothesis
+    * and a reference token slice, plus the two unigram totals:
+    * [c1..c5, hl, rl] — the whole `base` frame of the old
+    * explode → count-shuffle → pivot shape as ONE per-row kernel
+    * call (both sides are ≤ 10-token slices, so ≤ 50 grams/side —
+    * a shuffle-free projection beats a corpus-gram exchange at any
+    * scale). Gram identity is the exact space-joined string both
+    * the old shape and the DuckDB oracle build; cn = Σ_gram
+    * min(count_hyp, count_ref) per order.
+    */
+  def counts(p: ArrayData, g: ArrayData): ArrayData = {
+    val np = p.numElements()
+    val ng = g.numElements()
+    val out = new Array[Long](7)
+    out(5) = np.toLong
+    out(6) = ng.toLong
+    var n = 1
+    while (n <= 5) {
+      if (np >= n && ng >= n) {
+        // reference gram counts for this order
+        val ref = new java.util.HashMap[String, Int]()
+        var i = 0
+        while (i + n <= ng) {
+          val sb = new java.lang.StringBuilder()
+          var t = i
+          while (t < i + n) {
+            if (t > i) sb.append(' ')
+            sb.append(g.getUTF8String(t).toString)
+            t += 1
+          }
+          val k = sb.toString
+          ref.put(k, ref.getOrDefault(k, 0) + 1)
+          i += 1
+        }
+        // hypothesis counts, clipped against the reference's
+        val hyp = new java.util.HashMap[String, Int]()
+        i = 0
+        while (i + n <= np) {
+          val sb = new java.lang.StringBuilder()
+          var t = i
+          while (t < i + n) {
+            if (t > i) sb.append(' ')
+            sb.append(p.getUTF8String(t).toString)
+            t += 1
+          }
+          val k = sb.toString
+          hyp.put(k, hyp.getOrDefault(k, 0) + 1)
+          i += 1
+        }
+        var c = 0L
+        val it = hyp.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val r = ref.getOrDefault(e.getKey, 0)
+          if (r > 0) c += math.min(e.getValue.intValue(), r)
+        }
+        out(n - 1) = c
+      }
+      n += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_bleu_counts(hyp array<string>, ref array<string>) ->
+  * array<long>(7)` — see [[BleuCounts.counts]].
+  */
+case class BleuCountsExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_bleu_counts"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    BleuCounts.counts(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.plans.BleuCounts.counts($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BleuCountsExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `graft_bleu_smooth(array<long>) -> double` */

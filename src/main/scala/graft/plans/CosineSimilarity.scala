@@ -99,6 +99,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.minhashAllDescriptor)
     ext.injectFunction(GraftFunctions.normalizeDescriptor)
     ext.injectFunction(GraftFunctions.shingleSetDescriptor)
+    ext.injectFunction(GraftFunctions.bleuCountsDescriptor)
     ext.injectFunction(GraftFunctions.bleuSmoothDescriptor)
     ext.injectFunction(GraftFunctions.deflateLenDescriptor)
     ext.injectFunction(GraftFunctions.f1CommonDescriptor)
@@ -161,6 +162,11 @@ object GraftFunctions {
     FunctionIdentifier("graft_minhash_bands"),
     new ExpressionInfo(classOf[MinhashBandsExpr].getName, "graft_minhash_bands"),
     (exprs: Seq[Expression]) => MinhashBandsExpr(exprs.head): Expression)
+
+  private[plans] val bleuCountsDescriptor = (
+    FunctionIdentifier("graft_bleu_counts"),
+    new ExpressionInfo(classOf[BleuCountsExpr].getName, "graft_bleu_counts"),
+    (exprs: Seq[Expression]) => BleuCountsExpr(exprs.head, exprs(1)): Expression)
 
   private[plans] val shingleSetDescriptor = (
     FunctionIdentifier("graft_shingle_set"),
@@ -353,6 +359,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingle_set",
       exprs => ShingleSetExpr(exprs.head),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bleu_counts",
+      exprs => BleuCountsExpr(exprs.head, exprs(1)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bleu_smooth",
