@@ -33,8 +33,12 @@ object RecallAudit {
     spark.sparkContext.setLogLevel("ERROR")
     graft.plans.GraftFunctions.register(spark)
 
-    /** Exact float top-k per query (vec_id < 10) over `cand`. */
-    def bruteTopK(cand: DataFrame, k: Int): Map[Long, Set[Long]] = {
+    /** Exact float top-k per query (vec_id < 10) over `cand`,
+      * returned WITH ranks so one scan serves every smaller k (the
+      * brute-force cross scan is the audit's dominant cost — paying
+      * it once per candidate universe, not once per k).
+      */
+    def bruteRanked(cand: DataFrame, k: Int): Map[Long, Map[Long, Long]] = {
       val e = Tables(spark, sfDir, "embeddings")
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -44,10 +48,15 @@ object RecallAudit {
         .withColumn("cos", round(expr("graft_cosine(q_emb, c_emb)"), 6))
       graft.plans.TopK.perKey(scored, Seq("q_id"),
           Seq("cos" -> graft.plans.TopK.Desc, "c_id" -> graft.plans.TopK.Asc), k)
-        .select(col("q_id"), col("c_id")).collect()
+        .select(col("q_id"), col("c_id"), col("rk")).collect()
         .groupBy(_.getLong(0))
-        .map { case (q2, rs) => q2 -> rs.map(_.getLong(1)).toSet }
+        .map { case (q2, rs) =>
+          q2 -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
     }
+
+    def atK(ranked: Map[Long, Map[Long, Long]], k: Int): Map[Long, Set[Long]] =
+      ranked.map { case (q2, m) =>
+        q2 -> m.collect { case (id, rk) if rk <= k => id }.toSet }
 
     def approxTopK(name: String, k: Int): Map[Long, Set[Long]] =
       SparkEntry.queries(name)(spark, sfDir)
@@ -66,9 +75,10 @@ object RecallAudit {
 
     val allCand = Tables(spark, sfDir, "embeddings")
     val filteredCand = allCand.filter(operators.Similarity.FilteredPred)
-    val brute3 = bruteTopK(allCand, 3)
-    val brute5 = bruteTopK(allCand, 5)
-    val brute3f = bruteTopK(filteredCand, 3)
+    val rankedAll = bruteRanked(allCand, 5)
+    val brute3 = atK(rankedAll, 3)
+    val brute5 = atK(rankedAll, 5)
+    val brute3f = atK(bruteRanked(filteredCand, 3), 3)
 
     val rows = Seq(
       "ann_ivf" -> recall(brute3, approxTopK("ann_ivf", 3)),

@@ -349,50 +349,13 @@ object Multimodal {
     * independent engine, not just the kernel.
     */
   private def phashOracleSql: String = {
-    val z2 = PlantedSql.z2
-    val m64 = PlantedSql.M64
     s"""
-      WITH png AS (
+      WITH dims AS (
         SELECT doc_id, doc_id % 64 + 1 AS w, doc_id % 48 + 1 AS h,
           doc_id AS seed
         FROM documents WHERE doc_id % 3 = 0
-      ), cells AS (
-        SELECT p.doc_id, p.seed, cy.cy, cx.cx,
-          (cx.cx * p.w) // 9 AS x0,
-          greatest((cx.cx * p.w) // 9 + 1, ((cx.cx + 1) * p.w) // 9) AS x1,
-          (cy.cy * p.h) // 8 AS y0,
-          greatest((cy.cy * p.h) // 8 + 1, ((cy.cy + 1) * p.h) // 8) AS y1
-        FROM png p
-        CROSS JOIN (SELECT unnest(range(8)) AS cy) cy
-        CROSS JOIN (SELECT unnest(range(9)) AS cx) cx
-      ), px AS (
-        SELECT doc_id, seed, cy, cx, y0, y1,
-          unnest(range(x0, x1)) AS x
-        FROM cells
-      ), pxy AS (
-        SELECT doc_id, seed, cy, cx, x,
-          unnest(range(y0, y1)) AS y
-        FROM px
-      ), lum AS (
-        SELECT doc_id, cy, cx,
-          CAST((CAST(z2 AS UBIGINT) >> 33) & 255 AS BIGINT) AS g
-        FROM (SELECT doc_id, cy, cx, $z2 AS z2 FROM pxy)
-      ), cm AS (
-        SELECT doc_id, cy, cx, SUM(g) // COUNT(*) AS mean
-        FROM lum GROUP BY doc_id, cy, cx
-      ), ph AS (
-        SELECT a.doc_id,
-          CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
-            THEN uh - $m64 ELSE uh END AS BIGINT) AS phash
-        FROM (
-          SELECT a.doc_id,
-            COALESCE(SUM(CASE WHEN b.mean > a.mean
-              THEN CAST(1 AS HUGEINT) << CAST(a.cy * 8 + a.cx AS INTEGER)
-              ELSE 0::HUGEINT END), 0::HUGEINT) AS uh
-          FROM cm a JOIN cm b
-            ON a.doc_id = b.doc_id AND a.cy = b.cy AND b.cx = a.cx + 1
-          WHERE a.cx < 8
-          GROUP BY a.doc_id) a
+      ), ${PlantedSql.blockMeans(Seq("doc_id"), 9, 8)}, ph AS (
+        ${PlantedSql.dhashFold(Seq("doc_id"), "phash")}
       ), bands AS (
         SELECT doc_id, phash, bi.band_id,
           (phash >> CAST(bi.band_id * 16 AS INTEGER)) & 65535 AS band_key
@@ -534,6 +497,66 @@ object Multimodal {
       s"((CAST(seed AS HUGEINT) * $P1 + CAST(x AS HUGEINT) * $P2" +
         s" + CAST(y AS HUGEINT) * $P3) % $M64)"
     val z2: String = mulmod(xorShift(mulmod(xorShift(z0, 30), P2), 27), P3)
+
+    /** The shared pixel-replay chain, ONE copy for all three oracles
+      * (frames / phash / resize): expects a prior CTE `dims(keys...,
+      * w, h, seed)` and emits `cells/px/pxy/lum/cm` where `cm` holds
+      * (keys..., cy, cx, mean) — the kernels' exact floor-boundary
+      * block means of the planted luma on a gw×gh grid.
+      */
+    def blockMeans(keys: Seq[String], gw: Int, gh: Int): String = {
+      val dkeys = keys.map("d." + _).mkString(", ")
+      val ks = keys.mkString(", ")
+      s"""cells AS (
+        SELECT $dkeys, d.seed, cy.cy, cx.cx,
+          (cx.cx * d.w) // $gw AS x0,
+          greatest((cx.cx * d.w) // $gw + 1,
+            ((cx.cx + 1) * d.w) // $gw) AS x1,
+          (cy.cy * d.h) // $gh AS y0,
+          greatest((cy.cy * d.h) // $gh + 1,
+            ((cy.cy + 1) * d.h) // $gh) AS y1
+        FROM dims d
+        CROSS JOIN (SELECT unnest(range($gh)) AS cy) cy
+        CROSS JOIN (SELECT unnest(range($gw)) AS cx) cx
+      ), px AS (
+        SELECT $ks, seed, cy, cx, y0, y1,
+          unnest(range(x0, x1)) AS x
+        FROM cells
+      ), pxy AS (
+        SELECT $ks, seed, cy, cx, x,
+          unnest(range(y0, y1)) AS y
+        FROM px
+      ), lum AS (
+        SELECT $ks, cy, cx,
+          CAST((CAST(z2 AS UBIGINT) >> 33) & 255 AS BIGINT) AS g
+        FROM (SELECT $ks, cy, cx, $z2 AS z2 FROM pxy)
+      ), cm AS (
+        SELECT $ks, cy, cx, SUM(g) // COUNT(*) AS mean
+        FROM lum GROUP BY $ks, cy, cx
+      )"""
+    }
+
+    /** The dHash bit fold over `cm` (9×8 grid): emits a select
+      * producing (keys..., <alias> BIGINT) — the 64 left-neighbor
+      * comparisons packed to the signed hash.
+      */
+    def dhashFold(keys: Seq[String], alias: String): String = {
+      val ks = keys.mkString(", ")
+      val aks = keys.map("a." + _).mkString(", ")
+      val joinKeys = keys.map(k => s"a.$k = b.$k").mkString(" AND ")
+      s"""SELECT $ks,
+          CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
+            THEN uh - $M64 ELSE uh END AS BIGINT) AS $alias
+        FROM (
+          SELECT $aks,
+            COALESCE(SUM(CASE WHEN b.mean > a.mean
+              THEN CAST(1 AS HUGEINT) << CAST(a.cy * 8 + a.cx AS INTEGER)
+              ELSE 0::HUGEINT END), 0::HUGEINT) AS uh
+          FROM cm a JOIN cm b
+            ON $joinKeys AND a.cy = b.cy AND b.cx = a.cx + 1
+          WHERE a.cx < 8
+          GROUP BY $aks)"""
+    }
   }
 
   /** mm_resize planted-truth oracle — the mm_frames replay applied to
@@ -546,39 +569,12 @@ object Multimodal {
     * doc_id % 3.
     */
   private def resizeOracleSql: String = {
-    val z2 = PlantedSql.z2
     s"""
-      WITH png AS (
+      WITH dims AS (
         SELECT doc_id, doc_id % 64 + 1 AS w, doc_id % 48 + 1 AS h,
           doc_id AS seed
         FROM documents WHERE doc_id % 3 = 0
-      ), cells AS (
-        SELECT p.doc_id, p.seed, cy.cy, cx.cx,
-          (cx.cx * p.w) // $ThumbW AS x0,
-          greatest((cx.cx * p.w) // $ThumbW + 1,
-            ((cx.cx + 1) * p.w) // $ThumbW) AS x1,
-          (cy.cy * p.h) // $ThumbH AS y0,
-          greatest((cy.cy * p.h) // $ThumbH + 1,
-            ((cy.cy + 1) * p.h) // $ThumbH) AS y1
-        FROM png p
-        CROSS JOIN (SELECT unnest(range($ThumbH)) AS cy) cy
-        CROSS JOIN (SELECT unnest(range($ThumbW)) AS cx) cx
-      ), px AS (
-        SELECT doc_id, seed, cy, cx, y0, y1,
-          unnest(range(x0, x1)) AS x
-        FROM cells
-      ), pxy AS (
-        SELECT doc_id, seed, cy, cx, x,
-          unnest(range(y0, y1)) AS y
-        FROM px
-      ), lum AS (
-        SELECT doc_id, cy, cx,
-          CAST((CAST(z2 AS UBIGINT) >> 33) & 255 AS BIGINT) AS g
-        FROM (SELECT doc_id, cy, cx, $z2 AS z2 FROM pxy)
-      ), cm AS (
-        SELECT doc_id, cy, cx, SUM(g) // COUNT(*) AS mean
-        FROM lum GROUP BY doc_id, cy, cx
-      ), hexed AS (
+      ), ${PlantedSql.blockMeans(Seq("doc_id"), ThumbW, ThumbH)}, hexed AS (
         SELECT doc_id,
           string_agg(lpad(hex(mean), 2, '0'), '' ORDER BY cy, cx) AS hx
         FROM cm GROUP BY doc_id
@@ -695,8 +691,6 @@ object Multimodal {
     * {0, 3, …} at the same time. ~1 M pixel rows at sf0.01.
     */
   private def framesOracleSql: String = {
-    val m64 = PlantedSql.M64
-    val z2 = PlantedSql.z2
     val sampled = (0 until ClipFrames by FrameStride).mkString(", ")
     s"""
       WITH fr AS (
@@ -706,48 +700,11 @@ object Multimodal {
           doc_id % 64 + 1 AS w, doc_id % 48 + 1 AS h,
           doc_id * $ClipFrames + frame_idx AS seed
         FROM fr
-      ), cells AS (
-        -- the kernel's 9x8 grid: floor boundaries, never-empty blocks
-        SELECT d.doc_id, d.frame_idx, d.seed, cy.cy, cx.cx,
-          (cx.cx * d.w) // 9 AS x0,
-          greatest((cx.cx * d.w) // 9 + 1, ((cx.cx + 1) * d.w) // 9) AS x1,
-          (cy.cy * d.h) // 8 AS y0,
-          greatest((cy.cy * d.h) // 8 + 1, ((cy.cy + 1) * d.h) // 8) AS y1
-        FROM dims d
-        CROSS JOIN (SELECT unnest(range(8)) AS cy) cy
-        CROSS JOIN (SELECT unnest(range(9)) AS cx) cx
-      ), px AS (
-        SELECT doc_id, frame_idx, seed, cy, cx, y0, y1,
-          unnest(range(x0, x1)) AS x
-        FROM cells
-      ), pxy AS (
-        SELECT doc_id, frame_idx, seed, cy, cx, x,
-          unnest(range(y0, y1)) AS y
-        FROM px
-      ), lum AS (
-        SELECT doc_id, frame_idx, cy, cx,
-          CAST((CAST(z2 AS UBIGINT) >> 33) & 255 AS BIGINT) AS g
-        FROM (
-          SELECT doc_id, frame_idx, cy, cx, $z2 AS z2 FROM pxy
-        )
-      ), cm AS (
-        SELECT doc_id, frame_idx, cy, cx, SUM(g) // COUNT(*) AS mean
-        FROM lum GROUP BY doc_id, frame_idx, cy, cx
-      ), bits AS (
-        SELECT a.doc_id, a.frame_idx,
-          COALESCE(SUM(CASE WHEN b.mean > a.mean
-            THEN CAST(1 AS HUGEINT) << CAST(a.cy * 8 + a.cx AS INTEGER)
-            ELSE 0::HUGEINT END), 0::HUGEINT) AS uh
-        FROM cm a JOIN cm b
-          ON a.doc_id = b.doc_id AND a.frame_idx = b.frame_idx
-         AND a.cy = b.cy AND b.cx = a.cx + 1
-        WHERE a.cx < 8
-        GROUP BY a.doc_id, a.frame_idx
+      ), ${PlantedSql.blockMeans(Seq("doc_id", "frame_idx"), 9, 8)}, hashed AS (
+        ${PlantedSql.dhashFold(Seq("doc_id", "frame_idx"), "frame_hash")}
       )
-      SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
-        CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
-          THEN uh - $m64 ELSE uh END AS BIGINT) AS frame_hash
-      FROM bits"""
+      SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, frame_hash
+      FROM hashed"""
   }
 
   private val opFrames = Op(

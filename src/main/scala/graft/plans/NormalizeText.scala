@@ -27,6 +27,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *    punct-stripped text, same order as the chain);
   *  - trim strips ASCII space only, matching Spark's `trim`.
   *
+  * Bit-identity caveat: on INVALID UTF-8 (Spark does not validate
+  * parquet string bytes) the regex chain round-trips through
+  * java.lang.String, replacing malformed sequences with U+FFFD, while
+  * this kernel passes the original bytes through (treating them as
+  * non-word, non-space, non-punct — `wordAt` returns non-word for
+  * broken sequences). Valid UTF-8 — which the fuzz spec covers and
+  * every test corpus satisfies — is bit-identical; corrupt bytes
+  * survive here instead of being silently rewritten, which is the
+  * better ingestion-debugging behavior anyway.
+  *
   * Why: normalization fronts the whole scoring family (score_bleu/f1/
   * em/rouge/has_answer, text_normalize, mr ops, curate stage 1) and
   * three chained regex engines per row were the dominant per-row cost

@@ -69,7 +69,15 @@ object SignatureKernels {
     // StringBuilder formulation paid two UTF-8↔UTF-16 round-trips per
     // shingle; concatenating the raw token bytes with ' ' separators
     // hashes the exact same byte sequence (spec-pinned vs the column
-    // formulation), at a fraction of the per-shingle cost
+    // formulation), at a fraction of the per-shingle cost.
+    // Behavioral note for INVALID UTF-8 input (Spark does not
+    // validate parquet string bytes): the old toString round-trip
+    // replaced malformed sequences with U+FFFD before hashing; this
+    // path hashes the raw bytes. The hash space is self-consistent
+    // either way, but a band store built from a corrupt-bytes corpus
+    // BEFORE this change will not collide with the same doc's new
+    // signature — rebuild stores if such a corpus exists (the test
+    // corpora are valid UTF-8 throughout).
     var buf = new Array[Byte](128)
     var p = 0
     while (p < nShingles) {

@@ -107,6 +107,28 @@ object Fingerprints {
   def readPhashBands(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/phash_bands")
 
+  /** [[readPhashBands]], tolerating a store with no perceptual tier
+    * yet: a text-history store (write() builds content/bands/spans
+    * only) gating its FIRST multimodal shard must see an EMPTY band
+    * set — nothing is historical — not crash at DataFrame
+    * construction; the tier then bootstraps itself through the
+    * accepted-band append. The existence probe is one driver-side
+    * filesystem call against the store root — the same class of
+    * bounded driver lookup as the counted broadcast guards.
+    */
+  def readPhashBandsOrEmpty(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/phash_bands")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) readPhashBands(spark, path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("band_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("band_key",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
   def readContent(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/content")
 

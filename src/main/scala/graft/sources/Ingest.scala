@@ -67,7 +67,7 @@ object Ingest {
     } else None
     val imgProbe = imgHashes.map { h =>
       graft.operators.Multimodal.phashProbe(h,
-          Fingerprints.readPhashBands(s, storePath))
+          Fingerprints.readPhashBandsOrEmpty(s, storePath))
         .select(col("doc_id"), col("n_hist_bands").as("n_img_bands"),
           col("near_hist").as("img_hist"))
     }
@@ -82,7 +82,7 @@ object Ingest {
     } else None
     val clipProbe = clipHashes.map { h =>
       graft.operators.Multimodal.clipProbe(h,
-        Fingerprints.readPhashBands(s, storePath))
+        Fingerprints.readPhashBandsOrEmpty(s, storePath))
     }
     val decided0 = exact
       .join(near.select(col("doc_id"), col("n_hist_bands"),

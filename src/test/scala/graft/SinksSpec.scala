@@ -498,6 +498,40 @@ class SinksSpec extends SparkSpec {
     assert(m2(910013L) == ((0L, 1L)), s"fresh clip: ${m2(910013L)}")
   }
 
+  test("ingest_e2e: multimodal tiers bootstrap against a text-only store") {
+    // a store built by Fingerprints.write has NO phash_bands/ yet —
+    // the first image/clip shard must gate with an EMPTY band set
+    // (nothing is historical), append its accepted bands, and the
+    // next tick must flag reuse: the tier self-bootstraps instead of
+    // crashing at the missing directory
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    def frame(seed: Long) = operators.Multimodal.buildPng(32, 24,
+      operators.Multimodal.plantedLuma(seed, _, _))
+    def clip(seedBase: Long): Seq[Array[Byte]] =
+      (0 until operators.Multimodal.ClipFrames).map(f => frame(seedBase + f))
+    val base = Files.createTempDirectory("graft-ingest-boot")
+    val store = base.resolve("store").toString
+    sources.Fingerprints.write(
+      Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 100L), store, nShards = 2)
+    def tick(rows: Seq[(Long, String, Seq[Array[Byte]])]) =
+      sources.Ingest.gateAndRemember(
+          rows.toDF("doc_id", "text", "frames"), store)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("clip_hist"), r.getAs[Long]("accept")))).toMap
+    val m1 = tick(Seq((920001L, "bootstrap clip document alpha", clip(8000L))))
+    assert(m1(920001L) == ((0L, 1L)),
+      s"first clip vs text-only store must pass: ${m1(920001L)}")
+    val m2 = tick(Seq(
+      (920002L, "bootstrap clip document beta",
+        frame(8000L) +: clip(9000L).tail),
+      (920003L, "bootstrap clip document gamma", clip(10000L))))
+    assert(m2(920002L) == ((1L, 0L)),
+      s"reused sampled frame must flag after bootstrap: ${m2(920002L)}")
+    assert(m2(920003L) == ((0L, 1L)), s"fresh clip: ${m2(920003L)}")
+  }
+
   test("store compaction heals a crash inside the swap window") {
     val all = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("text")).filter(col("doc_id") < 50L)
