@@ -136,21 +136,36 @@ object Similarity {
       val sums = Array.fill(cents.length)(new Array[Double](dim))
       val counts = new Array[Long](cents.length)
       val norms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
-      unit.foreach { u =>
-        var best = 0
-        var bestCos = -2.0
-        var c = 0
-        while (c < cents.length) {
-          var dot = 0.0
-          var i = 0
-          while (i < dim) { dot += u(i) * cents(c)(i); i += 1 }
-          val cos = if (norms(c) == 0) -2.0 else dot / norms(c)
-          if (cos > bestCos) { bestCos = cos; best = c }
-          c += 1
+      // assignment (the O(n·k·dim) term) fans out across driver
+      // cores — each sample's argmin is independent; the ACCUMULATION
+      // stays sequential in sample order, so centroids are
+      // bit-identical to the single-threaded build
+      val snap = cents
+      val best = new Array[Int](unit.length)
+      java.util.stream.IntStream.range(0, unit.length).parallel()
+        .forEach { s =>
+          val u = unit(s)
+          var b = 0
+          var bestCos = -2.0
+          var c = 0
+          while (c < snap.length) {
+            var dot = 0.0
+            var i = 0
+            while (i < dim) { dot += u(i) * snap(c)(i); i += 1 }
+            val cos = if (norms(c) == 0) -2.0 else dot / norms(c)
+            if (cos > bestCos) { bestCos = cos; b = c }
+            c += 1
+          }
+          best(s) = b
         }
+      var s2 = 0
+      while (s2 < unit.length) {
+        val u = unit(s2)
+        val b = best(s2)
         var i = 0
-        while (i < dim) { sums(best)(i) += u(i); i += 1 }
-        counts(best) += 1
+        while (i < dim) { sums(b)(i) += u(i); i += 1 }
+        counts(b) += 1
+        s2 += 1
       }
       cents = cents.zipWithIndex.map { case (old, c) =>
         if (counts(c) == 0) old
@@ -219,24 +234,38 @@ object Similarity {
         .agg(min(col("bucket")).as("bucket"))
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val (c, cosCol) = mode match {
+      val (c, cosCol, qx) = mode match {
         case "float" =>
           (e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")),
-            expr("graft_cosine(q_emb, c_emb)"))
+            expr("graft_cosine(q_emb, c_emb)"), q)
         case "int8" =>
-          (int8Codes(e), expr("graft_cosine_i8(q_emb, c_q)"))
+          (int8Codes(e), expr("graft_cosine_i8(q_emb, c_q)"), q)
         case "pq" =>
           // second bounded driver one-off beside the coarse centroids:
           // the per-subspace codebook (cost doc'd at pqCodebook)
           val (cb, kEff) = pqCodebook(e, PqM, PqK, KmeansIters)
           val cbLit = lit(cb)
+          // classic ADC: the per-query lookup table rides the
+          // BROADCAST side (materialized once per query in the hash
+          // relation), so scoring a candidate is m table adds, not
+          // m*dsub multiply-adds
+          // the code frame is MATERIALIZED once — c_code is referenced
+          // exactly once downstream, so CollapseProject would otherwise
+          // inline the encode kernel into the pair projection and
+          // re-encode every candidate once PER MATCHING QUERY (the
+          // minhash-bands lesson); materializing is also the honest
+          // semantics — this frame IS the serving index sink_ann_index
+          // persists
           (e.select(col("vec_id").as("c_id"),
             call_function("graft_pq_encode",
-              col("embedding"), cbLit, lit(PqM), lit(kEff)).as("c_code")),
-            call_function("graft_pq_cos",
-              col("q_emb"), col("c_code"), cbLit, lit(PqM), lit(kEff)))
+              col("embedding"), cbLit, lit(PqM), lit(kEff)).as("c_code"))
+            .localCheckpoint(),
+            call_function("graft_pq_cos_t",
+              col("qt"), col("c_code"), cbLit, lit(PqM), lit(kEff)),
+            q.withColumn("qt", call_function("graft_pq_table",
+              col("q_emb"), cbLit, lit(PqM), lit(kEff))))
       }
-      val scored = pairs.join(broadcast(q), Seq("q_id")).join(c, Seq("c_id"))
+      val scored = pairs.join(broadcast(qx), Seq("q_id")).join(c, Seq("c_id"))
         .withColumn("cos", round(cosCol, 6))
       // final ranking via the two-phase TopKPerKey heap operator (k rows
       // per key reach the shuffle), same path ann_cosine_topk uses
@@ -548,7 +577,22 @@ object Similarity {
     val dsub = dim / m
     val kEff = math.max(1, math.min(k, sample.length))
     val cb = new Array[Float](m * kEff * dsub)
-    for (j <- 0 until m) {
+    // subspaces are INDEPENDENT Lloyd problems writing disjoint cb
+    // slices — train them in parallel on the driver (the m-way split
+    // is the natural axis; per-subspace work stays sequential, so the
+    // codebook is bit-identical to the sequential build). This is the
+    // op's dominant cost once ADC scoring uses the per-query table:
+    // iters·n·k·dsub ≈ 10⁹ double ops at the sample cap, single-
+    // threaded before.
+    java.util.stream.IntStream.range(0, m).parallel().forEach { j =>
+      trainSubspace(sample, cb, j, dsub, kEff, iters)
+    }
+    (cb, kEff)
+  }
+
+  private def trainSubspace(sample: Array[Array[Double]],
+      cb: Array[Float], j: Int, dsub: Int, kEff: Int, iters: Int): Unit = {
+    {
       val subs = sample.map(v => v.slice(j * dsub, (j + 1) * dsub))
       var cents = subs.take(kEff).map(_.clone())
       for (_ <- 1 to iters) {
@@ -578,7 +622,6 @@ object Similarity {
       for (c <- 0 until kEff; i <- 0 until dsub)
         cb((j * kEff + c) * dsub + i) = cents(c)(i).toFloat
     }
-    (cb, kEff)
   }
 
   private val opPq = Op(
@@ -588,14 +631,22 @@ object Similarity {
       val e = Tables(s, dir, "embeddings")
       val (cb, kEff) = pqCodebook(e, PqM, PqK, KmeansIters)
       val cbLit = lit(cb)
+      // materialized once: c_code is referenced once downstream, and
+      // CollapseProject would otherwise inline the encode kernel into
+      // the scoring projection — re-encoding every candidate once per
+      // query (10x) through the broadcast join
       val codes = e.select(col("vec_id").as("c_id"),
         call_function("graft_pq_encode",
           col("embedding"), cbLit, lit(PqM), lit(kEff)).as("c_code"))
+        .localCheckpoint()
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        // ADC table on the broadcast side: m adds per candidate
+        .withColumn("qt", call_function("graft_pq_table",
+          col("q_emb"), cbLit, lit(PqM), lit(kEff)))
       val scored = codes.join(broadcast(q), col("q_id") =!= col("c_id"))
-        .withColumn("cos", round(call_function("graft_pq_cos",
-          col("q_emb"), col("c_code"), cbLit, lit(PqM), lit(kEff)), 6))
+        .withColumn("cos", round(call_function("graft_pq_cos_t",
+          col("qt"), col("c_code"), cbLit, lit(PqM), lit(kEff)), 6))
       graft.plans.TopK.perKey(scored, Seq("q_id"),
           Seq("cos" -> graft.plans.TopK.Desc, "c_id" -> graft.plans.TopK.Asc), 5)
         .select(col("q_id"), col("c_id"), col("cos"), col("rk"))

@@ -106,6 +106,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.bpeDescriptor)
     ext.injectFunction(GraftFunctions.pqEncodeDescriptor)
     ext.injectFunction(GraftFunctions.pqCosDescriptor)
+    ext.injectFunction(GraftFunctions.pqTableDescriptor)
+    ext.injectFunction(GraftFunctions.pqCosTableDescriptor)
     ext.injectFunction(GraftFunctions.mediaMetaDescriptor)
     ext.injectFunction(GraftFunctions.phraseHitsDescriptor)
     ext.injectFunction(GraftFunctions.spanCorruptDescriptor)
@@ -252,6 +254,27 @@ object GraftFunctions {
       exprs(3).eval().asInstanceOf[Int],
       exprs(4).eval().asInstanceOf[Int]): Expression
 
+  private[plans] val pqTableBuilder =
+    (exprs: Seq[Expression]) => PqTableExpr(exprs.head, evalFloats(exprs(1)),
+      exprs(2).eval().asInstanceOf[Int],
+      exprs(3).eval().asInstanceOf[Int]): Expression
+
+  private[plans] val pqCosTableBuilder =
+    (exprs: Seq[Expression]) => PqCosineTableExpr(exprs.head, exprs(1),
+      evalFloats(exprs(2)),
+      exprs(3).eval().asInstanceOf[Int],
+      exprs(4).eval().asInstanceOf[Int]): Expression
+
+  private[plans] val pqTableDescriptor = (
+    FunctionIdentifier("graft_pq_table"),
+    new ExpressionInfo(classOf[PqTableExpr].getName, "graft_pq_table"),
+    pqTableBuilder)
+
+  private[plans] val pqCosTableDescriptor = (
+    FunctionIdentifier("graft_pq_cos_t"),
+    new ExpressionInfo(classOf[PqCosineTableExpr].getName, "graft_pq_cos_t"),
+    pqCosTableBuilder)
+
   private[plans] val pqEncodeDescriptor = (
     FunctionIdentifier("graft_pq_encode"),
     new ExpressionInfo(classOf[PqEncodeExpr].getName, "graft_pq_encode"),
@@ -378,6 +401,10 @@ object GraftFunctions {
       "graft_pq_encode", pqEncodeBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_pq_cos", pqCosBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_table", pqTableBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_cos_t", pqCosTableBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_deflate_len",
       exprs => DeflateLenExpr(exprs.head),

@@ -90,6 +90,79 @@ case class PqCosineExpr(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_pq_table(q_emb, codebook, m, k)` → array<double>(m·k + 1):
+  * the classic ADC LOOKUP TABLE (Jégou 2011 §: per query, precompute
+  * dot(q_j, centroid_c) for every (subspace j, centroid c) once, plus
+  * the query's squared norm in the last slot). Computed on the
+  * broadcast QUERY side — the hash relation materializes the column
+  * once per query — so the per-candidate ADC drops from m·dsub fused
+  * multiply-adds to m table adds ([[PqCosineTableExpr]]).
+  */
+case class PqTableExpr(child: Expression, codebook: Seq[Float],
+    m: Int, k: Int) extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_table"
+
+  @transient private lazy val table = new PqTable(codebook.toArray, m, k)
+
+  override def nullSafeEval(a: Any): Any =
+    table.queryTable(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqTable", table, classOf[PqTable].getName)
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = $ref.queryTable($a);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqTableExpr =
+    copy(child = newChild)
+}
+
+/** `graft_pq_cos_t(query_table, codes)` → double: ADC cosine from the
+  * precomputed per-query table — m adds + m norm lookups per
+  * candidate. Numerically this groups the dot product by subspace
+  * (each table entry is an i-ordered partial), where the direct
+  * kernel accumulates all m·dsub terms in one running sum — a
+  * last-ulp float difference; fine for the rows-only PQ ops (their
+  * contracts are recall bounds, and stream/store twins share this
+  * same kernel), NOT for a hash-compared op.
+  */
+case class PqCosineTableExpr(left: Expression, right: Expression,
+    codebook: Seq[Float], m: Int, k: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(IntegerType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_cos_t"
+
+  @transient private lazy val table = new PqTable(codebook.toArray, m, k)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    table.cosineFromTable(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqTable", table, classOf[PqTable].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("r")
+      s"""
+        Object $r = $ref.cosineFromTable($a, $b);
+        if ($r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = ((java.lang.Double) $r).doubleValue(); }
+      """
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqCosineTableExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Flat codebook (subspace-major) + the encode/ADC loops. One instance
   * per plan, shared across an executor's tasks.
   */
@@ -148,6 +221,59 @@ final class PqTable(val cb: Array[Float], val m: Int, val k: Int)
       j += 1
     }
     new GenericArrayData(codes)
+  }
+
+  /** Per-query ADC table: [j·k + c] = dot(q_j, centroid_c) (i-ordered
+    * partials), last slot = |q|². NULL on dimension mismatch.
+    */
+  def queryTable(qa: ArrayData): ArrayData = {
+    val q = qa.toFloatArray()
+    if (q.length != m * dsub) return null
+    val out = new Array[Double](m * k + 1)
+    var qn = 0.0
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < k) {
+        val base = (j * k + c) * dsub
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          d += q(j * dsub + i).toDouble * cb(base + i).toDouble
+          i += 1
+        }
+        out(j * k + c) = d
+        c += 1
+      }
+      var i = 0
+      while (i < dsub) {
+        val qi = q(j * dsub + i).toDouble
+        qn += qi * qi
+        i += 1
+      }
+      j += 1
+    }
+    out(m * k) = qn
+    new GenericArrayData(out)
+  }
+
+  /** ADC cosine from a precomputed [[queryTable]]: m adds + m norm
+    * lookups per candidate.
+    */
+  def cosineFromTable(ta: ArrayData, ca: ArrayData): Any = {
+    if (ta.numElements() != m * k + 1 || ca.numElements() != m) return null
+    var dot = 0.0
+    var rn = 0.0
+    var j = 0
+    while (j < m) {
+      val code = ca.getInt(j)
+      if (code < 0 || code >= k) return null
+      dot += ta.getDouble(j * k + code)
+      rn += cnorm2(j * k + code)
+      j += 1
+    }
+    val denom = math.sqrt(ta.getDouble(m * k)) * math.sqrt(rn)
+    if (denom == 0.0) 0.0 else dot / denom
   }
 
   /** cos(q, reconstruction(codes)) without materializing the
