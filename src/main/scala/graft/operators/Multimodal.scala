@@ -316,12 +316,16 @@ object Multimodal {
     (s, dir) => {
       import s.implicits._
       graft.plans.GraftFunctions.register(s)
+      // materialized once: the frame feeds BOTH the band pair search
+      // and the final per-doc join — without the pin each branch
+      // re-runs the payload synthesis AND the full PNG pixel decode
       val hashes = ingest(Tables(s, dir, "documents")
           .select(col("doc_id"), col("text").cast("binary").as("payload"))
           .as[MMIn])
         .toDF()
         .select(col("doc_id"), expr("graft_dhash(payload)").as("simhash"))
         .filter(col("simhash").isNotNull)
+        .localCheckpoint()
       val pairs = Dedup.simhashPairs(hashes, Dedup.SimhashMaxBucket)
         .filter(col("hamming") <= PhashMaxHamming)
       val perDoc = pairs.select(col("a").as("doc_id"), col("hamming"))

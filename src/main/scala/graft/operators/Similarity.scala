@@ -508,7 +508,11 @@ object Similarity {
       val e = Tables(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val scored = int8Codes(e).join(broadcast(q), col("q_id") =!= col("c_id"))
+      // code frame materialized once: c_q is referenced once, so the
+      // int8 quantization (interpreted HOF transform) would otherwise
+      // inline into the pair projection and re-run per matching query
+      val scored = int8Codes(e).localCheckpoint()
+        .join(broadcast(q), col("q_id") =!= col("c_id"))
         .withColumn("cos", round(expr("graft_cosine_i8(q_emb, c_q)"), 6))
       graft.plans.TopK.perKey(scored, Seq("q_id"),
           Seq("cos" -> graft.plans.TopK.Desc, "c_id" -> graft.plans.TopK.Asc), 5)
