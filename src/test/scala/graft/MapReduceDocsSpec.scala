@@ -101,7 +101,9 @@ class MapReduceDocsSpec extends SparkSpec {
       (2L, "aa bb cc dd", "xx yy zz ww"),                  // no unigram match → 0
       (3L, "a b c d", "a b x y"),                          // partial overlap
       (4L, "a", "a b c"),                                  // hl=1: no method4, bp=exp(-2)
-      (5L, "a b c d e f", "a b c"))                        // hyp longer: bp=1
+      (5L, "a b c d e f", "a b c"),                        // hyp longer: bp=1
+      (6L, "a a a b", "a b"),  // CLIPPING bites: c1=min(3,1)+1=2, c2=1
+      (7L, "x x x x", "x"))    // pure repetition: c1=min(4,1)=1
       .toDF("doc_id", "pred", "gt")
       .select($"doc_id", split($"pred", " ").as("pt"), split($"gt", " ").as("gt"))
     val out = MapReduceDocs.bleuScores(fixture).collect()
@@ -109,7 +111,8 @@ class MapReduceDocsSpec extends SparkSpec {
         (r.getAs[Long]("clip1"), r.getAs[Double]("bleu"))).toMap
     val expected = Map(
       1L -> (5L, 1.116747), 2L -> (0L, 0.0), 3L -> (2L, 0.258474),
-      4L -> (1L, 0.026045), 5L -> (3L, 0.324162))
+      4L -> (1L, 0.026045), 5L -> (3L, 0.324162),
+      6L -> (2L, 0.258474), 7L -> (1L, 0.139472))
     expected.foreach { case (id, (c1, b)) =>
       assert(out(id)._1 == c1, s"doc $id clip1 ${out(id)._1} != $c1")
       assert(math.abs(out(id)._2 - b) < 1e-6, s"doc $id bleu ${out(id)._2} != $b")
