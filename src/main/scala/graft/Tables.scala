@@ -50,17 +50,32 @@ object Tables {
     * become an unconditional repartition (that exchange would carry
     * the corpus text; the Dedup signature-build history).
     *
-    * Batch-only: `d.rdd` forces a physical plan (pre-AQE partition
-    * count — exactly the scan split count we want to test) and would
-    * throw on a streaming frame, so streaming callers are refused
-    * up front with a clear message.
+    * Batch-only: physical planning is undefined on a streaming frame,
+    * so streaming callers are refused up front with a clear message.
+    *
+    * The split count is read from the LEAF file scans only — never
+    * `d.rdd`, which would convert the ENTIRE plan to an RDD chain
+    * pre-AQE (freezing shuffle partitioning decisions AQE would
+    * otherwise make). `FileSourceScanExec.inputRDD` is the leaf's lazy
+    * FileScanRDD: building it runs no job and plans nothing above the
+    * scan, and its partition count IS the parquet split count we are
+    * testing. Non-file leaves (localCheckpoint RDD scans) report their
+    * own RDD's count; any other leaf is assumed balanced (no exchange
+    * added — the conservative direction, per the scaladoc above).
     */
   def rebalance(d: DataFrame): DataFrame = {
     require(!d.isStreaming,
-      "Tables.rebalance is batch-only (d.rdd is undefined on a " +
-        "streaming DataFrame); streaming sources size partitions " +
+      "Tables.rebalance is batch-only (physical planning is undefined " +
+        "on a streaming DataFrame); streaming sources size partitions " +
         "via maxFilesPerTrigger / source options instead")
     val par = d.sparkSession.sparkContext.defaultParallelism
-    if (d.rdd.getNumPartitions < par) d.repartition(par) else d
+    val leafParts = d.queryExecution.sparkPlan.collectLeaves().map {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.inputRDD.getNumPartitions
+      case r: org.apache.spark.sql.execution.RDDScanExec =>
+        r.rdd.getNumPartitions
+      case _ => par
+    }
+    if (leafParts.nonEmpty && leafParts.max < par) d.repartition(par) else d
   }
 }

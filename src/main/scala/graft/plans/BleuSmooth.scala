@@ -68,6 +68,13 @@ object BleuCounts {
     * scale). Gram identity is the exact space-joined string both
     * the old shape and the DuckDB oracle build; cn = Σ_gram
     * min(count_hyp, count_ref) per order.
+    *
+    * PRECONDITION (ADVICE r12): callers feed NON-EMPTY token arrays.
+    * The legacy explode shape emitted NO row for an empty array; this
+    * kernel (like shingleSet) emits a zero-count row for it. Every
+    * in-repo tokenizer (`split` on a non-null string) satisfies the
+    * precondition — a future caller whose tokenizer can yield `[]`
+    * must filter empties first or accept the extra zero row.
     */
   def counts(p: ArrayData, g: ArrayData): ArrayData = {
     val np = p.numElements()

@@ -205,8 +205,15 @@ object GopherRepetition {
     val out = new Array[Long](2)
     val g = m - n + 1
     if (n >= 1 && g >= 1) {
-      val (tokId, _) = intern(toks, m)
-      val (gkeys, gcnt, _, gcap) = countGrams(tokId, null, m, n)
+      val (tokId, tokChars) = intern(toks, m)
+      // same (hash, len) gram identity as signals() — the char-prefix
+      // collision guard must be consistent across the two expressions
+      // (ADVICE r12), or a 64-bit collision would merge grams here
+      // while signals() keeps them apart
+      val prefix = new Array[Long](m + 1)
+      var i = 0
+      while (i < m) { prefix(i + 1) = prefix(i) + tokChars(i); i += 1 }
+      val (gkeys, gcnt, _, gcap) = countGrams(tokId, prefix, m, n)
       var top = 0
       var p = 0
       while (p < gcap) {

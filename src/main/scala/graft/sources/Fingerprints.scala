@@ -35,6 +35,67 @@ import org.apache.spark.sql.functions._
   */
 object Fingerprints {
 
+  /** Store format version, recorded as a `_graft_format` marker file
+    * at the store root (ADVICE r12). Version history:
+    *
+    *   - (unversioned) — minhash signatures hashed the UTF-8→UTF-16→
+    *     UTF-8 round-trip of shingle bytes (malformed sequences
+    *     replaced with U+FFFD before hashing).
+    *   - 2 — minhash signatures hash RAW shingle bytes
+    *     (plans.SignatureKernels direct byte copy). Identical on
+    *     valid UTF-8; a `bands/` frame built from an invalid-UTF-8
+    *     corpus under the old scheme will NOT collide with the same
+    *     doc's new signature.
+    *
+    * Readers refuse a store whose marker is missing or older — the
+    * silent failure mode is an incremental-dedup gate that quietly
+    * stops matching history, which is strictly worse than a loud
+    * rebuild request.
+    */
+  val FormatVersion = 2
+
+  private def markerPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_graft_format")
+
+  private def writeMarker(spark: SparkSession, path: String): Unit = {
+    val p = markerPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      val out = fs.create(p, true)
+      out.write(FormatVersion.toString.getBytes("UTF-8"))
+      out.close()
+    }
+  }
+
+  /** One bounded driver-side FS probe per store open: missing marker
+    * on a non-empty store ⇒ built before versioning ⇒ signatures may
+    * predate the raw-byte minhash change ⇒ rebuild. A store root that
+    * does not exist at all passes (nothing is historical yet — the
+    * readPhashBandsOrEmpty bootstrap path).
+    */
+  private def checkFormat(spark: SparkSession, path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) {
+      val p = markerPath(path)
+      val ver =
+        if (!fs.exists(p)) -1
+        else {
+          val in = fs.open(p)
+          val buf = new Array[Byte](16)
+          val n = math.max(0, in.read(buf))
+          in.close()
+          scala.util.Try(new String(buf, 0, n, "UTF-8").trim.toInt)
+            .getOrElse(-1)
+        }
+      require(ver == FormatVersion,
+        s"fingerprint store at $path has format version " +
+          s"${if (ver < 0) "<unversioned>" else ver}, this build reads " +
+          s"$FormatVersion (raw-byte minhash signatures); rebuild the " +
+          "store with Fingerprints.write before gating against it")
+    }
+  }
+
   private def writeFrames(docs: DataFrame, path: String, nShards: Int,
       mode: String): Unit = {
     def shard(df: DataFrame, key: String, sub: String): Unit =
@@ -46,6 +107,7 @@ object Fingerprints {
     shard(Dedup.minhashSigs(docs)
       .select(explode(col("bands")).as("band_val")), "band_val", "bands")
     shard(Dedup.spanHashes(docs).select(col("h")), "h", "spans")
+    writeMarker(docs.sparkSession, path)
   }
 
   def write(hist: DataFrame, path: String, nShards: Int = 4): Unit =
@@ -61,8 +123,10 @@ object Fingerprints {
     * history — at 100 TB a dedup-on-write would re-pay the store
     * scan per ingest tick for no semantic gain.
     */
-  def append(shard: DataFrame, path: String, nShards: Int = 1): Unit =
+  def append(shard: DataFrame, path: String, nShards: Int = 1): Unit = {
+    checkFormat(shard.sparkSession, path)
     writeFrames(shard, path, nShards, "append")
+  }
 
   /** Log-structured COMPACTION — the other half of the append story:
     * many ingest ticks leave many small shard files (and cross-shard
@@ -129,12 +193,18 @@ object Fingerprints {
           org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
-  def readContent(spark: SparkSession, path: String): DataFrame =
+  def readContent(spark: SparkSession, path: String): DataFrame = {
+    checkFormat(spark, path)
     spark.read.parquet(s"$path/content")
+  }
 
-  def readBands(spark: SparkSession, path: String): DataFrame =
+  def readBands(spark: SparkSession, path: String): DataFrame = {
+    checkFormat(spark, path)
     spark.read.parquet(s"$path/bands")
+  }
 
-  def readSpans(spark: SparkSession, path: String): DataFrame =
+  def readSpans(spark: SparkSession, path: String): DataFrame = {
+    checkFormat(spark, path)
     spark.read.parquet(s"$path/spans")
+  }
 }

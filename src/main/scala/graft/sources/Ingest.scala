@@ -29,8 +29,13 @@ object Ingest {
   /** One tick: gate `shard` against the store at `storePath`, append
     * the accepted docs' fingerprints, return the per-doc decision
     * frame (doc_id, bloom_pass, is_exact_dup, n_hist_bands,
-    * near_hist, n_img_bands, img_hist, n_clip_bands, clip_hist,
-    * accept).
+    * near_hist, n_img_bands, img_hist, img_decoded, n_clip_bands,
+    * clip_hist, n_clip_sampled, n_clip_decoded, accept).
+    * `img_decoded` / `n_clip_decoded` are the decode audit: a doc
+    * whose payload (or whose EVERY sampled frame) is undecodable
+    * cannot be probed against the perceptual store, so it reaches
+    * `accept` with img_hist/clip_hist = 0 — these columns let the
+    * caller quarantine that blind spot instead of trusting it.
     *
     * If the shard carries a binary `payload` column, image rows
     * (PNG-decodable — graft_dhash yields null otherwise) also probe
@@ -58,13 +63,13 @@ object Ingest {
       Fingerprints.readBands(s, storePath))
     // image tier: decode arriving pixels ONCE (localCheckpoint — the
     // same frame feeds the probe and the accepted-band append)
-    val imgHashes = if (shard.columns.contains("payload")) {
+    val imgAll = if (shard.columns.contains("payload")) {
       graft.plans.GraftFunctions.register(s)
       Some(shard.select(col("doc_id"),
           expr("graft_dhash(payload)").as("phash"))
-        .filter(col("phash").isNotNull)
         .localCheckpoint())
     } else None
+    val imgHashes = imgAll.map(_.filter(col("phash").isNotNull))
     val imgProbe = imgHashes.map { h =>
       graft.operators.Multimodal.phashProbe(h,
           Fingerprints.readPhashBandsOrEmpty(s, storePath))
@@ -73,13 +78,24 @@ object Ingest {
     }
     // clip tier: stride-sample, THEN decode only survivors (the
     // mm_frames contract), once (localCheckpoint — probe + append)
-    val clipHashes = if (shard.columns.contains("frames")) {
+    val clipSampled = if (shard.columns.contains("frames")) {
       graft.plans.GraftFunctions.register(s)
       Some(graft.operators.Multimodal.sampleFrames(
           shard.select(col("doc_id"), col("frames")))
-        .filter(col("frame_hash").isNotNull)
         .localCheckpoint())
     } else None
+    val clipHashes = clipSampled.map(_.filter(col("frame_hash").isNotNull))
+    // decode audit (ADVICE r12): a clip whose sampled frames are ALL
+    // undecodable emits no probe row and would otherwise sail through
+    // the firewall untested (clip_hist = 0). Surface the per-doc
+    // sampled/decoded counts so callers can quarantine
+    // n_clip_decoded = 0 < n_clip_sampled shards; same audit for the
+    // image tier (img_decoded 0/1). `accept` semantics are unchanged —
+    // quarantine policy is the caller's (an undecodable payload may be
+    // a legitimate non-image format, not corruption).
+    val clipCounts = clipSampled.map(_.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_clip_sampled"),
+        count(col("frame_hash")).as("n_clip_decoded")))
     val clipProbe = clipHashes.map { h =>
       graft.operators.Multimodal.clipProbe(h,
         Fingerprints.readPhashBandsOrEmpty(s, storePath))
@@ -89,17 +105,29 @@ object Ingest {
         col("near_hist")), Seq("doc_id"))
     val withImg = imgProbe.fold(
         decided0.withColumn("n_img_bands", lit(0L))
-          .withColumn("img_hist", lit(0L))) { p =>
+          .withColumn("img_hist", lit(0L))
+          .withColumn("img_decoded", lit(0L))) { p =>
         decided0.join(p, Seq("doc_id"), "left")
+          .join(imgAll.get.select(col("doc_id"),
+            when(col("phash").isNotNull, 1L).otherwise(0L)
+              .as("img_decoded")), Seq("doc_id"), "left")
           .withColumn("n_img_bands", coalesce(col("n_img_bands"), lit(0L)))
           .withColumn("img_hist", coalesce(col("img_hist"), lit(0L)))
+          .withColumn("img_decoded", coalesce(col("img_decoded"), lit(0L)))
       }
     val decided = clipProbe.fold(
         withImg.withColumn("n_clip_bands", lit(0L))
-          .withColumn("clip_hist", lit(0L))) { p =>
+          .withColumn("clip_hist", lit(0L))
+          .withColumn("n_clip_sampled", lit(0L))
+          .withColumn("n_clip_decoded", lit(0L))) { p =>
         withImg.join(p, Seq("doc_id"), "left")
+          .join(clipCounts.get, Seq("doc_id"), "left")
           .withColumn("n_clip_bands", coalesce(col("n_clip_bands"), lit(0L)))
           .withColumn("clip_hist", coalesce(col("clip_hist"), lit(0L)))
+          .withColumn("n_clip_sampled",
+            coalesce(col("n_clip_sampled"), lit(0L)))
+          .withColumn("n_clip_decoded",
+            coalesce(col("n_clip_decoded"), lit(0L)))
       }
       .withColumn("accept",
         when(col("is_exact_dup") === 0L && col("near_hist") === 0L
