@@ -86,7 +86,7 @@ object RecallAudit {
       "ann_ivf_pq" -> recall(brute3, approxTopK("ann_ivf_pq", 3)),
       "ann_filtered" -> recall(brute3f, approxTopK("ann_filtered", 3)))
     // the over-probe dial: recall vs probed fraction on the float IVF
-    // path (probeBoost multiplies NProbe; scan cost is proportional)
+    // path (probeBoost multiplies nprobeFor(k); scan cost is proportional)
     def boosted(boost: Int): Map[Long, Set[Long]] =
       operators.Similarity.ivfRank(spark, sfDir, "float", None, boost)
         .filter(col("rk") <= 3)

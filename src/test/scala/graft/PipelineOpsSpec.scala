@@ -384,6 +384,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(operators.Similarity.ivfK(0L) >= 4)
   }
 
+  test("ann_ivf: probe count scales with the cell count (constant probed fraction)") {
+    import operators.Similarity.{nprobeFor, ivfK, NProbeMin, ProbeFrac, KmeansMaxK}
+    // the shipped formula, pinned: nprobe(k) = max(3, ceil(k/6))
+    assert(NProbeMin == 3 && math.abs(ProbeFrac - 1.0 / 6.0) < 1e-12)
+    assert(nprobeFor(16) == 3)   // fixture/oracle scale — unchanged plans
+    assert(nprobeFor(31) == 6)   // sf0.1
+    assert(nprobeFor(98) == 17)  // sf1
+    assert(nprobeFor(KmeansMaxK) == 683) // at the centroid cap
+    // the scale-safety property itself: probed fraction never falls
+    // below ProbeFrac, at any corpus size up to and past the cap —
+    // this is what retired the r12 fixed-nprobe recall decay
+    Seq(500L, 2000L, 20000L, 1000000L, 100000000L, 10000000000L)
+      .foreach { n =>
+        val k = ivfK(n)
+        assert(nprobeFor(k) >= k * ProbeFrac - 1e-9,
+          s"probed fraction decays at n=$n (k=$k, nprobe=${nprobeFor(k)})")
+      }
+  }
+
   test("seq_pack: fragments tile fixed-length sequences exactly") {
     // scrambled ids so the Lehmer hash actually reorders the corpus;
     // token counts chosen to cross sequence boundaries and leave a
@@ -563,9 +582,11 @@ class PipelineOpsSpec extends SparkSpec {
     val plan = ivf.queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerKey"), plan)
     assert(ivf.select("q_id").distinct().count() == 10)
-    // each surviving pair records one (min) probed cell id
-    assert(ivf.select("q_id", "bucket").distinct().count() <=
-      10L * operators.Similarity.NProbe)
+    // each surviving pair records one (min) probed cell id; the probe
+    // budget comes from the scale-safe formula nprobeFor(ivfK(n))
+    val npIvf = operators.Similarity.nprobeFor(
+      operators.Similarity.ivfK(Tables(spark, sfDir, "embeddings").count()))
+    assert(ivf.select("q_id", "bucket").distinct().count() <= 10L * npIvf)
     // real recall bound: of each query's brute-force top-3, k-means IVF
     // with Rep=2 boundary replication and NProbe=3 must recover >= 60%
     // overall. Measured ≈0.83 on the (structure-less, worst-case for
@@ -655,10 +676,11 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVFADC recall $recall < 0.5 vs float IVF")
     assert(ivfadc.select("q_id").distinct().count() == 10)
     // candidates are restricted to probed cells: every surviving pair
-    // records its (min) probed bucket, and per query at most NProbe
-    // distinct cells appear — the scan-prune contract
-    assert(ivfadc.select("q_id", "bucket").distinct().count() <=
-      10L * operators.Similarity.NProbe)
+    // records its (min) probed bucket, and per query at most
+    // nprobeFor(ivfK(n)) distinct cells appear — the scan-prune contract
+    val npAdc = operators.Similarity.nprobeFor(
+      operators.Similarity.ivfK(Tables(spark, sfDir, "embeddings").count()))
+    assert(ivfadc.select("q_id", "bucket").distinct().count() <= 10L * npAdc)
     // ranking runs through the two-phase heap operator, and the final
     // scoring side carries PQ codes (c_code), never float embeddings
     val plan = ivfadc.queryExecution.executedPlan
