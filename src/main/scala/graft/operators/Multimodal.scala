@@ -125,6 +125,91 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** A complete, DECODABLE baseline JPEG (r13): SOI, APP0/JFIF, DQT,
+    * two DHTs, SOF0, SOS and REAL entropy-coded data — every pixel of
+    * 8×8 block (bx, by) is the constant `blockLuma(bx, by)`, encoded
+    * as three 4:4:4 YCbCr components with gray chroma (Cb = Cr = 128).
+    * Block-constant content makes every coefficient block DC-only, and
+    * with the DC quant step at 8 the DCT round-trip is EXACT in any
+    * compliant decoder (DC = 8·(v−128), quantized = v−128, IDCT of a
+    * DC-only block = DC/8 + 128 = v): the planted truth survives the
+    * lossy format, which is what lets the DuckDB oracles replay JPEG
+    * decode as doc_id arithmetic. javax.imageio decodes the result to
+    * exactly the planted blocks (spec-verified). Huffman tables are
+    * minimal custom canonical tables declared in the DHT segments
+    * (12 DC categories at length 5; EOB alone in the AC table).
+    */
+  private[graft] def buildJpegReal(w: Int, h: Int,
+      blockLuma: (Int, Int) => Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def m(b: Int*): Unit = b.foreach(x => out.write(x & 0xff))
+    m(0xff, 0xd8) // SOI
+    m(0xff, 0xe0, 0, 16) // APP0
+    out.write("JFIF".getBytes("US-ASCII"))
+    m(0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+    // DQT id 0: zigzag DC step 8 (exact DC round-trip), AC steps 16
+    m(0xff, 0xdb, 0, 67, 0x00)
+    m(8); (1 until 64).foreach(_ => m(16))
+    // DHT DC id 0: 12 category symbols, all at code length 5
+    m(0xff, 0xc4, 0, 2 + 17 + 12, 0x00)
+    m(0, 0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    (0 to 11).foreach(m(_))
+    // DHT AC id 0: the single EOB symbol (0x00) at code length 1
+    m(0xff, 0xc4, 0, 2 + 17 + 1, 0x10)
+    m(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    m(0x00)
+    // SOF0: 8-bit, 3 components, 1×1 sampling, quant table 0
+    m(0xff, 0xc0, 0, 8 + 9, 8,
+      (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff, 3)
+    (1 to 3).foreach(c => m(c, 0x11, 0))
+    // SOS: all components on tables (0, 0)
+    m(0xff, 0xda, 0, 12, 3)
+    (1 to 3).foreach(c => m(c, 0x00))
+    m(0, 0x3f, 0)
+    // entropy data: MCU = one 8×8 block per component (4:4:4);
+    // DC-category codes are length-5 canonical (category = code value),
+    // EOB is the single bit 0
+    var acc = 0L
+    var nbits = 0
+    def putBits(v: Int, n: Int): Unit = {
+      acc = (acc << n) | (v & ((1L << n) - 1))
+      nbits += n
+      while (nbits >= 8) {
+        val byte = ((acc >> (nbits - 8)) & 0xff).toInt
+        out.write(byte)
+        if (byte == 0xff) out.write(0x00) // stuffing
+        nbits -= 8
+      }
+    }
+    def category(d: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(d))
+    def putDc(diff: Int): Unit = {
+      val t = category(diff)
+      putBits(t, 5) // DC huffman: category == canonical length-5 code
+      if (t > 0) putBits(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+    }
+    val mcusX = (w + 7) / 8
+    val mcusY = (h + 7) / 8
+    var predY = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        val v = blockLuma(mx, my) & 0xff
+        putDc((v - 128) - predY) // Y block: DC-only
+        predY = v - 128
+        putBits(0, 1) // EOB
+        // Cb, Cr: constant 128 → DC 0, diff 0, category 0
+        putDc(0); putBits(0, 1)
+        putDc(0); putBits(0, 1)
+        mx += 1
+      }
+      my += 1
+    }
+    if (nbits > 0) putBits((1 << (8 - nbits)) - 1, 8 - nbits) // pad with 1s
+    m(0xff, 0xd9) // EOI
+    out.toByteArray
+  }
+
   /** A complete RIFF/WAVE PCM file: fmt chunk with real channel count,
     * sample rate, byte rate, block align and bit depth; data chunk
     * carries the given bytes (padded to sample alignment).
@@ -158,10 +243,14 @@ object Multimodal {
     * so the spec can recompute what the header parser must report.
     */
   private[graft] def plantedFormat(id: Long): Long = id % 3 // 0 png, 1 jpeg, 2 wav
+  /** JPEG dims sit on a distinct small branch (≤ 96×72, r13): planted
+    * JPEGs now carry REAL entropy data the oracles replay pixel by
+    * pixel, so the old header-only 640×480 branch would make the
+    * DuckDB pixel-replay frames ~50× the size of everything else. */
   private[graft] def plantedW(id: Long): Int =
-    if (id % 3 == 0) (id % 64 + 1).toInt else (id % 640 + 1).toInt
+    if (id % 3 == 0) (id % 64 + 1).toInt else (id % 96 + 1).toInt
   private[graft] def plantedH(id: Long): Int =
-    if (id % 3 == 0) (id % 48 + 1).toInt else (id % 480 + 1).toInt
+    if (id % 3 == 0) (id % 48 + 1).toInt else (id % 72 + 1).toInt
   private[graft] def plantedChannels(id: Long): Int = (id % 2 + 1).toInt
   private[graft] def plantedRate(id: Long): Int = 8000 + (id % 8).toInt * 4000
 
@@ -171,7 +260,11 @@ object Multimodal {
       // seeded per-doc pixel content: headers (mm_meta's surface) are
       // unchanged, but mm_phash gets images that actually differ
       case 0 => buildPng(plantedW(id), plantedH(id), plantedLuma(id, _, _))
-      case 1 => buildJpeg(plantedW(id), plantedH(id), 3)
+      // real baseline JPEG (r13): 8×8-block-constant planted luma, so
+      // the lossy format round-trips the planted truth exactly and the
+      // decode oracles cover the JPEG tier too
+      case 1 => buildJpegReal(plantedW(id), plantedH(id),
+        plantedLuma(id, _, _))
       case _ => buildWav(plantedChannels(id), plantedRate(id), 16, r.payload)
     }
     MMRaw(id, payload, batch.size.toLong)
@@ -224,9 +317,9 @@ object Multimodal {
         CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
           ELSE 'wav' END AS format,
         CAST(CASE doc_id % 3 WHEN 0 THEN doc_id % 64 + 1
-          WHEN 1 THEN doc_id % 640 + 1 ELSE 0 END AS BIGINT) AS width,
+          WHEN 1 THEN doc_id % 96 + 1 ELSE 0 END AS BIGINT) AS width,
         CAST(CASE doc_id % 3 WHEN 0 THEN doc_id % 48 + 1
-          WHEN 1 THEN doc_id % 480 + 1 ELSE 0 END AS BIGINT) AS height,
+          WHEN 1 THEN doc_id % 72 + 1 ELSE 0 END AS BIGINT) AS height,
         CAST(CASE doc_id % 3 WHEN 2 THEN doc_id % 2 + 1
           ELSE 3 END AS BIGINT) AS channels,
         CAST(CASE doc_id % 3 WHEN 2 THEN 8000 + (doc_id % 8) * 4000
@@ -355,9 +448,14 @@ object Multimodal {
   private def phashOracleSql: String = {
     s"""
       WITH dims AS (
-        SELECT doc_id, doc_id % 64 + 1 AS w, doc_id % 48 + 1 AS h,
-          doc_id AS seed
-        FROM documents WHERE doc_id % 3 = 0
+        SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN doc_id % 64 + 1
+            ELSE doc_id % 96 + 1 END AS w,
+          CASE WHEN doc_id % 3 = 0 THEN doc_id % 48 + 1
+            ELSE doc_id % 72 + 1 END AS h,
+          doc_id AS seed,
+          CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 8 END AS bs
+        FROM documents WHERE doc_id % 3 IN (0, 1)
       ), ${PlantedSql.blockMeans(Seq("doc_id"), 9, 8)}, ph AS (
         ${PlantedSql.dhashFold(Seq("doc_id"), "phash")}
       ), bands AS (
@@ -497,9 +595,12 @@ object Multimodal {
         s" * $b) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $M64"
     def xorShift(v: String, n: Int): String =
       s"CAST(xor(CAST($v AS UBIGINT), CAST($v AS UBIGINT) >> $n) AS HUGEINT)"
+    // `bs` is the planted BLOCK SCALE: 1 for PNG (per-pixel planting),
+    // 8 for real baseline JPEG (8×8-block-constant planting — the
+    // shape whose DCT round-trip is exact, see buildJpegReal)
     val z0: String =
-      s"((CAST(seed AS HUGEINT) * $P1 + CAST(x AS HUGEINT) * $P2" +
-        s" + CAST(y AS HUGEINT) * $P3) % $M64)"
+      s"((CAST(seed AS HUGEINT) * $P1 + CAST(x // bs AS HUGEINT) * $P2" +
+        s" + CAST(y // bs AS HUGEINT) * $P3) % $M64)"
     val z2: String = mulmod(xorShift(mulmod(xorShift(z0, 30), P2), 27), P3)
 
     /** The shared pixel-replay chain, ONE copy for all three oracles
@@ -512,7 +613,7 @@ object Multimodal {
       val dkeys = keys.map("d." + _).mkString(", ")
       val ks = keys.mkString(", ")
       s"""cells AS (
-        SELECT $dkeys, d.seed, cy.cy, cx.cx,
+        SELECT $dkeys, d.seed, d.bs, cy.cy, cx.cx,
           (cx.cx * d.w) // $gw AS x0,
           greatest((cx.cx * d.w) // $gw + 1,
             ((cx.cx + 1) * d.w) // $gw) AS x1,
@@ -523,11 +624,11 @@ object Multimodal {
         CROSS JOIN (SELECT unnest(range($gh)) AS cy) cy
         CROSS JOIN (SELECT unnest(range($gw)) AS cx) cx
       ), px AS (
-        SELECT $ks, seed, cy, cx, y0, y1,
+        SELECT $ks, seed, bs, cy, cx, y0, y1,
           unnest(range(x0, x1)) AS x
         FROM cells
       ), pxy AS (
-        SELECT $ks, seed, cy, cx, x,
+        SELECT $ks, seed, bs, cy, cx, x,
           unnest(range(y0, y1)) AS y
         FROM px
       ), lum AS (
@@ -575,21 +676,27 @@ object Multimodal {
   private def resizeOracleSql: String = {
     s"""
       WITH dims AS (
-        SELECT doc_id, doc_id % 64 + 1 AS w, doc_id % 48 + 1 AS h,
-          doc_id AS seed
-        FROM documents WHERE doc_id % 3 = 0
+        SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN doc_id % 64 + 1
+            ELSE doc_id % 96 + 1 END AS w,
+          CASE WHEN doc_id % 3 = 0 THEN doc_id % 48 + 1
+            ELSE doc_id % 72 + 1 END AS h,
+          doc_id AS seed,
+          CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 8 END AS bs
+        FROM documents WHERE doc_id % 3 IN (0, 1)
       ), ${PlantedSql.blockMeans(Seq("doc_id"), ThumbW, ThumbH)}, hexed AS (
         SELECT doc_id,
           string_agg(lpad(hex(mean), 2, '0'), '' ORDER BY cy, cx) AS hx
         FROM cm GROUP BY doc_id
       )
       SELECT d.doc_id,
-        CAST(CASE WHEN d.doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS ok,
+        CAST(CASE WHEN d.doc_id % 3 IN (0, 1) THEN 1 ELSE 0 END AS BIGINT)
+          AS ok,
         CAST($ThumbW AS BIGINT) AS thumb_w,
         CAST($ThumbH AS BIGINT) AS thumb_h,
-        CASE WHEN d.doc_id % 3 = 0
+        CASE WHEN d.doc_id % 3 IN (0, 1)
           THEN CAST(${ThumbW * ThumbH} AS BIGINT) ELSE NULL END AS thumb_len,
-        CASE WHEN d.doc_id % 3 = 0 THEN md5(h.hx) ELSE NULL END
+        CASE WHEN d.doc_id % 3 IN (0, 1) THEN md5(h.hx) ELSE NULL END
           AS thumb_digest
       FROM documents d LEFT JOIN hexed h ON d.doc_id = h.doc_id"""
   }
@@ -702,7 +809,7 @@ object Multimodal {
       ), dims AS (
         SELECT doc_id, frame_idx,
           doc_id % 64 + 1 AS w, doc_id % 48 + 1 AS h,
-          doc_id * $ClipFrames + frame_idx AS seed
+          doc_id * $ClipFrames + frame_idx AS seed, 1 AS bs
         FROM fr
       ), ${PlantedSql.blockMeans(Seq("doc_id", "frame_idx"), 9, 8)}, hashed AS (
         ${PlantedSql.dhashFold(Seq("doc_id", "frame_idx"), "frame_hash")}

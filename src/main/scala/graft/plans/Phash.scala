@@ -104,11 +104,16 @@ object Phash {
     java.lang.Long.valueOf(hash)
   }
 
-  /** Full PNG pixel decode to integer luma, or null when the payload
-    * is not a baseline 8-bit gray/RGB/RGBA non-interlaced PNG.
+  /** Pixel decode to integer luma: full PNG decode for baseline 8-bit
+    * gray/RGB/RGBA non-interlaced PNGs, baseline-JPEG Huffman+IDCT
+    * decode (plans.Jpeg) for FFD8 payloads — one dispatch point, so
+    * every luma consumer (dHash, resize, the ingest firewall) covers
+    * both image formats. Null for anything else.
     */
   private[plans] def decodeGray(b: Array[Byte]): (Array[Int], Int, Int) = {
     if (b == null || b.length < 45) return null
+    if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+      return Jpeg.decodeLuma(b)
     var i = 0
     while (i < 8) { if (b(i) != Sig(i)) return null; i += 1 }
     def u32(p: Int): Long =

@@ -2669,11 +2669,12 @@ class PipelineOpsSpec extends SparkSpec {
     val tt = graft.plans.LumaResize.resize(
       Multimodal.buildPng(3, 2, lum), tw, th)
     assert(tt != null && tt.length == tw * th)
-    // op shape: PNG-formatted docs resize, others surface ok=0
+    // op shape: image-formatted docs (PNG and, since r13, real
+    // baseline JPEG) resize; WAV docs surface ok=0
     val op = run("mm_resize").collect()
     assert(op.nonEmpty)
     op.foreach { r =>
-      if (r.getAs[Long]("doc_id") % 3 == 0)
+      if (r.getAs[Long]("doc_id") % 3 != 2)
         assert(r.getAs[Long]("ok") == 1L &&
           r.getAs[Long]("thumb_len") == tw.toLong * th, s"$r")
       else assert(r.getAs[Long]("ok") == 0L &&
@@ -2834,7 +2835,8 @@ class PipelineOpsSpec extends SparkSpec {
     val out = run("mm_phash").collect()
     assert(out.nonEmpty)
     out.foreach { r =>
-      assert(r.getAs[Long]("doc_id") % 3 == 0, "only PNG docs carry a phash")
+      assert(r.getAs[Long]("doc_id") % 3 != 2,
+        "only image (PNG/JPEG) docs carry a phash")
       val mh = r.getAs[Long]("min_hamming")
       assert(mh == -1L || (mh >= 0L && mh <= Multimodal.PhashMaxHamming))
       assert((mh == -1L) == (r.getAs[Long]("n_near_dups") == 0L))
