@@ -424,6 +424,10 @@ object GraftFunctions {
       exprs => DHashExpr(exprs.head),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ahash",
+      exprs => AudioHashExpr(exprs.head),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_span_corrupt",
       exprs => SpanCorruptExpr(exprs.head, exprs(1)),
       "built-in")

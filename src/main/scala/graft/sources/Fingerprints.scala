@@ -156,20 +156,23 @@ object Fingerprints {
       }
 
   /** Multimodal extension of the store: distinct 16-bit hamming-band
-    * keys of the corpus's perceptual hashes (mm_phash) — the image
-    * half of the ingest firewall. `hashes` is a (…, phash) frame;
-    * history pixels are decoded exactly once, here.
+    * keys of perceptual hashes — `phash_bands/` holds the image+clip
+    * dHash space (mm_phash), `ahash_bands/` (r13) the audio
+    * energy-envelope space (mm_audio); both reuse ONE band layout.
+    * `hashes` is a (…, phash) frame; history payloads are decoded
+    * exactly once, here.
     */
   def writePhashBands(hashes: DataFrame, path: String, nShards: Int = 1,
-      mode: String = "overwrite"): Unit =
+      mode: String = "overwrite", sub: String = "phash_bands"): Unit =
     graft.operators.Multimodal.phashBandRows(hashes)
       .select(col("band_id"), col("band_key")).distinct()
       .repartitionByRange(nShards, col("band_id"), col("band_key"))
       .sortWithinPartitions(col("band_id"), col("band_key"))
-      .write.mode(mode).parquet(s"$path/phash_bands")
+      .write.mode(mode).parquet(s"$path/$sub")
 
-  def readPhashBands(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/phash_bands")
+  def readPhashBands(spark: SparkSession, path: String,
+      sub: String = "phash_bands"): DataFrame =
+    spark.read.parquet(s"$path/$sub")
 
   /** [[readPhashBands]], tolerating a store with no perceptual tier
     * yet: a text-history store (write() builds content/bands/spans
@@ -180,10 +183,11 @@ object Fingerprints {
     * filesystem call against the store root — the same class of
     * bounded driver lookup as the counted broadcast guards.
     */
-  def readPhashBandsOrEmpty(spark: SparkSession, path: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/phash_bands")
+  def readPhashBandsOrEmpty(spark: SparkSession, path: String,
+      sub: String = "phash_bands"): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) readPhashBands(spark, path)
+    if (fs.exists(p)) readPhashBands(spark, path, sub)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(

@@ -29,8 +29,9 @@ object Ingest {
   /** One tick: gate `shard` against the store at `storePath`, append
     * the accepted docs' fingerprints, return the per-doc decision
     * frame (doc_id, bloom_pass, is_exact_dup, n_hist_bands,
-    * near_hist, n_img_bands, img_hist, img_decoded, n_clip_bands,
-    * clip_hist, n_clip_sampled, n_clip_decoded, accept).
+    * near_hist, n_img_bands, img_hist, img_decoded, n_audio_bands,
+    * audio_hist, audio_decoded, n_clip_bands, clip_hist,
+    * n_clip_sampled, n_clip_decoded, accept).
     * `img_decoded` / `n_clip_decoded` are the decode audit: a doc
     * whose payload (or whose EVERY sampled frame) is undecodable
     * cannot be probed against the perceptual store, so it reaches
@@ -76,6 +77,25 @@ object Ingest {
         .select(col("doc_id"), col("n_hist_bands").as("n_img_bands"),
           col("near_hist").as("img_hist"))
     }
+    // audio tier (r13): WAV payloads decode to the energy-envelope
+    // hash (graft_ahash — PCM samples, no codec) and probe their OWN
+    // band sub-store `ahash_bands/`: dHash and envelope bits live in
+    // unrelated spaces, so sharing phash_bands would manufacture
+    // cross-modal collisions. Same asymmetric shape as the image
+    // tier — history audio is decoded once at store append, never
+    // per ingest tick.
+    val audioAll = if (shard.columns.contains("payload")) {
+      Some(shard.select(col("doc_id"),
+          expr("graft_ahash(payload)").as("phash"))
+        .localCheckpoint())
+    } else None
+    val audioHashes = audioAll.map(_.filter(col("phash").isNotNull))
+    val audioProbe = audioHashes.map { h =>
+      graft.operators.Multimodal.phashProbe(h,
+          Fingerprints.readPhashBandsOrEmpty(s, storePath, "ahash_bands"))
+        .select(col("doc_id"), col("n_hist_bands").as("n_audio_bands"),
+          col("near_hist").as("audio_hist"))
+    }
     // clip tier: stride-sample, THEN decode only survivors (the
     // mm_frames contract), once (localCheckpoint — probe + append)
     val clipSampled = if (shard.columns.contains("frames")) {
@@ -115,12 +135,26 @@ object Ingest {
           .withColumn("img_hist", coalesce(col("img_hist"), lit(0L)))
           .withColumn("img_decoded", coalesce(col("img_decoded"), lit(0L)))
       }
+    val withAudio = audioProbe.fold(
+        withImg.withColumn("n_audio_bands", lit(0L))
+          .withColumn("audio_hist", lit(0L))
+          .withColumn("audio_decoded", lit(0L))) { p =>
+        withImg.join(p, Seq("doc_id"), "left")
+          .join(audioAll.get.select(col("doc_id"),
+            when(col("phash").isNotNull, 1L).otherwise(0L)
+              .as("audio_decoded")), Seq("doc_id"), "left")
+          .withColumn("n_audio_bands",
+            coalesce(col("n_audio_bands"), lit(0L)))
+          .withColumn("audio_hist", coalesce(col("audio_hist"), lit(0L)))
+          .withColumn("audio_decoded",
+            coalesce(col("audio_decoded"), lit(0L)))
+      }
     val decided = clipProbe.fold(
-        withImg.withColumn("n_clip_bands", lit(0L))
+        withAudio.withColumn("n_clip_bands", lit(0L))
           .withColumn("clip_hist", lit(0L))
           .withColumn("n_clip_sampled", lit(0L))
           .withColumn("n_clip_decoded", lit(0L))) { p =>
-        withImg.join(p, Seq("doc_id"), "left")
+        withAudio.join(p, Seq("doc_id"), "left")
           .join(clipCounts.get, Seq("doc_id"), "left")
           .withColumn("n_clip_bands", coalesce(col("n_clip_bands"), lit(0L)))
           .withColumn("clip_hist", coalesce(col("clip_hist"), lit(0L)))
@@ -131,7 +165,8 @@ object Ingest {
       }
       .withColumn("accept",
         when(col("is_exact_dup") === 0L && col("near_hist") === 0L
-          && col("img_hist") === 0L && col("clip_hist") === 0L, 1L)
+          && col("img_hist") === 0L && col("audio_hist") === 0L
+          && col("clip_hist") === 0L, 1L)
           .otherwise(0L))
       // the decision frame is consumed twice (append filter + the
       // caller's audit view) and the gates must not re-probe the store
@@ -150,6 +185,10 @@ object Ingest {
         h.select(col("doc_id"), col("frame_hash").as("phash"))
           .join(acceptedIds, Seq("doc_id")),
         storePath, nShards, mode = "append")
+    }
+    audioHashes.foreach { h =>
+      Fingerprints.writePhashBands(h.join(acceptedIds, Seq("doc_id")),
+        storePath, nShards, mode = "append", sub = "ahash_bands")
     }
     decided
   }

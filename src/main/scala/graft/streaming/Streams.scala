@@ -744,6 +744,55 @@ object Streams {
       }
   }
 
+  // ---- stream_ingest_audio: the firewall's audio tier ----
+
+  case class AudioGateOut(doc_id: Long, ahash: Long,
+    n_audio_bands: Long, audio_hist: Long)
+
+  /** stream_ingest_audio (r13) — the ingest firewall's AUDIO tier
+    * (batch core: graft_ahash + Multimodal.phashProbe over
+    * `ahash_bands/`, wired into Ingest.gateAndRemember): each
+    * arriving WAV payload's PCM samples decode to the 64-bit
+    * energy-envelope hash (plans.AudioHash — narrow, per-row, no
+    * codec), its 4 hamming-band keys probe the persisted
+    * `ahash_bands/` store stream-static, and the per-doc roll-up runs
+    * in the same zero-state flatMapGroupsWithState shape as
+    * [[ingestPhashGate]]. A re-containered or re-GAINED copy of any
+    * historical audio flags on arrival (the envelope hash is
+    * gain-invariant); non-audio payloads pass through untested.
+    * History samples are decoded ONCE at store build — never per
+    * micro-batch.
+    */
+  def ingestAudioGate(docs: DataFrame, bandStore: DataFrame):
+      Dataset[AudioGateOut] = {
+    import docs.sparkSession.implicits._
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val hashed = docs
+      .withColumn("phash", expr("graft_ahash(payload)"))
+      .filter(col("phash").isNotNull)
+    val probes = graft.operators.Multimodal.phashBandRows(hashed)
+      .join(bandStore.select(col("band_id"), col("band_key")).distinct()
+          .withColumn("hit", lit(1L)),
+        Seq("band_id", "band_key"), "left")
+      .select(col("doc_id"), col("phash"), col("band_id"),
+        coalesce(col("hit"), lit(0L)).as("hit"))
+      .as[PhashProbeRow]
+    probes.groupByKey(_.doc_id)
+      .flatMapGroupsWithState[IndexFragState, AudioGateOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: Long, in: Iterator[PhashProbeRow],
+            state: GroupState[IndexFragState]) =>
+          val matched = new java.util.HashSet[java.lang.Long]()
+          var ah = 0L
+          in.foreach { p =>
+            ah = p.phash
+            if (p.hit == 1L) matched.add(p.band_id)
+          }
+          val n = matched.size.toLong
+          Iterator.single(AudioGateOut(id, ah, n, if (n >= 1L) 1L else 0L))
+      }
+  }
+
   // ---- stream_ingest_clip: the firewall lifted to video-shaped rows ----
 
   private[streaming] case class ClipProbeRow(doc_id: Long, slot: Long,

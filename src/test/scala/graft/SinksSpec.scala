@@ -439,6 +439,60 @@ class SinksSpec extends SparkSpec {
     assert(m2(900013L) == ((0L, 1L)), s"novel text: ${m2(900013L)}")
   }
 
+  test("ingest_e2e: audio payloads gate via ahash_bands; re-gained copies flag (r13)") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    // planted audio with a deterministic multi-window envelope
+    def wav(seed: Long, gain: Int = 1) = {
+      val n = 65 * 3
+      val data = new Array[Byte](n * 2)
+      for (f <- 0 until n) {
+        val v = ((100 + (f / 65) * 700 + ((f * seed) % 17).toInt * 3) *
+          (if (f % 2 == 0) 1 else -1) * gain).toInt
+        data(f * 2) = (v & 0xff).toByte
+        data(f * 2 + 1) = ((v >> 8) & 0xff).toByte
+      }
+      operators.Multimodal.buildWav(1, 8000, 16, data)
+    }
+    val base = Files.createTempDirectory("graft-ingest-audio")
+    val store = base.resolve("store").toString
+    sources.Fingerprints.write(
+      Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 100L), store, nShards = 2)
+    // history audio bands: PCM decoded ONCE at store build
+    sources.Fingerprints.writePhashBands(
+      (0L until 10L).map(i => (600L + i, wav(i + 2))).toDF("doc_id", "payload")
+        .select($"doc_id", expr("graft_ahash(payload)").as("phash"))
+        .filter($"phash".isNotNull), store, nShards = 2, sub = "ahash_bands")
+    def tick(rows: Seq[(Long, String, Option[Array[Byte]])]) =
+      sources.Ingest.gateAndRemember(
+          rows.toDF("doc_id", "text", "payload"), store)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("audio_hist"), r.getAs[Long]("audio_decoded"),
+            r.getAs[Long]("accept")))).toMap
+    // tick 1: fresh audio, copy of HISTORY audio, plain text
+    val m1 = tick(Seq(
+      (910001L, "tick one novel audio document alpha", Some(wav(50L))),
+      (910002L, "tick one novel audio document beta", Some(wav(3L))),
+      (910003L, "tick one plain text document gamma", None)))
+    assert(m1(910001L) == ((0L, 1L, 1L)), s"fresh audio: ${m1(910001L)}")
+    assert(m1(910002L) == ((1L, 1L, 0L)),
+      s"copy of history audio must band-flag: ${m1(910002L)}")
+    assert(m1(910003L) == ((0L, 0L, 1L)), s"plain text: ${m1(910003L)}")
+    // tick 2: exact copy AND a re-gained (×2) copy of the
+    // tick-1-ACCEPTED audio — the envelope hash is gain-invariant, so
+    // both collide on the bands tick 1 appended
+    val m2 = tick(Seq(
+      (910011L, "tick two fresh text body delta", Some(wav(50L))),
+      (910012L, "tick two fresh text body epsilon", Some(wav(50L, gain = 2))),
+      (910013L, "tick two fresh text body zeta", None)))
+    assert(m2(910011L) == ((1L, 1L, 0L)),
+      s"copy of tick-1-accepted audio must flag: ${m2(910011L)}")
+    assert(m2(910012L) == ((1L, 1L, 0L)),
+      s"re-gained copy must flag (gain-invariant envelope): ${m2(910012L)}")
+    assert(m2(910013L) == ((0L, 0L, 1L)), s"novel text: ${m2(910013L)}")
+  }
+
   test("ingest_e2e: clip shards gate via sampled-frame bands; accepted clips are remembered") {
     import spark.implicits._
     graft.plans.GraftFunctions.register(spark)

@@ -529,6 +529,67 @@ class StreamingSpec extends SparkSpec {
       s"one-pixel edit (<=2 hash bits) must keep >=2 bands: ${streamed(999L)}")
   }
 
+  test("stream_ingest_audio: envelope band-store probe equals batch; re-gained copies flag (r13)") {
+    implicit val sql = spark.sqlContext
+    graft.plans.GraftFunctions.register(spark)
+    def wav(seed: Long, gain: Int = 1) = {
+      val n = 65 * 3
+      val data = new Array[Byte](n * 2)
+      for (f <- 0 until n) {
+        val v = ((80 + (f / 65) * 900 + ((f * seed) % 13).toInt * 5) *
+          (if (f % 2 == 0) 1 else -1) * gain).toInt
+        data(f * 2) = (v & 0xff).toByte
+        data(f * 2 + 1) = ((v >> 8) & 0xff).toByte
+      }
+      operators.Multimodal.buildWav(1, 8000, 16, data)
+    }
+    // standing corpus: 20 clips of audio, PCM decoded ONCE into store
+    val hist = (0L until 20L).map(i => (i, wav(i + 2))).toDF("doc_id", "payload")
+    val histHashes = hist.select($"doc_id",
+      expr("graft_ahash(payload)").as("phash")).filter($"phash".isNotNull)
+    val store = java.nio.file.Files.createTempDirectory("graft-ahstore")
+      .resolve("store").toString
+    sources.Fingerprints.writePhashBands(histHashes, store, nShards = 2,
+      sub = "ahash_bands")
+    val bandStore = sources.Fingerprints.readPhashBands(spark, store,
+      sub = "ahash_bands")
+    // arriving: fresh audio, an EXACT copy of history 3, a re-GAINED
+    // (×2) copy of history 5, and a PNG (no ahash row)
+    val png = operators.Multimodal.buildPng(16, 16,
+      operators.Multimodal.plantedLuma(9L, _, _))
+    val docs = ((100L until 115L).map(i => (i, wav(i))) :+
+      (998L, wav(5L))) :+ (999L, wav(7L, gain = 2)) :+ (700L, png)
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = Streams.ingestAudioGate(in.toDF().toDF("doc_id", "payload"),
+        bandStore)
+      .writeStream.format("memory").queryName("ingest_ah_out")
+      .outputMode("append").start()
+    in.addData(docs.take(7): _*)
+    q.processAllAvailable()
+    in.addData(docs.drop(7): _*)
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+      "audio gate must keep zero state rows")
+    q.stop()
+    val streamed = spark.table("ingest_ah_out").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_audio_bands"), r.getAs[Long]("audio_hist"))).toMap
+    // non-audio payloads pass through untested
+    assert(!streamed.contains(700L), "PNG must not produce an ahash row")
+    val batch = operators.Multimodal.phashProbe(
+        docs.toDF("doc_id", "payload")
+          .select($"doc_id", expr("graft_ahash(payload)").as("phash"))
+          .filter($"phash".isNotNull),
+        bandStore).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_hist_bands"), r.getAs[Long]("near_hist"))).toMap
+    assert(streamed == batch, s"stream diverged from batch")
+    assert(streamed(998L) == ((4L, 1L)),
+      s"exact audio copy must collide on all 4 bands: ${streamed(998L)}")
+    assert(streamed(999L) == ((4L, 1L)),
+      s"re-gained copy (gain-invariant envelope) must collide: ${streamed(999L)}")
+  }
+
   test("stream_ingest_clip: sampled-frame band probe equals batch; sampled-frame reuse flags on arrival") {
     implicit val sql = spark.sqlContext
     graft.plans.GraftFunctions.register(spark)
