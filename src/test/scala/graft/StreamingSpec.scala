@@ -1292,4 +1292,127 @@ class StreamingSpec extends SparkSpec {
     assert(stateRows.contains(0L),
       s"state store must be empty after evictions, got $stateRows rows")
   }
+
+  // ---- restart recovery (VERDICT r12 #5): kill mid-stream, restart
+  // from the checkpoint dir, assert no loss and no duplication vs the
+  // batch twin. The file sink + checkpoint pair is the exactly-once
+  // contract these specs pin; the state store must come back with the
+  // checkpoint or the spanning session / stale-filter / sketch counts
+  // below break loudly.
+
+  test("stream_session restart: a session OPEN across the stop/restart boundary merges") {
+    implicit val sql = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-sess-restart")
+    val ckpt = base.resolve("ckpt").toString
+    val outDir = base.resolve("out").toString
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    def start() = Streams.sessionized(in.toDF().toDF("ts", "user_id", "value"))
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    in.addData(
+      (ts("2024-01-01 10:00:00"), 1L, 1.0),
+      (ts("2024-01-01 10:10:00"), 1L, 2.0)) // session OPEN (not finalized)
+    q1.processAllAvailable()
+    q1.stop() // kill mid-stream: the open session lives only in state
+    val q2 = start() // resume from the checkpoint
+    in.addData((ts("2024-01-01 10:20:00"), 1L, 4.0)) // within the 30-min gap
+    q2.processAllAvailable()
+    in.addData((ts("2024-01-02 00:00:00"), 2L, 0.0)) // advance watermark
+    q2.processAllAvailable()
+    q2.stop()
+    val sessions = spark.read.parquet(outDir).filter($"user_id" === 1L)
+      .collect()
+    // no loss, no duplication, and ONE merged session: had the state
+    // store not come back, the post-restart event would have opened a
+    // second session (2 rows) or dropped rows entirely
+    assert(sessions.length == 1, s"expected one merged session, got " +
+      s"${sessions.map(_.toString).toSeq}")
+    assert(sessions.head.getAs[Long]("n_events") == 3L)
+    assert(sessions.head.getAs[Double]("sum_value") == 7.0)
+  }
+
+  test("stream_compact restart: the recovered latest-filter still rejects stale arrivals") {
+    import graft.streaming.Streams.{CompactIn, CompactOut}
+    implicit val sql = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-cmp-restart")
+    val ckpt = base.resolve("ckpt").toString
+    val outDir = base.resolve("out").toString
+    val in = MemoryStream[CompactIn]
+    def start() = Streams.compactLatest(in.toDS()).writeStream
+      .format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    in.addData(
+      CompactIn(1L, "view", 11L, 2.0, ts("2024-01-01 10:05:00")),
+      CompactIn(2L, "click", 20L, 5.0, ts("2024-01-01 10:00:00")))
+    q1.processAllAvailable()
+    q1.stop() // the per-key latest marks live only in state
+    val q2 = start()
+    in.addData(
+      // STALE vs a PRE-restart record: must emit nothing — only the
+      // recovered state can know that
+      CompactIn(2L, "click", 19L, 9.0, ts("2024-01-01 09:00:00")),
+      // genuine post-restart advance for key 1
+      CompactIn(1L, "view", 12L, 3.0, ts("2024-01-01 11:00:00")))
+    q2.processAllAvailable()
+    q2.stop()
+    val log = spark.read.parquet(outDir).as[CompactOut].collect()
+    assert(log.length == 3, s"changelog across restart: ${log.toSeq}")
+    assert(!log.exists(_.event_id == 19L),
+      "stale arrival slipped past the RECOVERED latest-filter")
+    // fold == batch q31 compaction over all four records, no dup rows
+    val folded = log.groupBy(o => (o.user_id, o.event_type))
+      .view.mapValues(_.maxBy(o => (o.ts_us, o.event_id))).toMap
+    assert(folded((1L, "view")).event_id == 12L)
+    assert(folded((2L, "click")).event_id == 20L)
+    assert(log.map(_.event_id).distinct.length == log.length,
+      "duplicated changelog rows after restart")
+  }
+
+  test("stream_quantile restart: recovered KLL state keeps pre-restart rows counted") {
+    implicit val sql = spark.sqlContext
+    graft.plans.GraftFunctions.register(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft-ql-restart")
+    val ckpt = base.resolve("ckpt").toString
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val in = MemoryStream[(String, Double)]
+    def start() = Streams.quantileProfiled(
+        in.toDF().toDF("event_type", "value"))
+      .writeStream.format("memory").queryName("quantile_restart_out")
+      .option("checkpointLocation", ckpt).outputMode("complete").start()
+    val q1 = start()
+    in.addData(rows.take(rows.length / 2).toIndexedSeq: _*)
+    q1.processAllAvailable()
+    q1.stop() // half the corpus lives only in the state-store sketches
+    val q2 = start()
+    in.addData(rows.drop(rows.length / 2).toIndexedSeq: _*)
+    q2.processAllAvailable()
+    val streamed = spark.table("quantile_restart_out").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_rows"),
+        r.getAs[Double]("p50_approx"), r.getAs[Double]("p95_approx"))).toMap
+    q2.stop()
+    // counts are EXACT over the full corpus: pre-restart rows are never
+    // replayed, so they can only be present via the recovered sketches
+    val byType = rows.groupBy(_._1).map { case (t, rs) =>
+      t -> rs.map(r => math.round(r._2 * 100)).sorted
+    }
+    assert(streamed.keySet == byType.keySet)
+    byType.foreach { case (t, sorted) =>
+      val (n, p50, p95) = streamed(t)
+      assert(n == sorted.length.toLong,
+        s"$t: restart lost rows — $n != ${sorted.length}")
+      // the batch sketch's rank-error contract vs the true distribution
+      def rankOf(v: Double): Double = {
+        val cents = math.round(v * 100)
+        sorted.count(_ <= cents).toDouble / sorted.length
+      }
+      assert(math.abs(rankOf(p50) - 0.5) <= 0.05,
+        s"$t p50 rank ${rankOf(p50)} off by > 0.05")
+      assert(math.abs(rankOf(p95) - 0.95) <= 0.05,
+        s"$t p95 rank ${rankOf(p95)} off by > 0.05")
+    }
+  }
 }
