@@ -10,15 +10,26 @@ import org.apache.spark.sql.SparkSession
   * startup; queries are timed in sorted name order; each result is
   * written to the `noop` sink so EVERY output column is computed —
   * `count()` would let Spark prune the projections being measured.
-  * Each query runs [[Bench.Runs]] times and reports the MEDIAN:
+  * Each query runs [[Bench.runs]] times and reports the MEDIAN:
   * run-to-run noise on a busy box is ±25 % of a single run (SURVEY §7),
   * which made round-over-round deltas arguable; medians make them
   * trustworthy. Set SPARK_GRAFT_RUNS=1 for quick iteration.
+  *
+  * Same-session prev-round comparison (VERDICT r12 #2): round totals
+  * were never comparable round-over-round because the box's epoch
+  * varies ~1.5-2× day to day. If a jar of the PREVIOUS round's final
+  * code exists (tools/prev_round/graft-prev.jar, or
+  * SPARK_GRAFT_PREV_JAR), its Bench runs in a child JVM back-to-back
+  * with this one — same box epoch, same sf dir, same runs — and its
+  * summary is embedded as `prev_code_same_session` in this round's
+  * BENCH json. "Δ vs prev round" is then a within-session ratio, not
+  * an across-epoch guess. SPARK_GRAFT_PREV_JAR=none disables (and is
+  * what the child itself receives, so the recursion depth is exactly
+  * one).
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -33,24 +44,111 @@ object Bench {
     // of lines ahead of the final summary — a head-truncated capture
     // then lost the one line that matters (BENCH_r05 parsed null)
     spark.sparkContext.setLogLevel("ERROR")
+    spark
+  }
 
-    // warmup: codegen, parquet reader, hash-agg + shuffle paths
+  /** JIT + parquet reader + hash-agg + shuffle paths, so the first
+    * timed query doesn't absorb session warmup. */
+  def warmup(spark: SparkSession, sfDir: String): Unit = {
     spark.range(2000000L).selectExpr("id % 97 AS k", "id AS v")
       .groupBy("k").sum("v").write.format("noop").mode("overwrite").save()
     Tables(spark, sfDir, "nation").join(Tables(spark, sfDir, "region"))
       .write.format("noop").mode("overwrite").save()
+  }
 
+  /** Times every selected query on sfDir: median of `runs`, noop sink,
+    * cache/persisted-RDD residue dropped between queries (leftover
+    * storage blocks squeeze unified execution memory and taxed every
+    * LATER query — a measured ~15-20% suite-wide inflation). -1.0
+    * marks a query that failed in any run. `report` receives one
+    * per-query line as each finishes (the durable jsonl artifact a
+    * truncated stdout capture can't eat). */
+  def runSuite(spark: SparkSession, sfDir: String, runs: Int,
+      only: Option[Set[String]], report: String => Unit,
+      verbose: Boolean): Seq[(String, Double)] = {
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime()
       try fn catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
+    val selected = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    selected.sortBy(_._1).map { case (name, fn) =>
+      if (verbose) System.err.println(s"[bench] running $name @ $sfDir")
+      val samples = (1 to runs).map { _ =>
+        System.gc() // drain the previous run's garbage outside the timer
+        time {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        }
+      }
+      // a failed run (-1.0) poisons the median → report the failure
+      val sec = if (samples.exists(_ < 0)) -1.0
+                else samples.sorted.apply(runs / 2)
+      spark.sqlContext.clearCache()
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
+      report(s"""{"query":"$name","sec":$sec,"runs":$runs,"sf":"$sfDir"}""")
+      name -> sec
+    }
+  }
+
+  /** Runs the previous round's Bench from its pinned jar in a child
+    * JVM (same box epoch as the suite that just finished) and returns
+    * its final summary JSON line. Child stdout order is Bench's own
+    * contract: the LAST parseable `{"metric":...` line is the compact
+    * summary; the last one carrying `"queries"` is the full line —
+    * prefer the full line so the prev per-query map rides along. */
+  def runPrevJar(jar: String, sfDir: String, runs: Int,
+      cpus: String): Option[String] = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    // same module opens build.sbt gives forked runs (Spark 4 on JDK 17
+    // outside spark-submit)
+    val opens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = (Seq(javaBin) ++ opens ++ Seq(
+      s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+      "-cp", s"$jar:/opt/spark/jars/*", "graft.Bench")).toArray
+    val pb = new ProcessBuilder(cmd: _*)
+    val env = pb.environment()
+    env.put("SPARK_GRAFT_SF_DIR", sfDir)
+    env.put("SPARK_GRAFT_RUNS", runs.toString)
+    env.put("SPARK_GRAFT_CPUS", cpus)
+    env.put("SPARK_GRAFT_PREV_JAR", "none") // recursion guard: depth 1
+    env.put("SPARK_GRAFT_BENCH_OUT", "bench_prev_out.jsonl")
+    pb.redirectErrorStream(true)
+    try {
+      val p = pb.start()
+      // drain concurrently — the child writes more than a pipe buffer
+      val out = new java.io.ByteArrayOutputStream()
+      val drain = new Thread(() => p.getInputStream.transferTo(out))
+      drain.start()
+      val done = p.waitFor(45, java.util.concurrent.TimeUnit.MINUTES)
+      if (!done) { p.destroyForcibly(); return None }
+      drain.join(10000)
+      if (p.exitValue() != 0) return None
+      val lines = new String(out.toByteArray,
+        java.nio.charset.StandardCharsets.UTF_8)
+        .linesIterator.filter(_.startsWith("{\"metric\"")).toSeq
+      lines.findLast(_.contains("\"queries\"")).orElse(lines.lastOption)
+    } catch { case _: Exception => None }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = buildSession(cpus)
+    warmup(spark, sfDir)
 
     // SPARK_GRAFT_ONLY=a,b,c — optional filter for targeted local runs
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val selected = SparkEntry.queries.toSeq
-      .filter { case (n, _) => only.forall(_.contains(n)) }
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     // line-delimited per-query report, APPENDED as each query finishes:
     // the durable artifact a truncated stdout capture can't eat — the
@@ -67,28 +165,7 @@ object Bench {
     // past a head truncation; the per-query record lives in the jsonl
     // artifact either way
     val verbose = sys.env.get("SPARK_GRAFT_VERBOSE").contains("1")
-    val results = selected.sortBy(_._1).map { case (name, fn) =>
-      if (verbose) System.err.println(s"[bench] running $name")
-      val samples = (1 to runs).map { _ =>
-        System.gc() // drain the previous run's garbage outside the timer
-        time {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        }
-      }
-      // a failed run (-1.0) poisons the median → report the failure
-      val sec = if (samples.exists(_ < 0)) -1.0
-                else samples.sorted.apply(runs / 2)
-      // drop the query's persisted residue (localCheckpoint blocks,
-      // cached frames) before the next query: leftover storage blocks
-      // squeeze unified execution memory and tax every LATER query —
-      // measured as a uniform ~15-20% inflation across the suite once
-      // enough checkpoint-carrying queries accumulate in one JVM
-      spark.sqlContext.clearCache()
-      spark.sparkContext.getPersistentRDDs.valuesIterator
-        .foreach(_.unpersist(blocking = false))
-      appendLine(s"""{"query":"$name","sec":$sec,"runs":$runs}""")
-      name -> sec
-    }
+    val results = runSuite(spark, sfDir, runs, only, appendLine, verbose)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // -1.0 marks a failed query; exclude it from the total and name it,
@@ -97,7 +174,21 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
       .mkString("[", ",", "]")
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    spark.stop()
+
+    // prev-round same-session comparison AFTER the current suite and
+    // AFTER spark.stop() — the child gets the whole box, and both runs
+    // share one epoch. Skipped under SPARK_GRAFT_ONLY (a filtered total
+    // is not comparable to the prev jar's full suite).
+    val prevJar = sys.env.get("SPARK_GRAFT_PREV_JAR")
+      .orElse(Some("tools/prev_round/graft-prev.jar"))
+      .filter(p => p != "none" && p.nonEmpty && only.isEmpty &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+    val prev = prevJar.flatMap(j => runPrevJar(j, sfDir, runs, cpus))
+    val prevField = prev.map(j => s""","prev_code_same_session":$j""")
+      .getOrElse("")
+
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"failed":$failed,"sf":"$sfDir"$prevField}"""
     appendLine(line)
     println(line)
     // the full line above grows with the query count (~3 kB at 95
@@ -108,9 +199,11 @@ object Bench {
     // json-parses even when sbt appends its own epilogue to stdout.
     // Per-query numbers live in the preceding jsonl lines and the full
     // line either way.
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"failed":$failed,"sf":"$sfDir"}"""
+    val prevTotal = prev.flatMap(j =>
+      "\"value\":([0-9.]+)".r.findFirstMatchIn(j).map(_.group(1)))
+      .map(v => s""","prev_total_same_session":$v""").getOrElse("")
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"failed":$failed,"sf":"$sfDir"$prevTotal}"""
     appendLine(compact)
     println(compact)
-    spark.stop()
   }
 }

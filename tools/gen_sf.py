@@ -13,6 +13,14 @@ the same schemas and the measured sf0.1 distributions:
 
 Usage: gen_sf.py OUTDIR MULT   (MULT=10 -> sf1 from the sf0.1 shape)
 Deterministic (seed 4242). Writes parquet via pyarrow.
+
+r13 (VERDICT r12 #6, full-suite sf1): the remaining six tables so ALL
+driver queries can run at sf1, not just the 21-op heavy subset.
+region/nation are FIXED dimension tables (5 / 25 rows — they do not
+scale with sf in TPC-H either) and are copied from the sf0.1 originals;
+customer/supplier/part/orders generate at 10x with the measured sf0.1
+schemas and value domains. These use a SEPARATE rng (seed 4243) so the
+four r06 tables above remain byte-identical to every earlier sweep.
 """
 import sys
 import numpy as np
@@ -112,6 +120,76 @@ def gen_lineitem(out, n, mult, rng):
     pq.write_table(t, f"{out}/lineitem.parquet")
 
 
+MKTSEG = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+PNAME_A = "large hot blue old cold red small new".split()
+PNAME_B = "ring bolt plate gear widget rod anvil gizmo".split()
+PTYPE = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+PRIO = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def copy_dims(out):
+    """region/nation: fixed 5/25-row dimension tables — copied verbatim
+    from the sf0.1 originals (they do not scale with sf)."""
+    import shutil
+    for t in ["region", "nation"]:
+        shutil.copy(f"/root/testdata/sf0.1/{t}.parquet",
+                    f"{out}/{t}.parquet")
+
+
+def gen_customer(out, n, rng):
+    t = pa.table({
+        "c_custkey": pa.array(range(n), pa.int64()),
+        "c_name": pa.array([f"Customer#{i:09d}" for i in range(n)]),
+        "c_nationkey": pa.array(rng.integers(0, 25, n), pa.int32()),
+        "c_acctbal": pa.array(np.round(rng.uniform(-1000.0, 10000.0, n), 2)),
+        "c_mktsegment": pa.array(
+            np.array(MKTSEG)[rng.integers(0, len(MKTSEG), n)]),
+    })
+    pq.write_table(t, f"{out}/customer.parquet")
+
+
+def gen_supplier(out, n, rng):
+    t = pa.table({
+        "s_suppkey": pa.array(range(n), pa.int64()),
+        "s_name": pa.array([f"Supplier#{i:09d}" for i in range(n)]),
+        "s_nationkey": pa.array(rng.integers(0, 25, n), pa.int32()),
+        "s_acctbal": pa.array(np.round(rng.uniform(-1000.0, 10000.0, n), 2)),
+    })
+    pq.write_table(t, f"{out}/supplier.parquet")
+
+
+def gen_part(out, n, rng):
+    names = [f"{PNAME_A[a]} {PNAME_B[b]}" for a, b in
+             zip(rng.integers(0, 8, n), rng.integers(0, 8, n))]
+    t = pa.table({
+        "p_partkey": pa.array(range(n), pa.int64()),
+        "p_name": pa.array(names),
+        "p_brand": pa.array([f"Brand#{k}" for k in rng.integers(1, 26, n)]),
+        "p_type": pa.array(np.array(PTYPE)[rng.integers(0, len(PTYPE), n)]),
+        "p_size": pa.array(rng.integers(1, 51, n), pa.int32()),
+        "p_retailprice": pa.array(np.round(rng.uniform(900.0, 1000.0, n), 2)),
+    })
+    pq.write_table(t, f"{out}/part.parquet")
+
+
+def gen_orders(out, n, mult, rng):
+    day0 = np.datetime64("1995-01-01T00:00:00.000000")
+    dates = day0 + (rng.integers(0, 2405, n) * 86400 * 10**6) \
+        .astype("timedelta64[us]")
+    t = pa.table({
+        "o_orderkey": pa.array(range(n), pa.int64()),
+        "o_custkey": pa.array(rng.integers(0, 15000 * mult, n), pa.int64()),
+        "o_orderstatus": pa.array(
+            np.array(["O", "F", "P"])[rng.integers(0, 3, n)]),
+        "o_totalprice": pa.array(
+            np.round(rng.uniform(1000.0, 500000.0, n), 2)),
+        "o_orderdate": pa.array(dates, pa.timestamp("us")),
+        "o_orderpriority": pa.array(
+            np.array(PRIO)[rng.integers(0, len(PRIO), n)]),
+    })
+    pq.write_table(t, f"{out}/orders.parquet")
+
+
 if __name__ == "__main__":
     out, mult = sys.argv[1], int(sys.argv[2])
     import os
@@ -121,4 +199,10 @@ if __name__ == "__main__":
     gen_embeddings(out, 2000 * mult, rng)
     gen_lineitem(out, 600000 * mult, mult, rng)
     gen_events(out, 100000 * mult, mult, rng)
+    rng2 = np.random.default_rng(4243)
+    copy_dims(out)
+    gen_customer(out, 15000 * mult, rng2)
+    gen_supplier(out, 1000 * mult, rng2)
+    gen_part(out, 20000 * mult, rng2)
+    gen_orders(out, 150000 * mult, mult, rng2)
     print(f"wrote sf={mult}x0.1 tables to {out}")
