@@ -25,6 +25,23 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
+  /** Bundle format version (`_graft_format` marker, shared
+    * [[StoreMaintenance]] scheme). Version history:
+    *
+    *   - 1 — int8 codes under the symmetric ±127/max-abs scale
+    *     (Similarity.int8Codes), PQ codebook persisted FLAT in
+    *     subspace-major order (graft_pq_encode's indexing), coarse
+    *     assignment = top-[[graft.operators.Similarity.Rep]] cells by
+    *     cosine. A change to any of these makes persisted codes
+    *     incomparable with freshly-encoded queries — serving would
+    *     silently rank garbage, which is why readers refuse instead.
+    */
+  val FormatVersion = 1
+
+  private def checkFormat(spark: SparkSession, path: String): Unit =
+    StoreMaintenance.checkFormat(spark, path, FormatVersion,
+      "ANN index", "int8 max-abs codes + flat subspace-major PQ codebook")
+
   def write(e: DataFrame, path: String, nShards: Int = 4): Unit = {
     val spark = e.sparkSession
     Similarity.int8Codes(e)
@@ -40,6 +57,7 @@ object AnnIndex {
     spark.createDataFrame(Seq((Similarity.PqM, kEff, cb.toSeq)))
       .toDF("m", "k", "codebook")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/pq")
+    StoreMaintenance.markFormat(spark, path, FormatVersion)
   }
 
   // ---- ann_upsert: incremental index maintenance ----
@@ -125,14 +143,19 @@ object AnnIndex {
     else base
   }
 
-  def readCodes(spark: SparkSession, path: String): DataFrame =
+  def readCodes(spark: SparkSession, path: String): DataFrame = {
+    checkFormat(spark, path)
     spark.read.parquet(s"$path/codes")
+  }
 
-  def readCentroids(spark: SparkSession, path: String): DataFrame =
+  def readCentroids(spark: SparkSession, path: String): DataFrame = {
+    checkFormat(spark, path)
     spark.read.parquet(s"$path/centroids")
+  }
 
   /** (flat codebook, m, k) — the graft_pq_cos/graft_pq_encode args. */
   def readPq(spark: SparkSession, path: String): (Array[Float], Int, Int) = {
+    checkFormat(spark, path)
     val r = spark.read.parquet(s"$path/pq").head()
     (r.getSeq[Float](2).toArray, r.getInt(0), r.getInt(1))
   }

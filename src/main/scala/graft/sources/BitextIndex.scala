@@ -23,6 +23,22 @@ import org.apache.spark.sql.functions._
   */
 object BitextIndex {
 
+  /** Bundle format version (`_graft_format` marker, shared
+    * [[StoreMaintenance]] scheme). Version history:
+    *
+    *   - 1 — band rows from [[graft.operators.Similarity.mineBandRows]]
+    *     (sign-random-projection bits, the persisted `meta/bits` band
+    *     width) and build-corpus backward pools per Artetxe & Schwenk.
+    *     A projection/banding change silently empties every probe
+    *     bucket — exactly the failure `meta/bits` guards within a
+    *     version, and the marker guards across versions.
+    */
+  val FormatVersion = 1
+
+  private def checkFormat(spark: SparkSession, path: String): Unit =
+    StoreMaintenance.checkFormat(spark, path, FormatVersion,
+      "bitext", "mineBandRows sign-projection banding + bwdPool stats")
+
   def write(src: DataFrame, tgt: DataFrame, path: String, bits: Int,
       nShards: Int = 2): Unit = {
     graft.operators.Similarity.mineBandRows(tgt, "t_id", bits)
@@ -38,17 +54,26 @@ object BitextIndex {
       .write.mode("overwrite").parquet(s"$path/stats")
     src.sparkSession.range(1).select(lit(bits).as("bits"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    StoreMaintenance.markFormat(src.sparkSession, path, FormatVersion)
   }
 
-  def readBands(spark: SparkSession, path: String): DataFrame =
+  def readBands(spark: SparkSession, path: String): DataFrame = {
+    checkFormat(spark, path)
     spark.read.parquet(s"$path/bands")
+  }
 
-  def readVecs(spark: SparkSession, path: String): DataFrame =
+  def readVecs(spark: SparkSession, path: String): DataFrame = {
+    checkFormat(spark, path)
     spark.read.parquet(s"$path/vecs")
+  }
 
-  def readStats(spark: SparkSession, path: String): DataFrame =
+  def readStats(spark: SparkSession, path: String): DataFrame = {
+    checkFormat(spark, path)
     spark.read.parquet(s"$path/stats")
+  }
 
-  def readBits(spark: SparkSession, path: String): Int =
+  def readBits(spark: SparkSession, path: String): Int = {
+    checkFormat(spark, path)
     spark.read.parquet(s"$path/meta").head().getInt(0)
+  }
 }

@@ -54,47 +54,17 @@ object Fingerprints {
     */
   val FormatVersion = 2
 
-  private def markerPath(path: String) =
-    new org.apache.hadoop.fs.Path(s"$path/_graft_format")
+  private def writeMarker(spark: SparkSession, path: String): Unit =
+    StoreMaintenance.markFormat(spark, path, FormatVersion)
 
-  private def writeMarker(spark: SparkSession, path: String): Unit = {
-    val p = markerPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
-      val out = fs.create(p, true)
-      out.write(FormatVersion.toString.getBytes("UTF-8"))
-      out.close()
-    }
-  }
-
-  /** One bounded driver-side FS probe per store open: missing marker
-    * on a non-empty store ⇒ built before versioning ⇒ signatures may
-    * predate the raw-byte minhash change ⇒ rebuild. A store root that
-    * does not exist at all passes (nothing is historical yet — the
-    * readPhashBandsOrEmpty bootstrap path).
-    */
-  private def checkFormat(spark: SparkSession, path: String): Unit = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(root)) {
-      val p = markerPath(path)
-      val ver =
-        if (!fs.exists(p)) -1
-        else {
-          val in = fs.open(p)
-          val buf = new Array[Byte](16)
-          val n = math.max(0, in.read(buf))
-          in.close()
-          scala.util.Try(new String(buf, 0, n, "UTF-8").trim.toInt)
-            .getOrElse(-1)
-        }
-      require(ver == FormatVersion,
-        s"fingerprint store at $path has format version " +
-          s"${if (ver < 0) "<unversioned>" else ver}, this build reads " +
-          s"$FormatVersion (raw-byte minhash signatures); rebuild the " +
-          "store with Fingerprints.write before gating against it")
-    }
-  }
+  /** Missing marker on a non-empty store ⇒ built before versioning ⇒
+    * signatures may predate the raw-byte minhash change ⇒ rebuild.
+    * Shared [[StoreMaintenance.checkFormat]] semantics: a store root
+    * that does not exist at all passes (nothing is historical yet —
+    * the readPhashBandsOrEmpty bootstrap path). */
+  private def checkFormat(spark: SparkSession, path: String): Unit =
+    StoreMaintenance.checkFormat(spark, path, FormatVersion,
+      "fingerprint", "raw-byte minhash signatures")
 
   private def writeFrames(docs: DataFrame, path: String, nShards: Int,
       mode: String): Unit = {

@@ -22,25 +22,49 @@ import org.apache.spark.sql.functions._
   */
 object GraphStore {
 
-  def write(edges: DataFrame, path: String, nShards: Int = 2): Unit =
+  /** Bundle format version (`_graft_format` marker, shared
+    * [[StoreMaintenance]] scheme). Version history:
+    *
+    *   - 1 — `edges/` holds (src, dst, w) with ADDITIVE weights
+    *     derived from the session-window transition edges of
+    *     stream_graph / graph_pagerank's windowing. A change to edge
+    *     derivation (window gap, self-loop policy) would fold old and
+    *     new semantics into one weight sum with no error — refusal
+    *     instead.
+    */
+  val FormatVersion = 1
+
+  private def checkFormat(spark: SparkSession, path: String): Unit =
+    StoreMaintenance.checkFormat(spark, path, FormatVersion,
+      "graph", "additive session-window transition edges")
+
+  def write(edges: DataFrame, path: String, nShards: Int = 2): Unit = {
     edges.select(col("src"), col("dst"), col("w"))
       .repartitionByRange(nShards, col("src"), col("dst"))
       .sortWithinPartitions(col("src"), col("dst"))
       .write.mode("overwrite").parquet(s"$path/edges")
+    StoreMaintenance.markFormat(edges.sparkSession, path, FormatVersion)
+  }
 
   /** Append a delta edge frame (src, dst, w) — counts additive,
     * history untouched; readers fold. stream_graph's CardDelta-style
-    * (src, dst, w_delta) output appends here after a rename. */
-  def append(delta: DataFrame, path: String, nShards: Int = 1): Unit =
+    * (src, dst, w_delta) output appends here after a rename. Refuses
+    * an old-format bundle (mixed edge semantics under one sum). */
+  def append(delta: DataFrame, path: String, nShards: Int = 1): Unit = {
+    checkFormat(delta.sparkSession, path)
     delta.select(col("src"), col("dst"), col("w"))
       .repartitionByRange(nShards, col("src"), col("dst"))
       .sortWithinPartitions(col("src"), col("dst"))
       .write.mode("append").parquet(s"$path/edges")
+    StoreMaintenance.markFormat(delta.sparkSession, path, FormatVersion)
+  }
 
   /** Folded per-(src, dst) weights — append-safe. */
-  def readEdges(spark: SparkSession, path: String): DataFrame =
+  def readEdges(spark: SparkSession, path: String): DataFrame = {
+    checkFormat(spark, path)
     spark.read.parquet(s"$path/edges")
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+  }
 
   /** Fold the accumulated append files to nShards clean ones (weights
     * summed); gating/rank results identical before and after.

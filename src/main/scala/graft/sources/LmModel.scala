@@ -38,6 +38,23 @@ import org.apache.spark.sql.functions._
   */
 object LmModel {
 
+  /** Bundle format version (`_graft_format` marker, shared
+    * [[StoreMaintenance]] scheme). Version history:
+    *
+    *   - 1 — counts derive from [[graft.operators.LangModel.refShifted]]
+    *     tokenization (lowercased reference tokens, sentence-shifted
+    *     bigrams with a null end-marker). A tokenizer change makes
+    *     persisted counts incomparable with probe-time tokens: every
+    *     unseen-bigram lookup silently falls to the smoothing floor
+    *     and perplexity gates drift instead of failing — so readers
+    *     and appenders refuse a mismatched bundle.
+    */
+  val FormatVersion = 1
+
+  private def checkFormat(spark: SparkSession, path: String): Unit =
+    StoreMaintenance.checkFormat(spark, path, FormatVersion,
+      "LM", "refShifted tokenization of the persisted counts")
+
   private def writeFrames(all: DataFrame, path: String, nShards: Int,
       mode: String): Unit = {
     val zt = graft.operators.LangModel.refShifted(all)
@@ -54,6 +71,7 @@ object LmModel {
     zt.select(col("w1")).distinct()
       .repartitionByRange(nShards, col("w1"))
       .write.mode(mode).parquet(s"$path/vocab")
+    StoreMaintenance.markFormat(all.sparkSession, path, FormatVersion)
   }
 
   def write(all: DataFrame, path: String, nShards: Int = 2): Unit = {
@@ -63,9 +81,13 @@ object LmModel {
 
   /** Append a new accepted reference shard's partial counts as new
     * files (history untouched); readers fold. Refresh the cuts on
-    * your own cadence via [[refreshCuts]]. */
-  def append(shard: DataFrame, path: String, nShards: Int = 1): Unit =
+    * your own cadence via [[refreshCuts]]. Refuses an old-format
+    * bundle — appending new-tokenizer counts onto old-tokenizer
+    * history would mix incomparable keys in one fold. */
+  def append(shard: DataFrame, path: String, nShards: Int = 1): Unit = {
+    checkFormat(shard.sparkSession, path)
     writeFrames(shard, path, nShards, "append")
+  }
 
   /** Recompute the per-language cut values from the current corpus —
     * the non-additive half of the bundle. The DEFAULT derivation is
@@ -83,22 +105,30 @@ object LmModel {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/cuts")
 
   /** Folded per-(w1, w2) counts — append-safe. */
-  def readBigrams(spark: SparkSession, path: String): DataFrame =
+  def readBigrams(spark: SparkSession, path: String): DataFrame = {
+    checkFormat(spark, path)
     spark.read.parquet(s"$path/bigrams")
       .groupBy(col("w1"), col("w2")).agg(sum(col("c12")).as("c12"))
+  }
 
   /** Folded per-context counts — append-safe. */
-  def readContexts(spark: SparkSession, path: String): DataFrame =
+  def readContexts(spark: SparkSession, path: String): DataFrame = {
+    checkFormat(spark, path)
     spark.read.parquet(s"$path/contexts")
       .groupBy(col("w1")).agg(sum(col("c1")).as("c1"))
+  }
 
   /** Vocabulary size as a one-row frame — distinct across shards. */
-  def readMeta(spark: SparkSession, path: String): DataFrame =
+  def readMeta(spark: SparkSession, path: String): DataFrame = {
+    checkFormat(spark, path)
     spark.read.parquet(s"$path/vocab")
       .agg(countDistinct(col("w1")).as("v"))
+  }
 
-  def readCuts(spark: SparkSession, path: String): DataFrame =
+  def readCuts(spark: SparkSession, path: String): DataFrame = {
+    checkFormat(spark, path)
     spark.read.parquet(s"$path/cuts")
+  }
 
   /** Batch store-fed scoring: docs × the RELOADED bundle, per-doc
     * stats identical to in-line training (round-trip spec). */

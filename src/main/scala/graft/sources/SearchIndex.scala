@@ -47,6 +47,23 @@ import org.apache.spark.sql.functions._
   */
 object SearchIndex {
 
+  /** Bundle format version (`_graft_format` marker, shared
+    * [[StoreMaintenance]] scheme). Version history:
+    *
+    *   - 1 — frames tokenized by [[graft.functions.TextFns.tokens]]
+    *     and positional postings bottom-capped at
+    *     [[graft.operators.TextAnalysis.PostingCap]] per fragment. A
+    *     tokenizer change silently zeroes probe hits (query terms
+    *     tokenize differently than the index); a cap change breaks
+    *     the fold's "any surviving entry is within its own shard's
+    *     cap" invariant — both are refusals, not drifts.
+    */
+  val FormatVersion = 1
+
+  private def checkFormat(spark: SparkSession, path: String): Unit =
+    StoreMaintenance.checkFormat(spark, path, FormatVersion,
+      "search index", "TextFns.tokens tokenization + PostingCap fragments")
+
   private def writeFrames(docs: DataFrame, path: String, nShards: Int,
       mode: String): Unit = {
     val toks = docs.select(col("doc_id"),
@@ -72,6 +89,7 @@ object SearchIndex {
       .repartitionByRange(nShards, col("token"))
       .sortWithinPartitions(col("token"))
       .write.mode(mode).parquet(s"$path/postings")
+    StoreMaintenance.markFormat(docs.sparkSession, path, FormatVersion)
   }
 
   /** The expensive offline pass: index the corpus once. */
@@ -80,19 +98,26 @@ object SearchIndex {
 
   /** Append a new accepted shard's partial frames as new files
     * (history untouched); readers fold. Contract: a document lands in
-    * exactly one appended shard. */
-  def append(shard: DataFrame, path: String, nShards: Int = 1): Unit =
+    * exactly one appended shard. Refuses an old-format bundle —
+    * mixing tokenizers in one fold is the silent failure the marker
+    * exists to catch. */
+  def append(shard: DataFrame, path: String, nShards: Int = 1): Unit = {
+    checkFormat(shard.sparkSession, path)
     writeFrames(shard, path, nShards, "append")
+  }
 
   /** Append stream_index delta rows verbatim — the streaming twin's
     * output IS the postings/ schema, so index maintenance from a
     * stream is a plain parquet append (positional tier only; a
     * stream that must also serve BM25 appends its shard through
     * [[append]]). */
-  def appendDeltas(frags: DataFrame, path: String): Unit =
+  def appendDeltas(frags: DataFrame, path: String): Unit = {
+    checkFormat(frags.sparkSession, path)
     frags.select(col("token"), col("n_postings_delta"),
         col("n_docs_delta"), col("posting_frag"))
       .write.mode("append").parquet(s"$path/postings")
+    StoreMaintenance.markFormat(frags.sparkSession, path, FormatVersion)
+  }
 
   /** Shared fragment fold: sum the deltas, merge the bottom-cap
     * fragments — exactly the batch index_build (any globally
@@ -109,23 +134,31 @@ object SearchIndex {
   }
 
   /** Folded positional postings == one-shot index_build (spec). */
-  def readPostings(spark: SparkSession, path: String): DataFrame =
+  def readPostings(spark: SparkSession, path: String): DataFrame = {
+    checkFormat(spark, path)
     foldFrags(spark.read.parquet(s"$path/postings"))
+  }
 
   /** Frequency postings as stored (see class doc for the dup-append
     * heal). */
-  def readTf(spark: SparkSession, path: String): DataFrame =
+  def readTf(spark: SparkSession, path: String): DataFrame = {
+    checkFormat(spark, path)
     spark.read.parquet(s"$path/tf")
+  }
 
   /** Folded per-term doc frequencies — append-safe. */
-  def readDf(spark: SparkSession, path: String): DataFrame =
+  def readDf(spark: SparkSession, path: String): DataFrame = {
+    checkFormat(spark, path)
     spark.read.parquet(s"$path/df")
       .groupBy(col("token")).agg(sum(col("df")).as("df"))
+  }
 
   /** Folded corpus stats as a one-row frame — append-safe. */
-  def readStats(spark: SparkSession, path: String): DataFrame =
+  def readStats(spark: SparkSession, path: String): DataFrame = {
+    checkFormat(spark, path)
     spark.read.parquet(s"$path/stats")
       .agg(sum(col("n")).as("n"), sum(col("t")).as("t"))
+  }
 
   /** Store-fed BM25: rank the INDEXED corpus against an arriving
     * standing query, scanning only the skinny bundle (plan spec) —

@@ -64,4 +64,67 @@ private[sources] object StoreMaintenance {
     f.delete(old, true)
     ()
   }
+
+  // ---- store format versioning (shared across all six stores) ----
+  //
+  // Every persisted bundle's rows are a deterministic function of some
+  // engine-side semantic (minhash byte scheme, tokenizer, PQ codebook
+  // layout, band width). If that semantic changes, a store built by
+  // OLD code read by NEW code fails SILENTLY: probes stop matching
+  // history, gates stop gating, servers serve garbage — no exception
+  // anywhere. The `_graft_format` marker (one tiny file at the bundle
+  // root holding the writer's format version) converts that into a
+  // loud refusal at open time. Each store object owns its own
+  // FormatVersion constant and documents what each version means.
+
+  private def markerPath(path: String) = new Path(s"$path/_graft_format")
+
+  private[sources] def readFormat(spark: SparkSession,
+      path: String): Int = {
+    val p = markerPath(path)
+    val f = fs(spark, p)
+    if (!f.exists(p)) -1
+    else {
+      val in = f.open(p)
+      val buf = new Array[Byte](16)
+      val n = math.max(0, in.read(buf))
+      in.close()
+      scala.util.Try(new String(buf, 0, n, "UTF-8").trim.toInt)
+        .getOrElse(-1)
+    }
+  }
+
+  /** Stamp the bundle at `path` with `version`. Overwrites a stale
+    * marker (a full rebuild of an old-format store must BUMP the
+    * marker, not inherit it — the only-if-missing variant this
+    * replaces left a rebuilt store refusing its own readers); no-ops
+    * when the marker is already current, so per-tick append paths pay
+    * one read probe, not a write. */
+  private[sources] def markFormat(spark: SparkSession, path: String,
+      version: Int): Unit =
+    if (readFormat(spark, path) != version) {
+      val p = markerPath(path)
+      val out = fs(spark, p).create(p, true)
+      out.write(version.toString.getBytes("UTF-8"))
+      out.close()
+    }
+
+  /** Refuse a bundle whose marker is missing or ≠ `version`. A store
+    * root that does not exist at all passes — nothing is historical
+    * yet (the bootstrap path); append-then-mark makes the store
+    * self-versioning from its first shard. One bounded driver-side FS
+    * probe per open — the same class of lookup as the counted
+    * broadcast guards. */
+  private[sources] def checkFormat(spark: SparkSession, path: String,
+      version: Int, store: String, hint: String): Unit = {
+    val root = new Path(path)
+    if (fs(spark, root).exists(root)) {
+      val ver = readFormat(spark, path)
+      require(ver == version,
+        s"$store store at $path has format version " +
+          s"${if (ver < 0) "<unversioned>" else ver}, this build " +
+          s"reads $version ($hint); rebuild the store before reading " +
+          "or appending against it")
+    }
+  }
 }

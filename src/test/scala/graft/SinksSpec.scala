@@ -586,6 +586,116 @@ class SinksSpec extends SparkSpec {
     assert(m2(920003L) == ((0L, 1L)), s"fresh clip: ${m2(920003L)}")
   }
 
+  test("store format versioning: every store refuses a stale marker; rebuild bumps it") {
+    // The silent failure class the `_graft_format` marker closes: a
+    // bundle written under OLD semantics (tokenizer, banding, code
+    // scale, minhash bytes) read by NEW code returns empty/garbage
+    // probes with no exception. Each store must (a) stamp its marker
+    // on write, (b) REFUSE reads and appends against a stale marker,
+    // (c) re-stamp on a full rebuild — the only-if-missing variant
+    // left a rebuilt store refusing its own readers.
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-fmt")
+    def stamp(path: String, v: String): Unit = {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(path, "_graft_format"), v)
+      // drop the Hadoop LocalFS checksum sidecar the raw rewrite
+      // invalidates — a genuinely old store has a CONSISTENT pair
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(path, "._graft_format.crc"))
+    }
+    def marker(path: String): String =
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(path, "_graft_format")).trim
+    def refusal(name: String)(body: => Any): Unit = {
+      val e = intercept[IllegalArgumentException](body match {
+        case d: org.apache.spark.sql.DataFrame => d.collect()
+        case other => other
+      })
+      assert(e.getMessage.contains("format version"),
+        s"$name refusal carried the wrong message: ${e.getMessage}")
+    }
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .filter(col("doc_id") < 60L)
+    val embs = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 80L)
+
+    // fingerprints (FormatVersion 2 — the r12 original, now shared)
+    val fp = base.resolve("fp").toString
+    sources.Fingerprints.write(docs, fp, nShards = 1)
+    assert(marker(fp) == sources.Fingerprints.FormatVersion.toString)
+    stamp(fp, "0")
+    refusal("fingerprints")(sources.Fingerprints.readBands(spark, fp))
+    refusal("fingerprints append")(
+      sources.Fingerprints.append(docs, fp, nShards = 1))
+    sources.Fingerprints.write(docs, fp, nShards = 1) // rebuild bumps
+    assert(marker(fp) == sources.Fingerprints.FormatVersion.toString)
+    assert(sources.Fingerprints.readBands(spark, fp).count() > 0)
+
+    // ann index
+    graft.plans.GraftFunctions.register(spark)
+    val ann = base.resolve("ann").toString
+    sources.AnnIndex.write(embs, ann, nShards = 1)
+    assert(marker(ann) == sources.AnnIndex.FormatVersion.toString)
+    stamp(ann, "0")
+    refusal("ann codes")(sources.AnnIndex.readCodes(spark, ann))
+    refusal("ann pq")(sources.AnnIndex.readPq(spark, ann))
+    // upsert encodes against the persisted model — must refuse too
+    refusal("ann upsert")(sources.AnnIndex.upsert(embs, ann))
+    sources.AnnIndex.write(embs, ann, nShards = 1)
+    assert(sources.AnnIndex.readServable(spark, ann).count() > 0)
+
+    // lm model
+    val lm = base.resolve("lm").toString
+    sources.LmModel.write(docs, lm, nShards = 1)
+    assert(marker(lm) == sources.LmModel.FormatVersion.toString)
+    stamp(lm, "0")
+    refusal("lm score")(sources.LmModel.scoreFrom(docs, lm))
+    refusal("lm append")(sources.LmModel.append(docs, lm))
+    sources.LmModel.write(docs, lm, nShards = 1)
+    assert(marker(lm) == sources.LmModel.FormatVersion.toString)
+
+    // search index
+    val sidx = base.resolve("sidx").toString
+    sources.SearchIndex.write(docs, sidx, nShards = 1)
+    assert(marker(sidx) == sources.SearchIndex.FormatVersion.toString)
+    stamp(sidx, "0")
+    refusal("search bm25")(sources.SearchIndex.bm25From(spark, sidx))
+    refusal("search append")(sources.SearchIndex.append(docs, sidx))
+    sources.SearchIndex.write(docs, sidx, nShards = 1)
+    assert(sources.SearchIndex.readDf(spark, sidx).count() > 0)
+
+    // graph store
+    val gs = base.resolve("gs").toString
+    val edges = Seq((1L, 2L, 3L), (2L, 3L, 1L)).toDF("src", "dst", "w")
+    sources.GraphStore.write(edges, gs)
+    assert(marker(gs) == sources.GraphStore.FormatVersion.toString)
+    stamp(gs, "0")
+    refusal("graph edges")(sources.GraphStore.readEdges(spark, gs))
+    refusal("graph append")(sources.GraphStore.append(edges, gs))
+    sources.GraphStore.write(edges, gs)
+    assert(sources.GraphStore.readEdges(spark, gs).count() == 2)
+
+    // bitext index
+    val bt = base.resolve("bt").toString
+    val src = embs.filter(col("vec_id") % 2 === 0)
+    val tgt = embs.filter(col("vec_id") % 2 === 1)
+    val bits = operators.Similarity.embBits(40L)
+    sources.BitextIndex.write(src, tgt, bt, bits)
+    assert(marker(bt) == sources.BitextIndex.FormatVersion.toString)
+    stamp(bt, "0")
+    refusal("bitext bands")(sources.BitextIndex.readBands(spark, bt))
+    refusal("bitext bits")(sources.BitextIndex.readBits(spark, bt))
+    sources.BitextIndex.write(src, tgt, bt, bits)
+    assert(sources.BitextIndex.readBits(spark, bt) == bits)
+
+    // bootstrap contract unchanged: a store root that does not exist
+    // passes every reader's check (nothing is historical yet)
+    assert(sources.Fingerprints.readPhashBandsOrEmpty(spark,
+      base.resolve("nothere").toString).count() == 0)
+  }
+
   test("store compaction heals a crash inside the swap window") {
     val all = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("text")).filter(col("doc_id") < 50L)
