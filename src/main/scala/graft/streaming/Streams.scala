@@ -962,6 +962,33 @@ object Streams {
           graft.sources.AnnIndex.upsertBatch(batch, path, batchId, nShards)
     }
 
+  // ---- stream_ingest tick: the full firewall loop as a sink ----
+
+  /** The COMPLETE ingest firewall (gate → durable decision → remember)
+    * as a streaming sink — one [[graft.sources.Ingest.tick]] per
+    * micro-batch. Caller `.start()`s the returned writer and owns the
+    * checkpoint dir. Restart contract (the fourth state archetype,
+    * VERDICT r13 #5): decisions are exactly-once (each batch's
+    * decision frame lands in its own `bid=` dir before the store
+    * mutates, and a replayed batch reloads it instead of re-gating —
+    * re-gating would see its own pre-crash fingerprints and flip its
+    * accepts to rejects); fingerprint appends are at-least-once with
+    * duplicate files absorbed by the consumers'-DISTINCT contract and
+    * folded by compact(). Spec: StreamingSpec "ingest tick restart".
+    */
+  def ingestTickSink(docs: DataFrame, storePath: String,
+      decisionsPath: String, nShards: Int = 1):
+      org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.Ingest.tick(batch, storePath, decisionsPath,
+            batchId, nShards)
+          ()
+        }
+    }
+
   // ---- stream_graph: incremental navigation-edge maintenance ----
 
   private[streaming] case class EdgeEvent(user_id: Long, event_id: Long,

@@ -1415,4 +1415,77 @@ class StreamingSpec extends SparkSpec {
         s"$t p95 rank ${rankOf(p95)} off by > 0.05")
     }
   }
+
+  test("ingest tick restart: a replayed batch reloads its durable decision instead of re-gating") {
+    // The fourth restart archetype (VERDICT r13 #5): the foreachBatch
+    // firewall tick mutates an EXTERNAL store. The poisoned window is
+    // a death AFTER the fingerprint append but BEFORE the engine's
+    // batch commit: the replay then re-gates against a store already
+    // holding this batch's own fingerprints, so every doc the crashed
+    // attempt accepted flips to reject — in the store (blocking all
+    // future copies) yet recorded rejected: silent corpus loss.
+    // Ingest.tick closes it by making the decision durable (bid-keyed
+    // parquet) BEFORE the store mutates and re-driving the replayed
+    // append from that decision. We simulate the window exactly:
+    // process a batch to completion, then delete its commit marker so
+    // the restarted query replays it with every side effect already
+    // durable.
+    implicit val sql = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-tick-restart")
+    val store = base.resolve("store").toString
+    val ckpt = base.resolve("ckpt").toString
+    val decs = base.resolve("decisions").toString
+    val all = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text")
+    sources.Fingerprints.write(all.filter($"doc_id" < 50L), store,
+      nShards = 1)
+    val histText = all.filter($"doc_id" === 7L).head.getString(1)
+    val newText = "a genuinely new molecule of text that shares no " +
+      "shingles with the synthetic corpus and is long enough to carry " +
+      "a full minhash signature of its own"
+    val in = MemoryStream[(Long, String)]
+    def start() = Streams.ingestTickSink(
+        in.toDF().toDF("doc_id", "text"), store, decs)
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    in.addData((1000L, newText), (1001L, histText))
+    q1.processAllAvailable()
+    q1.stop()
+    q1.awaitTermination()
+    // batch 0 fully processed AND committed; decisions + fingerprint
+    // appends durable. Erase the commit marker: to the restarted
+    // engine this is exactly a crash inside the poisoned window.
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(ckpt, "commits", "0"))
+    // and its LocalFS checksum sidecar — a leftover crc makes the
+    // replay's commit re-write report FileAlreadyExists, which the
+    // engine surfaces as a concurrent-queries conflict
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "commits", ".0.crc"))
+    val q2 = start() // replays batch 0 through Ingest.tick
+    q2.processAllAvailable()
+    // tick N+1 on the post-replay store: copies of what tick N
+    // accepted (and of history) must both reject
+    in.addData((2000L, newText), (2001L, histText))
+    q2.processAllAvailable()
+    q2.stop()
+    val dec = spark.read.parquet(decs)
+      .select($"bid", $"doc_id", $"is_exact_dup", $"accept").collect()
+      .map(r => (r.getAs[Int]("bid"), r.getAs[Long]("doc_id")) ->
+        (r.getAs[Long]("is_exact_dup"), r.getAs[Long]("accept"))).toMap
+    // exactly one decision row per (bid, doc): the replay OVERWROTE
+    // its bid dir, nothing double-emitted
+    assert(dec.size == 4, s"decision rows: ${dec.keySet}")
+    // THE pin: the replayed batch did not flip its own accept — had it
+    // re-gated, doc 1000's pre-crash fingerprints would read as an
+    // exact dup and the accept would be lost
+    assert(dec((0, 1000L)) == (0L, 1L),
+      s"replay flipped the accepted doc: ${dec((0, 1000L))}")
+    assert(dec((0, 1001L))._1 == 1L && dec((0, 1001L))._2 == 0L)
+    // and the next tick still gates correctly against the (possibly
+    // duplicate-filed) store: consumers' DISTINCT absorbs the replay
+    assert(dec((1, 2000L))._1 == 1L && dec((1, 2000L))._2 == 0L,
+      "tick N+1 failed to reject a copy of what tick N accepted")
+    assert(dec((1, 2001L))._1 == 1L && dec((1, 2001L))._2 == 0L)
+  }
 }
