@@ -838,8 +838,9 @@ object Multimodal {
   }
 
   /** Planted frame count: 65·(2..5) whole windows plus a 0..6-frame
-    * tail the hash truncates — so the equal-window truncation rule is
-    * part of what the oracle proves. */
+    * tail beyond the window grid — so the span arithmetic (onset trim
+    * + equal-window truncation, r14) is part of what the oracle
+    * proves, tail frames included. */
   private[graft] def audioFrames(id: Long): Int =
     (65 * (id % 4 + 2) + id % 7).toInt
 
@@ -926,9 +927,13 @@ object Multimodal {
     val z2 = PlantedSql.z2
     s"""
       WITH dims AS (
+        -- ALL planted frames, incl. the 0..6-frame tail: pre-r14 the
+        -- fixed grid truncated the tail unconditionally so the oracle
+        -- could ignore it; the onset trim's peak/span now see every
+        -- frame, so the oracle must too
         SELECT doc_id, doc_id % 2 + 1 AS ch,
-          65 * (doc_id % 4 + 2) AS n65, doc_id % 4 + 2 AS win,
-          doc_id AS seed
+          65 * (doc_id % 4 + 2) + doc_id % 7 AS n65,
+          doc_id % 4 + 2 AS win, doc_id AS seed
         FROM documents
       ), fx AS (
         SELECT doc_id, ch, win, seed, unnest(range(n65)) AS f FROM dims
@@ -943,9 +948,21 @@ object Multimodal {
       ), mono AS (
         SELECT doc_id, win, f, SUM(v) AS m
         FROM samp GROUP BY doc_id, win, f
+      ), act AS (
+        -- onset alignment (r14): active = |m| > peak/64; the window
+        -- grid starts at the first active frame and spans to the last
+        SELECT doc_id, MAX(ABS(m)) // 64 AS thr FROM mono GROUP BY doc_id
+      ), span AS (
+        SELECT mono.doc_id, MIN(f) AS f0,
+          (MAX(f) - MIN(f) + 1) // 65 AS awin
+        FROM mono JOIN act ON mono.doc_id = act.doc_id
+        WHERE ABS(m) > thr
+        GROUP BY mono.doc_id
       ), energy AS (
-        SELECT doc_id, f // win AS w, SUM(m * m) AS e
-        FROM mono GROUP BY doc_id, f // win
+        SELECT mono.doc_id, (f - f0) // awin AS w, SUM(m * m) AS e
+        FROM mono JOIN span ON mono.doc_id = span.doc_id
+        WHERE awin > 0 AND f >= f0 AND (f - f0) < 65 * awin
+        GROUP BY mono.doc_id, (f - f0) // awin
       ), ah AS (
         SELECT doc_id,
           CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT

@@ -11,14 +11,19 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   * exists or is needed).
   *
   * The audio analogue of dHash: the PCM stream is folded to a mono
-  * sample-sum series, split into 65 EQUAL-length windows (the tail
-  * remainder is truncated, so every window has exactly n/65 frames —
-  * integer-exact energies with no cross-multiplied length
-  * normalization), and each of the 64 bits records whether window
-  * i+1 carries more energy (sum of squared mono sums) than window i.
-  * Gradient-of-envelope, like dHash's gradient-of-luma: the signature
-  * survives uniform gain change (energy scales monotonically),
-  * re-containering, and sample-level dither, which byte hashing
+  * sample-sum series, TRIMMED to its active span (onset alignment —
+  * the peak-relative rule documented at [[AudioHash.ahash]]), split
+  * into 65 EQUAL-length windows (the tail remainder is truncated, so
+  * every window has exactly span/65 frames — integer-exact energies
+  * with no cross-multiplied length normalization), and each of the 64
+  * bits records whether window i+1 carries more energy (sum of
+  * squared mono sums) than window i. Gradient-of-envelope, like
+  * dHash's gradient-of-luma: the signature survives uniform gain
+  * change (energy scales monotonically; the trim threshold is
+  * peak-relative, so the span is gain-stable too), re-containering,
+  * sample-level dither, and leading/trailing silence padding or
+  * trimming (r14 — a fixed window grid let a one-window silence pad
+  * shift every boundary and evade the firewall), which byte hashing
   * cannot give an audio column.
   *
   * Decode scope (total — NULL, never a throw): RIFF/WAVE, `fmt `
@@ -68,18 +73,46 @@ object AudioHash {
     * (the 9-cells-for-8-bits dHash convention, in one dimension). */
   val Windows = 65
 
-  /** Boxed so codegen can branch on decode failure. */
+  /** ONSET ALIGNMENT (r14, VERDICT r13 #6): before windowing, the
+    * signal is trimmed to its ACTIVE SPAN — leading and trailing
+    * frames whose |mono sum| ≤ peak/64 (integer division) are
+    * dropped. Without it the fixed window grid made the hash
+    * shift-fragile: one window (~1.5 %) of prepended silence moved
+    * every window boundary and could flip arbitrarily many bits, so a
+    * trimmed/padded re-upload evaded the audio firewall that a
+    * re-gain could not. The peak-relative threshold keeps the trim
+    * EXACTLY gain-invariant: for any integer gain g, |m| > ⌊p/64⌋ ⟺
+    * |g·m| > ⌊g·p/64⌋ (upper: ⌊gp/64⌋ < g⌊p/64⌋ + g ≤ g|m| when
+    * |m| ≥ ⌊p/64⌋+1; lower: |m| ≤ ⌊p/64⌋ ⇒ g|m| ≤ g⌊p/64⌋ ≤
+    * ⌊gp/64⌋), so the active span — and with it the hash — is
+    * untouched by uniform gain. A degenerate all-zero mono fold
+    * (e.g. exactly-cancelling stereo) has no envelope to align; it
+    * keeps the untrimmed zero-energy hash (0), as before.
+    *
+    * Boxed so codegen can branch on decode failure. */
   def ahash(b: Array[Byte]): java.lang.Long = {
     val pcm = decodePcm(b)
     if (pcm == null) return null
     val (mono, nFrames) = pcm
-    val win = nFrames / Windows
+    var peak = 0
+    var j = 0
+    while (j < nFrames) {
+      val a = math.abs(mono(j)); if (a > peak) peak = a; j += 1
+    }
+    var f0 = 0
+    var f1 = nFrames - 1
+    if (peak > 0) {
+      val thr = peak / 64
+      while (math.abs(mono(f0)) <= thr) f0 += 1 // stops at the peak frame
+      while (math.abs(mono(f1)) <= thr) f1 -= 1
+    }
+    val win = (f1 - f0 + 1) / Windows
     if (win == 0) return null
     val e = new Array[Long](Windows)
     var w = 0
     while (w < Windows) {
       var s = 0L
-      var f = w * win
+      var f = f0 + w * win
       val end = f + win
       while (f < end) { val m = mono(f).toLong; s += m * m; f += 1 }
       e(w) = s

@@ -135,17 +135,51 @@ class AudioHashSpec extends AnyFunSuite {
       }
       val got = AudioHash.ahash(
         Multimodal.buildWav(ch, Multimodal.plantedRate(id), 16, data))
-      // independent recompute of the definition
-      val win = n / AudioHash.Windows
+      // independent recompute of the definition, incl. onset trim
+      val mono = Array.tabulate(n) { f =>
+        (0 until ch).map(Multimodal.plantedSamp(id, f, _)).sum
+      }
+      val thr = mono.map(math.abs).max / 64
+      val f0 = mono.indexWhere(m => math.abs(m) > thr)
+      val f1 = mono.lastIndexWhere(m => math.abs(m) > thr)
+      val win = (f1 - f0 + 1) / AudioHash.Windows
       val e = Array.tabulate(AudioHash.Windows) { w =>
-        (w * win until (w + 1) * win).map { f =>
-          val m = (0 until ch).map(Multimodal.plantedSamp(id, f, _)).sum.toLong
-          m * m
+        (f0 + w * win until f0 + (w + 1) * win).map { f =>
+          val m = mono(f).toLong; m * m
         }.sum
       }
       var exp = 0L
       for (i <- 0 until 64) if (e(i + 1) > e(i)) exp |= 1L << i
       assert(got != null && got.longValue == exp, s"doc $id")
     }
+  }
+
+  test("onset alignment: silence-padded and trimmed copies hash identically (r14)") {
+    val n = 65 * 3
+    def amp(f: Int): Int = 300 + (f / 65) * 1201 + (f % 7) * 11
+    val base = Multimodal.buildWav(1, 8000, 16, pcm16(n, 1, amp))
+    val h = AudioHash.ahash(base)
+    assert(h != null)
+    // a re-upload with one full window (~1.5%) of leading silence and
+    // a half window of trailing silence: the pre-r14 fixed grid shifted
+    // every window boundary here and the hash moved arbitrarily — the
+    // firewall evasion VERDICT r13 #5 named. Active-span alignment
+    // makes it hash-identical (silence is below peak/64, the signal
+    // frames all above).
+    val lead = 65
+    val tail = 32
+    val padded = new Array[Byte]((lead + n + tail) * 2)
+    System.arraycopy(pcm16(n, 1, amp), 0, padded, lead * 2, n * 2)
+    assert(AudioHash.ahash(Multimodal.buildWav(1, 8000, 16, padded)) == h,
+      "silence padding must not move the hash")
+    // and the padded copy under ×3 gain STILL matches: the trim
+    // threshold is peak-relative, so gain cannot move the span
+    val gained = new Array[Byte]((lead + n + tail) * 2)
+    System.arraycopy(pcm16(n, 1, f => amp(f) * 3), 0, gained,
+      lead * 2, n * 2)
+    assert(AudioHash.ahash(Multimodal.buildWav(1, 8000, 16, gained)) == h,
+      "gain x padding must not move the hash")
+    // the firewall consequence: identical hashes band-collide, so a
+    // trimmed/padded re-upload now flags against the ahash_bands store
   }
 }
