@@ -82,6 +82,8 @@ object RecallAudit {
 
     val rows = Seq(
       "ann_ivf" -> recall(brute3, approxTopK("ann_ivf", 3)),
+      "ann_ivf_quantized" -> recall(brute3,
+        approxTopK("ann_ivf_quantized", 3)),
       "ann_pq" -> recall(brute5, approxTopK("ann_pq", 5)),
       "ann_ivf_pq" -> recall(brute3, approxTopK("ann_ivf_pq", 3)),
       "ann_filtered" -> recall(brute3f, approxTopK("ann_filtered", 3)))
@@ -96,8 +98,30 @@ object RecallAudit {
     val curve = Seq(2, 4, 8).map(b =>
       s""""ann_ivf@x$b":${f"${recall(brute3, boosted(b))}%.4f"}""")
       .mkString(",")
+    // filtered over-probe curve across SELECTIVITIES (VERDICT r13 #7):
+    // the deployment question behind FilterProbeBoost — with predicate
+    // selectivity s, probed cells hold ~s× the candidates, so the
+    // boost must climb as s falls. Two predicates (~0.5 and ~0.1
+    // selectivity, both plain pushed-filter comparisons) × boosts
+    // {1, 2, 4}, each PQ-served like ann_filtered, recall@3 vs exact
+    // brute force over the SAME filtered candidate universe.
+    def filteredBoost(pred: org.apache.spark.sql.Column,
+        boost: Int): Map[Long, Set[Long]] =
+      operators.Similarity.ivfRank(spark, sfDir, "pq", Some(pred), boost)
+        .filter(col("rk") <= 3)
+        .select(col("q_id"), col("c_id")).collect()
+        .groupBy(_.getLong(0))
+        .map { case (q2, rs) => q2 -> rs.map(_.getLong(1)).toSet }
+    val selCurve = Seq(
+      "sel0.5" -> operators.Similarity.FilteredPred,
+      "sel0.1" -> (col("label") <= 0)).flatMap { case (tag, pred) =>
+      val bruteSel = atK(bruteRanked(allCand.filter(pred), 3), 3)
+      Seq(1, 2, 4).map(b =>
+        s""""ann_filtered@$tag@x$b":${
+          f"${recall(bruteSel, filteredBoost(pred, b))}%.4f"}""")
+    }.mkString(",")
     val body = rows.map { case (n, r) => f""""$n":$r%.4f""" }.mkString(",")
-    println(s"""{"recall":{$body},"probe_boost_curve":{$curve},"sf":"$sfDir"}""")
+    println(s"""{"recall":{$body},"probe_boost_curve":{$curve},"filtered_boost_curve":{$selCurve},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
