@@ -129,6 +129,24 @@ object Streams {
     graft.operators.TextAnalysis.gopherSignals(docs)
       .filter(col("pass_gopher") === 1L)
 
+  /** stream_classifier — FROZEN-model quality scoring on ingest
+    * (batch twin: quality_classifier; model source: sink_classifier).
+    * Training cannot live in the stream (LBFGS iterates over the full
+    * sample; an unbounded stream has no "full"), so the model is
+    * trained batch-side on the previous corpus snapshot, persisted
+    * through [[graft.sources.ClassifierStore]], and applied here as
+    * what it already is at serving time: ONE narrow per-row fold with
+    * the weights riding the plan as an array literal — append mode,
+    * no state store, no watermark, scores equal to the batch serving
+    * path row-for-row (spec). Between model refreshes a grown corpus
+    * scores under slightly stale weights — the same documented drift
+    * contract as sink_lm's cuts and ann_upsert's frozen centroids.
+    * Incoming columns ride through so the gate composes.
+    */
+  def classifierScored(docs: DataFrame,
+      m: graft.operators.QualityClassifier.Model): DataFrame =
+    graft.operators.QualityClassifier.served(docs, m)
+
   /** stream_mix — stateless temperature-mix gate on ingest (batch
     * twin: sample_temperature). Per-source totals cannot be counted
     * inside an unbounded stream without an ever-growing aggregation,

@@ -156,6 +156,52 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.keySet == Set(1L), s"gate kept ${streamed.keySet}")
   }
 
+  test("stream_classifier: frozen-model scores == batch serving row-for-row; stateless") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    // frozen model trained batch-side on a separable fixture (the
+    // sink_classifier contract: train once, serve every later stream)
+    val rnd = new scala.util.Random(77)
+    val docs: Seq[(Long, String)] = (0 until 60).map { i =>
+      val text = if (i % 2 == 0)
+        (0 until 25).map(_ => s"prose${rnd.nextInt(30)}").mkString(" ")
+      else (0 until 6).map(_ => s"spam${rnd.nextInt(4)}").mkString(" ")
+      (i.toLong, text)
+    }
+    val labeled = docs.toDF("doc_id", "text")
+      .withColumn("label", (pmod(col("doc_id"), lit(2)) === 0)
+        .cast("double"))
+      .withColumn("fidx", operators.QualityClassifier.featureIdx(
+        functions.TextFns.tokens(col("text"))))
+      .localCheckpoint()
+    val model = operators.QualityClassifier.train(labeled)
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.classifierScored(
+        in.toDF().toDF("doc_id", "text"), model)
+      .writeStream.format("memory").queryName("clf_out")
+      .outputMode("append").start()
+    // split mid-corpus: scoring is per-row, batch boundaries must not
+    // matter and no state may accumulate
+    in.addData(docs.take(20): _*)
+    q.processAllAvailable()
+    in.addData(docs.drop(20): _*)
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+      "frozen-model scoring must keep zero state rows")
+    q.stop()
+    val streamed = spark.table("clf_out").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("prob"))
+      .toMap
+    val batch = operators.QualityClassifier.served(
+        docs.toDF("doc_id", "text"), model).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("prob"))
+      .toMap
+    assert(streamed === batch)
+    // and the frozen model actually separates the planted classes
+    assert(docs.forall { case (id, _) =>
+      if (id % 2 == 0) streamed(id) > 0.5 else streamed(id) < 0.5 })
+  }
+
   test("stream_frames: sample-then-decode on arriving clips == batch; stateless") {
     implicit val sql = spark.sqlContext
     import operators.Multimodal
