@@ -14,7 +14,8 @@ object SparkEntry {
       operators.Sampling.ops ++ operators.Bpe.ops ++ operators.Curate.ops ++
       operators.LangModel.ops ++ operators.Graph.ops ++
       operators.Profile.ops ++
-      operators.Search.ops ++ operators.QualityClassifier.ops
+      operators.Search.ops ++ operators.QualityClassifier.ops ++
+      operators.EmbedPca.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
