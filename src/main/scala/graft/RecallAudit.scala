@@ -120,8 +120,24 @@ object RecallAudit {
         s""""ann_filtered@$tag@x$b":${
           f"${recall(bruteSel, filteredBoost(pred, b))}%.4f"}""")
     }.mkString(",")
+    // rerank-width dial on the lowest ladder rung (ann_ivf_pq): the
+    // ADC shortlist only needs to CONTAIN the true top-k, so recall
+    // rises with RerankK until the misses are PROBE misses (candidate
+    // not in any probed cell) that no rerank width can recover —
+    // ann_ivf's recall is that ceiling. Cost of the dial is
+    // queries·RerankK skinny float rows, so the curve prices where
+    // the knee sits.
+    val rerankCurve = Seq(32, 64, 128, 256).map { rk =>
+      val approx = operators.Similarity
+        .ivfRank(spark, sfDir, "pq", None, 1, rk)
+        .filter(col("rk") <= 3)
+        .select(col("q_id"), col("c_id")).collect()
+        .groupBy(_.getLong(0))
+        .map { case (q2, rs) => q2 -> rs.map(_.getLong(1)).toSet }
+      s""""ann_ivf_pq@rk$rk":${f"${recall(brute3, approx)}%.4f"}"""
+    }.mkString(",")
     val body = rows.map { case (n, r) => f""""$n":$r%.4f""" }.mkString(",")
-    println(s"""{"recall":{$body},"probe_boost_curve":{$curve},"filtered_boost_curve":{$selCurve},"sf":"$sfDir"}""")
+    println(s"""{"recall":{$body},"probe_boost_curve":{$curve},"filtered_boost_curve":{$selCurve},"rerank_curve":{$rerankCurve},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -212,7 +212,7 @@ object Similarity {
     */
   private[graft] def ivfRank(s: SparkSession, dir: String, mode: String,
       candPred: Option[org.apache.spark.sql.Column] = None,
-      probeBoost: Int = 1): DataFrame = {
+      probeBoost: Int = 1, rerankK: Int = RerankK): DataFrame = {
       graft.plans.GraftFunctions.register(s)
       val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       // k ∝ √n capped at KmeansMaxK (see its doc for the bounded
@@ -313,7 +313,7 @@ object Similarity {
         case "pq" =>
           val shortlist = graft.plans.TopK.perKey(scored, Seq("q_id"),
               Seq("cos" -> graft.plans.TopK.Desc,
-                "c_id" -> graft.plans.TopK.Asc), RerankK, "adc_rk")
+                "c_id" -> graft.plans.TopK.Asc), rerankK, "adc_rk")
             .select(col("q_id"), col("c_id"), col("bucket"))
           val cf = e.select(col("vec_id").as("c_id"),
             col("embedding").as("c_emb"))

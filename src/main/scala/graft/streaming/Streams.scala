@@ -147,6 +147,24 @@ object Streams {
       m: graft.operators.QualityClassifier.Model): DataFrame =
     graft.operators.QualityClassifier.served(docs, m)
 
+  /** stream_embed_pca — FROZEN-basis projection of arriving
+    * embeddings (batch twin: embed_pca): the PCA basis, like the
+    * classifier's weights and the upsert index's centroids, is fit
+    * batch-side on the previous snapshot (fitting needs the corpus
+    * covariance; an unbounded stream has no covariance to converge
+    * to) and the stream applies what projection already is — a
+    * narrow per-row fold with mean and components as plan literals —
+    * append mode, no state store, no watermark, projections equal to
+    * the batch operator's row-for-row (spec). Basis staleness under
+    * distribution drift is the documented ann_upsert frozen-model
+    * contract; incoming columns ride through so the step composes
+    * (project-then-index at ingest).
+    */
+  def pcaProjected(embs: DataFrame, mean: Array[Double],
+      comps: Array[Array[Double]]): DataFrame =
+    embs.withColumn(s"pca${comps.length}",
+      graft.operators.EmbedPca.projectCol(col("embedding"), mean, comps))
+
   /** stream_mix — stateless temperature-mix gate on ingest (batch
     * twin: sample_temperature). Per-source totals cannot be counted
     * inside an unbounded stream without an ever-growing aggregation,

@@ -202,6 +202,43 @@ class StreamingSpec extends SparkSpec {
       if (id % 2 == 0) streamed(id) > 0.5 else streamed(id) < 0.5 })
   }
 
+  test("stream_embed_pca: frozen-basis projections == batch row-for-row; stateless") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // basis fit batch-side on a planted low-rank snapshot (the
+    // frozen-model contract shared with stream_classifier/ann_upsert)
+    val rnd = new scala.util.Random(99)
+    val dim = 8
+    val vecs: Seq[(Long, Seq[Float])] = (0 until 120).map { i =>
+      val a = rnd.nextGaussian() * 2.0
+      (i.toLong, Seq.tabulate(dim)(j =>
+        (a * (if (j % 2 == 0) 0.5 else -0.5) +
+          rnd.nextGaussian() * 0.01).toFloat))
+    }
+    val snapshot = vecs.toDF("vec_id", "embedding")
+    val (mean, comps, _) = operators.EmbedPca.fit(snapshot, 2)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.pcaProjected(
+        in.toDF().toDF("vec_id", "embedding"), mean, comps)
+      .writeStream.format("memory").queryName("pca_out")
+      .outputMode("append").start()
+    in.addData(vecs.take(40): _*)
+    q.processAllAvailable()
+    in.addData(vecs.drop(40): _*)
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+      "frozen-basis projection must keep zero state rows")
+    q.stop()
+    val streamed = spark.table("pca_out").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](2)).toMap
+    val batch = Streams.pcaProjected(snapshot, mean, comps).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](2)).toMap
+    assert(streamed === batch)
+    // the planted signal survives: first component carries it
+    assert(streamed.values.forall(_.length == 2))
+    assert(streamed.values.map(p => math.abs(p.head)).max > 1.0)
+  }
+
   test("stream_frames: sample-then-decode on arriving clips == batch; stateless") {
     implicit val sql = spark.sqlContext
     import operators.Multimodal
