@@ -333,14 +333,18 @@ object Similarity {
   /** ADC shortlist width for the exact re-rank stage of the PQ
     * serving paths (ann_pq / ann_ivf_pq / ann_filtered): the ADC pass
     * keeps the top RerankK candidates per query, the float kernel
-    * re-scores exactly those (~13–21× the final k — the shortlist
-    * only needs to CONTAIN the true top-k, not rank it). Measured at
-    * sf1 on the structure-less worst case: 30 → 64 lifts IVFADC
-    * recall 0.53 → 0.60 (brute ADC 0.64 → 0.78) at a cost bounded by
-    * queries·RerankK skinny rows; the standing numbers live in
-    * BENCH_sf1.json's recall block.
+    * re-scores exactly those (the shortlist only needs to CONTAIN the
+    * true top-k, not rank it). Sized from the measured rerank_curve
+    * at sf1 on the structure-less worst case (BENCH_sf1.json): IVFADC
+    * recall@3 climbs 0.53 → 0.60 → 0.70 → 0.73 at rk ∈ {32, 64, 128,
+    * 256} and 0.73 IS the probe ceiling (ann_ivf's own recall — the
+    * remaining misses are cells never probed, which no rerank width
+    * recovers), so 256 sits exactly at the knee. Cost stays bounded
+    * by queries·RerankK skinny float rows — per query, 256 extra
+    * exact cosines vs an ADC scan of the whole probed set; noise at
+    * any scale.
     */
-  val RerankK = 64
+  val RerankK = 256
 
   private val opIvf = Op("ann_ivf", (s, dir) => ivfRank(s, dir, "float"), None)
 

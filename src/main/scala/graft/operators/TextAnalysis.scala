@@ -290,6 +290,37 @@ object TextAnalysis {
         FROM c)
       SELECT token, n_occ, n_docs, rank FROM r WHERE rank <= $VocabSize"""))
 
+  // ---- vocab_topk_sketch: heavy hitters at open-domain scale ----
+  // The at-scale twin of vocab_topk, the same pairing as
+  // profile_stats/profile_sketch and quantile_bins/_sketch: the exact
+  // op shuffles one count row per DISTINCT token — right when the
+  // vocabulary is the product, O(distinct) the moment the domain is
+  // open (URL hosts, n-grams, error strings at 100 TB). Here each
+  // partition keeps ONE constant-size Misra–Gries map
+  // (plans/FreqItems.scala; ≤ 4096 entries regardless of rows), the
+  // partials merge associatively map-side, and the single merged
+  // sketch reads out the top-V with per-item [lb, ub] bounds plus the
+  // sketch-wide max_err (0 ⇔ no purge fired ⇔ estimates exact).
+  // Rows-only: purge order is an implementation detail; the spec pins
+  // the published guarantees (planted heavy hitters present, every
+  // interval contains the exact count, exact below 0.75·capacity).
+  private val opVocabSketch = Op(
+    "vocab_topk_sketch",
+    (s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val toks = docs(s, dir)
+        .select(explode(TextFns.tokens(col("text"))).as("token"))
+      val sk = toks.agg(
+        expr(s"graft_freq_agg(token, ${graft.plans.FreqItems.DefaultMapSize})")
+          .as("sk"))
+      sk.select(
+          posexplode(expr(s"graft_freq_topk(sk, $VocabSize)")).as(Seq("pos", "r")),
+          expr("graft_freq_maxerr(sk)").as("max_err"))
+        .select(col("r.token").as("token"), col("r.est").as("n_occ_est"),
+          col("r.lb").as("n_occ_lb"), col("r.ub").as("n_occ_ub"),
+          (col("pos") + 1).cast("long").as("rank"), col("max_err"))
+    })
+
   // ---- text_compress: compression-ratio quality signal ----
   // The CCNet/Gopher heuristic: natural prose deflates to ~0.3-0.5 of
   // its size, templated spam far below that, noise barely at all.
@@ -780,6 +811,7 @@ object TextAnalysis {
     })
 
   val ops: Seq[Op] = Seq(opLangId, opQuality, opTokenCount, opFingerprint,
-    opRepetition, opPii, opVocab, opCompress, opFilter, opKeywords, opIndex,
+    opRepetition, opPii, opVocab, opVocabSketch, opCompress, opFilter,
+    opKeywords, opIndex,
     opDataCard, opGopher)
 }

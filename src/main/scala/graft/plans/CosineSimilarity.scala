@@ -463,5 +463,25 @@ object GraftFunctions {
       "graft_kll_rank",
       exprs => KllRankExpr(exprs.head, exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_freq_agg",
+      exprs => FreqAggExpr(exprs.head,
+        if (exprs.length > 1) exprs(1).eval().asInstanceOf[Int]
+        else FreqItems.DefaultMapSize).toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_freq_merge",
+      exprs => FreqMergeAggExpr(exprs.head,
+        if (exprs.length > 1) exprs(1).eval().asInstanceOf[Int]
+        else FreqItems.DefaultMapSize).toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_freq_topk",
+      exprs => FreqTopKExpr(exprs.head, exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_freq_maxerr",
+      exprs => FreqMaxErrExpr(exprs.head),
+      "built-in")
   }
 }
