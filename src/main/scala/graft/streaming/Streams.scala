@@ -565,6 +565,40 @@ object Streams {
         round(expr("graft_kll_quantile(sk, 0.95D)") / 100.0, 6).as("p95_approx"))
   }
 
+  /** stream_vocab — running per-language heavy-hitter vocabulary over
+    * an unbounded document stream (batch twin: vocab_topk_sketch): the
+    * stream_quantile move applied to frequent items — a streaming
+    * aggregation whose state-store buffer IS the mergeable Misra–Gries
+    * sketch (graft_freq_agg's TypedImperativeAggregate buffer
+    * serializes into the per-group state row), so each micro-batch's
+    * partial maps merge into the running one with NO replay of past
+    * tokens and constant (≤ map-size entries) state per language at
+    * ANY stream length — exact running vocabulary counts would hold
+    * O(distinct tokens) state, unbounded the moment the domain is
+    * open. Read-out carries the batch op's contract: top-V with
+    * [lb, ub] intervals plus the sketch-wide max_err; purge order is
+    * an implementation detail, so the published bound — not
+    * bit-stability — is the spec'd contract (the KLL convention).
+    */
+  def vocabProfiled(docs: DataFrame, topV: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    import graft.functions.TextFns
+    docs
+      .select(col("lang"),
+        explode(TextFns.tokens(col("text"))).as("token"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_toks"),
+        expr(s"graft_freq_agg(token, ${graft.plans.FreqItems.DefaultMapSize})")
+          .as("sk"))
+      .select(col("lang"), col("n_toks"),
+        posexplode(expr(s"graft_freq_topk(sk, $topV)")).as(Seq("pos", "r")),
+        expr("graft_freq_maxerr(sk)").as("max_err"))
+      .select(col("lang"), col("n_toks"),
+        col("r.token").as("token"), col("r.est").as("n_occ_est"),
+        col("r.lb").as("n_occ_lb"), col("r.ub").as("n_occ_ub"),
+        (col("pos") + 1).cast("long").as("rank"), col("max_err"))
+  }
+
   // ---- stream_index: incremental inverted-index maintenance ----
 
   case class IndexEntry(token: String, doc_id: Long, entry: String)

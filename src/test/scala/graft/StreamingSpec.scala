@@ -1127,6 +1127,55 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream_vocab: Misra-Gries state — intervals contain exact counts across batch splits") {
+    implicit val sql = spark.sqlContext
+    graft.plans.GraftFunctions.register(spark)
+    val rows = Tables(spark, sfDir, "documents")
+      .select(col("lang"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val topV = 20
+    val in = MemoryStream[(String, String)]
+    val q = Streams.vocabProfiled(in.toDF().toDF("lang", "text"), topV)
+      .writeStream.format("memory").queryName("vocab_out")
+      .outputMode("complete").start()
+    // uneven splits: the per-language sketch in the state store merges
+    // each batch's partial maps; no past token is ever replayed
+    in.addData(rows.take(rows.length / 4).toIndexedSeq: _*)
+    q.processAllAvailable()
+    in.addData(rows.slice(rows.length / 4, rows.length / 3).toIndexedSeq: _*)
+    q.processAllAvailable()
+    in.addData(rows.drop(rows.length / 3).toIndexedSeq: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("vocab_out").collect()
+    // exact ground truth per (lang, token) + per-lang token totals
+    val toks = rows.flatMap { case (l, t) => t.split(" ", -1).map(l -> _) }
+    val exact = toks.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val perLang = toks.groupBy(_._1).map { case (l, v) => l -> v.length.toLong }
+    // bounded state: ONE state row (one sketch) per language
+    assert(q.lastProgress.stateOperators.nonEmpty &&
+      q.lastProgress.stateOperators.head.numRowsTotal == perLang.size.toLong)
+    q.stop()
+    assert(streamed.map(_.getAs[String]("lang")).toSet == perLang.keySet)
+    streamed.groupBy(_.getAs[String]("lang")).foreach { case (l, rs) =>
+      assert(rs.head.getAs[Long]("n_toks") == perLang(l), s"$l token total")
+      // read-out order: rank follows descending estimate
+      val byRank = rs.sortBy(_.getAs[Long]("rank"))
+      val ests = byRank.map(_.getAs[Long]("n_occ_est"))
+      assert(ests.sameElements(ests.sortBy(-_)), s"$l rank order")
+      byRank.foreach { r =>
+        val c = exact((l, r.getAs[String]("token")))
+        assert(r.getAs[Long]("n_occ_lb") <= c &&
+          c <= r.getAs[Long]("n_occ_ub"),
+          s"$l '${r.getAs[String]("token")}' interval vs exact $c")
+        // sf0.001 vocabularies sit far below purge capacity: the
+        // streamed estimates must be EXACT (max_err 0), the strongest
+        // form of split-invariance the MG sketch offers
+        if (r.getAs[Long]("max_err") == 0L)
+          assert(r.getAs[Long]("n_occ_est") == c)
+      }
+    }
+  }
+
   test("stream_profile: incremental HLL NDV == one-shot batch sketch exactly") {
     implicit val sql = spark.sqlContext
     val lgK = operators.Relational2.SketchLgK
