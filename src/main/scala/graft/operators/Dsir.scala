@@ -64,25 +64,51 @@ object Dsir {
   private val isTarget =
     s"CAST(substring(source, 4) AS INT) < ${LangModel.RefSourceCount}"
 
-  /** Per-raw-doc integer LLR weights: (doc_id, n_toks, llr_bits). */
-  private[graft] def weights(d: DataFrame): DataFrame = {
-    val toks = d.selectExpr("doc_id", s"$isTarget AS tgt", "text")
+  /** (doc_id, tgt, tok) token stream — the frame both the model
+    * counts and the scoring pass explode from. */
+  private[graft] def tokenized(d: DataFrame): DataFrame =
+    d.selectExpr("doc_id", s"$isTarget AS tgt", "text")
       .withColumn("tok", explode(TextFns.tokens(col("text"))))
       .drop("text")
-    val vocab = toks.groupBy(col("tok")).agg(
+
+  /** The model: per-token counts on both sides — (tok, ct, cr).
+    * Additive, so `sources.DsirStore` appends shards and readers
+    * sum-fold (the LmModel contract). */
+  private[graft] def vocabCounts(toks: DataFrame): DataFrame =
+    toks.groupBy(col("tok")).agg(
       sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
       sum(when(col("tgt"), 0L).otherwise(1L)).as("cr"))
-    val tot = vocab.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"),
+
+  /** 1-row totals (nt, nr, v) — derived from the vocab frame so they
+    * stay append-mergeable. */
+  private[graft] def totals(vocab: DataFrame): DataFrame =
+    vocab.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"),
       count(lit(1)).as("v"))
-    toks.filter(!col("tgt"))
-      .join(vocab, Seq("tok"))
+
+  /** Score a (doc_id, tok) token stream against a FROZEN model —
+    * inline counts (the oracled driver query) or the reloaded
+    * `sources.DsirStore` bundle. LEFT join: a serve-time token the
+    * model never saw takes the add-one smoothing floor on both sides
+    * (ct = cr = 0), the LmModel unseen-key rule. */
+  private[graft] def scoreAgainst(toks: DataFrame, vocab: DataFrame,
+      tot: DataFrame): DataFrame =
+    toks
+      .join(vocab, Seq("tok"), "left")
       .crossJoin(broadcast(tot))
       .withColumn("llr",
-        (length(bin(expr(s"((ct + 1L) * $DsirScale) DIV (nt + v)")))
-          - length(bin(expr(s"((cr + 1L) * $DsirScale) DIV (nr + v)"))))
+        (length(bin(expr(
+          s"((coalesce(ct, 0L) + 1L) * $DsirScale) DIV (nt + v)")))
+          - length(bin(expr(
+            s"((coalesce(cr, 0L) + 1L) * $DsirScale) DIV (nr + v)"))))
           .cast("long"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_toks"), sum(col("llr")).as("llr_bits"))
+
+  /** Per-raw-doc integer LLR weights: (doc_id, n_toks, llr_bits). */
+  private[graft] def weights(d: DataFrame): DataFrame = {
+    val toks = tokenized(d)
+    val vocab = vocabCounts(toks)
+    scoreAgainst(toks.filter(!col("tgt")), vocab, totals(vocab))
   }
 
   private val opSelect = Op(
@@ -140,19 +166,24 @@ object Dsir {
   private val opSelectSketch = Op(
     "dsir_select_sketch",
     (s, dir) => {
-      graft.plans.GraftFunctions.register(s)
       val w = weights(docs(s, dir)).localCheckpoint()
-      val cut = w.agg(
-        expr("graft_kll_agg(CAST(llr_bits AS DOUBLE))").as("sk"),
-        count(lit(1)).as("n_raw"))
-        .select(expr("graft_kll_quantile(sk, CAST(0.9 AS DOUBLE))")
-          .as("cut"))
-      w.crossJoin(broadcast(cut))
+      w.crossJoin(broadcast(sketchCut(w)))
         .filter(col("llr_bits") >= col("cut"))
         .select(col("doc_id"), col("n_toks"), col("llr_bits"),
           round(col("llr_bits") / col("n_toks"), 6).as("bits_per_token"))
     },
     None)
+
+  /** The 90th-percentile weight CUT as a 1-row frame, from one
+    * mergeable KLL sketch (constant state, map-side combine) — what
+    * the sketch mode applies inline and `sources.DsirStore` persists
+    * for serving (the LmModel refreshCuts analog). */
+  private[graft] def sketchCut(w: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(w.sparkSession)
+    w.agg(expr("graft_kll_agg(CAST(llr_bits AS DOUBLE))").as("sk"))
+      .select(expr("graft_kll_quantile(sk, CAST(0.9 AS DOUBLE))")
+        .as("cut"))
+  }
 
   def ops: Seq[Op] = Seq(opSelect, opSelectSketch)
 }

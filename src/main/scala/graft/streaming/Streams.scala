@@ -599,6 +599,57 @@ object Streams {
         (col("pos") + 1).cast("long").as("rank"), col("max_err"))
   }
 
+  private[streaming] case class DsirProbe(doc_id: Long, llr: Long)
+
+  case class DsirGateOut(doc_id: Long, n_toks: Long, llr_bits: Long,
+      accept: Long)
+
+  /** stream_dsir — FROZEN-model importance gating on ingest (batch
+    * twin: dsir_select; model source: sources.DsirStore). The model —
+    * target/raw unigram counts, totals, the selection cut — derives
+    * batch-side (counting both corpora needs a corpus; an unbounded
+    * stream has none), and the stream applies it per arriving doc:
+    * token rows probe the RELOADED vocab via a stream-static LEFT
+    * join (unseen tokens take the smoothing floor, the LmModel
+    * unseen-key rule; llr stays the exact integer bit-surprisal
+    * kernel, so streamed weights equal batch weights row-for-row),
+    * and the per-doc roll-up runs in a zero-state
+    * flatMapGroupsWithState — a doc's token rows arrive in ONE
+    * micro-batch from one explode, so the group iterator sees them
+    * all and nothing needs the state store (the ingestMinhashGate
+    * contract; state rows stay 0, spec-asserted). Append mode: each
+    * doc leaves with its weight and accept bit the moment it arrives.
+    * Cut staleness between [[graft.sources.DsirStore.refreshCut]]
+    * calls is the documented sink_lm-cuts drift contract.
+    */
+  def dsirGate(docs: DataFrame, vocab: DataFrame, nt: Long, nr: Long,
+      v: Long, cut: Double): Dataset[DsirGateOut] = {
+    import docs.sparkSession.implicits._
+    val s = graft.operators.Dsir.DsirScale
+    val probes = docs
+      .select(col("doc_id"),
+        explode(graft.functions.TextFns.tokens(col("text"))).as("tok"))
+      .join(vocab, Seq("tok"), "left")
+      .select(col("doc_id"),
+        (length(bin(expr(
+          s"((coalesce(ct, 0L) + 1L) * $s) DIV ${nt + v}L")))
+          - length(bin(expr(
+            s"((coalesce(cr, 0L) + 1L) * $s) DIV ${nr + v}L"))))
+          .cast("long").as("llr"))
+      .as[DsirProbe]
+    probes.groupByKey(_.doc_id)
+      .flatMapGroupsWithState[IndexFragState, DsirGateOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: Long, in: Iterator[DsirProbe],
+            state: GroupState[IndexFragState]) =>
+          var n = 0L
+          var sum = 0L
+          in.foreach { p => n += 1; sum += p.llr }
+          Iterator.single(DsirGateOut(id, n, sum,
+            if (sum.toDouble >= cut) 1L else 0L))
+      }
+  }
+
   // ---- stream_index: incremental inverted-index maintenance ----
 
   case class IndexEntry(token: String, doc_id: Long, entry: String)

@@ -586,6 +586,63 @@ class SinksSpec extends SparkSpec {
     assert(m2(920003L) == ((0L, 1L)), s"fresh clip: ${m2(920003L)}")
   }
 
+  test("sink_dsir: weights from the reloaded model == inline; append folds; corpus never re-scanned") {
+    val all = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val base = Files.createTempDirectory("graft-dsir")
+    val refPath = base.resolve("refdocs").toString
+    val shardPath = base.resolve("shard").toString
+    val modelPath = base.resolve("model").toString
+    all.write.parquet(refPath)
+    all.filter(col("doc_id") >= 250L).write.parquet(shardPath)
+    // the expensive offline pass: count both corpora + derive the cut ONCE
+    sources.DsirStore.write(spark.read.parquet(refPath), modelPath)
+    val shard = spark.read.parquet(shardPath)
+    val storeFed = sources.DsirStore.weightsFrom(shard, modelPath)
+    // scale contract: a weighting tick scans the skinny model bundle +
+    // the arriving shard — never the training corpus
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val scans = storeFed.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty)
+      scans.foreach { f =>
+        val roots = f.relation.location.rootPaths.mkString(",")
+        assert(!roots.contains("refdocs"),
+          s"weighting re-scans the training corpus: $roots")
+        assert(roots.contains("model") || roots.contains("shard"),
+          s"weighting scans an unexpected input: $roots")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toList).toSet
+    // round-trip: reloaded-model weights == inline derivation (the
+    // shard's raw docs score identically because the bundle holds the
+    // full corpus counts)
+    val inline = operators.Dsir.weights(all)
+      .filter(col("doc_id") >= 250L)
+    assert(rows(storeFed) == rows(inline),
+      "store-fed weights diverged from inline derivation")
+    // the persisted cut gates exactly as the filter semantics say
+    val cut = sources.DsirStore.readCut(spark, modelPath)
+      .collect().head.getDouble(0)
+    assert(!cut.isNaN && !cut.isInfinite)
+    // append == one-shot: counts are additive, readers fold; old
+    // files never rewritten
+    val grownPath = base.resolve("grown").toString
+    sources.DsirStore.write(all.filter(col("doc_id") < 250L), grownPath)
+    val before = new java.io.File(s"$grownPath/vocab")
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    sources.DsirStore.append(all.filter(col("doc_id") >= 250L), grownPath)
+    val after = new java.io.File(s"$grownPath/vocab")
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    assert(before.subsetOf(after) && after.size > before.size,
+      "append must add files, never rewrite old shards")
+    assert(rows(sources.DsirStore.weightsFrom(shard, grownPath)) ==
+      rows(storeFed), "appended model diverged from the one-shot build")
+  }
+
   test("store format versioning: every store refuses a stale marker; rebuild bumps it") {
     // The silent failure class the `_graft_format` marker closes: a
     // bundle written under OLD semantics (tokenizer, banding, code
@@ -689,6 +746,17 @@ class SinksSpec extends SparkSpec {
     refusal("bitext bits")(sources.BitextIndex.readBits(spark, bt))
     sources.BitextIndex.write(src, tgt, bt, bits)
     assert(sources.BitextIndex.readBits(spark, bt) == bits)
+
+    // dsir model
+    val ds = base.resolve("dsir").toString
+    sources.DsirStore.write(docs, ds, nShards = 1)
+    assert(marker(ds) == sources.DsirStore.FormatVersion.toString)
+    stamp(ds, "0")
+    refusal("dsir weights")(sources.DsirStore.weightsFrom(docs, ds))
+    refusal("dsir append")(sources.DsirStore.append(docs, ds))
+    sources.DsirStore.write(docs, ds, nShards = 1)
+    assert(marker(ds) == sources.DsirStore.FormatVersion.toString)
+    assert(sources.DsirStore.readVocab(spark, ds).count() > 0)
 
     // bootstrap contract unchanged: a store root that does not exist
     // passes every reader's check (nothing is historical yet)

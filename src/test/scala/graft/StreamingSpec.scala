@@ -513,6 +513,60 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(999999L) == 1L, "planted copy of history must be flagged")
   }
 
+  test("stream_dsir: frozen-model importance gate equals batch weights, zero state rows") {
+    implicit val sql = spark.sqlContext
+    val all = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text", $"lang", $"source")
+    val store = java.nio.file.Files.createTempDirectory("graft-dsir-st")
+      .resolve("model").toString
+    // the batch-side offline pass: counts + cut persisted once
+    sources.DsirStore.write(all, store)
+    val vocab = sources.DsirStore.readVocab(spark, store)
+    val tot = sources.DsirStore.readTotals(spark, store).collect().head
+    val (nt, nr, v) =
+      (tot.getAs[Long]("nt"), tot.getAs[Long]("nr"), tot.getAs[Long]("v"))
+    val cut = sources.DsirStore.readCut(spark, store)
+      .collect().head.getDouble(0)
+    // the arriving shard: the raw pool (what ingest would gate)
+    val fresh = all
+      .filter(expr("CAST(substring(source, 4) AS INT) >= 5"))
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.dsirGate(in.toDF().toDF("doc_id", "text"),
+        vocab, nt, nr, v, cut)
+      .writeStream.format("memory").queryName("dsir_out")
+      .outputMode("append").start()
+    // uneven splits: a doc's token rows still land in ONE batch
+    in.addData(fresh.take(fresh.length / 3).toIndexedSeq: _*)
+    q.processAllAvailable()
+    in.addData(fresh.drop(fresh.length / 3).toIndexedSeq: _*)
+    q.processAllAvailable()
+    // zero-state: the model side is re-planned static parquet, the
+    // per-doc roll-up keeps nothing across batches
+    assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+      "dsir gate must keep zero state rows")
+    q.stop()
+    val streamed = spark.table("dsir_out").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_toks"), r.getAs[Long]("llr_bits"),
+          r.getAs[Long]("accept"))).toMap
+    // streamed weights == the batch store-fed path row-for-row (the
+    // integer kernel leaves no rounding to diverge on)
+    val batch = sources.DsirStore.weightsFrom(all, store).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_toks"), r.getAs[Long]("llr_bits"))).toMap
+    assert(streamed.size == batch.size)
+    streamed.foreach { case (id, (n, w, acc)) =>
+      assert(batch(id) == ((n, w)), s"doc $id diverged: ($n,$w) vs ${batch(id)}")
+      assert(acc == (if (w.toDouble >= cut) 1L else 0L), s"doc $id accept bit")
+    }
+    // the gate keeps a real tranche: some accepted, some rejected
+    val accepted = streamed.values.count(_._3 == 1L)
+    assert(accepted > 0 && accepted < streamed.size,
+      s"degenerate gate: $accepted of ${streamed.size}")
+  }
+
   test("stream_ingest_minhash: band-store probe equals batch dedup_incr_minhash") {
     implicit val sql = spark.sqlContext
     val split = operators.Dedup.IncrSplit
