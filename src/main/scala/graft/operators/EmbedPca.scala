@@ -93,13 +93,36 @@ object EmbedPca {
           element_at(element_at(p, j + 1), i + 1)))
   }
 
-  private[graft] def pcaProject(s: SparkSession, dir: String,
+  /** Raw projection frame (vec_id, label, pca$k array<double>, evr_k)
+    * — the composable shape downstream ANN ops consume; the specs and
+    * the recall audit read this form. */
+  private[graft] def pcaProjectRaw(s: SparkSession, dir: String,
       k: Int): DataFrame = {
     val e = Tables(s, dir, "embeddings")
     val (mean, comps, evr) = fit(e, k)
     e.select(col("vec_id"), col("label"),
         projectCol(col("embedding"), mean, comps).as(s"pca$k"))
       .withColumn("evr_k", round(lit(evr.sum), 4))
+  }
+
+  /** The driver query. The projection itself leaves the row as
+    * `pca_digest` — md5 of the rounded coordinates' canonical
+    * comma-joined string (the mm_embed convention,
+    * Multimodal.scala:382): the driver's compare harness hashes
+    * scalar columns and chokes on raw arrays. The first two
+    * coordinates ride along as scalars so the output still shows
+    * real projected values, and `evr_k` reports retained variance. */
+  private[graft] def pcaProject(s: SparkSession, dir: String,
+      k: Int): DataFrame = {
+    val raw = pcaProjectRaw(s, dir, k)
+    val p = col(s"pca$k")
+    raw.select(
+      col("vec_id"), col("label"),
+      md5(concat_ws(",", transform(p, x => x.cast("string"))))
+        .as("pca_digest"),
+      element_at(p, 1).as("pca_c1"),
+      element_at(p, 2).as("pca_c2"),
+      col("evr_k"))
   }
 
   private val opPca = Op(

@@ -78,18 +78,49 @@ object QualityClassifier {
     Vectors.sparse(NumFeatures, m.toSeq.sortBy(_._1)): Vector
   }
 
+  /** Hard training-set bound, ENFORCED IN CODE (the k-means /
+    * BPE-top-64k cap discipline — Similarity.scala:151,
+    * Bpe.scala:123): DCLM trains its quality filter on ~400k docs
+    * regardless of corpus size; a 100 TB corpus must never reach
+    * LBFGS whole. */
+  val TrainCap = 400000L
+
+  /** Modulus for the keep-threshold hash — small enough that
+    * h·n stays inside int64 for any plausible doc count
+    * (2^20 · 8×10^12 < 2^63). */
+  private val CapMod = 1048573L // prime, the mix_sample modulus
+
+  /** Deterministic hash-threshold downsample of `labeled` to at most
+    * `cap` rows: one cheap count (the frame is already
+    * localCheckpointed by callers), then a pure per-row narrow filter
+    * keep iff pmod(xxhash64(doc_id), M)·n < M·cap' — identical
+    * decisions on any cluster, no shuffle, no sort, no rank window.
+    * cap' = cap − 5% − 3√cap: the margin converts the binomial tail
+    * into a real ≤ cap guarantee at every cap size (≥3σ for small
+    * caps, ~32σ at the 400k default). Corpora at or under the cap
+    * pass through untouched. */
+  private[graft] def boundTraining(labeled: DataFrame, cap: Long): DataFrame = {
+    val n = labeled.count()
+    val eff = math.max(1L,
+      cap - cap / 20 - 3 * math.sqrt(cap.toDouble).toLong)
+    if (n <= cap) labeled
+    else labeled.filter(
+      pmod(xxhash64(col("doc_id")), lit(CapMod)) * lit(n) <
+        lit(CapMod) * lit(eff))
+  }
+
   /** Fit the linear model on `labeled` (`fidx` array<int>, `label`
     * double). LBFGS, L2 1e-4, no standardization (raw hashed counts —
     * the weights stay interpretable as per-bucket log-odds). */
   private[graft] def train(labeled: DataFrame): Model = {
-    // The training set is a BOUNDED sample by contract (DCLM trains
-    // its filter on ~400k docs regardless of corpus size), so pack it
-    // into a few partitions: every LBFGS iteration is a treeAggregate
-    // whose cost at this scale is per-task overhead, not arithmetic —
-    // 30 iterations × 32 near-empty tasks was the measured dominant
-    // cost of the whole operator (coalesce, not repartition: no
-    // shuffle, and the parent frame is localCheckpointed by callers).
-    val ds = labeled.coalesce(4)
+    // The training set is bounded to [[TrainCap]] by [[boundTraining]]
+    // below, so pack it into a few partitions: every LBFGS iteration
+    // is a treeAggregate whose cost at this scale is per-task
+    // overhead, not arithmetic — 30 iterations × 32 near-empty tasks
+    // was the measured dominant cost of the whole operator (coalesce,
+    // not repartition: no shuffle, and the parent frame is
+    // localCheckpointed by callers).
+    val ds = boundTraining(labeled, TrainCap).coalesce(4)
       .select(countVec(col("fidx")).as("features"), col("label"))
     val lr = new LogisticRegression()
       .setMaxIter(30).setRegParam(1e-4).setTol(1e-7)

@@ -78,17 +78,47 @@ class EmbedPcaSpec extends SparkSpec {
     assert(err.max < 1e-4, s"full-rank reconstruction residue ${err.max}")
   }
 
-  test("embed_pca driver query: schema, k-wide projections, finite values, evr in (0,1]") {
+  test("embed_pca driver query: digest schema (no raw arrays), scalar heads finite, evr in (0,1]") {
     val out = SparkEntry.queries("embed_pca")(spark, sfDir).collect()
     assert(out.nonEmpty)
     assert(out.head.schema.fieldNames.toSeq ===
-      Seq("vec_id", "label", s"pca${EmbedPca.DefaultK}", "evr_k"))
+      Seq("vec_id", "label", "pca_digest", "pca_c1", "pca_c2", "evr_k"))
+    // every column scalar — the driver's pandas compare hashes columns
+    // and crashes on arrays (the r14 red row this contract prevents)
+    out.head.schema.foreach(f =>
+      assert(!f.dataType.typeName.startsWith("array"), f.name))
     out.foreach { r =>
-      val p = r.getSeq[Double](2)
-      assert(p.length === EmbedPca.DefaultK)
-      assert(p.forall(v => !v.isNaN && !v.isInfinite))
-      val evr = r.getDouble(3)
+      assert(r.getString(2).length === 32) // md5 hex
+      Seq(r.getDouble(3), r.getDouble(4)).foreach(v =>
+        assert(!v.isNaN && !v.isInfinite))
+      val evr = r.getDouble(5)
       assert(evr > 0.0 && evr <= 1.0 + 1e-9)
+    }
+  }
+
+  test("embed_pca digest is the canonical md5 of the raw projection; heads match coords") {
+    val k = EmbedPca.DefaultK
+    // Spark's own string form of each coordinate (the digest's input),
+    // collected separately so the Java-side md5 recompute below checks
+    // the concat_ws+md5 pipeline rather than restating it.
+    val raw = EmbedPca.pcaProjectRaw(spark, sfDir, k)
+      .select(col("vec_id"),
+        transform(col(s"pca$k"), x => x.cast("string")).as("strs"),
+        col(s"pca$k"), col("evr_k"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getSeq[String](1), r.getSeq[Double](2), r.getDouble(3)))
+      .toMap
+    val out = SparkEntry.queries("embed_pca")(spark, sfDir).collect()
+    assert(out.length === raw.size)
+    out.foreach { r =>
+      val (strs, proj, evr) = raw(r.getLong(0))
+      val want = java.security.MessageDigest.getInstance("MD5")
+        .digest(strs.mkString(",").getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      assert(r.getString(2) === want, s"digest vec_id=${r.getLong(0)}")
+      assert(r.getDouble(3) === proj(0) && r.getDouble(4) === proj(1))
+      assert(r.getDouble(5) === evr)
     }
   }
 }

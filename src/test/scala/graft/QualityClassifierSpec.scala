@@ -68,6 +68,37 @@ class QualityClassifierSpec extends SparkSpec {
       s"mean prob good=$meanPos junk=$meanNeg")
   }
 
+  test("training cap is enforced in code: 10x-cap corpus bounded to <= cap; small corpus untouched") {
+    val cap = 5000L
+    val big = (0L until 10 * cap).toDF("doc_id")
+    val kept = QualityClassifier.boundTraining(big, cap).count()
+    assert(kept <= cap, s"boundTraining kept $kept > cap $cap")
+    // a real sample, not an empty or degenerate one
+    assert(kept >= cap * 4 / 5, s"boundTraining kept only $kept of cap $cap")
+    // deterministic: same corpus, same decisions
+    assert(QualityClassifier.boundTraining(big, cap).count() === kept)
+    // at-or-under-cap corpora pass through whole
+    val small = (0L until cap).toDF("doc_id")
+    assert(QualityClassifier.boundTraining(small, cap).count() === cap)
+  }
+
+  test("model trained on the capped sample still clears the held-out AUC floor") {
+    // corpus 10x the cap: training must go through the downsample and
+    // the model must still separate the planted classes
+    val cap = 40L
+    val d = indexed(planted(400)).localCheckpoint()
+    val bounded = QualityClassifier.boundTraining(
+      d.filter(pmod(col("doc_id"), lit(5)) =!= 0), cap)
+    assert(bounded.count() <= cap)
+    val model = QualityClassifier.train(bounded)
+    val eval = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(QualityClassifier.scoreFromIdx(col("fidx"), model)
+        .as("prob"), col("label"))
+      .as[(Double, Double)].collect().toSeq
+    val a = auc(eval)
+    assert(a >= 0.9, s"held-out AUC $a after capped training")
+  }
+
   test("native serving fold == Scala recompute from the same indices (hash/fold identity)") {
     val d = indexed(planted(60)).localCheckpoint()
     val model = QualityClassifier.train(d)
