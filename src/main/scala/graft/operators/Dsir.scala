@@ -61,8 +61,20 @@ object Dsir {
     * doc); 2^40 ≈ 10^12. */
   val DsirScale: Long = 1L << 40
 
-  private val isTarget =
+  /** SQL predicate marking the curated target slice (shared with the
+    * streaming gate, which must apply the SAME source split or gate
+    * docs the batch path would never score). */
+  private[graft] val isTarget =
     s"CAST(substring(source, 4) AS INT) < ${LangModel.RefSourceCount}"
+
+  /** Hottest-token headroom bound for the whole-bit kernel:
+    * (c+1)·[[DsirScale]] must stay inside int64. In non-ANSI Spark the
+    * multiply WRAPS SILENTLY past this, turning LLR weights into
+    * garbage with no error anywhere — exactly the silent-failure class
+    * the `_graft_format` marker exists to close — so [[totals]]
+    * enforces the bound with `raise_error` instead of trusting the
+    * scaladoc. ≈ 2^23 − 1 occurrences of the hottest token. */
+  val MaxTokenCount: Long = Long.MaxValue / DsirScale - 1
 
   /** (doc_id, tgt, tok) token stream — the frame both the model
     * counts and the scoring pass explode from. */
@@ -80,10 +92,33 @@ object Dsir {
       sum(when(col("tgt"), 0L).otherwise(1L)).as("cr"))
 
   /** 1-row totals (nt, nr, v) — derived from the vocab frame so they
-    * stay append-mergeable. */
+    * stay append-mergeable. Enforces the int64 headroom invariants on
+    * the same single-row aggregate (free — the frame is already being
+    * folded): the hottest token under [[MaxTokenCount]] so
+    * (c+1)·S cannot wrap, and N+V ≤ S so the scaled probability never
+    * truncates to zero bits. Runs on both the inline path and every
+    * `sources.DsirStore` fold, so merged shards that cross the bound
+    * fail loudly too. */
   private[graft] def totals(vocab: DataFrame): DataFrame =
     vocab.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"),
-      count(lit(1)).as("v"))
+      count(lit(1)).as("v"),
+      greatest(max(col("ct")), max(col("cr"))).as("maxc"))
+      .select(
+        when(col("maxc") > lit(MaxTokenCount),
+          raise_error(concat(
+            lit("dsir: hottest token count "), col("maxc").cast("string"),
+            lit(s" exceeds the int64 headroom bound $MaxTokenCount — " +
+              "widen the kernel to Decimal(38) or shard the vocab")))
+            .cast("long"))
+          .when(greatest(col("nt"), col("nr")) + col("v") > lit(DsirScale),
+            raise_error(concat(
+              lit("dsir: corpus tokens + vocab "),
+              (greatest(col("nt"), col("nr")) + col("v")).cast("string"),
+              lit(s" exceed DsirScale=$DsirScale — smoothed probabilities " +
+                "would truncate to zero bits; raise the scale (wider lanes)")))
+              .cast("long"))
+          .otherwise(col("nt")).as("nt"),
+        col("nr"), col("v"))
 
   /** Score a (doc_id, tok) token stream against a FROZEN model —
     * inline counts (the oracled driver query) or the reloaded

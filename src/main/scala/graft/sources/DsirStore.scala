@@ -69,13 +69,23 @@ object DsirStore {
 
   /** Recompute the selection cut from the current corpus — the
     * non-additive half of the bundle (KLL sketch derivation, the
-    * dsir_select_sketch shape: no global window). Between refreshes a
-    * grown model gates with a slightly stale threshold — the
-    * documented sink_lm-cuts / ann_upsert drift contract. */
-  def refreshCut(all: DataFrame, path: String): Unit =
-    graft.operators.Dsir.sketchCut(
-      graft.operators.Dsir.weights(all))
+    * dsir_select_sketch shape: no global window). Scores `all` against
+    * the PERSISTED bundle rather than re-deriving the model inline —
+    * that keeps [[write]] to ONE token-count scan of the corpus (the
+    * skinny vocab parquet is far cheaper to read back than the corpus
+    * is to re-tokenize-and-count) and makes the cut consistent with
+    * the weights [[weightsFrom]] will actually serve. Between
+    * refreshes a grown model gates with a slightly stale threshold —
+    * the documented sink_lm-cuts / ann_upsert drift contract. Refuses
+    * a stale-format bundle like every other reader and appender (a
+    * fresh cut next to incomparable vocab history must fail loudly);
+    * a bundle that does not exist yet passes the check but fails the
+    * vocab read — build it with [[write]] first. */
+  def refreshCut(all: DataFrame, path: String): Unit = {
+    checkFormat(all.sparkSession, path)
+    graft.operators.Dsir.sketchCut(weightsFrom(all, path))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/cut")
+  }
 
   /** Folded per-token counts — append-safe. */
   def readVocab(spark: SparkSession, path: String): DataFrame = {

@@ -621,12 +621,20 @@ object Streams {
     * doc leaves with its weight and accept bit the moment it arrives.
     * Cut staleness between [[graft.sources.DsirStore.refreshCut]]
     * calls is the documented sink_lm-cuts drift contract.
+    *
+    * `docs` must carry `source`: the gate applies the SAME curated /
+    * raw split as the batch twin (Dsir.isTarget) and scores only the
+    * raw pool — a curated-slice doc arriving on ingest is passed over
+    * silently, exactly as `Dsir.weights` / `DsirStore.weightsFrom`
+    * would never produce a row for it (row-for-row parity needs the
+    * filter INSIDE the gate, not a caller convention).
     */
   def dsirGate(docs: DataFrame, vocab: DataFrame, nt: Long, nr: Long,
       v: Long, cut: Double): Dataset[DsirGateOut] = {
     import docs.sparkSession.implicits._
     val s = graft.operators.Dsir.DsirScale
     val probes = docs
+      .filter(!expr(graft.operators.Dsir.isTarget))
       .select(col("doc_id"),
         explode(graft.functions.TextFns.tokens(col("text"))).as("tok"))
       .join(vocab, Seq("tok"), "left")
@@ -638,10 +646,10 @@ object Streams {
           .cast("long").as("llr"))
       .as[DsirProbe]
     probes.groupByKey(_.doc_id)
-      .flatMapGroupsWithState[IndexFragState, DsirGateOut](
+      .flatMapGroupsWithState[ZeroState, DsirGateOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (id: Long, in: Iterator[DsirProbe],
-            state: GroupState[IndexFragState]) =>
+            state: GroupState[ZeroState]) =>
           var n = 0L
           var sum = 0L
           in.foreach { p => n += 1; sum += p.llr }
@@ -650,11 +658,18 @@ object Streams {
       }
   }
 
+  /** Shared state type for every ZERO-STATE flatMapGroupsWithState
+    * gate in this file (index, minhash, phash, audio, clip, bitext,
+    * perplexity, dsir): these ops need the group iterator — all of a
+    * key's rows in one batch — but never persist anything, so the
+    * state parameter is a type-level formality (never `update`d;
+    * state-store rows stay 0, spec-asserted per gate). One named type
+    * makes that contract grep-able instead of implied. */
+  case class ZeroState(unused: Long)
+
   // ---- stream_index: incremental inverted-index maintenance ----
 
   case class IndexEntry(token: String, doc_id: Long, entry: String)
-
-  case class IndexFragState(unused: Long)
 
   case class IndexFrag(token: String, n_postings_delta: Long,
       n_docs_delta: Long, posting_frag: String)
@@ -691,10 +706,10 @@ object Streams {
           lpad(col("pos").cast("string"), 6, "0")).as("entry"))
       .as[IndexEntry]
     entries.groupByKey(_.token)
-      .flatMapGroupsWithState[IndexFragState, IndexFrag](
+      .flatMapGroupsWithState[ZeroState, IndexFrag](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (token: String, in: Iterator[IndexEntry],
-            state: GroupState[IndexFragState]) =>
+            state: GroupState[ZeroState]) =>
           // bottom-cap under lexicographic order (the zero-padded
           // entry makes it numeric order): bounded insertion, never
           // more than cap entries buffered even for a stopword token
@@ -782,10 +797,10 @@ object Streams {
         coalesce(col("hit"), lit(0L)).as("hit"))
       .as[BandProbe]
     probes.groupByKey(_.doc_id)
-      .flatMapGroupsWithState[IndexFragState, MinhashGateOut](
+      .flatMapGroupsWithState[ZeroState, MinhashGateOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (id: Long, in: Iterator[BandProbe],
-            state: GroupState[IndexFragState]) =>
+            state: GroupState[ZeroState]) =>
           // distinct matched band values — mirrors the batch
           // countDistinct; 8 entries max, bounded by construction
           val matched = new java.util.HashSet[java.lang.Long]()
@@ -850,10 +865,10 @@ object Streams {
         coalesce(col("hit"), lit(0L)).as("hit"))
       .as[PhashProbeRow]
     probes.groupByKey(_.doc_id)
-      .flatMapGroupsWithState[IndexFragState, PhashGateOut](
+      .flatMapGroupsWithState[ZeroState, PhashGateOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (id: Long, in: Iterator[PhashProbeRow],
-            state: GroupState[IndexFragState]) =>
+            state: GroupState[ZeroState]) =>
           val matched = new java.util.HashSet[java.lang.Long]()
           var ph = 0L
           in.foreach { p =>
@@ -899,10 +914,10 @@ object Streams {
         coalesce(col("hit"), lit(0L)).as("hit"))
       .as[PhashProbeRow]
     probes.groupByKey(_.doc_id)
-      .flatMapGroupsWithState[IndexFragState, AudioGateOut](
+      .flatMapGroupsWithState[ZeroState, AudioGateOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (id: Long, in: Iterator[PhashProbeRow],
-            state: GroupState[IndexFragState]) =>
+            state: GroupState[ZeroState]) =>
           val matched = new java.util.HashSet[java.lang.Long]()
           var ah = 0L
           in.foreach { p =>
@@ -954,10 +969,10 @@ object Streams {
         coalesce(col("hit"), lit(0L)).as("hit"))
       .as[ClipProbeRow]
     probes.groupByKey(_.doc_id)
-      .flatMapGroupsWithState[IndexFragState, ClipGateOut](
+      .flatMapGroupsWithState[ZeroState, ClipGateOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (id: Long, in: Iterator[ClipProbeRow],
-            state: GroupState[IndexFragState]) =>
+            state: GroupState[ZeroState]) =>
           val matched = new java.util.HashSet[java.lang.Long]()
           in.foreach(p => if (p.hit == 1L) matched.add(p.slot))
           val n = matched.size.toLong
@@ -1022,10 +1037,10 @@ object Streams {
     val mineK = S.MineK
     val threshold = S.MineThreshold
     probes.groupByKey(_.s_id)
-      .flatMapGroupsWithState[IndexFragState, BitextOut](
+      .flatMapGroupsWithState[ZeroState, BitextOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (id: Long, in: Iterator[BitextProbe],
-            state: GroupState[IndexFragState]) =>
+            state: GroupState[ZeroState]) =>
           // dedupe band collisions by t_id (the batch .distinct())
           val seen = new java.util.HashSet[java.lang.Long]()
           val cands = scala.collection.mutable.ArrayBuffer
@@ -1202,10 +1217,10 @@ object Streams {
             DIV (coalesce(c12, 0L) + 1)"""))) - 1).cast("long"))
       .select(col("doc_id"), col("lang"), col("s")).as[PplxProbe]
     val perDoc = scored.groupByKey(_.doc_id)
-      .flatMapGroupsWithState[IndexFragState, PplxScore](
+      .flatMapGroupsWithState[ZeroState, PplxScore](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (id: Long, in: Iterator[PplxProbe],
-            state: GroupState[IndexFragState]) =>
+            state: GroupState[ZeroState]) =>
           var n = 0L; var sum = 0L; var lang = ""
           in.foreach { p => n += 1; sum += p.s; lang = p.lang }
           Iterator.single(PplxScore(id, lang, n, sum))

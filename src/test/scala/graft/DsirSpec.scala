@@ -111,4 +111,30 @@ class DsirSpec extends SparkSpec {
       .map(_.getAs[Long]("doc_id")).toSet
     assert(exact.subsetOf(sk.map(_._1).toSet))
   }
+
+  test("int64 headroom is enforced in code: over-bound counts fail loudly, in-bound pass") {
+    def tot(rows: (String, Long, Long)*): Array[org.apache.spark.sql.Row] =
+      Dsir.totals(rows.toSeq.toDF("tok", "ct", "cr")).collect()
+    // in-bound: normal counts fold to (nt, nr, v)
+    val ok = tot(("a", 10L, 3L), ("b", 1L, 4L)).head
+    assert(ok.getLong(0) === 11L && ok.getLong(1) === 7L && ok.getLong(2) === 2L)
+    // a token hotter than MaxTokenCount would wrap (c+1)*2^40 — refuse
+    val e1 = intercept[Exception] {
+      tot(("the", Dsir.MaxTokenCount + 1, 0L))
+    }
+    assert(e1.getMessage.contains("headroom"), e1.getMessage)
+    // the raw side is checked too, not just the target side
+    val e2 = intercept[Exception] {
+      tot(("the", 0L, Dsir.MaxTokenCount + 1))
+    }
+    assert(e2.getMessage.contains("headroom"), e2.getMessage)
+    // N+V past DsirScale would truncate smoothed probs to zero bits:
+    // every count individually in-bound, the SUM over the bound
+    val nRows = Dsir.DsirScale / Dsir.MaxTokenCount + 2
+    val wide = spark.range(nRows).select(
+      concat(lit("t"), col("id").cast("string")).as("tok"),
+      lit(Dsir.MaxTokenCount).as("ct"), lit(0L).as("cr"))
+    val e3 = intercept[Exception] { Dsir.totals(wide).collect() }
+    assert(e3.getMessage.contains("DsirScale"), e3.getMessage)
+  }
 }

@@ -527,13 +527,14 @@ class StreamingSpec extends SparkSpec {
       (tot.getAs[Long]("nt"), tot.getAs[Long]("nr"), tot.getAs[Long]("v"))
     val cut = sources.DsirStore.readCut(spark, store)
       .collect().head.getDouble(0)
-    // the arriving shard: the raw pool (what ingest would gate)
+    // the arriving shard: the WHOLE corpus, curated slice included —
+    // the gate itself must apply the batch twin's source split and
+    // score only the raw pool (curated arrivals produce no rows)
     val fresh = all
-      .filter(expr("CAST(substring(source, 4) AS INT) >= 5"))
-      .select($"doc_id", $"text").collect()
-      .map(r => (r.getLong(0), r.getString(1)))
-    val in = MemoryStream[(Long, String)]
-    val q = Streams.dsirGate(in.toDF().toDF("doc_id", "text"),
+      .select($"doc_id", $"text", $"source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streams.dsirGate(in.toDF().toDF("doc_id", "text", "source"),
         vocab, nt, nr, v, cut)
       .writeStream.format("memory").queryName("dsir_out")
       .outputMode("append").start()
@@ -552,11 +553,15 @@ class StreamingSpec extends SparkSpec {
         (r.getAs[Long]("n_toks"), r.getAs[Long]("llr_bits"),
           r.getAs[Long]("accept"))).toMap
     // streamed weights == the batch store-fed path row-for-row (the
-    // integer kernel leaves no rounding to diverge on)
+    // integer kernel leaves no rounding to diverge on); keyset
+    // equality also proves the curated slice was gated out INSIDE the
+    // op — the stream saw every doc, the batch path scores only raw
     val batch = sources.DsirStore.weightsFrom(all, store).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Long]("n_toks"), r.getAs[Long]("llr_bits"))).toMap
     assert(streamed.size == batch.size)
+    assert(streamed.size < fresh.length,
+      "fixture must include curated docs for the in-gate filter to drop")
     streamed.foreach { case (id, (n, w, acc)) =>
       assert(batch(id) == ((n, w)), s"doc $id diverged: ($n,$w) vs ${batch(id)}")
       assert(acc == (if (w.toDouble >= cut) 1L else 0L), s"doc $id accept bit")
@@ -1599,6 +1604,55 @@ class StreamingSpec extends SparkSpec {
         s"$t p50 rank ${rankOf(p50)} off by > 0.05")
       assert(math.abs(rankOf(p95) - 0.95) <= 0.05,
         s"$t p95 rank ${rankOf(p95)} off by > 0.05")
+    }
+  }
+
+  test("stream_vocab restart: recovered Misra-Gries state keeps pre-restart tokens counted") {
+    // The ItemsSketch buffer is the SECOND serializer in the
+    // TypedImperativeAggregate state-round-trip archetype (KLL above):
+    // half the corpus's tokens live only in the checkpointed sketch
+    // bytes, so post-restart intervals can only contain the exact
+    // counts if the buffer class survives serialize → state store →
+    // deserialize intact.
+    implicit val sql = spark.sqlContext
+    graft.plans.GraftFunctions.register(spark)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-vc-restart")
+      .resolve("ckpt").toString
+    val rows = Tables(spark, sfDir, "documents")
+      .select(col("lang"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val topV = 20
+    val in = MemoryStream[(String, String)]
+    def start() = Streams.vocabProfiled(
+        in.toDF().toDF("lang", "text"), topV)
+      .writeStream.format("memory").queryName("vocab_restart_out")
+      .option("checkpointLocation", ckpt).outputMode("complete").start()
+    val q1 = start()
+    in.addData(rows.take(rows.length / 2).toIndexedSeq: _*)
+    q1.processAllAvailable()
+    q1.stop() // half the corpus lives only in the state-store sketches
+    val q2 = start()
+    in.addData(rows.drop(rows.length / 2).toIndexedSeq: _*)
+    q2.processAllAvailable()
+    val streamed = spark.table("vocab_restart_out").collect()
+    q2.stop()
+    val toks = rows.flatMap { case (l, t) => t.split(" ", -1).map(l -> _) }
+    val exact = toks.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val perLang = toks.groupBy(_._1).map { case (l, v) => l -> v.length.toLong }
+    assert(streamed.map(_.getAs[String]("lang")).toSet == perLang.keySet)
+    streamed.groupBy(_.getAs[String]("lang")).foreach { case (l, rs) =>
+      // token totals exact over the FULL corpus: pre-restart tokens are
+      // never replayed, so they are present only via recovered state
+      assert(rs.head.getAs[Long]("n_toks") == perLang(l),
+        s"$l: restart lost tokens — ${rs.head.getAs[Long]("n_toks")} != ${perLang(l)}")
+      rs.foreach { r =>
+        val c = exact((l, r.getAs[String]("token")))
+        assert(r.getAs[Long]("n_occ_lb") <= c &&
+          c <= r.getAs[Long]("n_occ_ub"),
+          s"$l '${r.getAs[String]("token")}' interval vs exact $c after restart")
+        if (r.getAs[Long]("max_err") == 0L)
+          assert(r.getAs[Long]("n_occ_est") == c)
+      }
     }
   }
 
