@@ -86,7 +86,9 @@ object Demo {
     import spark.implicits._
     val sourced = unique.withColumn("source",
       when(pmod(col("doc_id"), lit(2)) === 0, "en").otherwise("zh"))
-    val manifest = operators.Curate.curateE2e(sourced).cache()
+    val manifest = operators.Curate.curateE2e(sourced,
+      operators.QualityClassifier.trainSplit(
+        operators.QualityClassifier.weakLabeled(sourced))).cache()
     println("[demo] curation funnel (first dropping stage per doc):")
     manifest.groupBy(col("stage")).count().orderBy(col("stage")).show(false)
     val keptDocs = sourced.join(

@@ -14,20 +14,34 @@ import org.apache.spark.sql.functions._
   * precedes that hand-off at corpus scale. One row per INPUT doc with
   * its disposition:
   *
-  *   quality_filter keep-set  → near-dup dedup_pipeline keepers
+  *   quality_filter keep-set  → trained quality_classifier gate
+  *     → near-dup dedup_pipeline keepers
   *     → sample_temperature mix  → seq_pack training manifest
   *
   * `stage` names the FIRST stage that dropped the doc
-  * ("quality" | "dedup" | "mix") or "kept"; kept docs carry their
-  * packed-sequence coordinates (n_seqs, first_seq). Grouping by
-  * `stage` is the per-stage drop accounting a curation dashboard
-  * shows; the kept rows are the training-set manifest a loader reads
-  * (join seq_pack's fragment rows for exact offsets).
+  * ("quality" | "classifier" | "dedup" | "mix") or "kept"; kept docs
+  * carry their packed-sequence coordinates (n_seqs, first_seq).
+  * Grouping by `stage` is the per-stage drop accounting a curation
+  * dashboard shows; the kept rows are the training-set manifest a
+  * loader reads (join seq_pack's fragment rows for exact offsets).
+  *
+  * The classifier stage applies a FROZEN model (the CCNet/DCLM
+  * composition: heuristics hand-draw the boundary, the trained filter
+  * generalizes it) — the model arrives as a parameter, trained
+  * batch-side by `QualityClassifier.trainSplit` (the driver query
+  * does exactly that) or reloaded from `sources.ClassifierStore`,
+  * because training is a bounded one-off while THIS chain runs per
+  * corpus snapshot. Serving is one narrow codegen fold with the
+  * weights riding the plan as a literal, so the stage adds ZERO
+  * exchanges and ZERO jobs to the chain.
   *
   * Scale shape — the corpus TEXT moves at most once across the whole
   * chain (spec-asserted; with statistics flowing it moves ZERO times):
   *  - quality_filter: narrow scan + skinny repetition shuffles (its
   *    own no-text-exchange contract);
+  *  - classifier: a per-row fold over scans that already happen (the
+  *    survivor gather, the manifest projection) — no new scan, no
+  *    exchange, no checkpoint;
   *  - survivor texts: the corpus scan broadcast-filtered by the
   *    skinny quality keep-set — a semi-join against a checkpointed
   *    tiny frame, no text exchange;
@@ -38,17 +52,31 @@ import org.apache.spark.sql.functions._
   */
 object Curate {
 
+  /** Keep threshold for the trained-classifier stage — the calibrated
+    * probability the serving fold emits; 0.5 is the model's own
+    * decision boundary (quality_classifier's `pred` bit). */
+  val ClassifierMinProb = 0.5
+
   /** Intermediate stage frames, exposed so specs can audit each
     * stage's plan and the stage-by-stage drop sets independently.
     */
   private[graft] case class CurateStages(
       qf: DataFrame,        // doc_id, qf_reason, qf_keep — all input docs
-      survivors: DataFrame, // quality keepers WITH text (checkpointed)
+      survivors: DataFrame, // quality+classifier keepers WITH text
       dd: DataFrame,        // doc_id, cluster_id, is_keeper — survivors
       mixKept: DataFrame,   // doc_id, temp_hash — docs kept by the mix
       manifest: DataFrame)  // one row per input doc
 
+  /** The frozen classifier's keep probability as ONE narrow column
+    * expression (rounded exactly as the serving convention rounds, so
+    * the survivor filter and the manifest report agree bit-for-bit).
+    */
+  private def clsProb(m: QualityClassifier.Model) =
+    round(QualityClassifier.scoreCol(
+      TextFns.tokens(col("text")), m), 4)
+
   private[graft] def curateStages(d: DataFrame,
+      m: QualityClassifier.Model,
       seqLen: Long = Sampling.SeqLen): CurateStages = {
     // stage 1: quality gate — skinny per-doc decisions, no text in any
     // exchange. LAZILY checkpointed so ONE job both materializes the
@@ -76,8 +104,15 @@ object Curate {
     val keepSide =
       if (nKeep <= Dedup.SpanBroadcastMaxRows) broadcast(keepIds)
       else keepIds.hint("shuffle_hash")
-    val survivors = d.join(keepSide, Seq("doc_id")).localCheckpoint()
-    // stage 2: near-dup clustering over quality survivors
+    // stage 2: the TRAINED quality gate rides the SAME survivor gather
+    // as a narrow per-row fold (frozen weights are a plan literal) —
+    // heuristic keepers below the model's keep probability never enter
+    // the checkpoint, and the stage costs no exchange, no job, no scan
+    // of its own
+    val survivors = d.join(keepSide, Seq("doc_id"))
+      .filter(clsProb(m) >= ClassifierMinProb)
+      .localCheckpoint()
+    // stage 3: near-dup clustering over quality+classifier survivors
     val dd = Dedup.dedupPipeline(survivors.select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("cluster_id"), col("is_keeper"))
     // skinny from here on: source + token count computed narrowly ONCE
@@ -87,28 +122,33 @@ object Curate {
     val ddKept = skinny.join(dd, Seq("doc_id"))
       .filter(col("is_keeper") === 1L)
       .localCheckpoint() // feeds the mix counts, the pack, and the manifest
-    // stage 3: temperature mix over dedup keepers (α = 1/2, exact)
+    // stage 4: temperature mix over dedup keepers (α = 1/2, exact)
     val mixKept = Sampling
       .sampleTemperature(ddKept.select(col("doc_id"), col("source")))
       .select(col("doc_id"), col("temp_hash"))
-    // stage 4: pack the final keep set into training sequences
+    // stage 5: pack the final keep set into training sequences
     val packed = Sampling.packCounts(
       ddKept.join(mixKept.select("doc_id"), Seq("doc_id"))
         .select(col("doc_id"), col("n_toks").as("n_tokens")), seqLen)
     val perDocPack = packed.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_seqs"), min(col("seq_id")).as("first_seq"))
-    // manifest: disposition per input doc + packing coordinates
-    val manifest = d.select(col("doc_id"), col("source"))
+    // manifest: disposition per input doc + packing coordinates; the
+    // classifier probability is recomputed on the manifest's own
+    // corpus projection (same narrow fold, same rounding — identical
+    // by construction), so the drop reason needs no extra join
+    val manifest = d.select(col("doc_id"), col("source"),
+        clsProb(m).as("cls_prob"))
       .join(qf, Seq("doc_id"))
       .join(dd, Seq("doc_id"), "left")
       .join(mixKept, Seq("doc_id"), "left")
       .join(perDocPack, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"),
         when(col("qf_keep") === 0L, "quality")
+          .when(col("cls_prob") < ClassifierMinProb, "classifier")
           .when(col("is_keeper") === 0L, "dedup")
           .when(col("temp_hash").isNull, "mix")
           .otherwise("kept").as("stage"),
-        col("qf_reason"),
+        col("qf_reason"), col("cls_prob"),
         coalesce(col("cluster_id"), lit(-1L)).as("cluster_id"),
         coalesce(col("n_seqs"), lit(0L)).as("n_seqs"),
         coalesce(col("first_seq"), lit(-1L)).as("first_seq"))
@@ -116,17 +156,23 @@ object Curate {
   }
 
   private[graft] def curateE2e(d: DataFrame,
+      m: QualityClassifier.Model,
       seqLen: Long = Sampling.SeqLen): DataFrame =
-    curateStages(d, seqLen).manifest
+    curateStages(d, m, seqLen).manifest
 
   private val opCurate = Op(
     "curate_e2e",
     (s, dir) => {
       graft.plans.GraftFunctions.register(s)
-      curateE2e(Tables(s, dir, "documents"))
+      val d = Tables(s, dir, "documents")
+      // the driver query trains its own frozen model first (Gopher
+      // weak labels, 80% split, TrainCap-bounded) — a deployment would
+      // reload one from sources.ClassifierStore instead
+      val m = QualityClassifier.trainSplit(QualityClassifier.weakLabeled(d))
+      curateE2e(d, m)
     },
-    None) // dedup_pipeline inside is not SQL-expressible → rows-only +
-          // planted-fixture spec (one doc dropped per stage)
+    None) // dedup_pipeline + LBFGS inside are not SQL-expressible →
+          // rows-only + planted-fixture spec (one doc set per stage)
 
   val ops: Seq[Op] = Seq(opCurate)
 }

@@ -143,23 +143,33 @@ object QualityClassifier {
   }
 
   /** Weak-labeled, feature-indexed corpus: doc_id, label (Gopher pass
-    * bit), fidx. localCheckpoint pins the Gopher repetition kernel's
-    * output — LBFGS iterates over this frame and must not re-run the
-    * gram folds per iteration. */
-  private def weakLabeled(d: DataFrame): DataFrame =
+    * bit), fidx — SKINNY: text stays OUT of the checkpoint (training
+    * and serving both work from fidx alone), so the materialization
+    * writes hashed indices, not the corpus. localCheckpoint pins the
+    * Gopher repetition kernel's output — LBFGS iterates over this
+    * frame and must not re-run the gram folds per iteration. Shared
+    * by the driver query and the curate_e2e composition's training
+    * step. */
+  private[graft] def weakLabeled(d: DataFrame): DataFrame =
     TextAnalysis.gopherSignals(Tables.rebalance(d))
-      .select(col("doc_id"), col("text"),
-        col("pass_gopher").cast("double").as("label"))
-      .withColumn("fidx", featureIdx(TextFns.tokens(col("text"))))
+      .select(col("doc_id"),
+        col("pass_gopher").cast("double").as("label"),
+        featureIdx(TextFns.tokens(col("text"))).as("fidx"))
       .localCheckpoint()
+
+  /** Train on the 80% doc_id split of a weak-labeled frame — the
+    * composition entry point (the driver query here, curate_e2e's
+    * classifier stage, sink_classifier builds); the [[TrainCap]]
+    * bound applies inside [[train]]. */
+  private[graft] def trainSplit(labeled: DataFrame): Model =
+    train(labeled.filter(pmod(col("doc_id"), lit(5)) =!= 0))
 
   /** The driver query: train on the 80% split of the Gopher-weak-
     * labeled corpus, score EVERY doc through the narrow serving
     * expression, tag the split. */
   private[graft] def classify(s: SparkSession, dir: String): DataFrame = {
     val labeled = weakLabeled(Tables(s, dir, "documents"))
-    val model = train(labeled.filter(pmod(col("doc_id"), lit(5)) =!= 0))
-    score(labeled, model)
+    score(labeled, trainSplit(labeled))
   }
 
   /** Score a feature-indexed frame with a frozen model (shared by the

@@ -147,6 +147,16 @@ object Streams {
       m: graft.operators.QualityClassifier.Model): DataFrame =
     graft.operators.QualityClassifier.served(docs, m)
 
+  /** The classifier as a GATE (the stream_curate stage shape): score
+    * with the frozen model, drop below `minProb`, kept docs carry
+    * `prob` for audit; incoming columns ride through so the gate
+    * composes. Same rounding as the batch serving path, so the kept
+    * set equals batch serving's row-for-row. */
+  def classifierGated(docs: DataFrame,
+      m: graft.operators.QualityClassifier.Model,
+      minProb: Double): DataFrame =
+    classifierScored(docs, m).filter(col("prob") >= minProb)
+
   /** stream_embed_pca — FROZEN-basis projection of arriving
     * embeddings (batch twin: embed_pca): the PCA basis, like the
     * classifier's weights and the upsert index's centroids, is fit
@@ -218,25 +228,30 @@ object Streams {
   }
 
   /** stream_curate — the composed stateless ingest firewall (batch
-    * twin: the quality → contamination → mix prefix of curate_e2e):
-    * quality gate, then benchmark decontamination, then the α = 1/2
+    * twin: the quality → classifier → mix prefix of curate_e2e, plus
+    * benchmark decontamination): quality gate, then decontamination,
+    * then the FROZEN-model trained filter, then the α = 1/2
     * temperature mix, chained as ONE append-mode stream — every stage
     * is a per-row decision (the gates were built to carry incoming
-    * columns through precisely so they compose), so the whole firewall
-    * has NO state store, no watermark, and batch boundaries cannot
-    * change any decision. The near-dup stage stays OUTSIDE this chain
-    * by design: exact dedup needs watermarked state (stream_dedup) and
-    * MinHash banding needs cross-doc joins — at 100 TB/day those run
-    * as the batch backfill, while this chain is the cheap gate that
-    * keeps obvious rejects from ever reaching storage.
+    * columns through precisely so they compose; the classifier's
+    * weights ride the plan as a literal), so the whole firewall has NO
+    * state store, no watermark, and batch boundaries cannot change any
+    * decision. The near-dup stage stays OUTSIDE this chain by design:
+    * exact dedup needs watermarked state (stream_dedup) and MinHash
+    * banding needs cross-doc joins — at 100 TB/day those run as the
+    * batch backfill, while this chain is the cheap gate that keeps
+    * obvious rejects from ever reaching storage.
     */
   def curateGated(docs: DataFrame, evalShingles: Seq[String],
       maxRatio: Double, minDistinctRatio: Double, maxDigitRatio: Double,
+      m: graft.operators.QualityClassifier.Model, minProb: Double,
       sourceCounts: Map[String, Long]): DataFrame =
     tempMixGated(
-      contamFiltered(
-        qualityGated(docs, minDistinctRatio, maxDigitRatio),
-        evalShingles, maxRatio),
+      classifierGated(
+        contamFiltered(
+          qualityGated(docs, minDistinctRatio, maxDigitRatio),
+          evalShingles, maxRatio),
+        m, minProb),
       sourceCounts)
 
   /** stream_search — stateless standing-query (percolation) gate on

@@ -1229,17 +1229,44 @@ class PipelineOpsSpec extends SparkSpec {
     val dup = Seq((3L, good(tag(2L)), "web"))   // exact copy of doc 2
     val books = (101L to 105L).map(i => (i, good(tag(i)), "books"))
     val bad = Seq((900L, "tiny doc", "web"))    // fails the length gate
-    val fixture = (web ++ dup ++ books ++ bad).toDF("doc_id", "text", "source")
-    val m = operators.Curate.curateE2e(fixture).collect()
+    // classifier-stage plant: passes every quality_filter heuristic
+    // (25 tokens, 13 distinct, all-letters, one stopword, no repeated
+    // bigram) but is saturated with the model's junk vocabulary —
+    // dropped only by the TRAINED stage
+    val junkWords = ('a' to 'l').map(c => s"qjunk$c")
+    val junkText = ("the" +: (junkWords ++
+      Seq(0, 2, 4, 6, 8, 10, 1, 3, 5, 7, 9, 11).map(junkWords))).mkString(" ")
+    val junk = Seq((950L, junkText, "web"))
+    // the frozen model, hand-built so every stage decision stays
+    // exactly derivable: junk buckets weigh -0.5 per occurrence,
+    // intercept +2 — 24 junk hits sink doc 950 to z = -10 while a
+    // stray hash collision on a 20-token good doc costs at most a few
+    // -0.5 steps against +2 (composition is model-agnostic; training
+    // itself is pinned by QualityClassifierSpec)
+    val junkBuckets = Seq(junkWords).toDF("toks")
+      .select(operators.QualityClassifier.featureIdx(col("toks")).as("b"))
+      .head.getSeq[Int](0)
+    val w = Array.fill(operators.QualityClassifier.NumFeatures)(0.0)
+    junkBuckets.foreach(b => w(b) = -0.5)
+    val model = operators.QualityClassifier.Model(w, 2.0)
+    val fixture = (web ++ dup ++ books ++ bad ++ junk)
+      .toDF("doc_id", "text", "source")
+    val m = operators.Curate.curateE2e(fixture, model).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
-    assert(m.size == 46) // 39 web + 1 dup + 5 books + 1 quality-fail
+    assert(m.size == 47) // 39 web + dup + 5 books + quality-fail + junk
     // stage 1: quality — the short doc, with its first failing reason
     assert(m(900L).getAs[String]("stage") == "quality" &&
       m(900L).getAs[String]("qf_reason") == "short", s"${m(900L)}")
-    // stage 2: dedup — the exact copy folds into doc 2's cluster
+    // stage 2: classifier — the junk-vocab doc passed the heuristics
+    // (reason "ok") and fell only to the trained gate
+    assert(m(950L).getAs[String]("stage") == "classifier" &&
+      m(950L).getAs[String]("qf_reason") == "ok" &&
+      m(950L).getAs[Double]("cls_prob") < operators.Curate.ClassifierMinProb,
+      s"${m(950L)}")
+    // stage 3: dedup — the exact copy folds into doc 2's cluster
     assert(m(3L).getAs[String]("stage") == "dedup" &&
       m(3L).getAs[Long]("cluster_id") == 2L, s"${m(3L)}")
-    // stage 3: mix — replay the exact α=1/2 keep formula driver-side
+    // stage 4: mix — replay the exact α=1/2 keep formula driver-side
     // over the dedup survivors (39 web, 5 books → nmin = 5)
     val M = operators.Sampling.MixMod
     val webIds = Seq(1L, 2L) ++ (4L to 40L)
@@ -1264,10 +1291,10 @@ class PipelineOpsSpec extends SparkSpec {
           r.getAs[Long]("first_seq") == -1L)
       }
     }
-    // funnel totals: 46 in = 1 quality + 1 dedup + mix drops + kept
+    // funnel totals: 47 in = quality + classifier + dedup + mix + kept
     val byStage = m.values.groupBy(_.getAs[String]("stage"))
       .view.mapValues(_.size).toMap
-    assert(byStage == Map("quality" -> 1, "dedup" -> 1,
+    assert(byStage == Map("quality" -> 1, "classifier" -> 1, "dedup" -> 1,
       "mix" -> expectMixDrop.size, "kept" -> (44 - expectMixDrop.size)),
       s"funnel: $byStage")
   }
@@ -1301,7 +1328,13 @@ class PipelineOpsSpec extends SparkSpec {
     spark.listenerManager.register(listener)
     spark.sparkContext.addSparkListener(jobListener)
     try {
-      operators.Curate.curateE2e(Tables(spark, sfDir, "documents"))
+      // frozen pass-through model (zero weights, positive intercept):
+      // the classifier stage's PLAN SHAPE — the per-row fold on the
+      // survivor gather and the manifest projection — is identical for
+      // any weights, and training happens outside this chain by design
+      operators.Curate.curateE2e(Tables(spark, sfDir, "documents"),
+          operators.QualityClassifier.Model(
+            Array.fill(operators.QualityClassifier.NumFeatures)(0.0), 2.0))
         .write.format("noop").mode("overwrite").save()
       // listener delivery is async; the plans-quiesce loop below also
       // gives the job-end events time to drain

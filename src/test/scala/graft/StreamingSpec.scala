@@ -336,23 +336,37 @@ class StreamingSpec extends SparkSpec {
     def tag(i: Long) = i.toString.map(c => ('a' + (c - '0')).toChar).mkString
     // planted per-gate failures: 900 fails quality (distinct 1/8),
     // 50 fails decontamination (1 of 2 shingles hits the eval set →
-    // ratio 0.5, at the gate), web docs 1..40 face the α=1/2 mix
-    // against the offline profile (web 42 incl. the two rejects,
-    // books 5 = nmin → books always keep)
+    // ratio 0.5, at the gate), 60 passes both but is saturated with
+    // the frozen model's junk vocabulary (the classifier stage's
+    // reject), web docs 1..40 face the α=1/2 mix against the offline
+    // profile (web 43 incl. the three rejects, books 5 = nmin →
+    // books always keep)
     val eval = Seq("contam mark one")
     val web = (1L to 40L).map(i =>
       (i, s"web doc ${tag(i)}a ${tag(i)}b ${tag(i)}c", "web"))
     val books = (101L to 105L).map(i =>
       (i, s"book text ${tag(i)}a ${tag(i)}b", "books"))
+    val junkWords = ('a' to 'l').map(c => s"qjunk$c")
+    val junkText = (junkWords ++ junkWords).mkString(" ")
     val rejects = Seq(
       (50L, "contam mark one extra", "web"),
+      (60L, junkText, "web"),
       (900L, "spam spam spam spam spam spam spam spam", "web"))
     val rows = web ++ books ++ rejects
-    val profile = Map("web" -> 42L, "books" -> 5L)
+    val profile = Map("web" -> 43L, "books" -> 5L)
+    // hand-built frozen model (the curate_e2e fixture convention):
+    // junk buckets -0.5 per occurrence, intercept +2 — 24 junk hits
+    // sink doc 60, a stray collision on a 5-token doc cannot flip it
+    val junkBuckets = Seq(junkWords).toDF("toks")
+      .select(operators.QualityClassifier.featureIdx(col("toks")).as("b"))
+      .head.getSeq[Int](0)
+    val w = Array.fill(operators.QualityClassifier.NumFeatures)(0.0)
+    junkBuckets.foreach(b => w(b) = -0.5)
+    val model = operators.QualityClassifier.Model(w, 2.0)
     val in = MemoryStream[(Long, String, String)]
     val q = Streams.curateGated(in.toDF().toDF("doc_id", "text", "source"),
         eval, maxRatio = 0.5, minDistinctRatio = 0.5, maxDigitRatio = 0.2,
-        profile)
+        model, minProb = 0.5, profile)
       .writeStream.format("memory").queryName("curate_gate_out")
       .outputMode("append").start()
     // batch boundaries must not change any decision
@@ -370,10 +384,20 @@ class StreamingSpec extends SparkSpec {
       val h = id * operators.Sampling.TempMul % M
       BigInt(h) * h * ns < BigInt(M) * M * 5
     }
+    // classifier decisions replayed through the BATCH serving path —
+    // the frozen-model parity contract (same fold, same rounding)
+    val clsPass = operators.QualityClassifier.served(
+        rows.toDF("doc_id", "text", "source"), model)
+      .filter(col("prob") >= 0.5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(!clsPass(60L), "junk doc must fail the frozen model")
+    assert(rows.forall(r => clsPass(r._1) || r._1 == 60L),
+      "only the planted junk doc may fail the classifier")
     val expected =
-      web.collect { case (i, _, _) if mixKeep(i, 42L) => i }.toSet ++
+      web.collect { case (i, _, _) if mixKeep(i, 43L) => i }.toSet ++
         books.collect { case (i, _, _) if mixKeep(i, 5L) => i }.toSet
-    assert(!expected.contains(50L) && !expected.contains(900L))
+    assert(!expected.contains(50L) && !expected.contains(900L) &&
+      !expected.contains(60L))
     assert(web.exists(w => !expected.contains(w._1)),
       "fixture must drop at least one web doc at the mix")
     assert(kept == expected, s"kept $kept expected $expected")
