@@ -136,8 +136,32 @@ object RecallAudit {
         .map { case (q2, rs) => q2 -> rs.map(_.getLong(1)).toSet }
       s""""ann_ivf_pq@rk$rk":${f"${recall(brute3, approx)}%.4f"}"""
     }.mkString(",")
+    // PCA16 evidence row (VERDICT r14 #4): every other ANN rung
+    // carries a recall number; this isolates the DIMENSION REDUCTION
+    // itself — exact brute-force cosine top-3 in the 16-dim projected
+    // space vs exact 64-dim brute force, no IVF/PQ approximation
+    // stacked on top, so the number prices what pre-projecting the
+    // corpus through embed_pca's basis costs in serving recall.
+    val pcaK = operators.EmbedPca.DefaultK
+    val proj = operators.EmbedPca.pcaProjectRaw(spark, sfDir, pcaK)
+      .select(col("vec_id"),
+        transform(col(s"pca$pcaK"), x => x.cast("float")).as("embedding"))
+      .localCheckpoint()
+    val q16 = proj.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored16 = proj.select(col("vec_id").as("c_id"),
+        col("embedding").as("c_emb"))
+      .join(broadcast(q16), col("q_id") =!= col("c_id"))
+      .withColumn("cos", round(expr("graft_cosine(q_emb, c_emb)"), 6))
+    val pca16Top3 = graft.plans.TopK.perKey(scored16, Seq("q_id"),
+        Seq("cos" -> graft.plans.TopK.Desc,
+          "c_id" -> graft.plans.TopK.Asc), 3)
+      .select(col("q_id"), col("c_id")).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q2, rs) => q2 -> rs.map(_.getLong(1)).toSet }
+    val pcaRow = f""""pca16_brute@3":${recall(brute3, pca16Top3)}%.4f"""
     val body = rows.map { case (n, r) => f""""$n":$r%.4f""" }.mkString(",")
-    println(s"""{"recall":{$body},"probe_boost_curve":{$curve},"filtered_boost_curve":{$selCurve},"rerank_curve":{$rerankCurve},"sf":"$sfDir"}""")
+    println(s"""{"recall":{$body,$pcaRow},"probe_boost_curve":{$curve},"filtered_boost_curve":{$selCurve},"rerank_curve":{$rerankCurve},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
