@@ -1,0 +1,228 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import graft.functions.TextFns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Train/eval split discipline + mixing-budget planning — the
+  * bookkeeping half of corpus curation that decides WHERE each curated
+  * doc goes (which split, how many epochs), after the content ops
+  * decide WHETHER it stays.
+  *
+  *   - split_safe: leakage-safe ratio split keyed on CONTENT, not
+  *     doc_id. Splitting by doc-id hash (mr_ratio_split's shape, and
+  *     the industry default) lets two exact copies straddle the
+  *     train/eval boundary — the classic train-test leakage the dedup
+  *     literature warns about (Lee et al. 2022 §6 measure exactly this
+  *     overlap inflating eval scores). Keying the split on md5(text)
+  *     makes straddling IMPOSSIBLE for exact copies, by construction,
+  *     and makes the assignment reproducible across re-crawls and
+  *     re-partitions (a doc's split never depends on what id a crawler
+  *     happened to assign it).
+  *   - split_leakage: the near-dup-aware escalation — assignment keyed
+  *     on the dedup_pipeline CLUSTER (exact pre-pass → MinHash LSH →
+  *     Jaccard verify → connected components), so near-duplicates
+  *     cannot straddle the boundary either. Not SQL-expressible (LSH
+  *     inside) → rows-only; the planted spec pins the guarantee.
+  *   - mix_epoch_plan: the per-source token-budget allocation table a
+  *     training run consumes (the published sampling-weights tables of
+  *     Gopher Table A3 / Llama: weights from a temperature over source
+  *     sizes, with an epoch ceiling per source): α = 1/2 weights over
+  *     per-source token mass, a total budget of one corpus-worth of
+  *     tokens, and a [[MaxEpochs]] cap on small sources with the
+  *     over-allocation REPORTED (excess_toks), not silently
+  *     redistributed — a one-shot plan a caller can iterate.
+  *
+  * Scale shapes: split_safe is one skinny digest shuffle (the
+  * dedup_exact groupBy — ids and 32-char hashes, text never leaves its
+  * scan) plus a narrow per-row assignment; split_leakage rides
+  * dedup_pipeline's proven bounded stages and adds one skinny
+  * cluster-size fold; mix_epoch_plan is a per-source aggregate (rows =
+  * sources, vanishing) under one broadcast totals row. All three are
+  * 100 TB-safe by construction.
+  */
+object Splits {
+
+  private def docs(s: SparkSession, dir: String) =
+    Tables(s, dir, "documents")
+
+  // ---- split_safe: content-keyed leakage-safe ratio split ----
+
+  /** Eval tranche width in sixteenths of the md5 keyspace: first hex
+    * nibble ∈ {0, 1} → eval, i.e. 2/16 = 12.5 % — the nibble keeps the
+    * assignment expressible identically in Spark and DuckDB (both
+    * engines agree on md5 hex and instr; neither shares a 64-bit
+    * string hash). */
+  val EvalSixteenths = 2
+
+  /** Split assignment as one portable SQL expression over a hex-digest
+    * column (shared by the batch op and the streaming gate). */
+  private[graft] def splitOf(hashCol: String): String =
+    s"CASE WHEN instr('0123456789abcdef', substr($hashCol, 1, 1)) " +
+      s"<= $EvalSixteenths THEN 'eval' ELSE 'train' END"
+
+  private[graft] def splitSafe(d: DataFrame): DataFrame = {
+    // ids + digests only through the shuffle (the dedup_exact move)
+    val hashed = d.select(col("doc_id"), col("source"),
+      md5(col("text")).as("content_hash"))
+    val copies = hashed.groupBy(col("content_hash"))
+      .agg(count(lit(1)).as("n_copies"))
+    hashed.join(copies, Seq("content_hash"))
+      .select(col("doc_id"), col("source"), col("content_hash"),
+        col("n_copies"), expr(splitOf("content_hash")).as("split"))
+  }
+
+  private val opSplitSafe = Op(
+    "split_safe",
+    (s, dir) => splitSafe(docs(s, dir)),
+    Some(s"""
+      WITH d AS (SELECT doc_id, source, md5(text) AS content_hash
+        FROM documents),
+      c AS (SELECT content_hash, CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM d GROUP BY 1)
+      SELECT d.doc_id, d.source, d.content_hash, c.n_copies,
+        ${splitOf("d.content_hash")} AS split
+      FROM d JOIN c USING (content_hash)"""))
+
+  // ---- split_leakage: near-dup-cluster-keyed split ----
+
+  /** Eval share for the cluster-keyed split, in tenths (Lehmer hash of
+    * the cluster id — the mix_sample integer-exact keep machinery, so
+    * every member of a cluster computes the identical bit). */
+  val LeakEvalTenths = 1L
+
+  private[graft] def splitLeakage(d: DataFrame): DataFrame = {
+    val dd = Dedup.dedupPipeline(d.select(col("doc_id"), col("text")))
+    val sizes = dd.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    dd.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("is_keeper"),
+        when((col("cluster_id") * Sampling.MixMul % Sampling.MixMod)
+            * 10L < Sampling.MixMod * LeakEvalTenths, "eval")
+          .otherwise("train").as("split"))
+  }
+
+  private val opSplitLeakage = Op(
+    "split_leakage",
+    (s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      splitLeakage(docs(s, dir))
+    },
+    None) // LSH clustering inside → rows-only; the spec plants a
+          // near-dup pair and pins same-cluster ⇒ same-split
+
+  // ---- mix_epoch_plan: per-source budget/epoch allocation ----
+
+  /** Epoch ceiling per source — the published small-source guard
+    * (repeating a tiny curated source dozens of times memorizes it;
+    * ~4 epochs is the commonly cited degradation knee). */
+  val MaxEpochs = 4.0
+
+  /** α = 1/2 source weights via integer isqrt so the weight
+    * denominator is an EXACT integer sum (a float Σ√t would make the
+    * oracle's rounding depend on source summation order): isqrt(t) =
+    * floor(sqrt) is deterministic in both engines for t ≪ 2^52. */
+  private def isq(c: org.apache.spark.sql.Column) =
+    floor(sqrt(c.cast("double"))).cast("long")
+
+  private[graft] def epochPlan(d: DataFrame): DataFrame = {
+    // checkpointed: rows = #sources (vanishing) and the frame is read
+    // twice (totals + the plan join) — without it both references
+    // re-run the corpus token scan
+    val perSource = d
+      .select(col("source"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_toks"))
+      .withColumn("sq", isq(col("n_toks")))
+      .localCheckpoint()
+    val tot = perSource.agg(sum(col("n_toks")).as("b"),
+      sum(col("sq")).as("sqsum"))
+    // one-shot plan: planned = w·B; epochs capped, excess reported
+    perSource.crossJoin(broadcast(tot))
+      .withColumn("planned",
+        col("sq") * lit(1.0) * col("b") / col("sqsum"))
+      .select(col("source"), col("n_docs"), col("n_toks"),
+        round(col("sq") * lit(1.0) / col("sqsum"), 6).as("weight"),
+        round(least(col("planned") / col("n_toks"), lit(MaxEpochs)), 4)
+          .as("epochs"),
+        round(least(col("planned"), lit(MaxEpochs) * col("n_toks")), 4)
+          .as("planned_toks"),
+        round(greatest(col("planned") - lit(MaxEpochs) * col("n_toks"),
+          lit(0.0)), 4).as("excess_toks"))
+  }
+
+  private val opEpochPlan = Op(
+    "mix_epoch_plan",
+    (s, dir) => epochPlan(docs(s, dir)),
+    Some(s"""
+      WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_toks
+        FROM documents GROUP BY 1),
+      q AS (SELECT *, CAST(FLOOR(SQRT(CAST(n_toks AS DOUBLE))) AS BIGINT)
+          AS sq FROM s),
+      t AS (SELECT CAST(SUM(n_toks) AS BIGINT) AS b,
+          CAST(SUM(sq) AS BIGINT) AS sqsum FROM q)
+      SELECT source, n_docs, n_toks,
+        ROUND(sq * 1.0 / sqsum, 6) AS weight,
+        ROUND(LEAST(sq * 1.0 * b / sqsum / n_toks, $MaxEpochs), 4) AS epochs,
+        ROUND(LEAST(sq * 1.0 * b / sqsum, $MaxEpochs * n_toks), 4)
+          AS planned_toks,
+        ROUND(GREATEST(sq * 1.0 * b / sqsum - $MaxEpochs * n_toks, 0.0), 4)
+          AS excess_toks
+      FROM q, t"""))
+
+  // ---- contam_minhash: fuzzy benchmark decontamination ----
+
+  /** Fuzzy decontamination against the SAME held-out benchmark slice
+    * contam_ngram guards (doc_id % 97 = 0): instead of exact 3-gram
+    * overlap, a pool doc is flagged when any of its 8 MinHash LSH
+    * bands collides with any benchmark doc's band — the GPT-3 appendix
+    * C / Llama fuzzy-dedup decontamination shape, catching lightly
+    * edited benchmark copies exact n-grams miss. Same signature kernel
+    * and band scheme as dedup_minhash, so a collision here means
+    * exactly what a dedup candidate pair means (estimated Jaccard
+    * ≳ 0.5 at the 8×4 banding). The benchmark band set is vanishing
+    * (corpus/97 × 8 skinny rows) and joins under the counted broadcast
+    * guard; corpus text never leaves its scan (the explode carries
+    * (doc_id, band) longs only). Rows-only: the minhash kernel is not
+    * portable SQL.
+    */
+  private[graft] def contamMinhash(d: DataFrame): DataFrame = {
+    // signatures materialized ONCE (lazy; the eval-band guard count
+    // below runs the job): the benchmark side and the pool side both
+    // read the skinny blocks instead of each re-running the minhash
+    // kernel over the full corpus
+    val sig = Dedup.minhashSigs(d.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("bands"))
+      .localCheckpoint(eager = false)
+    val bands = sig.select(col("doc_id"), explode(col("bands")).as("band_val"))
+    val evalBands = bands.filter(col("doc_id") % 97 === 0)
+      .select(col("band_val")).distinct()
+      .withColumn("hit", lit(true))
+      .localCheckpoint(eager = false)
+    val evalSide =
+      if (evalBands.count() <= Dedup.SpanBroadcastMaxRows)
+        broadcast(evalBands)
+      else evalBands.hint("shuffle_hash")
+    bands.filter(col("doc_id") % 97 =!= 0)
+      .join(evalSide, Seq("band_val"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bands"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_hit_bands"))
+      .withColumn("contaminated", (col("n_hit_bands") >= 1L).cast("long"))
+  }
+
+  private val opContamMinhash = Op(
+    "contam_minhash",
+    (s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      contamMinhash(docs(s, dir))
+    },
+    None)
+
+  def ops: Seq[Op] =
+    Seq(opSplitSafe, opSplitLeakage, opEpochPlan, opContamMinhash)
+}

@@ -202,6 +202,22 @@ object Streams {
       .select(col("doc_id"), col("source"), col("h").as("temp_hash"))
   }
 
+  /** stream_split — content-keyed split assignment on ingest (batch
+    * twin: split_safe): the split is a pure function of md5(text)
+    * (Splits.splitOf), so an arriving doc is routed train/eval the
+    * moment it arrives, identically to the batch op, with NO state —
+    * and identically to any exact copy of it that arrived before or
+    * arrives after, which is the leakage guarantee (a doc-id-keyed
+    * split cannot make that promise on a stream where ids are
+    * assigned at ingest). The batch op's n_copies column is corpus
+    * bookkeeping that needs a corpus; the gate emits the assignment.
+    * Incoming columns ride through so the gate composes.
+    */
+  def splitAssigned(docs: DataFrame): DataFrame =
+    docs.withColumn("content_hash", md5(col("text")))
+      .withColumn("split",
+        expr(graft.operators.Splits.splitOf("content_hash")))
+
   /** stream_score — stateless scoring gate on (prediction, reference)
     * pairs as they arrive (batch twin: score_f1): per-row SQuAD-style
     * token F1 through the SAME graft_f1_common kernel the batch

@@ -1,0 +1,157 @@
+package graft
+
+import graft.operators.Splits
+import org.apache.spark.sql.functions._
+
+class SplitsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("split_safe: exact copies can never straddle the split; ratio lands in the md5 band") {
+    // the sf0.001 corpus carries no exact copies, so plant a copy of
+    // an existing doc under a far-away id — the guarantee must be
+    // exercised, not vacuous
+    val corpus = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val copied = corpus.filter(col("doc_id") === 7L)
+      .select(lit(990007L).as("doc_id"), col("text"), col("source"))
+    val out = Splits.splitSafe(corpus.union(copied)).collect()
+    assert(out.nonEmpty)
+    // one split value per content hash — the leakage guarantee
+    out.groupBy(_.getAs[String]("content_hash")).foreach { case (h, rs) =>
+      assert(rs.map(_.getAs[String]("split")).toSet.size == 1,
+        s"hash $h straddles the split")
+      assert(rs.forall(_.getAs[Long]("n_copies") == rs.length.toLong),
+        s"hash $h n_copies vs group size")
+    }
+    assert(out.exists(_.getAs[Long]("n_copies") > 1L))
+    // eval fraction ~ EvalSixteenths/16 of DISTINCT contents (md5
+    // uniform); wide band — this is a sanity rail, not a statistics
+    // test
+    val perHash = out.groupBy(_.getAs[String]("content_hash"))
+      .map(_._2.head.getAs[String]("split")).toSeq
+    val evalFrac = perHash.count(_ == "eval").toDouble / perHash.size
+    assert(evalFrac > 0.03 && evalFrac < 0.30, s"eval fraction $evalFrac")
+  }
+
+  test("split_safe: planted copies with far-apart doc ids land together; assignment is content-pure") {
+    val d = Seq(
+      (1L, "the shared molecule of text one", "web"),
+      (900000L, "the shared molecule of text one", "web"), // exact copy
+      (2L, "a different molecule entirely two", "web"))
+      .toDF("doc_id", "text", "source")
+    val out = Splits.splitSafe(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("split"), r.getAs[Long]("n_copies"))).toMap
+    assert(out(1L) == out(900000L), "copies must co-assign")
+    assert(out(1L)._2 == 2L && out(2L)._2 == 1L)
+    // re-running with different ids yields the same split for the
+    // same text: the assignment depends on content alone
+    val d2 = Seq((77L, "the shared molecule of text one", "web"))
+      .toDF("doc_id", "text", "source")
+    assert(Splits.splitSafe(d2).head.getAs[String]("split") == out(1L)._1)
+  }
+
+  test("split_leakage: near-dup pair shares a cluster, hence a split; sizes fold") {
+    graft.plans.GraftFunctions.register(spark)
+    // base doc + lightly edited copy (near-dup: shares almost every
+    // 3-shingle) + an unrelated doc; filler docs so LSH banding has a
+    // corpus to bucket
+    def words(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val edited = base + " extra"
+    val rows = Seq((0L, base, "web"), (1L, edited, "web"),
+        (2L, words("unrel", 20), "web")) ++
+      (3L to 40L).map(i => (i, words(s"fill${i}x", 20), "web"))
+    val out = Splits.splitLeakage(rows.toDF("doc_id", "text", "source"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"),
+          r.getAs[String]("split"))).toMap
+    assert(out(0L)._1 == out(1L)._1, "near-dups must share a cluster")
+    assert(out(0L)._3 == out(1L)._3, "near-dups must share a split")
+    assert(out(0L)._2 == 2L && out(1L)._2 == 2L)
+    assert(out(2L)._1 != out(0L)._1)
+    assert(out.size == rows.size)
+    // both splits occur over the corpus (Lehmer hash spreads clusters)
+    assert(out.values.map(_._3).toSet == Set("train", "eval"))
+  }
+
+  test("split_leakage driver query: every cluster single-split at corpus scale") {
+    graft.plans.GraftFunctions.register(spark)
+    val out = SparkEntry.queries("split_leakage")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Long]("cluster_id")).foreach { case (c, rs) =>
+      assert(rs.map(_.getAs[String]("split")).toSet.size == 1,
+        s"cluster $c straddles the split")
+      assert(rs.forall(_.getAs[Long]("cluster_size") == rs.length.toLong))
+      assert(rs.count(_.getAs[Long]("is_keeper") == 1L) == 1,
+        s"cluster $c keeper count")
+    }
+  }
+
+  test("mix_epoch_plan: weights sum to ~1, epoch cap binds on the smallest source, excess reported") {
+    val d = Seq.tabulate(400)(i =>
+        // three sources with very different token mass; "tiny" is
+        // small enough that its a=1/2 weight over-allocates past the
+        // epoch cap
+        if (i < 4) (i.toLong, "a b c d e", "tiny")
+        else if (i < 200) (i.toLong, (1 to 30).map(j => s"w$j").mkString(" "), "mid")
+        else (i.toLong, (1 to 60).map(j => s"v$j").mkString(" "), "big"))
+      .toDF("doc_id", "text", "source")
+    val out = Splits.epochPlan(d).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out.size == 3)
+    val wsum = out.values.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-3, s"weights sum $wsum")
+    val tiny = out("tiny")
+    assert(tiny.getAs[Double]("epochs") == Splits.MaxEpochs,
+      s"tiny source epochs ${tiny.getAs[Double]("epochs")}")
+    assert(tiny.getAs[Double]("excess_toks") > 0.0,
+      "capped source must report its over-allocation")
+    assert(tiny.getAs[Double]("planned_toks") ==
+      Splits.MaxEpochs * tiny.getAs[Long]("n_toks"))
+    val big = out("big")
+    assert(big.getAs[Double]("epochs") < 1.0,
+      "the dominant source is down-sampled under a=1/2")
+    assert(big.getAs[Double]("excess_toks") == 0.0)
+  }
+
+  test("contam_minhash: edited benchmark copy flags fuzzy; unrelated doc stays clean") {
+    graft.plans.GraftFunctions.register(spark)
+    def words(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val bench = "which river is the longest river on the continent of " +
+      "africa and through how many countries does it flow today"
+    // 0 % 97 == 0 → benchmark slice; 5 is an EDITED copy (one token
+    // changed — exact 12-gram matching would still catch this, but a
+    // head/tail edit defeats contam_ngram's per-shingle exactness at
+    // the flagged positions; minhash bands survive it), 7 unrelated
+    val edited = bench.replace("today", "currently")
+    val rows = Seq((0L, bench, "web"), (5L, edited, "web"),
+        (7L, words("unrel", 20), "web")) ++
+      (8L to 50L).map(i => (i, words(s"fill${i}x", 20), "web"))
+    val out = Splits.contamMinhash(rows.toDF("doc_id", "text", "source"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_hit_bands"), r.getAs[Long]("contaminated"))).toMap
+    assert(!out.contains(0L), "benchmark docs are not scored")
+    assert(out(5L)._2 == 1L && out(5L)._1 >= 1L,
+      s"edited benchmark copy must flag: ${out(5L)}")
+    assert(out(7L)._2 == 0L, s"unrelated doc flagged: ${out(7L)}")
+    assert(out.values.forall(v => v._1 >= 0L && v._1 <= 8L))
+  }
+
+  test("contam_minhash driver query: pool-only rows, band counts in range") {
+    graft.plans.GraftFunctions.register(spark)
+    val out = SparkEntry.queries("contam_minhash")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("doc_id") % 97 != 0))
+    assert(out.forall { r =>
+      val h = r.getAs[Long]("n_hit_bands")
+      h >= 0L && h <= r.getAs[Long]("n_bands") &&
+        r.getAs[Long]("contaminated") == (if (h >= 1L) 1L else 0L)
+    })
+    // the corpus carries exact copies across the % 97 boundary often
+    // enough that the gate is non-vacuous at fixture scale — if not,
+    // the planted spec above still pins the semantics; only assert
+    // shape here
+  }
+}

@@ -403,6 +403,42 @@ class StreamingSpec extends SparkSpec {
     assert(kept == expected, s"kept $kept expected $expected")
   }
 
+  test("stream_split: content-keyed assignment equals batch split_safe; copies co-assign across batches") {
+    implicit val sql = spark.sqlContext
+    val all = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text", $"source")
+    val corpus = all.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // plant a copy of the FIRST half's doc 7 into the SECOND half so a
+    // copy pair genuinely straddles the micro-batch boundary
+    val rows = corpus :+ ((990007L, corpus.find(_._1 == 7L).get._2, "web"))
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streams.splitAssigned(in.toDF().toDF("doc_id", "text", "source"))
+      .writeStream.format("memory").queryName("split_out")
+      .outputMode("append").start()
+    // split across micro-batches: the assignment is per-row content
+    // math, so a copy pair severed by the batch boundary still
+    // co-assigns
+    in.addData(rows.take(rows.length / 2).toIndexedSeq: _*)
+    q.processAllAvailable()
+    in.addData(rows.drop(rows.length / 2).toIndexedSeq: _*)
+    q.processAllAvailable()
+    assert(q.lastProgress == null || q.lastProgress.stateOperators.isEmpty)
+    val streamed = spark.table("split_out").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    q.stop()
+    val batch = SparkEntry.queries("split_safe")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(batch.keySet.subsetOf(streamed.keySet))
+    batch.foreach { case (id, sp) =>
+      assert(streamed(id) == sp, s"doc $id: ${streamed(id)} != batch $sp")
+    }
+    // the planted copy straddled the micro-batch boundary (doc 7 in
+    // batch one, its copy in batch two) and still co-assigned
+    assert(streamed(990007L) == streamed(7L),
+      "boundary-straddling copies must share a split")
+  }
+
   test("stream_search: gated scores equal the batch search_bm25 exactly") {
     implicit val sql = spark.sqlContext
     val docs = graft.Tables(spark, sfDir, "documents")
