@@ -1,0 +1,254 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse analytics over the event log — the classic patterns every
+  * OLAP engine ships as examples and every product-analytics stack
+  * runs at scale: SCD2 change history, funnel conversion, cohort
+  * retention, and degree-oriented triangle counting. All four are
+  * fully ANSI-SQL-expressible, so each carries a DuckDB oracle and is
+  * hash-proven, and all four move only SKINNY event projections
+  * (ids/types/days) — the props/value payloads never enter a shuffle.
+  *
+  * Ordering convention: `event_id` is unique and insertion-ordered
+  * (the transitionEdges note — `ts` has ns-vs-µs tie ambiguity across
+  * engines), so every sequence-sensitive window here orders by
+  * event_id.
+  */
+object Analytics {
+
+  private def events(s: SparkSession, dir: String) = Tables.events(s, dir)
+
+  // ---- q33_scd2: slowly-changing-dimension type-2 history ----
+  // The warehouse changelog fold: each user's event stream is a series
+  // of state transitions (event_type = the state); SCD2 keeps one row
+  // per CHANGE with a validity interval [valid_from, valid_to) and an
+  // is_current flag — q31_compact_latest's "latest" generalized to the
+  // full history. Two per-user windows (lag to drop no-op repeats,
+  // lead on the SURVIVORS for the interval end); per-user partitions
+  // shuffle skinny (user, id, type) rows and scale with users, not
+  // history length per user beyond the sort.
+  private[graft] def scd2(ev: DataFrame): DataFrame = {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      ev
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("valid_to_x", lead(col("event_id"), 1).over(byUser))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("event_id").as("valid_from"),
+          coalesce(col("valid_to_x"), lit(-1L)).as("valid_to"),
+          when(col("valid_to_x").isNull, 1L).otherwise(0L).as("is_current"))
+  }
+
+  private val opScd2 = Op(
+    "q33_scd2",
+    (s, dir) => scd2(events(s, dir)),
+    Some("""
+      WITH ch AS (
+        SELECT user_id, event_id, event_type,
+          LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+            AS prev
+        FROM events),
+      surv AS (
+        SELECT user_id, event_id, event_type,
+          LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+            AS valid_to_x
+        FROM ch WHERE prev IS NULL OR prev <> event_type)
+      SELECT user_id, event_type AS state, event_id AS valid_from,
+        COALESCE(valid_to_x, -1) AS valid_to,
+        CAST(CASE WHEN valid_to_x IS NULL THEN 1 ELSE 0 END AS BIGINT)
+          AS is_current
+      FROM surv"""))
+
+  // ---- q34_funnel: ordered-step conversion funnel ----
+  // "view → click → purchase, IN ORDER": each later step's earliest
+  // qualifying event must come after the previous step's. ONE pass:
+  // a per-user running-min window carries "earliest view so far" /
+  // "earliest qualifying click so far", so a row can decide locally
+  // whether it advances the funnel ("click after the first view" ⟺
+  // "click id > running min view id"), and the per-user roll-up
+  // reuses the window's hash partitioning — one scan, one user
+  // shuffle, versus the naive per-step shape (one conditional agg +
+  // join PER STEP = step-count scans of the event log; the plan
+  // census read 7 scans / 8 shuffles for the 3-step funnel before
+  // this rewrite, 1 scan / 2 shuffles after).
+  private[graft] def funnel(ev: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.select(col("user_id"), col("event_id"), col("event_type"))
+        .withColumn("v_run",
+          min(when(col("event_type") === "view", col("event_id"))).over(w))
+        .withColumn("c_cand",
+          when(col("event_type") === "click" && col("v_run") < col("event_id"),
+            col("event_id")))
+        .withColumn("c_run", min(col("c_cand")).over(w))
+        .withColumn("p_cand",
+          when(col("event_type") === "purchase" &&
+            col("c_run") < col("event_id"), col("event_id")))
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("event_id"))).as("v_x"),
+          min(col("c_cand")).as("c_x"),
+          min(col("p_cand")).as("p_x"))
+        .select(col("user_id"),
+          coalesce(col("v_x"), lit(-1L)).as("v_id"),
+          coalesce(col("c_x"), lit(-1L)).as("c_id"),
+          coalesce(col("p_x"), lit(-1L)).as("p_id"),
+          when(col("p_x").isNotNull, 3L)
+            .when(col("c_x").isNotNull, 2L)
+            .when(col("v_x").isNotNull, 1L)
+            .otherwise(0L).as("stage"))
+  }
+
+  private val opFunnel = Op(
+    "q34_funnel",
+    (s, dir) => funnel(events(s, dir)),
+    Some("""
+      WITH e AS (SELECT user_id, event_id, event_type FROM events),
+      v AS (SELECT user_id, MIN(event_id) AS v_id FROM e
+        WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, v.v_id, MIN(e.event_id) AS c_id
+        FROM e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.event_id > v.v_id
+        GROUP BY 1, 2),
+      p AS (SELECT e.user_id, c.c_id, MIN(e.event_id) AS p_id
+        FROM e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.event_id > c.c_id
+        GROUP BY 1, 2)
+      SELECT u.user_id,
+        COALESCE(v.v_id, -1) AS v_id,
+        COALESCE(c.c_id, -1) AS c_id,
+        COALESCE(p.p_id, -1) AS p_id,
+        CAST(CASE WHEN p.p_id IS NOT NULL THEN 3
+                  WHEN c.c_id IS NOT NULL THEN 2
+                  WHEN v.v_id IS NOT NULL THEN 1
+                  ELSE 0 END AS BIGINT) AS stage
+      FROM (SELECT DISTINCT user_id FROM e) u
+      LEFT JOIN v USING (user_id)
+      LEFT JOIN c USING (user_id)
+      LEFT JOIN p USING (user_id)"""))
+
+  // ---- q35_retention: cohort retention matrix ----
+  // Users grouped by first-active day; for each (cohort_day, day
+  // offset) the count of distinct users active that day — the
+  // product-analytics retention triangle. Active-day projection is
+  // distinct'd FIRST so the cohort join and the final count move one
+  // row per (user, day), not per event.
+  private[graft] def retention(ev: DataFrame): DataFrame = {
+      val days = ev
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct()
+      val cohort = days.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      days.join(cohort, Seq("user_id"))
+        .select(col("user_id"), col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  private val opRetention = Op(
+    "q35_retention",
+    (s, dir) => retention(events(s, dir)),
+    Some("""
+      WITH days AS (SELECT DISTINCT user_id,
+          CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events),
+      cohort AS (SELECT user_id, MIN(day) AS cohort_day
+        FROM days GROUP BY 1)
+      SELECT c.cohort_day,
+        CAST(date_diff('day', c.cohort_day, d.day) AS BIGINT) AS day_offset,
+        CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_users
+      FROM days d JOIN cohort c USING (user_id)
+      GROUP BY 1, 2"""))
+
+  // ---- q36_triangles: degree-oriented triangle counting ----
+  // The canonical bounded-skew triangle algorithm (node iterator with
+  // degree orientation): orient every undirected edge from its
+  // lower-(degree, id) endpoint to the higher, so each wedge is
+  // enumerated at exactly one vertex and a hub of degree d generates
+  // O(d) oriented OUT-edges only after orientation caps its out-degree
+  // at ~√m — the join volume is O(m^1.5) worst case instead of Σd²
+  // (which a power-law hub makes quadratic). Wedges (a→b, a→c) close
+  // into triangles via one join against the oriented edge set; each
+  // triangle is found exactly once and re-attributed to its three
+  // corners for the per-node count. Graph = the pagerank family's
+  // item→item transition edges, undirected and deduped.
+  private[graft] def triangles(ev: DataFrame): DataFrame = {
+      val und = Graph.transitionEdges(ev)
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+      val deg = und.select(col("a").as("n")).union(und.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      val withDeg = und
+        .join(deg.select(col("n").as("a"), col("deg").as("da")), Seq("a"))
+        .join(deg.select(col("n").as("b"), col("deg").as("db")), Seq("b"))
+      // orient lower (deg, id) → higher; ties broken by id so the
+      // orientation is a strict total order
+      val oriented = withDeg.select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("lo"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("hi"))
+        .localCheckpoint() // read three times (both wedge legs + close)
+      val wedges = oriented.as("e1")
+        .join(oriented.as("e2"),
+          col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))
+        .select(col("e1.lo").as("x"), col("e1.hi").as("y"),
+          col("e2.hi").as("z"))
+      val tris = wedges.join(oriented,
+        (col("lo") === col("y") && col("hi") === col("z")) ||
+          (col("lo") === col("z") && col("hi") === col("y")))
+        .select(col("x"), col("y"), col("z"))
+      tris.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+        .groupBy(col("node"))
+        .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  private val opTriangles = Op(
+    "q36_triangles",
+    (s, dir) => triangles(events(s, dir)),
+    Some("""
+      WITH item AS (
+        SELECT user_id, event_id,
+          TRY_CAST(json_extract_string(props, '$.k') AS INT) AS it
+        FROM events WHERE TRY_CAST(json_extract_string(props, '$.k') AS INT)
+          IS NOT NULL),
+      tr AS (
+        SELECT LAG(it) OVER (PARTITION BY user_id ORDER BY event_id) AS src,
+          it AS dst
+        FROM item),
+      und AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM tr WHERE src IS NOT NULL AND src <> dst),
+      deg AS (
+        SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+          SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)
+        GROUP BY 1),
+      o AS (
+        SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+            THEN a ELSE b END AS lo,
+          CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+            THEN b ELSE a END AS hi
+        FROM und JOIN deg da ON da.n = a JOIN deg db ON db.n = b),
+      w AS (
+        SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+        FROM o e1 JOIN o e2 ON e1.lo = e2.lo AND e1.hi < e2.hi),
+      tris AS (
+        SELECT w.x, w.y, w.z FROM w JOIN o
+        ON (o.lo = w.y AND o.hi = w.z) OR (o.lo = w.z AND o.hi = w.y))
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        SELECT x AS node FROM tris
+        UNION ALL SELECT y FROM tris
+        UNION ALL SELECT z FROM tris)
+      GROUP BY 1"""))
+
+  def ops: Seq[Op] = Seq(opScd2, opFunnel, opRetention, opTriangles)
+}
