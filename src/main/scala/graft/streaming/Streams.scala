@@ -1207,6 +1207,108 @@ object Streams {
       }
   }
 
+  // ---- stream_funnel: per-user funnel state machine ----
+
+  private[streaming] case class TypedEvent(user_id: Long, event_id: Long,
+    event_type: String)
+
+  case class FunnelState(vId: Long, cId: Long, pId: Long, emitted: Boolean)
+
+  case class FunnelOut(user_id: Long, v_id: Long, c_id: Long, p_id: Long,
+    stage: Long)
+
+  /** stream_funnel — the conversion funnel as a LIVE per-user state
+    * machine (batch twin: Analytics.funnel): state is the funnel
+    * progress so far — three step ids, O(1) per user regardless of
+    * event volume (the stream_graph state discipline: a user's
+    * journey SPANS batches; zero-state gates cannot express "click
+    * after the first view" across a batch boundary). Each batch sorts
+    * a user's arrivals by event_id (in-order arrival per user across
+    * batches is the log-shipping contract, as stream_graph) and steps
+    * the machine: first view → first later click → first later
+    * purchase; a row is emitted ONLY when the user is first seen or
+    * their stage advances — the funnel changelog — so the reader's
+    * fold (last row per user, stage is monotone) holds exactly the
+    * batch operator's per-user row (spec across splits that cut
+    * journeys mid-step).
+    */
+  def funnelProgress(events: DataFrame): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    val ev = events.select(col("user_id"), col("event_id"),
+      col("event_type")).as[TypedEvent]
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (u: Long, in: Iterator[TypedEvent], state: GroupState[FunnelState]) =>
+          val evs = in.toArray.sortBy(_.event_id)
+          if (evs.isEmpty) Iterator.empty
+          else {
+            val st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L,
+              emitted = false))
+            var (v, c, p) = (st.vId, st.cId, st.pId)
+            evs.foreach { e =>
+              if (e.event_type == "view" && v < 0) v = e.event_id
+              else if (e.event_type == "click" && c < 0 && v >= 0 &&
+                e.event_id > v) c = e.event_id
+              else if (e.event_type == "purchase" && p < 0 && c >= 0 &&
+                e.event_id > c) p = e.event_id
+            }
+            val advanced = v != st.vId || c != st.cId || p != st.pId
+            state.update(FunnelState(v, c, p, emitted = true))
+            if (advanced || !st.emitted) {
+              val stage = if (p >= 0) 3L else if (c >= 0) 2L
+                else if (v >= 0) 1L else 0L
+              Iterator.single(FunnelOut(u, v, c, p, stage))
+            } else Iterator.empty
+          }
+      }
+  }
+
+  // ---- stream_scd2: live change-history changelog ----
+
+  case class Scd2State(last: String)
+
+  case class Scd2Change(user_id: Long, state: String, valid_from: Long)
+
+  /** stream_scd2 — SCD2 history maintained LIVE (batch twin:
+    * Analytics.scd2): one string of state per user (their last
+    * emitted state) bridges batches; an arriving event emits a change
+    * row (user, state, valid_from) iff its type differs from the last
+    * state — the open-ended half of the batch op's row. valid_to is
+    * unknowable at emission time on an unbounded stream BY
+    * CONSTRUCTION (the next change hasn't happened), so the stream
+    * emits the CHANGELOG and the reader folds intervals with lead()
+    * over the collected change rows — the stream_index /
+    * stream_compact changelog-fold contract; the folded view equals
+    * the batch operator exactly (spec across splits that cut a
+    * user's run of equal states mid-stride, where the state store is
+    * precisely what stops a spurious change row at the boundary).
+    */
+  def scd2Changes(events: DataFrame): Dataset[Scd2Change] = {
+    import events.sparkSession.implicits._
+    val ev = events.select(col("user_id"), col("event_id"),
+      col("event_type")).as[TypedEvent]
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Change](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (u: Long, in: Iterator[TypedEvent], state: GroupState[Scd2State]) =>
+          val evs = in.toArray.sortBy(_.event_id)
+          if (evs.isEmpty) Iterator.empty
+          else {
+            var last = state.getOption.map(_.last).orNull
+            val out = Vector.newBuilder[Scd2Change]
+            evs.foreach { e =>
+              if (last == null || last != e.event_type) {
+                out += Scd2Change(u, e.event_type, e.event_id)
+                last = e.event_type
+              }
+            }
+            state.update(Scd2State(last))
+            out.result().iterator
+          }
+      }
+  }
+
   // ---- stream_perplexity: LM scoring against the persisted model ----
 
   private[streaming] case class PplxProbe(doc_id: Long, lang: String, s: Long)
