@@ -203,9 +203,20 @@ object Analytics {
           col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))
         .select(col("e1.lo").as("x"), col("e1.hi").as("y"),
           col("e2.hi").as("z"))
-      val tris = wedges.join(oriented,
-        (col("lo") === col("y") && col("hi") === col("z")) ||
-          (col("lo") === col("z") && col("hi") === col("y")))
+      // close wedges on the ID-CANONICAL pair key, not the oriented
+      // endpoints: the closing edge {y, z} may be oriented either way
+      // (orientation is by degree), and expressing that as an OR of
+      // two equi-conditions forces a nested-loop join — wedges ×
+      // edges, the exact quadratic this op exists to avoid (measured:
+      // BroadcastNestedLoopJoin, 7.1 s at sf0.1; the canonical-key
+      // equi-join hash-partitions both sides instead)
+      val ek = oriented.select(
+        least(col("lo"), col("hi")).as("p1"),
+        greatest(col("lo"), col("hi")).as("p2"))
+      val tris = wedges
+        .withColumn("p1", least(col("y"), col("z")))
+        .withColumn("p2", greatest(col("y"), col("z")))
+        .join(ek, Seq("p1", "p2"))
         .select(col("x"), col("y"), col("z"))
       tris.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
         .groupBy(col("node"))
@@ -241,9 +252,10 @@ object Analytics {
       w AS (
         SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
         FROM o e1 JOIN o e2 ON e1.lo = e2.lo AND e1.hi < e2.hi),
+      ek AS (SELECT LEAST(lo, hi) AS p1, GREATEST(lo, hi) AS p2 FROM o),
       tris AS (
-        SELECT w.x, w.y, w.z FROM w JOIN o
-        ON (o.lo = w.y AND o.hi = w.z) OR (o.lo = w.z AND o.hi = w.y))
+        SELECT w.x, w.y, w.z FROM w JOIN ek
+        ON ek.p1 = LEAST(w.y, w.z) AND ek.p2 = GREATEST(w.y, w.z))
       SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
         SELECT x AS node FROM tris
         UNION ALL SELECT y FROM tris
