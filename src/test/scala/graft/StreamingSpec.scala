@@ -403,6 +403,50 @@ class StreamingSpec extends SparkSpec {
     assert(kept == expected, s"kept $kept expected $expected")
   }
 
+  test("stream_contam_minhash: benchmark-store gate flags edited copies; bit equals batch contam_minhash") {
+    // Fuzzy decontamination on ingest is stream_ingest_minhash's
+    // machinery POINTED AT A DIFFERENT STORE: persist fingerprints of
+    // the held-out benchmark slice (doc_id % 97 = 0, the contam_ngram
+    // slice) instead of corpus history, and the same band-probe gate
+    // becomes the streaming twin of contam_minhash — no new operator
+    // code, which is the point: the firewall composes by store.
+    implicit val sql = spark.sqlContext
+    val all = Tables(spark, sfDir, "documents").select($"doc_id", $"text")
+    val store = java.nio.file.Files.createTempDirectory("graft-contam-mh")
+      .resolve("bench").toString
+    sources.Fingerprints.write(all.filter($"doc_id" % 97 === 0), store,
+      nShards = 1)
+    val bands = sources.Fingerprints.readBands(spark, store)
+    // the arriving pool: everything else, plus an EDITED copy of a
+    // benchmark doc (one appended token — the fuzzy case exact
+    // n-grams can miss at the edit point)
+    val benchText = all.filter($"doc_id" === 0L).head.getString(1)
+    val pool = all.filter($"doc_id" % 97 =!= 0).collect()
+      .map(r => (r.getLong(0), r.getString(1))) :+
+      ((990001L, benchText + " extra"))
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.ingestMinhashGate(in.toDF().toDF("doc_id", "text"), bands)
+      .writeStream.format("memory").queryName("contam_mh_out")
+      .outputMode("append").start()
+    in.addData(pool.take(pool.length / 2).toIndexedSeq: _*)
+    q.processAllAvailable()
+    in.addData(pool.drop(pool.length / 2).toIndexedSeq: _*)
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L))
+    q.stop()
+    val streamed = spark.table("contam_mh_out").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("near_hist")).toMap
+    assert(streamed(990001L) == 1L, "edited benchmark copy must flag")
+    // the gate's bit equals the batch op's contaminated bit for every
+    // real pool doc (same slice, same signature kernel, same bands)
+    val batch = SparkEntry.queries("contam_minhash")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("contaminated")).toMap
+    assert(batch.keySet.subsetOf(streamed.keySet))
+    batch.foreach { case (id, bit) =>
+      assert(streamed(id) == bit, s"doc $id: gate ${streamed(id)} != batch $bit")
+    }
+  }
+
   test("stream_funnel: per-user state machine folds to the batch funnel across journey-cutting splits") {
     implicit val sql = spark.sqlContext
     val rows = Tables.events(spark, sfDir)
