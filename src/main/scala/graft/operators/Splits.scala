@@ -63,7 +63,13 @@ object Splits {
       s"<= $EvalSixteenths THEN 'eval' ELSE 'train' END"
 
   private[graft] def splitSafe(d: DataFrame): DataFrame = {
-    // ids + digests only through the shuffle (the dedup_exact move)
+    // ids + digests only through the shuffle (the dedup_exact move).
+    // Skew note: a boilerplate text with millions of copies makes its
+    // digest a hot join key on the probe side (the counts side holds
+    // one row per digest, so the build side stays flat); AQE's skew
+    // join splits the probe partition at runtime — the q28_skew_salted
+    // machinery is not needed because the hot rows need no further
+    // aggregation after the join.
     val hashed = d.select(col("doc_id"), col("source"),
       md5(col("text")).as("content_hash"))
     val copies = hashed.groupBy(col("content_hash"))
