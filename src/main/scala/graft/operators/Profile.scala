@@ -131,5 +131,63 @@ object Profile {
       $branches"""
     })
 
-  val ops: Seq[Op] = Seq(opProfile, opSketch)
+  // ---- profile_drift: snapshot-vs-snapshot composition drift ----
+  // Train/serve skew detection — "did the corpus composition move
+  // between two snapshots?" (the production drift monitor every
+  // serving stack runs before trusting a model trained on snapshot A
+  // against traffic from snapshot B). Per source: both snapshots'
+  // doc shares as INTEGER ppm (exact at any corpus size — the
+  // float-free discipline), the absolute ppm delta, and the
+  // log-ratio in whole bits through the perplexity bit-surprisal
+  // kernel (floor-log2 via length(bin()) of the 2^20-scaled
+  // smoothed share ratio — identical in Spark and DuckDB, no libm
+  // in sight; the class doc of Dsir records why engine-portable
+  // drift math must avoid ln()). The chi-square form was rejected
+  // on arithmetic grounds: its cross-product numerator
+  // (cnt_a·n_b)² overflows int64/decimal(38) at ~10^12-doc
+  // snapshots — ppm shares stay in int32 range forever. One
+  // per-source aggregate + a broadcast totals row; scale-free.
+  private[graft] def profileDrift(d: DataFrame): DataFrame = {
+    // snapshots: doc_id parity — a deterministic stand-in for
+    // "yesterday's corpus vs today's" on the fixture tables
+    val per = d.select(col("source"), (col("doc_id") % 2 === 0).as("a"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(col("a"), 0L).otherwise(1L)).as("cnt_b"))
+      .localCheckpoint()
+    val tot = per.agg(sum(col("cnt_a")).as("na"), sum(col("cnt_b")).as("nb"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("share_a_ppm", expr("cnt_a * 1000000 DIV na"))
+      .withColumn("share_b_ppm", expr("cnt_b * 1000000 DIV nb"))
+      .select(col("source"), col("cnt_a"), col("cnt_b"),
+        col("share_a_ppm"), col("share_b_ppm"),
+        abs(col("share_a_ppm") - col("share_b_ppm")).as("delta_ppm"),
+        (length(bin(expr("((share_a_ppm + 1) * 1048576) DIV (share_b_ppm + 1)")))
+          .cast("long") - 1L - 20L).as("shift_bits"))
+  }
+
+  private val opDrift = Op(
+    "profile_drift",
+    (s, dir) => profileDrift(Tables(s, dir, "documents")),
+    Some("""
+      WITH per AS (
+        SELECT source,
+          CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS cnt_a,
+          CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+            AS cnt_b
+        FROM documents GROUP BY 1),
+      tot AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS na,
+        CAST(SUM(cnt_b) AS BIGINT) AS nb FROM per),
+      sh AS (SELECT source, cnt_a, cnt_b,
+          cnt_a * 1000000 // na AS share_a_ppm,
+          cnt_b * 1000000 // nb AS share_b_ppm
+        FROM per, tot)
+      SELECT source, cnt_a, cnt_b, share_a_ppm, share_b_ppm,
+        ABS(share_a_ppm - share_b_ppm) AS delta_ppm,
+        CAST(length(bin(((share_a_ppm + 1) * 1048576) // (share_b_ppm + 1)))
+          - 1 - 20 AS BIGINT) AS shift_bits
+      FROM sh"""))
+
+  val ops: Seq[Op] = Seq(opProfile, opSketch, opDrift)
 }

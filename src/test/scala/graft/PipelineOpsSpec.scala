@@ -2210,6 +2210,30 @@ class PipelineOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("profile_drift: planted composition shift lands exact ppm deltas and signed shift bits") {
+    // snapshot A (even ids) vs B (odd ids): "web" holds 3/4 of A but
+    // only 1/4 of B, "books" mirrors it — counts chosen so the ppm
+    // divisions are exact and the shift bits are hand-derivable
+    val a = (0 until 6).map(i => (2L * i, "web")) ++      // 6 even web
+      (6 until 8).map(i => (2L * i, "books"))             // 2 even books
+    val b = (0 until 2).map(i => (2L * i + 1, "web")) ++  // 2 odd web
+      (2 until 8).map(i => (2L * i + 1, "books"))         // 6 odd books
+    val d = (a ++ b).toDF("doc_id", "source")
+    val out = operators.Profile.profileDrift(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val web = out("web")
+    assert(web.getAs[Long]("cnt_a") == 6L && web.getAs[Long]("cnt_b") == 2L)
+    assert(web.getAs[Long]("share_a_ppm") == 750000L &&
+      web.getAs[Long]("share_b_ppm") == 250000L)
+    assert(web.getAs[Long]("delta_ppm") == 500000L)
+    // floor(log2(750001·2^20 / 250001)) − 20 = floor(log2(~3.0)) = 1
+    assert(web.getAs[Long]("shift_bits") == 1L, s"$web")
+    val books = out("books")
+    assert(books.getAs[Long]("delta_ppm") == 500000L)
+    // shrinking share → negative bits
+    assert(books.getAs[Long]("shift_bits") == -2L, s"$books")
+  }
+
   test("search_bm25: hand-computed scores; query-pruned, heap-ranked plan") {
     // fixture: N=4 docs, T=12 tokens; query terms dup (df 2) and hash
     // (df 2); vector absent. idf_bits(df=2) = ilog2(10·65536 DIV 5)−16
