@@ -28,7 +28,19 @@ object Explain {
           val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
           val smj = "SortMergeJoin".r.findAllIn(plan).size
           val scans = "FileScan parquet".r.findAllIn(plan).size
-          println(f"$name%-20s shuffles=$exchanges bhj=$bhj smj=$smj scans=$scans")
+          // join-shape early warnings. CartesianProduct is always a
+          // bug here. BroadcastNestedLoopJoin is REPORTED, not
+          // flagged: every legitimate one in this repo broadcasts a
+          // bounded side (the 10-row ANN query set, 1-row counted
+          // totals) — but an OR-of-equi-conditions or missing join
+          // key ALSO lands here with a corpus-scale broadcast side
+          // (the q36_triangles wedge-closure bug this census missed),
+          // so any NEW bnlj in a diff demands a bounded-side argument.
+          val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+          val cart = "CartesianProduct".r.findAllIn(plan).size
+          val flag = (if (bnlj > 0) s" bnlj=$bnlj" else "") +
+            (if (cart > 0) s" cartesian=$cart <-- QUADRATIC JOIN" else "")
+          println(f"$name%-20s shuffles=$exchanges bhj=$bhj smj=$smj scans=$scans$flag")
         } catch { case e: Throwable => println(s"$name FAILED: ${e.getMessage}") }
       }
     }
