@@ -160,8 +160,57 @@ object RecallAudit {
       .groupBy(_.getLong(0))
       .map { case (q2, rs) => q2 -> rs.map(_.getLong(1)).toSet }
     val pcaRow = f""""pca16_brute@3":${recall(brute3, pca16Top3)}%.4f"""
+    // the structured counterpart: the row above is honest-LOW because
+    // the synthetic embeddings are isotropic (evr_k ≈ 0.38 — no
+    // subspace to find). Here the SAME fit+project path runs on a
+    // deterministically planted rank-16 corpus (16 random-ish basis
+    // directions in 64-dim, coefficients from the SplitMix-style
+    // integer chain — no RNG APIs), where PCA16 must preserve the
+    // neighborhood structure almost perfectly: together the two rows
+    // price the rung — a bandwidth step whose recall cost is ~zero
+    // exactly when evr_k says the data is low-rank.
+    val pcaPlanted = {
+      import spark.implicits._
+      val d = 64; val r = 16
+      def mix(z0: Long): Double = {
+        var z = z0 + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53).toDouble - 0.5
+      }
+      val basis = Array.tabulate(r, d)((j, i) => mix(j * 1000L + i))
+      val n = 2000
+      val rows = (0 until n).map { v =>
+        val coef = Array.tabulate(r)(j => mix(700000L + v * 37L + j))
+        val e = Array.tabulate(d)(i =>
+          (0 until r).map(j => coef(j) * basis(j)(i)).sum.toFloat)
+        (v.toLong, e.toSeq)
+      }
+      val planted = rows.toDF("vec_id", "embedding").localCheckpoint()
+      val (mean, comps, _) = operators.EmbedPca.fit(planted, r)
+      val proj = planted.select(col("vec_id"),
+        transform(operators.EmbedPca.projectCol(col("embedding"), mean, comps),
+          x => x.cast("float")).as("embedding"))
+        .localCheckpoint()
+      def top3(cand: DataFrame): Map[Long, Set[Long]] = {
+        val q2 = cand.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val scored = cand.select(col("vec_id").as("c_id"),
+            col("embedding").as("c_emb"))
+          .join(broadcast(q2), col("q_id") =!= col("c_id"))
+          .withColumn("cos", round(expr("graft_cosine(q_emb, c_emb)"), 6))
+        graft.plans.TopK.perKey(scored, Seq("q_id"),
+            Seq("cos" -> graft.plans.TopK.Desc,
+              "c_id" -> graft.plans.TopK.Asc), 3)
+          .select(col("q_id"), col("c_id")).collect()
+          .groupBy(_.getLong(0))
+          .map { case (qq, rs) => qq -> rs.map(_.getLong(1)).toSet }
+      }
+      recall(top3(planted), top3(proj))
+    }
+    val pcaPlantedRow = f""""pca16_planted_rank16@3":$pcaPlanted%.4f"""
     val body = rows.map { case (n, r) => f""""$n":$r%.4f""" }.mkString(",")
-    println(s"""{"recall":{$body,$pcaRow},"probe_boost_curve":{$curve},"filtered_boost_curve":{$selCurve},"rerank_curve":{$rerankCurve},"sf":"$sfDir"}""")
+    println(s"""{"recall":{$body,$pcaRow,$pcaPlantedRow},"probe_boost_curve":{$curve},"filtered_boost_curve":{$selCurve},"rerank_curve":{$rerankCurve},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
