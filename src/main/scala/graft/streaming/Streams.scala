@@ -1309,6 +1309,61 @@ object Streams {
       }
   }
 
+  // ---- stream_retention: bounded-state cohort retention ----
+
+  private[streaming] case class DayEvent(user_id: Long, epoch_day: Int)
+
+  case class RetState(cohortDay: Int, seen: Long)
+
+  case class RetDelta(cohort_day: Int, day_offset: Long)
+
+  /** stream_retention — the cohort retention matrix maintained LIVE
+    * (batch twin: q35_retention) with PROVABLY BOUNDED state: the
+    * naive stream would hold each user's full set of active days
+    * (unbounded on an unbounded stream); instead each user's state is
+    * their cohort day plus a 64-day offset BITMASK in one long —
+    * constant 12 bytes per user at any stream length, with the
+    * retention horizon (the [[RetentionHorizonDays]] window every
+    * real retention dashboard caps at anyway) made explicit instead
+    * of implicit. A delta row (cohort_day, day_offset) is emitted the
+    * FIRST time a user is active at an offset — the changelog — so
+    * the reader's fold (count deltas per cell) IS the distinct-user
+    * retention matrix, equal to the batch operator for offsets inside
+    * the horizon (spec). Activity beyond the horizon is dropped by
+    * contract, not by accident. In-order arrival per user across
+    * batches is the log-shipping contract (the first-seen day anchors
+    * the cohort, as stream_funnel's first view anchors the funnel).
+    */
+  val RetentionHorizonDays = 64
+
+  def retentionDeltas(events: DataFrame): Dataset[RetDelta] = {
+    import events.sparkSession.implicits._
+    val ev = events.select(col("user_id"),
+      (unix_timestamp(col("ts")) / 86400L).cast("int").as("epoch_day"))
+      .as[DayEvent]
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetState, RetDelta](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (u: Long, in: Iterator[DayEvent], state: GroupState[RetState]) =>
+          val days = in.map(_.epoch_day).toArray.sorted
+          if (days.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.getOrElse(RetState(days.head, 0L))
+            val out = Vector.newBuilder[RetDelta]
+            days.foreach { d =>
+              val off = d - st.cohortDay
+              if (off >= 0 && off < RetentionHorizonDays &&
+                (st.seen & (1L << off)) == 0L) {
+                st = st.copy(seen = st.seen | (1L << off))
+                out += RetDelta(st.cohortDay, off.toLong)
+              }
+            }
+            state.update(st)
+            out.result().iterator
+          }
+      }
+  }
+
   // ---- stream_perplexity: LM scoring against the persisted model ----
 
   private[streaming] case class PplxProbe(doc_id: Long, lang: String, s: Long)

@@ -530,6 +530,49 @@ class StreamingSpec extends SparkSpec {
       s"folded ${folded.size} rows != batch ${batch.size}")
   }
 
+  test("stream_retention: bitmask deltas fold to the batch cohort matrix; constant state per user") {
+    implicit val sql = spark.sqlContext
+    val rows = Tables.events(spark, sfDir)
+      // events carry TIMESTAMP_NTZ (the ns-parquet fallback); cast to
+      // the session-UTC instant type so the MemoryStream tuple encoder
+      // round-trips it
+      .select($"user_id", $"ts".cast("timestamp").as("ts"), $"event_id")
+      .orderBy($"event_id") // in-order arrival per user (log-shipping)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1)))
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = Streams.retentionDeltas(in.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("retention_out")
+      .outputMode("append").start()
+    in.addData(rows.take(rows.length / 3).toIndexedSeq: _*)
+    q.processAllAvailable()
+    in.addData(rows.slice(rows.length / 3, rows.length / 2).toIndexedSeq: _*)
+    q.processAllAvailable()
+    in.addData(rows.drop(rows.length / 2).toIndexedSeq: _*)
+    q.processAllAvailable()
+    // constant state: ONE row per user regardless of activity volume
+    val nUsers = rows.map(_._1).distinct.length.toLong
+    assert(q.lastProgress.stateOperators.head.numRowsTotal == nUsers)
+    q.stop()
+    // fold the changelog: one delta per (user, offset) → cell counts
+    // ARE distinct users
+    val folded = spark.table("retention_out").collect()
+      .map(r => (r.getAs[Int]("cohort_day"), r.getAs[Long]("day_offset")))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val batch = SparkEntry.queries("q35_retention")(spark, sfDir).collect()
+      .map { r =>
+        val epochDay = r.get(0) match {
+          case t: java.sql.Timestamp => (t.getTime / 86400000L).toInt
+          case d: java.time.LocalDateTime => d.toLocalDate.toEpochDay.toInt
+        }
+        (epochDay, r.getLong(1)) -> r.getLong(2)
+      }.toMap
+    // the fixture must sit inside the horizon for exact equality
+    assert(batch.keys.map(_._2).max < Streams.RetentionHorizonDays.toLong,
+      "fixture spans past the retention horizon")
+    assert(folded == batch,
+      s"folded ${folded.size} cells != batch ${batch.size}")
+  }
+
   test("stream_split: content-keyed assignment equals batch split_safe; copies co-assign across batches") {
     implicit val sql = spark.sqlContext
     val all = Tables(spark, sfDir, "documents")
