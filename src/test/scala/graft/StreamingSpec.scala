@@ -492,6 +492,49 @@ class StreamingSpec extends SparkSpec {
     assert(multiRow > 0, "no user advanced across a batch boundary")
   }
 
+  test("stream_funnel restart: recovered journey state resumes mid-funnel, fold still equals batch") {
+    // the GroupState case-class round-trip archetype applied to the
+    // funnel machine: half of every user's journey lives only in the
+    // checkpointed FunnelState when the query dies — post-restart
+    // progress can only be correct if the three step ids survived the
+    // state store (a re-seen "first view" would otherwise re-anchor
+    // later clicks).
+    implicit val sql = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-fn-restart")
+    val ckpt = base.resolve("ckpt").toString
+    val outDir = base.resolve("out").toString
+    val rows = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", $"event_type")
+      .orderBy($"event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val in = MemoryStream[(Long, Long, String)]
+    // append-mode recovery needs a durable sink (the memory sink only
+    // recovers in complete mode — the stream_session restart pattern)
+    def start() = Streams.funnelProgress(
+        in.toDF().toDF("user_id", "event_id", "event_type"))
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    in.addData(rows.take(rows.length / 2).toIndexedSeq: _*)
+    q1.processAllAvailable()
+    q1.stop() // journeys cut mid-step; progress lives only in state
+    val q2 = start()
+    in.addData(rows.drop(rows.length / 2).toIndexedSeq: _*)
+    q2.processAllAvailable()
+    q2.stop()
+    val streamed = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("v_id"),
+        r.getAs[Long]("c_id"), r.getAs[Long]("p_id"), r.getAs[Long]("stage")))
+      .groupBy(_._1).map { case (u, rs) => u -> rs.maxBy(_._5) }
+    val batch = SparkEntry.queries("q34_funnel")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (u, row) =>
+      assert(row == batch(u), s"user $u after restart: $row != ${batch(u)}")
+    }
+  }
+
   test("stream_scd2: changelog folds to the batch SCD2 history; no spurious change at batch cuts") {
     implicit val sql = spark.sqlContext
     val rows = Tables.events(spark, sfDir)
