@@ -16,7 +16,8 @@ object SparkEntry {
       operators.Profile.ops ++
       operators.Search.ops ++ operators.QualityClassifier.ops ++
       operators.EmbedPca.ops ++ operators.Dsir.ops ++
-      operators.Splits.ops ++ operators.Analytics.ops
+      operators.Splits.ops ++ operators.Analytics.ops ++
+      operators.Cluster.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -262,5 +262,37 @@ object Analytics {
         UNION ALL SELECT z FROM tris)
       GROUP BY 1"""))
 
-  def ops: Seq[Op] = Seq(opScd2, opFunnel, opRetention, opTriangles)
+  // ---- q37_grouping_sets: non-hierarchical multi-dimension slices ----
+  // The grouping-sets shape ROLLUP (q9) and CUBE (q24) cannot express:
+  // two DISJOINT one-dimension slices of the event log — per-type and
+  // per-user-bucket daily value totals — computed in ONE pass. Catalyst
+  // lowers this to a single Expand (×2) over skinny (type, bucket,
+  // cents) rows feeding one hash aggregate with map-side partial
+  // combine; two separate groupBys would scan the table twice. The
+  // grouping() markers disambiguate which slice a row belongs to —
+  // NULL-vs-grouped-out is otherwise ambiguous on nullable dims.
+  private[graft] def groupingSlices(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"), (col("user_id") % 10L).as("user_bucket"),
+        graft.Fns.cents(col("value")).as("cents"))
+      .groupingSets(
+        Seq(Seq(col("event_type")), Seq(col("user_bucket"))),
+        col("event_type"), col("user_bucket"))
+      .agg(sum(col("cents")).as("sum_cents"), count(lit(1)).as("cnt"),
+        grouping(col("event_type")).cast("long").as("g_type"),
+        grouping(col("user_bucket")).cast("long").as("g_bucket"))
+
+  private val opGroupingSets = Op(
+    "q37_grouping_sets",
+    (s, dir) => groupingSlices(events(s, dir)),
+    Some(s"""
+      SELECT event_type, user_bucket,
+        CAST(SUM(cents) AS BIGINT) AS sum_cents, COUNT(*) AS cnt,
+        CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+        CAST(GROUPING(user_bucket) AS BIGINT) AS g_bucket
+      FROM (SELECT event_type, user_id % 10 AS user_bucket,
+              ${graft.Fns.centsSql("value")} AS cents FROM events)
+      GROUP BY GROUPING SETS ((event_type), (user_bucket))"""))
+
+  def ops: Seq[Op] =
+    Seq(opScd2, opFunnel, opRetention, opTriangles, opGroupingSets)
 }

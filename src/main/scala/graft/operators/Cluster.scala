@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cluster-based corpus curation — the published "prune by prototype"
+  * recipe family (Sorscher et al. 2022 "Beyond neural scaling laws:
+  * beating power law scaling via data pruning"; the SemDeDup paper's
+  * cluster stage reused for SELECTION instead of dedup):
+  *
+  *   - embed_cluster: k-means cluster map of the embedding corpus —
+  *     per-cluster population and cosine-coherence stats (the "what is
+  *     in this corpus" view a mixture designer reads before weighting,
+  *     and the health check for every downstream cluster-scoped op:
+  *     a cluster whose mean_ccos ≈ 0 is structure-less noise, one
+  *     near 1 is boilerplate).
+  *   - cluster_prune: self-supervised prototype pruning — within each
+  *     cluster, drop the [[PruneTenths]]/10 of members CLOSEST to the
+  *     centroid (the "easy", most prototypical examples; data-rich
+  *     regime of Sorscher et al. §3), keep the hard tail that carries
+  *     the training signal.
+  *
+  * Scale shapes. Fit is the bounded driver one-off shared with ann_ivf
+  * (Similarity.kmeansCentroids: ≤65536-row hash-ordered sample, k ∝ √n
+  * capped at 4096). Assignment ranks ONE nearest cell through the
+  * TopKPerKey heap on skinny (vec_id, cent_id, ccos) rows — the
+  * dedup_semantic move. The prune QUANTILE is the part naive
+  * implementations get wrong at 100 TB: a per-cluster rank needs
+  * `row_number().over(partitionBy(cluster))`, which buffers an entire
+  * cluster's rows in ONE window task (a degenerate corpus makes one
+  * cluster O(n)); an exact `percentile` aggregate buffers O(n/k) values
+  * per group. Instead the threshold comes from a FIXED-WIDTH HISTOGRAM
+  * of ccos: 4096 integer bins over [-1, 1], counted by a skinny
+  * map-side-combining groupBy (≤ k·4096 rows total), descending-
+  * cumulative-summed by a window over that VANISHING frame, and
+  * broadcast back as one threshold bin per cluster. Deterministic and
+  * order-independent by construction (integer bin arithmetic, no
+  * sketch merge order): prune iff bin ≥ threshold bin, so the pruned
+  * share is ≤ the target with at most one bin's width of under-prune —
+  * resolution 2/4096 ≈ 0.0005 cosine, spec-pinned. Both rows-only
+  * (k-means inside); planted-structure specs pin the guarantees.
+  */
+object Cluster {
+
+  /** Prune share in tenths: drop the easiest 3/10 of each cluster. */
+  val PruneTenths = 3L
+
+  /** Histogram resolution for the prune threshold (bins over [-1,1]). */
+  val CcosBins = 4096
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+
+  /** Nearest-centroid assignment: (vec_id, cluster, ccos), ties to the
+    * smaller centroid id — identical semantics to dedup_semantic's
+    * assignment and the streaming twin's frozen-model gate. */
+  private[graft] def assign(e: DataFrame,
+      cents: Array[(Int, Array[Float])]): DataFrame = {
+    graft.plans.GraftFunctions.register(e.sparkSession)
+    val centDf = broadcast(
+      e.sparkSession.createDataFrame(cents.toSeq).toDF("cent_id", "cent_emb"))
+    val cells = e.join(centDf)
+      .withColumn("ccos", expr("graft_cosine(embedding, cent_emb)"))
+      .select(col("vec_id"), col("cent_id"), col("ccos"))
+    graft.plans.TopK.perKey(cells, Seq("vec_id"),
+        Seq("ccos" -> graft.plans.TopK.Desc,
+          "cent_id" -> graft.plans.TopK.Asc), 1, "crk")
+      .select(col("vec_id"), col("cent_id").cast("long").as("cluster"),
+        col("ccos"))
+  }
+
+  // ---- embed_cluster: per-cluster population + coherence stats ----
+
+  private[graft] def embedCluster(e: DataFrame, k: Int): DataFrame =
+    assign(e, Similarity.kmeansCentroids(e, k, Similarity.KmeansIters))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        round(avg(col("ccos")), 6).as("mean_ccos"),
+        round(min(col("ccos")), 6).as("min_ccos"),
+        round(max(col("ccos")), 6).as("max_ccos"))
+
+  private val opEmbedCluster = Op(
+    "embed_cluster",
+    (s, dir) => {
+      val e = emb(s, dir)
+      embedCluster(e, Similarity.ivfK(e.count()))
+    },
+    None) // k-means inside → rows-only; spec plants two tight clusters
+          // and pins membership counts + coherence ordering
+
+  // ---- cluster_prune: drop the most prototypical fraction ----
+
+  /** Integer histogram bin of a cosine in [-1, 1] (inclusive top). */
+  private def binOf(ccos: org.apache.spark.sql.Column) =
+    least(floor((ccos + 1.0) * (CcosBins / 2.0)), lit(CcosBins - 1L))
+      .cast("long")
+
+  private[graft] def clusterPrune(e: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = Similarity.kmeansCentroids(e, k, Similarity.KmeansIters)
+    // skinny (vec_id, cluster, ccos, bin) — consumed by the histogram
+    // AND the final join; pinned so the ×k assignment explode runs once
+    val a = assign(e, cents).withColumn("bin", binOf(col("ccos")))
+      .localCheckpoint()
+    val hist = a.groupBy(col("cluster"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    // windows over the VANISHING histogram frame (≤ k·4096 rows), never
+    // over member rows: descending cumulative count from the easy end
+    val byCluster = Window.partitionBy(col("cluster"))
+    val descCum = byCluster.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = hist
+      .withColumn("cum_top", sum(col("c")).over(descCum))
+      .withColumn("n", sum(col("c")).over(byCluster))
+    // threshold = smallest bin whose ENTIRE easy-side tail fits the
+    // budget; every member of a pruned bin is pruned (deterministic,
+    // order-independent — no tie-splitting inside a bin)
+    val tbin = marked
+      .filter(col("cum_top") * 10L <= col("n") * PruneTenths)
+      .groupBy(col("cluster")).agg(min(col("bin")).as("prune_bin"))
+    a.join(broadcast(tbin), Seq("cluster"), "left")
+      .select(col("vec_id"), col("cluster"),
+        round(col("ccos"), 6).as("ccos"),
+        when(col("prune_bin").isNotNull && col("bin") >= col("prune_bin"),
+          0L).otherwise(1L).as("keep"))
+  }
+
+  private val opClusterPrune = Op(
+    "cluster_prune",
+    (s, dir) => {
+      val e = emb(s, dir)
+      clusterPrune(e, Similarity.ivfK(e.count()))
+    },
+    None) // k-means inside → rows-only; spec pins the ≤30% budget and
+          // that every pruned member is closer to its centroid than
+          // every kept member of the same cluster (bin granularity)
+
+  def ops: Seq[Op] = Seq(opEmbedCluster, opClusterPrune)
+}

@@ -189,5 +189,83 @@ object Profile {
           - 1 - 20 AS BIGINT) AS shift_bits
       FROM sh"""))
 
-  val ops: Seq[Op] = Seq(opProfile, opSketch, opDrift)
+  // ---- outlier_mad: robust outlier flags (median/MAD) ----
+  // The data-quality gate mean/stddev z-scores get wrong: one wild
+  // value inflates σ until nothing else looks anomalous (breakdown
+  // point 0), while the median absolute deviation ignores up to half
+  // the data going bad (breakdown point 1/2) — the standard robust-
+  // statistics recipe (Hampel's 3·MAD rule). Per event type: median of
+  // the value in cents, MAD around it, and a per-event flag
+  // |c − med| > 3·MAD.
+  //
+  // Exactness: cents are integers, so the interpolated median is a
+  // half-integer, deviations are half-integers, the MAD is a quarter-
+  // integer, and 3·MAD stays a dyadic rational ≪ 2^52 — every compare
+  // is EXACT double arithmetic in both engines, no rounding epsilon
+  // anywhere (the Fns.cents discipline extended through two quantile
+  // levels). Scale shape: Spark's exact `percentile` buffers a
+  // value→count map, i.e. O(DISTINCT cents) ≤ 100 001 per group (the
+  // bounded-domain argument score_stats/quantile_bins established,
+  // spec-pinned on the fixture), never O(rows); both joins broadcast
+  // the handful of per-type rows. For an UNBOUNDED value domain the
+  // sketch twin below is the deployment mode — the exact/sketch
+  // pairing convention of profile_stats/profile_sketch.
+  private def madShape(ev: DataFrame,
+      med50: String => Column): DataFrame = {
+    val e = ev.select(col("event_id"), col("event_type"),
+      Fns.cents(col("value")).as("cents"))
+    val med = e.groupBy(col("event_type"))
+      .agg(med50("cents").as("med"))
+    val dev = e.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("cents") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(med50("dev").as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("cents"),
+        round(col("med"), 2).as("med"), round(col("mad"), 2).as("mad"),
+        col("dev"),
+        (col("dev") > col("mad") * 3.0).cast("long").as("is_outlier"))
+  }
+
+  private[graft] def outlierMad(ev: DataFrame): DataFrame =
+    madShape(ev, c => expr(s"percentile($c, 0.5D)"))
+
+  private val opOutlierMad = Op(
+    "outlier_mad",
+    (s, dir) => outlierMad(Tables.events(s, dir)),
+    Some(s"""
+      WITH e AS (SELECT event_id, event_type,
+          ${graft.Fns.centsSql("value")} AS cents FROM events),
+      m AS (SELECT event_type, quantile_cont(cents, 0.5) AS med
+        FROM e GROUP BY 1),
+      d AS (SELECT e.event_id, e.event_type, e.cents, m.med,
+          ABS(e.cents - m.med) AS dev
+        FROM e JOIN m USING (event_type)),
+      md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        FROM d GROUP BY 1)
+      SELECT d.event_id, d.event_type, d.cents,
+        ROUND(d.med, 2) AS med, ROUND(md.mad, 2) AS mad, d.dev,
+        CAST(d.dev > md.mad * 3.0 AS BIGINT) AS is_outlier
+      FROM d JOIN md USING (event_type)"""))
+
+  // Sketch twin: same two-level shape with KLL medians (constant-size
+  // mergeable partials — the quantile_bins_sketch machinery), for
+  // value domains where O(distinct) is unbounded (losses, latencies,
+  // perplexities). Rank error ≤ ~1.65 % can flip flags only for
+  // events within that band of the 3·MAD fence — the monitoring
+  // semantics are insensitive to it. Rows-only (KLL compaction is
+  // randomized); the spec bounds sketch-vs-exact flag disagreement.
+  private[graft] def outlierMadSketch(ev: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(ev.sparkSession)
+    madShape(ev, c => expr(
+      s"graft_kll_quantile(graft_kll_agg(CAST($c AS DOUBLE)), 0.5D)"))
+  }
+
+  private val opOutlierSketch = Op(
+    "outlier_mad_sketch",
+    (s, dir) => outlierMadSketch(Tables.events(s, dir)),
+    None)
+
+  val ops: Seq[Op] =
+    Seq(opProfile, opSketch, opDrift, opOutlierMad, opOutlierSketch)
 }

@@ -456,6 +456,65 @@ object Sampling {
           ['<MID>'] || list_slice(toks, p1 + 1, p2), ' ')) AS psm_digest
       FROM q"""))
 
+  // ---- curriculum_order: exact rank-decile training phases ----
+  // The curriculum SCHEDULE on top of quantile_bins' buckets: every doc
+  // gets an exact rank-based phase 0..9 (train on phase 0 first, 9
+  // last) keyed by difficulty = token count. The mechanism is the
+  // third point on the ntile-avoidance ladder and the only one that is
+  // BOTH exact and buffer-free:
+  //   - ntile(10): exact, but a full-table sort through ONE task;
+  //   - quantile_bins' `percentile` cutoffs: no sort, but the aggregate
+  //     buffers O(distinct) per PARTIAL — bounded-domain only;
+  //   - here: a skinny per-VALUE histogram (groupBy difficulty, map-
+  //     side combine — constant-size partials on any domain), a
+  //     cumulative sum over that VANISHING frame (rows = distinct
+  //     values, the one single-task window, bounded by the domain not
+  //     the corpus), and phase(v) = floor(10·rank_below(v) / n)
+  //     broadcast back onto the docs.
+  // Ties (equal difficulty) share a phase by construction —
+  // deterministic and order-independent, unlike ntile's arbitrary
+  // tie-splitting — so the phase populations deviate from n/10 by at
+  // most the largest tie group; integer arithmetic end-to-end makes
+  // the whole op hash-provable against the oracle.
+  val CurriculumPhases = 10L
+
+  private[graft] def curriculumOrder(d: DataFrame): DataFrame = {
+    val sized = d.select(col("doc_id"),
+      size(TextFns.tokens(col("text"))).cast("long").as("difficulty"))
+    val hist = sized.groupBy(col("difficulty"))
+      .agg(count(lit(1)).as("c"))
+    val cum = Window.orderBy(col("difficulty"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = hist
+      .withColumn("below", sum(col("c")).over(cum) - col("c"))
+    val tot = sized.agg(count(lit(1)).as("n"))
+    val phases = ranked.crossJoin(broadcast(tot))
+      .select(col("difficulty"),
+        expr(s"CAST(below * $CurriculumPhases DIV n AS BIGINT)")
+          .as("phase"))
+    sized.join(broadcast(phases), Seq("difficulty"))
+      .select(col("doc_id"), col("difficulty"), col("phase"))
+  }
+
+  private val opCurriculum = Op(
+    "curriculum_order",
+    (s, dir) => curriculumOrder(Tables(s, dir, "documents")),
+    Some(s"""
+      WITH d AS (SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS difficulty
+        FROM documents),
+      v AS (SELECT difficulty, CAST(COUNT(*) AS BIGINT) AS c
+        FROM d GROUP BY 1),
+      r AS (SELECT difficulty,
+          SUM(c) OVER (ORDER BY difficulty
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS below
+        FROM v),
+      t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d)
+      SELECT d.doc_id, d.difficulty,
+        CAST((r.below * $CurriculumPhases) // t.n AS BIGINT) AS phase
+      FROM d JOIN r USING (difficulty) CROSS JOIN t"""))
+
   val ops: Seq[Op] =
-    Seq(opMix, opTemp, opPack, opBins, opBinsSketch, opStrat, opSpanCorrupt, opFim)
+    Seq(opMix, opTemp, opPack, opBins, opBinsSketch, opStrat, opSpanCorrupt,
+      opFim, opCurriculum)
 }

@@ -97,4 +97,35 @@ class AnalyticsSpec extends SparkSpec {
         r.getAs[Long]("n_triangles")).toMap
     assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L), s"got $out")
   }
+
+  test("q37_grouping_sets: the two slices equal their standalone groupBys") {
+    val ev = Tables.events(spark, sfDir)
+    val out = Analytics.groupingSlices(ev).cache()
+    try {
+      // slice 1 (grouped by type): matches a plain groupBy(event_type)
+      val byType = ev.groupBy(col("event_type"))
+        .agg(sum(Fns.cents(col("value"))).as("sum_cents"),
+          count(lit(1)).as("cnt"))
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Long]("sum_cents"), r.getAs[Long]("cnt"))).toMap
+      val slice1 = out.filter(col("g_bucket") === 1L).collect()
+      assert(slice1.length == byType.size)
+      slice1.foreach { r =>
+        assert(r.getAs[Long]("g_type") == 0L)
+        assert(r.isNullAt(r.fieldIndex("user_bucket")),
+          "grouped-out dim must be NULL")
+        assert(byType(r.getAs[String]("event_type")) ==
+          ((r.getAs[Long]("sum_cents"), r.getAs[Long]("cnt"))), r.toString)
+      }
+      // slice 2 (grouped by bucket): 10 buckets, NULL type, marker flipped
+      val slice2 = out.filter(col("g_type") === 1L)
+      assert(slice2.count() == 10L)
+      assert(slice2.filter(col("event_type").isNotNull).count() == 0L)
+      // both slices total the same corpus
+      val tot = out.groupBy(col("g_type"))
+        .agg(sum(col("cnt")).as("n")).collect()
+        .map(r => r.getAs[Long]("g_type") -> r.getAs[Long]("n")).toMap
+      assert(tot(0L) == tot(1L) && tot(0L) == ev.count())
+    } finally out.unpersist()
+  }
 }
