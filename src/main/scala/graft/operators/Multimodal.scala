@@ -1029,6 +1029,92 @@ object Multimodal {
     },
     Some(framesOracleSql))
 
+  // ---- mm_video_dedup: clip-level near-dup within the corpus ----
+
+  /** Canonical clip id for the video-copy planting: every
+    * id % 7 == 3 clip is a re-upload of clip id−1 (same frames, same
+    * dims) with an EDITED final frame — the re-posted video with a
+    * different outro, the case byte-exact dedup can never see and
+    * single-image phash has no notion of. No chains: id−1 is itself
+    * canonical (id−1 ≡ 2 mod 7). */
+  private[graft] def clipCanon(id: Long): Long =
+    if (id % 7 == 3 && id > 0) id - 1 else id
+
+  private def clipCopyBatch(batch: Seq[MMIn]): Seq[MMClip] = batch.map { r =>
+    val id = r.doc_id
+    val c = clipCanon(id)
+    MMClip(id, (0 until ClipFrames).map { f =>
+      val seed =
+        if (f == ClipFrames - 1) id * ClipFrames + f // edited outro
+        else c * ClipFrames + f
+      buildPng(frameW(c), frameH(c), plantedLuma(seed, _, _))
+    })
+  }
+
+  /** Clip synthesis with planted re-uploads — the video-dedup
+    * stand-in (same mapPartitions plumbing as [[clips]]). */
+  private[graft] def clipsWithCopies(ds: org.apache.spark.sql.Dataset[MMIn]) = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(it => it.grouped(BatchSize).flatMap(clipCopyBatch))
+  }
+
+  /** mm_video_dedup — the dedup ladder's VIDEO rung: two clips are
+    * near-duplicates when EVERY sampled frame of one is perceptually
+    * near (dHash hamming ≤ [[PhashMaxHamming]]) some same-position
+    * sampled frame of the other. Composition, not new machinery —
+    * exactly why the tiers were built to share one hash space:
+    * [[sampleFrames]] (decode only every stride-th frame; the edited
+    * outro is never even decoded, which is the sampling robustness
+    * story), then dedup_simhash's adaptive banding over COMPOSITE keys
+    * doc_id·8+frame_idx so frame-0s band with frame-0s (clip alignment
+    * by position — the envelope-hash analog of onset alignment is out
+    * of scope and documented), a same-position filter, and an
+    * ALL-sampled-frames-must-match fold per clip pair. Scale shape:
+    * frames decoded once (pinned — the pair search and the per-doc
+    * roll-up both consume the skinny hash frame); banding inherits
+    * simhashPairs' sub-split bound, pair folds move (da, db, fidx)
+    * longs only. Rows-only: the planted copy spec pins detection and
+    * the unrelated-clip zero.
+    */
+  private[graft] def videoNearDup(fh: DataFrame): DataFrame = {
+    val sim = fh.select(
+      (col("doc_id") * 8L + col("frame_idx")).as("doc_id"),
+      col("frame_hash").as("simhash"))
+    val framePairs = Dedup.simhashPairs(sim, Dedup.SimhashMaxBucket)
+      .filter(col("hamming") <= PhashMaxHamming &&
+        col("a") % 8L === col("b") % 8L)
+      .select(expr("a DIV 8").as("da"), expr("b DIV 8").as("db"),
+        (col("a") % 8L).as("fidx"))
+    val perPair = framePairs.groupBy(col("da"), col("db"))
+      .agg(countDistinct(col("fidx")).as("n_hit"))
+    val nSampled = fh.groupBy(col("doc_id"))
+      .agg(countDistinct(col("frame_idx")).as("n_sampled"))
+    val matched = perPair
+      .join(nSampled.withColumnRenamed("doc_id", "da"), Seq("da"))
+      .filter(col("n_hit") === col("n_sampled"))
+    val ends = matched.select(col("da").as("doc_id"))
+      .union(matched.select(col("db").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_near_clips"))
+    nSampled.join(ends, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sampled"),
+        coalesce(col("n_near_clips"), lit(0L)).as("n_near_clips"))
+  }
+
+  private val opVideoDedup = Op(
+    "mm_video_dedup",
+    (s, dir) => {
+      import s.implicits._
+      graft.plans.GraftFunctions.register(s)
+      val fh = sampleFrames(clipsWithCopies(graft.Tables.rebalance(
+          Tables(s, dir, "documents")
+            .select(col("doc_id"), col("text").cast("binary").as("payload")))
+          .as[MMIn])
+        .toDF())
+        .localCheckpoint() // synthesis + decode run once, not per consumer
+      videoNearDup(fh)
+    },
+    None)
+
   val ops: Seq[Op] =
-    Seq(opMeta, opEmbed, opPhash, opResize, opFrames, opAudio)
+    Seq(opMeta, opEmbed, opPhash, opResize, opFrames, opAudio, opVideoDedup)
 }

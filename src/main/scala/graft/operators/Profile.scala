@@ -216,8 +216,15 @@ object Profile {
       Fns.cents(col("value")).as("cents"))
     val med = e.groupBy(col("event_type"))
       .agg(med50("cents").as("med"))
+    // pinned: the skinny dev frame feeds BOTH the MAD aggregate and
+    // the final flag join — lazy, each consumer would re-scan the
+    // event table (census read 4 scans before the pin, 2 after).
+    // Single-box localCheckpoint caveat as documented at
+    // Dedup.simhashPairs: on a real cluster swap for
+    // persist(MEMORY_AND_DISK) so lineage survives executor loss.
     val dev = e.join(broadcast(med), Seq("event_type"))
       .withColumn("dev", abs(col("cents") - col("med")))
+      .localCheckpoint()
     val mad = dev.groupBy(col("event_type"))
       .agg(med50("dev").as("mad"))
     dev.join(broadcast(mad), Seq("event_type"))

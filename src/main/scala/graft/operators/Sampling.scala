@@ -481,13 +481,18 @@ object Sampling {
   private[graft] def curriculumOrder(d: DataFrame): DataFrame = {
     val sized = d.select(col("doc_id"),
       size(TextFns.tokens(col("text"))).cast("long").as("difficulty"))
+    // pinned: the VANISHING histogram feeds both the cumsum and the
+    // total — lazy, each consumer would re-run the corpus token scan
     val hist = sized.groupBy(col("difficulty"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val cum = Window.orderBy(col("difficulty"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ranked = hist
       .withColumn("below", sum(col("c")).over(cum) - col("c"))
-    val tot = sized.agg(count(lit(1)).as("n"))
+    // n from the histogram, not a third corpus scan (census-driven):
+    // Σc over the vanishing frame equals count(*) exactly
+    val tot = hist.agg(sum(col("c")).as("n"))
     val phases = ranked.crossJoin(broadcast(tot))
       .select(col("difficulty"),
         expr(s"CAST(below * $CurriculumPhases DIV n AS BIGINT)")

@@ -175,6 +175,41 @@ object Streams {
     embs.withColumn(s"pca${comps.length}",
       graft.operators.EmbedPca.projectCol(col("embedding"), mean, comps))
 
+  /** stream_cluster — FROZEN-centroid cluster assignment of arriving
+    * embeddings (batch twin: embed_cluster/cluster_prune's assign).
+    * Centroids, like the classifier's weights and the PCA basis, are
+    * fit batch-side on the previous snapshot (Lloyd needs the corpus;
+    * an unbounded stream has no stable cell structure to converge to)
+    * and the stream applies what assignment already is — a per-row
+    * argmax over the centroid set, expressed as ONE narrow
+    * array_max(transform(...)) fold so no join, no TopK exchange and
+    * no state store exist on the streaming side: append mode,
+    * assignments equal the batch path's row-for-row including the
+    * exact-tie rule (ties to the SMALLER centroid id, carried by
+    * maximizing struct(ccos, -id)). The centroid literal is bounded
+    * by [[graft.operators.Similarity.KmeansMaxK]] = 4096 × dim floats
+    * (~1 MB worst case in the plan); an index past literal size is
+    * the AnnServe broadcast-handle territory. Staleness under drift
+    * is the documented ann_upsert frozen-model contract; incoming
+    * columns ride through so the gate composes (assign-then-route at
+    * ingest).
+    */
+  def clusterAssigned(embs: DataFrame,
+      cents: Array[(Int, Array[Float])]): DataFrame = {
+    require(cents.nonEmpty &&
+      cents.length <= graft.operators.Similarity.KmeansMaxK,
+      s"centroid set must hold 1..${graft.operators.Similarity.KmeansMaxK}")
+    graft.plans.GraftFunctions.register(embs.sparkSession)
+    embs
+      .withColumn("__cents", typedLit(cents.toSeq))
+      .withColumn("__best", expr(
+        "array_max(transform(__cents, c -> " +
+          "struct(graft_cosine(embedding, c._2) AS ccos, -c._1 AS nid)))"))
+      .withColumn("cluster", (-col("__best.nid")).cast("long"))
+      .withColumn("ccos", col("__best.ccos"))
+      .drop("__cents", "__best")
+  }
+
   /** stream_mix — stateless temperature-mix gate on ingest (batch
     * twin: sample_temperature). Per-source totals cannot be counted
     * inside an unbounded stream without an ever-growing aggregation,

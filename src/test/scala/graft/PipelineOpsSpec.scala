@@ -317,7 +317,12 @@ class PipelineOpsSpec extends SparkSpec {
     // asserts it), not row stability. (At this sf the bins sketch
     // happens to stay below its first compaction and IS stable —
     // that's capacity luck, not a contract.)
-    val exempt = Set("score_stats_sketch", "quantile_bins_sketch")
+    // (outlier_mad_sketch runs TWO KLL levels over 10k events — well
+    // past first compaction, so unlike the bins sketch it has no
+    // capacity luck; RobustSpec bounds its real contract, the flag
+    // agreement with the exact MAD fence.)
+    val exempt = Set("score_stats_sketch", "quantile_bins_sketch",
+      "outlier_mad_sketch")
     val rowsOnly = graft.SparkEntry.allOps
       .filter(op => op.oracle.isEmpty && !exempt.contains(op.name))
     assert(rowsOnly.nonEmpty)
@@ -875,6 +880,35 @@ class PipelineOpsSpec extends SparkSpec {
     val sizes = operators.Multimodal.ingest(fixture).collect()
       .map(_.batch_size).groupBy(identity).view.mapValues(_.length).toMap
     assert(sizes == Map(64L -> 128, 22L -> 22), s"batch layout wrong: $sizes")
+  }
+
+  test("mm_video_dedup: planted re-upload found via sampled frames; edited outro invisible") {
+    import operators.Multimodal
+    // ids 98..104: 101 ≡ 3 (mod 7) → a re-upload of clip 100 whose
+    // LAST frame is edited; ids large enough that frames are real
+    // images (tiny 1×1 clips have degenerate all-equal dHashes)
+    val docs = (98L to 104L).map(i => Multimodal.MMIn(i, Array[Byte]()))
+      .toDS()
+    val fh = Multimodal.sampleFrames(
+      Multimodal.clipsWithCopies(docs).toDF())
+    val out = Multimodal.videoNearDup(fh).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_sampled"), r.getAs[Long]("n_near_clips"))).toMap
+    assert(out.keySet == (98L to 104L).toSet)
+    // stride 3 over 6 frames → frames {0, 3} sampled; the edited
+    // frame 5 never decodes, so the copy matches on ALL sampled frames
+    assert(out.values.forall(_._1 == 2L), s"$out")
+    assert(out(100L)._2 == 1L && out(101L)._2 == 1L,
+      s"planted pair missed: $out")
+    ((98L to 104L).toSet - 100L - 101L).foreach(i =>
+      assert(out(i)._2 == 0L, s"false positive on $i: ${out(i)}"))
+    // the copy's sampled frame hashes are HASH-IDENTICAL to the
+    // canonical clip's (same planted pixels, same dims)
+    val hashes = fh.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx")) ->
+        r.getAs[Long]("frame_hash")).toMap
+    assert(hashes((100L, 0L)) == hashes((101L, 0L)))
+    assert(hashes((100L, 3L)) == hashes((101L, 3L)))
   }
 
   test("mm_embed: unit-norm encoder output is layout-independent") {

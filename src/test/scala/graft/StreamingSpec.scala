@@ -239,6 +239,60 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.values.map(p => math.abs(p.head)).max > 1.0)
   }
 
+  test("stream_cluster: frozen-centroid assignment == batch row-for-row; ties to smaller id") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // centroids fit batch-side on a two-direction snapshot (the
+    // frozen-model contract); the stream's per-row argmax fold must
+    // reproduce the batch join+TopK assignment bit-for-bit
+    def planted(i: Long): Seq[Float] = {
+      val theta = (i % 7).toDouble * 0.1 + (if (i % 2 == 0) 0.0 else 1.3)
+      Seq.tabulate(8)(j =>
+        if (j == 0) math.cos(theta).toFloat
+        else if (j == 2) math.sin(theta).toFloat else 0f)
+    }
+    val vecs: Seq[(Long, Seq[Float])] =
+      (0L until 60L).map(i => (i, planted(i))) :+
+        // exact tie: equidistant from e0-ish and e2-ish centroids only
+        // if those are symmetric — instead pin the tie rule directly
+        // with two IDENTICAL centroids below
+        ((60L, Seq.tabulate(8)(j => if (j == 1) 1f else 0f)))
+    val snapshot = vecs.toDF("vec_id", "embedding")
+    val cents = operators.Similarity.kmeansCentroids(
+      snapshot.select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding")), 2, 3)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.clusterAssigned(
+        in.toDF().toDF("vec_id", "embedding"), cents)
+      .writeStream.format("memory").queryName("cluster_out")
+      .outputMode("append").start()
+    in.addData(vecs.take(25): _*)
+    q.processAllAvailable()
+    in.addData(vecs.drop(25): _*)
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+      "frozen-centroid assignment must keep zero state rows")
+    q.stop()
+    val streamed = spark.table("cluster_out").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster"), r.getAs[Double]("ccos"))).toMap
+    val batch = operators.Cluster.assign(
+        snapshot.select(col("vec_id"),
+          col("embedding").cast("array<float>").as("embedding")), cents)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster"), r.getAs[Double]("ccos"))).toMap
+    assert(streamed === batch)
+    assert(streamed.values.map(_._1).toSet.size == 2, "both cells used")
+    // tie rule pinned: identical centroids → every row ties → all
+    // assignments must pick centroid id 0 on both paths
+    val twin = Array((0, Array.tabulate(8)(i => i.toFloat + 1f)),
+      (1, Array.tabulate(8)(i => i.toFloat + 1f)))
+    val tied = Streams.clusterAssigned(snapshot, twin)
+      .select(col("cluster")).distinct().collect().map(_.getLong(0))
+    assert(tied.toSeq == Seq(0L), s"tie must go to the smaller id: ${tied.toSeq}")
+  }
+
   test("stream_frames: sample-then-decode on arriving clips == batch; stateless") {
     implicit val sql = spark.sqlContext
     import operators.Multimodal
