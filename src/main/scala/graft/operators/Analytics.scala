@@ -293,6 +293,46 @@ object Analytics {
               ${graft.Fns.centsSql("value")} AS cents FROM events)
       GROUP BY GROUPING SETS ((event_type), (user_bucket))"""))
 
+  // ---- q38_window_range: RANGE-frame running aggregates ----
+  // The window-frame mode q6's rank/sum (default ROWS-ish frames) and
+  // q34's running-min never exercise: a VALUE-bounded sliding frame —
+  // per user, the sum/count of event value over the trailing
+  // event_id window [current−100, current]. RANGE frames differ from
+  // ROWS exactly when ids are sparse per user (they are here: a user
+  // holds ~1/users of the global id sequence), so a ROWS(100) rewrite
+  // would be wrong, not just slower — the oracle pins the semantics.
+  // Scale: per-user hash partitions, one sort inside each — the
+  // standard windowed-analytics shape; the frame is value-bounded so
+  // WindowExec holds only the sliding buffer, never the partition's
+  // tail.
+  val RangeWidth = 100L
+
+  private[graft] def windowRange(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rangeBetween(-RangeWidth, Window.currentRow)
+    ev.select(col("user_id"), col("event_id"),
+        graft.Fns.cents(col("value")).as("cents"))
+      .withColumn("trail_cents", sum(col("cents")).over(w))
+      .withColumn("trail_n", count(lit(1)).over(w))
+  }
+
+  private val opWindowRange = Op(
+    "q38_window_range",
+    (s, dir) => windowRange(events(s, dir)),
+    Some(s"""
+      SELECT user_id, event_id,
+        ${graft.Fns.centsSql("value")} AS cents,
+        CAST(SUM(${graft.Fns.centsSql("value")}) OVER (
+          PARTITION BY user_id ORDER BY event_id
+          RANGE BETWEEN $RangeWidth PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS trail_cents,
+        CAST(COUNT(*) OVER (
+          PARTITION BY user_id ORDER BY event_id
+          RANGE BETWEEN $RangeWidth PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS trail_n
+      FROM events"""))
+
   def ops: Seq[Op] =
-    Seq(opScd2, opFunnel, opRetention, opTriangles, opGroupingSets)
+    Seq(opScd2, opFunnel, opRetention, opTriangles, opGroupingSets,
+      opWindowRange)
 }

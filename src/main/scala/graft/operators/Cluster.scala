@@ -91,35 +91,48 @@ object Cluster {
 
   // ---- cluster_prune: drop the most prototypical fraction ----
 
-  /** Integer histogram bin of a cosine in [-1, 1] (inclusive top). */
-  private def binOf(ccos: org.apache.spark.sql.Column) =
+  /** Integer histogram bin of a cosine in [-1, 1] (inclusive top) —
+    * shared by the batch op and the streaming prune gate. */
+  private[graft] def binOf(ccos: org.apache.spark.sql.Column) =
     least(floor((ccos + 1.0) * (CcosBins / 2.0)), lit(CcosBins - 1L))
       .cast("long")
 
-  private[graft] def clusterPrune(e: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cents = Similarity.kmeansCentroids(e, k, Similarity.KmeansIters)
-    // skinny (vec_id, cluster, ccos, bin) — consumed by the histogram
-    // AND the final join; pinned so the ×k assignment explode runs once
-    val a = assign(e, cents).withColumn("bin", binOf(col("ccos")))
+  /** Assignment with the prune bin attached, pinned — the skinny
+    * (vec_id, cluster, ccos, bin) frame every prune consumer shares
+    * (the histogram and the final flag join would otherwise each
+    * re-run the ×k assignment explode). */
+  private[graft] def assignedWithBin(e: DataFrame,
+      cents: Array[(Int, Array[Float])]): DataFrame =
+    assign(e, cents).withColumn("bin", binOf(col("ccos")))
       .localCheckpoint()
+
+  /** Per-cluster prune thresholds (cluster, prune_bin) from the
+    * assigned-with-bin frame: the smallest bin whose ENTIRE easy-side
+    * tail fits the [[PruneTenths]] budget — every member of a pruned
+    * bin is pruned (deterministic, order-independent, no
+    * tie-splitting inside a bin). Windows run over the VANISHING
+    * histogram frame (≤ k·4096 rows), never over member rows. The
+    * output is what [[graft.sources.CentroidStore]] freezes next to
+    * the centroids so the streaming gate prunes arriving vectors
+    * under the same fences. */
+  private[graft] def pruneThresholds(a: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val hist = a.groupBy(col("cluster"), col("bin"))
       .agg(count(lit(1)).as("c"))
-    // windows over the VANISHING histogram frame (≤ k·4096 rows), never
-    // over member rows: descending cumulative count from the easy end
     val byCluster = Window.partitionBy(col("cluster"))
     val descCum = byCluster.orderBy(col("bin").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val marked = hist
+    hist
       .withColumn("cum_top", sum(col("c")).over(descCum))
       .withColumn("n", sum(col("c")).over(byCluster))
-    // threshold = smallest bin whose ENTIRE easy-side tail fits the
-    // budget; every member of a pruned bin is pruned (deterministic,
-    // order-independent — no tie-splitting inside a bin)
-    val tbin = marked
       .filter(col("cum_top") * 10L <= col("n") * PruneTenths)
       .groupBy(col("cluster")).agg(min(col("bin")).as("prune_bin"))
-    a.join(broadcast(tbin), Seq("cluster"), "left")
+  }
+
+  private[graft] def clusterPrune(e: DataFrame, k: Int): DataFrame = {
+    val cents = Similarity.kmeansCentroids(e, k, Similarity.KmeansIters)
+    val a = assignedWithBin(e, cents)
+    a.join(broadcast(pruneThresholds(a)), Seq("cluster"), "left")
       .select(col("vec_id"), col("cluster"),
         round(col("ccos"), 6).as("ccos"),
         when(col("prune_bin").isNotNull && col("bin") >= col("prune_bin"),

@@ -210,6 +210,68 @@ object Streams {
       .drop("__cents", "__best")
   }
 
+  /** stream_prune — the [[clusterAssigned]] gate extended with FROZEN
+    * per-cluster prune fences (batch twin: cluster_prune; fence
+    * source: sink_centroids). The fence histogram needs the corpus
+    * (an unbounded stream has no per-cluster population to budget
+    * against), so thresholds are derived batch-side
+    * (operators.Cluster.pruneThresholds), persisted through
+    * [[graft.sources.CentroidStore]], and applied here as what a
+    * fence already is: one map-literal lookup + an integer bin
+    * compare per row — append mode, no state store, keep bits equal
+    * to the batch operator's row-for-row when the fences were
+    * profiled over the same rows (spec). A cluster absent from the
+    * fence map prunes nothing — the batch left-join contract.
+    */
+  def clusterPruneGated(embs: DataFrame,
+      cents: Array[(Int, Array[Float])],
+      thresholds: Map[Long, Long]): DataFrame = {
+    val assigned = clusterAssigned(embs, cents)
+      .withColumn("__bin", graft.operators.Cluster.binOf(col("ccos")))
+    val gated =
+      if (thresholds.isEmpty) assigned.withColumn("keep", lit(1L))
+      else assigned
+        .withColumn("__thr", typedLit(thresholds))
+        .withColumn("keep",
+          when(element_at(col("__thr"), col("cluster")).isNotNull &&
+            col("__bin") >= element_at(col("__thr"), col("cluster")),
+            0L).otherwise(1L))
+    gated.drop("__thr", "__bin")
+  }
+
+  /** stream_outlier — FROZEN-fence robust outlier flags on the event
+    * stream (batch twin: outlier_mad). Medians need the corpus (an
+    * unbounded stream has no stable median without an ever-growing
+    * state), so the per-type (med, mad) fences come from OFFLINE
+    * profiling of the previous snapshot — the stream_mix literal-
+    * profile pattern — and the gate is the SAME exact dyadic compare
+    * the batch operator ends with: append mode, no state store, no
+    * watermark, flags equal to the batch path's row-for-row when the
+    * profile covers the same rows (spec). Events of types absent
+    * from the profile are dropped (no fence — the stream_mix
+    * convention); fence staleness under drift is the documented
+    * frozen-model contract, and profile_drift is the monitor that
+    * says when to re-profile.
+    */
+  def outlierGated(events: DataFrame,
+      fences: Map[String, (Double, Double)]): DataFrame = {
+    require(fences.nonEmpty, "fence profile must be non-empty")
+    val med = fences.foldLeft(lit(null).cast("double")) {
+      case (acc, (t, (m, _))) => when(col("event_type") === t, m).otherwise(acc)
+    }
+    val mad = fences.foldLeft(lit(null).cast("double")) {
+      case (acc, (t, (_, d))) => when(col("event_type") === t, d).otherwise(acc)
+    }
+    events
+      .withColumn("cents", cents(col("value")))
+      .withColumn("med", med)
+      .withColumn("mad", mad)
+      .filter(col("med").isNotNull)
+      .withColumn("dev", abs(col("cents") - col("med")))
+      .withColumn("is_outlier",
+        (col("dev") > col("mad") * 3.0).cast("long"))
+  }
+
   /** stream_mix — stateless temperature-mix gate on ingest (batch
     * twin: sample_temperature). Per-source totals cannot be counted
     * inside an unbounded stream without an ever-growing aggregation,

@@ -128,4 +128,23 @@ class AnalyticsSpec extends SparkSpec {
       assert(tot(0L) == tot(1L) && tot(0L) == ev.count())
     } finally out.unpersist()
   }
+
+  test("q38_window_range: the frame is VALUE-bounded, not row-bounded") {
+    // user 1 at sparse ids 1, 50, 120, 250 (cents 100..400): the
+    // trailing-100 RANGE frame includes a row iff its id is within
+    // 100, so id 250 sees ONLY itself — a ROWS-based rewrite would
+    // wrongly include id 120's row
+    val ev = Seq(
+        (1L, 1L, 1.0), (1L, 50L, 2.0), (1L, 120L, 3.0), (1L, 250L, 4.0),
+        (2L, 60L, 9.0)) // a second user must not leak into user 1's frame
+      .toDF("user_id", "event_id", "value")
+    val out = Analytics.windowRange(ev).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")) ->
+        (r.getAs[Long]("trail_cents"), r.getAs[Long]("trail_n"))).toMap
+    assert(out((1L, 1L)) == ((100L, 1L)), s"${out((1L, 1L))}")
+    assert(out((1L, 50L)) == ((300L, 2L)), s"${out((1L, 50L))}")
+    assert(out((1L, 120L)) == ((500L, 2L)), s"${out((1L, 120L))}")
+    assert(out((1L, 250L)) == ((400L, 1L)), s"${out((1L, 250L))}")
+    assert(out((2L, 60L)) == ((900L, 1L)), s"${out((2L, 60L))}")
+  }
 }

@@ -100,6 +100,42 @@ class ClusterSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("sink_centroids: round-trip, store-fed prune gate == batch, stale refused") {
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val k = Similarity.ivfK(e.count())
+    val cents = Similarity.kmeansCentroids(e, k, Similarity.KmeansIters)
+    val thr = Cluster.pruneThresholds(Cluster.assignedWithBin(e, cents))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cents").toString
+    graft.sources.CentroidStore.write(spark, cents, thr, dir)
+    val backC = graft.sources.CentroidStore.readCentroids(spark, dir)
+    assert(backC.length == cents.length)
+    backC.zip(cents.sortBy(_._1)).foreach { case ((i1, v1), (i2, v2)) =>
+      assert(i1 == i2 && v1.toSeq == v2.toSeq)
+    }
+    val backT = graft.sources.CentroidStore.readThresholds(spark, dir)
+    assert(backT == thr)
+    // the store-fed gate (the streaming serving path, run here on the
+    // static frame) reproduces the batch keep bits row-for-row
+    val gated = graft.streaming.Streams.clusterPruneGated(e, backC, backT)
+      .select(col("vec_id"), col("cluster"), col("keep")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = Cluster.clusterPrune(e, k).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster"), r.getAs[Long]("keep"))).toMap
+    assert(gated == batch)
+    // stale marker → loud refusal
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_graft_format"), "99")
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "._graft_format.crc"))
+    val ex = intercept[IllegalArgumentException](
+      graft.sources.CentroidStore.readCentroids(spark, dir))
+    assert(ex.getMessage.contains("format version"))
+  }
+
   test("cluster_prune: degenerate identical corpus prunes nothing") {
     // every vector in one histogram bin: the whole bin exceeds the
     // budget, so the threshold never fires — pruning an arbitrary 30%

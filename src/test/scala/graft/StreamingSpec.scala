@@ -293,6 +293,84 @@ class StreamingSpec extends SparkSpec {
     assert(tied.toSeq == Seq(0L), s"tie must go to the smaller id: ${tied.toSeq}")
   }
 
+  test("stream_prune: frozen fences drop arriving prototypical vectors == batch; stateless") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // snapshot: one cluster of spread angles (the ClusterSpec prune
+    // fixture, widened) — fences fit batch-side, gate applied streaming
+    def planar(theta: Double): Seq[Float] = Seq.tabulate(8)(j =>
+      if (j == 0) math.cos(theta).toFloat
+      else if (j == 2) math.sin(theta).toFloat else 0f)
+    val vecs: Seq[(Long, Seq[Float])] =
+      (0 until 20).map(i => (i.toLong, planar(i * 0.045)))
+    val snapshot = vecs.toDF("vec_id", "embedding")
+    val cents = operators.Similarity.kmeansCentroids(snapshot, 1, 3)
+    val thr = operators.Cluster.pruneThresholds(
+        operators.Cluster.assignedWithBin(snapshot, cents))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.clusterPruneGated(
+        in.toDF().toDF("vec_id", "embedding"), cents, thr)
+      .writeStream.format("memory").queryName("prune_out")
+      .outputMode("append").start()
+    in.addData(vecs.take(7): _*)
+    q.processAllAvailable()
+    in.addData(vecs.drop(7): _*)
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+      "frozen-fence pruning must keep zero state rows")
+    q.stop()
+    val streamed = spark.table("prune_out").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("keep")).toMap
+    val batch = operators.Cluster.clusterPrune(snapshot, 1).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("keep")).toMap
+    assert(streamed === batch)
+    // the fences actually fire: the batch budget prunes ≤ 6 of 20 and
+    // at least one — and so must the gate
+    val pruned = streamed.values.count(_ == 0L)
+    assert(pruned >= 1 && pruned * 10 <= 20 * operators.Cluster.PruneTenths,
+      s"pruned=$pruned")
+  }
+
+  test("stream_outlier: frozen med/MAD fences flag arriving events == batch; unknown types dropped") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // fences profiled batch-side over the snapshot (exact dyadic
+    // med/mad — rounding to 2 is identity on quarter-integers, so the
+    // literal profile IS the exact fence)
+    val rows: Seq[(Long, String, Double)] =
+      (1L to 9L).map(i => (i, "a", 10.0 + (i % 3 - 1) * 0.01)) ++
+        Seq((10L, "a", 1000.0)) ++
+        (11L to 18L).map(i => (i, "b", 5.0 + (i % 2) * 0.02)) :+
+        ((19L, "b", 400.0))
+    val snapshot = rows.toDF("event_id", "event_type", "value")
+    val batchOut = operators.Profile.outlierMad(snapshot).collect()
+    val fences = batchOut.map(r => r.getAs[String]("event_type") ->
+      (r.getAs[Double]("med"), r.getAs[Double]("mad"))).toMap
+    val in = MemoryStream[(Long, String, Double)]
+    val q = Streams.outlierGated(
+        in.toDF().toDF("event_id", "event_type", "value"), fences)
+      .writeStream.format("memory").queryName("outlier_out")
+      .outputMode("append").start()
+    // a type absent from the profile must be dropped, not mis-fenced
+    in.addData(rows.take(10) :+ ((99L, "zzz", 123.0)): _*)
+    q.processAllAvailable()
+    in.addData(rows.drop(10): _*)
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+      "frozen-fence flagging must keep zero state rows")
+    q.stop()
+    val streamed = spark.table("outlier_out").collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("is_outlier"))
+      .toMap
+    assert(!streamed.contains(99L), "unprofiled type must be dropped")
+    val batch = batchOut.map(r =>
+      r.getAs[Long]("event_id") -> r.getAs[Long]("is_outlier")).toMap
+    assert(streamed === batch)
+    assert(streamed(10L) == 1L && streamed(19L) == 1L,
+      "the planted wild points must flag through the gate")
+  }
+
   test("stream_frames: sample-then-decode on arriving clips == batch; stateless") {
     implicit val sql = spark.sqlContext
     import operators.Multimodal
