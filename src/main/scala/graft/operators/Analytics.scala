@@ -332,7 +332,89 @@ object Analytics {
           AS BIGINT) AS trail_n
       FROM events"""))
 
+  // ---- q39_unpivot: wide → long melt in ONE Expand pass ----
+  // The inverse of q23_pivot and the missing reshape primitive: four
+  // lineitem measure columns melted to (measure, cents) long format and
+  // re-aggregated per measure. Spark's native `unpivot` lowers to a
+  // single Expand (×4) over one scan — the hand-written alternative
+  // (four per-measure groupBy branches unioned) reads the table four
+  // times; at 100 TB the melt IS the optimization. Measures ride as
+  // exact long cents (the Fns.cents convention) so sums are
+  // order-independent across engines.
+  private[graft] def unpivotMeasures(li: DataFrame): DataFrame = {
+    import graft.Fns.cents
+    li.select(
+        cents(col("l_quantity")).as("quantity"),
+        cents(col("l_extendedprice")).as("extendedprice"),
+        cents(col("l_discount")).as("discount"),
+        cents(col("l_tax")).as("tax"))
+      .unpivot(
+        Array.empty[org.apache.spark.sql.Column],
+        Array(col("quantity"), col("extendedprice"), col("discount"),
+          col("tax")),
+        "measure", "cents")
+      .groupBy(col("measure"))
+      .agg(sum(col("cents")).as("sum_cents"),
+        count(lit(1)).as("cnt"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+  }
+
+  private val opUnpivot = Op(
+    "q39_unpivot",
+    (s, dir) => unpivotMeasures(Tables(s, dir, "lineitem")),
+    Some(s"""
+      WITH wide AS (SELECT
+          ${graft.Fns.centsSql("l_quantity")} AS quantity,
+          ${graft.Fns.centsSql("l_extendedprice")} AS extendedprice,
+          ${graft.Fns.centsSql("l_discount")} AS discount,
+          ${graft.Fns.centsSql("l_tax")} AS tax
+        FROM lineitem),
+      long AS (
+        UNPIVOT wide ON quantity, extendedprice, discount, tax
+        INTO NAME measure VALUE cents)
+      SELECT measure, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        COUNT(*) AS cnt,
+        CAST(MIN(cents) AS BIGINT) AS min_cents,
+        CAST(MAX(cents) AS BIGINT) AS max_cents
+      FROM long GROUP BY 1"""))
+
+  // ---- q40_gap_fill: LOCF forward fill via IGNORE NULLS ----
+  // The time-series gap-fill kernel (last observation carried forward):
+  // only 'purchase' events carry a price; every event row gets the
+  // LATEST price observed so far for its user via
+  // last(col, ignoreNulls) over an unbounded-preceding ROWS frame —
+  // the frame only ever grows, so WindowExec streams each partition in
+  // one pass holding O(1) state (contrast a self-join "latest earlier
+  // purchase" shape: a per-row range probe). Rows before a user's
+  // first purchase report -1 (the no-observation sentinel; NULL would
+  // also hash differently across engines' string forms).
+  private[graft] def gapFill(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.select(col("user_id"), col("event_id"),
+        when(col("event_type") === "purchase",
+          graft.Fns.cents(col("value"))).as("p_cents"))
+      .withColumn("last_price",
+        coalesce(last(col("p_cents"), ignoreNulls = true).over(w), lit(-1L)))
+      .select(col("user_id"), col("event_id"), col("last_price"))
+  }
+
+  private val opGapFill = Op(
+    "q40_gap_fill",
+    (s, dir) => gapFill(events(s, dir)),
+    Some(s"""
+      SELECT user_id, event_id,
+        COALESCE(LAST_VALUE(p_cents IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1)
+          AS last_price
+      FROM (SELECT user_id, event_id,
+          CASE WHEN event_type = 'purchase'
+            THEN ${graft.Fns.centsSql("value")} END AS p_cents
+        FROM events)"""))
+
   def ops: Seq[Op] =
     Seq(opScd2, opFunnel, opRetention, opTriangles, opGroupingSets,
-      opWindowRange)
+      opWindowRange, opUnpivot, opGapFill)
 }

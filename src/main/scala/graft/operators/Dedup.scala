@@ -68,6 +68,42 @@ object Dedup {
         MIN(doc_id) AS keeper_id
       FROM documents GROUP BY 1"""))
 
+  // ---- dedup_soft: down-weighting instead of dropping ----
+  // The SoftDeDup move (Anagnostidis et al. 2024 "SoftDedup"; also the
+  // D4/RedPajama-v2 practice of carrying duplicate counts as metadata):
+  // instead of deleting near/exact copies, keep EVERY row and reweight
+  // its sampling mass by 1/n_copies so the training distribution
+  // matches the deduplicated one while the loader keeps its choice of
+  // which copy to read (locality, shard balance). Exact-hash grouping
+  // here (the dedup_exact basis); the weight rides per row, so the op
+  // composes under mix_sample's weighted draw. ONE skinny shuffle:
+  // only (doc_id, content_hash) reaches the window — text never moves.
+  // `eff_mass` sanity: the corpus's total weight equals its distinct
+  // content count (Σ_groups n·(1/n) = #groups), which the spec pins.
+  private[graft] def softWeights(d: DataFrame): DataFrame = {
+    val byHash = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_hash"))
+    d.select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .withColumn("n_copies", count(lit(1)).over(byHash))
+      .select(col("doc_id"), col("content_hash"), col("n_copies"),
+        round(lit(1.0) / col("n_copies"), 6).as("weight"),
+        (col("doc_id") === min(col("doc_id")).over(byHash))
+          .cast("long").as("is_canonical"))
+  }
+
+  private val opSoft = Op(
+    "dedup_soft",
+    (s, dir) => softWeights(docs(s, dir)),
+    Some("""
+      SELECT doc_id, content_hash, n_copies,
+        ROUND(1.0 / n_copies, 6) AS weight,
+        CAST(doc_id = min_id AS BIGINT) AS is_canonical
+      FROM (
+        SELECT doc_id, md5(text) AS content_hash,
+          COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies,
+          MIN(doc_id) OVER (PARTITION BY md5(text)) AS min_id
+        FROM documents)"""))
+
   // ---- dedup_minhash: MinHash signatures + LSH banding ----
   // 32 seeded hash functions (xor constants in plans.SignatureKernels),
   // 8 bands × 4 rows. Per-doc output (signature digest + candidate
@@ -1115,7 +1151,8 @@ object Dedup {
       WHERE f.doc_id >= $IncrSplit"""))
 
   val ops: Seq[Op] =
-    Seq(opExact, opMinhash, opSimhash, opJaccard, opContam, opCluster, opSpan,
+    Seq(opExact, opSoft, opMinhash, opSimhash, opJaccard, opContam, opCluster,
+      opSpan,
       opPipeline, opSubstr, opSubstrLadder, opIncremental, opIncrMinhash,
       opBloomGate)
 }

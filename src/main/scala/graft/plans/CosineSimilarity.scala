@@ -238,6 +238,18 @@ object GraftFunctions {
     new ExpressionInfo(classOf[BpeEncodeExpr].getName, "graft_bpe"),
     bpeBuilder)
 
+  private[plans] val unigramBuilder =
+    (exprs: Seq[Expression]) => {
+      val ps = exprs(1).eval()
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val pieces = (0 until ps.numElements())
+        .map(i => ps.getUTF8String(i).toString)
+      val lps = exprs(2).eval()
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toDoubleArray().toSeq
+      UnigramSegmentExpr(exprs.head, pieces, lps): Expression
+    }
+
   private def evalFloats(e: Expression): Seq[Float] = {
     val arr = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     arr.toFloatArray().toSeq
@@ -397,6 +409,8 @@ object GraftFunctions {
       "graft_bloom_contains", bloomContainsBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bpe", bpeBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_unigram", unigramBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_pq_encode", pqEncodeBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

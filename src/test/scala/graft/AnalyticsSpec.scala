@@ -147,4 +147,64 @@ class AnalyticsSpec extends SparkSpec {
     assert(out((1L, 250L)) == ((400L, 1L)), s"${out((1L, 250L))}")
     assert(out((2L, 60L)) == ((900L, 1L)), s"${out((2L, 60L))}")
   }
+
+  test("q39_unpivot: melt equals the four per-measure aggregates, in ONE scan") {
+    // one table scan: the melt is a single Expand over one read — the
+    // alternative (four groupBy branches unioned) scans four times
+    // (AQE wraps the plan; disable it so the scan nodes are visible)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val out =
+      try {
+        val q = SparkEntry.queries("q39_unpivot")(spark, sfDir)
+        val plan = q.queryExecution.executedPlan
+        val scans = plan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }
+        assert(scans.length == 1, s"expected 1 scan:\n$plan")
+        assert(plan.collectFirst {
+          case e: org.apache.spark.sql.execution.ExpandExec => e
+        }.nonEmpty, s"melt should lower to Expand:\n$plan")
+        q
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val rows = out.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet ==
+      Set("quantity", "extendedprice", "discount", "tax"))
+    // cross-check each melted row against an independent direct agg
+    val li = Tables(spark, sfDir, "lineitem")
+    Seq("quantity" -> "l_quantity", "extendedprice" -> "l_extendedprice",
+      "discount" -> "l_discount", "tax" -> "l_tax").foreach {
+      case (m, c) =>
+        val d = li.agg(
+          sum(graft.Fns.cents(col(c))), count(lit(1)),
+          min(graft.Fns.cents(col(c))), max(graft.Fns.cents(col(c)))).head
+        assert(rows(m) ==
+          ((d.getLong(0), d.getLong(1), d.getLong(2), d.getLong(3))), m)
+    }
+  }
+
+  test("q40_gap_fill: LOCF carries the latest purchase price, -1 before the first") {
+    val ev = Seq(
+        (1L, 1L, "view", 0.0), (1L, 2L, "purchase", 3.5),
+        (1L, 3L, "view", 0.0), (1L, 4L, "purchase", 7.25),
+        (1L, 5L, "click", 0.0),
+        (2L, 6L, "view", 0.0)) // user 2 never purchases
+      .toDF("user_id", "event_id", "event_type", "value")
+    val out = Analytics.gapFill(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      (1L, 1L) -> -1L, (1L, 2L) -> 350L, (1L, 3L) -> 350L,
+      (1L, 4L) -> 725L, (1L, 5L) -> 725L, (2L, 6L) -> -1L))
+    // corpus-scale invariant: fill is per-user monotone in coverage —
+    // once a user has a price, every later event has one
+    val big = SparkEntry.queries("q40_gap_fill")(spark, sfDir).collect()
+    big.groupBy(_.getLong(0)).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_.getLong(1)).map(_.getLong(2))
+      val firstPriced = sorted.indexWhere(_ >= 0L)
+      if (firstPriced >= 0)
+        assert(sorted.drop(firstPriced).forall(_ >= 0L),
+          s"user $u: fill gap after first price")
+    }
+  }
 }

@@ -32,6 +32,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(planted.head == (2L, 1L) && planted.last == (1L, 3L))
   }
 
+  test("dedup_soft: every row kept, weight 1/n_copies, total mass = distinct contents") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b c"),
+      (4L, "x y z"), (5L, "p q r"))
+      .toDF("doc_id", "text")
+    val out = Dedup.softWeights(df).collect()
+    assert(out.length == 5, "soft dedup drops nothing")
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getAs[Long]("n_copies"), r.getAs[Double]("weight"),
+        r.getAs[Long]("is_canonical"))).toMap
+    assert(byId(1L) == ((3L, 0.333333, 1L)))
+    assert(byId(2L) == ((3L, 0.333333, 0L)))
+    assert(byId(4L) == ((1L, 1.0, 1L)))
+    // effective mass: Σ weights == #distinct contents (up to rounding)
+    val mass = out.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(mass - 3.0) < 1e-4, s"mass $mass")
+    // exactly one canonical row per content group
+    out.groupBy(_.getString(1)).foreach { case (h, rs) =>
+      assert(rs.count(_.getAs[Long]("is_canonical") == 1L) == 1, h)
+    }
+    // the weighted distribution matches dedup_exact's: each group's
+    // total weight is 1 regardless of copy count
+    out.groupBy(_.getString(1)).foreach { case (h, rs) =>
+      assert(math.abs(rs.map(_.getAs[Double]("weight")).sum - 1.0) < 1e-4, h)
+    }
+  }
+
   test("dedup_minhash: identical docs always collide; LSH narrows candidates") {
     // two identical docs + one unrelated → the identical pair must share
     // all 8 bands; the unrelated doc should not match all bands
