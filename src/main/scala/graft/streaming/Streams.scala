@@ -175,6 +175,34 @@ object Streams {
     embs.withColumn(s"pca${comps.length}",
       graft.operators.EmbedPca.projectCol(col("embedding"), mean, comps))
 
+  /** stream_tok — FROZEN-tokenizer segmentation of arriving docs
+    * (batch twin: tok_unigram_encode; table source: sink_tokenizer).
+    * Training cannot live in the stream (the EM loop iterates over the
+    * corpus word-count table; an unbounded stream has no final counts)
+    * — and MUST not: piece boundaries shifting batch-to-batch would
+    * silently change every downstream chunk digest. The table is
+    * trained batch-side, persisted through
+    * [[graft.sources.TokenizerStore]], and applied here as what
+    * serving already is: the narrow graft_unigram Viterbi kernel with
+    * the table riding as two plan literals — append mode, no state
+    * store, no watermark, piece streams equal to the batch encode path
+    * row-for-row (spec). Staleness between table refreshes is the
+    * documented sink_lm/ann_upsert frozen-model contract. Incoming
+    * columns ride through so the step composes (segment-then-pack at
+    * ingest).
+    */
+  def tokSegmented(docs: DataFrame, table: Seq[(String, Double)]): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    docs
+      .withColumn("_toks", graft.functions.TextFns.tokens(col("text")))
+      .withColumn("_pieces",
+        graft.operators.Unigram.segmentPieces(col("_toks"), table))
+      .withColumn("n_words", size(col("_toks")).cast("long"))
+      .withColumn("n_pieces", size(col("_pieces")).cast("long"))
+      .withColumn("piece_digest", md5(array_join(col("_pieces"), " ")))
+      .drop("_toks", "_pieces")
+  }
+
   /** stream_cluster — FROZEN-centroid cluster assignment of arriving
     * embeddings (batch twin: embed_cluster/cluster_prune's assign).
     * Centroids, like the classifier's weights and the PCA basis, are

@@ -202,6 +202,55 @@ class StreamingSpec extends SparkSpec {
       if (id % 2 == 0) streamed(id) > 0.5 else streamed(id) < 0.5 })
   }
 
+  test("stream_tok: frozen-table piece digests == batch encode row-for-row; stateless") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, md5, array_join, split}
+    // table trained batch-side on a compositional snapshot (the
+    // sink_tokenizer contract: train once, segment every later stream)
+    val wc = Seq(("data", 50L), ("base", 50L), ("database", 40L),
+      ("databasedata", 25L), ("basedata", 20L))
+    val table = operators.Unigram.trainPieces(wc)
+    val docs: Seq[(Long, String)] = Seq(
+      (1L, "data base database"), (2L, "databasedata base"),
+      (3L, "basedata data database base"), (4L, "database database"))
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.tokSegmented(in.toDF().toDF("doc_id", "text"), table)
+      .writeStream.format("memory").queryName("tok_out")
+      .outputMode("append").start()
+    // split mid-corpus: segmentation is per-row, batch boundaries must
+    // not matter and no state may accumulate
+    in.addData(docs.take(2): _*)
+    q.processAllAvailable()
+    in.addData(docs.drop(2): _*)
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+      "frozen-table segmentation must keep zero state rows")
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) = r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_words"), r.getAs[Long]("n_pieces"),
+        r.getAs[String]("piece_digest"))
+    val streamed = spark.table("tok_out").collect().map(key).toMap
+    graft.plans.GraftFunctions.register(spark)
+    val batch = docs.toDF("doc_id", "text")
+      .withColumn("_toks", split(col("text"), " "))
+      .withColumn("_pieces",
+        operators.Unigram.segmentPieces(col("_toks"), table))
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(col("_toks")).cast("long")
+          .as("n_words"),
+        org.apache.spark.sql.functions.size(col("_pieces")).cast("long")
+          .as("n_pieces"),
+        md5(array_join(col("_pieces"), " ")).as("piece_digest"))
+      .collect().map(key).toMap
+    assert(streamed == batch)
+    // the frozen vocabulary actually compresses the compositional docs
+    assert(streamed.values.forall { case (w, p, _) => p >= w },
+      "at least one piece per word")
+    assert(streamed(4L)._2 == 2L,
+      s"'database database' should be 2 whole-word pieces, " +
+        s"got ${streamed(4L)._2}")
+  }
+
   test("stream_embed_pca: frozen-basis projections == batch row-for-row; stateless") {
     implicit val sql = spark.sqlContext
     import org.apache.spark.sql.functions.col

@@ -85,6 +85,34 @@ class UnigramSpec extends SparkSpec {
       s"pieces/word $ppw should beat chars/word $charsPerWord")
   }
 
+  test("sink_tokenizer: store round-trip segments identically; stale format refused") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-tok").toString
+    val wc = Seq(("ping", 50L), ("pong", 50L), ("pingpong", 40L),
+      ("pingpongping", 30L))
+    val table = Unigram.trainPieces(wc)
+    graft.sources.TokenizerStore.write(spark, table, dir)
+    val back = graft.sources.TokenizerStore.read(spark, dir)
+    assert(back == table, "round-trip must preserve pieces, probs, order")
+    // the reloaded table serves identically through the kernel
+    graft.plans.GraftFunctions.register(spark)
+    val docs = Seq((1L, "ping pong pingpongping"), (2L, "pong pingpong"))
+      .toDF("doc_id", "text")
+    def digests(t: Seq[(String, Double)]) = docs
+      .select(col("doc_id"), md5(array_join(
+        Unigram.segmentPieces(split(col("text"), " "), t), " ")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(digests(table) == digests(back))
+    // stale marker → loud refusal, not silently drifted piece digests
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_graft_format"), "99")
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "._graft_format.crc"))
+    val e = intercept[IllegalArgumentException](
+      graft.sources.TokenizerStore.read(spark, dir))
+    assert(e.getMessage.contains("format version"))
+  }
+
   test("tok_unigram: table rows are ranked, normalized, and serve the encoder") {
     val tbl = SparkEntry.queries("tok_unigram")(spark, sfDir).collect()
     assert(tbl.length > 0)
