@@ -17,7 +17,8 @@ object SparkEntry {
       operators.Search.ops ++ operators.QualityClassifier.ops ++
       operators.EmbedPca.ops ++ operators.Dsir.ops ++
       operators.Splits.ops ++ operators.Analytics.ops ++
-      operators.Cluster.ops ++ operators.Unigram.ops
+      operators.Cluster.ops ++ operators.Unigram.ops ++
+      operators.Overlap.ops ++ operators.Calibrate.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -228,5 +228,48 @@ object Unigram {
     },
     None)
 
-  val ops: Seq[Op] = Seq(opTrain, opEncode)
+  // ---- tok_fertility: per-language tokenizer eval, both families ----
+  //
+  // Fertility (pieces per word) is the standard tokenizer-evaluation
+  // metric: a vocabulary that spends its budget on one language's
+  // frequent words segments the others into more pieces, inflating
+  // their effective sequence length and training cost — so fertility
+  // is compared PER LANGUAGE, and across tokenizer families trained on
+  // the SAME corpus (the "train and compare both" practice the
+  // unigram-vs-BPE pairing exists for). Shape: both trainings are the
+  // bounded driver loops over the shared top-64k word-count table;
+  // the eval itself is ONE narrow scan (both kernels run per row with
+  // their tables as plan literals) into a per-language hash aggregate
+  // — scan-speed at any corpus size. Ratios in exact integer ppm.
+  // Kernel outputs aren't ANSI-SQL-expressible → rows-only; the spec
+  // pins fertility ≥ 1 word⁻¹ for every language, exact agreement
+  // with the encode ops' per-doc counts, and determinism.
+  private val opFertility = Op(
+    "tok_fertility",
+    (s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val d = docs(s, dir)
+      val merges = Bpe.trainFromDocs(d, Bpe.BpeMerges)
+      val table = trainFromDocs(d)
+      d.withColumn("toks", TextFns.tokens(col("text")))
+        .select(col("lang"),
+          size(col("toks")).cast("long").as("w"),
+          size(Bpe.encodePieces(col("toks"), merges)).cast("long")
+            .as("bpe_n"),
+          size(segmentPieces(col("toks"), table)).cast("long")
+            .as("uni_n"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+          sum(col("bpe_n")).as("bpe_pieces"),
+          sum(col("uni_n")).as("uni_pieces"))
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("bpe_pieces"), col("uni_pieces"),
+          expr("bpe_pieces * 1000000L DIV n_words")
+            .as("bpe_fertility_ppm"),
+          expr("uni_pieces * 1000000L DIV n_words")
+            .as("uni_fertility_ppm"))
+    },
+    None)
+
+  val ops: Seq[Op] = Seq(opTrain, opEncode, opFertility)
 }

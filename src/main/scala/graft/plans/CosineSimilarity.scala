@@ -497,5 +497,29 @@ object GraftFunctions {
       "graft_freq_maxerr",
       exprs => FreqMaxErrExpr(exprs.head),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_theta_agg",
+      exprs => ThetaAggExpr(exprs.head,
+        if (exprs.length > 1) exprs(1).eval().asInstanceOf[Int]
+        else ThetaSketch.DefaultLgK).toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_theta_merge",
+      exprs => ThetaMergeAggExpr(exprs.head,
+        if (exprs.length > 1) exprs(1).eval().asInstanceOf[Int]
+        else ThetaSketch.DefaultLgK).toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_theta_est",
+      exprs => ThetaEstExpr(exprs.head),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_theta_inter_est",
+      exprs => ThetaInterEstExpr(exprs.head, exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_theta_union_est",
+      exprs => ThetaUnionEstExpr(exprs.head, exprs(1)),
+      "built-in")
   }
 }

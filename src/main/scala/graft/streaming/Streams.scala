@@ -175,6 +175,27 @@ object Streams {
     embs.withColumn(s"pca${comps.length}",
       graft.operators.EmbedPca.projectCol(col("embedding"), mean, comps))
 
+  /** stream_calibrate — FROZEN per-source percentile gating of
+    * arriving docs (batch twin: score_calibrate_sketch, model source:
+    * sink_calibration). The percentile of a score is a property of the
+    * source's DISTRIBUTION, which a stream does not have — profiling
+    * it incrementally would make a fixed score's percentile drift
+    * micro-batch to micro-batch, so the same doc could pass today and
+    * fail tomorrow. The model therefore derives batch-side (one KLL
+    * sketch per source, persisted), and the gate is the SAME serving
+    * kernel the batch sketch mode runs — [[graft.operators.Calibrate
+    * .calibrateFrom]]: score each arriving doc, stream-static
+    * broadcast join against the tiny sketch frame, graft_kll_rank →
+    * keep at the global floor. Append mode, no state store, no
+    * watermark; keep bits equal the batch path's row-for-row (spec).
+    * Percentile staleness between store refreshes is the documented
+    * sink_lm-cuts drift contract. A doc from a source absent from the
+    * model is dropped by the inner join — the stream_mix convention
+    * for unprofiled keys.
+    */
+  def calibrateGated(docs: DataFrame, model: DataFrame): DataFrame =
+    graft.operators.Calibrate.calibrateFrom(docs, model)
+
   /** stream_tok — FROZEN-tokenizer segmentation of arriving docs
     * (batch twin: tok_unigram_encode; table source: sink_tokenizer).
     * Training cannot live in the stream (the EM loop iterates over the

@@ -251,6 +251,43 @@ class StreamingSpec extends SparkSpec {
         s"got ${streamed(4L)._2}")
   }
 
+  test("stream_calibrate: store-fed gate == batch sketch mode row-for-row; stateless") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-scal").toString
+    // model frozen batch-side on the snapshot, persisted, reloaded —
+    // the gate must serve the RELOADED bytes (sink_calibration)
+    val corpus = Tables(spark, sfDir, "documents")
+    graft.sources.CalibrationStore.write(
+      operators.Calibrate.calibrationModel(corpus).localCheckpoint(), dir)
+    val model = graft.sources.CalibrationStore.read(spark, dir)
+      .localCheckpoint()
+    val docs = corpus.select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streams.calibrateGated(
+        in.toDF().toDF("doc_id", "text", "source"), model)
+      .writeStream.format("memory").queryName("scal_out")
+      .outputMode("append").start()
+    in.addData(docs.take(docs.length / 2): _*)
+    q.processAllAvailable()
+    in.addData(docs.drop(docs.length / 2): _*)
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+      "frozen-model calibration must keep zero state rows")
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) = r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("score_ppm"), r.getAs[Double]("pct_est"),
+        r.getAs[Long]("keep"))
+    val streamed = spark.table("scal_out").collect().map(key).toMap
+    val batch = operators.Calibrate.calibrateFrom(corpus, model)
+      .collect().map(key).toMap
+    assert(streamed == batch)
+    assert(streamed.values.exists(_._3 == 0L) &&
+      streamed.values.exists(_._3 == 1L), "gate non-degenerate")
+  }
+
   test("stream_embed_pca: frozen-basis projections == batch row-for-row; stateless") {
     implicit val sql = spark.sqlContext
     import org.apache.spark.sql.functions.col

@@ -132,4 +132,29 @@ class UnigramSpec extends SparkSpec {
       assert(r.getAs[Long]("n_chars") == core.length.toLong, p)
     }
   }
+
+  test("tok_fertility: per-lang ratios exact, >= 1 piece per word, deterministic") {
+    def run() = SparkEntry.queries("tok_fertility")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_words"),
+          r.getAs[Long]("bpe_pieces"), r.getAs[Long]("uni_pieces"),
+          r.getAs[Long]("bpe_fertility_ppm"),
+          r.getAs[Long]("uni_fertility_ppm"))).toMap
+    val byLang = run()
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, (nd, nw, bp, up, bf, uf)) =>
+      assert(nd > 0 && nw >= nd, lang)
+      // a word is never fewer than one piece, in either family
+      assert(bp >= nw && up >= nw, s"$lang: $bp/$up pieces for $nw words")
+      // the ppm columns are exactly the integer floor of the ratio
+      assert(bf == bp * 1000000L / nw, lang)
+      assert(uf == up * 1000000L / nw, lang)
+      assert(bf >= 1000000L && uf >= 1000000L, lang)
+    }
+    // doc/word totals cover the whole corpus exactly
+    val d = Tables(spark, sfDir, "documents")
+    assert(byLang.values.map(_._1).sum == d.count())
+    // both trainings are deterministic → identical re-run
+    assert(run() == byLang)
+  }
 }
