@@ -1115,6 +1115,98 @@ object Multimodal {
     },
     None)
 
+  // ---- mm_scenes: shot/scene-cut detection over the clip column ----
+
+  /** Frames per planted scene in the synthesis stand-in (6-frame
+    * clips → 3 scenes, cuts before frames 2 and 4). */
+  val SceneLen = 2
+
+  /** Hamming step between consecutive frame dHashes that declares a
+    * shot cut. Within a shot, consecutive frames hash near-identically
+    * (dHash is gradient-based — small motion flips few bits); across a
+    * cut the hashes are unrelated (~32 of 64 bits differ), so a wide
+    * margin separates the classes — the classic threshold shot-cut
+    * detector over perceptual hashes. */
+  val SceneCutTau = 16
+
+  /** Scene-structured clip synthesis — frames within a scene share
+    * their luma seed (identical frames: the stand-in's controlled
+    * planting), scenes differ completely; same mapPartitions plumbing
+    * as [[clips]]. */
+  private def sceneBatch(batch: Seq[MMIn]): Seq[MMClip] = batch.map { r =>
+    val id = r.doc_id
+    MMClip(id, (0 until ClipFrames).map { f =>
+      buildPng(frameW(id), frameH(id),
+        plantedLuma(id * ClipFrames + (f / SceneLen) * SceneLen, _, _))
+    })
+  }
+
+  private[graft] def clipsScened(ds: org.apache.spark.sql.Dataset[MMIn]) = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(it => it.grouped(BatchSize).flatMap(sceneBatch))
+  }
+
+  /** mm_scenes — shot-cut detection: a cut wherever the dHash of
+    * consecutive frames jumps by more than [[SceneCutTau]] bits, the
+    * index any video curation pipeline needs before per-shot sampling
+    * (mm_frames' fixed stride oversamples static shots and can skip
+    * short ones; cutting first makes the sample per-shot). CONTRAST
+    * with mm_frames' sample-then-decode: a cut detector must see every
+    * consecutive pair, so it decodes ALL frames by necessity — the two
+    * ops are the two ends of the decode-cost spectrum, which is why
+    * they are separate rows.
+    *
+    * Shape: a clip's frames live in ONE array cell, so the whole
+    * detector is per-row HOFs — ZERO shuffle at any corpus size. The
+    * frame hashes are bound ONCE per row via the array-of-one
+    * let-binding (`transform(array(<hashes>), hs -> ...)`): naming
+    * them as a projected column instead would let CollapseProject
+    * inline the transform into both slice() consumers and run the
+    * decode kernel twice per frame (the repo's recurring
+    * single-use-kernel-column pitfall). Emits scalar audit columns
+    * only (cut indices as a joined string — raw arrays break the
+    * driver compare, the embed_pca lesson). Rows-only: the decode
+    * kernel isn't portable SQL; the planted spec pins cuts at the
+    * synthesized scene boundaries and hand-built [A,A,B] fixtures.
+    */
+  private[graft] def sceneCuts(clipFrame: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(clipFrame.sparkSession)
+    clipFrame
+      .withColumn("steps", expr(s"""
+        CASE WHEN size(frames) < 2 THEN CAST(array() AS array<int>)
+        ELSE flatten(transform(
+          array(transform(frames, f -> graft_dhash(f))),
+          hs -> zip_with(slice(hs, 1, size(hs) - 1),
+                         slice(hs, 2, size(hs) - 1),
+                         (a, b) -> bit_count(a ^ b)))) END"""))
+      .select(col("doc_id"),
+        size(col("frames")).cast("long").as("n_frames"),
+        expr(s"1L + aggregate(steps, 0L, (a, s) -> a + IF(s > $SceneCutTau, 1L, 0L))")
+          .as("n_scenes"),
+        expr(s"""array_join(transform(filter(
+            zip_with(steps, sequence(1, size(steps)),
+              (s, i) -> IF(s > $SceneCutTau, i, -1)),
+            x -> x >= 0), x -> cast(x AS string)), ",")""")
+          .as("cut_idxs"),
+        expr("aggregate(steps, 0L, (a, s) -> greatest(a, s))")
+          .as("max_step"),
+        expr("aggregate(steps, 64L, (a, s) -> least(a, s))")
+          .as("min_step"))
+  }
+
+  private val opScenes = Op(
+    "mm_scenes",
+    (s, dir) => {
+      import s.implicits._
+      sceneCuts(clipsScened(graft.Tables.rebalance(
+          Tables(s, dir, "documents")
+            .select(col("doc_id"), col("text").cast("binary").as("payload")))
+          .as[MMIn])
+        .toDF())
+    },
+    None)
+
   val ops: Seq[Op] =
-    Seq(opMeta, opEmbed, opPhash, opResize, opFrames, opAudio, opVideoDedup)
+    Seq(opMeta, opEmbed, opPhash, opResize, opFrames, opAudio, opVideoDedup,
+      opScenes)
 }

@@ -229,6 +229,68 @@ object Splits {
     },
     None)
 
+  // ---- contam_embed: semantic benchmark decontamination ----
+
+  /** Flag a pool vector as contaminated when its cosine to the nearest
+    * benchmark vector reaches [[ContamEmbTau]] — the embedding tier of
+    * the decontamination ladder (exact n-grams → MinHash fuzzy →
+    * semantic), catching PARAPHRASED benchmark material that shares no
+    * surface n-grams at all (the SemDeDup observation applied to
+    * train/eval hygiene: overlap lives in representation space, not
+    * token space). Same [[graft.operators.Similarity.SemTau]]-family
+    * threshold discipline. */
+  val ContamEmbTau = 0.8
+
+  /** Semantic decontamination against the SAME held-out benchmark
+    * slice the other contam tiers guard (vec_id % 97 = 0 — the
+    * embeddings-table mirror of the doc_id convention): every pool
+    * vector gets its max cosine over the benchmark set and the nearest
+    * benchmark id, flagged at [[ContamEmbTau]].
+    *
+    * Scale shape — the asymmetric broadcast-index scan, NOT a join: a
+    * benchmark suite is bounded by nature (10^4-ish rows, enforced
+    * hard by annServedWith's AnnIndexCap require), so the eval side
+    * quantizes to the int8 code store (4× smaller, scale cancels in
+    * cosine — embed_quantize's audited trade) and rides a Spark
+    * broadcast as the [[graft.plans.AnnServe]] serving index; the pool
+    * side is ONE narrow codegen'd pass (per row: |eval|·d multiply-adds
+    * + a k=1 running max inside the expression — no pool×eval row
+    * explosion, no shuffle, no state). This is exactly the stream_ann
+    * serving kernel pointed at a frozen benchmark instead of a frozen
+    * corpus index; the bounded eval-side collect is the k-means/BPE
+    * bounded-driver-table discipline. Scores match ann_quantized's
+    * asymmetric float×int8 cosine bit-for-bit (shared round6 +
+    * tie-break). Not SQL-expressible (the serving kernel) → rows-only;
+    * the spec mirrors the kernel brute-force in Scala on the full
+    * sf0.001 slice and plants copy/orthogonal fixtures.
+    */
+  private[graft] def contamEmbed(e: DataFrame): DataFrame = {
+    val evalCodes = Similarity.int8Codes(
+        e.filter(col("vec_id") % 97 === 0))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1)))
+      .toSeq
+    val pool = e.filter(col("vec_id") % 97 =!= 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    // the handle (broadcast + temp function) lives for the session —
+    // the returned frame is lazy and may execute repeatedly (Bench
+    // medians); annServedWith's per-call unique name keeps invocations
+    // isolated
+    val (hits, _) =
+      graft.streaming.Streams.annServedWith(pool, evalCodes, k = 1)
+    hits.select(col("q_id").as("vec_id"),
+        col("c_id").as("near_eval_id"), col("cos").as("max_cos"))
+      .withColumn("contaminated",
+        (col("max_cos") >= ContamEmbTau).cast("long"))
+  }
+
+  private val opContamEmbed = Op(
+    "contam_embed",
+    (s, dir) => contamEmbed(
+      Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))),
+    None)
+
   def ops: Seq[Op] =
-    Seq(opSplitSafe, opSplitLeakage, opEpochPlan, opContamMinhash)
+    Seq(opSplitSafe, opSplitLeakage, opEpochPlan, opContamMinhash,
+      opContamEmbed)
 }

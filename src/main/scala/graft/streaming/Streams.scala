@@ -778,6 +778,49 @@ object Streams {
 
   private[streaming] case class DsirProbe(doc_id: Long, llr: Long)
 
+  /** stream_novelty — running vocabulary-NOVELTY monitor per source
+    * (batch twin: overlap_sketch's set algebra; baseline source:
+    * [[graft.operators.Overlap.vocabSketches]] on the standing
+    * corpus): the ingest-health question "is this stream still adding
+    * vocabulary, or re-sending what the corpus already has?" answered
+    * as theta set expressions between the RUNNING per-source sketch
+    * and a FROZEN baseline sketch. The streaming aggregation's
+    * state-store buffer IS the mergeable theta Union
+    * (graft_theta_agg's TypedImperativeAggregate buffer — the THIRD
+    * serializer in the KLL/Misra-Gries state-round-trip archetype), so
+    * state is constant (≤ 2^lgK retained hashes) per source at any
+    * stream length, and — unlike the KLL twin — theta keeps the k
+    * SMALLEST hashes with no random coin, so streamed estimates equal
+    * the batch one-shot's EXACTLY (spec asserts equality, not a band).
+    * The baseline rides as a binary map literal (the stream_mix /
+    * stream_outlier frozen-fence convention — a few KB per source,
+    * bounded by the sketch size; a source absent from the baseline
+    * reads as all-novel via the coalesce). Complete output mode;
+    * baseline staleness under corpus growth is the frozen-model
+    * contract with overlap_sketch as the re-profile.
+    */
+  def noveltyProfiled(docs: DataFrame,
+      baseline: Seq[(String, Array[Byte])]): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    import graft.functions.TextFns
+    val baseMap = map(baseline.flatMap { case (s, b) =>
+      Seq(lit(s), lit(b)) }: _*)
+    docs
+      .select(col("source"),
+        explode(TextFns.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_toks"),
+        expr("graft_theta_agg(token)").as("sk"))
+      .withColumn("base_sk", element_at(baseMap, col("source")))
+      .select(col("source"), col("n_toks"),
+        round(expr("graft_theta_est(sk)"), 2).as("vocab_est"),
+        coalesce(round(expr("graft_theta_inter_est(sk, base_sk)"), 2),
+          lit(0.0)).as("known_est"))
+      .withColumn("novel_est",
+        round(col("vocab_est") - col("known_est"), 2))
+  }
+
   case class DsirGateOut(doc_id: Long, n_toks: Long, llr_bits: Long,
       accept: Long)
 

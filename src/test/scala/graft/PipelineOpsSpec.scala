@@ -937,6 +937,60 @@ class PipelineOpsSpec extends SparkSpec {
     assert(hashes((100L, 3L)) == hashes((101L, 3L)))
   }
 
+  test("mm_scenes: cuts land exactly at the planted scene boundaries") {
+    import operators.Multimodal
+    // scene-structured clips: 6 frames, scenes of SceneLen=2 identical
+    // frames → cuts before frames 2 and 4, 3 scenes; ids large enough
+    // for non-degenerate images (1×1 frames hash alike regardless)
+    val docs = (98L to 104L).map(i => Multimodal.MMIn(i, Array[Byte]()))
+      .toDS()
+    val out = Multimodal.sceneCuts(
+        Multimodal.clipsScened(docs).toDF())
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_frames"), r.getAs[Long]("n_scenes"),
+          r.getAs[String]("cut_idxs"), r.getAs[Long]("max_step"),
+          r.getAs[Long]("min_step"))).toMap
+    assert(out.keySet == (98L to 104L).toSet)
+    out.foreach { case (id, (nf, ns, cuts, maxS, minS)) =>
+      assert(nf == Multimodal.ClipFrames.toLong, s"clip $id")
+      assert(ns == 3L, s"clip $id: $ns scenes, cuts '$cuts'")
+      assert(cuts == "2,4", s"clip $id cuts at '$cuts'")
+      // identical frames within a scene → zero step; cross-scene steps
+      // clear the threshold with margin
+      assert(minS == 0L && maxS > Multimodal.SceneCutTau, s"clip $id")
+    }
+  }
+
+  test("mm_scenes: hand-built [A,A,B] clip cuts once; single-frame clip is one scene") {
+    import operators.Multimodal
+    val a = Multimodal.buildPng(32, 24, Multimodal.plantedLuma(7001L, _, _))
+    val b = Multimodal.buildPng(32, 24, Multimodal.plantedLuma(7002L, _, _))
+    val clips = Seq(
+      Multimodal.MMClip(1L, Seq(a, a, b)),
+      Multimodal.MMClip(2L, Seq(a))).toDS().toDF()
+    val out = Multimodal.sceneCuts(clips).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_scenes"), r.getAs[String]("cut_idxs"))).toMap
+    assert(out(1L) == (2L, "2"), s"${out(1L)}")
+    assert(out(2L) == (1L, ""), s"${out(2L)}")
+  }
+
+  test("mm_scenes driver query: detector is narrow — no hash/range shuffle") {
+    val df = SparkEntry.queries("mm_scenes")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the only exchange allowed is the synthesis stand-in's
+    // round-robin rebalance (input plumbing); the detector itself must
+    // add no repartitioning of any kind
+    assert(!plan.contains("hashpartitioning") &&
+        !plan.contains("rangepartitioning"),
+      s"scene detection must be per-row narrow, got:\n$plan")
+    // the frame hashes are let-bound once per row, not re-derived per
+    // consumer: exactly one dHash call site in the whole plan
+    assert("graft_dhash".r.findAllIn(plan).size == 1, plan)
+    val rows = df.collect()
+    assert(rows.length == Tables(spark, sfDir, "documents").count())
+  }
+
   test("mm_embed: unit-norm encoder output is layout-independent") {
     val out = run("mm_embed").collect()
     assert(out.length > 0)

@@ -154,4 +154,67 @@ class SplitsSpec extends SparkSpec {
     // the planted spec above still pins the semantics; only assert
     // shape here
   }
+
+  test("contam_embed: planted copy flags, orthogonal passes, nearest id ties to smaller") {
+    // eval slice = ids 0 and 97 (the % 97 convention); pool: an exact
+    // copy of eval 0, an orthogonal vector, a paraphrase-near copy of
+    // eval 97
+    val vecs: Seq[(Long, Seq[Float])] = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (97L, Seq(0f, 1f, 0f, 0f)),
+      (1L, Seq(1f, 0f, 0f, 0f)), // copy of eval 0
+      (2L, Seq(0f, 0f, 1f, 0f)), // orthogonal to both
+      (3L, Seq(0f, 0.9f, 0.1f, 0f))) // semantically near eval 97
+    val out = operators.Splits.contamEmbed(
+        vecs.toDF("vec_id", "embedding"))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("near_eval_id"), r.getAs[Double]("max_cos"),
+          r.getAs[Long]("contaminated"))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), "one row per pool vector")
+    assert(out(1L)._1 == 0L && out(1L)._2 >= 0.999 && out(1L)._3 == 1L)
+    // both eval cosines are exactly 0 → tie resolves to the smaller id
+    assert(out(2L) == (0L, 0.0, 0L))
+    assert(out(3L)._1 == 97L && out(3L)._3 == 1L,
+      s"near-copy must flag: ${out(3L)}")
+  }
+
+  test("contam_embed: corpus scores equal a brute-force mirror of the int8 kernel") {
+    def round6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val all = e.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // mirror the quantization (max-abs / 127, HALF_UP) and the
+    // asymmetric float×int8 cosine with the kernel's rounding/tie rule
+    val evalQ = all.filter(_._1 % 97 == 0).toSeq.sortBy(_._1).map {
+      case (id, x) =>
+        val maxabs = x.map(v => math.abs(v.toDouble)).max
+        id -> (if (maxabs == 0d) x.map(_ => 0)
+        else x.map(v => BigDecimal(v.toDouble / (maxabs / 127.0))
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt))
+    }
+    val expected = all.filter(_._1 % 97 != 0).map { case (id, x) =>
+      val nq = math.sqrt(x.map(v => v.toDouble * v.toDouble).sum)
+      var bestCos = Double.NegativeInfinity
+      var bestId = Long.MaxValue
+      evalQ.foreach { case (cid, q) =>
+        val dot = x.zip(q).map { case (a, b) => a.toDouble * b }.sum
+        val nc = math.sqrt(q.map(v => v.toDouble * v).sum)
+        val cos = round6(dot / (nq * nc))
+        if (cos > bestCos || (cos == bestCos && cid < bestId)) {
+          bestCos = cos; bestId = cid
+        }
+      }
+      id -> (bestId, bestCos,
+        if (bestCos >= operators.Splits.ContamEmbTau) 1L else 0L)
+    }
+    val got = operators.Splits.contamEmbed(e).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("near_eval_id"), r.getAs[Double]("max_cos"),
+          r.getAs[Long]("contaminated"))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, exp) =>
+      assert(got(id) == exp, s"vec $id: got ${got(id)}, expected $exp")
+    }
+  }
 }

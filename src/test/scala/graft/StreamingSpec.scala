@@ -2098,6 +2098,94 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream_novelty: streamed estimates == batch one-shot exactly; absent baseline source reads all-novel") {
+    implicit val sql = spark.sqlContext
+    graft.plans.GraftFunctions.register(spark)
+    val corpus = Tables(spark, sfDir, "documents")
+    // frozen baseline: the standing corpus's first half (ids split at
+    // the midpoint — parity would correlate with the fixture's source
+    // assignment and leave the halves source-disjoint), with one
+    // source withheld so the unprofiled-source path is exercised
+    val baseDocs = corpus.filter(col("doc_id") < 250 &&
+      col("source") =!= "src3")
+    val baseline = operators.Overlap.vocabSketches(baseDocs)
+      .collect().map(r => (r.getString(0), r.getAs[Array[Byte]]("sk")))
+      .toSeq
+    val arriving = corpus.filter(col("doc_id") >= 250)
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streams.noveltyProfiled(
+        in.toDF().toDF("doc_id", "text", "source"), baseline)
+      .writeStream.format("memory").queryName("novelty_out")
+      .outputMode("complete").start()
+    in.addData(arriving.take(arriving.length / 2): _*)
+    q.processAllAvailable()
+    in.addData(arriving.drop(arriving.length / 2): _*)
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) = r.getAs[String]("source") ->
+      (r.getAs[Long]("n_toks"), r.getAs[Double]("vocab_est"),
+        r.getAs[Double]("known_est"), r.getAs[Double]("novel_est"))
+    val streamed = spark.table("novelty_out").collect().map(key).toMap
+    // theta keeps the k smallest hashes deterministically — streamed
+    // state-merged estimates equal the batch one-shot EXACTLY
+    val batch = Streams.noveltyProfiled(
+        arriving.toDF("doc_id", "text", "source"), baseline)
+      .collect().map(key).toMap
+    assert(streamed == batch)
+    // the withheld source is all-novel; profiled sources overlap
+    val s3 = streamed.find(_._1 == "src3")
+    assert(s3.nonEmpty && s3.get._2._3 == 0.0 &&
+      s3.get._2._4 == s3.get._2._2, s"$s3")
+    assert(streamed.exists { case (s, (_, _, known, _)) =>
+      s != "src3" && known > 0.0 })
+  }
+
+  test("stream_novelty restart: recovered theta state keeps pre-restart vocabulary") {
+    // The theta Union buffer is the THIRD serializer in the
+    // TypedImperativeAggregate state-round-trip archetype (KLL,
+    // Misra-Gries above): half the stream's tokens live only in the
+    // checkpointed sketch bytes, and theta is deterministic — so the
+    // post-restart estimates must EQUAL the batch one-shot, not just
+    // sit in a band.
+    implicit val sql = spark.sqlContext
+    graft.plans.GraftFunctions.register(spark)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-nv-restart")
+      .resolve("ckpt").toString
+    val corpus = Tables(spark, sfDir, "documents")
+    val baseline = operators.Overlap.vocabSketches(
+        corpus.filter(col("doc_id") < 250))
+      .collect().map(r => (r.getString(0), r.getAs[Array[Byte]]("sk")))
+      .toSeq
+    val arriving = corpus.filter(col("doc_id") >= 250)
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val in = MemoryStream[(Long, String, String)]
+    def start() = Streams.noveltyProfiled(
+        in.toDF().toDF("doc_id", "text", "source"), baseline)
+      .writeStream.format("memory").queryName("novelty_restart_out")
+      .option("checkpointLocation", ckpt).outputMode("complete").start()
+    val q1 = start()
+    in.addData(arriving.take(arriving.length / 2): _*)
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start()
+    in.addData(arriving.drop(arriving.length / 2): _*)
+    q2.processAllAvailable()
+    def key(r: org.apache.spark.sql.Row) = r.getAs[String]("source") ->
+      (r.getAs[Long]("n_toks"), r.getAs[Double]("vocab_est"),
+        r.getAs[Double]("known_est"), r.getAs[Double]("novel_est"))
+    val streamed = spark.table("novelty_restart_out").collect()
+      .map(key).toMap
+    q2.stop()
+    val batch = Streams.noveltyProfiled(
+        arriving.toDF("doc_id", "text", "source"), baseline)
+      .collect().map(key).toMap
+    assert(streamed == batch,
+      "restart lost or corrupted the recovered theta state")
+  }
+
   test("stream_vocab restart: recovered Misra-Gries state keeps pre-restart tokens counted") {
     // The ItemsSketch buffer is the SECOND serializer in the
     // TypedImperativeAggregate state-round-trip archetype (KLL above):
