@@ -263,6 +263,15 @@ object Splits {
     * tie-break). Not SQL-expressible (the serving kernel) → rows-only;
     * the spec mirrors the kernel brute-force in Scala on the full
     * sf0.001 slice and plants copy/orthogonal fixtures.
+    *
+    * Scaling note (BENCH_sf1's 12× decade ratio, read it right): the
+    * DRIVER framing grows both sides — the %97 slice is 10× larger at
+    * 10× data, so per-row scan work grows with the corpus (a 100×
+    * compute bound). The production contract is the opposite shape: a
+    * benchmark suite is FIXED, so the op is strictly LINEAR in pool
+    * rows at any corpus size — the dsir_select audit-vs-deployment
+    * asymmetry, stated here so nobody reads the synthetic ratio as the
+    * operator's scaling law.
     */
   private[graft] def contamEmbed(e: DataFrame): DataFrame = {
     val evalCodes = Similarity.int8Codes(
