@@ -113,16 +113,21 @@ object Bpe {
     out.toSeq
   }
 
-  /** Distributed word counts → bounded driver table → merge rules. */
-  private[graft] def trainFromDocs(d: DataFrame, nMerges: Int): Seq[(String, String)] = {
-    val wc = d
-      .select(explode(TextFns.tokens(col("text"))).as("w"))
+  /** The bounded top-[[TrainWordCap]] word-count table BOTH tokenizer
+    * trainers consume (one skinny distributed aggregation + a bounded
+    * driver collect — the k-means/classifier-cap discipline); shared so
+    * an op training both families (tok_fertility) pays the corpus scan
+    * once, not per family. */
+  private[graft] def wordCounts(d: DataFrame): Seq[(String, Long)] =
+    d.select(explode(TextFns.tokens(col("text"))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w")).limit(TrainWordCap)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    trainMerges(wc, nMerges)
-  }
+
+  /** Distributed word counts → bounded driver table → merge rules. */
+  private[graft] def trainFromDocs(d: DataFrame, nMerges: Int): Seq[(String, String)] =
+    trainMerges(wordCounts(d), nMerges)
 
   /** Column of BPE pieces for a token-array column under `merges`. */
   private[graft] def encodePieces(toks: org.apache.spark.sql.Column,

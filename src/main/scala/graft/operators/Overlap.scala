@@ -48,7 +48,11 @@ object Overlap {
       .distinct()
 
   private[graft] def overlapExact(d: DataFrame): DataFrame = {
-    val v = vocab(d)
+    // the skinny distinct frame feeds THREE consumers (both join sides
+    // and the size aggregate) — materialize it once so the corpus scan
+    // + explode + distinct shuffle run once, not per consumer (the
+    // data_card / dedup_minhash shared-frame lesson)
+    val v = vocab(d).localCheckpoint()
     val sizes = v.groupBy(col("source")).agg(count(lit(1)).as("nv"))
     val pairs = v.as("a")
       .join(v.as("b"),

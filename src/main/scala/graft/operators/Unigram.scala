@@ -171,15 +171,8 @@ object Unigram {
 
   /** Distributed bounded word counts (bpe_train's exact shape) →
     * driver-side EM. */
-  private[graft] def trainFromDocs(d: DataFrame): Seq[(String, Double)] = {
-    val wc = d
-      .select(explode(TextFns.tokens(col("text"))).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy(col("w")).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("w")).limit(Bpe.TrainWordCap)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    trainPieces(wc)
-  }
+  private[graft] def trainFromDocs(d: DataFrame): Seq[(String, Double)] =
+    trainPieces(Bpe.wordCounts(d))
 
   /** Column of unigram pieces for a token-array column under a trained
     * table — the table rides as two foldable literals. */
@@ -249,8 +242,10 @@ object Unigram {
     (s, dir) => {
       graft.plans.GraftFunctions.register(s)
       val d = docs(s, dir)
-      val merges = Bpe.trainFromDocs(d, Bpe.BpeMerges)
-      val table = trainFromDocs(d)
+      // one word-count scan feeds BOTH bounded trainings
+      val wc = Bpe.wordCounts(d)
+      val merges = Bpe.trainMerges(wc, Bpe.BpeMerges)
+      val table = trainPieces(wc)
       d.withColumn("toks", TextFns.tokens(col("text")))
         .select(col("lang"),
           size(col("toks")).cast("long").as("w"),

@@ -61,6 +61,9 @@ object CalibrationStore {
     checkFormat(spark, path)
     graft.plans.GraftFunctions.register(spark)
     import org.apache.spark.sql.functions._
+    // BOUNDED collect: one (sketch, count) row per source — and it must
+    // materialize BEFORE the overwrite below, or the write would clobber
+    // the very files the lazy read still needs (the self-overwrite trap)
     val merged = read(spark, path).unionByName(newModel)
       .groupBy(col("source"))
       .agg(

@@ -1050,6 +1050,19 @@ object Streams {
       stride: Int = graft.operators.Multimodal.FrameStride): DataFrame =
     graft.operators.Multimodal.sampleFrames(clips, stride)
 
+  /** stream_scenes — shot-cut detection on arriving clips (batch twin:
+    * mm_scenes): a clip's frames live in ONE array cell, so the whole
+    * detector is per-row HOFs with zero cross-row dependence — the
+    * stream side IS the batch function, stateless, append mode, no
+    * watermark (the framesSampled convention; spec pins row-for-row
+    * equality across a mid-stream split and zero state rows). At
+    * ingest this is the per-shot index a video pipeline cuts BEFORE
+    * sampling or deduping, so the step composes with stream_frames
+    * and the phash gate downstream.
+    */
+  def sceneCut(clips: DataFrame): DataFrame =
+    graft.operators.Multimodal.sceneCuts(clips)
+
   // ---- stream_ingest_phash: perceptual near-dup gate (multimodal) ----
 
   private[streaming] case class PhashProbeRow(doc_id: Long, phash: Long,

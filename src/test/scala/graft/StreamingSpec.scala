@@ -493,6 +493,39 @@ class StreamingSpec extends SparkSpec {
         .map(_.toLong).toSet)
   }
 
+  test("stream_scenes: cut detection on arriving clips == batch; stateless") {
+    implicit val sql = spark.sqlContext
+    import operators.Multimodal
+    // scene-structured clips (SceneLen-frame identical runs) split
+    // mid-set: per-row detection, boundaries must not matter
+    val rows: Seq[(Long, Seq[Array[Byte]])] = (90L to 110L).map { id =>
+      id -> (0 until Multimodal.ClipFrames).map { f =>
+        Multimodal.buildPng(Multimodal.frameW(id), Multimodal.frameH(id),
+          Multimodal.plantedLuma(id * Multimodal.ClipFrames
+            + (f / Multimodal.SceneLen) * Multimodal.SceneLen, _, _))
+      }
+    }
+    val in = MemoryStream[(Long, Seq[Array[Byte]])]
+    val q = Streams.sceneCut(in.toDF().toDF("doc_id", "frames"))
+      .writeStream.format("memory").queryName("scenes_out")
+      .outputMode("append").start()
+    in.addData(rows.take(7): _*)
+    q.processAllAvailable()
+    in.addData(rows.drop(7): _*)
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+      "scene detector must keep zero state rows")
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) = r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_scenes"), r.getAs[String]("cut_idxs"))
+    val streamed = spark.table("scenes_out").collect().map(key).toMap
+    val batch = Multimodal.sceneCuts(rows.toDF("doc_id", "frames"))
+      .collect().map(key).toMap
+    assert(streamed == batch)
+    assert(streamed.values.forall(_ == (3L, "2,4")),
+      s"planted 3-scene clips: $streamed")
+  }
+
   test("stream_mix: temperature gate matches the batch twin exactly") {
     implicit val sql = spark.sqlContext
     // the planted skew of the batch sample_temperature spec: 400 docs
