@@ -273,6 +273,63 @@ object Profile {
     (s, dir) => outlierMadSketch(Tables.events(s, dir)),
     None)
 
+  // ---- snapshot_diff: crawl-to-crawl CONTENT churn per source ----
+  // profile_drift answers "did the composition move?"; this answers
+  // the content question underneath it — per source, how many distinct
+  // documents were ADDED, REMOVED, or CARRIED between two snapshots
+  // (the crawl-diff every recrawling pipeline runs to size incremental
+  // work and spot dead sources). Keyed on md5(text) within source, so
+  // a re-crawled identical page is "carried" no matter what doc_id the
+  // crawler assigned it (the split_safe content-keyed discipline).
+  // Shape: ONE skinny shuffle — only (source, digest, side-bits) rows
+  // move, text never leaves its scan; distinct-within-side then a
+  // (source, digest) roll-up, per-source counts fold from it. Churn as
+  // exact integer ppm. Snapshots = doc_id parity (profile_drift's
+  // deterministic stand-in for "yesterday vs today").
+  private[graft] def snapshotDiff(d: DataFrame): DataFrame = {
+    val sides = d
+      .select(col("source"), md5(col("text")).as("dig"),
+        (col("doc_id") % 2 === 0).as("a"))
+      .groupBy(col("source"), col("dig"))
+      .agg(max(when(col("a"), 1L).otherwise(0L)).as("in_a"),
+        max(when(col("a"), 0L).otherwise(1L)).as("in_b"))
+    sides
+      .groupBy(col("source"))
+      .agg(
+        sum(col("in_a")).as("n_a"),
+        sum(col("in_b")).as("n_b"),
+        sum(when(col("in_a") === 0L, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("in_b") === 0L, 1L).otherwise(0L)).as("n_removed"),
+        sum(col("in_a") * col("in_b")).as("n_carried"))
+      .withColumn("churn_ppm",
+        expr("(n_added + n_removed) * 1000000L DIV (n_a + n_b)"))
+  }
+
+  private val opSnapshotDiff = Op(
+    "snapshot_diff",
+    (s, dir) => snapshotDiff(Tables(s, dir, "documents")),
+    Some("""
+      WITH sides AS (
+        SELECT source, md5(text) AS dig,
+          CAST(MAX(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS in_a,
+          CAST(MAX(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+            AS in_b
+        FROM documents GROUP BY 1, 2)
+      SELECT source,
+        CAST(SUM(in_a) AS BIGINT) AS n_a,
+        CAST(SUM(in_b) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN in_a = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_added,
+        CAST(SUM(CASE WHEN in_b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_removed,
+        CAST(SUM(in_a * in_b) AS BIGINT) AS n_carried,
+        CAST((SUM(CASE WHEN in_a = 0 THEN 1 ELSE 0 END)
+            + SUM(CASE WHEN in_b = 0 THEN 1 ELSE 0 END)) * 1000000
+          // (SUM(in_a) + SUM(in_b)) AS BIGINT) AS churn_ppm
+      FROM sides GROUP BY 1"""))
+
   val ops: Seq[Op] =
-    Seq(opProfile, opSketch, opDrift, opOutlierMad, opOutlierSketch)
+    Seq(opProfile, opSketch, opDrift, opOutlierMad, opOutlierSketch,
+      opSnapshotDiff)
 }

@@ -810,8 +810,53 @@ object TextAnalysis {
       FROM f"""
     })
 
+  // ---- blocklist_filter: term-blocklist gate (the C4 practice) ----
+
+  /** The blocklist: a bounded curated term list (C4 filtered on a
+    * published "bad words" list; the mechanism, not the list, is the
+    * operator). Bounded by contract — real lists are 10²-10⁴ terms —
+    * so it rides the plan as a foldable array literal and the gate is
+    * a NARROW per-row set probe: no join, no shuffle, scan-speed at
+    * any corpus size (a token-join formulation would shuffle the
+    * corpus's exploded tokens to reach a few-hundred-row table). The
+    * fixture list holds a rare corpus term and an absent one, so both
+    * the hit and miss paths are exercised non-degenerately. */
+  val Blocklist = Seq("dup", "forbidden")
+
+  private val opBlocklist = Op(
+    "blocklist_filter",
+    (s, dir) => {
+      val bl = array(Blocklist.map(lit): _*)
+      docs(s, dir)
+        .withColumn("toks", TextFns.tokens(col("text")))
+        .select(col("doc_id"),
+          // occurrences of ANY blocklisted term (C4 drops on >= 1)
+          expr(s"size(filter(toks, t -> array_contains(" +
+            s"array(${Blocklist.map(t => s"'$t'").mkString(",")}), t)))")
+            .cast("long").as("n_blocked"),
+          size(array_intersect(col("toks"), bl)).cast("long")
+            .as("n_blocked_terms"))
+        .withColumn("keep",
+          when(col("n_blocked") === 0L, 1L).otherwise(0L))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+          CAST(len(list_filter(string_split(text, ' '),
+            t -> list_contains(
+              [${Blocklist.map(t => s"'$t'").mkString(",")}], t)))
+            AS BIGINT) AS n_blocked,
+          CAST(len(list_distinct(list_filter(string_split(text, ' '),
+            t -> list_contains(
+              [${Blocklist.map(t => s"'$t'").mkString(",")}], t))))
+            AS BIGINT) AS n_blocked_terms
+        FROM documents)
+      SELECT doc_id, n_blocked, n_blocked_terms,
+        CASE WHEN n_blocked = 0 THEN 1 ELSE 0 END AS keep
+      FROM t"""))
+
   val ops: Seq[Op] = Seq(opLangId, opQuality, opTokenCount, opFingerprint,
     opRepetition, opPii, opVocab, opVocabSketch, opCompress, opFilter,
     opKeywords, opIndex,
-    opDataCard, opGopher)
+    opDataCard, opGopher, opBlocklist)
 }

@@ -2324,6 +2324,64 @@ class PipelineOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("blocklist_filter: occurrence and distinct-term counts, keep flips on any hit") {
+    val out = SparkEntry.queries("blocklist_filter")(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_blocked"), r.getAs[Long]("n_blocked_terms"),
+          r.getAs[Long]("keep"))).toMap
+    val texts = Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == texts.size)
+    texts.foreach { case (id, txt) =>
+      val toks = txt.split(" ", -1)
+      val hits = toks.count(operators.TextAnalysis.Blocklist.contains)
+      val terms = toks.filter(operators.TextAnalysis.Blocklist.contains)
+        .distinct.length
+      assert(out(id) == (hits.toLong, terms.toLong,
+        if (hits == 0) 1L else 0L), s"doc $id")
+    }
+    // the fixture list is non-degenerate: some docs flag, most keep
+    assert(out.values.exists(_._3 == 0L) && out.values.exists(_._3 == 1L))
+  }
+
+  test("snapshot_diff: planted add/remove/carry, content-keyed across doc ids") {
+    import spark.implicits._
+    // snapshot A = even ids, B = odd ids. Within source sX:
+    //   "carried" appears in BOTH snapshots under different ids;
+    //   "gone"    only in A (removed); "new" only in B (added);
+    //   "dupe"    TWICE in A (must count once — distinct within side)
+    val d = Seq(
+      (0L, "carried text", "sX"), (1L, "carried text", "sX"),
+      (2L, "gone text", "sX"), (4L, "dupe text", "sX"),
+      (6L, "dupe text", "sX"), (3L, "new text", "sX"),
+      (10L, "solo", "sY"), (11L, "solo", "sY"))
+      .toDF("doc_id", "text", "source")
+    val out = operators.Profile.snapshotDiff(d).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("n_added"), r.getAs[Long]("n_removed"),
+          r.getAs[Long]("n_carried"), r.getAs[Long]("churn_ppm"))).toMap
+    // sX: A = {carried, gone, dupe}, B = {carried, new}
+    assert(out("sX") == (3L, 2L, 1L, 2L, 1L, 3L * 1000000L / 5L))
+    // sY: one content carried across the boundary → zero churn
+    assert(out("sY") == (1L, 1L, 0L, 0L, 1L, 0L))
+  }
+
+  test("snapshot_diff driver query: per-source identities hold on the corpus") {
+    val out = SparkEntry.queries("snapshot_diff")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      val (add, rem, car) = (r.getAs[Long]("n_added"),
+        r.getAs[Long]("n_removed"), r.getAs[Long]("n_carried"))
+      assert(na == rem + car && nb == add + car,
+        s"side identities broken: $r")
+      assert(r.getAs[Long]("churn_ppm") ==
+        (add + rem) * 1000000L / (na + nb))
+    }
+  }
+
   test("profile_drift: planted composition shift lands exact ppm deltas and signed shift bits") {
     // snapshot A (even ids) vs B (odd ids): "web" holds 3/4 of A but
     // only 1/4 of B, "books" mirrors it — counts chosen so the ppm
