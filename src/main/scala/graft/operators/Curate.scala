@@ -14,12 +14,14 @@ import org.apache.spark.sql.functions._
   * precedes that hand-off at corpus scale. One row per INPUT doc with
   * its disposition:
   *
-  *   quality_filter keep-set  → trained quality_classifier gate
+  *   blocklist gate → quality_filter keep-set
+  *     → trained quality_classifier gate
   *     → near-dup dedup_pipeline keepers
   *     → sample_temperature mix  → seq_pack training manifest
   *
   * `stage` names the FIRST stage that dropped the doc
-  * ("quality" | "classifier" | "dedup" | "mix") or "kept"; kept docs
+  * ("blocklist" | "quality" | "classifier" | "dedup" | "mix") or
+  * "kept"; kept docs
   * carry their packed-sequence coordinates (n_seqs, first_seq).
   * Grouping by `stage` is the per-stage drop accounting a curation
   * dashboard shows; the kept rows are the training-set manifest a
@@ -75,6 +77,17 @@ object Curate {
     round(QualityClassifier.scoreCol(
       TextFns.tokens(col("text")), m), 4)
 
+  /** Stage 0 — the blocklist hit bit as ONE narrow expression
+    * (blocklist_filter's probe: the bounded term list rides as a plan
+    * literal). Real pipelines run the blocklist FIRST — it is the
+    * cheapest gate and its drops are categorical, not statistical —
+    * and here it fuses into scans the chain already pays (the survivor
+    * gather, the manifest projection): zero new exchanges, zero jobs.
+    */
+  private def blkHit =
+    size(array_intersect(TextFns.tokens(col("text")),
+      array(TextAnalysis.Blocklist.map(lit): _*))) > 0
+
   private[graft] def curateStages(d: DataFrame,
       m: QualityClassifier.Model,
       seqLen: Long = Sampling.SeqLen): CurateStages = {
@@ -110,6 +123,7 @@ object Curate {
     // the checkpoint, and the stage costs no exchange, no job, no scan
     // of its own
     val survivors = d.join(keepSide, Seq("doc_id"))
+      .filter(!blkHit)
       .filter(clsProb(m) >= ClassifierMinProb)
       .localCheckpoint()
     // stage 3: near-dup clustering over quality+classifier survivors
@@ -137,13 +151,15 @@ object Curate {
     // corpus projection (same narrow fold, same rounding — identical
     // by construction), so the drop reason needs no extra join
     val manifest = d.select(col("doc_id"), col("source"),
+        blkHit.cast("long").as("blocked"),
         clsProb(m).as("cls_prob"))
       .join(qf, Seq("doc_id"))
       .join(dd, Seq("doc_id"), "left")
       .join(mixKept, Seq("doc_id"), "left")
       .join(perDocPack, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"),
-        when(col("qf_keep") === 0L, "quality")
+        when(col("blocked") === 1L, "blocklist")
+          .when(col("qf_keep") === 0L, "quality")
           .when(col("cls_prob") < ClassifierMinProb, "classifier")
           .when(col("is_keeper") === 0L, "dedup")
           .when(col("temp_hash").isNull, "mix")

@@ -404,6 +404,17 @@ object Streams {
     * batch backfill, while this chain is the cheap gate that keeps
     * obvious rejects from ever reaching storage.
     */
+  /** The blocklist as a GATE (batch core: blocklist_filter's probe —
+    * the bounded term list rides as a plan literal, so the gate is one
+    * narrow per-row set membership): real pipelines run it FIRST, it
+    * is the cheapest stage and its drops are categorical. Incoming
+    * columns ride through so the gate composes. */
+  def blocklistGated(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFns
+    docs.filter(size(array_intersect(TextFns.tokens(col("text")),
+      array(graft.operators.TextAnalysis.Blocklist.map(lit): _*))) === 0)
+  }
+
   def curateGated(docs: DataFrame, evalShingles: Seq[String],
       maxRatio: Double, minDistinctRatio: Double, maxDigitRatio: Double,
       m: graft.operators.QualityClassifier.Model, minProb: Double,
@@ -411,7 +422,8 @@ object Streams {
     tempMixGated(
       classifierGated(
         contamFiltered(
-          qualityGated(docs, minDistinctRatio, maxDigitRatio),
+          qualityGated(blocklistGated(docs),
+            minDistinctRatio, maxDigitRatio),
           evalShingles, maxRatio),
         m, minProb),
       sourceCounts)

@@ -1351,6 +1351,10 @@ class PipelineOpsSpec extends SparkSpec {
     val junkText = ("the" +: (junkWords ++
       Seq(0, 2, 4, 6, 8, 10, 1, 3, 5, 7, 9, 11).map(junkWords))).mkString(" ")
     val junk = Seq((950L, junkText, "web"))
+    // blocklist-stage plant: passes every heuristic AND the trained
+    // gate (21 distinct letter tokens, one stopword, junk-free) but
+    // carries the blocklisted term — dropped by stage 0 alone
+    val blocked = Seq((960L, good(tag(960L)) + " dup", "web"))
     // the frozen model, hand-built so every stage decision stays
     // exactly derivable: junk buckets weigh -0.5 per occurrence,
     // intercept +2 — 24 junk hits sink doc 950 to z = -10 while a
@@ -1363,11 +1367,17 @@ class PipelineOpsSpec extends SparkSpec {
     val w = Array.fill(operators.QualityClassifier.NumFeatures)(0.0)
     junkBuckets.foreach(b => w(b) = -0.5)
     val model = operators.QualityClassifier.Model(w, 2.0)
-    val fixture = (web ++ dup ++ books ++ bad ++ junk)
+    val fixture = (web ++ dup ++ books ++ bad ++ junk ++ blocked)
       .toDF("doc_id", "text", "source")
     val m = operators.Curate.curateE2e(fixture, model).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
-    assert(m.size == 47) // 39 web + dup + 5 books + quality-fail + junk
+    assert(m.size == 48) // 39 web + dup + 5 books + quality-fail + junk + blocked
+    // stage 0: blocklist — the doc every OTHER gate would keep
+    // (heuristics read "ok", the model scores it well above the bar)
+    assert(m(960L).getAs[String]("stage") == "blocklist" &&
+      m(960L).getAs[String]("qf_reason") == "ok" &&
+      m(960L).getAs[Double]("cls_prob") >= operators.Curate.ClassifierMinProb,
+      s"${m(960L)}")
     // stage 1: quality — the short doc, with its first failing reason
     assert(m(900L).getAs[String]("stage") == "quality" &&
       m(900L).getAs[String]("qf_reason") == "short", s"${m(900L)}")
@@ -1408,7 +1418,8 @@ class PipelineOpsSpec extends SparkSpec {
     // funnel totals: 47 in = quality + classifier + dedup + mix + kept
     val byStage = m.values.groupBy(_.getAs[String]("stage"))
       .view.mapValues(_.size).toMap
-    assert(byStage == Map("quality" -> 1, "classifier" -> 1, "dedup" -> 1,
+    assert(byStage == Map("blocklist" -> 1, "quality" -> 1,
+      "classifier" -> 1, "dedup" -> 1,
       "mix" -> expectMixDrop.size, "kept" -> (44 - expectMixDrop.size)),
       s"funnel: $byStage")
   }

@@ -602,9 +602,10 @@ class StreamingSpec extends SparkSpec {
     val rejects = Seq(
       (50L, "contam mark one extra", "web"),
       (60L, junkText, "web"),
+      (70L, "web doc extra dup word list", "web"), // blocklist term
       (900L, "spam spam spam spam spam spam spam spam", "web"))
     val rows = web ++ books ++ rejects
-    val profile = Map("web" -> 43L, "books" -> 5L)
+    val profile = Map("web" -> 44L, "books" -> 5L)
     // hand-built frozen model (the curate_e2e fixture convention):
     // junk buckets -0.5 per occurrence, intercept +2 — 24 junk hits
     // sink doc 60, a stray collision on a 5-token doc cannot flip it
@@ -645,10 +646,10 @@ class StreamingSpec extends SparkSpec {
     assert(rows.forall(r => clsPass(r._1) || r._1 == 60L),
       "only the planted junk doc may fail the classifier")
     val expected =
-      web.collect { case (i, _, _) if mixKeep(i, 43L) => i }.toSet ++
+      web.collect { case (i, _, _) if mixKeep(i, 44L) => i }.toSet ++
         books.collect { case (i, _, _) if mixKeep(i, 5L) => i }.toSet
     assert(!expected.contains(50L) && !expected.contains(900L) &&
-      !expected.contains(60L))
+      !expected.contains(60L) && !expected.contains(70L))
     assert(web.exists(w => !expected.contains(w._1)),
       "fixture must drop at least one web doc at the mix")
     assert(kept == expected, s"kept $kept expected $expected")
