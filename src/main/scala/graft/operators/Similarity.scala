@@ -1016,7 +1016,40 @@ object Similarity {
       SELECT q_id, c_id, ROUND(cos_raw, 6) AS cos
       FROM s WHERE cos_raw >= $RangeTau"""))
 
+  // ---- embed_hash: signed feature-hashing text vectors ----
+  // The text→vector BRIDGE (plans/HashEmbed.scala — the Weinberger
+  // 2009 hashing trick): every embedding-space operator here takes an
+  // `embedding` column, and this kernel produces one from raw tokens
+  // with no training, no vocabulary, no model store — one narrow
+  // codegen'd pass, zero state, the right first rung before a learned
+  // encoder and the standard one at 100 TB. Width matches the
+  // embeddings table's 64 dims, so hashed text drops into dedup_embed /
+  // embed_cluster / ann_* unchanged (the spec proves the composition
+  // end-to-end on planted copies). Output follows the mm_embed digest
+  // convention — scalar audits + an md5 of the vector's canonical
+  // string, never a raw array (the embed_pca driver-compare lesson).
+  private val opHashEmbed = Op(
+    "embed_hash",
+    (s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      graft.Tables(s, dir, "documents")
+        .withColumn("embedding",
+          expr("graft_hash_embed(split(text, ' '))"))
+        .select(col("doc_id").as("vec_id"),
+          lit(graft.plans.HashEmbed.Dim.toLong).as("dim"),
+          expr("size(filter(embedding, x -> x != 0F))").cast("long")
+            .as("nnz"),
+          round(expr("aggregate(embedding, 0D, " +
+            "(a, x) -> a + cast(x AS double) * cast(x AS double))"), 6)
+            .as("norm_sq"),
+          md5(concat_ws(",",
+            expr("transform(embedding, x -> cast(x AS string))")))
+            .as("emb_digest"))
+    },
+    None)
+
   val ops: Seq[Op] =
     Seq(opBrute, opIvf, opIvfQuant, opIvfPq, opFiltered, opEmbedDedup,
-      opQuantize, opQuantAnn, opPq, opSemDedup, opMineBitext, opRange)
+      opQuantize, opQuantAnn, opPq, opSemDedup, opMineBitext, opRange,
+      opHashEmbed)
 }

@@ -498,6 +498,10 @@ object GraftFunctions {
       exprs => FreqMaxErrExpr(exprs.head),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hash_embed",
+      exprs => HashEmbedExpr(exprs.head),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_theta_agg",
       exprs => ThetaAggExpr(exprs.head,
         if (exprs.length > 1) exprs(1).eval().asInstanceOf[Int]

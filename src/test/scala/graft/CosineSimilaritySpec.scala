@@ -84,4 +84,78 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(bad.isNullAt(bad.fieldIndex("codes")),
       "length-3 vector must not encode under dsub=2")
   }
+
+  test("embed_hash: unit-norm signed hashing, Scala mirror exact, copies identical") {
+    import org.apache.spark.sql.functions._
+    graft.plans.GraftFunctions.register(spark)
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "join hash row batch scan column"),
+      (2L, "join hash row batch scan column"), // exact copy of 1
+      (3L, "join hash row batch scan filter"), // near copy (5/6 shared)
+      (4L, "alpha bravo charlie delta echo foxtrot")) // unrelated
+      .toDF("doc_id", "text")
+    val vecs = docs
+      .select(col("doc_id"),
+        expr("graft_hash_embed(split(text, ' '))").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // Scala mirror of the kernel (same XXH64 seed-42, bucket/sign split)
+    def mirror(text: String): Array[Float] = {
+      val acc = new Array[Double](graft.plans.HashEmbed.Dim)
+      text.split(" ").filter(_.nonEmpty).foreach { t =>
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+        val b = ((h >>> 1) % graft.plans.HashEmbed.Dim).toInt
+        acc(b) += (if ((h & 1L) == 0L) 1.0 else -1.0)
+      }
+      val n = math.sqrt(acc.map(x => x * x).sum)
+      acc.map(x => if (n > 0) (x / n).toFloat else 0f)
+    }
+    docs.collect().foreach { r =>
+      assert(vecs(r.getLong(0)).sameElements(mirror(r.getString(1))),
+        s"doc ${r.getLong(0)} diverges from the mirror")
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    // unit norm (zero-vector guard aside), copies identical
+    vecs.values.foreach(v => assert(math.abs(cos(v, v) - 1.0) < 1e-6))
+    assert(vecs(1L).sameElements(vecs(2L)))
+    // the hashed space separates near-copies from unrelated docs
+    assert(cos(vecs(1L), vecs(3L)) > 0.6, s"${cos(vecs(1L), vecs(3L))}")
+    assert(cos(vecs(1L), vecs(4L)) < 0.5, s"${cos(vecs(1L), vecs(4L))}")
+  }
+
+  test("embed_hash: hashed text vectors drive semanticDedup end-to-end") {
+    import org.apache.spark.sql.functions._
+    graft.plans.GraftFunctions.register(spark)
+    // planted exact-copy pair inside the real corpus text space: the
+    // bridge must let the embedding ladder find it with NO embeddings
+    // table in sight
+    val base = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).limit(40)
+    val copy = base.filter(col("doc_id") === 7L)
+      .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+    val e = base.unionByName(copy)
+      .select(col("doc_id").as("vec_id"),
+        expr("graft_hash_embed(split(text, ' '))").as("embedding"))
+    val out = operators.Similarity.semanticDedup(e, k = 4).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("keep")).toMap
+    assert(out(7L) == 1L, "the smaller id keeps")
+    assert(out(10007L) == 0L, "the planted copy must drop")
+  }
+
+  test("embed_hash driver query: digests deterministic, norms unit") {
+    val out = SparkEntry.queries("embed_hash")(spark, sfDir).collect()
+    assert(out.length == Tables(spark, sfDir, "documents").count())
+    out.foreach { r =>
+      assert(r.getAs[Long]("dim") == 64L)
+      val nsq = r.getAs[Double]("norm_sq")
+      assert(math.abs(nsq - 1.0) < 1e-4 || nsq == 0.0, s"$r")
+      assert(r.getAs[Long]("nnz") > 0L && r.getAs[Long]("nnz") <= 64L)
+    }
+    val again = SparkEntry.queries("embed_hash")(spark, sfDir).collect()
+      .map(_.getAs[String]("emb_digest"))
+    assert(again.sameElements(out.map(_.getAs[String]("emb_digest"))))
+  }
 }
