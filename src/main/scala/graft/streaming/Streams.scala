@@ -404,6 +404,27 @@ object Streams {
     * batch backfill, while this chain is the cheap gate that keeps
     * obvious rejects from ever reaching storage.
     */
+  /** stream_file_source — the production batch→stream bridge every
+    * other streaming row abstracts behind MemoryStream: parquet shard
+    * FILES landing in a directory ARE the stream (the drop-folder /
+    * landing-zone shape a 100 TB ingest actually has), and Structured
+    * Streaming's file source gives exactly-once PER FILE — the
+    * checkpoint records which files each micro-batch committed, so a
+    * restart neither re-emits a committed shard nor misses one that
+    * landed while the query was down (spec kills the query between
+    * shards and proves both). `maxFilesPerTrigger=1` bounds a
+    * micro-batch to one shard — the backpressure dial that keeps a
+    * backlog of landed files from becoming one giant batch. The
+    * returned frame is an ordinary streaming DataFrame: every gate in
+    * this file composes downstream unchanged (the spec runs the
+    * blocklist gate on it).
+    */
+  def fileSource(spark: org.apache.spark.sql.SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+
   /** The blocklist as a GATE (batch core: blocklist_filter's probe —
     * the bounded term list rides as a plan literal, so the gate is one
     * narrow per-row set membership): real pipelines run it FIRST, it
