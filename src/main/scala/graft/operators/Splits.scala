@@ -180,6 +180,78 @@ object Splits {
           AS excess_toks
       FROM q, t"""))
 
+  // ---- mix_upsample: materialize the epoch plan per doc ----
+
+  /** The step between mix_epoch_plan and a training run: the plan says
+    * source S trains for e epochs (fractional, capped); the LOADER
+    * needs that as a per-doc REPETITION COUNT. Every doc of S repeats
+    * floor(e) times, and a deterministic hash tranche of width
+    * frac(e) repeats once more — so Σ copies per source lands within
+    * one doc of e·n_docs, the materialization is reproducible run to
+    * run (the Lehmer tranche, mix_sample's machinery: no RNG, no
+    * seed-order dependence), and BOTH directions fall out of one rule
+    * (e < 1 is downsampling: floor 0, a frac-e tranche survives).
+    *
+    * Arithmetic is EXACT end to end — the oracle hashes it: epochs in
+    * integer basis points via decimal(38) floor division (sq·10⁴·B may
+    * exceed int64 at 10¹⁴-token corpora; decimal keeps the quotient
+    * exact in both engines), tranche membership by cross-multiplied
+    * integer comparison (key·10⁴ < frac_bp·M — no float ratio
+    * anywhere). One per-source aggregate + a broadcast plan row joined
+    * back to the skinny (doc_id, source) frame: scale-free.
+    */
+  private[graft] def mixUpsample(d: DataFrame): DataFrame = {
+    import Sampling.{MixMod, MixMul}
+    val perSource = d
+      .select(col("source"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_toks"))
+      .withColumn("sq",
+        floor(sqrt(col("n_toks").cast("double"))).cast("long"))
+      .localCheckpoint()
+    val tot = perSource.agg(sum(col("n_toks")).as("b"),
+      sum(col("sq")).as("sqsum"))
+    val plan = perSource.crossJoin(broadcast(tot))
+      .withColumn("epochs_bp", least(
+        expr("CAST(sq AS DECIMAL(38,0)) * 10000 * b" +
+          " DIV (CAST(sqsum AS DECIMAL(38,0)) * n_toks)").cast("long"),
+        lit((MaxEpochs * 10000).toLong)))
+      .select(col("source"), col("epochs_bp"))
+    d.select(col("doc_id"), col("source"))
+      .join(broadcast(plan), Seq("source"))
+      .withColumn("tranche_key", (col("doc_id") * MixMul) % MixMod)
+      .select(col("doc_id"), col("source"), col("epochs_bp"),
+        (expr("epochs_bp DIV 10000") +
+          when(col("tranche_key") * 10000 <
+            (col("epochs_bp") % 10000) * MixMod, 1L).otherwise(0L))
+          .as("n_copies"))
+  }
+
+  private val opUpsample = Op(
+    "mix_upsample",
+    (s, dir) => mixUpsample(docs(s, dir)),
+    Some(s"""
+      WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_toks
+        FROM documents GROUP BY 1),
+      q AS (SELECT *, CAST(FLOOR(SQRT(CAST(n_toks AS DOUBLE))) AS BIGINT)
+          AS sq FROM s),
+      t AS (SELECT CAST(SUM(n_toks) AS BIGINT) AS b,
+          CAST(SUM(sq) AS BIGINT) AS sqsum FROM q),
+      plan AS (SELECT source,
+          LEAST(CAST(CAST(sq AS HUGEINT) * 10000 * b
+              // (CAST(sqsum AS HUGEINT) * n_toks) AS BIGINT),
+            ${(MaxEpochs * 10000).toLong}) AS epochs_bp
+        FROM q, t)
+      SELECT d.doc_id, d.source, p.epochs_bp,
+        epochs_bp // 10000
+          + CASE WHEN ((d.doc_id * ${Sampling.MixMul})
+                % ${Sampling.MixMod}) * 10000
+              < (epochs_bp % 10000) * ${Sampling.MixMod}
+            THEN 1 ELSE 0 END AS n_copies
+      FROM documents d JOIN plan p ON d.source = p.source"""))
+
   // ---- contam_minhash: fuzzy benchmark decontamination ----
 
   /** Fuzzy decontamination against the SAME held-out benchmark slice
@@ -300,6 +372,6 @@ object Splits {
     None)
 
   def ops: Seq[Op] =
-    Seq(opSplitSafe, opSplitLeakage, opEpochPlan, opContamMinhash,
-      opContamEmbed)
+    Seq(opSplitSafe, opSplitLeakage, opEpochPlan, opUpsample,
+      opContamMinhash, opContamEmbed)
 }

@@ -606,6 +606,41 @@ object Streams {
     (out, new AnnServeHandle(fn, bc, ss))
   }
 
+  /** stream_join — the WATERMARKED STREAM-STREAM interval join (batch
+    * twin: q27_range_join's pair set): each purchase matched to the
+    * same user's views from the hour before it, with BOTH sides
+    * arriving as streams. This is the one streaming archetype the
+    * rest of the section does not exercise — stream-static joins
+    * broadcast a frozen side, fMGWS keeps hand-rolled state; here
+    * Spark's own symmetric join state buffers BOTH streams and the
+    * time-range condition is what makes it bounded: the watermark
+    * plus `v_ts >= p_ts - 1h` lets the engine EVICT views older than
+    * watermark − 1h and purchases older than the watermark, so state
+    * is O(events in the window + lateness), not O(stream). Without
+    * the range bound the same join would buffer both streams forever
+    * — the condition is not a filter, it is the state-eviction
+    * contract. Append mode emits each matched pair exactly once, when
+    * the watermark proves no earlier match can still arrive; events
+    * later than `lateness` are dropped by contract (the batch twin is
+    * the ground-truth backfill, the stream_asof convention).
+    */
+  def intervalJoined(views: DataFrame, purchases: DataFrame,
+      lateness: String = "10 minutes"): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"),
+        col("event_id").as("v_id"), col("ts").as("v_ts"),
+        round(col("value") * 100, 0).cast("long").as("v_cents"))
+      .withWatermark("v_ts", lateness)
+    val p = purchases.select(col("user_id"),
+        col("event_id").as("p_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", lateness)
+    p.join(v,
+      col("user_id") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("p_id"), col("p_ts"),
+        col("v_id"), col("v_ts"), col("v_cents"))
+  }
+
   // ---- stream_asof: per-user as-of enrichment on an event stream ----
 
   case class AsofEv(user_id: Long, event_type: String, event_id: Long,

@@ -155,6 +155,60 @@ class SplitsSpec extends SparkSpec {
     // shape here
   }
 
+  test("mix_upsample: hand-derived repetition counts, both directions, cap binds") {
+    import operators.{Sampling, Splits}
+    // big source: 40 docs x 6 tokens = 240; small: 3 docs x 6 = 18.
+    // sq(240)=15, sq(18)=4, B=258, sqsum=19:
+    //   big  e_bp = 15*10^4*258 / (19*240) = 8486  (downsample, e<1)
+    //   small e_bp = 4*10^4*258 / (19*18) = 30175  (3 epochs + tranche)
+    def text = "tok alpha beta gamma delta eps"
+    val d = ((1L to 40L).map(i => (i, text, "big")) ++
+      (101L to 103L).map(i => (i, text, "small")))
+      .toDF("doc_id", "text", "source")
+    val out = Splits.mixUpsample(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("source"), r.getAs[Long]("epochs_bp"),
+          r.getAs[Long]("n_copies"))).toMap
+    assert(out.values.filter(_._1 == "big").map(_._2).toSet == Set(8486L))
+    assert(out.values.filter(_._1 == "small").map(_._2).toSet == Set(30175L))
+    def inTranche(id: Long, fracBp: Long) =
+      (id * Sampling.MixMul % Sampling.MixMod) * 10000 <
+        fracBp * Sampling.MixMod
+    out.foreach { case (id, (src, bp, copies)) =>
+      val expect = bp / 10000 + (if (inTranche(id, bp % 10000)) 1L else 0L)
+      assert(copies == expect, s"doc $id: $copies != $expect")
+    }
+    // downsampling: big source docs repeat 0 or 1 times; the small
+    // source floors at 3 with a fractional tranche on top
+    assert(out.values.filter(_._1 == "big").map(_._3).toSet
+      .subsetOf(Set(0L, 1L)))
+    assert(out.values.filter(_._1 == "small").map(_._3)
+      .forall(c => c == 3L || c == 4L))
+    // the epoch cap binds when one source dwarfs the rest
+    val skew = ((1L to 200L).map(i => (i, text * 8, "huge")) ++
+      Seq((900L, "a b", "tiny"))).toDF("doc_id", "text", "source")
+    val capped = Splits.mixUpsample(skew).collect()
+      .filter(_.getAs[String]("source") == "tiny")
+    assert(capped.forall(_.getAs[Long]("epochs_bp") ==
+      (Splits.MaxEpochs * 10000).toLong), "tiny source must hit the cap")
+  }
+
+  test("mix_upsample driver query: per-source totals equal the exact identity") {
+    import operators.Sampling
+    val out = SparkEntry.queries("mix_upsample")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("epochs_bp"), r.getAs[Long]("n_copies")))
+    assert(out.nonEmpty)
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      val bp = rows.head._3
+      val whole = bp / 10000
+      val tranche = rows.count(r =>
+        (r._1 * Sampling.MixMul % Sampling.MixMod) * 10000 <
+          (bp % 10000) * Sampling.MixMod)
+      assert(rows.map(_._4).sum == whole * rows.length + tranche, src)
+    }
+  }
+
   test("contam_embed: planted copy flags, orthogonal passes, nearest id ties to smaller") {
     // eval slice = ids 0 and 97 (the % 97 convention); pool: an exact
     // copy of eval 0, an orthogonal vector, a paraphrase-near copy of

@@ -493,6 +493,53 @@ class StreamingSpec extends SparkSpec {
         .map(_.toLong).toSet)
   }
 
+  test("stream_join: watermarked stream-stream interval join == batch pair set; state evicts") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // one ts-ordered event stream split mid-timeline (in-order halves:
+    // nothing is late, so the streamed pair set must equal batch
+    // exactly); views and purchases BOTH derive from the stream —
+    // a stream-stream self-join over the two filters
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("ts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams.intervalJoined(
+        df.filter(col("event_type") === "view"),
+        df.filter(col("event_type") === "purchase"))
+      .writeStream.format("memory").queryName("sj_out")
+      .outputMode("append").start()
+    in.addData(ev.take(ev.length / 2).toIndexedSeq: _*)
+    q.processAllAvailable()
+    in.addData(ev.drop(ev.length / 2).toIndexedSeq: _*)
+    q.processAllAvailable()
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    q.stop()
+    val streamed = spark.table("sj_out").collect()
+      .map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("v_id"))).toSet
+    // ground truth: the same interval condition joined in batch
+    val views = ev.filter(_._4 == "view")
+    val purch = ev.filter(_._4 == "purchase")
+    val expected = (for {
+      (pid, pts, pu, _, _) <- purch
+      (vid, vts, vu, _, _) <- views
+      if vu == pu && !vts.after(pts) &&
+        pts.getTime - vts.getTime <= 3600L * 1000
+    } yield (pid, vid)).toSet
+    assert(expected.nonEmpty, "fixture must produce matches")
+    assert(streamed == expected,
+      s"streamed ${streamed.size} pairs != batch ${expected.size}")
+    // the range bound is the eviction contract: state must hold far
+    // fewer rows than the stream fed (old views/purchases evicted as
+    // the watermark advanced past them + the window)
+    assert(stateRows < ev.length,
+      s"join state $stateRows did not evict (fed ${ev.length})")
+  }
+
   test("stream_file_source: landed shards gate exactly-once across a restart") {
     import org.apache.spark.sql.functions.col
     graft.plans.GraftFunctions.register(spark)
