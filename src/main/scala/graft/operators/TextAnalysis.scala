@@ -612,6 +612,58 @@ object TextAnalysis {
         n_tokens * 10000 // tt AS tok_share_bp
       FROM g CROSS JOIN t"""))
 
+  // ---- data_card_kanon: the RELEASABLE data card (cell suppression) ----
+
+  /** Minimum docs a (lang, source) cell needs to be published on its
+    * own; below it the cell folds into the per-lang "(suppressed)"
+    * bucket. Small-cell suppression is the standard
+    * statistical-disclosure control for released cross-tabulations —
+    * a published cell of 1-4 docs can identify individual documents
+    * (and with them authors/sites) by intersection with other public
+    * tables; aggregating the tail keeps the TOTALS of the card exact
+    * while removing the identifying resolution. */
+  val KanonMinCell = 5L
+
+  private val opDataCardKanon = Op(
+    "data_card_kanon",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val byLs = d.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextFns.tokens(col("text"))).cast("long")).as("n_tokens"))
+      // fold small cells per lang; counts stay exact in aggregate —
+      // one skinny re-group over the <= langs x sources cell frame
+      byLs
+        .withColumn("source_out",
+          when(col("n_docs") >= KanonMinCell, col("source"))
+            .otherwise(lit("(suppressed)")))
+        .groupBy(col("lang"), col("source_out"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          count(lit(1)).as("n_cells"))
+        .withColumn("suppressed",
+          when(col("source_out") === "(suppressed)", 1L).otherwise(0L))
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT lang, source,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1, 2),
+      f AS (
+        SELECT lang,
+          CASE WHEN n_docs >= $KanonMinCell THEN source
+            ELSE '(suppressed)' END AS source_out,
+          n_docs, n_tokens
+        FROM g)
+      SELECT lang, source_out,
+        CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        CAST(COUNT(*) AS BIGINT) AS n_cells,
+        CASE WHEN source_out = '(suppressed)' THEN 1 ELSE 0 END
+          AS suppressed
+      FROM f GROUP BY 1, 2"""))
+
   // ---- quality_gopher: the published Gopher rule set, integer-exact ----
   // text_quality/quality_filter are this library's own heuristics;
   // quality_gopher is the NAMED rule set from Gopher (Rae et al. 2021,
@@ -858,5 +910,5 @@ object TextAnalysis {
   val ops: Seq[Op] = Seq(opLangId, opQuality, opTokenCount, opFingerprint,
     opRepetition, opPii, opVocab, opVocabSketch, opCompress, opFilter,
     opKeywords, opIndex,
-    opDataCard, opGopher, opBlocklist)
+    opDataCard, opDataCardKanon, opGopher, opBlocklist)
 }

@@ -2335,6 +2335,37 @@ class PipelineOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("data_card_kanon: small cells fold per lang, totals stay exact") {
+    import operators.TextAnalysis
+    val card = SparkEntry.queries("data_card")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    val safe = SparkEntry.queries("data_card_kanon")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source_out")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_cells"), r.getAs[Long]("suppressed"))).toMap
+    // no published cell below the floor; suppression actually fired
+    safe.foreach { case ((lang, src), (nd, _, nc, sup)) =>
+      if (sup == 0L)
+        assert(nd >= TextAnalysis.KanonMinCell && nc == 1L, s"$lang/$src")
+      else assert(src == "(suppressed)" && nc >= 1L)
+    }
+    assert(safe.exists(_._2._4 == 1L), "fixture must suppress some cells")
+    assert(safe.exists(_._2._4 == 0L), "fixture must publish some cells")
+    // published cells are the card's own cells, verbatim
+    safe.filter(_._2._4 == 0L).foreach { case ((lang, src), (nd, nt, _, _)) =>
+      assert(card((lang, src)) == (nd, nt), s"$lang/$src")
+    }
+    // per-lang totals are EXACT: suppression relocates counts, never
+    // drops them
+    card.groupBy(_._1._1).foreach { case (lang, cells) =>
+      val total = cells.values.map(_._1).sum
+      val safeTotal = safe.collect {
+        case ((l, _), (nd, _, _, _)) if l == lang => nd }.sum
+      assert(safeTotal == total, s"$lang: $safeTotal != $total")
+    }
+  }
+
   test("blocklist_filter: occurrence and distinct-term counts, keep flips on any hit") {
     val out = SparkEntry.queries("blocklist_filter")(spark, sfDir)
       .collect().map(r => r.getAs[Long]("doc_id") ->
