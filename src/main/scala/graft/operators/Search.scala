@@ -50,7 +50,12 @@ object Search {
     * `tf` is (token, doc_id, dl, tf), `df` (token, df), `stats` one
     * row (n, t).
     */
-  private[graft] def scoreTf(tf: DataFrame, df: DataFrame,
+  /** Per-(doc, token) BM25 contributions — the arithmetic BEFORE any
+    * grouping, exposed because the contribution depends only on the
+    * (doc, token) pair and the corpus globals: a multi-query consumer
+    * (mine_hardneg) computes it ONCE and fans it out to queries by a
+    * token join, instead of re-scoring per query. */
+  private[graft] def contribs(tf: DataFrame, df: DataFrame,
       stats: DataFrame): DataFrame =
     tf.join(broadcast(df), Seq("token"))
       .crossJoin(broadcast(stats))
@@ -62,6 +67,10 @@ object Search {
           " * tf * 1000) DIV (CAST(20 AS DECIMAL(38,0)) * t * tf" +
           " + CAST(6 AS DECIMAL(38,0)) * t" +
           " + CAST(18 AS DECIMAL(38,0)) * dl * n) AS BIGINT)"))
+
+  private[graft] def scoreTf(tf: DataFrame, df: DataFrame,
+      stats: DataFrame): DataFrame =
+    contribs(tf, df, stats)
       .groupBy(col("doc_id"))
       .agg(sum(col("contrib")).as("score"), count(lit(1)).as("n_terms"))
 
@@ -335,5 +344,116 @@ object Search {
       SELECT id, rank_text, rank_vec, rrf, rk FROM r WHERE rk <= $RrfK"""
     })
 
-  val ops: Seq[Op] = Seq(opBm25, opPhrase, opRrf)
+  // ---- mine_hardneg: BM25 hard-negative mining for retrieval training ----
+
+  /** Negatives kept per query (the DPR-style recipe trains with a
+    * handful of hard negatives per positive). */
+  val HnK = 5
+
+  /** Query terms per query doc: its 4 lexicographically-first distinct
+    * tokens — a deterministic, engine-portable surrogate for "the
+    * query this document answers" (first-occurrence order is not
+    * guaranteed stable under DuckDB's list_distinct, sorted order is
+    * under both engines). */
+  val HnQueryTerms = 4
+
+  /** Hard-negative mining — the retrieval-training data step (the DPR
+    * / contrastive-encoder recipe): for each (query, positive-doc)
+    * pair, the top BM25-ranked documents that are NOT the positive are
+    * exactly the "hard" negatives a trained retriever must learn to
+    * push below it (random negatives are trivially separable; BM25's
+    * lexical confusables are not). Queries derive from the doc_id%97
+    * slice (each query doc is its own positive).
+    *
+    * This is the MULTI-QUERY extension of search_bm25, and the scale
+    * shape is what justifies the row: the per-(doc, token) BM25
+    * contribution depends only on the doc and the corpus globals, so
+    * it is computed ONCE over the union of all query terms ([[
+    * contribs]], the single corpus-sized pass — the explode is
+    * term-filtered by a broadcast semi-join before anything shuffles)
+    * and then FANNED OUT to queries by one broadcast token join —
+    * scoring Q queries costs one corpus pass + skinny fan-out, not Q
+    * passes. Per-query top-k runs through the TopKPerKey bounded heap;
+    * no global sort, no per-query window over the corpus. All-integer
+    * scoring (search_bm25's decimal(38) kernel) → full DuckDB oracle.
+    */
+  private[graft] def hardNegatives(d: DataFrame): DataFrame = {
+    val toks = d.select(col("doc_id"),
+      graft.functions.TextFns.tokens(col("text")).as("toks"))
+    val stats = toks.agg(count(lit(1)).as("n"),
+      sum(size(col("toks")).cast("long")).as("t"))
+    val qterms = toks.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("q_id"),
+        explode(slice(array_sort(array_distinct(col("toks"))),
+          1, HnQueryTerms)).as("token"))
+      .filter(length(col("token")) > 0)
+    val needed = qterms.select(col("token")).distinct()
+    val tf = toks.select(col("doc_id"),
+        size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("token"))
+      .join(broadcast(needed), Seq("token"))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val perQuery = contribs(tf, df, stats)
+      .join(broadcast(qterms), Seq("token"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score"), count(lit(1)).as("n_terms"))
+      .filter(col("doc_id") =!= col("q_id")) // the positive is not a negative
+    graft.plans.TopK.perKey(perQuery, Seq("q_id"),
+        Seq("score" -> graft.plans.TopK.Desc,
+          "doc_id" -> graft.plans.TopK.Asc), HnK)
+      .select(col("q_id"), col("doc_id").as("neg_id"), col("score"),
+        col("n_terms"), col("rk"))
+  }
+
+  private val opHardneg = Op(
+    "mine_hardneg",
+    (s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      hardNegatives(Tables(s, dir, "documents"))
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents),
+      dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+      stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(dl) AS BIGINT) AS t FROM dl),
+      q AS (
+        SELECT doc_id AS q_id, u.tok AS token
+        FROM (SELECT doc_id,
+                list_slice(list_sort(list_distinct(toks)), 1, $HnQueryTerms)
+                  AS qt
+              FROM d WHERE doc_id % 97 = 0), UNNEST(qt) AS u(tok)
+        WHERE length(u.tok) > 0),
+      tok AS (
+        SELECT doc_id, u.tok AS token
+        FROM d, UNNEST(toks) AS u(tok)
+        WHERE u.tok IN (SELECT DISTINCT token FROM q)),
+      tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM tok GROUP BY 1, 2),
+      df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      sc AS (
+        SELECT tf.doc_id, tf.token,
+          CAST((CAST(CAST(length(bin(((2*n + 2) * $IdfScale) // (2*df + 1)))
+                - 1 - $IdfScaleBits AS BIGINT) AS HUGEINT)
+              * 44 * t * tf * 1000)
+            // (CAST(20 AS HUGEINT) * t * tf + CAST(6 AS HUGEINT) * t
+               + CAST(18 AS HUGEINT) * dl * n) AS BIGINT) AS contrib
+        FROM tf JOIN df USING (token)
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats),
+      perq AS (
+        SELECT q.q_id, sc.doc_id,
+          CAST(SUM(contrib) AS BIGINT) AS score,
+          CAST(COUNT(*) AS BIGINT) AS n_terms
+        FROM sc JOIN q USING (token)
+        WHERE sc.doc_id <> q.q_id
+        GROUP BY 1, 2),
+      r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY score DESC, doc_id) AS BIGINT) AS rk FROM perq)
+      SELECT q_id, doc_id AS neg_id, score, n_terms, rk
+      FROM r WHERE rk <= $HnK"""))
+
+  val ops: Seq[Op] = Seq(opBm25, opPhrase, opRrf, opHardneg)
 }

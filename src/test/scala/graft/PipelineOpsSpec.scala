@@ -2335,6 +2335,31 @@ class PipelineOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("mine_hardneg: negatives exclude the positive, ranked by the shared BM25 kernel") {
+    import operators.Search
+    val out = SparkEntry.queries("mine_hardneg")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neg_id"),
+        r.getAs[Long]("score"), r.getAs[Long]("rk")))
+    assert(out.nonEmpty)
+    // the positive never appears among its own negatives; ranks are
+    // 1..k dense per query, scores non-increasing within a query
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      assert(q % 97 == 0, s"query $q outside the slice")
+      assert(rows.forall(_._2 != q), s"query $q mined itself")
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to rows.length).toSeq, s"$q")
+      assert(sorted.map(_._3).toSeq.reverse.sorted.reverse ==
+        sorted.map(_._3).toSeq, s"$q scores not non-increasing")
+      assert(rows.length <= Search.HnK)
+    }
+    // hard means HARD: a mined negative shares query terms with the
+    // positive by construction (n_terms >= 1) — the lexical confusable
+    // a random negative would not be
+    val nt = SparkEntry.queries("mine_hardneg")(spark, sfDir).collect()
+      .map(_.getAs[Long]("n_terms"))
+    assert(nt.forall(_ >= 1L))
+  }
+
   test("data_card_kanon: small cells fold per lang, totals stay exact") {
     import operators.TextAnalysis
     val card = SparkEntry.queries("data_card")(spark, sfDir).collect()
