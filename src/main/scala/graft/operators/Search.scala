@@ -350,11 +350,16 @@ object Search {
     * handful of hard negatives per positive). */
   val HnK = 5
 
-  /** Query terms per query doc: its 4 lexicographically-first distinct
-    * tokens — a deterministic, engine-portable surrogate for "the
-    * query this document answers" (first-occurrence order is not
-    * guaranteed stable under DuckDB's list_distinct, sorted order is
-    * under both engines). */
+  /** Query terms per query doc: its 4 RAREST distinct tokens (by
+    * corpus df, ties lexicographic) — the classic distinctive-term
+    * query derivation, and the fan-out bound: a rare term appears in
+    * few docs AND few other queries, so the contribution→query join
+    * stays skinny. The first cut of this op took the 4
+    * lexicographically-first tokens instead; on a Zipfian vocabulary
+    * those are exactly the HOT terms, every query shared them, and the
+    * fan-out join blew up ~18× at sf1 — rare-term selection is the
+    * same impact-pruning insight WAND-style engines apply at serving
+    * time, moved to query derivation. */
   val HnQueryTerms = 4
 
   /** Hard-negative mining — the retrieval-training data step (the DPR
@@ -382,12 +387,11 @@ object Search {
       graft.functions.TextFns.tokens(col("text")).as("toks"))
     val stats = toks.agg(count(lit(1)).as("n"),
       sum(size(col("toks")).cast("long")).as("t"))
-    val qterms = toks.filter(col("doc_id") % 97 === 0)
+    val qcand = toks.filter(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("q_id"),
-        explode(slice(array_sort(array_distinct(col("toks"))),
-          1, HnQueryTerms)).as("token"))
+        explode(array_distinct(col("toks"))).as("token"))
       .filter(length(col("token")) > 0)
-    val needed = qterms.select(col("token")).distinct()
+    val needed = qcand.select(col("token")).distinct()
     val tf = toks.select(col("doc_id"),
         size(col("toks")).cast("long").as("dl"),
         explode(col("toks")).as("token"))
@@ -395,6 +399,14 @@ object Search {
       .groupBy(col("doc_id"), col("dl"), col("token"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // rarest-first query terms: rank every candidate by corpus df
+    // through the bounded per-query heap, keep HnQueryTerms
+    val qterms = graft.plans.TopK.perKey(
+        qcand.join(broadcast(df), Seq("token")),
+        Seq("q_id"),
+        Seq("df" -> graft.plans.TopK.Asc,
+          "token" -> graft.plans.TopK.Asc), HnQueryTerms)
+      .select(col("q_id"), col("token"))
     val perQuery = contribs(tf, df, stats)
       .join(broadcast(qterms), Seq("token"))
       .groupBy(col("q_id"), col("doc_id"))
@@ -419,20 +431,25 @@ object Search {
       dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
       stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
                        CAST(SUM(dl) AS BIGINT) AS t FROM dl),
-      q AS (
+      qc AS (
         SELECT doc_id AS q_id, u.tok AS token
-        FROM (SELECT doc_id,
-                list_slice(list_sort(list_distinct(toks)), 1, $HnQueryTerms)
-                  AS qt
-              FROM d WHERE doc_id % 97 = 0), UNNEST(qt) AS u(tok)
+        FROM (SELECT doc_id, list_distinct(toks) AS dt
+              FROM d WHERE doc_id % 97 = 0), UNNEST(dt) AS u(tok)
         WHERE length(u.tok) > 0),
       tok AS (
         SELECT doc_id, u.tok AS token
         FROM d, UNNEST(toks) AS u(tok)
-        WHERE u.tok IN (SELECT DISTINCT token FROM q)),
+        WHERE u.tok IN (SELECT DISTINCT token FROM qc)),
       tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
              FROM tok GROUP BY 1, 2),
       df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      q AS (
+        SELECT q_id, token FROM (
+          SELECT qc.q_id, qc.token,
+            ROW_NUMBER() OVER (PARTITION BY qc.q_id
+              ORDER BY df.df, qc.token) AS trk
+          FROM qc JOIN df USING (token))
+        WHERE trk <= $HnQueryTerms),
       sc AS (
         SELECT tf.doc_id, tf.token,
           CAST((CAST(CAST(length(bin(((2*n + 2) * $IdfScale) // (2*df + 1)))
