@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale shapes. Fit is the bounded driver one-off shared with ann_ivf
   * (Similarity.kmeansCentroids: ≤65536-row hash-ordered sample, k ∝ √n
-  * capped at 4096). Assignment ranks ONE nearest cell through the
-  * TopKPerKey heap on skinny (vec_id, cent_id, ccos) rows — the
-  * dedup_semantic move. The prune QUANTILE is the part naive
+  * capped at 4096). Assignment is ONE narrow per-row argmax fold
+  * ([[assignFold]] — no join, no ×k row materialization; the shape
+  * stream_cluster proved bit-identical to the join+TopK ranking,
+  * including ties, before the batch path adopted it). The prune
+  * QUANTILE is the part naive
   * implementations get wrong at 100 TB: a per-cluster rank needs
   * `row_number().over(partitionBy(cluster))`, which buffers an entire
   * cluster's rows in ONE window task (a degenerate corpus makes one
@@ -52,23 +54,42 @@ object Cluster {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
 
-  /** Nearest-centroid assignment: (vec_id, cluster, ccos), ties to the
-    * smaller centroid id — identical semantics to dedup_semantic's
-    * assignment and the streaming twin's frozen-model gate. */
-  private[graft] def assign(e: DataFrame,
+  /** The nearest-centroid argmax as ONE narrow per-row fold — appends
+    * (cluster, ccos) to the incoming frame with NO join, no TopK
+    * exchange and no n·k row materialization: `array_max` over
+    * `struct(ccos, -id)` carries the exact tie rule (ties to the
+    * SMALLER centroid id). Shared VERBATIM by the batch assignment
+    * ([[assign]], dedup_semantic) and the streaming gates
+    * (stream_cluster / stream_prune), which makes their row-for-row
+    * equality structural rather than spec-incidental. The centroid
+    * literal is bounded by [[Similarity.KmeansMaxK]] = 4096 × dim
+    * floats (~1 MB worst case in the plan); an index past literal
+    * size is the AnnServe broadcast-handle territory. Incoming
+    * columns ride through so the fold composes at ingest.
+    */
+  private[graft] def assignFold(df: DataFrame,
       cents: Array[(Int, Array[Float])]): DataFrame = {
-    graft.plans.GraftFunctions.register(e.sparkSession)
-    val centDf = broadcast(
-      e.sparkSession.createDataFrame(cents.toSeq).toDF("cent_id", "cent_emb"))
-    val cells = e.join(centDf)
-      .withColumn("ccos", expr("graft_cosine(embedding, cent_emb)"))
-      .select(col("vec_id"), col("cent_id"), col("ccos"))
-    graft.plans.TopK.perKey(cells, Seq("vec_id"),
-        Seq("ccos" -> graft.plans.TopK.Desc,
-          "cent_id" -> graft.plans.TopK.Asc), 1, "crk")
-      .select(col("vec_id"), col("cent_id").cast("long").as("cluster"),
-        col("ccos"))
+    require(cents.nonEmpty && cents.length <= Similarity.KmeansMaxK,
+      s"centroid set must hold 1..${Similarity.KmeansMaxK}")
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    df.withColumn("__cents", typedLit(cents.toSeq))
+      .withColumn("__best", expr(
+        "array_max(transform(__cents, c -> " +
+          "struct(graft_cosine(embedding, c._2) AS ccos, -c._1 AS nid)))"))
+      .withColumn("cluster", (-col("__best.nid")).cast("long"))
+      .withColumn("ccos", col("__best.ccos"))
+      .drop("__cents", "__best")
   }
+
+  /** Nearest-centroid assignment: (vec_id, cluster, ccos), ties to the
+    * smaller centroid id — the [[assignFold]] narrow fold projected to
+    * the assignment triple (identical semantics to dedup_semantic's
+    * assignment and the streaming twin's frozen-model gate, now by
+    * shared code rather than parallel implementations). */
+  private[graft] def assign(e: DataFrame,
+      cents: Array[(Int, Array[Float])]): DataFrame =
+    assignFold(e, cents)
+      .select(col("vec_id"), col("cluster"), col("ccos"))
 
   // ---- embed_cluster: per-cluster population + coherence stats ----
 

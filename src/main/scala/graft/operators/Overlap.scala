@@ -103,7 +103,11 @@ object Overlap {
   }
 
   private[graft] def overlapSketch(d: DataFrame): DataFrame = {
-    val sk = vocabSketches(d)
+    // materialized once (s rows, one KB-scale sketch per source) so the
+    // self-join's two sides read the checkpointed blocks — without this
+    // the full corpus scan + sketch aggregation would execute twice,
+    // once per join side (overlapExact checkpoints for the same reason)
+    val sk = vocabSketches(d).localCheckpoint()
     broadcast(sk.as("a"))
       .join(sk.as("b"), col("a.source") < col("b.source"))
       .select(

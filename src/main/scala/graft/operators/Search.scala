@@ -54,10 +54,14 @@ object Search {
     * grouping, exposed because the contribution depends only on the
     * (doc, token) pair and the corpus globals: a multi-query consumer
     * (mine_hardneg) computes it ONCE and fans it out to queries by a
-    * token join, instead of re-scoring per query. */
-  private[graft] def contribs(tf: DataFrame, df: DataFrame,
+    * token join, instead of re-scoring per query. `dfSide` arrives
+    * PRE-WRAPPED by the caller — `broadcast(df)` when the term set is
+    * bounded by a standing query ([[scoreTf]]), the counted broadcast
+    * guard when it grows with the corpus ([[hardNegatives]]) — so the
+    * join strategy decision lives where the cardinality is known. */
+  private[graft] def contribs(tf: DataFrame, dfSide: DataFrame,
       stats: DataFrame): DataFrame =
-    tf.join(broadcast(df), Seq("token"))
+    tf.join(dfSide, Seq("token"))
       .crossJoin(broadcast(stats))
       .withColumn("idf_bits",
         (length(bin(expr(s"((2*n + 2) * $IdfScale) DIV (2*df + 1)")))
@@ -70,7 +74,7 @@ object Search {
 
   private[graft] def scoreTf(tf: DataFrame, df: DataFrame,
       stats: DataFrame): DataFrame =
-    contribs(tf, df, stats)
+    contribs(tf, broadcast(df), stats) // df ≤ |standing query| rows
       .groupBy(col("doc_id"))
       .agg(sum(col("contrib")).as("score"), count(lit(1)).as("n_terms"))
 
@@ -375,40 +379,113 @@ object Search {
     * contribution depends only on the doc and the corpus globals, so
     * it is computed ONCE over the union of all query terms ([[
     * contribs]], the single corpus-sized pass — the explode is
-    * term-filtered by a broadcast semi-join before anything shuffles)
-    * and then FANNED OUT to queries by one broadcast token join —
+    * term-filtered by a semi-join before anything shuffles)
+    * and then FANNED OUT to queries by one token join —
     * scoring Q queries costs one corpus pass + skinny fan-out, not Q
     * passes. Per-query top-k runs through the TopKPerKey bounded heap;
     * no global sort, no per-query window over the corpus. All-integer
     * scoring (search_bm25's decimal(38) kernel) → full DuckDB oracle.
+    *
+    * Unlike search_bm25's standing-query frames, the three mining-side
+    * frames all GROW with the corpus — `needed` (the query slice's
+    * distinct vocabulary), `df` (per-term doc frequencies over that
+    * vocabulary) and `qterms` ([[HnQueryTerms]] × n/97 query rows) —
+    * so each rides the COUNTED broadcast guard (the dedup_span /
+    * contam_minhash discipline): materialized once via lazy
+    * localCheckpoint, broadcast only while the MEASURED count fits
+    * `broadcastMaxRows`, forced to a shuffled hash join above it.
+    * Semantics and hashes are identical on either branch; at the
+    * brief's 100 TB the slice's vocabulary is ~10⁸ tokens and qterms
+    * ~10⁹ rows — an unconditional broadcast would be a
+    * driver/executor OOM.
+    *
+    * The op splits into DERIVATION ([[deriveQueryTerms]] — the
+    * rarest-first query-term table) and SCORING ([[hardNegativesWith]]
+    * — one corpus pass against a GIVEN query-term table), because the
+    * production contract is exactly that split: queries are a FIXED
+    * set derived once (and persisted via [[graft.sources
+    * .BenchmarkStore]]), while mining re-runs per corpus snapshot and
+    * is LINEAR in pool rows. The split also shrinks the scoring
+    * shuffle: tf rows carry only the ≤ [[HnQueryTerms]]·Q final terms
+    * instead of the query slice's entire vocabulary.
     */
-  private[graft] def hardNegatives(d: DataFrame): DataFrame = {
+  private[graft] def hardNegatives(d: DataFrame,
+      broadcastMaxRows: Long = Dedup.SpanBroadcastMaxRows): DataFrame =
+    hardNegativesWith(d, deriveQueryTerms(d, broadcastMaxRows),
+      broadcastMaxRows)
+
+  /** Counted broadcast guard (see [[hardNegatives]] scaladoc): small →
+    * broadcast, measured-large → shuffled hash; the count reads the
+    * checkpointed blocks the join then reuses, so no stage runs
+    * twice. Returns (materialized frame, guarded join side) so a
+    * caller can derive further frames from the SAME blocks. */
+  private def guarded(f: DataFrame,
+      broadcastMaxRows: Long): (DataFrame, DataFrame) = {
+    val m = f.localCheckpoint(eager = false)
+    val side =
+      if (m.count() <= broadcastMaxRows) broadcast(m)
+      else m.hint("shuffle_hash")
+    (m, side)
+  }
+
+  /** Rarest-first query-term derivation — (q_id, token), ≤
+    * [[HnQueryTerms]] rows per query from the doc_id%97 slice, each
+    * candidate ranked by corpus doc frequency through the bounded
+    * per-query heap. This is the once-per-benchmark offline half;
+    * [[graft.sources.BenchmarkStore.writeQueryTerms]] persists its
+    * output so production mining never re-derives it. */
+  private[graft] def deriveQueryTerms(d: DataFrame,
+      broadcastMaxRows: Long = Dedup.SpanBroadcastMaxRows): DataFrame = {
     val toks = d.select(col("doc_id"),
       graft.functions.TextFns.tokens(col("text")).as("toks"))
-    val stats = toks.agg(count(lit(1)).as("n"),
-      sum(size(col("toks")).cast("long")).as("t"))
     val qcand = toks.filter(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("q_id"),
         explode(array_distinct(col("toks"))).as("token"))
       .filter(length(col("token")) > 0)
-    val needed = qcand.select(col("token")).distinct()
-    val tf = toks.select(col("doc_id"),
-        size(col("toks")).cast("long").as("dl"),
-        explode(col("toks")).as("token"))
-      .join(broadcast(needed), Seq("token"))
-      .groupBy(col("doc_id"), col("dl"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    // rarest-first query terms: rank every candidate by corpus df
-    // through the bounded per-query heap, keep HnQueryTerms
-    val qterms = graft.plans.TopK.perKey(
-        qcand.join(broadcast(df), Seq("token")),
+    val (_, needed) =
+      guarded(qcand.select(col("token")).distinct(), broadcastMaxRows)
+    // corpus doc frequencies over the candidate vocabulary — ONE
+    // term-filtered distinct-token pass (df = docs containing token)
+    val (_, df) = guarded(
+      toks.select(col("doc_id"),
+          explode(array_distinct(col("toks"))).as("token"))
+        .join(needed, Seq("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("df")),
+      broadcastMaxRows)
+    graft.plans.TopK.perKey(
+        qcand.join(df, Seq("token")),
         Seq("q_id"),
         Seq("df" -> graft.plans.TopK.Asc,
           "token" -> graft.plans.TopK.Asc), HnQueryTerms)
       .select(col("q_id"), col("token"))
+  }
+
+  /** SCORING against a given query-term table: one corpus pass,
+    * term-filtered to the table's tokens before anything shuffles,
+    * contributions fanned out to queries by one guarded token join.
+    * Shared verbatim by the inline driver framing and the store-fed
+    * production mode, so store-fed == inline row-for-row is
+    * structural (the sink_lm / bm25From precedent). */
+  private[graft] def hardNegativesWith(d: DataFrame, qtermsIn: DataFrame,
+      broadcastMaxRows: Long = Dedup.SpanBroadcastMaxRows): DataFrame = {
+    val (qtM, qterms) = guarded(qtermsIn, broadcastMaxRows)
+    val (_, needed) =
+      guarded(qtM.select(col("token")).distinct(), broadcastMaxRows)
+    val toks = d.select(col("doc_id"),
+      graft.functions.TextFns.tokens(col("text")).as("toks"))
+    val stats = toks.agg(count(lit(1)).as("n"),
+      sum(size(col("toks")).cast("long")).as("t"))
+    val tf = toks.select(col("doc_id"),
+        size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("token"))
+      .join(needed, Seq("token"))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val (_, df) =
+      guarded(tf.groupBy(col("token")).agg(count(lit(1)).as("df")),
+        broadcastMaxRows)
     val perQuery = contribs(tf, df, stats)
-      .join(broadcast(qterms), Seq("token"))
+      .join(qterms, Seq("token"))
       .groupBy(col("q_id"), col("doc_id"))
       .agg(sum(col("contrib")).as("score"), count(lit(1)).as("n_terms"))
       .filter(col("doc_id") =!= col("q_id")) // the positive is not a negative

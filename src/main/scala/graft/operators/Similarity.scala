@@ -759,9 +759,9 @@ object Similarity {
   // membership — not a hash collision — is the candidate generator.
   //
   // Scale shape: centroids are the bounded driver one-off shared with
-  // ann_ivf (k ∝ √n capped, sampled Lloyd); assignment ranks ONE
-  // nearest cell through the TopKPerKey heap on skinny (vec_id,
-  // cent_id, ccos) rows; embeddings are gathered back once (the one
+  // ann_ivf (k ∝ √n capped, sampled Lloyd); assignment is the shared
+  // narrow argmax fold (Cluster.assignFold — no join, no ×k row
+  // materialization); embeddings are gathered back once (the one
   // embedding-carrying exchange); the within-cluster self-join is
   // bounded by sub-splitting oversized clusters on xxhash64(vec_id)
   // (the simhash adaptive-salt move) — expected cluster width is
@@ -777,20 +777,15 @@ object Similarity {
   private[graft] def semanticDedup(e: DataFrame, k: Int): DataFrame = {
     graft.plans.GraftFunctions.register(e.sparkSession)
     val cents = kmeansCentroids(e, k, KmeansIters)
-    val centDf = broadcast(
-      e.sparkSession.createDataFrame(cents.toSeq).toDF("cent_id", "cent_emb"))
-    val cells = e.join(centDf)
-      .withColumn("ccos", expr("graft_cosine(embedding, cent_emb)"))
-      .select(col("vec_id"), col("cent_id"), col("ccos"))
     // skinny (vec_id, cluster) rows, consumed by BOTH the pair path and
-    // the final output join — checkpointed so the ×k assignment explode
-    // above it runs once, not once per consumer (the dedup_minhash
+    // the final output join — checkpointed so the assignment scan above
+    // it runs once, not once per consumer (the dedup_minhash
     // shared-frame lesson: repartition would also re-run it, and carry
-    // whatever columns pruning can't push below the exchange)
-    val assigned = graft.plans.TopK.perKey(cells, Seq("vec_id"),
-        Seq("ccos" -> graft.plans.TopK.Desc, "cent_id" -> graft.plans.TopK.Asc),
-        1, "crk")
-      .select(col("vec_id"), col("cent_id").as("cluster"))
+    // whatever columns pruning can't push below the exchange).
+    // Assignment itself is the shared narrow argmax fold
+    // (Cluster.assignFold) — no join, no ×k row materialization.
+    val assigned = Cluster.assign(e, cents)
+      .select(col("vec_id"), col("cluster"))
       .localCheckpoint()
     // sub-split oversized clusters so the self-join never goes O(n²):
     // populations via a SKINNY groupBy aggregate (map-side partial

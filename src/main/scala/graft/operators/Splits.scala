@@ -268,29 +268,45 @@ object Splits {
     * (doc_id, band) longs only). Rows-only: the minhash kernel is not
     * portable SQL.
     */
-  private[graft] def contamMinhash(d: DataFrame): DataFrame = {
-    // signatures materialized ONCE (lazy; the eval-band guard count
-    // below runs the job): the benchmark side and the pool side both
-    // read the skinny blocks instead of each re-running the minhash
-    // kernel over the full corpus
-    val sig = Dedup.minhashSigs(d.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), col("bands"))
-      .localCheckpoint(eager = false)
-    val bands = sig.select(col("doc_id"), explode(col("bands")).as("band_val"))
-    val evalBands = bands.filter(col("doc_id") % 97 === 0)
-      .select(col("band_val")).distinct()
+  /** The band-probe kernel shared by the inline driver framing and
+    * the store-fed production mode ([[graft.sources.BenchmarkStore
+    * .contamMinhashFrom]]): pool band rows (doc_id, band_val) probed
+    * against the benchmark's DISTINCT band set under the counted
+    * broadcast guard. Keeping the kernel single-sourced is what makes
+    * the store-fed == inline row-for-row spec structural. */
+  private[graft] def contamMinhashProbe(poolBands: DataFrame,
+      evalBands: DataFrame): DataFrame = {
+    val marked = evalBands.select(col("band_val")).distinct()
       .withColumn("hit", lit(true))
       .localCheckpoint(eager = false)
     val evalSide =
-      if (evalBands.count() <= Dedup.SpanBroadcastMaxRows)
-        broadcast(evalBands)
-      else evalBands.hint("shuffle_hash")
-    bands.filter(col("doc_id") % 97 =!= 0)
+      if (marked.count() <= Dedup.SpanBroadcastMaxRows)
+        broadcast(marked)
+      else marked.hint("shuffle_hash")
+    poolBands
       .join(evalSide, Seq("band_val"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bands"),
         sum(when(col("hit"), 1L).otherwise(0L)).as("n_hit_bands"))
       .withColumn("contaminated", (col("n_hit_bands") >= 1L).cast("long"))
+  }
+
+  /** Per-doc exploded band rows — the probe kernel's pool-side input,
+    * shared with the store writer so persisted benchmark bands use
+    * the exact signature scheme the probe hashes with. */
+  private[graft] def bandRows(d: DataFrame): DataFrame =
+    Dedup.minhashSigs(d.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(col("bands")).as("band_val"))
+
+  private[graft] def contamMinhash(d: DataFrame): DataFrame = {
+    // signatures materialized ONCE (lazy; the eval-band guard count
+    // inside the probe runs the job): the benchmark side and the pool
+    // side both read the skinny blocks instead of each re-running the
+    // minhash kernel over the full corpus
+    val bands = bandRows(d).localCheckpoint(eager = false)
+    contamMinhashProbe(
+      bands.filter(col("doc_id") % 97 =!= 0),
+      bands.filter(col("doc_id") % 97 === 0))
   }
 
   private val opContamMinhash = Op(
@@ -345,25 +361,46 @@ object Splits {
     * asymmetry, stated here so nobody reads the synthetic ratio as the
     * operator's scaling law.
     */
-  private[graft] def contamEmbed(e: DataFrame): DataFrame = {
-    val evalCodes = Similarity.int8Codes(
-        e.filter(col("vec_id") % 97 === 0))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Int](1)))
-      .toSeq
-    val pool = e.filter(col("vec_id") % 97 =!= 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+  /** Driver-collect the benchmark side's int8 codes with the bounded-
+    * collect guard BEFORE the collect: annServedWith's AnnIndexCap
+    * require would fire only after the rows are already on the driver
+    * — an oversized "benchmark" slice must fail the count check
+    * loudly, not OOM the driver first. Shared by the inline framing
+    * and [[graft.sources.BenchmarkStore]]'s code reader. */
+  private[graft] def boundedEvalCodes(
+      evalCodes: DataFrame): Seq[(Long, Seq[Int])] = {
+    val m = evalCodes.localCheckpoint(eager = false)
+    val evalRows = m.count()
+    require(evalRows > 0 && evalRows <= graft.streaming.Streams.AnnIndexCap,
+      s"benchmark side must hold 1..${graft.streaming.Streams.AnnIndexCap} " +
+        s"rows to serve as a driver-collected index, got $evalRows")
+    m.collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSeq
+  }
+
+  /** The serve kernel shared by the inline driver framing and the
+    * store-fed production mode ([[graft.sources.BenchmarkStore
+    * .contamEmbedFrom]]): pool embeddings scanned ONCE against the
+    * driver-bounded benchmark code index. */
+  private[graft] def contamEmbedServe(pool: DataFrame,
+      evalCodes: Seq[(Long, Seq[Int])]): DataFrame = {
     // the handle (broadcast + temp function) lives for the session —
     // the returned frame is lazy and may execute repeatedly (Bench
     // medians); annServedWith's per-call unique name keeps invocations
     // isolated
-    val (hits, _) =
-      graft.streaming.Streams.annServedWith(pool, evalCodes, k = 1)
+    val (hits, _) = graft.streaming.Streams.annServedWith(
+      pool.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      evalCodes, k = 1)
     hits.select(col("q_id").as("vec_id"),
         col("c_id").as("near_eval_id"), col("cos").as("max_cos"))
       .withColumn("contaminated",
         (col("max_cos") >= ContamEmbTau).cast("long"))
   }
+
+  private[graft] def contamEmbed(e: DataFrame): DataFrame =
+    contamEmbedServe(
+      e.filter(col("vec_id") % 97 =!= 0),
+      boundedEvalCodes(
+        Similarity.int8Codes(e.filter(col("vec_id") % 97 === 0))))
 
   private val opContamEmbed = Op(
     "contam_embed",

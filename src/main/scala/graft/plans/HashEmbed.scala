@@ -63,8 +63,9 @@ object HashEmbed {
       val t = toks.getUTF8String(i)
       if (t != null && t.numBytes() > 0) {
         val h = hashUtf8(t)
-        // bucket from the high bits, sign from the low bit — disjoint
-        // bit ranges so bucket and sign stay independent
+        // bucket from the bits ABOVE the sign bit ((h >>> 1) % Dim =
+        // bits 1..6 for Dim=64), sign from bit 0 — disjoint bit
+        // ranges so bucket and sign stay independent
         val b = ((h >>> 1) % Dim).toInt
         acc(b) += (if ((h & 1L) == 0L) 1.0 else -1.0)
       }

@@ -232,10 +232,13 @@ object Streams {
     * and the stream applies what assignment already is — a per-row
     * argmax over the centroid set, expressed as ONE narrow
     * array_max(transform(...)) fold so no join, no TopK exchange and
-    * no state store exist on the streaming side: append mode,
-    * assignments equal the batch path's row-for-row including the
-    * exact-tie rule (ties to the SMALLER centroid id, carried by
-    * maximizing struct(ccos, -id)). The centroid literal is bounded
+    * no state store exist on the streaming side: append mode, the
+    * SAME code as the batch path ([[graft.operators.Cluster
+    * .assignFold]] — the fold was proven bit-identical to the old
+    * join+TopK ranking here first, then the batch side adopted it),
+    * so row-for-row equality including the exact-tie rule (ties to
+    * the SMALLER centroid id, carried by maximizing struct(ccos,
+    * -id)) is structural. The centroid literal is bounded
     * by [[graft.operators.Similarity.KmeansMaxK]] = 4096 × dim floats
     * (~1 MB worst case in the plan); an index past literal size is
     * the AnnServe broadcast-handle territory. Staleness under drift
@@ -244,20 +247,8 @@ object Streams {
     * ingest).
     */
   def clusterAssigned(embs: DataFrame,
-      cents: Array[(Int, Array[Float])]): DataFrame = {
-    require(cents.nonEmpty &&
-      cents.length <= graft.operators.Similarity.KmeansMaxK,
-      s"centroid set must hold 1..${graft.operators.Similarity.KmeansMaxK}")
-    graft.plans.GraftFunctions.register(embs.sparkSession)
-    embs
-      .withColumn("__cents", typedLit(cents.toSeq))
-      .withColumn("__best", expr(
-        "array_max(transform(__cents, c -> " +
-          "struct(graft_cosine(embedding, c._2) AS ccos, -c._1 AS nid)))"))
-      .withColumn("cluster", (-col("__best.nid")).cast("long"))
-      .withColumn("ccos", col("__best.ccos"))
-      .drop("__cents", "__best")
-  }
+      cents: Array[(Int, Array[Float])]): DataFrame =
+    graft.operators.Cluster.assignFold(embs, cents)
 
   /** stream_prune — the [[clusterAssigned]] gate extended with FROZEN
     * per-cluster prune fences (batch twin: cluster_prune; fence
@@ -871,8 +862,14 @@ object Streams {
       baseline: Seq[(String, Array[Byte])]): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
     import graft.functions.TextFns
-    val baseMap = map(baseline.flatMap { case (s, b) =>
-      Seq(lit(s), lit(b)) }: _*)
+    // empty-baseline guard: map() with zero args types as
+    // map<string,string>, which would feed a STRING into
+    // graft_theta_inter_est (expects binary) and fail analysis — an
+    // empty baseline must instead read as all-novel via the coalesce
+    val baseCol =
+      if (baseline.isEmpty) lit(null).cast("binary")
+      else element_at(map(baseline.flatMap { case (s, b) =>
+        Seq(lit(s), lit(b)) }: _*), col("source"))
     docs
       .select(col("source"),
         explode(TextFns.tokens(col("text"))).as("token"))
@@ -880,13 +877,16 @@ object Streams {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_toks"),
         expr("graft_theta_agg(token)").as("sk"))
-      .withColumn("base_sk", element_at(baseMap, col("source")))
+      .withColumn("base_sk", baseCol)
       .select(col("source"), col("n_toks"),
         round(expr("graft_theta_est(sk)"), 2).as("vocab_est"),
         coalesce(round(expr("graft_theta_inter_est(sk, base_sk)"), 2),
           lit(0.0)).as("known_est"))
+      // the two estimates are independent theta reads, so estimate
+      // noise can push known_est a hair past vocab_est — clamp instead
+      // of emitting a (slightly) negative novelty count
       .withColumn("novel_est",
-        round(col("vocab_est") - col("known_est"), 2))
+        round(greatest(lit(0.0), col("vocab_est") - col("known_est")), 2))
   }
 
   case class DsirGateOut(doc_id: Long, n_toks: Long, llr_bits: Long,

@@ -2360,6 +2360,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(nt.forall(_ >= 1L))
   }
 
+  test("mine_hardneg: corpus-growing mining frames ride the counted broadcast guard") {
+    import operators.Search
+    graft.plans.GraftFunctions.register(spark)
+    // queries are the %97 slice (docs 0, 97, 194); the rest are pool
+    // docs sharing their terms, so every query mines real negatives
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),
+      (97L, "epsilon zeta eta theta"),
+      (194L, "iota kappa lambda mu"),
+      (1L, "alpha beta gamma nu"),
+      (2L, "epsilon zeta eta xi"),
+      (3L, "iota kappa lambda omicron"),
+      (4L, "alpha epsilon iota pi"),
+      (5L, "beta zeta kappa rho")
+    ).toDF("doc_id", "text")
+    // default bound: the KB-scale frames pass the measured count →
+    // broadcast fan-out joins
+    val small = Search.hardNegatives(docs)
+    val smallPlan = small.queryExecution.executedPlan.toString
+    assert(smallPlan.contains("BroadcastHashJoin"), smallPlan)
+    // bound forced to 0: every mining frame counts as oversized — the
+    // token joins must NOT pin the query slice's vocabulary / dfs /
+    // qterms via a broadcast (at the brief's 100 TB those are ~1e8
+    // tokens and ~1e9 rows; an unconditional broadcast OOMs)
+    val guarded = Search.hardNegatives(docs, broadcastMaxRows = 0L)
+    val guardedPlan = guarded.queryExecution.executedPlan.toString
+    assert(!guardedPlan.contains("BroadcastHashJoin"),
+      s"mining frames above the bound must shuffle-join, not broadcast:\n$guardedPlan")
+    // the guard changes join strategy only — results are identical
+    def key(r: org.apache.spark.sql.Row) = r.toString
+    assert(guarded.collect().map(key).sorted.toSeq ==
+      small.collect().map(key).sorted.toSeq,
+      "guarded plan changed results")
+  }
+
   test("data_card_kanon: small cells fold per lang, totals stay exact") {
     import operators.TextAnalysis
     val card = SparkEntry.queries("data_card")(spark, sfDir).collect()

@@ -2373,6 +2373,87 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream_join restart: buffered join state survives the kill, pair set still equals batch") {
+    // The last streaming state archetype without a kill/resume proof
+    // (VERDICT r15 #2): Spark's SYMMETRIC stream-stream join state.
+    // Kill the query mid-timeline — first-half views whose purchases
+    // have not arrived yet live ONLY in the checkpointed join state —
+    // then resume and feed the rest: every cross-restart pair (2nd-half
+    // purchase × 1st-half view) can exist only if the buffered views
+    // came back, and the full streamed pair set must equal the batch
+    // interval join with no duplicates (exactly-once across restart).
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft-sj-restart")
+    val ckpt = base.resolve("ckpt").toString
+    val out = base.resolve("out").toString
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("ts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    // a memory sink refuses checkpoint recovery — the restart rides
+    // the parquet file sink, whose commit log is itself exactly-once
+    // across restarts (the stream_file_source convention)
+    def start() = {
+      val df = in.toDF().toDF("event_id", "ts", "user_id", "event_type",
+        "value")
+      Streams.intervalJoined(
+          df.filter(col("event_type") === "view"),
+          df.filter(col("event_type") === "purchase"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+    }
+    // ground truth: the same interval condition joined in batch
+    val views = ev.filter(_._4 == "view")
+    val purch = ev.filter(_._4 == "purchase")
+    def pairsOf(ps: Array[(Long, java.sql.Timestamp, Long, String, Double)],
+        vs: Array[(Long, java.sql.Timestamp, Long, String, Double)]) =
+      (for {
+        (pid, pts, pu, _, _) <- ps
+        (vid, vts, vu, _, _) <- vs
+        if vu == pu && !vts.after(pts) &&
+          pts.getTime - vts.getTime <= 3600L * 1000
+      } yield (pid, vid)).toSet
+    val expected = pairsOf(purch, views)
+    // split deliberately AT a purchase whose matching view is earlier
+    // in the feed order (nearest such purchase to the midpoint): the
+    // view is then buffered UNMATCHED in join state at the kill, so
+    // the cross-restart pair exists iff the state came back
+    val idxOf = ev.zipWithIndex.map { case (e, i) => e._1 -> i }.toMap
+    val splitCands = expected.toSeq
+      .filter { case (pid, vid) => idxOf(vid) < idxOf(pid) }
+      .map { case (pid, _) => idxOf(pid) }
+    assert(splitCands.nonEmpty, "fixture has no pair spanning any split")
+    val cut = splitCands.minBy(i => math.abs(i - ev.length / 2))
+    val (firstHalf, secondHalf) = ev.splitAt(cut)
+    val q1 = start()
+    in.addData(firstHalf.toIndexedSeq: _*)
+    q1.processAllAvailable()
+    q1.stop() // unmatched first-half views now live only in join state
+    val q2 = start()
+    in.addData(secondHalf.toIndexedSeq: _*)
+    q2.processAllAvailable()
+    q2.stop()
+    val emitted = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("v_id")))
+    val streamed = emitted.toSet
+    // the fixture must actually exercise recovery: some pair must span
+    // the restart (2nd-half purchase matching a 1st-half view)
+    val cross = pairsOf(secondHalf.filter(_._4 == "purchase"),
+      firstHalf.filter(_._4 == "view"))
+    assert(cross.nonEmpty, "fixture has no cross-restart pairs")
+    assert(emitted.length == streamed.size,
+      s"restart duplicated ${emitted.length - streamed.size} pairs")
+    assert(cross.subsetOf(streamed),
+      s"${(cross -- streamed).size} cross-restart pairs lost — join " +
+        "state did not recover")
+    assert(streamed == expected,
+      s"streamed ${streamed.size} pairs != batch ${expected.size}")
+  }
+
   test("ingest tick restart: a replayed batch reloads its durable decision instead of re-gating") {
     // The fourth restart archetype (VERDICT r13 #5): the foreachBatch
     // firewall tick mutates an EXTERNAL store. The poisoned window is
