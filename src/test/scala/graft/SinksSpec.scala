@@ -758,6 +758,20 @@ class SinksSpec extends SparkSpec {
     assert(marker(ds) == sources.DsirStore.FormatVersion.toString)
     assert(sources.DsirStore.readVocab(spark, ds).count() > 0)
 
+    // benchmark bundle
+    val bm = base.resolve("bm").toString
+    sources.BenchmarkStore.writeBands(docs, bm)
+    assert(marker(bm) == sources.BenchmarkStore.FormatVersion.toString)
+    stamp(bm, "0")
+    refusal("benchmark bands")(
+      sources.BenchmarkStore.contamMinhashFrom(docs, bm))
+    refusal("benchmark codes")(
+      sources.BenchmarkStore.contamEmbedFrom(embs, bm))
+    refusal("benchmark qterms")(
+      sources.BenchmarkStore.hardNegativesFrom(docs, bm))
+    sources.BenchmarkStore.writeBands(docs, bm) // rebuild bumps
+    assert(marker(bm) == sources.BenchmarkStore.FormatVersion.toString)
+
     // bootstrap contract unchanged: a store root that does not exist
     // passes every reader's check (nothing is historical yet)
     assert(sources.Fingerprints.readPhashBandsOrEmpty(spark,
@@ -908,6 +922,58 @@ class SinksSpec extends SparkSpec {
       "compacted bundle diverged on BM25")
     assert(rows(sources.SearchIndex.readPostings(spark, grown)) == wantIdx,
       "compacted bundle diverged on postings")
+  }
+
+  test("sink_benchmark: store-fed contamination/mining == inline framing; frozen store gates later pools") {
+    // The fixed-benchmark contract as a code path (VERDICT r15 #4):
+    // the inline ops derive the benchmark/query side from the
+    // corpus's own %97 slice; production freezes that side once and
+    // probes every later snapshot against it. Same kernels on both
+    // paths, so equality is row-for-row, not approximate.
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val d = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val store = Files.createTempDirectory("graft-bench")
+      .resolve("store").toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toList).toSet
+    // the expensive offline pass: persist the benchmark side ONCE,
+    // from the same slices the inline framing derives
+    sources.BenchmarkStore.writeBands(
+      d.filter(col("doc_id") % 97 === 0), store)
+    sources.BenchmarkStore.writeCodes(
+      e.filter(col("vec_id") % 97 === 0), store)
+    sources.BenchmarkStore.writeQueryTerms(d, store)
+    // store-fed flags == inline, row-for-row (the sink_lm shape)
+    assert(rows(sources.BenchmarkStore.contamMinhashFrom(
+        d.filter(col("doc_id") % 97 =!= 0), store)) ==
+      rows(operators.Splits.contamMinhash(d)),
+      "store-fed contam_minhash diverged from inline")
+    assert(rows(sources.BenchmarkStore.contamEmbedFrom(
+        e.filter(col("vec_id") % 97 =!= 0), store)) ==
+      rows(operators.Splits.contamEmbed(e)),
+      "store-fed contam_embed diverged from inline")
+    assert(rows(sources.BenchmarkStore.hardNegativesFrom(d, store)) ==
+      rows(operators.Search.hardNegatives(d)),
+      "store-fed mine_hardneg diverged from inline")
+    // probe-forever: a LATER pool snapshot — docs that did not exist
+    // at write time — gates against the frozen store (this is the
+    // linear-in-pool production shape the op scaladocs claim)
+    val benchText = d.filter(col("doc_id") === 0L).head.getString(1)
+    val later = Seq(
+      (9999L, benchText), // a benchmark copy arriving after the freeze
+      (9998L, "a genuinely new molecule of text that shares no " +
+        "shingles with the synthetic corpus and is long enough to " +
+        "carry a full minhash signature of its own")
+    ).toDF("doc_id", "text")
+    val flags = sources.BenchmarkStore.contamMinhashFrom(later, store)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("contaminated")).toMap
+    assert(flags(9999L) == 1L, "frozen store missed a benchmark copy")
+    assert(flags(9998L) == 0L, "frozen store flagged a novel doc")
   }
 
   test("q22_approx_sketch: sketches land within declared error of exact") {
