@@ -2278,6 +2278,17 @@ class StreamingSpec extends SparkSpec {
       s3.get._2._4 == s3.get._2._2, s"$s3")
     assert(streamed.exists { case (s, (_, _, known, _)) =>
       s != "src3" && known > 0.0 })
+    // EMPTY baseline (the bootstrap tick before any corpus exists):
+    // must analyze — a zero-arg map() literal would type the baseline
+    // column map<string,string> and fail graft_theta_inter_est — and
+    // read every source as all-novel (ADVICE r15)
+    val boot = Streams.noveltyProfiled(
+        arriving.toDF("doc_id", "text", "source"), Seq.empty)
+      .collect().map(key).toMap
+    assert(boot.keySet == batch.keySet)
+    boot.foreach { case (s, (_, vocab, known, novel)) =>
+      assert(known == 0.0 && novel == vocab, s"$s not all-novel: $boot")
+    }
   }
 
   test("stream_novelty restart: recovered theta state keeps pre-restart vocabulary") {
