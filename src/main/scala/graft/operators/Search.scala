@@ -408,11 +408,67 @@ object Search {
     * is LINEAR in pool rows. The split also shrinks the scoring
     * shuffle: tf rows carry only the ≤ [[HnQueryTerms]]·Q final terms
     * instead of the query slice's entire vocabulary.
+    *
+    * The INLINE framing below (derive-and-score in one run — the
+    * driver query) does NOT simply compose the two halves: each half
+    * owns a corpus-sized token explode, so the composition executes
+    * that explode twice (measured 2× wall at sf1). Instead it builds
+    * the candidate-vocabulary tf frame ONCE, materialized
+    * (localCheckpoint — the same row volume the scoring shuffle
+    * writes anyway), and derives BOTH the df ranking and the
+    * final-term tf from those blocks — restoring the one-pass shape
+    * the pre-split op had via exchange reuse, which the guard's count
+    * actions would otherwise break. Store-fed production mining
+    * ([[graft.sources.BenchmarkStore.hardNegativesFrom]]) never
+    * builds the candidate-vocab frame at all: its single pass
+    * term-filters straight to the persisted query terms.
     */
   private[graft] def hardNegatives(d: DataFrame,
-      broadcastMaxRows: Long = Dedup.SpanBroadcastMaxRows): DataFrame =
-    hardNegativesWith(d, deriveQueryTerms(d, broadcastMaxRows),
+      broadcastMaxRows: Long = Dedup.SpanBroadcastMaxRows): DataFrame = {
+    val toks = d.select(col("doc_id"),
+      graft.functions.TextFns.tokens(col("text")).as("toks"))
+    val stats = toks.agg(count(lit(1)).as("n"),
+      sum(size(col("toks")).cast("long")).as("t"))
+    val qcand = toks.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(col("toks"))).as("token"))
+      .filter(length(col("token")) > 0)
+    val (_, needed) =
+      guarded(qcand.select(col("token")).distinct(), broadcastMaxRows)
+    // the ONE corpus explode, over the candidate vocabulary; df
+    // ranking and final-term tf both read these blocks
+    val tfAll = toks.select(col("doc_id"),
+        size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("token"))
+      .join(needed, Seq("token"))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
+    val (_, df) =
+      guarded(tfAll.groupBy(col("token")).agg(count(lit(1)).as("df")),
+        broadcastMaxRows)
+    val (qtM, qterms) = guarded(
+      graft.plans.TopK.perKey(
+          qcand.join(df, Seq("token")),
+          Seq("q_id"),
+          Seq("df" -> graft.plans.TopK.Asc,
+            "token" -> graft.plans.TopK.Asc), HnQueryTerms)
+        .select(col("q_id"), col("token")),
       broadcastMaxRows)
+    val (_, finalTerms) =
+      guarded(qtM.select(col("token")).distinct(), broadcastMaxRows)
+    val perQuery =
+      contribs(tfAll.join(finalTerms, Seq("token")), df, stats)
+        .join(qterms, Seq("token"))
+        .groupBy(col("q_id"), col("doc_id"))
+        .agg(sum(col("contrib")).as("score"), count(lit(1)).as("n_terms"))
+        .filter(col("doc_id") =!= col("q_id")) // the positive is not a negative
+    graft.plans.TopK.perKey(perQuery, Seq("q_id"),
+        Seq("score" -> graft.plans.TopK.Desc,
+          "doc_id" -> graft.plans.TopK.Asc), HnK)
+      .select(col("q_id"), col("doc_id").as("neg_id"), col("score"),
+        col("n_terms"), col("rk"))
+  }
 
   /** Counted broadcast guard (see [[hardNegatives]] scaladoc): small →
     * broadcast, measured-large → shuffled hash; the count reads the
@@ -463,9 +519,12 @@ object Search {
   /** SCORING against a given query-term table: one corpus pass,
     * term-filtered to the table's tokens before anything shuffles,
     * contributions fanned out to queries by one guarded token join.
-    * Shared verbatim by the inline driver framing and the store-fed
-    * production mode, so store-fed == inline row-for-row is
-    * structural (the sink_lm / bm25From precedent). */
+    * This is the store-fed production half ([[graft.sources
+    * .BenchmarkStore.hardNegativesFrom]]); the inline driver framing
+    * instead shares its candidate-vocab pass with derivation (see
+    * [[hardNegatives]]), and the store-fed == inline row-for-row spec
+    * holds across the two shapes (same integer kernel, same
+    * deterministic tie orders). */
   private[graft] def hardNegativesWith(d: DataFrame, qtermsIn: DataFrame,
       broadcastMaxRows: Long = Dedup.SpanBroadcastMaxRows): DataFrame = {
     val (qtM, qterms) = guarded(qtermsIn, broadcastMaxRows)
