@@ -941,8 +941,38 @@ object MapReduceDocs {
         END AS rouge2
       FROM rp LEFT JOIN agg USING (doc_id)"""))
 
+  // ---- score_edit: character-level Levenshtein distance ----
+  // The remaining classic lexical-similarity metric after EM/F1/BLEU/
+  // ROUGE: exact edit distance between prediction and reference
+  // (compute_scores.py's string-match family, char-level). Spark's
+  // built-in `levenshtein` is a codegen'd per-row DP kernel — a narrow
+  // projection over the pair scan, no shuffle at any corpus size (the
+  // O(|pred|·|gt|) per-row cost is bounded by the short reference
+  // side). sim_ppm is the normalized similarity in integer parts-per-
+  // million ((maxlen − d)·10⁶ div maxlen — the repo's exact-oracle
+  // convention; no float division).
+  private val opEdit = Op(
+    "score_edit",
+    (s, dir) => {
+      val maxlen = greatest(length(col("pred")), length(col("gt")), lit(1))
+      pairs(s, dir).select(
+        col("doc_id"),
+        levenshtein(col("pred"), col("gt")).cast("long").as("edit_dist"),
+        ((maxlen - least(levenshtein(col("pred"), col("gt")), maxlen))
+          .cast("long") * lit(1000000L))
+          .divide(maxlen.cast("long")).cast("long").as("sim_ppm"))
+    },
+    Some(pairsCte + """
+      SELECT doc_id,
+        CAST(levenshtein(pred, gt) AS BIGINT) AS edit_dist,
+        CAST((greatest(length(pred), length(gt), 1)
+              - least(levenshtein(pred, gt),
+                      greatest(length(pred), length(gt), 1))) * 1000000
+             // greatest(length(pred), length(gt), 1) AS BIGINT) AS sim_ppm
+      FROM pairs"""))
+
   val ops: Seq[Op] = Seq(opNormalize, opChunk, opChunkOverlap, opMap,
     opReduce, opPipeline, opE2e, opEmSubstr, opF1, opStats, opStatsSketch,
     opKv, opRatioSplit, opFoldReduce, opBleu, opHasAnswer, opRougeL,
-    opRouge1, opRouge2)
+    opRouge1, opRouge2, opEdit)
 }

@@ -408,7 +408,101 @@ object Splits {
       Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))),
     None)
 
+  // ---- mix_doremi: excess-loss domain reweighting ----
+
+  /** EG step size η and smoothing λ — DoReMi's two dials (Xie 2023
+    * §3: exponentiated-gradient rate; final weights smoothed toward
+    * the reference distribution so no domain collapses to zero). */
+  val DoremiEta = 1.0
+  val DoremiLambda = 0.5
+
+  /** DoReMi-style domain reweighting from a PROXY loss (Xie 2023,
+    * "Doremi: Optimizing data mixtures speeds up language model
+    * pretraining"): upweight domains whose proxy loss is above the
+    * mixture average — they carry signal the current mixture
+    * under-trains — and smooth toward the reference (token-share)
+    * weights. The published recipe alternates Group-DRO proxy
+    * training with EG weight updates; with a FIXED proxy (here: the
+    * corpus unigram LM's per-source cross-entropy, the same
+    * model-free proxy dsir/perplexity_filter use) the per-domain loss
+    * is static, the EG iteration telescopes, and the fixed point is
+    * the closed-form softmax materialized here — one reweighting
+    * step, honestly scoped: swapping in a trained proxy's per-domain
+    * losses upgrades it to full DoReMi without touching the shape.
+    *
+    * Shape: ONE corpus token explode into a per-(source, token) count
+    * aggregation (map-side combined, checkpointed — it is read for
+    * both the global unigram distribution and the per-source loss);
+    * everything downstream is vocabulary- or source-sized. The
+    * cross-entropy sum is float with a 6dp round (the §5 convention);
+    * weights exp/normalize over the vanishing per-source frame via
+    * 1-row broadcast totals — scale-free at any corpus size.
+    */
+  private[graft] def doremi(d: DataFrame): DataFrame = {
+    val st = d
+      .select(col("source"), explode(TextFns.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val global = st.groupBy(col("token")).agg(sum(col("cnt")).as("g"))
+    val tot = global.agg(sum(col("g")).as("n_total"))
+    // per-source unigram cross-entropy under the CORPUS distribution
+    val loss = st.join(global, Seq("token"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_toks"),
+        (sum(col("cnt") * -log(col("g").cast("double") / col("n_total")))
+          / sum(col("cnt"))).as("xent"))
+      .localCheckpoint()
+    val avg = loss.crossJoin(broadcast(
+        loss.agg(sum(col("n_toks")).as("nt"))))
+      .agg((sum(col("xent") * col("n_toks")) / first(col("nt"))).as("mean_xent"),
+        first(col("nt")).as("nt"))
+    val scored = loss.crossJoin(broadcast(avg))
+      .withColumn("base_w", col("n_toks").cast("double") / col("nt"))
+      .withColumn("raw",
+        col("base_w") * exp(lit(DoremiEta) * (col("xent") - col("mean_xent"))))
+    scored.crossJoin(broadcast(scored.agg(sum(col("raw")).as("z"))))
+      .select(col("source"), col("n_toks"),
+        round(col("xent"), 6).as("xent"),
+        round(col("base_w"), 6).as("base_w"),
+        round(lit(DoremiLambda) * col("raw") / col("z")
+          + lit(1.0 - DoremiLambda) * col("base_w"), 6).as("weight"))
+  }
+
+  private val opDoremi = Op(
+    "mix_doremi",
+    (s, dir) => doremi(docs(s, dir)),
+    Some(s"""
+      WITH st AS (
+        SELECT source, u.tok AS token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT source, string_split(text, ' ') AS toks FROM documents),
+          UNNEST(toks) AS u(tok)
+        WHERE length(u.tok) > 0
+        GROUP BY 1, 2),
+      g AS (SELECT token, CAST(SUM(cnt) AS BIGINT) AS g FROM st GROUP BY 1),
+      t AS (SELECT CAST(SUM(g) AS BIGINT) AS n_total FROM g),
+      loss AS (
+        SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_toks,
+          SUM(cnt * -ln(CAST(g AS DOUBLE) / n_total)) / SUM(cnt) AS xent
+        FROM st JOIN g USING (token), t GROUP BY source),
+      a AS (SELECT SUM(xent * n_toks) / SUM(n_toks) AS mean_xent,
+          CAST(SUM(n_toks) AS BIGINT) AS nt FROM loss),
+      sc AS (
+        SELECT source, n_toks, xent,
+          CAST(n_toks AS DOUBLE) / nt AS base_w,
+          CAST(n_toks AS DOUBLE) / nt
+            * exp($DoremiEta * (xent - mean_xent)) AS raw
+        FROM loss, a),
+      z AS (SELECT SUM(raw) AS z FROM sc)
+      SELECT source, n_toks, ROUND(xent, 6) AS xent,
+        ROUND(base_w, 6) AS base_w,
+        ROUND($DoremiLambda * raw / z + ${1.0 - DoremiLambda} * base_w, 6)
+          AS weight
+      FROM sc, z"""))
+
   def ops: Seq[Op] =
     Seq(opSplitSafe, opSplitLeakage, opEpochPlan, opUpsample,
-      opContamMinhash, opContamEmbed)
+      opContamMinhash, opContamEmbed, opDoremi)
 }

@@ -907,8 +907,67 @@ object TextAnalysis {
         CASE WHEN n_blocked = 0 THEN 1 ELSE 0 END AS keep
       FROM t"""))
 
+  // ---- code_detect: code-vs-prose heuristic classification ----
+  // The source-separation step every mixed web corpus needs before
+  // per-domain mixing (code is tokenized, deduped and weighted
+  // differently from prose — the StarCoder/The-Stack practice): a
+  // per-row feature probe, all features exact integers (ppm via DIV,
+  // no float), so the whole operator is one narrow codegen projection
+  // over the scan — no shuffle at any corpus size, full DuckDB oracle.
+  // Features are the published cheap signals: symbol density (code is
+  // punctuation-heavy), code punctuation ({};()=<>[]), indented lines
+  // (leading whitespace after a newline — layout prose lacks), and
+  // reserved-word hits. is_code is the disjunctive gate over them; on
+  // the synthetic prose corpus it reads 0 everywhere (the spec plants
+  // real code to drive the positive path).
+  // regexes shared verbatim by the Spark plan and the DuckDB oracle —
+  // char classes and \n/\t/\b escapes read identically under Java
+  // regex and RE2 (values hold backslash-escapes, interpolated into
+  // the SQL literal untouched: DuckDB does no escape processing in
+  // single-quoted strings)
+  private val CodeKwRe =
+    "\\b(def|class|return|import|function|var|const|void|int|for|while)\\b"
+  private val CodeSymRe = "[^a-z0-9 ]"
+  private val CodePunctRe = "[{}();=<>\\[\\]]"
+  private val CodeIndentRe = "\\n(  |\\t)"
+  private[graft] def codeDetect(d: DataFrame): DataFrame = {
+    val nChars = greatest(length(col("text")), lit(1)).cast("long")
+    val symPpm = (regexp_count(col("text"), lit(CodeSymRe))
+      .cast("long") * lit(1000000L)).divide(nChars).cast("long")
+    val punct = regexp_count(col("text"), lit(CodePunctRe)).cast("long")
+    val indent = regexp_count(col("text"), lit(CodeIndentRe)).cast("long")
+    val kw = regexp_count(col("text"), lit(CodeKwRe)).cast("long")
+    d.select(
+      col("doc_id"), nChars.as("n_chars"),
+      symPpm.as("sym_ppm"), punct.as("code_punct"),
+      indent.as("indent_lines"), kw.as("kw_hits"),
+      when(symPpm >= 30000L || (kw >= 2L && punct >= 2L) || indent >= 3L,
+        1L).otherwise(0L).as("is_code"))
+  }
+
+  private val opCodeDetect = Op(
+    "code_detect",
+    (s, dir) => codeDetect(docs(s, dir)),
+    Some(s"""
+      WITH f AS (
+        SELECT doc_id,
+          CAST(greatest(length(text), 1) AS BIGINT) AS n_chars,
+          CAST(len(regexp_extract_all(text, '$CodeSymRe')) * 1000000
+               // greatest(length(text), 1) AS BIGINT) AS sym_ppm,
+          CAST(len(regexp_extract_all(text, '$CodePunctRe')) AS BIGINT)
+            AS code_punct,
+          CAST(len(regexp_extract_all(text, '$CodeIndentRe')) AS BIGINT)
+            AS indent_lines,
+          CAST(len(regexp_extract_all(text, '$CodeKwRe')) AS BIGINT)
+            AS kw_hits
+        FROM documents)
+      SELECT doc_id, n_chars, sym_ppm, code_punct, indent_lines, kw_hits,
+        CAST(CASE WHEN sym_ppm >= 30000 OR (kw_hits >= 2 AND code_punct >= 2)
+                  OR indent_lines >= 3 THEN 1 ELSE 0 END AS BIGINT) AS is_code
+      FROM f"""))
+
   val ops: Seq[Op] = Seq(opLangId, opQuality, opTokenCount, opFingerprint,
     opRepetition, opPii, opVocab, opVocabSketch, opCompress, opFilter,
     opKeywords, opIndex,
-    opDataCard, opDataCardKanon, opGopher, opBlocklist)
+    opDataCard, opDataCardKanon, opGopher, opBlocklist, opCodeDetect)
 }

@@ -348,4 +348,25 @@ class MapReduceDocsSpec extends SparkSpec {
     assert(est.collect { case ("cpu", e) => e }.forall(_ == 1.0))
     assert(est.collect { case ("nfs", e) => e }.forall(_ == 10.0))
   }
+
+  test("score_edit: classic DP distances; ppm similarity exact-integer invariants") {
+    // the textbook fixtures, hand-checked: kitten→sitting = 3
+    // (2 substitutions + 1 insertion), saturday→sunday = 3,
+    // identity = 0, vs-empty = |s|
+    val k = Seq(("kitten", "sitting"), ("saturday", "sunday"),
+        ("same", "same"), ("abc", ""))
+      .toDF("a", "b")
+      .select(levenshtein($"a", $"b").as("d")).collect().map(_.getInt(0))
+    assert(k.toSeq == Seq(3, 3, 0, 3))
+    // op level over the corpus framing: distance bounded by the longer
+    // side, sim_ppm in [0, 1e6], and the two columns agree through the
+    // exact integer formula (no float anywhere)
+    val out = MapReduceDocs.ops.find(_.name == "score_edit").get
+      .query(spark, sfDir)
+    assert(out.count() > 0)
+    assert(out.filter($"sim_ppm" < 0L || $"sim_ppm" > 1000000L).count() == 0)
+    assert(out.filter($"edit_dist" === 0L && $"sim_ppm" =!= 1000000L)
+      .count() == 0, "zero distance must read as exact ppm similarity")
+    assert(out.filter($"edit_dist" < 0L).count() == 0)
+  }
 }

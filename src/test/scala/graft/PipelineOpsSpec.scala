@@ -2393,6 +2393,57 @@ class PipelineOpsSpec extends SparkSpec {
     assert(guarded.collect().map(key).sorted.toSeq ==
       small.collect().map(key).sorted.toSeq,
       "guarded plan changed results")
+    // the inline shared-pass shape (one candidate-vocab tf frame
+    // feeding both derivation and scoring — r16) must equal the
+    // production derive∘score composition row for row: same integer
+    // kernel, same deterministic tie orders, different pass structure
+    val composed = Search.hardNegativesWith(docs, Search.deriveQueryTerms(docs))
+    assert(small.collect().map(key).sorted.toSeq ==
+      composed.collect().map(key).sorted.toSeq,
+      "inline shared-pass result drifted from derive∘score")
+  }
+
+  test("code_detect: planted code trips each gate arm; prose stays clean") {
+    import operators.TextAnalysis
+    val code =
+      "import os\ndef f(x):\n  return g(x) + 1\nclass A:\n  def h(self):\n    return 2"
+    // long prose body keeps sym_ppm below the 3 % gate (the newline/
+    // tab chars themselves count as symbols), so only the indent arm
+    // can fire
+    val indentOnly =
+      "line one\n  hang two\n  hang three\n\thang four " +
+        (1 to 30).map(i => s"prose$i").mkString(" ")
+    val symbols = "x=1;y=2;z={a:[1,2]};w=(x<y)>z;"
+    val prose = "the quick brown fox jumps over the lazy dog again and again"
+    val out = TextAnalysis.codeDetect(Seq(
+        (1L, code), (2L, indentOnly), (3L, symbols), (4L, prose))
+      .toDF("doc_id", "text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1: kw-arm — def×2 + return×2 + import + class = 6 hits,
+    // ()s and :s give punct ≥ 2
+    assert(out(1L).getAs[Long]("kw_hits") == 6L, out(1L).toString)
+    assert(out(1L).getAs[Long]("code_punct") >= 2L)
+    assert(out(1L).getAs[Long]("is_code") == 1L)
+    // doc 2: indent-arm ALONE — exactly 3 newline-indented lines,
+    // zero keywords, zero code punctuation, symbol density under the
+    // gate (asserted, so no other arm can be carrying the verdict)
+    assert(out(2L).getAs[Long]("indent_lines") == 3L, out(2L).toString)
+    assert(out(2L).getAs[Long]("kw_hits") == 0L)
+    assert(out(2L).getAs[Long]("code_punct") == 0L)
+    assert(out(2L).getAs[Long]("sym_ppm") < 30000L, out(2L).toString)
+    assert(out(2L).getAs[Long]("is_code") == 1L)
+    // doc 3: symbol-density arm — 18 symbol chars hand-counted over 30
+    // chars = 600000 ppm ≫ the 3 % gate
+    assert(out(3L).getAs[Long]("sym_ppm") > 30000L, out(3L).toString)
+    assert(out(3L).getAs[Long]("is_code") == 1L)
+    // doc 4: prose — every feature zero, gate closed
+    assert(out(4L).getAs[Long]("sym_ppm") == 0L)
+    assert(out(4L).getAs[Long]("kw_hits") == 0L)
+    assert(out(4L).getAs[Long]("is_code") == 0L)
+    // corpus framing: the synthetic 31-word prose vocabulary must read
+    // all-clean (the oracle validates features; positives live here)
+    val corpus = SparkEntry.queries("code_detect")(spark, sfDir)
+    assert(corpus.filter($"is_code" =!= 0L).count() == 0)
   }
 
   test("data_card_kanon: small cells fold per lang, totals stay exact") {

@@ -193,6 +193,63 @@ class SplitsSpec extends SparkSpec {
       (Splits.MaxEpochs * 10000).toLong), "tiny source must hit the cap")
   }
 
+  test("mix_doremi: scala mirror of the closed form; rare-vocab source upweighted, weights a convex mix") {
+    import operators.Splits
+    // three sources: "common" re-uses the shared head tokens (low
+    // cross-entropy under the corpus unigram LM), "rare" is all
+    // singletons (high xent), "mid" in between — sized differently so
+    // base_w ≠ uniform
+    val d = ((1L to 8L).map(i => (i, "the of and to the of and to", "common")) ++
+      (101L to 104L).map(i =>
+        (i, (1 to 8).map(j => s"uniq${i}x$j").mkString(" "), "rare")) ++
+      (201L to 206L).map(i => (i, "the of and to mid1 mid2 mid3 mid4", "mid")))
+      .toDF("doc_id", "text", "source")
+    val out = Splits.doremi(d).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out.size == 3)
+    // exact mirror: token counts per (source, token) → global unigram
+    // probs → per-source xent → closed-form EG softmax — the same
+    // arithmetic the operator runs, derived independently here
+    val rows = d.collect().map(r => (r.getString(2), r.getString(1)))
+    val st = rows.flatMap { case (s, t) => t.split(" ").map(s -> _) }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val g = st.groupBy(_._1._2).map { case (t, m) => t -> m.values.sum }
+    val n = g.values.sum.toDouble
+    val srcs = st.keys.map(_._1).toSet
+    val loss = srcs.map { s =>
+      val mine = st.filter(_._1._1 == s)
+      val nt = mine.values.sum
+      s -> (nt, mine.map { case ((_, t), c) =>
+        c * -math.log(g(t) / n) }.sum / nt)
+    }.toMap
+    val ntTot = loss.values.map(_._1).sum.toDouble
+    val mean = loss.values.map { case (nt, x) => nt * x }.sum / ntTot
+    val raw = loss.map { case (s, (nt, x)) =>
+      s -> nt / ntTot * math.exp(Splits.DoremiEta * (x - mean)) }
+    val z = raw.values.sum
+    loss.foreach { case (s, (nt, x)) =>
+      val r = out(s)
+      assert(r.getAs[Long]("n_toks") == nt, s"$s n_toks")
+      assert(math.abs(r.getAs[Double]("xent") - x) < 1e-5, s"$s xent")
+      val w = Splits.DoremiLambda * raw(s) / z +
+        (1 - Splits.DoremiLambda) * nt / ntTot
+      assert(math.abs(r.getAs[Double]("weight") - w) < 1e-5, s"$s weight")
+    }
+    // direction: the rare-vocab source must gain vs its token share,
+    // the common-head source must lose; weights stay a distribution
+    assert(out("rare").getAs[Double]("weight") >
+      out("rare").getAs[Double]("base_w"), "rare source must upweight")
+    assert(out("common").getAs[Double]("weight") <
+      out("common").getAs[Double]("base_w"), "common source must downweight")
+    val wsum = out.values.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-3, s"weights sum $wsum")
+    // driver framing: a distribution over the corpus's sources too
+    val corpus = SparkEntry.queries("mix_doremi")(spark, sfDir).collect()
+    assert(corpus.length > 1)
+    val cw = corpus.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(cw - 1.0) < 1e-3, s"corpus weights sum $cw")
+  }
+
   test("mix_upsample driver query: per-source totals equal the exact identity") {
     import operators.Sampling
     val out = SparkEntry.queries("mix_upsample")(spark, sfDir).collect()
