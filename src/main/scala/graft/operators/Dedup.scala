@@ -240,7 +240,8 @@ object Dedup {
     * `hamming` for verification; the SIZE of this frame is the join
     * cost the adaptive salt bounds.
     */
-  private[graft] def simhashPairs(sim: DataFrame, maxBucket: Long): DataFrame = {
+  private[graft] def simhashPairs(sim: DataFrame, maxBucket: Long,
+      maxHamming: Long = 64L): DataFrame = {
     // localCheckpoint: the skinny (doc_id, simhash, band_id, band_key)
     // frame is consumed twice (bucket sizing + both join sides); pinning
     // it keeps the upstream signature kernel single-evaluation.
@@ -277,7 +278,71 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      // hamming-verify BEFORE the multi-band dedup, not after: the
+      // candidate enumeration stays pipelined inside the join stage,
+      // but a post-distinct filter would first SHUFFLE every candidate
+      // pair — and candidates grow quadratically with bucket density
+      // (fixed 2^16 key space, linearly growing corpus) long before
+      // the salt threshold bites. The r16 sf10 checkpoint measured
+      // exactly that: mm_phash 380 s at sf10 (≈480M candidate rows
+      // through the distinct) vs linear after this reorder. The
+      // distinct still runs — a pair matching in several bands must
+      // count once — but over verified near-dups only.
+      .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Per-doc near-dup statistics over a signature frame (doc_id,
+    * simhash) — n_near_dups (docs within [[maxHamming]]) and
+    * min_hamming (0 when an identical-hash copy exists; −1 when
+    * nothing is near) — computed WITHOUT ever pairing documents:
+    * identical hashes collapse to one node first (the dedup_exact
+    * lesson applied to signatures), [[simhashPairs]] runs over
+    * DISTINCT hash values only, and per-doc counts recombine through
+    * the multiplicities: for doc d with hash h of multiplicity m_h,
+    * n_near_dups = (m_h − 1) + Σ_{h' near h} m_{h'}.
+    *
+    * This is the r16 sf10 lesson made structural. A doc-level pair
+    * search is quadratic in FLOOD SIZE even with perfect banding,
+    * because the flood's pairs are real outputs of the pair frame:
+    * the sf10 corpus plants ~21k flat images whose dHash (and
+    * therefore every band AND the sub-split salt) is identical —
+    * 9.3×10⁸ candidate pairs, 380 s wall, and no banding parameter
+    * can help because the pairs genuinely satisfy hamming ≤ 8. In the
+    * hash domain the same flood is ONE node with m = 21k: the pair
+    * search touches it once, and the roll-up multiplies counts back.
+    * Distinct-hash volume is bounded by corpus entropy, not corpus
+    * size — the quantity banding was designed for. (Side effect: the
+    * adaptive salt now triggers on distinct-hash density only, so
+    * floods no longer push true near-dup pairs into salt-conditional
+    * recall.)
+    */
+  private[graft] def neighborStats(hashes: DataFrame, maxBucket: Long,
+      maxHamming: Long): DataFrame = {
+    // (simhash, multiplicity): the node set of the search
+    val mult = hashes.groupBy(col("simhash"))
+      .agg(count(lit(1)).as("m"))
+      .localCheckpoint()
+    val pairs = simhashPairs(
+      mult.select(col("simhash").as("doc_id"), col("simhash")),
+      maxBucket, maxHamming)
+    // per-hash neighbor mass and closest distinct neighbor
+    val neigh = pairs
+      .select(col("a").as("simhash"), col("b").as("other"), col("hamming"))
+      .union(pairs
+        .select(col("b").as("simhash"), col("a").as("other"), col("hamming")))
+      .join(mult.select(col("simhash").as("other"), col("m").as("om")),
+        Seq("other"))
+      .groupBy(col("simhash"))
+      .agg(sum(col("om")).as("neigh_sum"), min(col("hamming")).as("neigh_min"))
+    hashes.join(mult, Seq("simhash"))
+      .join(neigh, Seq("simhash"), "left")
+      .select(col("doc_id"), col("simhash"),
+        (col("m") - 1 + coalesce(col("neigh_sum"), lit(0L)))
+          .as("n_near_dups"),
+        when(col("m") > 1, lit(0L))
+          .otherwise(coalesce(col("neigh_min"), lit(-1L)))
+          .as("min_hamming"))
   }
 
   private val opSimhash = Op(
@@ -286,16 +351,10 @@ object Dedup {
       val base = simhashOf(docs(s, dir))
       // 4 bands of 16 bits: near-dups (hamming <= 8) agree on >= 1 band
       // with high probability; only same-band (and, in oversized
-      // buckets, same-salt) pairs are compared, then hamming-verified.
-      val pairs = simhashPairs(base, SimhashMaxBucket)
-        .filter(col("hamming") <= 8)
-      val perDoc = pairs.select(col("a").as("doc_id"), col("hamming"))
-        .union(pairs.select(col("b").as("doc_id"), col("hamming")))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_near_dups"), min("hamming").as("min_hamming"))
-      base.join(perDoc, Seq("doc_id"), "left")
-        .withColumn("n_near_dups", coalesce(col("n_near_dups"), lit(0L)))
-        .withColumn("min_hamming", coalesce(col("min_hamming"), lit(-1L)))
+      // buckets, same-salt) DISTINCT hash values are compared, then
+      // hamming-verified; per-doc counts recombine via multiplicities
+      // (neighborStats — flood-proof by construction)
+      neighborStats(base, SimhashMaxBucket, maxHamming = 8)
     },
     None)
 

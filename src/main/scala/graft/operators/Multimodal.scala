@@ -419,16 +419,14 @@ object Multimodal {
         .select(col("doc_id"), expr("graft_dhash(payload)").as("simhash"))
         .filter(col("simhash").isNotNull)
         .localCheckpoint()
-      val pairs = Dedup.simhashPairs(hashes, Dedup.SimhashMaxBucket)
-        .filter(col("hamming") <= PhashMaxHamming)
-      val perDoc = pairs.select(col("a").as("doc_id"), col("hamming"))
-        .union(pairs.select(col("b").as("doc_id"), col("hamming")))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_near_dups"), min(col("hamming")).as("min_hamming"))
-      hashes.join(perDoc, Seq("doc_id"), "left")
+      // distinct-hash search + multiplicity recombination
+      // (Dedup.neighborStats): a flat-image flood shares ONE dHash —
+      // at sf10 ~21k docs whose bands AND salt are all identical, a
+      // 9.3e8-candidate doc-level pair search no banding parameter can
+      // save; in the hash domain it is one node (the r16 fix)
+      Dedup.neighborStats(hashes, Dedup.SimhashMaxBucket, PhashMaxHamming)
         .select(col("doc_id"), col("simhash").as("phash"),
-          coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
-          coalesce(col("min_hamming"), lit(-1L)).as("min_hamming"))
+          col("n_near_dups"), col("min_hamming"))
     },
     Some(phashOracleSql))
 
@@ -902,17 +900,12 @@ object Multimodal {
         .select(col("doc_id"), expr("graft_ahash(payload)").as("simhash"))
         .filter(col("simhash").isNotNull)
         .localCheckpoint()
-      val pairs = Dedup.simhashPairs(hashes, Dedup.SimhashMaxBucket)
-        .filter(col("hamming") <= AudioMaxHamming)
-      val perDoc = pairs.select(col("a").as("doc_id"), col("hamming"))
-        .union(pairs.select(col("b").as("doc_id"), col("hamming")))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_near_dups"),
-          min(col("hamming")).as("min_hamming"))
-      hashes.join(perDoc, Seq("doc_id"), "left")
+      // the mm_phash move: distinct-hash search + multiplicity
+      // recombination (Dedup.neighborStats) — silence/constant-tone
+      // floods share one ahash and collapse to one node
+      Dedup.neighborStats(hashes, Dedup.SimhashMaxBucket, AudioMaxHamming)
         .select(col("doc_id"), col("simhash").as("ahash"),
-          coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
-          coalesce(col("min_hamming"), lit(-1L)).as("min_hamming"))
+          col("n_near_dups"), col("min_hamming"))
     },
     Some(audioOracleSql))
 
@@ -1080,9 +1073,9 @@ object Multimodal {
     val sim = fh.select(
       (col("doc_id") * 8L + col("frame_idx")).as("doc_id"),
       col("frame_hash").as("simhash"))
-    val framePairs = Dedup.simhashPairs(sim, Dedup.SimhashMaxBucket)
-      .filter(col("hamming") <= PhashMaxHamming &&
-        col("a") % 8L === col("b") % 8L)
+    val framePairs = Dedup.simhashPairs(sim, Dedup.SimhashMaxBucket,
+        PhashMaxHamming)
+      .filter(col("a") % 8L === col("b") % 8L)
       .select(expr("a DIV 8").as("da"), expr("b DIV 8").as("db"),
         (col("a") % 8L).as("fidx"))
     val perPair = framePairs.groupBy(col("da"), col("db"))
