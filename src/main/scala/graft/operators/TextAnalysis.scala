@@ -321,6 +321,41 @@ object TextAnalysis {
           (col("pos") + 1).cast("long").as("rank"), col("max_err"))
     })
 
+  // ---- vocab_cms: point-frequency estimates from constant state ----
+  // The count-min member of the sketch family (plans/CountMin.scala —
+  // HLL cardinality, KLL quantiles, MG heavy hitters, Bloom
+  // membership, theta set algebra, CMS per-item counts): "how often
+  // does THIS token occur in THIS language" for ANY probed token,
+  // from a constant ~320 KB buffer per language — where the MG sketch
+  // answers only for survivors of its map and exact counting holds
+  // O(distinct) state. The sketch pass is the production path; the
+  // exact (lang, token) side here is the demonstration harness that
+  // exhibits the one-sided bound (est ≥ exact always, overcount
+  // ≤ ε·N w.h.p.) and dies at open domains — the same exact/sketch
+  // pairing as vocab_topk/_sketch and outlier_mad/_sketch. The s-row
+  // sketch frame broadcasts (languages are an enum — bounded by
+  // contract, ~100 × 320 KB worst case); rows-only (counter hashing
+  // is not portable SQL), spec pins the published bounds and the
+  // merge-exactness property.
+  private val opVocabCms = Op(
+    "vocab_cms",
+    (s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      val toks = docs(s, dir)
+        .select(col("lang"), explode(TextFns.tokens(col("text"))).as("token"))
+        .filter(length(col("token")) > 0)
+      val sk = toks.groupBy(col("lang"))
+        .agg(expr(s"graft_cms_agg(token, ${graft.plans.CountMin.DefaultWidth})")
+          .as("sk"))
+      toks.groupBy(col("lang"), col("token"))
+        .agg(count(lit(1)).as("n_exact"))
+        .join(broadcast(sk), Seq("lang"))
+        .select(col("lang"), col("token"), col("n_exact"),
+          expr("graft_cms_est(sk, token)").as("n_est"),
+          expr("graft_cms_total(sk)").as("n_total"))
+    },
+    None)
+
   // ---- text_compress: compression-ratio quality signal ----
   // The CCNet/Gopher heuristic: natural prose deflates to ~0.3-0.5 of
   // its size, templated spam far below that, noise barely at all.
@@ -967,7 +1002,7 @@ object TextAnalysis {
       FROM f"""))
 
   val ops: Seq[Op] = Seq(opLangId, opQuality, opTokenCount, opFingerprint,
-    opRepetition, opPii, opVocab, opVocabSketch, opCompress, opFilter,
-    opKeywords, opIndex,
+    opRepetition, opPii, opVocab, opVocabSketch, opVocabCms, opCompress,
+    opFilter, opKeywords, opIndex,
     opDataCard, opDataCardKanon, opGopher, opBlocklist, opCodeDetect)
 }

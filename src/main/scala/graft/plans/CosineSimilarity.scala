@@ -525,5 +525,25 @@ object GraftFunctions {
       "graft_theta_union_est",
       exprs => ThetaUnionEstExpr(exprs.head, exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cms_agg",
+      exprs => CmsAggExpr(exprs.head,
+        if (exprs.length > 1) exprs(1).eval().asInstanceOf[Int]
+        else CountMin.DefaultWidth).toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cms_merge",
+      exprs => CmsMergeAggExpr(exprs.head,
+        if (exprs.length > 1) exprs(1).eval().asInstanceOf[Int]
+        else CountMin.DefaultWidth).toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cms_est",
+      exprs => CmsEstExpr(exprs.head, exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cms_total",
+      exprs => CmsTotalExpr(exprs.head),
+      "built-in")
   }
 }

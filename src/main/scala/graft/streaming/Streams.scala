@@ -835,6 +835,43 @@ object Streams {
         (col("pos") + 1).cast("long").as("rank"), col("max_err"))
   }
 
+  /** stream_cms — running per-language point-frequency counts over an
+    * unbounded document stream (batch twin: vocab_cms): the
+    * stream_quantile/stream_vocab/stream_novelty move applied to the
+    * count-min sketch — a streaming aggregation whose state-store
+    * buffer IS the mergeable CMS counter array (graft_cms_agg's
+    * TypedImperativeAggregate buffer, the FOURTH serializer in the
+    * state-round-trip archetype after KLL, Misra–Gries and theta), so
+    * each micro-batch's partials ADD into the running counters with no
+    * replay of past tokens and constant (~320 KB) state per language
+    * at any stream length. CMS merge is exact counter addition — no
+    * purge order, no random draws — so streamed point estimates equal
+    * the batch one-shot's EXACTLY (the spec asserts equality,
+    * including across a kill/resume restart), and the one-sided bound
+    * (est ≥ true, overcount ≤ ε·N w.h.p.) holds at every read. The
+    * probe list is the serving contract: production asks the running
+    * sketch about a FIXED set of tokens (blocklist terms, benchmark
+    * vocabulary, competitor brands) — the frozen-fence convention,
+    * with vocab_cms as the full-corpus audit.
+    */
+  def cmsProfiled(docs: DataFrame, probes: Seq[String]): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    import graft.functions.TextFns
+    val probeCol = array(probes.map(lit): _*)
+    docs
+      .select(col("lang"), explode(TextFns.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_toks"),
+        expr(s"graft_cms_agg(token, ${graft.plans.CountMin.DefaultWidth})")
+          .as("sk"))
+      .select(col("lang"), col("n_toks"),
+        explode(probeCol).as("token"), col("sk"))
+      .select(col("lang"), col("n_toks"), col("token"),
+        expr("graft_cms_est(sk, token)").as("n_est"),
+        expr("graft_cms_total(sk)").as("n_total"))
+  }
+
   private[streaming] case class DsirProbe(doc_id: Long, llr: Long)
 
   /** stream_novelty — running vocabulary-NOVELTY monitor per source

@@ -2335,6 +2335,92 @@ class StreamingSpec extends SparkSpec {
       "restart lost or corrupted the recovered theta state")
   }
 
+  test("stream_cms: running point-frequency estimates equal batch EXACTLY across splits") {
+    // The count-min buffer merges by exact counter addition — no purge
+    // order, no random draws — so unlike the MG/KLL twins the streamed
+    // estimates must EQUAL the one-shot batch read, not just bound it.
+    implicit val sql = spark.sqlContext
+    graft.plans.GraftFunctions.register(spark)
+    val rows = Tables(spark, sfDir, "documents")
+      .select(col("lang"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val probes = Seq("the", "data", "query", "absenttoken")
+    val in = MemoryStream[(String, String)]
+    val q = Streams.cmsProfiled(in.toDF().toDF("lang", "text"), probes)
+      .writeStream.format("memory").queryName("cms_out")
+      .outputMode("complete").start()
+    in.addData(rows.take(rows.length / 4).toIndexedSeq: _*)
+    q.processAllAvailable()
+    in.addData(rows.slice(rows.length / 4, rows.length / 3).toIndexedSeq: _*)
+    q.processAllAvailable()
+    in.addData(rows.drop(rows.length / 3).toIndexedSeq: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("cms_out").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("token")) ->
+        (r.getAs[Long]("n_toks"), r.getAs[Long]("n_est"),
+          r.getAs[Long]("n_total"))).toMap
+    // bounded state: ONE state row (one sketch) per language
+    val langs = rows.map(_._1).toSet
+    assert(q.lastProgress.stateOperators.nonEmpty &&
+      q.lastProgress.stateOperators.head.numRowsTotal == langs.size.toLong)
+    q.stop()
+    val batch = Streams.cmsProfiled(
+        rows.toSeq.toDF("lang", "text"), probes).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("token")) ->
+        (r.getAs[Long]("n_toks"), r.getAs[Long]("n_est"),
+          r.getAs[Long]("n_total"))).toMap
+    assert(streamed == batch,
+      s"streamed CMS reads drifted from batch: $streamed vs $batch")
+    // and the reads are truthful: exact counts from the raw rows
+    val toks = rows.flatMap { case (l, t) => t.split(" ", -1).map(l -> _) }
+    val exact = toks.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    streamed.foreach { case ((l, t), (_, est, _)) =>
+      val c = exact.getOrElse((l, t), 0L)
+      assert(est >= c, s"$l/$t undercount")
+    }
+    assert(streamed.keys.map(_._2).toSet == probes.toSet)
+  }
+
+  test("stream_cms restart: recovered counter state keeps pre-restart occurrences; still equals batch") {
+    // The CMS buffer is the FOURTH serializer in the
+    // TypedImperativeAggregate state-round-trip archetype (KLL, MG,
+    // theta above): pre-restart occurrences live only in the
+    // checkpointed counter bytes, and because merge is exact the
+    // post-restart read must EQUAL the batch one-shot, not merely
+    // bound it.
+    implicit val sql = spark.sqlContext
+    graft.plans.GraftFunctions.register(spark)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cms-restart")
+      .resolve("ckpt").toString
+    val rows = Tables(spark, sfDir, "documents")
+      .select(col("lang"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val probes = Seq("the", "data", "query")
+    val in = MemoryStream[(String, String)]
+    def start() = Streams.cmsProfiled(in.toDF().toDF("lang", "text"), probes)
+      .writeStream.format("memory").queryName("cms_restart_out")
+      .option("checkpointLocation", ckpt).outputMode("complete").start()
+    val q1 = start()
+    in.addData(rows.take(rows.length / 2).toIndexedSeq: _*)
+    q1.processAllAvailable()
+    q1.stop() // half the counts live only in the state-store sketch
+    val q2 = start()
+    in.addData(rows.drop(rows.length / 2).toIndexedSeq: _*)
+    q2.processAllAvailable()
+    val streamed = spark.table("cms_restart_out").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("token")) ->
+        (r.getAs[Long]("n_toks"), r.getAs[Long]("n_est"),
+          r.getAs[Long]("n_total"))).toMap
+    q2.stop()
+    val batch = Streams.cmsProfiled(
+        rows.toSeq.toDF("lang", "text"), probes).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("token")) ->
+        (r.getAs[Long]("n_toks"), r.getAs[Long]("n_est"),
+          r.getAs[Long]("n_total"))).toMap
+    assert(streamed == batch,
+      "restart lost or duplicated counter state vs the batch one-shot")
+  }
+
   test("stream_vocab restart: recovered Misra-Gries state keeps pre-restart tokens counted") {
     // The ItemsSketch buffer is the SECOND serializer in the
     // TypedImperativeAggregate state-round-trip archetype (KLL above):
