@@ -471,6 +471,28 @@ object Splits {
           + lit(1.0 - DoremiLambda) * col("base_w"), 6).as("weight"))
   }
 
+  /** The frozen proxy-LM pieces [[graft.streaming.Streams
+    * .doremiMonitored]] serves under: the corpus unigram log-probs,
+    * the mixture-mean cross-entropy (algebraically the corpus unigram
+    * entropy — the token-weighted mean of per-source xents), and the
+    * OOV floor (-ln 1/N, the unseen-token smoothing). Derives
+    * batch-side because a mixture baseline needs a corpus; the stream
+    * applies it frozen (the dsir_select / DsirStore convention). */
+  private[graft] def doremiModel(d: DataFrame): (DataFrame, Double, Double) = {
+    val global = d
+      .select(explode(TextFns.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("g"))
+      .localCheckpoint()
+    val tot = global.agg(sum(col("g"))).head.getLong(0)
+    val lm = global.select(col("token"),
+      log(col("g").cast("double") / tot).as("lnp")).localCheckpoint()
+    val meanXent = global
+      .agg(sum(col("g") * -log(col("g").cast("double") / tot)))
+      .head.getDouble(0) / tot
+    (lm, meanXent, math.log(1.0 / tot))
+  }
+
   private val opDoremi = Op(
     "mix_doremi",
     (s, dir) => doremi(docs(s, dir)),

@@ -965,20 +965,30 @@ object TextAnalysis {
   private val CodeSymRe = "[^a-z0-9 ]"
   private val CodePunctRe = "[{}();=<>\\[\\]]"
   private val CodeIndentRe = "\\n(  |\\t)"
-  private[graft] def codeDetect(d: DataFrame): DataFrame = {
+  /** The code_detect feature columns appended to `d` with incoming
+    * columns riding through — shared verbatim by the batch operator
+    * and the stream_code router (the gopherSignals convention), so
+    * streamed verdicts equal batch row-for-row structurally. */
+  private[graft] def codeSignals(d: DataFrame): DataFrame = {
     val nChars = greatest(length(col("text")), lit(1)).cast("long")
     val symPpm = (regexp_count(col("text"), lit(CodeSymRe))
       .cast("long") * lit(1000000L)).divide(nChars).cast("long")
     val punct = regexp_count(col("text"), lit(CodePunctRe)).cast("long")
     val indent = regexp_count(col("text"), lit(CodeIndentRe)).cast("long")
     val kw = regexp_count(col("text"), lit(CodeKwRe)).cast("long")
-    d.select(
-      col("doc_id"), nChars.as("n_chars"),
-      symPpm.as("sym_ppm"), punct.as("code_punct"),
-      indent.as("indent_lines"), kw.as("kw_hits"),
-      when(symPpm >= 30000L || (kw >= 2L && punct >= 2L) || indent >= 3L,
-        1L).otherwise(0L).as("is_code"))
+    d.withColumn("n_chars", nChars)
+      .withColumn("sym_ppm", symPpm)
+      .withColumn("code_punct", punct)
+      .withColumn("indent_lines", indent)
+      .withColumn("kw_hits", kw)
+      .withColumn("is_code",
+        when(symPpm >= 30000L || (kw >= 2L && punct >= 2L) || indent >= 3L,
+          1L).otherwise(0L))
   }
+
+  private[graft] def codeDetect(d: DataFrame): DataFrame =
+    codeSignals(d).select(col("doc_id"), col("n_chars"), col("sym_ppm"),
+      col("code_punct"), col("indent_lines"), col("kw_hits"), col("is_code"))
 
   private val opCodeDetect = Op(
     "code_detect",

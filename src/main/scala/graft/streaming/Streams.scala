@@ -129,6 +129,59 @@ object Streams {
     graft.operators.TextAnalysis.gopherSignals(docs)
       .filter(col("pass_gopher") === 1L)
 
+  /** stream_code — code-vs-prose ROUTING on ingest (batch twin:
+    * code_detect). Unlike the drop gates above, a code detector
+    * routes: code and prose flow to different tokenizers, dedup
+    * granularities and mixture buckets (the StarCoder/The-Stack
+    * practice), so arriving docs keep flowing with the feature
+    * columns and the is_code verdict attached. Every signal is a
+    * per-row integer expression (TextAnalysis.codeSignals — the SAME
+    * kernel the batch operator selects from): append mode, no state
+    * store, no watermark, verdicts equal the batch operator's
+    * row-for-row (spec). Incoming columns ride through so the router
+    * composes.
+    */
+  def codeRouted(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.codeSignals(docs)
+
+  /** stream_doremi — running mixture-drift monitor under the FROZEN
+    * proxy LM (batch twin: mix_doremi; model source: the batch op's
+    * unigram distribution, the dsir/stream_dsir frozen-fence
+    * convention). The batch op derives weights from per-source
+    * cross-entropy under the corpus unigram LM; this monitor keeps
+    * that cross-entropy RUNNING per source as the stream flows — the
+    * signal that tells an operator the mixture has drifted and the
+    * plan needs re-deriving. With the LM frozen, per-source xent is a
+    * ratio of two ADDITIVE sums (Σ cnt·(−ln p) and Σ cnt), so the
+    * streaming aggregation is plain built-in sum state — constant per
+    * source, exact across any batch split (no sketch needed; the spec
+    * asserts streamed == an independent mirror, not just
+    * batch-equality). OOV tokens read the floor log-prob the caller
+    * passes (unseen-token smoothing is model policy, not stream
+    * policy). Output per source: running n_toks, xent, excess vs the
+    * FROZEN mixture mean, and reweight_hint once |excess| crosses the
+    * threshold — re-deriving the weights themselves stays batch-side
+    * (mix_doremi), where the EG closed form needs cross-source
+    * normalization a single streaming aggregation cannot express.
+    */
+  def doremiMonitored(docs: DataFrame, lm: DataFrame,
+      floorLnp: Double, meanXent: Double,
+      hintThreshold: Double): DataFrame = {
+    import graft.functions.TextFns
+    docs
+      .select(col("source"), explode(TextFns.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .join(broadcast(lm), Seq("token"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(-coalesce(col("lnp"), lit(floorLnp))).as("xent_sum"))
+      .select(col("source"), col("n_toks"),
+        round(col("xent_sum") / col("n_toks"), 6).as("xent"),
+        round(col("xent_sum") / col("n_toks") - meanXent, 6).as("excess"),
+        (abs(col("xent_sum") / col("n_toks") - meanXent) > hintThreshold)
+          .cast("long").as("reweight_hint"))
+  }
+
   /** stream_classifier — FROZEN-model quality scoring on ingest
     * (batch twin: quality_classifier; model source: sink_classifier).
     * Training cannot live in the stream (LBFGS iterates over the full

@@ -111,6 +111,90 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(1L), s"gate kept $kept")
   }
 
+  test("stream_code: routing verdicts == batch row-for-row; stateless; incoming columns ride") {
+    implicit val sql = spark.sqlContext
+    // the batch spec's planted set: one doc per gate arm + prose
+    val docs: Seq[(Long, String, String)] = Seq(
+      (1L, "import os\ndef f(x):\n  return g(x) + 1\nclass A:\n  def h(self):\n    return 2", "repoA"),
+      (2L, "line one\n  hang two\n  hang three\n\thang four " +
+        (1 to 30).map(i => s"prose$i").mkString(" "), "repoA"),
+      (3L, "x=1;y=2;z={a:[1,2]};w=(x<y)>z;", "repoB"),
+      (4L, "the quick brown fox jumps over the lazy dog again", "web"))
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streams.codeRouted(in.toDF().toDF("doc_id", "text", "source"))
+      .writeStream.format("memory").queryName("code_out")
+      .outputMode("append").start()
+    in.addData(docs.take(2): _*)
+    q.processAllAvailable()
+    in.addData(docs.drop(2): _*)
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+      "code router must keep zero state rows")
+    val streamed = spark.table("code_out").collect()
+    q.stop()
+    // routing, not gating: every doc flows, incoming columns intact
+    assert(streamed.length == docs.length)
+    assert(streamed.map(_.getAs[String]("source")).toSet ==
+      Set("repoA", "repoB", "web"))
+    // verdicts equal the batch operator's row-for-row
+    val batch = operators.TextAnalysis.codeDetect(
+        docs.toSeq.toDF("doc_id", "text", "source")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("is_code")).toMap
+    streamed.foreach { r =>
+      assert(r.getAs[Long]("is_code") == batch(r.getAs[Long]("doc_id")),
+        s"doc ${r.getAs[Long]("doc_id")} verdict drifted from batch")
+    }
+    assert(streamed.count(_.getAs[Long]("is_code") == 1L) == 3)
+  }
+
+  test("stream_doremi: running frozen-LM xent == independent mirror; drifted source trips the hint") {
+    implicit val sql = spark.sqlContext
+    // frozen model from the standing corpus (the batch op's LM)
+    val corpus = Tables(spark, sfDir, "documents")
+      .select(col("source"), col("text"))
+    val (lm, meanXent, floorLnp) = operators.Splits.doremiModel(corpus)
+    val rows = corpus.collect().map(r => (r.getString(0), r.getString(1)))
+    // the arriving stream: the corpus re-sent PLUS a drifted source
+    // whose vocabulary the frozen LM has never seen — every token
+    // reads the OOV floor, xent spikes, the hint must fire
+    val drifted = (1 to 20).map(i =>
+      ("driftsrc", (1 to 40).map(j => s"oov${i}x$j").mkString(" ")))
+    val all = rows.toSeq ++ drifted
+    val in = MemoryStream[(String, String)]
+    val q = Streams.doremiMonitored(
+        in.toDF().toDF("source", "text"), lm, floorLnp, meanXent,
+        hintThreshold = 0.5)
+      .writeStream.format("memory").queryName("doremi_out")
+      .outputMode("complete").start()
+    in.addData(all.take(all.length / 3): _*)
+    q.processAllAvailable()
+    in.addData(all.drop(all.length / 3): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("doremi_out").collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    q.stop()
+    // independent mirror: token counts + frozen log-probs in Scala
+    val lnp = lm.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val bySrc = all.flatMap { case (s, t) =>
+        t.split(" ", -1).filter(_.nonEmpty).map(s -> _) }
+      .groupBy(_._1)
+    bySrc.foreach { case (s, toks) =>
+      val n = toks.length.toLong
+      val xent = toks.map { case (_, t) =>
+        -lnp.getOrElse(t, floorLnp) }.sum / n
+      val r = streamed(s)
+      assert(r.getAs[Long]("n_toks") == n, s"$s n_toks")
+      assert(math.abs(r.getAs[Double]("xent") - xent) < 1e-5, s"$s xent")
+      assert(math.abs(r.getAs[Double]("excess") - (xent - meanXent)) < 1e-5)
+    }
+    // the drifted source trips the hint; the re-sent corpus does not
+    assert(streamed("driftsrc").getAs[Long]("reweight_hint") == 1L,
+      "OOV-vocabulary source must demand a reweight")
+    assert(rows.map(_._1).toSet.forall(s =>
+      streamed(s).getAs[Long]("reweight_hint") == 0L),
+      "the frozen mixture's own sources must read as undrifted")
+  }
+
   test("stream_gopher: full Table A1 verdicts == batch row-for-row; stateless") {
     implicit val sql = spark.sqlContext
     // the batch spec's planted corpus: one passing doc, one doc per
