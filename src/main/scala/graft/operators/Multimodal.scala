@@ -1070,27 +1070,61 @@ object Multimodal {
     * the unrelated-clip zero.
     */
   private[graft] def videoNearDup(fh: DataFrame): DataFrame = {
-    val sim = fh.select(
-      (col("doc_id") * 8L + col("frame_idx")).as("doc_id"),
-      col("frame_hash").as("simhash"))
-    val framePairs = Dedup.simhashPairs(sim, Dedup.SimhashMaxBucket,
-        PhashMaxHamming)
+    // clips collapse to SIGNATURE nodes (the ordered (frame_idx,
+    // frame_hash) vector) before any pair search — the neighborStats
+    // move lifted to whole-clip granularity. A re-upload flood (many
+    // byte-identical or flat clips) shares one signature, so it is ONE
+    // node: pair volume is bounded by signature ENTROPY, not clip
+    // count. The r16 sf10 checkpoint measured the clip-level pairing
+    // at 27× for 10× data on exactly that flood; in signature space
+    // the same corpus reads linear. Node ids pack the 60-bit truncated
+    // signature with the 3-bit frame position (60+3 bits fit a signed long) (the doc_id*8+fidx trick
+    // this function always used, now on signatures).
+    val clipSig = fh.groupBy(col("doc_id"))
+      .agg(countDistinct(col("frame_idx")).as("n_sampled"),
+        expr("xxhash64(concat_ws(',', transform(array_sort(" +
+          "collect_list(struct(frame_idx, frame_hash))), " +
+          "x -> concat(cast(x.frame_idx AS string), ':', " +
+          "cast(x.frame_hash AS string)))))").as("sig"))
+      .withColumn("sigt", expr("sig & 1152921504606846975"))
+      .localCheckpoint()
+    val sigMeta = clipSig.groupBy(col("sigt"))
+      .agg(count(lit(1)).as("m"), first(col("n_sampled")).as("n_sampled"))
+      .localCheckpoint()
+    val sigFrames = fh
+      .join(clipSig.select(col("doc_id"), col("sigt")), Seq("doc_id"))
+      .select(col("sigt"), col("frame_idx"), col("frame_hash"))
+      .distinct()
+    val framePairs = Dedup.simhashPairs(
+        sigFrames.select(
+          (col("sigt") * 8L + col("frame_idx")).as("doc_id"),
+          col("frame_hash").as("simhash")),
+        Dedup.SimhashMaxBucket, PhashMaxHamming)
       .filter(col("a") % 8L === col("b") % 8L)
-      .select(expr("a DIV 8").as("da"), expr("b DIV 8").as("db"),
+      .select(expr("a DIV 8").as("sa"), expr("b DIV 8").as("sb"),
         (col("a") % 8L).as("fidx"))
-    val perPair = framePairs.groupBy(col("da"), col("db"))
+    // full-profile match: every sampled position of the (node-order)
+    // first signature has a near frame in the second — the same
+    // da-side rule as the clip-level shape, now content-ordered and
+    // therefore deterministic under any doc-id assignment
+    val matched = framePairs.groupBy(col("sa"), col("sb"))
       .agg(countDistinct(col("fidx")).as("n_hit"))
-    val nSampled = fh.groupBy(col("doc_id"))
-      .agg(countDistinct(col("frame_idx")).as("n_sampled"))
-    val matched = perPair
-      .join(nSampled.withColumnRenamed("doc_id", "da"), Seq("da"))
+      .join(sigMeta.select(col("sigt").as("sa"), col("n_sampled")),
+        Seq("sa"))
       .filter(col("n_hit") === col("n_sampled"))
-    val ends = matched.select(col("da").as("doc_id"))
-      .union(matched.select(col("db").as("doc_id")))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_near_clips"))
-    nSampled.join(ends, Seq("doc_id"), "left")
+    // near-clip mass: cross-signature matches add the other side's
+    // multiplicity; same-signature copies add (m − 1)
+    val cross = matched
+      .select(col("sa").as("sigt"), col("sb").as("other"))
+      .union(matched.select(col("sb").as("sigt"), col("sa").as("other")))
+      .join(sigMeta.select(col("sigt").as("other"), col("m").as("om")),
+        Seq("other"))
+      .groupBy(col("sigt")).agg(sum(col("om")).as("cross_mass"))
+    clipSig.join(sigMeta.select(col("sigt"), col("m")), Seq("sigt"))
+      .join(cross, Seq("sigt"), "left")
       .select(col("doc_id"), col("n_sampled"),
-        coalesce(col("n_near_clips"), lit(0L)).as("n_near_clips"))
+        (col("m") - 1 + coalesce(col("cross_mass"), lit(0L)))
+          .as("n_near_clips"))
   }
 
   private val opVideoDedup = Op(

@@ -479,7 +479,9 @@ object Similarity {
       dots AS (
         SELECT vec_id, j, l,
           list_sum([CAST(embedding[i] AS DOUBLE)
-                    * CAST((((j*$EmbMaxBits + l)*8191 + i*127 + 1) % 1000) - 500 AS DOUBLE)
+                    * CAST((((((j*$EmbMaxBits + l)*127 + i)*48271 % 2147483647)
+                             * (((j*$EmbMaxBits + l)*127 + i)*48271 % 2147483647))
+                            % 2147483647) % 1001 - 500 AS DOUBLE)
                     for i in generate_series(1, $EmbDim)]) AS dot
         FROM e, UNNEST(generate_series(0, ${EmbBands - 1})) AS jj(j),
              params, UNNEST(generate_series(0, bits - 1)) AS ll(l)),
