@@ -949,18 +949,24 @@ object MapReduceDocs {
   // projection over the pair scan, no shuffle at any corpus size (the
   // O(|pred|·|gt|) per-row cost is bounded by the short reference
   // side). sim_ppm is the normalized similarity in integer parts-per-
-  // million ((maxlen − d)·10⁶ div maxlen — the repo's exact-oracle
-  // convention; no float division).
+  // million ((maxlen − d)·10⁶ DIV maxlen — integer division, matching
+  // the oracle's `//` literally rather than relying on doubles staying
+  // exact below 2^53). The DP kernel runs ONCE per row: edit_dist is
+  // projected first and sim_ppm references the column.
   private val opEdit = Op(
     "score_edit",
     (s, dir) => {
-      val maxlen = greatest(length(col("pred")), length(col("gt")), lit(1))
-      pairs(s, dir).select(
-        col("doc_id"),
-        levenshtein(col("pred"), col("gt")).cast("long").as("edit_dist"),
-        ((maxlen - least(levenshtein(col("pred"), col("gt")), maxlen))
-          .cast("long") * lit(1000000L))
-          .divide(maxlen.cast("long")).cast("long").as("sim_ppm"))
+      pairs(s, dir)
+        .select(
+          col("doc_id"),
+          levenshtein(col("pred"), col("gt")).cast("long").as("edit_dist"),
+          greatest(length(col("pred")), length(col("gt")), lit(1))
+            .cast("long").as("maxlen"))
+        .select(
+          col("doc_id"),
+          col("edit_dist"),
+          expr("((maxlen - least(edit_dist, maxlen)) * 1000000L) DIV maxlen")
+            .as("sim_ppm"))
     },
     Some(pairsCte + """
       SELECT doc_id,

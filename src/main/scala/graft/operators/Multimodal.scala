@@ -1078,8 +1078,18 @@ object Multimodal {
     // count. The r16 sf10 checkpoint measured the clip-level pairing
     // at 27× for 10× data on exactly that flood; in signature space
     // the same corpus reads linear. Node ids pack the 60-bit truncated
-    // signature with the 3-bit frame position (60+3 bits fit a signed long) (the doc_id*8+fidx trick
-    // this function always used, now on signatures).
+    // signature with the 3-bit frame position (60+3 bits fit a signed
+    // long — the doc_id*8+fidx trick this function always used, now on
+    // signatures). TRUNCATION BOUND (accepted, not silent): two
+    // DISTINCT clip signatures colliding in the low 60 bits merge into
+    // one node — their multiplicities mix and n_sampled reads from an
+    // arbitrary member, corrupting n_near_clips for those clips. The
+    // xxhash64 low bits are uniform, so the chance of ANY collision
+    // among S distinct signatures is ≤ S²/2⁶¹ (birthday bound): one in
+    // ~2.3×10⁹ at S=10⁶ distinct signatures, one in ~2 300 at S=10⁹ —
+    // far below the dHash false-match rate this operator already
+    // tolerates by design. Revisit (carry sig as a struct key) only if
+    // the distinct-signature count ever approaches 2³⁰.
     val clipSig = fh.groupBy(col("doc_id"))
       .agg(countDistinct(col("frame_idx")).as("n_sampled"),
         expr("xxhash64(concat_ws(',', transform(array_sort(" +

@@ -474,8 +474,12 @@ object Search {
     * broadcast, measured-large → shuffled hash; the count reads the
     * checkpointed blocks the join then reuses, so no stage runs
     * twice. Returns (materialized frame, guarded join side) so a
-    * caller can derive further frames from the SAME blocks. */
-  private def guarded(f: DataFrame,
+    * caller can derive further frames from the SAME blocks. Shared
+    * with the streaming frozen-model reads (stream_doremi's LM side)
+    * so the broadcast discipline is uniform across batch and stream:
+    * any join side whose row count grows with the corpus rides this
+    * guard, never a bare broadcast(). */
+  private[graft] def guarded(f: DataFrame,
       broadcastMaxRows: Long): (DataFrame, DataFrame) = {
     val m = f.localCheckpoint(eager = false)
     val side =

@@ -962,7 +962,12 @@ object TextAnalysis {
   // single-quoted strings)
   private val CodeKwRe =
     "\\b(def|class|return|import|function|var|const|void|int|for|while)\\b"
-  private val CodeSymRe = "[^a-z0-9 ]"
+  // symbol class excludes BOTH letter cases, all whitespace (\n/\t are
+  // layout, not symbols) and ordinary sentence punctuation (.,!?;:
+  // quotes/apostrophe \x27, hyphen) — capitalized punctuated prose
+  // ("Hello, World. This is a sentence.") must read ~0 ppm, not trip
+  // the 3 % gate (the pre-r17 class [^a-z0-9 ] misclassified it)
+  private val CodeSymRe = "[^a-zA-Z0-9\\s.,!?;:\\x27\"-]"
   private val CodePunctRe = "[{}();=<>\\[\\]]"
   private val CodeIndentRe = "\\n(  |\\t)"
   /** The code_detect feature columns appended to `d` with incoming

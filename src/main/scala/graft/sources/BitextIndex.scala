@@ -32,8 +32,14 @@ object BitextIndex {
     *     A projection/banding change silently empties every probe
     *     bucket — exactly the failure `meta/bits` guards within a
     *     version, and the marker guards across versions.
+    *   - 2 — the LSH hyperplane component mix in
+    *     [[graft.plans.LshBandKeys]] changed from a linear congruence
+    *     to the squared-Lehmer mix (decorrelated sign bits). Every
+    *     band key changes: v1 bundles band under the old formula, so
+    *     probes under the new one would silently return empty — the
+    *     exact failure the v1 note names. Readers refuse v1 bundles.
     */
-  val FormatVersion = 1
+  val FormatVersion = 2
 
   private def checkFormat(spark: SparkSession, path: String): Unit =
     StoreMaintenance.checkFormat(spark, path, FormatVersion,

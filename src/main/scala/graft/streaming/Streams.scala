@@ -168,10 +168,18 @@ object Streams {
       floorLnp: Double, meanXent: Double,
       hintThreshold: Double): DataFrame = {
     import graft.functions.TextFns
+    // the frozen LM's row count is the corpus's distinct vocabulary —
+    // it grows with the corpus, so it rides the counted broadcast
+    // guard shared with the batch mining path (broadcast only while
+    // the MEASURED count fits, shuffled hash above), not a bare
+    // broadcast(); the lm side is static, so the count runs once at
+    // plan construction, never per micro-batch
+    val (_, lmSide) =
+      graft.operators.Search.guarded(lm, graft.operators.Dedup.SpanBroadcastMaxRows)
     docs
       .select(col("source"), explode(TextFns.tokens(col("text"))).as("token"))
       .filter(length(col("token")) > 0)
-      .join(broadcast(lm), Seq("token"), "left")
+      .join(lmSide, Seq("token"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_toks"),
         sum(-coalesce(col("lnp"), lit(floorLnp))).as("xent_sum"))

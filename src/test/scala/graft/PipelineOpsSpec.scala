@@ -2415,8 +2415,14 @@ class PipelineOpsSpec extends SparkSpec {
         (1 to 30).map(i => s"prose$i").mkString(" ")
     val symbols = "x=1;y=2;z={a:[1,2]};w=(x<y)>z;"
     val prose = "the quick brown fox jumps over the lazy dog again and again"
+    // capitalized, punctuated prose — the false-positive shape the
+    // pre-r17 symbol class [^a-z0-9 ] misclassified (uppercase and
+    // sentence punctuation counted as code symbols)
+    val caps = "Hello, World. This is a sentence. Isn't English prose " +
+      "full of Capitals, commas - and question marks? Yes!"
     val out = TextAnalysis.codeDetect(Seq(
-        (1L, code), (2L, indentOnly), (3L, symbols), (4L, prose))
+        (1L, code), (2L, indentOnly), (3L, symbols), (4L, prose),
+        (5L, caps))
       .toDF("doc_id", "text")).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
     // doc 1: kw-arm — def×2 + return×2 + import + class = 6 hits,
@@ -2432,14 +2438,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(2L).getAs[Long]("code_punct") == 0L)
     assert(out(2L).getAs[Long]("sym_ppm") < 30000L, out(2L).toString)
     assert(out(2L).getAs[Long]("is_code") == 1L)
-    // doc 3: symbol-density arm — 18 symbol chars hand-counted over 30
-    // chars = 600000 ppm ≫ the 3 % gate
+    // doc 3: symbol-density arm — 12 symbol chars hand-counted over 30
+    // chars = 400000 ppm ≫ the 3 % gate (the ; : , chars no longer
+    // count as symbols; = { } [ ] ( ) < > still do)
     assert(out(3L).getAs[Long]("sym_ppm") > 30000L, out(3L).toString)
     assert(out(3L).getAs[Long]("is_code") == 1L)
     // doc 4: prose — every feature zero, gate closed
     assert(out(4L).getAs[Long]("sym_ppm") == 0L)
     assert(out(4L).getAs[Long]("kw_hits") == 0L)
     assert(out(4L).getAs[Long]("is_code") == 0L)
+    // doc 5: capitalized punctuated prose — sym_ppm must read ZERO
+    // (uppercase + . , ! ? ' - are prose, not symbols) and the gate
+    // must stay closed
+    assert(out(5L).getAs[Long]("sym_ppm") == 0L, out(5L).toString)
+    assert(out(5L).getAs[Long]("is_code") == 0L)
     // corpus framing: the synthetic 31-word prose vocabulary must read
     // all-clean (the oracle validates features; positives live here)
     val corpus = SparkEntry.queries("code_detect")(spark, sfDir)
