@@ -1150,7 +1150,104 @@ object Multimodal {
         .localCheckpoint() // synthesis + decode run once, not per consumer
       videoNearDup(fh)
     },
-    None)
+    Some(videoDedupOracleSql))
+
+  /** mm_video_dedup planted-truth oracle (r17 — the fourth rows-only →
+    * SQL conversion of the multimodal tier): the post-r16 rewrite made
+    * the whole op pure integer arithmetic over frame hashes, so DuckDB
+    * replays it END-TO-END. Sampled frame hashes are the mm_frames
+    * replay keyed by the CANONICAL clip id (clipCopyBatch builds every
+    * frame from canon's dims and — outside the never-sampled edited
+    * outro — canon's seed, so a re-upload's sampled hashes equal its
+    * canon's); clip signatures are the ordered (frame_idx, frame_hash)
+    * vector AS A STRING — semantically the node key the Scala side
+    * xxhash64-compresses (the truncation-collision bound at the
+    * compression site is ~2⁻⁶¹ per signature pair and the oracle's
+    * exact grouping is the ground truth it approximates); then
+    * signature-node banding, the adaptive salt rule, the same-position
+    * hamming-verified pair search, the all-sampled-positions fold and
+    * the multiplicity recombination are plain relational algebra, the
+    * mm_phash/mm_audio oracle lifted to composite (signature, frame)
+    * nodes. Pair order: the Scala side orders nodes by packed
+    * xxhash-signature ids, the oracle by signature STRING — both are
+    * arbitrary total orders over the same node set, and every
+    * downstream consumer (n_hit fold, cross-mass union) is
+    * order-symmetric because n_sampled is constant across clips
+    * (ClipFrames/FrameStride sampled positions for every clip).
+    */
+  private def videoDedupOracleSql: String = {
+    val sampled = (0 until ClipFrames by FrameStride).mkString(", ")
+    s"""
+      WITH docs2 AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 7 = 3 AND doc_id > 0
+            THEN doc_id - 1 ELSE doc_id END AS canon
+        FROM documents
+      ), cf AS (
+        SELECT canon, unnest([$sampled]) AS fi
+        FROM (SELECT DISTINCT canon FROM docs2)
+      ), dims AS (
+        SELECT canon, fi, canon % 64 + 1 AS w, canon % 48 + 1 AS h,
+          canon * $ClipFrames + fi AS seed, 1 AS bs
+        FROM cf
+      ), ${PlantedSql.blockMeans(Seq("canon", "fi"), 9, 8)}, hashed AS (
+        ${PlantedSql.dhashFold(Seq("canon", "fi"), "fh")}
+      ), sigf AS (
+        SELECT d.doc_id, h.fi, h.fh
+        FROM docs2 d JOIN hashed h ON h.canon = d.canon
+      ), sigs AS (
+        SELECT doc_id,
+          string_agg(CAST(fi AS VARCHAR) || ':' || CAST(fh AS VARCHAR),
+            ',' ORDER BY fi) AS sig,
+          COUNT(DISTINCT fi) AS n_sampled
+        FROM sigf GROUP BY doc_id
+      ), nodes AS (
+        SELECT sig, COUNT(*) AS m, MIN(n_sampled) AS n_sampled
+        FROM sigs GROUP BY sig
+      ), nodef AS (
+        SELECT DISTINCT g.sig, f.fi, f.fh
+        FROM sigs g JOIN sigf f USING (doc_id)
+      ), bands AS (
+        SELECT sig, fi, fh, bi.band_id,
+          (fh >> CAST(bi.band_id * 16 AS INTEGER)) & 65535 AS band_key
+        FROM nodef CROSS JOIN (SELECT unnest(range(4)) AS band_id) bi
+      ), sized AS (
+        SELECT band_id, band_key, COUNT(*) AS bn
+        FROM bands GROUP BY band_id, band_key
+      ), salted AS (
+        SELECT b.sig, b.fi, b.fh, b.band_id, b.band_key,
+          CASE WHEN s.bn > ${Dedup.SimhashMaxBucket}
+            THEN (b.fh >> CAST(((b.band_id + 1) % 4) * 16 AS INTEGER))
+              & 65535
+            ELSE 0 END AS salt
+        FROM bands b JOIN sized s
+          ON b.band_id = s.band_id AND b.band_key = s.band_key
+      ), fpairs AS (
+        SELECT DISTINCT x.sig AS sa, y.sig AS sb, x.fi
+        FROM salted x JOIN salted y
+          ON x.band_id = y.band_id AND x.band_key = y.band_key
+         AND x.salt = y.salt AND x.fi = y.fi AND x.sig < y.sig
+        WHERE bit_count(xor(x.fh, y.fh)) <= $PhashMaxHamming
+      ), matched AS (
+        SELECT p.sa, p.sb
+        FROM (SELECT sa, sb, COUNT(DISTINCT fi) AS n_hit
+              FROM fpairs GROUP BY sa, sb) p
+        JOIN nodes na ON na.sig = p.sa
+        WHERE p.n_hit = na.n_sampled
+      ), cmass AS (
+        SELECT sig, SUM(om) AS cm FROM (
+          SELECT m.sa AS sig, n.m AS om
+          FROM matched m JOIN nodes n ON n.sig = m.sb
+          UNION ALL
+          SELECT m.sb AS sig, n.m AS om
+          FROM matched m JOIN nodes n ON n.sig = m.sa)
+        GROUP BY sig
+      )
+      SELECT s.doc_id, CAST(s.n_sampled AS BIGINT) AS n_sampled,
+        CAST(n.m - 1 + COALESCE(c.cm, 0) AS BIGINT) AS n_near_clips
+      FROM sigs s JOIN nodes n ON n.sig = s.sig
+      LEFT JOIN cmass c ON c.sig = s.sig"""
+  }
 
   // ---- mm_scenes: shot/scene-cut detection over the clip column ----
 
@@ -1241,7 +1338,47 @@ object Multimodal {
           .as[MMIn])
         .toDF())
     },
-    None)
+    Some(scenesOracleSql))
+
+  /** mm_scenes planted-truth oracle (r17): the scened clip's every
+    * pixel is [[plantedLuma]](doc_id·ClipFrames + (f/SceneLen)·SceneLen,
+    * x, y) — pure doc_id arithmetic — so DuckDB replays the full
+    * detector: per-frame dHash via the shared blockMeans/dhashFold
+    * replay (all [[ClipFrames]] frames — the cut detector decodes
+    * everything by design), consecutive-frame hamming steps, the
+    * > [[SceneCutTau]] threshold, and the four audit aggregates.
+    * `min_step`'s Scala fold seeds at 64 — a no-op floor since
+    * bit_count of a 64-bit xor never exceeds 64 and every clip has
+    * ClipFrames−1 ≥ 1 steps; `max_step`'s 0 seed likewise.
+    */
+  private def scenesOracleSql: String = {
+    s"""
+      WITH f AS (
+        SELECT doc_id, unnest(range($ClipFrames)) AS fi FROM documents
+      ), dims AS (
+        SELECT doc_id, fi, doc_id % 64 + 1 AS w, doc_id % 48 + 1 AS h,
+          doc_id * $ClipFrames + (fi // $SceneLen) * $SceneLen AS seed,
+          1 AS bs
+        FROM f
+      ), ${PlantedSql.blockMeans(Seq("doc_id", "fi"), 9, 8)}, hashed AS (
+        ${PlantedSql.dhashFold(Seq("doc_id", "fi"), "fhash")}
+      ), steps AS (
+        SELECT a.doc_id, a.fi + 1 AS i,
+          bit_count(xor(a.fhash, b.fhash)) AS s
+        FROM hashed a JOIN hashed b
+          ON a.doc_id = b.doc_id AND b.fi = a.fi + 1
+      )
+      SELECT doc_id,
+        CAST($ClipFrames AS BIGINT) AS n_frames,
+        CAST(1 + SUM(CASE WHEN s > $SceneCutTau THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_scenes,
+        COALESCE(string_agg(
+          CASE WHEN s > $SceneCutTau THEN CAST(i AS VARCHAR) END,
+          ',' ORDER BY i), '') AS cut_idxs,
+        CAST(MAX(s) AS BIGINT) AS max_step,
+        CAST(MIN(s) AS BIGINT) AS min_step
+      FROM steps GROUP BY doc_id"""
+  }
 
   val ops: Seq[Op] =
     Seq(opMeta, opEmbed, opPhash, opResize, opFrames, opAudio, opVideoDedup,

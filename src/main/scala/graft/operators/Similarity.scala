@@ -955,10 +955,14 @@ object Similarity {
   }
 
   // even vec_ids play the source language, odd the target — the
-  // deterministic stand-in for parse.py's two aligned files. Rows-only
-  // (margin pools come from LSH candidates; not portable SQL): the
-  // hand fixture pins planted pairs + hub demotion, the plan spec pins
-  // bounded pools and no cartesian anywhere.
+  // deterministic stand-in for parse.py's two aligned files. Full
+  // oracle since r17: the r16 LSH-formula precedent (dedup_embed's
+  // oracle evaluates the graft_lsh_keys integer formula inline) makes
+  // the candidate stage portable SQL, and the margin pools are plain
+  // ROW_NUMBER windows over it — TopK.perKey is row_number-style
+  // (strict 1..k with the (cos desc, id asc) tie-break), which is
+  // exactly what the oracle's windows replay. The hand fixture still
+  // pins planted pairs + hub demotion; the plan spec bounded pools.
   private val opMineBitext = Op(
     "mine_bitext",
     (s, dir) => {
@@ -968,7 +972,70 @@ object Similarity {
         e.filter(col("vec_id") % 2 === 1),
         embBits(e.count() / 2))
     },
-    None)
+    Some(s"""
+      WITH params AS (
+        SELECT LEAST(length(bin(GREATEST((COUNT(*) // 2) // $EmbTargetBucket,
+          1))), $EmbMaxBits) AS bits
+        FROM embeddings),
+      e AS (
+        SELECT vec_id, embedding,
+          sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                         for x in embedding])) AS norm
+        FROM embeddings),
+      dots AS (
+        SELECT vec_id, j, l,
+          list_sum([CAST(embedding[i] AS DOUBLE)
+                    * CAST((((((j*$EmbMaxBits + l)*127 + i)*48271 % 2147483647)
+                             * (((j*$EmbMaxBits + l)*127 + i)*48271 % 2147483647))
+                            % 2147483647) % 1001 - 500 AS DOUBLE)
+                    for i in generate_series(1, $EmbDim)]) AS dot
+        FROM e, UNNEST(generate_series(0, ${EmbBands - 1})) AS jj(j),
+             params, UNNEST(generate_series(0, bits - 1)) AS ll(l)),
+      keys AS (
+        SELECT vec_id, j,
+          SUM(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << l ELSE 0 END)
+            AS band_key
+        FROM dots GROUP BY 1, 2),
+      cand AS (
+        SELECT DISTINCT x.vec_id AS s_id, y.vec_id AS t_id
+        FROM keys x JOIN keys y ON x.j = y.j AND x.band_key = y.band_key
+        WHERE x.vec_id % 2 = 0 AND y.vec_id % 2 = 1),
+      scored AS (
+        SELECT s_id, t_id,
+          ROUND(list_sum([CAST(a.embedding[i] AS DOUBLE)
+                          * CAST(b.embedding[i] AS DOUBLE)
+                          for i in generate_series(1, len(a.embedding))])
+                / (a.norm * b.norm), 6) AS cos
+        FROM cand JOIN e a ON a.vec_id = s_id JOIN e b ON b.vec_id = t_id),
+      fwd AS (
+        SELECT s_id, AVG(cos) AS s_avg FROM (
+          SELECT s_id, cos, ROW_NUMBER() OVER
+            (PARTITION BY s_id ORDER BY cos DESC, t_id) AS rn
+          FROM scored) WHERE rn <= $MineK GROUP BY s_id),
+      bwd AS (
+        SELECT t_id, AVG(cos) AS t_avg FROM (
+          SELECT t_id, cos, ROW_NUMBER() OVER
+            (PARTITION BY t_id ORDER BY cos DESC, s_id) AS rn
+          FROM scored) WHERE rn <= $MineK GROUP BY t_id),
+      margins AS (
+        SELECT s.s_id, s.t_id, s.cos,
+          CASE WHEN f.s_avg + b.t_avg > 0
+            THEN ROUND(s.cos * 2.0 / (f.s_avg + b.t_avg), 6)
+            ELSE 0.0 END AS margin
+        FROM scored s JOIN fwd f USING (s_id) JOIN bwd b USING (t_id)),
+      best AS (
+        SELECT s_id, t_id, cos, margin FROM (
+          SELECT s_id, t_id, cos, margin, ROW_NUMBER() OVER
+            (PARTITION BY s_id ORDER BY margin DESC, t_id) AS rn
+          FROM margins) WHERE rn = 1)
+      SELECT src.vec_id AS s_id,
+        COALESCE(b.t_id, -1) AS t_id,
+        COALESCE(b.cos, -1.0) AS cos,
+        COALESCE(b.margin, 0.0) AS margin,
+        CAST(COALESCE(b.margin > $MineThreshold, FALSE) AS BIGINT)
+          AS accepted
+      FROM (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0) src
+      LEFT JOIN best b ON b.s_id = src.vec_id"""))
 
   // ---- ann_range_search: radius query (all neighbors within cos ≥ τ) ----
   // The retrieval primitive top-k can't express: SemDeDup-style "give

@@ -406,7 +406,43 @@ object Splits {
     "contam_embed",
     (s, dir) => contamEmbed(
       Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))),
-    None)
+    // Full oracle since r17 (the ann_quantized template): the serving
+    // kernel's math is portable SQL end-to-end — the benchmark side's
+    // int8 codes are the embed_quantize max-abs formula, the
+    // asymmetric float×int8 cosine is a plain dot product (per-vector
+    // scale cancels), round6 BEFORE ranking, and k=1 selection with
+    // the kernel's (cos desc, c_id asc) tie-break is one ROW_NUMBER
+    // window. Pool and benchmark ids are disjoint by construction
+    // (%97 split), so the kernel's cid != qId self-exclusion never
+    // fires and the oracle needs no mirror of it.
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, embedding,
+          list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS maxabs
+        FROM embeddings),
+      evalc AS (
+        SELECT vec_id AS c_id,
+          CASE WHEN maxabs = 0 THEN [0 for x in embedding]
+            ELSE [CAST(ROUND(CAST(x AS DOUBLE) / (maxabs / 127.0)) AS INT)
+                  for x in embedding] END AS cq
+        FROM e WHERE vec_id % 97 = 0),
+      s AS (
+        SELECT p.vec_id, c.c_id,
+          ROUND(list_sum([CAST(p.embedding[i] AS DOUBLE)
+                          * CAST(c.cq[i] AS DOUBLE)
+                          for i in generate_series(1, len(p.embedding))])
+            / (sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                              for x in p.embedding]))
+               * sqrt(list_sum([CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+                                for y in c.cq]))), 6) AS cos
+        FROM (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id % 97 <> 0) p, evalc c)
+      SELECT vec_id, c_id AS near_eval_id, cos AS max_cos,
+        CAST(cos >= $ContamEmbTau AS BIGINT) AS contaminated
+      FROM (
+        SELECT vec_id, c_id, cos, ROW_NUMBER() OVER
+          (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rn
+        FROM s) WHERE rn = 1"""))
 
   // ---- mix_doremi: excess-loss domain reweighting ----
 
