@@ -211,7 +211,103 @@ object Dedup {
   private val opMinhash = Op(
     "dedup_minhash",
     (s, dir) => minhashDedup(docs(s, dir)),
-    None)
+    Some(minhashOracleSql))
+
+  /** dedup_minhash full oracle (r17): the whole chain replays in
+    * DuckDB — md5 exact-dedup pre-pass with min-doc_id reps, 3-token
+    * shingles by exact byte concatenation (a < 3-token doc's single
+    * whole-text shingle equals its text, spaces and all), per-shingle
+    * xxHash64 via [[graft.plans.OracleSql]], the 32 rotate/xor family
+    * minima under SIGNED long comparison (the kernel's Long.MaxValue
+    * fold), sig_digest over signed decimal strings, the 8 band values
+    * as the kernel's exact left fold xxh64(str(band)) then four
+    * chained XXH64.hashLong rounds, the value-only band self-join with
+    * rep order, and the multiplicity re-expansion (m − 1 + Σ partner
+    * group sizes). Family constants ride inline from
+    * [[graft.plans.SignatureKernels.seedConsts]] — algorithm
+    * constants, the LSH-oracle convention.
+    */
+  private def minhashOracleSql: String = {
+    import graft.plans.{OracleSql => O}
+    s"""
+      WITH d AS (
+        SELECT doc_id, text, md5(text) AS chash FROM documents
+      ), groups AS (
+        SELECT chash, MIN(doc_id) AS rep_id, COUNT(*) AS m
+        FROM d GROUP BY chash
+      ), reps AS (
+        SELECT g.rep_id, d.text, string_split(d.text, ' ') AS toks
+        FROM groups g JOIN d ON d.doc_id = g.rep_id
+      ), shingles AS (
+        SELECT rep_id,
+          CASE WHEN len(toks) >= 3
+            THEN toks[k] || ' ' || toks[k+1] || ' ' || toks[k+2]
+            ELSE text END AS sh
+        FROM reps, UNNEST(generate_series(1,
+          CASE WHEN len(toks) >= 3 THEN len(toks) - 2 ELSE 1 END)) AS g(k)
+      ), ${O.xxh64Cte("shingles", Seq("rep_id"), "sh", "shashed", "bh", "xs")},
+      fam AS (
+        SELECT * FROM (VALUES ${O.familyRows}) v(i, sl, cst)
+      ), mins AS (
+        SELECT rep_id, i, MIN(${O.toSigned("r")}) AS mn
+        FROM (
+          SELECT s.rep_id, f.i,
+            ${O.xr(s"((u * f.sl) % ${O.M64} + u // (${O.M64} // f.sl))",
+              "f.cst")} AS r
+          FROM (SELECT rep_id, ${O.toUnsigned("bh")} AS u FROM shashed) s
+          CROSS JOIN fam f)
+        GROUP BY rep_id, i
+      ), sigd AS (
+        SELECT rep_id,
+          md5(string_agg(CAST(mn AS VARCHAR), ',' ORDER BY i)) AS sig_digest
+        FROM mins GROUP BY rep_id
+      ), bstr AS (
+        SELECT unnest(range(8)) AS band_id,
+          CAST(unnest(range(8)) AS VARCHAR) AS bs
+      ), ${O.xxh64Cte("bstr", Seq("band_id"), "bs", "bseed0", "bh0", "xb")},
+      bseed AS (
+        SELECT band_id, ${O.toUnsigned("bh0")} AS h0 FROM bseed0
+      ), bwide0 AS (
+        SELECT m.rep_id, b.band_id, b.h0,
+          MAX(CASE WHEN m.i = b.band_id * 4 THEN m.mn END) AS m1,
+          MAX(CASE WHEN m.i = b.band_id * 4 + 1 THEN m.mn END) AS m2,
+          MAX(CASE WHEN m.i = b.band_id * 4 + 2 THEN m.mn END) AS m3,
+          MAX(CASE WHEN m.i = b.band_id * 4 + 3 THEN m.mn END) AS m4
+        FROM mins m JOIN bseed b ON m.i // 4 = b.band_id
+        GROUP BY m.rep_id, b.band_id, b.h0
+      ), ${O.hashLongCte("bwide0", Seq("rep_id", "band_id", "m2", "m3", "m4"),
+        "m1", "h0", "bw1", "l1")},
+      ${O.hashLongCte("bw1", Seq("rep_id", "band_id", "m3", "m4"),
+        "m2", "h", "bw2", "l2")},
+      ${O.hashLongCte("bw2", Seq("rep_id", "band_id", "m4"),
+        "m3", "h", "bw3", "l3")},
+      ${O.hashLongCte("bw3", Seq("rep_id", "band_id"),
+        "m4", "h", "bw4", "l4")},
+      bandvals AS (
+        SELECT rep_id, band_id, ${O.toSigned("h")} AS band_val FROM bw4
+      ), pairs AS (
+        SELECT DISTINCT x.rep_id AS a, y.rep_id AS b, xm.m AS ma, ym.m AS mb
+        FROM bandvals x JOIN bandvals y
+          ON x.band_val = y.band_val AND x.rep_id < y.rep_id
+        JOIN groups xm ON xm.rep_id = x.rep_id
+        JOIN groups ym ON ym.rep_id = y.rep_id
+      ), cross_c AS (
+        SELECT rep_id, SUM(pm) AS cross_cands FROM (
+          SELECT a AS rep_id, mb AS pm FROM pairs
+          UNION ALL SELECT b AS rep_id, ma AS pm FROM pairs)
+        GROUP BY rep_id
+      )
+      SELECT d.doc_id,
+        CAST(greatest(len(string_split(d.text, ' ')) - 2, 1) AS BIGINT)
+          AS n_shingles,
+        s.sig_digest,
+        CAST(g.m - 1 + COALESCE(c.cross_cands, 0) AS BIGINT)
+          AS n_dup_candidates
+      FROM d
+      JOIN groups g ON g.chash = d.chash
+      JOIN sigd s ON s.rep_id = g.rep_id
+      LEFT JOIN cross_c c ON c.rep_id = g.rep_id"""
+  }
 
   // ---- dedup_simhash: 64-bit SimHash + 16-bit-band hamming dedup ----
   /** (doc_id, simhash): per-bit ±1 majority over xxhash64(token),
@@ -356,7 +452,80 @@ object Dedup {
       // (neighborStats — flood-proof by construction)
       neighborStats(base, SimhashMaxBucket, maxHamming = 8)
     },
-    None)
+    Some(simhashOracleSql))
+
+  /** dedup_simhash full oracle (r17): DuckDB replays the ENTIRE op —
+    * per-token xxHash64 via the [[graft.plans.OracleSql]] small-input
+    * replay (tokens are split(text, ' ') INCLUDING empties, exactly
+    * what the kernel hashes), the per-bit ±1 majority packed through
+    * HUGEINT (bit 63 rides the signed reinterpretation both engines
+    * share), then [[neighborStats]] at its exact semantics: DISTINCT
+    * hash nodes, 4×16-bit banding with the adaptive sub-split salt
+    * sized on NODE bucket populations, signed-compare pair order,
+    * hamming-verified ≤ 8, and the multiplicity recombination
+    * m − 1 + Σ m′ with min_hamming 0 for any multi-copy hash.
+    */
+  private def simhashOracleSql: String = {
+    import graft.plans.{OracleSql => O}
+    s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+      ), ${O.xxh64Cte("toks", Seq("doc_id"), "t", "hashed", "h", "x")},
+      sums AS (
+        SELECT doc_id, b.b,
+          SUM(CASE WHEN (h >> CAST(b.b AS INTEGER)) & 1 = 1
+            THEN 1 ELSE -1 END) AS s
+        FROM hashed CROSS JOIN (SELECT unnest(range(64)) AS b) b
+        GROUP BY doc_id, b.b
+      ), sh AS (
+        SELECT doc_id, ${O.toSigned("u")} AS simhash
+        FROM (
+          SELECT doc_id,
+            COALESCE(SUM(CASE WHEN s > 0
+              THEN CAST(1 AS HUGEINT) << CAST(b AS INTEGER)
+              ELSE 0::HUGEINT END), 0::HUGEINT) AS u
+          FROM sums GROUP BY doc_id)
+      ), mult AS (
+        SELECT simhash, COUNT(*) AS m FROM sh GROUP BY simhash
+      ), bands AS (
+        SELECT simhash, bi.band_id,
+          (simhash >> CAST(bi.band_id * 16 AS INTEGER)) & 65535 AS band_key
+        FROM mult CROSS JOIN (SELECT unnest(range(4)) AS band_id) bi
+      ), sized AS (
+        SELECT band_id, band_key, COUNT(*) AS bn
+        FROM bands GROUP BY band_id, band_key
+      ), salted AS (
+        SELECT b.simhash, b.band_id, b.band_key,
+          CASE WHEN s.bn > $SimhashMaxBucket
+            THEN (b.simhash >> CAST(((b.band_id + 1) % 4) * 16 AS INTEGER))
+              & 65535
+            ELSE 0 END AS salt
+        FROM bands b JOIN sized s
+          ON b.band_id = s.band_id AND b.band_key = s.band_key
+      ), pairs AS (
+        SELECT DISTINCT x.simhash AS a, y.simhash AS b,
+          bit_count(xor(x.simhash, y.simhash)) AS hamming
+        FROM salted x JOIN salted y
+          ON x.band_id = y.band_id AND x.band_key = y.band_key
+         AND x.salt = y.salt AND x.simhash < y.simhash
+        WHERE bit_count(xor(x.simhash, y.simhash)) <= 8
+      ), neigh AS (
+        SELECT simhash, SUM(om) AS neigh_sum, MIN(hamming) AS neigh_min
+        FROM (
+          SELECT p.a AS simhash, m.m AS om, p.hamming
+          FROM pairs p JOIN mult m ON m.simhash = p.b
+          UNION ALL
+          SELECT p.b AS simhash, m.m AS om, p.hamming
+          FROM pairs p JOIN mult m ON m.simhash = p.a)
+        GROUP BY simhash
+      )
+      SELECT sh.doc_id, sh.simhash,
+        CAST(mu.m - 1 + COALESCE(n.neigh_sum, 0) AS BIGINT) AS n_near_dups,
+        CAST(CASE WHEN mu.m > 1 THEN 0
+          ELSE COALESCE(n.neigh_min, -1) END AS BIGINT) AS min_hamming
+      FROM sh JOIN mult mu ON mu.simhash = sh.simhash
+      LEFT JOIN neigh n ON n.simhash = sh.simhash"""
+  }
 
   // ---- ngram_jaccard: exact 3-gram set Jaccard on candidate pairs ----
   // (deterministic consecutive-doc pairing so the oracle is ANSI SQL).

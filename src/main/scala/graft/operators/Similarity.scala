@@ -1110,7 +1110,58 @@ object Similarity {
             expr("transform(embedding, x -> cast(x AS string))")))
             .as("emb_digest"))
     },
-    None)
+    Some(hashEmbedOracleSql))
+
+  /** embed_hash full oracle (r17): DuckDB replays the hashing trick
+    * end-to-end — per-token xxHash64 (the [[graft.plans.OracleSql]]
+    * small-input replay; empty tokens skipped exactly as the kernel
+    * skips zero-byte strings), bucket = bits 1..6 of the unsigned
+    * hash, sign from bit 0, bucket accumulation, L2 normalization
+    * THROUGH FLOAT32 (both engines cast the double quotient to float,
+    * and both print the float as its shortest round-trip decimal — the
+    * digest matches byte-for-byte, verified at sf0.01), nnz/norm_sq
+    * audits over the float vector in index order.
+    */
+  private def hashEmbedOracleSql: String = {
+    import graft.plans.{OracleSql => O}
+    val dim = graft.plans.HashEmbed.Dim
+    s"""
+      WITH toks AS (
+        SELECT doc_id, t FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t
+          FROM documents)
+        WHERE t <> ''
+      ), ${O.xxh64Cte("toks", Seq("doc_id"), "t", "hashed", "h", "x")},
+      acc AS (
+        SELECT doc_id,
+          CAST((${O.toUnsigned("h")} // 2) % $dim AS BIGINT) AS b,
+          SUM(CASE WHEN h & 1 = 0 THEN 1 ELSE -1 END) AS a
+        FROM hashed
+        GROUP BY 1, 2
+      ), vecs AS (
+        SELECT g.doc_id, list(COALESCE(a.a, 0) ORDER BY bb.b) AS v
+        FROM (SELECT doc_id FROM documents) g
+        CROSS JOIN (SELECT unnest(range($dim)) AS b) bb
+        LEFT JOIN acc a ON a.doc_id = g.doc_id AND a.b = bb.b
+        GROUP BY g.doc_id
+      ), fl AS (
+        SELECT doc_id,
+          CASE WHEN norm > 0
+            THEN [CAST(CAST(x AS DOUBLE) / norm AS FLOAT) for x in v]
+            ELSE [CAST(0 AS FLOAT) for x in v] END AS f
+        FROM (
+          SELECT doc_id, v,
+            sqrt(list_sum([CAST(x*x AS DOUBLE) for x in v])) AS norm
+          FROM vecs)
+      )
+      SELECT doc_id AS vec_id, CAST($dim AS BIGINT) AS dim,
+        CAST(len(list_filter(f, x -> x != 0)) AS BIGINT) AS nnz,
+        ROUND(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in f]),
+          6) AS norm_sq,
+        md5(array_to_string([CAST(x AS VARCHAR) for x in f], ','))
+          AS emb_digest
+      FROM fl"""
+  }
 
   val ops: Seq[Op] =
     Seq(opBrute, opIvf, opIvfQuant, opIvfPq, opFiltered, opEmbedDedup,

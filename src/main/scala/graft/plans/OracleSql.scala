@@ -1,0 +1,164 @@
+package graft.plans
+
+/** DuckDB SQL fragment generators that replay Spark's XXH64 (seed 42)
+  * for the hash-family oracles — the r17 move that converts the
+  * signature operators (dedup_simhash, dedup_minhash, embed_hash)
+  * from rows-only to full DuckDB-hash-proven queries.
+  *
+  * Scope, stated plainly: this replays the xxHash64 SMALL-INPUT path
+  * (< 32 bytes, no 4-lane stripes) over ASCII strings — byte values
+  * are read as `unicode(s[i])`, which equals the byte only for
+  * single-byte code points. The test corpora satisfy both bounds by
+  * construction (tokens ≤ 8 bytes, 3-token shingles ≤ 26 bytes, pure
+  * ASCII — measured, not assumed); an input outside them would make
+  * the oracle DISAGREE with the engine and fail the driver compare
+  * loudly, which is the correct failure mode for a correctness
+  * oracle.
+  *
+  * Arithmetic discipline (the PlantedSql convention): 64-bit wrap via
+  * HUGEINT mod-2⁶⁴ with a 32-bit split multiply (a full 64×64 product
+  * overflows even HUGEINT); rotations as disjoint shift halves;
+  * xor via UBIGINT casts (carries the 64-bit pattern exactly).
+  * Sequential chunk/tail folds ride `list_reduce(list_prepend(h0,
+  * xs), …)` — DuckDB's reduce seeds from the first element, so the
+  * init state is prepended; an empty input list degenerates to h0,
+  * which is exactly xxHash64's n=0 shape. Verified equal to Spark's
+  * `xxhash64()` on empty/1..31-byte inputs including every
+  * chunk/4-byte/tail boundary (and the three consuming oracles
+  * hash-pass end-to-end at sf0.01).
+  */
+private[graft] object OracleSql {
+  val M64 = "18446744073709551616::HUGEINT"
+  private val P1 = "11400714785074694791::HUGEINT"
+  private val P2 = "14029467366897019727::HUGEINT"
+  private val P3 = "1609587929392839161::HUGEINT"
+  private val P4 = "9650029242287828579::HUGEINT"
+  private val P5 = "2870177450012600261::HUGEINT"
+
+  /** (a·b) mod 2⁶⁴ for HUGEINT-range a < 2⁶⁴ (b any 64-bit constant
+    * or column): split a at 32 bits so no partial product exceeds
+    * 2⁹⁶. */
+  def mul(a: String, b: String): String =
+    s"(((($a) % 4294967296::HUGEINT) * $b + (((($a) // 4294967296::HUGEINT)" +
+      s" * $b) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $M64)"
+
+  /** rotl64(x, r) as the sum of the two disjoint shift halves. */
+  def rot(x: String, r: Int): String = {
+    require(r > 0 && r < 64, s"rot distance $r out of (0, 64)")
+    s"((($x) * ${1L << r}::HUGEINT) % $M64 + ($x) // ${java.lang.Long
+      .toUnsignedString(1L << (64 - r))}::HUGEINT)"
+  }
+
+  /** 64-bit xor of two unsigned HUGEINT values via UBIGINT. */
+  def xr(a: String, b: String): String =
+    s"CAST(xor(CAST(($a) AS UBIGINT), CAST(($b) AS UBIGINT)) AS HUGEINT)"
+
+  /** One 8-byte round: h ← rotl27(h ⊕ rotl31(c·P2)·P1)·P1 + P4. */
+  def chunkStep(h: String, c: String): String =
+    s"(${mul(rot(xr(h, mul(rot(mul(c, P2), 31), P1)), 27), P1)} + $P4) % $M64"
+
+  private def fourStep(h: String, v: String): String =
+    s"(${mul(rot(xr(h, mul(v, P1)), 23), P2)} + $P3) % $M64"
+
+  private def byteStep(h: String, b: String): String =
+    mul(rot(xr(h, s"(($b) * $P5) % $M64"), 11), P1)
+
+  /** Signed-BIGINT reinterpretation of an unsigned HUGEINT word. */
+  def toSigned(u: String): String =
+    s"CAST(CASE WHEN ($u) >= 9223372036854775808::HUGEINT " +
+      s"THEN ($u) - $M64 ELSE ($u) END AS BIGINT)"
+
+  /** Unsigned HUGEINT reinterpretation of a signed BIGINT word. */
+  def toUnsigned(l: String): String =
+    s"(CASE WHEN ($l) < 0 THEN CAST(($l) AS HUGEINT) + $M64 " +
+      s"ELSE CAST(($l) AS HUGEINT) END)"
+
+  /** CTE chain hashing VARCHAR column `sCol` (ASCII, < 32 bytes) of
+    * `srcCte` rows to a signed-BIGINT `outCol` in `outCte`, carrying
+    * `keys` through. Rows need not be key-unique — the chain is
+    * strictly per-row. `prefix` namespaces the intermediate CTEs.
+    */
+  def xxh64Cte(srcCte: String, keys: Seq[String], sCol: String,
+      outCte: String, outCol: String, prefix: String): String = {
+    val ks = keys.mkString(", ")
+    val p = prefix
+    val le32 =
+      "(bs[8*nc+1] + bs[8*nc+2]*256 + bs[8*nc+3]*65536 + bs[8*nc+4]*16777216)"
+    s"""${p}_b AS (
+        SELECT $ks, CAST(octet_length(encode($sCol)) AS HUGEINT) AS n,
+          [CAST(unicode($sCol[i]) AS HUGEINT)
+           for i in generate_series(1, length($sCol))] AS bs
+        FROM $srcCte
+      ), ${p}_c AS (
+        SELECT $ks, n, bs, CAST(n // 8 AS BIGINT) AS nc,
+          [bs[8*k-7] + bs[8*k-6]*256 + bs[8*k-5]*65536 + bs[8*k-4]*16777216
+           + bs[8*k-3]*4294967296 + bs[8*k-2]*1099511627776
+           + bs[8*k-1]*281474976710656 + bs[8*k]*72057594037927936
+           for k in generate_series(1, CAST(n // 8 AS BIGINT))] AS chunks
+        FROM ${p}_b
+      ), ${p}_h1 AS (
+        SELECT $ks, n, bs, nc,
+          list_reduce(list_prepend((42::HUGEINT + $P5 + n) % $M64, chunks),
+            (h, c) -> ${chunkStep("h", "c")}) AS h
+        FROM ${p}_c
+      ), ${p}_h2 AS (
+        SELECT $ks, n, bs, nc,
+          CASE WHEN n % 8 >= 4 THEN ${fourStep("h", le32)} ELSE h END AS h,
+          CASE WHEN n % 8 >= 4 THEN 8*nc + 4 ELSE 8*nc END AS toff
+        FROM ${p}_h1
+      ), ${p}_h3 AS (
+        SELECT $ks,
+          list_reduce(list_prepend(h, bs[toff+1:]),
+            (h, b) -> ${byteStep("h", "b")}) AS h
+        FROM ${p}_h2
+      ), ${p}_a1 AS (
+        SELECT $ks, ${mul(xr("h", "h // 8589934592::HUGEINT"), P2)} AS h
+        FROM ${p}_h3
+      ), ${p}_a2 AS (
+        SELECT $ks, ${mul(xr("h", "h // 536870912::HUGEINT"), P3)} AS h
+        FROM ${p}_a1
+      ), $outCte AS (
+        SELECT $ks, ${toSigned(xr("h", "h // 4294967296::HUGEINT"))}
+          AS $outCol
+        FROM ${p}_a2
+      )"""
+  }
+
+  /** CTE chain for Spark's `XXH64.hashLong(l, seed)` — xxHash64 of
+    * the 8 LE bytes of signed-BIGINT `lCol` seeded by the unsigned
+    * HUGEINT column `seedCol` (one chunk round + the final
+    * avalanche). Emits `outCte` carrying `keys` plus unsigned `h`,
+    * so applications CHAIN: the minhash band fold is four of these
+    * with each stage's `h` feeding the next stage's seed.
+    */
+  def hashLongCte(srcCte: String, keys: Seq[String], lCol: String,
+      seedCol: String, outCte: String, prefix: String): String = {
+    val ks = keys.mkString(", ")
+    val p = prefix
+    val h1 = chunkStep(s"(($seedCol) + $P5 + 8) % $M64", toUnsigned(lCol))
+    s"""${p}_h1 AS (
+        SELECT $ks, $h1 AS h FROM $srcCte
+      ), ${p}_a1 AS (
+        SELECT $ks, ${mul(xr("h", "h // 8589934592::HUGEINT"), P2)} AS h
+        FROM ${p}_h1
+      ), ${p}_a2 AS (
+        SELECT $ks, ${mul(xr("h", "h // 536870912::HUGEINT"), P3)} AS h
+        FROM ${p}_a1
+      ), $outCte AS (
+        SELECT $ks, ${xr("h", "h // 4294967296::HUGEINT")} AS h
+        FROM ${p}_a2
+      )"""
+  }
+
+  /** The 32 minhash families as an inline VALUES table
+    * `(i, sl, cst)`: family index, the rotl-by-i multiplier 2^i, and
+    * the xorshift seed constant — the same algorithm constants
+    * [[SignatureKernels.seedConsts]] compiles in, inlined the way the
+    * LSH oracle inlines its hyperplane-formula constants.
+    */
+  def familyRows: String =
+    SignatureKernels.seedConsts.zipWithIndex.map { case (c, i) =>
+      s"($i, ${java.lang.Long.toUnsignedString(1L << i)}::HUGEINT, " +
+        s"${java.lang.Long.toUnsignedString(c)}::HUGEINT)"
+    }.mkString(", ")
+}
