@@ -236,58 +236,12 @@ object Dedup {
         SELECT chash, MIN(doc_id) AS rep_id, COUNT(*) AS m
         FROM d GROUP BY chash
       ), reps AS (
-        SELECT g.rep_id, d.text, string_split(d.text, ' ') AS toks
-        FROM groups g JOIN d ON d.doc_id = g.rep_id
-      ), shingles AS (
-        SELECT rep_id,
-          CASE WHEN len(toks) >= 3
-            THEN toks[k] || ' ' || toks[k+1] || ' ' || toks[k+2]
-            ELSE text END AS sh
-        FROM reps, UNNEST(generate_series(1,
-          CASE WHEN len(toks) >= 3 THEN len(toks) - 2 ELSE 1 END)) AS g(k)
-      ), ${O.xxh64Cte("shingles", Seq("rep_id"), "sh", "shashed", "bh", "xs")},
-      fam AS (
-        SELECT * FROM (VALUES ${O.familyRows}) v(i, sl, cst)
-      ), mins AS (
-        SELECT rep_id, i, MIN(${O.toSigned("r")}) AS mn
-        FROM (
-          SELECT s.rep_id, f.i,
-            ${O.xr(s"((u * f.sl) % ${O.M64} + u // (${O.M64} // f.sl))",
-              "f.cst")} AS r
-          FROM (SELECT rep_id, ${O.toUnsigned("bh")} AS u FROM shashed) s
-          CROSS JOIN fam f)
-        GROUP BY rep_id, i
-      ), sigd AS (
-        SELECT rep_id,
-          md5(string_agg(CAST(mn AS VARCHAR), ',' ORDER BY i)) AS sig_digest
-        FROM mins GROUP BY rep_id
-      ), bstr AS (
-        SELECT unnest(range(8)) AS band_id,
-          CAST(unnest(range(8)) AS VARCHAR) AS bs
-      ), ${O.xxh64Cte("bstr", Seq("band_id"), "bs", "bseed0", "bh0", "xb")},
-      bseed AS (
-        SELECT band_id, ${O.toUnsigned("bh0")} AS h0 FROM bseed0
-      ), bwide0 AS (
-        SELECT m.rep_id, b.band_id, b.h0,
-          MAX(CASE WHEN m.i = b.band_id * 4 THEN m.mn END) AS m1,
-          MAX(CASE WHEN m.i = b.band_id * 4 + 1 THEN m.mn END) AS m2,
-          MAX(CASE WHEN m.i = b.band_id * 4 + 2 THEN m.mn END) AS m3,
-          MAX(CASE WHEN m.i = b.band_id * 4 + 3 THEN m.mn END) AS m4
-        FROM mins m JOIN bseed b ON m.i // 4 = b.band_id
-        GROUP BY m.rep_id, b.band_id, b.h0
-      ), ${O.hashLongCte("bwide0", Seq("rep_id", "band_id", "m2", "m3", "m4"),
-        "m1", "h0", "bw1", "l1")},
-      ${O.hashLongCte("bw1", Seq("rep_id", "band_id", "m3", "m4"),
-        "m2", "h", "bw2", "l2")},
-      ${O.hashLongCte("bw2", Seq("rep_id", "band_id", "m4"),
-        "m3", "h", "bw3", "l3")},
-      ${O.hashLongCte("bw3", Seq("rep_id", "band_id"),
-        "m4", "h", "bw4", "l4")},
-      bandvals AS (
-        SELECT rep_id, band_id, ${O.toSigned("h")} AS band_val FROM bw4
-      ), pairs AS (
+        SELECT g.rep_id, dd.text
+        FROM groups g JOIN d dd ON dd.doc_id = g.rep_id
+      ), ${O.sigCtes("reps", "rep_id", "sg", withDigest = true)},
+      pairs AS (
         SELECT DISTINCT x.rep_id AS a, y.rep_id AS b, xm.m AS ma, ym.m AS mb
-        FROM bandvals x JOIN bandvals y
+        FROM sg_bandvals x JOIN sg_bandvals y
           ON x.band_val = y.band_val AND x.rep_id < y.rep_id
         JOIN groups xm ON xm.rep_id = x.rep_id
         JOIN groups ym ON ym.rep_id = y.rep_id
@@ -305,7 +259,7 @@ object Dedup {
           AS n_dup_candidates
       FROM d
       JOIN groups g ON g.chash = d.chash
-      JOIN sigd s ON s.rep_id = g.rep_id
+      JOIN sg_sigd s ON s.rep_id = g.rep_id
       LEFT JOIN cross_c c ON c.rep_id = g.rep_id"""
   }
 
@@ -887,10 +841,73 @@ object Dedup {
         when(col("doc_id") === col("lbl"), 1L).otherwise(0L).as("is_keeper"))
   }
 
+  /** Shared oracle CTE prefix replaying [[dedupPipeline]] end-to-end
+    * (r17): md5 pre-pass groups, rep signatures via
+    * [[graft.plans.OracleSql.sigCtes]], the value-only band candidate
+    * join, exact shingle-set Jaccard verification at the integer
+    * cross-multiplied 1/2 threshold, and connected components as a
+    * recursive min-label closure (the dedup_cluster oracle's reach
+    * CTE over the VERIFIED edges — sparse by construction, so the
+    * transitive closure is small even though the engine side uses
+    * pointer jumping). Ends with `pipe(doc_id, cluster_id,
+    * is_keeper)`; dedup_pipeline selects it directly and
+    * split_leakage layers sizes + the Lehmer split on top. Callers
+    * must prepend `WITH RECURSIVE `.
+    */
+  private[graft] def pipelineOracleCtes: String = s"""d AS (
+        SELECT doc_id, text, md5(text) AS chash FROM documents
+      ), groups AS (
+        SELECT chash, MIN(doc_id) AS rep_id, COUNT(*) AS m
+        FROM d GROUP BY chash
+      ), reps AS (
+        SELECT g.rep_id AS doc_id, dd.text
+        FROM groups g JOIN d dd ON dd.doc_id = g.rep_id
+      ), ${graft.plans.OracleSql.sigCtes("reps", "doc_id", "rp")},
+      cand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM rp_bandvals x JOIN rp_bandvals y
+          ON x.band_val = y.band_val AND x.doc_id < y.doc_id
+      ), ssets AS (
+        SELECT doc_id,
+          list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
+            THEN [array_to_string(
+                    list_slice(string_split(text, ' '), i+1, i+3), ' ')
+                  for i in generate_series(0,
+                    len(string_split(text, ' ')) - 3)]
+            ELSE [text] END) AS sset
+        FROM reps
+        WHERE doc_id IN (SELECT a FROM cand UNION SELECT b FROM cand)
+      ), verified AS (
+        SELECT c.a, c.b FROM cand c
+        JOIN ssets sa ON sa.doc_id = c.a
+        JOIN ssets sb ON sb.doc_id = c.b
+        WHERE len(list_intersect(sa.sset, sb.sset)) * 2
+          >= len(sa.sset) + len(sb.sset)
+            - len(list_intersect(sa.sset, sb.sset))
+      ), und AS (
+        SELECT a AS x, b AS y FROM verified
+        UNION ALL SELECT b AS x, a AS y FROM verified
+      ), reach(node, lbl) AS (
+        SELECT rep_id, rep_id FROM groups
+        UNION
+        SELECT u.y, r.lbl FROM reach r JOIN und u ON u.x = r.node
+      ), comp AS (
+        SELECT node AS rep_id, MIN(lbl) AS lbl FROM reach GROUP BY node
+      ), pipe AS (
+        SELECT dd.doc_id, CAST(c.lbl AS BIGINT) AS cluster_id,
+          CAST(CASE WHEN dd.doc_id = c.lbl THEN 1 ELSE 0 END AS BIGINT)
+            AS is_keeper
+        FROM d dd
+        JOIN groups g ON g.chash = dd.chash
+        JOIN comp c ON c.rep_id = g.rep_id
+      )"""
+
   private val opPipeline = Op(
     "dedup_pipeline",
     (s, dir) => dedupPipeline(docs(s, dir)),
-    None)
+    Some(s"""
+      WITH RECURSIVE $pipelineOracleCtes
+      SELECT doc_id, cluster_id, is_keeper FROM pipe"""))
 
   // ---- dedup_substring: exact duplicated-substring coverage ----
   // The Lee et al. 2022 ("Deduplicating Training Data Makes Language
@@ -1289,7 +1306,31 @@ object Dedup {
   private val opIncrMinhash = Op(
     "dedup_incr_minhash",
     (s, dir) => incrementalMinhash(docs(s, dir), IncrSplit),
-    None)
+    // Full oracle since r17 (the OracleSql.sigCtes replay): fresh-side
+    // signatures + digest and the history side's DISTINCT band-value
+    // set replay per-doc, then the asymmetric probe is one join — the
+    // countDistinct over a fresh doc's HIT band values matches the
+    // Spark aggregation exactly.
+    Some(s"""
+      WITH fresh AS (
+        SELECT doc_id, text FROM documents WHERE doc_id >= $IncrSplit
+      ), hist AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < $IncrSplit
+      ), ${graft.plans.OracleSql.sigCtes("fresh", "doc_id", "fr",
+        withDigest = true)},
+      ${graft.plans.OracleSql.sigCtes("hist", "doc_id", "hs")},
+      hb AS (SELECT DISTINCT band_val FROM hs_bandvals),
+      hits AS (
+        SELECT f.doc_id, COUNT(DISTINCT f.band_val) AS n_hist_bands
+        FROM fr_bandvals f JOIN hb ON hb.band_val = f.band_val
+        GROUP BY f.doc_id
+      )
+      SELECT d.doc_id, s.sig_digest,
+        COALESCE(h.n_hist_bands, 0) AS n_hist_bands,
+        CAST(COALESCE(h.n_hist_bands, 0) >= 1 AS BIGINT) AS near_hist
+      FROM fresh d
+      JOIN fr_sigd s ON s.doc_id = d.doc_id
+      LEFT JOIN hits h ON h.doc_id = d.doc_id"""))
 
   // ---- ingest_bloom: constant-size pre-gate for the ingest firewall ----
   // dedup_incremental's exact gate probes the persisted content-hash

@@ -116,8 +116,22 @@ object Splits {
       graft.plans.GraftFunctions.register(s)
       splitLeakage(docs(s, dir))
     },
-    None) // LSH clustering inside → rows-only; the spec plants a
-          // near-dup pair and pins same-cluster ⇒ same-split
+    // Full oracle since r17: Dedup.pipelineOracleCtes replays the LSH
+    // clustering (the spec still plants the near-dup pair pinning
+    // same-cluster => same-split); on top ride cluster sizes and the
+    // integer-exact Lehmer eval/train split.
+    Some(s"""
+      WITH RECURSIVE ${Dedup.pipelineOracleCtes},
+      sizes AS (
+        SELECT cluster_id, COUNT(*) AS cluster_size FROM pipe
+        GROUP BY cluster_id
+      )
+      SELECT p.doc_id, p.cluster_id,
+        CAST(s.cluster_size AS BIGINT) AS cluster_size, p.is_keeper,
+        CASE WHEN (p.cluster_id * ${Sampling.MixMul} % ${Sampling.MixMod})
+            * 10 < ${Sampling.MixMod} * $LeakEvalTenths
+          THEN 'eval' ELSE 'train' END AS split
+      FROM pipe p JOIN sizes s USING (cluster_id)"""))
 
   // ---- mix_epoch_plan: per-source budget/epoch allocation ----
 
@@ -315,7 +329,26 @@ object Splits {
       graft.plans.GraftFunctions.register(s)
       contamMinhash(docs(s, dir))
     },
-    None)
+    // Full oracle since r17: per-doc band values via the shared
+    // OracleSql.sigCtes minhash replay, then the probe is one LEFT
+    // JOIN against the benchmark slice's distinct band set — each of
+    // a pool doc's 8 band rows counts its own hit, exactly the Spark
+    // aggregation.
+    Some(s"""
+      WITH ${graft.plans.OracleSql.sigCtes("documents", "doc_id", "sg")},
+      evalb AS (
+        SELECT DISTINCT band_val FROM sg_bandvals WHERE doc_id % 97 = 0
+      ), pool AS (
+        SELECT doc_id, band_val FROM sg_bandvals WHERE doc_id % 97 <> 0
+      )
+      SELECT p.doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_bands,
+        CAST(SUM(CASE WHEN e.band_val IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_hit_bands,
+        CAST(SUM(CASE WHEN e.band_val IS NOT NULL THEN 1 ELSE 0 END) >= 1
+          AS BIGINT) AS contaminated
+      FROM pool p LEFT JOIN evalb e ON e.band_val = p.band_val
+      GROUP BY p.doc_id"""))
 
   // ---- contam_embed: semantic benchmark decontamination ----
 

@@ -150,6 +150,80 @@ private[graft] object OracleSql {
       )"""
   }
 
+  /** CTE chain computing the full per-row MinHash signature pipeline
+    * from a `srcCte(idCol, text)` frame — the shared replay of
+    * [[SignatureKernels.minhashAll]] that every minhash-family oracle
+    * composes (dedup_minhash, contam_minhash, dedup_incr_minhash,
+    * dedup_pipeline, split_leakage): exact-byte 3-token shingles (a
+    * < 3-token row's single whole-text shingle equals its text),
+    * per-shingle xxHash64, the 32 rotate/xor family minima under
+    * SIGNED long comparison (the kernel's Long.MaxValue fold), and
+    * the 8 band values as the kernel's exact left fold — xxh64 of the
+    * band index's decimal string, then four chained
+    * [[hashLongCte]] rounds over the band's minima. Emits
+    * `{prefix}_bandvals(idCol, band_id, band_val)` and, when
+    * `withDigest`, `{prefix}_sigd(idCol, sig_digest)` over signed
+    * decimal strings.
+    */
+  def sigCtes(srcCte: String, idCol: String, prefix: String,
+      withDigest: Boolean = false): String = {
+    val p = prefix
+    val dig = if (withDigest) s""", ${p}_sigd AS (
+        SELECT $idCol,
+          md5(string_agg(CAST(mn AS VARCHAR), ',' ORDER BY i)) AS sig_digest
+        FROM ${p}_mins GROUP BY $idCol
+      )""" else ""
+    s"""${p}_t AS (
+        SELECT $idCol, text, string_split(text, ' ') AS toks FROM $srcCte
+      ), ${p}_sh AS (
+        SELECT $idCol,
+          CASE WHEN len(toks) >= 3
+            THEN toks[k] || ' ' || toks[k+1] || ' ' || toks[k+2]
+            ELSE text END AS sh
+        FROM ${p}_t, UNNEST(generate_series(1,
+          CASE WHEN len(toks) >= 3 THEN len(toks) - 2 ELSE 1 END)) AS g(k)
+      ), ${xxh64Cte(s"${p}_sh", Seq(idCol), "sh", s"${p}_shashed", "bh",
+        s"${p}xs")},
+      ${p}_fam AS (
+        SELECT * FROM (VALUES $familyRows) v(i, sl, cst)
+      ), ${p}_mins AS (
+        SELECT $idCol, i, MIN(${toSigned("r")}) AS mn
+        FROM (
+          SELECT s.$idCol, f.i,
+            ${xr(s"((u * f.sl) % $M64 + u // ($M64 // f.sl))", "f.cst")} AS r
+          FROM (SELECT $idCol, ${toUnsigned("bh")} AS u
+                FROM ${p}_shashed) s
+          CROSS JOIN ${p}_fam f)
+        GROUP BY $idCol, i
+      ), ${p}_bstr AS (
+        SELECT unnest(range(8)) AS band_id,
+          CAST(unnest(range(8)) AS VARCHAR) AS bs
+      ), ${xxh64Cte(s"${p}_bstr", Seq("band_id"), "bs", s"${p}_bseed0",
+        "bh0", s"${p}xb")},
+      ${p}_bseed AS (
+        SELECT band_id, ${toUnsigned("bh0")} AS h0 FROM ${p}_bseed0
+      ), ${p}_bwide0 AS (
+        SELECT m.$idCol, b.band_id, b.h0,
+          MAX(CASE WHEN m.i = b.band_id * 4 THEN m.mn END) AS m1,
+          MAX(CASE WHEN m.i = b.band_id * 4 + 1 THEN m.mn END) AS m2,
+          MAX(CASE WHEN m.i = b.band_id * 4 + 2 THEN m.mn END) AS m3,
+          MAX(CASE WHEN m.i = b.band_id * 4 + 3 THEN m.mn END) AS m4
+        FROM ${p}_mins m JOIN ${p}_bseed b ON m.i // 4 = b.band_id
+        GROUP BY m.$idCol, b.band_id, b.h0
+      ), ${hashLongCte(s"${p}_bwide0",
+        Seq(idCol, "band_id", "m2", "m3", "m4"), "m1", "h0",
+        s"${p}_bw1", s"${p}l1")},
+      ${hashLongCte(s"${p}_bw1", Seq(idCol, "band_id", "m3", "m4"),
+        "m2", "h", s"${p}_bw2", s"${p}l2")},
+      ${hashLongCte(s"${p}_bw2", Seq(idCol, "band_id", "m4"),
+        "m3", "h", s"${p}_bw3", s"${p}l3")},
+      ${hashLongCte(s"${p}_bw3", Seq(idCol, "band_id"),
+        "m4", "h", s"${p}_bw4", s"${p}l4")},
+      ${p}_bandvals AS (
+        SELECT $idCol, band_id, ${toSigned("h")} AS band_val FROM ${p}_bw4
+      )$dig"""
+  }
+
   /** The 32 minhash families as an inline VALUES table
     * `(i, sl, cst)`: family index, the rotl-by-i multiplier 2^i, and
     * the xorshift seed constant — the same algorithm constants
