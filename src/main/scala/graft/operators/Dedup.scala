@@ -1275,9 +1275,9 @@ object Dedup {
   // an (edited) copy of ANY historical doc collides on ≥1 of its 8
   // bands w.h.p. Asymmetric like the parent op: no history×history
   // pairing, history text never leaves its scan; cost per ingest is
-  // O(shard bands) probes. Rows-only (the minhash kernel is not
-  // portable SQL); the fixture pins exact copies at 8/8 bands, edited
-  // copies ≥ 1, fresh docs at 0.
+  // O(shard bands) probes. Full oracle since r17 (the OracleSql
+  // xxh64 replay); the fixture still pins exact copies at 8/8 bands,
+  // edited copies ≥ 1, fresh docs at 0.
   /** Store-fed core: the history side is a DISTINCT band-value frame of
     * the caller's provenance — derived ([[incrementalMinhash]]) or the
     * reloaded `sink_fingerprints` band store. */

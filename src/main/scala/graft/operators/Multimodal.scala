@@ -1066,8 +1066,9 @@ object Multimodal {
     * frames decoded once (pinned — the pair search and the per-doc
     * roll-up both consume the skinny hash frame); banding inherits
     * simhashPairs' sub-split bound, pair folds move (da, db, fidx)
-    * longs only. Rows-only: the planted copy spec pins detection and
-    * the unrelated-clip zero.
+    * longs only. Full oracle since r17 (videoDedupOracleSql); the
+    * planted copy spec still pins detection and the unrelated-clip
+    * zero.
     */
   private[graft] def videoNearDup(fh: DataFrame): DataFrame = {
     // clips collapse to SIGNATURE nodes (the ordered (frame_idx,
@@ -1299,9 +1300,10 @@ object Multimodal {
     * decode kernel twice per frame (the repo's recurring
     * single-use-kernel-column pitfall). Emits scalar audit columns
     * only (cut indices as a joined string — raw arrays break the
-    * driver compare, the embed_pca lesson). Rows-only: the decode
-    * kernel isn't portable SQL; the planted spec pins cuts at the
-    * synthesized scene boundaries and hand-built [A,A,B] fixtures.
+    * driver compare, the embed_pca lesson). Full oracle since r17
+    * (scenesOracleSql — the planted-luma dHash replay over all
+    * frames); the planted spec still pins cuts at the synthesized
+    * scene boundaries and hand-built [A,A,B] fixtures.
     */
   private[graft] def sceneCuts(clipFrame: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(clipFrame.sparkSession)

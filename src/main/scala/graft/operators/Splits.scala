@@ -23,8 +23,8 @@ import org.apache.spark.sql.functions._
   *   - split_leakage: the near-dup-aware escalation — assignment keyed
   *     on the dedup_pipeline CLUSTER (exact pre-pass → MinHash LSH →
   *     Jaccard verify → connected components), so near-duplicates
-  *     cannot straddle the boundary either. Not SQL-expressible (LSH
-  *     inside) → rows-only; the planted spec pins the guarantee.
+  *     cannot straddle the boundary either. Full oracle since r17
+  *     (the pipeline replay); the planted spec pins the guarantee.
   *   - mix_epoch_plan: the per-source token-budget allocation table a
   *     training run consumes (the published sampling-weights tables of
   *     Gopher Table A3 / Llama: weights from a temperature over source
@@ -64,17 +64,25 @@ object Splits {
 
   private[graft] def splitSafe(d: DataFrame): DataFrame = {
     // ids + digests only through the shuffle (the dedup_exact move).
-    // Skew note: a boilerplate text with millions of copies makes its
-    // digest a hot join key on the probe side (the counts side holds
-    // one row per digest, so the build side stays flat); AQE's skew
-    // join splits the probe partition at runtime — the q28_skew_salted
-    // machinery is not needed because the hot rows need no further
-    // aggregation after the join.
+    // Skew (r17, the twice-carried claim made load-bearing — and found
+    // FALSE): a boilerplate text with millions of copies makes its
+    // digest a hot probe-side join key, and this plan CANNOT ride
+    // AQE's skew join — OptimizeSkewedJoin only matches a join whose
+    // children are bare sorted shuffle stages, and the counts side
+    // carries its FINAL HashAggregate between the Sort and the
+    // shuffle read (verified empirically: the hot partition reads
+    // `AQEShuffleRead coalesced`, never `skew=true`, at any
+    // threshold). So the join routes through the q28 salt machinery
+    // instead: Skew.saltedJoin spreads the hot digest across 16
+    // deterministic (key, salt) reducers and replicates only the
+    // SKINNY counts rows — bounded task input by construction, no
+    // optimizer pattern-match in the loop. SplitsSpec pins both the
+    // spread (hot rows land on ≥ 2 partitions) and exactness.
     val hashed = d.select(col("doc_id"), col("source"),
       md5(col("text")).as("content_hash"))
     val copies = hashed.groupBy(col("content_hash"))
       .agg(count(lit(1)).as("n_copies"))
-    hashed.join(copies, Seq("content_hash"))
+    Skew.saltedJoin(hashed, copies, "content_hash")
       .select(col("doc_id"), col("source"), col("content_hash"),
         col("n_copies"), expr(splitOf("content_hash")).as("split"))
   }
@@ -279,8 +287,8 @@ object Splits {
     * ≳ 0.5 at the 8×4 banding). The benchmark band set is vanishing
     * (corpus/97 × 8 skinny rows) and joins under the counted broadcast
     * guard; corpus text never leaves its scan (the explode carries
-    * (doc_id, band) longs only). Rows-only: the minhash kernel is not
-    * portable SQL.
+    * (doc_id, band) longs only). Full oracle since r17: the minhash
+    * kernel replays in DuckDB (plans.OracleSql).
     */
   /** The band-probe kernel shared by the inline driver framing and
     * the store-fed production mode ([[graft.sources.BenchmarkStore
@@ -381,7 +389,8 @@ object Splits {
     * corpus index; the bounded eval-side collect is the k-means/BPE
     * bounded-driver-table discipline. Scores match ann_quantized's
     * asymmetric float×int8 cosine bit-for-bit (shared round6 +
-    * tie-break). Not SQL-expressible (the serving kernel) → rows-only;
+    * tie-break). Full oracle since r17 (the ann_quantized template
+    * applied to the serving kernel's math);
     * the spec mirrors the kernel brute-force in Scala on the full
     * sf0.001 slice and plants copy/orthogonal fixtures.
     *

@@ -995,6 +995,28 @@ object TextAnalysis {
     codeSignals(d).select(col("doc_id"), col("n_chars"), col("sym_ppm"),
       col("code_punct"), col("indent_lines"), col("kw_hits"), col("is_code"))
 
+  /** code_detect routed into the MIXING surface (r17, VERDICT r16
+    * #7) — the StarCoder/The-Stack practice the gate's scaladoc
+    * cites: code is tokenized, deduped and WEIGHTED separately from
+    * prose, so the router rewrites the domain column — any doc the
+    * gate calls code moves to the synthetic "code" source, and every
+    * mixer downstream (mix_sample / mix_epoch_plan / mix_doremi)
+    * prices it as its own domain with no further wiring. Same narrow
+    * [[codeSignals]] kernel as the batch operator and stream_code — a
+    * stateless per-row projection, so the router composes identically
+    * over a static frame or an arriving stream (the streaming spec
+    * drives THIS function on a MemoryStream and asserts equality with
+    * the batch rewrite). Feature columns are dropped on the way out:
+    * the router returns the caller's own shape, so it slots in front
+    * of any (doc_id, text, source) consumer.
+    */
+  def codeDomain(d: DataFrame): DataFrame =
+    codeSignals(d)
+      .withColumn("source",
+        when(col("is_code") === 1L, lit("code")).otherwise(col("source")))
+      .drop("n_chars", "sym_ppm", "code_punct", "indent_lines", "kw_hits",
+        "is_code")
+
   private val opCodeDetect = Op(
     "code_detect",
     (s, dir) => codeDetect(docs(s, dir)),

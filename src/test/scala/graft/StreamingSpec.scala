@@ -145,6 +145,25 @@ class StreamingSpec extends SparkSpec {
         s"doc ${r.getAs[Long]("doc_id")} verdict drifted from batch")
     }
     assert(streamed.count(_.getAs[Long]("is_code") == 1L) == 3)
+    // the routed verdict feeds the SAME domain column the mixers read
+    // (TextAnalysis.codeDomain — r17): code docs arrive under the
+    // synthetic "code" source on the stream exactly as in batch
+    val in2 = MemoryStream[(Long, String, String)]
+    val q2 = operators.TextAnalysis.codeDomain(
+        in2.toDF().toDF("doc_id", "text", "source"))
+      .writeStream.format("memory").queryName("code_dom_out")
+      .outputMode("append").start()
+    in2.addData(docs: _*)
+    q2.processAllAvailable()
+    assert(q2.lastProgress.stateOperators.forall(_.numRowsTotal == 0L))
+    val dom = spark.table("code_dom_out").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    q2.stop()
+    val batchDom = operators.TextAnalysis.codeDomain(
+        docs.toSeq.toDF("doc_id", "text", "source")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    assert(dom == batchDom, "streamed domain routing must equal batch")
+    assert(dom(1L) == "code" && dom(3L) == "code" && dom(4L) == "web")
   }
 
   test("stream_doremi: running frozen-LM xent == independent mirror; drifted source trips the hint") {
