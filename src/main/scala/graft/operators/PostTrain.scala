@@ -1,0 +1,257 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Op, Tables}
+
+/** Post-training data preparation — the SFT / preference-tuning side
+  * of the pipeline (the reference's map-reduce scoring family feeds
+  * eval; these ops feed the fine-tuning stage itself). Three surfaces
+  * every post-training stack needs:
+  *
+  *   - sft_render: multi-turn conversation assembly into a chat-template
+  *     string with per-turn LOSS-MASK character spans ("train on
+  *     assistant tokens only" — the standard SFT masking rule).
+  *   - dpo_pairs: preference-pair construction (chosen, rejected) from
+  *     scored candidates per prompt — the DPO/RLHF data shape.
+  *   - conv_paths: message-TREE flattening into root→leaf linear
+  *     conversations (the OpenAssistant release shape: a prompt tree
+  *     where every root-to-leaf path is one training conversation).
+  *
+  * Scale shape, per op: sft_render's only wide operations are a window
+  * and a groupBy both keyed on conv_id — partitions are single
+  * conversations (bounded by turn count, never by corpus size); the
+  * digest concat folds ≤ TurnsPerConv pieces per group. dpo_pairs is
+  * one window over ≤ CandidatesPerPrompt rows per prompt. conv_paths
+  * is a recursive-CTE BFS planned as one equality join per tree LEVEL
+  * (depth = log₃ n — ~30 levels at 10¹⁴ rows), each level shuffling
+  * only (id, depth, path, chars) rows; every node appears in exactly
+  * one path prefix per level, so per-level volume is ≤ |nodes| — no
+  * fan-out. Nothing here buffers a corpus-sized partition.
+  */
+object PostTrain {
+
+  /** Turns per synthetic conversation (doc_id DIV 4 groups). */
+  val TurnsPerConv = 4
+
+  // Conversations are derived from `documents` by fixed arithmetic:
+  // conv_id = doc_id DIV 4, turn_idx = doc_id % 4, roles alternate
+  // user/assistant from turn 0 — the same synthetic-pairing convention
+  // as MapReduceDocs.pairs (prediction = doc, reference = next doc).
+  private def turns(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").select(
+      expr(s"doc_id DIV $TurnsPerConv").as("conv_id"),
+      expr(s"doc_id % $TurnsPerConv").as("turn_idx"),
+      when(expr(s"(doc_id % $TurnsPerConv) % 2 = 0"), lit("user"))
+        .otherwise(lit("assistant")).as("role"),
+      col("text"),
+      col("n_chars"))
+
+  private val turnsCte = s"""
+    WITH turns AS (
+      SELECT doc_id // $TurnsPerConv AS conv_id,
+        doc_id % $TurnsPerConv AS turn_idx,
+        CASE WHEN (doc_id % $TurnsPerConv) % 2 = 0
+             THEN 'user' ELSE 'assistant' END AS role,
+        text, n_chars
+      FROM documents)"""
+
+  // ---- sft_render: chat-template rendering + loss-mask spans ----
+  // Each turn renders as '<|ROLE|>' || text || '<|end|>'; the rendered
+  // conversation is the turn pieces concatenated in turn order.
+  // start_char/end_char are the 0-based [start, end) character span of
+  // the turn's CONTENT inside the rendered conversation (header and
+  // end tag excluded — exactly the span a loss mask keeps), in_loss=1
+  // on assistant turns. conv_digest = md5 of the full rendered string
+  // proves the assembly end-to-end; conv_len is its length. The
+  // running offset is a window cumsum over the conversation (≤ 4-row
+  // partitions); the digest is one groupBy(conv_id) concat of the
+  // turn-sorted pieces — both keyed on conv_id, nothing corpus-wide.
+  /** Core rendering over a (conv_id, turn_idx, role, text) frame —
+    * factored for fixture specs; the Op wires the documents derivation.
+    */
+  def sftRender(turnRows: DataFrame): DataFrame = {
+      val t = turnRows
+        .withColumn("piece",
+          concat(lit("<|"), col("role"), lit("|>"), col("text"),
+            lit("<|end|>")))
+        .withColumn("piece_len", length(col("piece")).cast("long"))
+        .withColumn("header_len", (length(col("role")) + 4).cast("long"))
+      val byConv = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      val withOff = t
+        .withColumn("piece_start",
+          coalesce(sum(col("piece_len")).over(
+            byConv.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("start_char", col("piece_start") + col("header_len"))
+        .withColumn("end_char",
+          col("start_char") + length(col("text")).cast("long"))
+        .withColumn("in_loss",
+          when(col("role") === "assistant", 1L).otherwise(0L))
+      val conv = t.groupBy(col("conv_id")).agg(
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("turn_idx"), col("piece")))),
+          x => x.getField("piece")), "")).as("conv_digest"),
+        sum(col("piece_len")).as("conv_len"))
+      withOff.select("conv_id", "turn_idx", "role", "start_char",
+        "end_char", "in_loss")
+        .join(conv, "conv_id")
+  }
+
+  private val opSftRender = Op(
+    "sft_render",
+    (s, dir) => sftRender(turns(s, dir)),
+    Some(turnsCte + """,
+      pieces AS (
+        SELECT conv_id, turn_idx, role,
+          '<|' || role || '|>' || text || '<|end|>' AS piece,
+          CAST(length('<|' || role || '|>' || text || '<|end|>') AS BIGINT)
+            AS piece_len,
+          CAST(length(role) + 4 AS BIGINT) AS header_len,
+          CAST(length(text) AS BIGINT) AS text_len
+        FROM turns),
+      off AS (
+        SELECT conv_id, turn_idx, role, header_len, text_len,
+          COALESCE(SUM(piece_len) OVER (PARTITION BY conv_id
+            ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING
+            AND 1 PRECEDING), 0) AS piece_start
+        FROM pieces),
+      conv AS (
+        SELECT conv_id,
+          md5(string_agg(piece, '' ORDER BY turn_idx)) AS conv_digest,
+          CAST(SUM(piece_len) AS BIGINT) AS conv_len
+        FROM pieces GROUP BY conv_id)
+      SELECT o.conv_id, o.turn_idx, o.role,
+        CAST(o.piece_start + o.header_len AS BIGINT) AS start_char,
+        CAST(o.piece_start + o.header_len + o.text_len AS BIGINT)
+          AS end_char,
+        CAST(CASE WHEN o.role = 'assistant' THEN 1 ELSE 0 END AS BIGINT)
+          AS in_loss,
+        c.conv_digest, c.conv_len
+      FROM off o JOIN conv c USING (conv_id)"""))
+
+  // ---- dpo_pairs: preference-pair construction ----
+  // The DPO/RLHF data shape: CandidatesPerPrompt generations per
+  // prompt (prompt_id = doc_id DIV 4), a deterministic integer quality
+  // score (distinct-token count dominant, stored n_chars as the
+  // tiebreak signal — the score is the ranking CONTRACT, swap in any
+  // trained scorer), chosen = top-ranked, rejected = bottom-ranked,
+  // ties broken by doc_id in OPPOSITE directions so chosen ≠ rejected
+  // whenever the group has ≥ 2 rows; degenerate all-tied groups
+  // (margin 0) are dropped — a zero-margin pair teaches nothing.
+  // One window over ≤ 4-row prompt partitions; skinny output.
+  /** Pair construction over a (prompt_id, doc_id, score) frame —
+    * factored for fixture specs; the Op wires the documents scoring.
+    */
+  def dpoPairs(scored: DataFrame): DataFrame = {
+      val best = Window.partitionBy(col("prompt_id"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      val worst = Window.partitionBy(col("prompt_id"))
+        .orderBy(col("score").asc, col("doc_id").desc)
+      scored
+        .withColumn("rb", row_number().over(best))
+        .withColumn("rw", row_number().over(worst))
+        .groupBy(col("prompt_id"))
+        .agg(
+          max(when(col("rb") === 1, col("doc_id"))).as("chosen_doc"),
+          max(when(col("rb") === 1, col("score"))).as("chosen_score"),
+          max(when(col("rw") === 1, col("doc_id"))).as("rejected_doc"),
+          max(when(col("rw") === 1, col("score"))).as("rejected_score"))
+        .where(col("chosen_score") > col("rejected_score"))
+        .select(col("prompt_id"), col("chosen_doc"), col("rejected_doc"),
+          col("chosen_score"), col("rejected_score"),
+          (col("chosen_score") - col("rejected_score")).as("margin"))
+  }
+
+  private val opDpoPairs = Op(
+    "dpo_pairs",
+    (s, dir) => dpoPairs(Tables(s, dir, "documents").select(
+      expr(s"doc_id DIV $TurnsPerConv").as("prompt_id"),
+      col("doc_id"),
+      (size(array_distinct(split(col("text"), " "))).cast("long") *
+        100000L + col("n_chars")).as("score"))),
+    Some(s"""
+      WITH scored AS (
+        SELECT doc_id // $TurnsPerConv AS prompt_id, doc_id,
+          CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+            * 100000 + n_chars AS score
+        FROM documents),
+      ranked AS (
+        SELECT prompt_id, doc_id, score,
+          ROW_NUMBER() OVER (PARTITION BY prompt_id
+            ORDER BY score DESC, doc_id ASC) AS rb,
+          ROW_NUMBER() OVER (PARTITION BY prompt_id
+            ORDER BY score ASC, doc_id DESC) AS rw
+        FROM scored),
+      agg AS (
+        SELECT prompt_id,
+          MAX(CASE WHEN rb = 1 THEN doc_id END) AS chosen_doc,
+          MAX(CASE WHEN rb = 1 THEN score END) AS chosen_score,
+          MAX(CASE WHEN rw = 1 THEN doc_id END) AS rejected_doc,
+          MAX(CASE WHEN rw = 1 THEN score END) AS rejected_score
+        FROM ranked GROUP BY prompt_id)
+      SELECT prompt_id, chosen_doc, rejected_doc, chosen_score,
+        rejected_score, chosen_score - rejected_score AS margin
+      FROM agg WHERE chosen_score > rejected_score"""))
+
+  // ---- conv_paths: message-tree flattening (root→leaf linearization) --
+  // The OpenAssistant release shape: replies form a TREE; each
+  // root-to-leaf path is one linear training conversation. The tree is
+  // fixed arithmetic over doc_id (parent(d) = (d−1) DIV 3, root 0 — a
+  // complete ternary tree over whatever ids exist), so the op is the
+  // pure flattening semantics: a recursive-CTE BFS from the root where
+  // each level joins children to the frontier by the EQUALITY key
+  // (child−1) DIV 3 = parent — one ordinary hash join per level, depth
+  // log₃ n, per-level row volume ≤ |nodes| (each node extends exactly
+  // one path). Spark 4's WITH RECURSIVE plans it declaratively, same
+  // surface as q32_khop. Leaves are nodes with no surviving children
+  // (3·id+1 > max id); output is the leaf path id-string, its depth,
+  // and the summed n_chars along the path (the packed-length signal a
+  // sampler reads before cutting long conversations).
+  /** Flattening over an (id, n_chars) node frame — factored for
+    * fixture specs; the Op wires the documents derivation.
+    */
+  def convPaths(nodes: DataFrame): DataFrame = {
+      val s = nodes.sparkSession
+      nodes
+        .localCheckpoint() // referenced once per recursion level
+        .createOrReplaceTempView("graft_conv_nodes")
+      s.sql(s"""
+        WITH RECURSIVE walk(id, depth, path, path_chars) AS (
+          SELECT id, 0, CAST(id AS STRING), n_chars
+          FROM graft_conv_nodes WHERE id = 0
+          UNION ALL
+          SELECT n.id, w.depth + 1,
+            w.path || '/' || CAST(n.id AS STRING),
+            w.path_chars + n.n_chars
+          FROM walk w JOIN graft_conv_nodes n
+            ON (n.id - 1) DIV 3 = w.id AND n.id >= 1)
+        SELECT w.id AS leaf_id, CAST(w.depth AS BIGINT) AS depth,
+          w.path, w.path_chars
+        FROM walk w,
+          (SELECT MAX(id) AS m FROM graft_conv_nodes) mx
+        WHERE w.id * 3 + 1 > mx.m""")
+  }
+
+  private val opConvPaths = Op(
+    "conv_paths",
+    (s, dir) => convPaths(Tables(s, dir, "documents")
+      .select(col("doc_id").as("id"), col("n_chars"))),
+    Some("""
+      WITH RECURSIVE nodes AS (
+        SELECT doc_id AS id, n_chars FROM documents),
+      walk(id, depth, path, path_chars) AS (
+        SELECT id, 0, CAST(id AS VARCHAR), n_chars FROM nodes WHERE id = 0
+        UNION ALL
+        SELECT n.id, w.depth + 1,
+          w.path || '/' || CAST(n.id AS VARCHAR),
+          w.path_chars + n.n_chars
+        FROM walk w JOIN nodes n ON (n.id - 1) // 3 = w.id AND n.id >= 1)
+      SELECT w.id AS leaf_id, CAST(w.depth AS BIGINT) AS depth,
+        w.path, w.path_chars
+      FROM walk w, (SELECT MAX(id) AS m FROM nodes) mx
+      WHERE w.id * 3 + 1 > mx.m"""))
+
+  val ops: Seq[Op] = Seq(opSftRender, opDpoPairs, opConvPaths)
+}

@@ -1,0 +1,132 @@
+package graft
+
+import graft.operators.PostTrain
+import org.apache.spark.sql.functions._
+
+class PostTrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sft_render: offsets cut exactly the turn content, mask keeps assistant turns, digest matches a hand-built render") {
+    val turns = Seq(
+      (0L, 0L, "user", "hello there"),
+      (0L, 1L, "assistant", "hi"),
+      (0L, 2L, "user", "bye"),
+      (0L, 3L, "assistant", "see you"),
+      (7L, 0L, "user", "solo"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val out = PostTrain.sftRender(turns).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6), r.getLong(7)))
+      .sortBy(t => (t._1, t._2))
+
+    // hand-build the rendered conversation 0 and its md5
+    val rendered = "<|user|>hello there<|end|>" + "<|assistant|>hi<|end|>" +
+      "<|user|>bye<|end|>" + "<|assistant|>see you<|end|>"
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(rendered.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val conv0 = out.filter(_._1 == 0L)
+    assert(conv0.length == 4)
+    conv0.foreach { case (_, _, role, start, end, inLoss, digest, len) =>
+      assert(digest == md)
+      assert(len == rendered.length.toLong)
+      assert(inLoss == (if (role == "assistant") 1L else 0L))
+      // the span is the CONTENT (header/tag excluded)
+      val cut = rendered.substring(start.toInt, end.toInt)
+      assert(!cut.contains("<|") && !cut.contains("|>"), cut)
+    }
+    // spans in turn order, exact content recovery
+    val texts = Seq("hello there", "hi", "bye", "see you")
+    conv0.zip(texts).foreach { case ((_, _, _, s0, e0, _, _, _), t) =>
+      assert(rendered.substring(s0.toInt, e0.toInt) == t)
+    }
+    // singleton conversation renders alone
+    val solo = out.filter(_._1 == 7L)
+    assert(solo.length == 1 && solo.head._8 == "<|user|>solo<|end|>".length)
+  }
+
+  test("sft_render corpus invariants: spans nested in conv_len, non-overlapping, assistant-only mask") {
+    val rows = SparkEntry.queries("sft_render")(spark, sfDir).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (conv, rs) =>
+      val len = rs.head.getLong(7)
+      assert(rs.map(_.getString(6)).distinct.length == 1,
+        s"conv $conv: digest must be conversation-constant")
+      val sorted = rs.sortBy(_.getLong(1))
+      sorted.foreach { r =>
+        assert(r.getLong(3) <= r.getLong(4) && r.getLong(4) <= len)
+        assert((r.getLong(5) == 1L) == (r.getString(2) == "assistant"))
+      }
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(4) <= b.getLong(3),
+          s"conv $conv: overlapping spans")
+        case _ => ()
+      }
+    }
+  }
+
+  test("dpo_pairs: argmax/argmin with opposite tie-breaks; degenerate groups dropped") {
+    val scored = Seq(
+      // clean ordering: chosen=11 (300), rejected=13 (50)
+      (0L, 10L, 100L), (0L, 11L, 300L), (0L, 12L, 200L), (0L, 13L, 50L),
+      // top tie (20,21 both 9): chosen = LOWER doc 20;
+      // bottom tie (22,23 both 1): rejected = HIGHER doc 23
+      (1L, 20L, 9L), (1L, 21L, 9L), (1L, 22L, 1L), (1L, 23L, 1L),
+      // all tied -> margin 0 -> dropped
+      (2L, 30L, 5L), (2L, 31L, 5L),
+      // singleton -> chosen == rejected -> dropped
+      (3L, 40L, 7L))
+      .toDF("prompt_id", "doc_id", "score")
+    val out = PostTrain.dpoPairs(scored).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+      .toSet
+    assert(out == Set((0L, 11L, 13L, 250L), (1L, 20L, 23L, 8L)))
+  }
+
+  test("dpo_pairs corpus invariants: chosen beats rejected, pair docs share the prompt group") {
+    val rows = SparkEntry.queries("dpo_pairs")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p, c, j) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(c != j && c / PostTrain.TurnsPerConv == p &&
+        j / PostTrain.TurnsPerConv == p)
+      assert(r.getLong(3) > r.getLong(4) &&
+        r.getLong(5) == r.getLong(3) - r.getLong(4))
+    }
+  }
+
+  test("conv_paths: complete ternary tree flattens to exactly the root-to-leaf paths") {
+    // ids 0..12 = root + 3 children + 9 grandchildren; n_chars = id*10
+    val nodes = (0L to 12L).map(i => (i, i * 10L)).toDF("id", "n_chars")
+    val out = PostTrain.convPaths(nodes).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == (4L to 12L).toSeq) // the 9 leaves
+    out.foreach { case (leaf, depth, path, chars) =>
+      assert(depth == 2L)
+      val parent = (leaf - 1) / 3
+      assert(path == s"0/$parent/$leaf")
+      assert(chars == 0L + parent * 10 + leaf * 10)
+    }
+  }
+
+  test("conv_paths corpus invariants: every path roots at 0 with consistent parent links and summed chars") {
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val maxId = docs.keys.max
+    val rows = SparkEntry.queries("conv_paths")(spark, sfDir).collect()
+    // one output row per leaf of the id set
+    val leaves = docs.keys.filter(_ * 3 + 1 > maxId)
+    assert(rows.length == leaves.size)
+    rows.foreach { r =>
+      val ids = r.getString(2).split("/").map(_.toLong).toSeq
+      assert(ids.head == 0L && ids.last == r.getLong(0))
+      assert(ids.length.toLong == r.getLong(1) + 1)
+      ids.sliding(2).foreach {
+        case Seq(p, c) => assert((c - 1) / 3 == p, s"broken link $p -> $c")
+        case _ => ()
+      }
+      assert(r.getLong(3) == ids.map(docs).sum)
+    }
+  }
+}
