@@ -1677,6 +1677,73 @@ object Streams {
       }
   }
 
+  // ---- stream_dpo: preference pairs maintained live ----
+
+  private[streaming] case class ScoredCand(prompt_id: Long, doc_id: Long,
+    score: Long)
+
+  case class DpoState(cDoc: Long, cScore: Long, rDoc: Long, rScore: Long,
+    rev: Long)
+
+  case class DpoPair(prompt_id: Long, chosen_doc: Long, rejected_doc: Long,
+    chosen_score: Long, rejected_score: Long, margin: Long, rev: Long)
+
+  /** stream_dpo — preference-pair construction maintained LIVE (batch
+    * twin: PostTrain.dpoPairs): per-prompt state is the running
+    * argmax/argmin candidate — four longs plus a revision counter,
+    * CONSTANT per prompt at any stream length (the stream never holds
+    * the candidate set, only the current extremes). An arriving
+    * candidate displaces chosen on (score DESC, doc_id ASC) and
+    * rejected on (score ASC, doc_id DESC) — the batch op's exact
+    * opposite-direction tie-breaks, so the running extremes equal the
+    * batch window ranks REGARDLESS of arrival order (max/min over a
+    * set is order-free; the tie rules make the argmax unique). Each
+    * batch that changes a prompt's pair emits the CURRENT pair as an
+    * append-mode changelog row with a bumped rev; the reader folds by
+    * max-rev per prompt and drops margin-0 rows (degenerate groups) —
+    * the stream_scd2 changelog-fold contract. Folded view == batch
+    * dpoPairs exactly (spec across splits cutting a prompt's
+    * candidates mid-group).
+    */
+  def dpoPairsStream(cands: DataFrame): Dataset[DpoPair] = {
+    import cands.sparkSession.implicits._
+    cands.select(col("prompt_id"), col("doc_id"), col("score"))
+      .as[ScoredCand]
+      .groupByKey(_.prompt_id)
+      .flatMapGroupsWithState[DpoState, DpoPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (p: Long, in: Iterator[ScoredCand], state: GroupState[DpoState]) =>
+          val cs = in.toArray
+          if (cs.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.getOrElse {
+              val h = cs.head
+              DpoState(h.doc_id, h.score, h.doc_id, h.score, 0L)
+            }
+            val before = (st.cDoc, st.cScore, st.rDoc, st.rScore)
+            cs.foreach { c =>
+              if (c.score > st.cScore ||
+                  (c.score == st.cScore && c.doc_id < st.cDoc))
+                st = st.copy(cDoc = c.doc_id, cScore = c.score)
+              if (c.score < st.rScore ||
+                  (c.score == st.rScore && c.doc_id > st.rDoc))
+                st = st.copy(rDoc = c.doc_id, rScore = c.score)
+            }
+            val changed = state.getOption.isEmpty ||
+              (st.cDoc, st.cScore, st.rDoc, st.rScore) != before
+            if (changed) {
+              st = st.copy(rev = st.rev + 1)
+              state.update(st)
+              Iterator.single(DpoPair(p, st.cDoc, st.rDoc, st.cScore,
+                st.rScore, st.cScore - st.rScore, st.rev))
+            } else {
+              state.update(st)
+              Iterator.empty
+            }
+          }
+      }
+  }
+
   // ---- stream_retention: bounded-state cohort retention ----
 
   private[streaming] case class DayEvent(user_id: Long, epoch_day: Int)

@@ -994,6 +994,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream_dpo: folded changelog equals batch pairs under any batch cut; constant state per prompt") {
+    implicit val sql = spark.sqlContext
+    // the batch op's exact scoring over documents
+    val scored = Tables(spark, sfDir, "documents").select(
+      expr(s"doc_id DIV ${operators.PostTrain.TurnsPerConv}")
+        .as("prompt_id"),
+      $"doc_id",
+      (size(array_distinct(split($"text", " "))).cast("long") * 100000L +
+        $"n_chars").as("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // adversarial arrival: interleave so most prompt groups are cut
+    // across batch boundaries (order must not matter)
+    val rows = scored.sortBy(t => (t._2 % 3, t._1))
+    val in = MemoryStream[(Long, Long, Long)]
+    val q = Streams.dpoPairsStream(
+        in.toDF().toDF("prompt_id", "doc_id", "score"))
+      .writeStream.format("memory").queryName("dpo_out")
+      .outputMode("append").start()
+    Seq(rows.take(rows.length / 3),
+      rows.slice(rows.length / 3, 2 * rows.length / 3),
+      rows.drop(2 * rows.length / 3)).foreach { chunk =>
+      in.addData(chunk.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    val nPrompts = scored.map(_._1).distinct.length.toLong
+    assert(q.lastProgress.stateOperators.head.numRowsTotal == nPrompts)
+    q.stop()
+    // fold: max-rev row per prompt, degenerate margin-0 pairs dropped
+    val folded = spark.table("dpo_out").collect()
+      .map(r => (r.getAs[Long]("prompt_id"), r.getAs[Long]("rev"),
+        (r.getAs[Long]("chosen_doc"), r.getAs[Long]("rejected_doc"),
+          r.getAs[Long]("chosen_score"), r.getAs[Long]("rejected_score"),
+          r.getAs[Long]("margin"))))
+      .groupBy(_._1).map { case (p, rs) => p -> rs.maxBy(_._2)._3 }
+      .filter(_._2._5 > 0L)
+    val batch = SparkEntry.queries("dpo_pairs")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(folded == batch,
+      s"folded ${folded.size} pairs != batch ${batch.size}")
+  }
+
   test("stream_scd2: changelog folds to the batch SCD2 history; no spurious change at batch cuts") {
     implicit val sql = spark.sqlContext
     val rows = Tables.events(spark, sfDir)
