@@ -1744,6 +1744,76 @@ object Streams {
       }
   }
 
+  // ---- stream_sft: conversation assembly maintained live ----
+
+  private[streaming] case class TurnIn(conv_id: Long, turn_idx: Long,
+    role: String, text: String)
+
+  case class SftState(roles: Seq[String], texts: Seq[String],
+    idxs: Seq[Long])
+
+  case class SftTurnOut(conv_id: Long, turn_idx: Long, role: String,
+    start_char: Long, end_char: Long, in_loss: Long, conv_digest: String,
+    conv_len: Long)
+
+  /** stream_sft — SFT chat-template assembly maintained LIVE (batch
+    * twin: PostTrain.sftRender): per-conversation state is the turns
+    * received so far, BOUNDED at TurnsPerConv by construction (a
+    * conversation is complete at exactly that many turns — the cap is
+    * the data model, not a tuning knob), and CLEARED on emission, so
+    * standing state is only the in-flight incomplete conversations. A
+    * conversation emits its per-turn offset rows (content spans,
+    * assistant-only loss mask, md5 digest of the full render) the
+    * moment its last turn arrives — whatever batches the turns were
+    * split across; the render is a pure function of the turn set, so
+    * streamed rows == batch sftRender rows exactly (spec cuts
+    * conversations mid-turn across three splits). Incomplete
+    * conversations never emit — on an unbounded stream "the rest of
+    * the conversation hasn't happened yet" (the stream_scd2 valid_to
+    * argument); a deployment would bolt a timeout onto the same state.
+    */
+  def sftRenderStream(turnsIn: DataFrame): Dataset[SftTurnOut] = {
+    import turnsIn.sparkSession.implicits._
+    turnsIn.select(col("conv_id"), col("turn_idx"), col("role"),
+      col("text")).as[TurnIn]
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState[SftState, SftTurnOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (conv: Long, in: Iterator[TurnIn], state: GroupState[SftState]) =>
+          val st = state.getOption.getOrElse(SftState(Nil, Nil, Nil))
+          var roles = st.roles; var texts = st.texts; var idxs = st.idxs
+          in.foreach { t =>
+            if (!idxs.contains(t.turn_idx)) { // idempotent re-delivery
+              roles :+= t.role; texts :+= t.text; idxs :+= t.turn_idx
+            }
+          }
+          if (idxs.size < graft.operators.PostTrain.TurnsPerConv) {
+            state.update(SftState(roles, texts, idxs))
+            Iterator.empty
+          } else {
+            state.remove() // complete: emit and clear
+            val order = idxs.zipWithIndex.sortBy(_._1).map(_._2)
+            val pieces = order.map(i => s"<|${roles(i)}|>${texts(i)}<|end|>")
+            val rendered = pieces.mkString
+            val digest = java.security.MessageDigest.getInstance("MD5")
+              .digest(rendered.getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            val out = Vector.newBuilder[SftTurnOut]
+            var off = 0L
+            order.zipWithIndex.foreach { case (i, k) =>
+              val header = roles(i).length + 4L
+              val start = off + header
+              out += SftTurnOut(conv, idxs(i), roles(i), start,
+                start + texts(i).length,
+                if (roles(i) == "assistant") 1L else 0L, digest,
+                rendered.length.toLong)
+              off += pieces(k).length
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   // ---- stream_retention: bounded-state cohort retention ----
 
   private[streaming] case class DayEvent(user_id: Long, epoch_day: Int)

@@ -1036,6 +1036,52 @@ class StreamingSpec extends SparkSpec {
       s"folded ${folded.size} pairs != batch ${batch.size}")
   }
 
+  test("stream_sft: completed conversations render identically to batch; state clears on emission") {
+    implicit val sql = spark.sqlContext
+    val tpc = operators.PostTrain.TurnsPerConv
+    // the batch op's exact turn derivation over documents
+    val turns = Tables(spark, sfDir, "documents").select(
+      expr(s"doc_id DIV $tpc").as("conv_id"),
+      expr(s"doc_id % $tpc").as("turn_idx"),
+      expr(s"CASE WHEN (doc_id % $tpc) % 2 = 0 THEN 'user' " +
+        "ELSE 'assistant' END").as("role"),
+      $"text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3)))
+    // adversarial arrival: order by turn_idx FIRST, so every
+    // conversation is cut across batch boundaries (all turn-0s arrive,
+    // then all turn-1s, ...) and nothing completes before the last split
+    val rows = turns.sortBy(t => (t._2, t._1))
+    val in = MemoryStream[(Long, Long, String, String)]
+    val q = Streams.sftRenderStream(
+        in.toDF().toDF("conv_id", "turn_idx", "role", "text"))
+      .writeStream.format("memory").queryName("sft_out")
+      .outputMode("append").start()
+    val cut = rows.length - rows.length / tpc // last quarter = final turns
+    in.addData(rows.take(cut / 2).toIndexedSeq: _*)
+    q.processAllAvailable()
+    assert(spark.table("sft_out").count() == 0,
+      "no conversation is complete yet; nothing may emit")
+    in.addData(rows.slice(cut / 2, cut).toIndexedSeq: _*)
+    q.processAllAvailable()
+    in.addData(rows.drop(cut).toIndexedSeq: _*)
+    q.processAllAvailable()
+    // completed conversations cleared their state
+    assert(q.lastProgress.stateOperators.head.numRowsTotal == 0,
+      "every conversation completed; state must be empty")
+    q.stop()
+    val streamed = spark.table("sft_out").collect()
+      .map(r => (r.getAs[Long]("conv_id"), r.getAs[Long]("turn_idx"),
+        r.getAs[String]("role"), r.getAs[Long]("start_char"),
+        r.getAs[Long]("end_char"), r.getAs[Long]("in_loss"),
+        r.getAs[String]("conv_digest"), r.getAs[Long]("conv_len"))).toSet
+    val batch = SparkEntry.queries("sft_render")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6), r.getLong(7))).toSet
+    assert(streamed == batch,
+      s"streamed ${streamed.size} rows != batch ${batch.size}")
+  }
+
   test("stream_scd2: changelog folds to the batch SCD2 history; no spurious change at batch cuts") {
     implicit val sql = spark.sqlContext
     val rows = Tables.events(spark, sfDir)
