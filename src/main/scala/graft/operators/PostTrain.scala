@@ -253,5 +253,96 @@ object PostTrain {
       FROM walk w, (SELECT MAX(id) AS m FROM nodes) mx
       WHERE w.id * 3 + 1 > mx.m"""))
 
-  val ops: Seq[Op] = Seq(opSftRender, opDpoPairs, opConvPaths)
+  // ---- sft_pack: whole-conversation packing with remapped masks ----
+  // The step between sft_render and the trainer: conversations are
+  // laid out in conv_id order, the stream cut into PackLen-char packs
+  // — but UNLIKE seq_pack's concat-and-chunk, a conversation is an
+  // ATOM here (a loss span must never straddle a sequence boundary, so
+  // SFT packers place examples whole): each conversation lands in the
+  // pack its start position falls in, packs absorb the overflow (fill
+  // < PackLen + the longest conversation; an over-long conversation
+  // owns its pack and the skipped pack ids after it stay empty —
+  // documented, deterministic). Loss-mask spans come out REMAPPED to
+  // pack coordinates: span = pack_off + the turn's render offset — the
+  // exact (start, end) a loader masks inside the packed sequence.
+  //
+  // Scale: the running start is PrefixSum.exclusive over the skinny
+  // (conv_id, conv_len) frame (the seq_pack machinery — every window
+  // frame O(target) or O(√B)); pack_off needs min(start) per pack,
+  // a window over ≤ PackLen-member partitions (every conversation is
+  // ≥ 1 char); the span join is keyed on conv_id. Text never moves.
+  val PackLen = 2048L
+  val PackTargetBucket = 1000L
+
+  /** Packing over sftRender's output — factored for fixture specs. */
+  def sftPack(rendered: DataFrame): DataFrame = {
+    val conv = rendered.select(col("conv_id"), col("conv_len"))
+      .dropDuplicates("conv_id")
+      .localCheckpoint() // sizes the prefix-sum buckets at plan time
+    val n = math.max(conv.count(), 1L)
+    val maxId = conv.agg(max(col("conv_id"))).head().getLong(0)
+    val width = math.max((maxId + 1) / math.max(n / PackTargetBucket, 1L),
+      1L)
+    val cum = graft.functions.PrefixSum.exclusive(
+      conv.withColumn("bkt", expr(s"CAST(conv_id DIV $width AS BIGINT)")),
+      "conv_len", Seq(col("conv_id")),
+      numBuckets = (maxId + 1) / width + 1, out = "cum_before")
+      .withColumn("pack_id", expr(s"cum_before DIV $PackLen"))
+    val byPack = Window.partitionBy(col("pack_id"))
+    val placed = cum
+      .withColumn("pack_off",
+        col("cum_before") - min(col("cum_before")).over(byPack))
+      .select(col("conv_id"), col("pack_id"), col("pack_off"))
+    rendered.join(placed, "conv_id")
+      .select(col("conv_id"), col("turn_idx"), col("pack_id"),
+        col("pack_off"),
+        (col("pack_off") + col("start_char")).as("span_start"),
+        (col("pack_off") + col("end_char")).as("span_end"),
+        col("in_loss"))
+  }
+
+  private val opSftPack = Op(
+    "sft_pack",
+    (s, dir) => sftPack(sftRender(turns(s, dir))),
+    Some(turnsCte + s""",
+      pieces AS (
+        SELECT conv_id, turn_idx, role,
+          CAST(length('<|' || role || '|>' || text || '<|end|>') AS BIGINT)
+            AS piece_len,
+          CAST(length(role) + 4 AS BIGINT) AS header_len,
+          CAST(length(text) AS BIGINT) AS text_len
+        FROM turns),
+      off AS (
+        SELECT conv_id, turn_idx, role, header_len, text_len,
+          COALESCE(SUM(piece_len) OVER (PARTITION BY conv_id
+            ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING
+            AND 1 PRECEDING), 0) AS piece_start
+        FROM pieces),
+      conv AS (
+        SELECT conv_id, CAST(SUM(piece_len) AS BIGINT) AS conv_len
+        FROM pieces GROUP BY conv_id),
+      cum AS (
+        SELECT conv_id,
+          CAST(COALESCE(SUM(conv_len) OVER (ORDER BY conv_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS cum_before
+        FROM conv),
+      packs AS (
+        SELECT conv_id, cum_before, cum_before // $PackLen AS pack_id
+        FROM cum),
+      placed AS (
+        SELECT conv_id, pack_id,
+          cum_before - MIN(cum_before) OVER (PARTITION BY pack_id)
+            AS pack_off
+        FROM packs)
+      SELECT o.conv_id, o.turn_idx, p.pack_id, p.pack_off,
+        CAST(p.pack_off + o.piece_start + o.header_len AS BIGINT)
+          AS span_start,
+        CAST(p.pack_off + o.piece_start + o.header_len + o.text_len
+          AS BIGINT) AS span_end,
+        CAST(CASE WHEN o.role = 'assistant' THEN 1 ELSE 0 END AS BIGINT)
+          AS in_loss
+      FROM off o JOIN placed p USING (conv_id)"""))
+
+  val ops: Seq[Op] = Seq(opSftRender, opDpoPairs, opConvPaths, opSftPack)
 }

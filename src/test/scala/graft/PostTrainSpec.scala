@@ -109,6 +109,58 @@ class PostTrainSpec extends SparkSpec {
     }
   }
 
+  test("sft_pack: whole conversations, overflow absorbed, spans remapped to pack coordinates") {
+    // single-turn conversations with picked lengths; header '<|user|>'
+    // is 8 chars, tag '<|end|>' is 7 → conv_len = text + 15
+    def turn(conv: Long, n: Int) = (conv, 0L, "user", "a" * n)
+    val turns = Seq(turn(0, 1000), turn(1, 900), turn(2, 500),
+      turn(3, 3000), turn(4, 10))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val out = PostTrain.sftPack(PostTrain.sftRender(turns)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toMap
+    // cum lens: 0, 1015, 1930, 2445, 5460 → packs 0,0,0,1,2
+    assert(out(0L) == (0L, 0L, 8L, 1008L))
+    assert(out(1L) == (0L, 1015L, 1023L, 1923L))
+    assert(out(2L) == (0L, 1930L, 1938L, 2438L)) // pack 0 overflows; atom kept whole
+    assert(out(3L) == (1L, 0L, 8L, 3008L)) // over-long conv owns pack 1
+    assert(out(4L) == (2L, 0L, 8L, 18L)) // pack 2 after the long atom's skip
+  }
+
+  test("sft_pack corpus invariants: contiguous non-overlapping members per pack, spans = pack_off + render offsets") {
+    val rendered = SparkEntry.queries("sft_render")(spark, sfDir)
+    val renderRows = rendered.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(7))).toMap
+    val rows = SparkEntry.queries("sft_pack")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // spans are the render offsets shifted by pack_off
+    rows.foreach { case (conv, turn, _, off, s0, e0, _) =>
+      val (rs, re, _) = renderRows((conv, turn))
+      assert(s0 == off + rs && e0 == off + re)
+    }
+    // one pack per conversation; members tile the pack contiguously
+    val perConv = rows.groupBy(_._1)
+    perConv.foreach { case (conv, rs) =>
+      assert(rs.map(r => (r._3, r._4)).distinct.length == 1,
+        s"conv $conv: split across packs")
+    }
+    val convLen = renderRows.toSeq.groupBy(_._1._1)
+      .map { case (c, ts) => c -> ts.head._2._3 }
+    rows.map(r => (r._3, r._1, r._4)).distinct.groupBy(_._1)
+      .foreach { case (pack, members) =>
+        val sorted = members.sortBy(_._3)
+        assert(sorted.head._3 == 0L, s"pack $pack: first member not at 0")
+        sorted.sliding(2).foreach {
+          case Array((_, c1, o1), (_, _, o2)) =>
+            assert(o1 + convLen(c1) == o2,
+              s"pack $pack: gap/overlap after conv $c1")
+          case _ => ()
+        }
+      }
+  }
+
   test("conv_paths corpus invariants: every path roots at 0 with consistent parent links and summed chars") {
     val docs = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("n_chars")).collect()
