@@ -79,9 +79,16 @@ object PostTrain {
             lit("<|end|>")))
         .withColumn("piece_len", length(col("piece")).cast("long"))
         .withColumn("header_len", (length(col("role")) + 4).cast("long"))
+      // all three window frames share ONE partitioning+ordering
+      // (conv_id, turn_idx), so the plan pays a single exchange + sort
+      // and scans the corpus once — no conv-level self-join (census:
+      // 2 shuffles / 2 scans → 1 / 1). Full frames buffer one
+      // conversation (≤ TurnsPerConv rows), never the corpus.
       val byConv = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
-      val withOff = t
-        .withColumn("piece_start",
+      val fullConv =
+        byConv.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+      t.withColumn("piece_start",
           coalesce(sum(col("piece_len")).over(
             byConv.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .withColumn("start_char", col("piece_start") + col("header_len"))
@@ -89,14 +96,14 @@ object PostTrain {
           col("start_char") + length(col("text")).cast("long"))
         .withColumn("in_loss",
           when(col("role") === "assistant", 1L).otherwise(0L))
-      val conv = t.groupBy(col("conv_id")).agg(
-        md5(array_join(transform(
-          array_sort(collect_list(struct(col("turn_idx"), col("piece")))),
-          x => x.getField("piece")), "")).as("conv_digest"),
-        sum(col("piece_len")).as("conv_len"))
-      withOff.select("conv_id", "turn_idx", "role", "start_char",
-        "end_char", "in_loss")
-        .join(conv, "conv_id")
+        .withColumn("conv_digest",
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("turn_idx"), col("piece")))
+              .over(fullConv)),
+            x => x.getField("piece")), "")))
+        .withColumn("conv_len", sum(col("piece_len")).over(fullConv))
+        .select("conv_id", "turn_idx", "role", "start_char",
+          "end_char", "in_loss", "conv_digest", "conv_len")
   }
 
   private val opSftRender = Op(
