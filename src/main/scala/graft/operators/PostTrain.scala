@@ -351,5 +351,61 @@ object PostTrain {
           AS in_loss
       FROM off o JOIN placed p USING (conv_id)"""))
 
-  val ops: Seq[Op] = Seq(opSftRender, opDpoPairs, opConvPaths, opSftPack)
+  // ---- best_of_n: rejection-sampling selection (the RFT recipe) ----
+  // The third preference-data shape after dpo_pairs' extremes: keep
+  // the TOP BonKeep candidates per prompt that clear an ABSOLUTE
+  // quality floor (rejection sampling / STaR-style fine-tuning keeps
+  // every good-enough sample, not just the argmax — a prompt where
+  // nothing clears the floor contributes nothing, a prompt where all
+  // do contributes at most BonKeep). Rank = (score DESC, doc_id ASC),
+  // the dpo_pairs chosen-side tie rule, so selection is deterministic
+  // and arrival-order-free. The floor is relative to the corpus: the
+  // global mean score (one 1-row aggregate, broadcast) — a fixed
+  // constant would silently go stale as the scorer drifts. ONE window
+  // over ≤ CandidatesPerPrompt-row partitions + one tiny broadcast;
+  // integer scores → full oracle.
+  val BonKeep = 2
+
+  /** Selection over a (prompt_id, doc_id, score) frame — factored for
+    * fixture specs; the Op wires the documents scoring.
+    */
+  def bestOfN(scored: DataFrame): DataFrame = {
+    val floor = scored.agg(
+      (sum(col("score")) / count(lit(1))).as("floor_score"))
+    val ranked = scored
+      .join(broadcast(floor))
+      .where(col("score").cast("double") >= col("floor_score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("prompt_id"))
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .where(col("rank") <= BonKeep)
+    ranked.select(col("prompt_id"), col("doc_id"),
+      col("rank").cast("long").as("rank"), col("score"))
+  }
+
+  private val opBestOfN = Op(
+    "best_of_n",
+    (s, dir) => bestOfN(Tables(s, dir, "documents").select(
+      expr(s"doc_id DIV $TurnsPerConv").as("prompt_id"),
+      col("doc_id"),
+      (size(array_distinct(split(col("text"), " "))).cast("long") *
+        100000L + col("n_chars")).as("score"))),
+    Some(s"""
+      WITH scored AS (
+        SELECT doc_id // $TurnsPerConv AS prompt_id, doc_id,
+          CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+            * 100000 + n_chars AS score
+        FROM documents),
+      fl AS (SELECT SUM(score) / COUNT(*) AS floor_score FROM scored),
+      ranked AS (
+        SELECT prompt_id, doc_id, score,
+          ROW_NUMBER() OVER (PARTITION BY prompt_id
+            ORDER BY score DESC, doc_id ASC) AS rank
+        FROM scored, fl
+        WHERE CAST(score AS DOUBLE) >= floor_score)
+      SELECT prompt_id, doc_id, CAST(rank AS BIGINT) AS rank, score
+      FROM ranked WHERE rank <= $BonKeep"""))
+
+  val ops: Seq[Op] =
+    Seq(opSftRender, opDpoPairs, opConvPaths, opSftPack, opBestOfN)
 }

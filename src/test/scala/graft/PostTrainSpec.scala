@@ -94,6 +94,39 @@ class PostTrainSpec extends SparkSpec {
     }
   }
 
+  test("best_of_n: floor filters, rank caps at BonKeep, ties break on doc_id") {
+    // mean score = (10+9+9+2+2+4) / 6 = 6
+    val scored = Seq(
+      (0L, 1L, 10L), (0L, 2L, 9L), (0L, 3L, 9L), (0L, 4L, 2L),
+      (1L, 5L, 2L), // below floor: prompt contributes nothing
+      (2L, 6L, 4L)) // below floor
+      .toDF("prompt_id", "doc_id", "score")
+    val out = PostTrain.bestOfN(scored).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // prompt 0: 10 ranks 1; the 9-tie breaks to lower doc_id 2 at
+    // rank 2; doc 3 (rank 3) exceeds BonKeep, doc 4 under floor
+    assert(out == Set((0L, 1L, 1L), (0L, 2L, 2L)))
+  }
+
+  test("best_of_n corpus invariants: ranks dense from 1, capped, all kept scores clear the corpus mean") {
+    val scoredRows = Tables(spark, sfDir, "documents").select(
+      expr(s"doc_id DIV ${PostTrain.TurnsPerConv}").as("p"),
+      (size(array_distinct(split(col("text"), " "))).cast("long") *
+        100000L + col("n_chars")).as("s")).collect()
+    val mean = scoredRows.map(_.getLong(1)).sum.toDouble / scoredRows.length
+    val rows = SparkEntry.queries("best_of_n")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, rank, score) =>
+      assert(rank >= 1 && rank <= PostTrain.BonKeep)
+      assert(score.toDouble >= mean)
+    }
+    rows.groupBy(_._1).foreach { case (p, rs) =>
+      assert(rs.map(_._3).sorted.sameElements(1L to rs.length.toLong),
+        s"prompt $p: ranks not dense")
+    }
+  }
+
   test("conv_paths: complete ternary tree flattens to exactly the root-to-leaf paths") {
     // ids 0..12 = root + 3 children + 9 grandchildren; n_chars = id*10
     val nodes = (0L to 12L).map(i => (i, i * 10L)).toDF("id", "n_chars")
