@@ -406,6 +406,63 @@ object PostTrain {
       SELECT prompt_id, doc_id, CAST(rank AS BIGINT) AS rank, score
       FROM ranked WHERE rank <= $BonKeep"""))
 
-  val ops: Seq[Op] =
-    Seq(opSftRender, opDpoPairs, opConvPaths, opSftPack, opBestOfN)
+  // ---- template_audit: reserved-marker collision scan ----
+  // The safety gate BEFORE sft_render: a document whose text contains
+  // the template's reserved sequences ('<|' / '|>') would render into
+  // a string where marker-based reparsing (and any tokenizer with
+  // special-token atoms) sees turn boundaries the loss mask never
+  // intended — the classic special-token injection vector. sft_render
+  // itself is immune (its spans are ARITHMETIC, never re-parsed), so
+  // the audit's job is to FLAG the docs that make the rendered string
+  // ambiguous for everything downstream that is not offset-based.
+  // One narrow projection per doc: collision counts for both markers,
+  // the first collision's 1-based position (0 = none), and the clean
+  // bit — scan-speed at any corpus size, nothing wide anywhere.
+  /** The audit projection over a (doc_id, text) frame — factored for
+    * fixture specs; the Op wires the documents table.
+    */
+  def templateAudit(docs: DataFrame): DataFrame = docs.select(
+      col("doc_id"),
+      expr("(length(text) - length(replace(text, '<|', ''))) DIV 2")
+        .as("n_open"),
+      expr("(length(text) - length(replace(text, '|>', ''))) DIV 2")
+        .as("n_close"),
+      least(
+        when(instr(col("text"), "<|") === 0, lit(Int.MaxValue))
+          .otherwise(instr(col("text"), "<|")),
+        when(instr(col("text"), "|>") === 0, lit(Int.MaxValue))
+          .otherwise(instr(col("text"), "|>")))
+        .cast("long").as("first_pos_raw"))
+      .select(
+        col("doc_id"), col("n_open"), col("n_close"),
+        when(col("first_pos_raw") === Int.MaxValue.toLong, 0L)
+          .otherwise(col("first_pos_raw")).as("first_collision"),
+        when(col("n_open") + col("n_close") === 0, 1L).otherwise(0L)
+          .as("is_clean"))
+
+  private val opTemplateAudit = Op(
+    "template_audit",
+    (s, dir) => templateAudit(Tables(s, dir, "documents")),
+    Some("""
+      WITH a AS (
+        SELECT doc_id,
+          CAST((length(text) - length(replace(text, '<|', ''))) / 2
+            AS BIGINT) AS n_open,
+          CAST((length(text) - length(replace(text, '|>', ''))) / 2
+            AS BIGINT) AS n_close,
+          LEAST(
+            CASE WHEN strpos(text, '<|') = 0 THEN 2147483647
+                 ELSE strpos(text, '<|') END,
+            CASE WHEN strpos(text, '|>') = 0 THEN 2147483647
+                 ELSE strpos(text, '|>') END) AS fp
+        FROM documents)
+      SELECT doc_id, n_open, n_close,
+        CAST(CASE WHEN fp = 2147483647 THEN 0 ELSE fp END AS BIGINT)
+          AS first_collision,
+        CAST(CASE WHEN n_open + n_close = 0 THEN 1 ELSE 0 END AS BIGINT)
+          AS is_clean
+      FROM a"""))
+
+  val ops: Seq[Op] = Seq(opSftRender, opDpoPairs, opConvPaths, opSftPack,
+    opBestOfN, opTemplateAudit)
 }

@@ -194,6 +194,36 @@ class PostTrainSpec extends SparkSpec {
       }
   }
 
+  test("template_audit: collision counts, first position, clean bit") {
+    val docs = Seq(
+      (0L, "plain prose, nothing reserved"),
+      (1L, "an injected <|assistant|> header"),
+      (2L, "<| at start and |> later and <| again"),
+      (3L, "only a close marker |> here"))
+      .toDF("doc_id", "text")
+    val res = PostTrain.templateAudit(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(res(0L) == (0L, 0L, 0L, 1L))
+    assert(res(1L) == (1L, 1L, 13L, 0L)) // '<|' at 1-based 13
+    assert(res(2L) == (2L, 1L, 1L, 0L)) // earliest marker at position 1
+    assert(res(3L) == (0L, 1L, 21L, 0L))
+  }
+
+  test("template_audit corpus invariants: clean iff zero counts, first_collision inside the doc") {
+    val docs = Tables(spark, sfDir, "documents").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = SparkEntry.queries("template_audit")(spark, sfDir).collect()
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val (id, no, nc, fp, clean) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      assert((clean == 1L) == (no + nc == 0L))
+      if (clean == 1L) assert(fp == 0L)
+      else assert(fp >= 1L && fp <= docs(id).length.toLong)
+    }
+  }
+
   test("conv_paths corpus invariants: every path roots at 0 with consistent parent links and summed chars") {
     val docs = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("n_chars")).collect()
