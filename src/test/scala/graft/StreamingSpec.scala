@@ -1082,6 +1082,39 @@ class StreamingSpec extends SparkSpec {
       s"streamed ${streamed.size} rows != batch ${batch.size}")
   }
 
+  test("stream_sft restart: an in-flight conversation survives the checkpoint and completes after resume") {
+    implicit val sql = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-sft-restart")
+    val ckpt = base.resolve("ckpt").toString
+    val outDir = base.resolve("out").toString
+    val in = MemoryStream[(Long, Long, String, String)]
+    def start() = Streams.sftRenderStream(
+        in.toDF().toDF("conv_id", "turn_idx", "role", "text"))
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    in.addData((5L, 0L, "user", "hi"), (5L, 1L, "assistant", "hello"))
+    q1.processAllAvailable()
+    q1.stop() // kill mid-conversation: turns 0-1 live only in state
+    val q2 = start() // resume from the checkpoint
+    in.addData((5L, 2L, "user", "bye"), (5L, 3L, "assistant", "see you"))
+    q2.processAllAvailable()
+    q2.stop()
+    // the conversation completed across the restart: one emission per
+    // turn, digest matching the full 4-turn render — had the state
+    // store not come back, turns 0-1 would be lost and nothing emits
+    val rows = spark.read.parquet(outDir).collect()
+    assert(rows.length == 4, s"expected 4 turn rows, got ${rows.length}")
+    val rendered = "<|user|>hi<|end|>" + "<|assistant|>hello<|end|>" +
+      "<|user|>bye<|end|>" + "<|assistant|>see you<|end|>"
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(rendered.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    rows.foreach { r =>
+      assert(r.getAs[String]("conv_digest") == md)
+      assert(r.getAs[Long]("conv_len") == rendered.length.toLong)
+    }
+  }
+
   test("stream_scd2: changelog folds to the batch SCD2 history; no spurious change at batch cuts") {
     implicit val sql = spark.sqlContext
     val rows = Tables.events(spark, sfDir)
