@@ -17,7 +17,7 @@ object SparkEntry {
       operators.Search.ops ++ operators.QualityClassifier.ops ++
       operators.EmbedPca.ops ++ operators.Dsir.ops ++
       operators.Splits.ops ++ operators.Analytics.ops ++
-      operators.PostTrain.ops ++
+      operators.PostTrain.ops ++ operators.RlEval.ops ++
       operators.Cluster.ops ++ operators.Unigram.ops ++
       operators.Overlap.ops ++ operators.Calibrate.ops
 

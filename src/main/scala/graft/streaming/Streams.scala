@@ -1814,6 +1814,116 @@ object Streams {
       }
   }
 
+  // ---- stream_grpo: group advantages emitted on group completion ----
+
+  private[streaming] case class RolloutIn(prompt_id: Long, doc_id: Long,
+    score: Long)
+
+  case class GrpoState(docs: Seq[Long], scores: Seq[Long])
+
+  case class GrpoAdvOut(prompt_id: Long, doc_id: Long, score: Long,
+    n_group: Long, adv_ppm: Long, adv_rloo_ppm: Long)
+
+  /** stream_grpo — group-relative advantages maintained LIVE (batch
+    * twin: RlEval.grpoAdv): an advantage is a function of the WHOLE
+    * rollout group (the group mean is the baseline), so the stream
+    * holds the rollouts received so far per prompt — BOUNDED at
+    * CandidatesPerPrompt by the data model (a GRPO group is complete
+    * at exactly that many rollouts; the cap is the sampler's n, not a
+    * tuning knob) and CLEARED on emission, the stream_sft
+    * complete-and-clear archetype: standing state is only the
+    * in-flight incomplete groups. The moment a group's last rollout
+    * arrives, every member's (adv_ppm, adv_rloo_ppm) row emits in the
+    * batch op's exact integer arithmetic (JVM Long division truncates
+    * toward zero, as Spark DIV and the DuckDB oracle do), whatever
+    * batches the rollouts were split across — streamed rows == batch
+    * rows exactly (spec cuts groups mid-rollout across three splits).
+    * Re-delivered rollouts are idempotent (doc_id-keyed).
+    */
+  def grpoAdvStream(rollouts: DataFrame): Dataset[GrpoAdvOut] = {
+    import rollouts.sparkSession.implicits._
+    val full = graft.operators.RlEval.CandidatesPerPrompt
+    rollouts.select(col("prompt_id"), col("doc_id"), col("score"))
+      .as[RolloutIn]
+      .groupByKey(_.prompt_id)
+      .flatMapGroupsWithState[GrpoState, GrpoAdvOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (p: Long, in: Iterator[RolloutIn], state: GroupState[GrpoState]) =>
+          val st = state.getOption.getOrElse(GrpoState(Nil, Nil))
+          var docs = st.docs; var scores = st.scores
+          in.foreach { r =>
+            if (!docs.contains(r.doc_id)) { // idempotent re-delivery
+              docs :+= r.doc_id; scores :+= r.score
+            }
+          }
+          if (docs.size < full) {
+            state.update(GrpoState(docs, scores))
+            Iterator.empty
+          } else {
+            state.remove() // complete: emit and clear
+            val n = docs.size.toLong
+            val s = scores.sum
+            docs.indices.iterator.map { i =>
+              val r = scores(i)
+              GrpoAdvOut(p, docs(i), r, n,
+                ((n * r - s) * 1000000L) / n,
+                ((r * (n - 1) - (s - r)) * 1000000L) / (n - 1))
+            }
+          }
+      }
+  }
+
+  // ---- stream_passk: pass@k maintained live ----
+
+  private[streaming] case class VerdictIn(task_id: Long, correct: Long)
+
+  case class PasskState(n: Long, c: Long, rev: Long)
+
+  case class PasskOut(task_id: Long, n_samples: Long, n_correct: Long,
+    pass1_ppm: Long, passk_ppm: Long, rev: Long)
+
+  /** stream_passk — the unbiased pass@k estimator maintained LIVE
+    * (batch twin: RlEval.evalPassk): per-task state is the (samples,
+    * passes) counter pair plus a revision — CONSTANT per task at any
+    * stream length (the stream never holds the verdicts, only their
+    * sufficient statistic; pass@k is a function of (n, c) alone, the
+    * stream_dpo running-extremes argument applied to counters). Each
+    * batch that grows a task's counters emits the CURRENT estimate as
+    * an append-mode changelog row with a bumped rev once n ≥ k (the
+    * estimator is undefined below k — those updates advance state
+    * silently); the reader folds by max rev per task — the
+    * stream_scd2 changelog-fold contract. Folded view == batch
+    * evalPassk exactly on the same verdict set (spec across splits
+    * cutting every task's samples mid-group). Counters are NOT
+    * idempotent under re-delivery — exactly-once input is Structured
+    * Streaming's own contract within a query.
+    */
+  def evalPasskStream(verdicts: DataFrame): Dataset[PasskOut] = {
+    import verdicts.sparkSession.implicits._
+    val k = graft.operators.RlEval.PassK
+    verdicts.select(col("task_id"), col("correct")).as[VerdictIn]
+      .groupByKey(_.task_id)
+      .flatMapGroupsWithState[PasskState, PasskOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (t: Long, in: Iterator[VerdictIn], state: GroupState[PasskState]) =>
+          val st = state.getOption.getOrElse(PasskState(0L, 0L, 0L))
+          var n = st.n; var c = st.c
+          in.foreach { v => n += 1; c += v.correct }
+          if (n == st.n) Iterator.empty
+          else {
+            val rev = st.rev + 1
+            state.update(PasskState(n, c, rev))
+            if (n < k) Iterator.empty
+            else {
+              val miss = math.max(n - c, 0L) * math.max(n - c - 1, 0L)
+              Iterator.single(PasskOut(t, n, c,
+                (c * 1000000L) / n,
+                1000000L - (miss * 1000000L) / (n * (n - 1)), rev))
+            }
+          }
+      }
+  }
+
   // ---- stream_retention: bounded-state cohort retention ----
 
   private[streaming] case class DayEvent(user_id: Long, epoch_day: Int)

@@ -1,0 +1,184 @@
+package graft
+
+import graft.operators.RlEval
+import org.apache.spark.sql.functions._
+
+class RlEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("grpo_adv: hand fixture — mean baseline and RLOO, singleton dropped, group mass telescopes to zero") {
+    // group 10: scores 10, 20, 30 (n=3, S=60, mean=20)
+    // group 11: singleton — dropped (no baseline)
+    val scored = Seq(
+      (10L, 100L, 10L), (10L, 101L, 20L), (10L, 102L, 30L),
+      (11L, 200L, 99L))
+      .toDF("prompt_id", "doc_id", "score")
+    val out = RlEval.grpoAdv(scored).collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    assert(out.length == 3) // singleton gone
+    // adv_ppm = ((n*r - S) * 1e6) DIV n
+    //   r=10: (30-60)*1e6/3 = -10e6;  r=20: 0;  r=30: +10e6
+    assert(out(0) == (100L, 3L, -10000000L,
+      // rloo: (10*2 - 50)*1e6 DIV 2 = -15e6
+      -15000000L))
+    assert(out(1) == (101L, 3L, 0L, 0L))
+    assert(out(2) == (102L, 3L, 10000000L, 15000000L))
+    // telescoping: sum of per-row (n*r - S) is zero per group, so the
+    // UNtruncated advantage mass vanishes — pin via the exact numerator
+    val mass = out.map { case (_, n, _, _) => n }.sum // guard shape only
+    assert(mass == 9L)
+  }
+
+  test("grpo_adv corpus invariants: every group centers (max adv >= 0 >= min adv), rloo sign agrees with mean comparison") {
+    val rows = SparkEntry.queries("grpo_adv")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val advs = rs.map(_.getLong(4))
+      assert(advs.max >= 0L && advs.min <= 0L)
+      rs.foreach { r =>
+        // adv and adv_rloo always share a sign (rloo = adv * n/(n-1))
+        val (a, rl) = (r.getLong(4), r.getLong(5))
+        assert(a == 0L && rl == 0L || a.sign == rl.sign, s"$a vs $rl")
+        assert(math.abs(rl) >= math.abs(a)) // leave-one-out amplifies
+      }
+    }
+  }
+
+  test("kto_labels: hand fixture — above-mean bit, class counts, inverse-frequency weights") {
+    // group: scores 10, 10, 40 → S=60, n=3; desirable iff 3r > 60
+    val scored = Seq((5L, 1L, 10L), (5L, 2L, 10L), (5L, 3L, 40L))
+      .toDF("prompt_id", "doc_id", "score")
+    val out = RlEval.ktoLabels(scored).collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
+      .sortBy(_._1)
+    // n_pos=1, n_neg=2; weights: pos 3e6/(2*1)=1.5e6, neg 3e6/(2*2)=750000
+    assert(out(0) == (1L, 0L, 1L, 2L, 750000L))
+    assert(out(1) == (2L, 0L, 1L, 2L, 750000L))
+    assert(out(2) == (3L, 1L, 1L, 2L, 1500000L))
+  }
+
+  test("kto_labels corpus invariants: class counts partition the group, weighted class mass balances") {
+    val rows = SparkEntry.queries("kto_labels")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val n = rs.head.getLong(4)
+      assert(rs.head.getLong(5) + rs.head.getLong(6) == n)
+      assert(rs.length == n)
+      // per class, w_ppm * |class| == n*1e6/2 up to DIV truncation * |class|
+      val pos = rs.filter(_.getLong(3) == 1L)
+      val neg = rs.filter(_.getLong(3) == 0L)
+      if (pos.nonEmpty && neg.nonEmpty) {
+        val posMass = pos.map(_.getLong(7)).sum
+        val negMass = neg.map(_.getLong(7)).sum
+        assert(math.abs(posMass - negMass) <= n) // truncation slack
+      }
+    }
+  }
+
+  test("eval_passk: hand fixture — unbiased estimator at k=2, undefined tasks dropped") {
+    // task 1: n=4, c=2 → pass@1 = 500000; pass@2 = 1 - C(2,2)/C(4,2)
+    //   = 1 - 1/6 → 1e6 - (2*1*1e6) DIV 12 = 833334
+    // task 2: n=4, c=0 → pass@2 = 0;  task 3: n=4, c=4 → 1e6
+    // task 4: n=1 → dropped (estimator undefined below k)
+    val v = Seq(
+      (1L, 1L), (1L, 1L), (1L, 0L), (1L, 0L),
+      (2L, 0L), (2L, 0L), (2L, 0L), (2L, 0L),
+      (3L, 1L), (3L, 1L), (3L, 1L), (3L, 1L),
+      (4L, 1L)).toDF("task_id", "correct")
+    val out = RlEval.evalPassk(v).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(_._1)
+    assert(out.length == 3)
+    assert(out(0) == (1L, 4L, 2L, 500000L, 833334L))
+    assert(out(1) == (2L, 4L, 0L, 0L, 0L))
+    assert(out(2) == (3L, 4L, 4L, 1000000L, 1000000L))
+  }
+
+  test("eval_passk corpus invariants: pass@k >= pass@1, both in [0, 1e6], c <= n, reference sample always passes") {
+    val rows = SparkEntry.queries("eval_passk")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, c, p1, pk) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
+      assert(c >= 1L && c <= n) // the answer-source sample contains itself
+      assert(p1 >= 0L && pk <= 1000000L)
+      assert(pk >= p1, s"pass@k $pk < pass@1 $p1") // more draws, more chances
+    }
+  }
+
+  test("pref_agree: hand fixture — majority, unanimity, per-item Fleiss P_i") {
+    // item 1: 5 raters, 3 pos → P_i = (3*2 + 2*1)/(5*4) = 8/20 = 400000
+    // item 2: 4 raters, all pos → unanimous, P_i = 1e6
+    // item 3: 2 raters split → P_i = 0, majority tie → 1
+    // item 4: 1 rater → dropped
+    val ratings = Seq(
+      (1L, 0L, 1L), (1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 0L), (1L, 4L, 0L),
+      (2L, 0L, 1L), (2L, 1L, 1L), (2L, 2L, 1L), (2L, 3L, 1L),
+      (3L, 0L, 1L), (3L, 1L, 0L),
+      (4L, 0L, 0L)).toDF("item_id", "rater_id", "label")
+    val out = RlEval.prefAgree(ratings).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    assert(out.length == 3)
+    assert(out(0) == (1L, 5L, 3L, 1L, 0L, 400000L))
+    assert(out(1) == (2L, 4L, 4L, 1L, 1L, 1000000L))
+    assert(out(2) == (3L, 2L, 1L, 1L, 0L, 0L))
+  }
+
+  test("bt_rating: planted dominance ordering is recovered, ratings normalize to mean scale, refit is deterministic") {
+    // round-robin: A beats B 9/10, B beats C 9/10, A beats C 9/10
+    val games = (
+      Seq.fill(9)((0L, 1L)) ++ Seq.fill(1)((1L, 0L)) ++
+      Seq.fill(9)((1L, 2L)) ++ Seq.fill(1)((2L, 1L)) ++
+      Seq.fill(9)((0L, 2L)) ++ Seq.fill(1)((2L, 0L)))
+      .toDF("winner_m", "loser_m")
+    val out = RlEval.btRating(games).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.length == 3)
+    val Array(a, b, c) = out.map(_._2)
+    assert(a > b && b > c, s"ordering violated: $a $b $c")
+    // per-model games: 20 each; wins 18 / 10 / 2
+    assert(out.map(_._3).toSeq == Seq(20L, 20L, 20L))
+    assert(out.map(_._4).toSeq == Seq(18L, 10L, 2L))
+    // normalization: mean rating == BtScale up to DIV truncation
+    val mean = out.map(_._2).sum / 3
+    assert(math.abs(mean - RlEval.BtScale) <= 3L)
+    // BT consistency: recovered win prob a/(a+b) near the planted 0.9
+    val pAB = a.toDouble / (a + b)
+    assert(pAB > 0.8 && pAB < 0.97, s"p(A beats B) = $pAB")
+    // determinism: integer fixed-point refit is bit-identical
+    val again = RlEval.btRating(games).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(again.map(_._2).toSeq == out.map(_._2).toSeq)
+  }
+
+  test("bt_rating self-games teach nothing and a two-model corpus still fits") {
+    val games = (Seq.fill(5)((7L, 7L)) ++ // self-games dropped
+      Seq.fill(3)((1L, 2L)) ++ Seq.fill(1)((2L, 1L)))
+      .toDF("winner_m", "loser_m")
+    val out = RlEval.btRating(games).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L)) // model 7 never appears
+    assert(out(0)._2 > out(1)._2)
+    assert(out(0)._3 == 4L && out(0)._4 == 3L)
+  }
+
+  test("bt_rating corpus run: every model rated, zero-win models rank at the bottom") {
+    val rows = SparkEntry.queries("bt_rating")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == RlEval.BtModels)
+    rows.foreach { case (_, rating, games, wins) =>
+      assert(rating >= 0L && games > 0L && wins >= 0L && wins <= games)
+    }
+    // more wins against the same opposition should never rank lower
+    // across the full ordering — check the extremes
+    val byWinRate = rows.sortBy(r => r._4.toDouble / r._3)
+    assert(byWinRate.last._2 >= byWinRate.head._2)
+  }
+}

@@ -1115,6 +1115,93 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream_grpo: completed groups emit advantages identical to batch; state clears on emission") {
+    implicit val sql = spark.sqlContext
+    val cpp = operators.RlEval.CandidatesPerPrompt
+    // the batch op's exact scoring over documents
+    val scored = Tables(spark, sfDir, "documents").select(
+      expr(s"doc_id DIV $cpp").as("prompt_id"),
+      $"doc_id",
+      (size(array_distinct(split($"text", " "))).cast("long") * 100000L +
+        $"n_chars").as("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // adversarial arrival: rollout-major order (all first rollouts,
+    // then all seconds, ...) so every group is cut across batches and
+    // nothing completes before the last split
+    val rows = scored.sortBy(t => (t._2 % cpp, t._1))
+    val in = MemoryStream[(Long, Long, Long)]
+    val q = Streams.grpoAdvStream(
+        in.toDF().toDF("prompt_id", "doc_id", "score"))
+      .writeStream.format("memory").queryName("grpo_out")
+      .outputMode("append").start()
+    val cut = rows.length - rows.length / cpp // last quarter completes
+    in.addData(rows.take(cut / 2).toIndexedSeq: _*)
+    q.processAllAvailable()
+    assert(spark.table("grpo_out").count() == 0,
+      "no group is complete yet; nothing may emit")
+    in.addData(rows.slice(cut / 2, cut).toIndexedSeq: _*)
+    q.processAllAvailable()
+    in.addData(rows.drop(cut).toIndexedSeq: _*)
+    q.processAllAvailable()
+    // completed groups cleared their state; only incomplete ones stand
+    val incomplete = scored.groupBy(_._1).count(_._2.length < cpp).toLong
+    assert(q.lastProgress.stateOperators.head.numRowsTotal == incomplete)
+    q.stop()
+    val streamed = spark.table("grpo_out").collect()
+      .map(r => (r.getAs[Long]("prompt_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("score"), r.getAs[Long]("n_group"),
+        r.getAs[Long]("adv_ppm"), r.getAs[Long]("adv_rloo_ppm"))).toSet
+    // batch rows for COMPLETE groups only (the stream, by contract,
+    // emits a group at exactly CandidatesPerPrompt rollouts)
+    val batch = SparkEntry.queries("grpo_adv")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .filter(_._4 == cpp.toLong).toSet
+    assert(streamed == batch,
+      s"streamed ${streamed.size} rows != batch ${batch.size}")
+  }
+
+  test("stream_passk: folded changelog equals batch pass@k under any batch cut; constant state per task") {
+    implicit val sql = spark.sqlContext
+    // the batch op's exact verdict derivation over documents
+    val verdicts = operators.RlEval.passkVerdicts(
+      Tables(spark, sfDir, "documents").select(
+        expr(s"doc_id DIV ${operators.RlEval.CandidatesPerPrompt}")
+          .as("task_id"),
+        $"doc_id",
+        lit(0L).as("score"), // unused by the verdict
+        $"text"))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // adversarial arrival: interleave so most task groups are cut
+    val rows = verdicts.zipWithIndex
+      .sortBy { case ((t, _), i) => (i % 3, t) }.map(_._1)
+    val in = MemoryStream[(Long, Long)]
+    val q = Streams.evalPasskStream(
+        in.toDF().toDF("task_id", "correct"))
+      .writeStream.format("memory").queryName("passk_out")
+      .outputMode("append").start()
+    Seq(rows.take(rows.length / 3),
+      rows.slice(rows.length / 3, 2 * rows.length / 3),
+      rows.drop(2 * rows.length / 3)).foreach { chunk =>
+      in.addData(chunk.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    val nTasks = verdicts.map(_._1).distinct.length.toLong
+    assert(q.lastProgress.stateOperators.head.numRowsTotal == nTasks)
+    q.stop()
+    // fold: max-rev row per task == the batch estimate on the full set
+    val folded = spark.table("passk_out").collect()
+      .map(r => (r.getAs[Long]("task_id"), r.getAs[Long]("rev"),
+        (r.getAs[Long]("n_samples"), r.getAs[Long]("n_correct"),
+          r.getAs[Long]("pass1_ppm"), r.getAs[Long]("passk_ppm"))))
+      .groupBy(_._1).map { case (t, rs) => t -> rs.maxBy(_._2)._3 }
+    val batch = SparkEntry.queries("eval_passk")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(folded == batch,
+      s"folded ${folded.size} tasks != batch ${batch.size}")
+  }
+
   test("stream_scd2: changelog folds to the batch SCD2 history; no spurious change at batch cuts") {
     implicit val sql = spark.sqlContext
     val rows = Tables.events(spark, sfDir)
