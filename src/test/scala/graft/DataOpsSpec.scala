@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.DataOps
+import org.apache.spark.sql.functions._
+
+class DataOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("epoch_shuffle: per-epoch positions are exactly 0..N-1, orders differ across epochs, re-run is bit-identical") {
+    val out = SparkEntry.queries("epoch_shuffle")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = out.map(_._2).distinct.length
+    assert(out.length == DataOps.Epochs * n)
+    // bijection per epoch: positions are a permutation of 0..N-1
+    out.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._4).sorted.toSeq == (0L until n.toLong))
+    }
+    // the two epochs genuinely shuffle differently
+    val ord0 = out.filter(_._1 == 0L).sortBy(_._4).map(_._2).toSeq
+    val ord1 = out.filter(_._1 == 1L).sortBy(_._4).map(_._2).toSeq
+    assert(ord0 != ord1, "epochs must not share an order")
+    assert(ord0 != ord0.sorted, "epoch 0 must not be the identity order")
+    // determinism: a re-run reproduces every position bit-identically
+    val again = SparkEntry.queries("epoch_shuffle")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(again == out.map(t => (t._1, t._2, t._4)).toSet)
+  }
+
+  test("epoch_shuffle fixture: rank equals a brute-force sort by (xxhash64(doc_id, epoch), doc_id)") {
+    val docs = Seq(3L, 7L, 11L, 100L, 101L).toDF("doc_id")
+    val out = DataOps.epochShuffle(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // expected: collect the keys and rank by (skey, doc_id) per epoch
+    val keys = docs
+      .withColumn("epoch", explode(sequence(lit(0L), lit(1L))))
+      .withColumn("skey", xxhash64(col("doc_id"), col("epoch")))
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2)))
+    val expected = keys.groupBy(_._1).toSeq.flatMap { case (ep, rs) =>
+      rs.sortBy(t => (t._3, t._2)).zipWithIndex.toSeq
+        .map { case ((_, d, k), i) => (ep, d, k, i.toLong) }
+    }.toSet
+    assert(out.toSet == expected)
+  }
+
+  test("data_contract: healthy corpus passes every rule; planted violations are counted with the lowest offender") {
+    val corpus = SparkEntry.queries("data_contract")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(corpus.length == 6)
+    corpus.foreach { case (rule, checked, viol, ppm, bad) =>
+      assert(checked > 0L)
+      assert(viol == 0L && ppm == 0L && bad == -1L,
+        s"healthy corpus violates $rule")
+    }
+    // planted fixture: one violation per rule, ids chosen so the
+    // LOWEST offender per rule is pinned
+    val docs = Seq(
+      (1L, "fine text", "en", "src1", 9L),
+      (2L, "", "en", "src2", 0L), // nonempty + len_bounds (n_chars=0)
+      (3L, "abc", "en", "src3", 99L), // len_consistent
+      (4L, "ok", "xx", "src4", 2L), // lang_known
+      (5L, "ok", "en", "SRC-5", 2L), // source_format
+      (6L, "a <|user|> injection", "en", "src6", 20L)) // markers_clean
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = DataOps.dataContract(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(4))).toMap
+    assert(out("nonempty") == ((6L, 1L, 2L)))
+    assert(out("len_bounds") == ((6L, 1L, 2L)))
+    assert(out("len_consistent") == ((6L, 1L, 3L)))
+    assert(out("lang_known") == ((6L, 1L, 4L)))
+    assert(out("source_format") == ((6L, 1L, 5L)))
+    assert(out("markers_clean") == ((6L, 1L, 6L)))
+    // ppm arithmetic: 1 violation of 6 → 166666 ppm truncated
+    val ppm = DataOps.dataContract(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(ppm("nonempty") == 166666L)
+  }
+
+  test("json_fields: corpus coverage is total; planted fixture pins each failure mode's counter") {
+    val corpus = SparkEntry.queries("json_fields")(spark, sfDir).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      val (n, nj, nk, cov) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(8))
+      assert(nj == n && nk == n && cov == 1000000L,
+        s"generator props are all valid+numeric: ${r.getString(0)}")
+      assert(r.getLong(5) >= 0L && r.getLong(6) >= r.getLong(5))
+    }
+    // failure modes: malformed JSON, missing key, non-numeric value
+    val ev = Seq(
+      ("click", """{"k": 5}"""),
+      ("click", """{"k": 7}"""),
+      ("click", """not json"""), // malformed → neither json nor k
+      ("view", """{"x": 1}"""), // valid json, missing k
+      ("view", """{"k": "abc"}""")) // valid json, non-numeric k
+      .toDF("event_type", "props")
+    val out = DataOps.jsonFields(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8))).toMap
+    // click: 3 events, 2 json, 2 with k (5,7), distinct 2, sum 12
+    assert(out("click") == ((3L, 2L, 2L, 2L, 5L, 7L, 12L, 666666L)))
+    // view: 2 events, 2 json, 0 with k → sentinels -1/-1/0, cov 0
+    assert(out("view") == ((2L, 2L, 0L, 0L, -1L, -1L, 0L, 0L)))
+  }
+}
