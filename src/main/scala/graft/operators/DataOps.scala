@@ -104,6 +104,17 @@ object DataOps {
     "markers_clean" ->
       (instr(col("text"), "<|") > 0 || instr(col("text"), "|>") > 0))
 
+  /** Per-doc melted rule verdicts (rule, violated, doc_id) — the
+    * stream twin's input shape (stream_contract folds these with
+    * running counters; the batch gate folds them in one aggregate).
+    * |rules| rows per doc, all narrow.
+    */
+  def contractVerdicts(docs: DataFrame): DataFrame =
+    contractChecks.map { case (nm, c) =>
+      docs.select(lit(nm).as("rule"),
+        when(c, 1L).otherwise(0L).as("violated"), col("doc_id"))
+    }.reduce(_.union(_))
+
   /** The gate over a documents-shaped frame — factored for fixture
     * specs; the Op wires the documents table.
     */

@@ -1924,6 +1924,61 @@ object Streams {
       }
   }
 
+  // ---- stream_contract: the expectations gate maintained live ----
+
+  private[streaming] case class ContractIn(rule: String, violated: Long,
+    doc_id: Long)
+
+  case class ContractState(n: Long, v: Long, firstBad: Long, rev: Long)
+
+  case class ContractOut(rule: String, n_checked: Long,
+    n_violations: Long, violation_ppm: Long, first_bad_doc: Long,
+    rev: Long)
+
+  /** stream_contract — the data-contract gate maintained LIVE (batch
+    * twin: DataOps.dataContract): per-rule state is (checked,
+    * violations, lowest offending doc_id) plus a revision — CONSTANT
+    * at any stream length, and the key space is the RULE SET (six
+    * rows of state total, the smallest state surface in the engine):
+    * counters are order-free sums and the first offender is a running
+    * min, so the fold equals the batch gate under any batch cut. Each
+    * batch that touches a rule's counters emits the current verdict
+    * as an append-mode changelog row with a bumped rev; the reader
+    * folds max-rev per rule (the stream_scd2 contract). This is the
+    * live-ingest monitoring shape: the gate's verdict is always
+    * current while documents stream in, instead of a scan-the-corpus
+    * batch job. Input rows are pre-melted (rule, violated, doc_id)
+    * verdicts — the narrow per-doc projection the batch op folds.
+    */
+  def contractStream(verdicts: DataFrame): Dataset[ContractOut] = {
+    import verdicts.sparkSession.implicits._
+    verdicts.select(col("rule"), col("violated"), col("doc_id"))
+      .as[ContractIn]
+      .groupByKey(_.rule)
+      .flatMapGroupsWithState[ContractState, ContractOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (rule: String, in: Iterator[ContractIn],
+            state: GroupState[ContractState]) =>
+          val st = state.getOption.getOrElse(
+            ContractState(0L, 0L, -1L, 0L))
+          var n = st.n; var v = st.v; var fb = st.firstBad
+          in.foreach { r =>
+            n += 1
+            if (r.violated != 0L) {
+              v += 1
+              fb = if (fb < 0L) r.doc_id else math.min(fb, r.doc_id)
+            }
+          }
+          if (n == st.n) Iterator.empty
+          else {
+            val rev = st.rev + 1
+            state.update(ContractState(n, v, fb, rev))
+            Iterator.single(ContractOut(rule, n, v,
+              (v * 1000000L) / n, fb, rev))
+          }
+      }
+  }
+
   // ---- stream_retention: bounded-state cohort retention ----
 
   private[streaming] case class DayEvent(user_id: Long, epoch_day: Int)

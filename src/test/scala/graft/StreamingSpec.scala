@@ -1202,6 +1202,51 @@ class StreamingSpec extends SparkSpec {
       s"folded ${folded.size} tasks != batch ${batch.size}")
   }
 
+  test("stream_contract: folded changelog equals the batch gate under any cut, incl. a planted violation; six state rows") {
+    implicit val sql = spark.sqlContext
+    // corpus verdicts + one planted bad doc so the violation path and
+    // the running first-offender min are exercised live
+    val bad = Seq((999999L, "", "xx", "SRC-BAD", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    val docs = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .union(bad)
+    val verdicts = operators.DataOps.contractVerdicts(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // adversarial arrival: interleave rules across batches
+    val rows = verdicts.zipWithIndex
+      .sortBy { case ((rule, _, d), i) => (i % 3, rule, d) }.map(_._1)
+    val in = MemoryStream[(String, Long, Long)]
+    val q = Streams.contractStream(
+        in.toDF().toDF("rule", "violated", "doc_id"))
+      .writeStream.format("memory").queryName("contract_out")
+      .outputMode("append").start()
+    Seq(rows.take(rows.length / 3),
+      rows.slice(rows.length / 3, 2 * rows.length / 3),
+      rows.drop(2 * rows.length / 3)).foreach { chunk =>
+      in.addData(chunk.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    assert(q.lastProgress.stateOperators.head.numRowsTotal == 6L,
+      "state is the rule set — exactly six rows")
+    q.stop()
+    val folded = spark.table("contract_out").collect()
+      .map(r => (r.getAs[String]("rule"), r.getAs[Long]("rev"),
+        (r.getAs[Long]("n_checked"), r.getAs[Long]("n_violations"),
+          r.getAs[Long]("violation_ppm"), r.getAs[Long]("first_bad_doc"))))
+      .groupBy(_._1).map { case (rule, rs) => rule -> rs.maxBy(_._2)._3 }
+    val batch = operators.DataOps.dataContract(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(folded == batch,
+      s"folded ${folded.size} rules != batch ${batch.size}")
+    // the planted doc actually fired: every rule it violates reports it
+    assert(batch("nonempty")._4 == 999999L)
+    assert(batch("lang_known")._4 == 999999L)
+    assert(batch("source_format")._4 == 999999L)
+  }
+
   test("stream_scd2: changelog folds to the batch SCD2 history; no spurious change at batch cuts") {
     implicit val sql = spark.sqlContext
     val rows = Tables.events(spark, sfDir)
