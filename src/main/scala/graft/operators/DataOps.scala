@@ -220,5 +220,148 @@ object DataOps {
           // COUNT(*) AS BIGINT) AS k_coverage_ppm
       FROM events GROUP BY event_type"""))
 
-  val ops: Seq[Op] = Seq(opEpochShuffle, opDataContract, opJsonFields)
+  // ---- shard_manifest: writer-side shard integrity manifest ----
+  // The op a dataset RELEASE runs after sharded writes: deterministic
+  // hash sharding (shard = pmod(xxhash64(doc_id), Shards) — the same
+  // assignment any reader can recompute) with per-shard ORDER-FREE
+  // integrity facts: row count, char mass, doc-id range, and a
+  // content-independent hash digest (min/max/sum of the hash's top 24
+  // bits — shifted so a shard of 10¹¹ rows still sums inside BIGINT).
+  // Validating a delivered shard set is then one aggregation against
+  // the manifest, no content re-read; a dropped, duplicated, or
+  // misrouted row moves at least one of (n_docs, digest_fold). One
+  // narrow projection + one Shards-row groupBy.
+  val Shards = 16L
+
+  /** The manifest over a (doc_id, n_chars) frame — factored for
+    * fixture specs; the Op wires the documents table.
+    */
+  def shardManifest(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("n_chars"),
+        xxhash64(col("doc_id")).as("h"))
+      .select(col("doc_id"), col("n_chars"),
+        pmod(col("h"), lit(Shards)).as("shard_id"),
+        expr("shiftrightunsigned(h, 40)").as("h40"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        min(col("h40")).as("min_h40"),
+        max(col("h40")).as("max_h40"),
+        sum(col("h40")).as("digest_fold"))
+
+  private val opShardManifest = Op(
+    "shard_manifest",
+    (s, dir) => shardManifest(
+      Tables(s, dir, "documents").select(col("doc_id"), col("n_chars"))),
+    Some {
+      val O = graft.plans.OracleSql
+      // unsigned h % 16 == Spark's pmod(signed h, 16): 2⁶⁴ ≡ 0 (mod 16)
+      // and 2⁴⁰ | 2⁶⁴, so the unsigned // 2⁴⁰ == shiftrightunsigned
+      s"""
+      WITH d0 AS (SELECT doc_id, n_chars FROM documents),
+      ${O.hashLongCte("d0", Seq("doc_id", "n_chars"), "doc_id",
+        "42::HUGEINT", "hd", "sm1")},
+      sh AS (
+        SELECT doc_id, n_chars,
+          CAST(h % $Shards AS BIGINT) AS shard_id,
+          CAST(h // 1099511627776::HUGEINT AS BIGINT) AS h40
+        FROM hd)
+      SELECT shard_id,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+        CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+        CAST(MIN(h40) AS BIGINT) AS min_h40,
+        CAST(MAX(h40) AS BIGINT) AS max_h40,
+        CAST(SUM(h40) AS BIGINT) AS digest_fold
+      FROM sh GROUP BY shard_id"""
+    })
+
+  // ---- longctx_stitch: source-contiguous packing for long context --
+  // Long-context curation co-locates RELATED text: within each
+  // source, documents stitch in doc_id order into one separator-
+  // joined stream ('\n' between docs), cut into StitchLen-char
+  // segments with each document an ATOM (the sft_pack rule: a doc
+  // lands in the segment its start falls in, segments absorb
+  // overflow) — unlike seq_pack, which deliberately hash-scatters
+  // unrelated docs into fixed windows. Output is each doc's segment
+  // and its [seg_off, seg_end) span inside it.
+  //
+  // Scale: the per-source stream position is a GLOBAL PrefixSum over
+  // the composite (src_idx, doc-range) bucket order minus the
+  // source's own start offset — no per-source window ever holds a
+  // whole source (a source is corpus-sized/|sources|, far beyond one
+  // task at 100 TB). The source-start frame is |sources| rows and
+  // rides the counted broadcast guard (Search.guarded — broadcast
+  // only while measured-small, shuffled-hash above); the segment
+  // window partitions are (src, seg) groups bounded by StitchLen
+  // (every doc is ≥ 1 char).
+  val StitchLen = 4096L
+  val StitchTargetBucket = 1000L
+
+  /** Stitching over a (src_idx, doc_id, n_chars) frame — factored
+    * for fixture specs; the Op wires the documents table (src_idx
+    * parsed from the source name).
+    */
+  def longctxStitch(docs: DataFrame): DataFrame = {
+    val pre = docs.select(col("src_idx"), col("doc_id"),
+        col("n_chars"), (col("n_chars") + 1L).as("step"))
+      .localCheckpoint()
+    val sized = pre.agg(count(lit(1)).as("n"), max(col("doc_id")).as("md"),
+      max(col("src_idx")).as("ms")).head()
+    val (n, maxDoc, maxSrc) = (math.max(sized.getLong(0), 1L),
+      sized.getLong(1), sized.getLong(2))
+    val width = math.max(
+      (maxDoc + 1) / math.max(n / StitchTargetBucket, 1L), 1L)
+    val srcBkts = (maxDoc + 1) / width + 2
+    val cum = graft.functions.PrefixSum.exclusive(
+      pre.withColumn("bkt",
+        expr(s"src_idx * $srcBkts + doc_id DIV $width")),
+      "step", Seq(col("doc_id")),
+      numBuckets = (maxSrc + 1) * srcBkts, out = "gcum")
+    val (_, srcStart) = Search.guarded(
+      cum.groupBy(col("src_idx")).agg(min(col("gcum")).as("src0")),
+      broadcastMaxRows = 4000000L)
+    val placed = cum.join(srcStart, "src_idx")
+      .withColumn("pos", col("gcum") - col("src0"))
+      .withColumn("seg_id", expr(s"pos DIV $StitchLen"))
+    val bySeg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src_idx"), col("seg_id"))
+    placed
+      .withColumn("seg_off", col("pos") - min(col("pos")).over(bySeg))
+      .select(col("src_idx"), col("doc_id"), col("seg_id"),
+        col("seg_off"), (col("seg_off") + col("n_chars")).as("seg_end"))
+  }
+
+  private val opLongctxStitch = Op(
+    "longctx_stitch",
+    (s, dir) => longctxStitch(Tables(s, dir, "documents").select(
+      expr("CAST(substring(source, 4) AS BIGINT)").as("src_idx"),
+      col("doc_id"), col("n_chars"))),
+    Some(s"""
+      WITH d AS (
+        SELECT CAST(source[4:] AS BIGINT) AS src_idx, doc_id, n_chars,
+          n_chars + 1 AS step
+        FROM documents),
+      c AS (
+        SELECT src_idx, doc_id, n_chars,
+          CAST(COALESCE(SUM(step) OVER (PARTITION BY src_idx
+            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+            AND 1 PRECEDING), 0) AS BIGINT) AS pos
+        FROM d),
+      seg AS (
+        SELECT src_idx, doc_id, n_chars, pos,
+          pos // $StitchLen AS seg_id
+        FROM c)
+      SELECT src_idx, doc_id, CAST(seg_id AS BIGINT) AS seg_id,
+        CAST(pos - MIN(pos) OVER (PARTITION BY src_idx, seg_id)
+          AS BIGINT) AS seg_off,
+        CAST(pos - MIN(pos) OVER (PARTITION BY src_idx, seg_id)
+          + n_chars AS BIGINT) AS seg_end
+      FROM seg"""))
+
+  val ops: Seq[Op] = Seq(opEpochShuffle, opDataContract, opJsonFields,
+    opShardManifest, opLongctxStitch)
 }

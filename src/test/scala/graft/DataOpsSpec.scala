@@ -77,6 +77,68 @@ class DataOpsSpec extends SparkSpec {
     assert(ppm("nonempty") == 166666L)
   }
 
+  test("shard_manifest: shards partition the corpus, digests are arrival-order-free, a planted mutation moves the digest") {
+    val corpus = SparkEntry.queries("shard_manifest")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(7)))
+    assert(corpus.map(_._1).sorted.toSeq == (0L until DataOps.Shards))
+    val nDocs = Tables(spark, sfDir, "documents").count()
+    assert(corpus.map(_._2).sum == nDocs, "shards partition the corpus")
+    // order independence: a reversed/re-partitioned input folds the
+    // same manifest bit-for-bit
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val again = DataOps.shardManifest(docs.orderBy(col("doc_id").desc)
+        .repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(7)))
+    assert(again.sortBy(_._1).toSeq == corpus.sortBy(_._1).toSeq)
+    // tamper detection: dropping one row moves (n_docs, digest_fold)
+    // in exactly that row's shard
+    val tampered = DataOps.shardManifest(docs.where(col("doc_id") =!= 0L))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(7)))
+      .toMap
+    val orig = corpus.map(t => t._1 -> (t._2, t._4)).toMap
+    val moved = orig.keys.filter(k => orig(k) != tampered(k))
+    assert(moved.size == 1, s"exactly one shard must move: $moved")
+  }
+
+  test("longctx_stitch: hand fixture — atoms, separators, overflow segment; corpus invariants") {
+    // source 0: lengths 10, 10, 4090 with separators at +1
+    //   doc 1 at pos 0 -> seg 0 off 0..10
+    //   doc 2 at pos 11 -> seg 0 off 11..21
+    //   doc 3 at pos 22 -> seg 0 (atom rule: starts inside seg 0),
+    //     spans past 4096 - the segment absorbs the overflow
+    // source 1: single long doc 5000 -> seg 0, next doc starts at
+    //   5001 -> seg 1 (id 5001 DIV 4096 = 1)
+    val docs = Seq(
+      (0L, 1L, 10L), (0L, 2L, 10L), (0L, 3L, 4090L),
+      (1L, 4L, 5000L), (1L, 5L, 10L))
+      .toDF("src_idx", "doc_id", "n_chars")
+    val out = DataOps.longctxStitch(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(t => (t._1, t._2))
+    assert(out(0) == ((0L, 1L, 0L, 0L, 10L)))
+    assert(out(1) == ((0L, 2L, 0L, 11L, 21L)))
+    assert(out(2) == ((0L, 3L, 0L, 22L, 4112L)))
+    assert(out(3) == ((1L, 4L, 0L, 0L, 5000L)))
+    assert(out(4) == ((1L, 5L, 1L, 0L, 10L)))
+    // corpus invariants: spans inside a segment never overlap, docs
+    // tile each segment in doc order with 1-char separators between
+    val corpus = SparkEntry.queries("longctx_stitch")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(corpus.length ==
+      Tables(spark, sfDir, "documents").count())
+    corpus.groupBy(t => (t._1, t._3)).foreach { case (_, rs) =>
+      val inOrder = rs.sortBy(_._2)
+      assert(inOrder.head._4 == 0L, "segments start at offset 0")
+      inOrder.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 == a._5 + 1L,
+          s"separator gap broken between ${a._2} and ${b._2}")
+        case _ =>
+      }
+    }
+  }
+
   test("json_fields: corpus coverage is total; planted fixture pins each failure mode's counter") {
     val corpus = SparkEntry.queries("json_fields")(spark, sfDir).collect()
     assert(corpus.nonEmpty)
