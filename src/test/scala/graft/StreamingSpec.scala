@@ -1247,6 +1247,38 @@ class StreamingSpec extends SparkSpec {
     assert(batch("source_format")._4 == 999999L)
   }
 
+  test("stream_contract restart: counters survive the checkpoint — post-restart verdicts fold onto never-replayed pre-restart rows") {
+    implicit val sql = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-contract-rs")
+    val ckpt = base.resolve("ckpt").toString
+    val outDir = base.resolve("out").toString
+    val in = MemoryStream[(String, Long, Long)]
+    def start() = Streams.contractStream(
+        in.toDF().toDF("rule", "violated", "doc_id"))
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    in.addData(("nonempty", 0L, 1L), ("nonempty", 1L, 7L),
+      ("nonempty", 0L, 2L))
+    q1.processAllAvailable()
+    q1.stop() // kill with (n=3, v=1, firstBad=7) held only in state
+    val q2 = start() // resume from the checkpoint
+    in.addData(("nonempty", 1L, 3L), ("nonempty", 0L, 9L))
+    q2.processAllAvailable()
+    q2.stop()
+    // fold max-rev: counters must cover ALL five rows — had the state
+    // store not come back, the count restarts at the post-kill two
+    val rows = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("rev"), r.getAs[Long]("n_checked"),
+        r.getAs[Long]("n_violations"), r.getAs[Long]("first_bad_doc")))
+    val last = rows.maxBy(_._1)
+    assert(last._2 == 5L, s"post-restart count must include " +
+      s"never-replayed pre-restart rows: $last")
+    assert(last._3 == 2L)
+    assert(last._4 == 3L, "the running first-offender min crosses the " +
+      "restart (7 pre-kill, 3 post-resume)")
+  }
+
   test("stream_scd2: changelog folds to the batch SCD2 history; no spurious change at batch cuts") {
     implicit val sql = spark.sqlContext
     val rows = Tables.events(spark, sfDir)
