@@ -233,15 +233,23 @@ object DataOps {
   // narrow projection + one Shards-row groupBy.
   val Shards = 16L
 
-  /** The manifest over a (doc_id, n_chars) frame — factored for
-    * fixture specs; the Op wires the documents table.
+  /** Per-doc shard rows (doc_id, n_chars, shard_id, h40) — the
+    * derivation the batch manifest folds and the stream twin
+    * (stream_manifest) maintains live, shared so both see the same
+    * assignment by construction.
     */
-  def shardManifest(docs: DataFrame): DataFrame =
+  def shardRows(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("n_chars"),
         xxhash64(col("doc_id")).as("h"))
       .select(col("doc_id"), col("n_chars"),
         pmod(col("h"), lit(Shards)).as("shard_id"),
         expr("shiftrightunsigned(h, 40)").as("h40"))
+
+  /** The manifest over a (doc_id, n_chars) frame — factored for
+    * fixture specs; the Op wires the documents table.
+    */
+  def shardManifest(docs: DataFrame): DataFrame =
+    shardRows(docs)
       .groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
@@ -362,6 +370,78 @@ object DataOps {
           + n_chars AS BIGINT) AS seg_end
       FROM seg"""))
 
+  // ---- quality_fuse: min-max normalized multi-scorer fusion ----
+  // Curation stacks run SEVERAL quality scorers (heuristics, a
+  // trained classifier, perplexity) whose raw scales are
+  // incommensurable; the standard fusion (CombSUM over min-max
+  // normalized scores) maps each scorer onto [0, 1e6] ppm by its own
+  // corpus range and averages. The three scorers here are the
+  // deterministic contract (distinct-token ratio, length, mean token
+  // length — swap in any trained trio); min/max per scorer are ONE
+  // 1-row aggregate broadcast back, so the whole op is a scan, a
+  // 1-row broadcast, and a narrow projection — no global rank, no
+  // per-scorer sort (rank fusion over bounded CANDIDATE sets is
+  // hybrid_rrf; this is the corpus-wide normalization that must not
+  // sort the corpus three times). A constant scorer (max == min)
+  // contributes a neutral 500000 to every doc, not a div-by-zero.
+  /** Fusion over a (doc_id, s1, s2, s3) frame — factored for fixture
+    * specs; the Op wires the documents scorers.
+    */
+  def qualityFuse(scored: DataFrame): DataFrame = {
+    val bounds = scored.agg(
+      min(col("s1")).as("mn1"), max(col("s1")).as("mx1"),
+      min(col("s2")).as("mn2"), max(col("s2")).as("mx2"),
+      min(col("s3")).as("mn3"), max(col("s3")).as("mx3"))
+    val norm = (i: Int) =>
+      expr(s"""CASE WHEN mx$i = mn$i THEN 500000
+               ELSE ((s$i - mn$i) * 1000000) DIV (mx$i - mn$i)
+               END""").as(s"n$i")
+    scored.join(broadcast(bounds))
+      .select(col("doc_id"), col("s1"), col("s2"), col("s3"),
+        norm(1), norm(2), norm(3))
+      .withColumn("fused_ppm", expr("(n1 + n2 + n3) DIV 3"))
+  }
+
+  private def fuseScorers(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").select(
+      col("doc_id"),
+      expr("""(CAST(size(array_distinct(split(text, ' '))) AS BIGINT)
+              * 1000000) DIV size(split(text, ' '))""").as("s1"),
+      col("n_chars").as("s2"),
+      expr("(n_chars * 1000000) DIV size(split(text, ' '))").as("s3"))
+
+  private val opQualityFuse = Op(
+    "quality_fuse",
+    (s, dir) => qualityFuse(fuseScorers(s, dir)),
+    Some("""
+      WITH scored AS (
+        SELECT doc_id,
+          (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+            * 1000000) // len(string_split(text, ' ')) AS s1,
+          n_chars AS s2,
+          (n_chars * 1000000) // len(string_split(text, ' ')) AS s3
+        FROM documents),
+      b AS (
+        SELECT MIN(s1) AS mn1, MAX(s1) AS mx1,
+          MIN(s2) AS mn2, MAX(s2) AS mx2,
+          MIN(s3) AS mn3, MAX(s3) AS mx3
+        FROM scored),
+      n AS (
+        SELECT doc_id, s1, s2, s3,
+          CAST(CASE WHEN mx1 = mn1 THEN 500000
+            ELSE ((s1 - mn1) * 1000000) // (mx1 - mn1) END AS BIGINT)
+            AS n1,
+          CAST(CASE WHEN mx2 = mn2 THEN 500000
+            ELSE ((s2 - mn2) * 1000000) // (mx2 - mn2) END AS BIGINT)
+            AS n2,
+          CAST(CASE WHEN mx3 = mn3 THEN 500000
+            ELSE ((s3 - mn3) * 1000000) // (mx3 - mn3) END AS BIGINT)
+            AS n3
+        FROM scored, b)
+      SELECT doc_id, s1, s2, s3, n1, n2, n3,
+        CAST((n1 + n2 + n3) // 3 AS BIGINT) AS fused_ppm
+      FROM n"""))
+
   val ops: Seq[Op] = Seq(opEpochShuffle, opDataContract, opJsonFields,
-    opShardManifest, opLongctxStitch)
+    opShardManifest, opLongctxStitch, opQualityFuse)
 }

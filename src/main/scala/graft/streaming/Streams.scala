@@ -1979,6 +1979,60 @@ object Streams {
       }
   }
 
+  // ---- stream_manifest: shard integrity maintained live ----
+
+  private[streaming] case class ShardRowIn(shard_id: Long, doc_id: Long,
+    n_chars: Long, h40: Long)
+
+  case class ManifestState(n: Long, chars: Long, minDoc: Long,
+    maxDoc: Long, minH: Long, maxH: Long, fold: Long, rev: Long)
+
+  case class ManifestOut(shard_id: Long, n_docs: Long, sum_chars: Long,
+    min_doc: Long, max_doc: Long, min_h40: Long, max_h40: Long,
+    digest_fold: Long, rev: Long)
+
+  /** stream_manifest — the shard integrity manifest maintained LIVE
+    * (batch twin: DataOps.shardManifest): per-shard state is the
+    * eight manifest facts plus a revision — CONSTANT per shard at any
+    * stream length, key space = the Shards assignment (16 state
+    * rows); every fact is an order-free fold (sums, mins, maxes), so
+    * the max-rev changelog equals the batch manifest under any batch
+    * cut. This is what a streaming INGEST writer publishes alongside
+    * its shards: the manifest is always current, a reader validates a
+    * shard set against the latest revision without any content
+    * re-read. Input = the shared DataOps.shardRows projection, so
+    * stream and batch see the same assignment by construction.
+    */
+  def shardManifestStream(rows: DataFrame): Dataset[ManifestOut] = {
+    import rows.sparkSession.implicits._
+    rows.select(col("shard_id"), col("doc_id"), col("n_chars"),
+      col("h40")).as[ShardRowIn]
+      .groupByKey(_.shard_id)
+      .flatMapGroupsWithState[ManifestState, ManifestOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sid: Long, in: Iterator[ShardRowIn],
+            state: GroupState[ManifestState]) =>
+          val st = state.getOption.getOrElse(ManifestState(0L, 0L,
+            Long.MaxValue, Long.MinValue, Long.MaxValue, Long.MinValue,
+            0L, 0L))
+          var (n, ch, mnD, mxD, mnH, mxH, fo) = (st.n, st.chars,
+            st.minDoc, st.maxDoc, st.minH, st.maxH, st.fold)
+          in.foreach { r =>
+            n += 1; ch += r.n_chars; fo += r.h40
+            mnD = math.min(mnD, r.doc_id); mxD = math.max(mxD, r.doc_id)
+            mnH = math.min(mnH, r.h40); mxH = math.max(mxH, r.h40)
+          }
+          if (n == st.n) Iterator.empty
+          else {
+            val rev = st.rev + 1
+            state.update(ManifestState(n, ch, mnD, mxD, mnH, mxH, fo,
+              rev))
+            Iterator.single(ManifestOut(sid, n, ch, mnD, mxD, mnH, mxH,
+              fo, rev))
+          }
+      }
+  }
+
   // ---- stream_retention: bounded-state cohort retention ----
 
   private[streaming] case class DayEvent(user_id: Long, epoch_day: Int)

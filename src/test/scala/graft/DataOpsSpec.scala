@@ -139,6 +139,37 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("quality_fuse: hand fixture — min-max normalization, constant-scorer neutrality, fused mean") {
+    // s1 spans 10..30 (doc 2 at midpoint), s2 constant, s3 spans 0..100
+    val scored = Seq(
+      (1L, 10L, 7L, 0L),
+      (2L, 20L, 7L, 100L),
+      (3L, 30L, 7L, 50L))
+      .toDF("doc_id", "s1", "s2", "s3")
+    val out = DataOps.qualityFuse(scored).collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).sortBy(_._1)
+    // doc 1: n1=0, n2=500000 (constant scorer is neutral), n3=0
+    assert(out(0) == ((1L, 0L, 500000L, 0L, 166666L)))
+    // doc 2: n1=500000, n3=1e6 → fused (0.5e6+0.5e6+1e6)/3
+    assert(out(1) == ((2L, 500000L, 500000L, 1000000L, 666666L)))
+    // doc 3: n1=1e6, n3=500000
+    assert(out(2) == ((3L, 1000000L, 500000L, 500000L, 666666L)))
+  }
+
+  test("quality_fuse corpus invariants: norms span [0,1e6] with both extremes hit, fused is the truncated mean") {
+    val rows = SparkEntry.queries("quality_fuse")(spark, sfDir).collect()
+      .map(r => (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    Seq(rows.map(_._1), rows.map(_._2), rows.map(_._3)).foreach { ns =>
+      assert(ns.min == 0L && ns.max == 1000000L,
+        "each scorer's normalization must hit both extremes")
+    }
+    rows.foreach { case (n1, n2, n3, f) =>
+      assert(f == (n1 + n2 + n3) / 3)
+    }
+  }
+
   test("json_fields: corpus coverage is total; planted fixture pins each failure mode's counter") {
     val corpus = SparkEntry.queries("json_fields")(spark, sfDir).collect()
     assert(corpus.nonEmpty)

@@ -1279,6 +1279,43 @@ class StreamingSpec extends SparkSpec {
       "restart (7 pre-kill, 3 post-resume)")
   }
 
+  test("stream_manifest: folded changelog equals the batch shard manifest under any cut; sixteen state rows") {
+    implicit val sql = spark.sqlContext
+    val docs = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"n_chars")
+    val rows = operators.DataOps.shardRows(docs).collect()
+      .map(r => (r.getLong(2), r.getLong(0), r.getLong(1), r.getLong(3)))
+      .sortBy(t => t._2 % 5) // interleave shards across batches
+    val in = MemoryStream[(Long, Long, Long, Long)]
+    val q = Streams.shardManifestStream(
+        in.toDF().toDF("shard_id", "doc_id", "n_chars", "h40"))
+      .writeStream.format("memory").queryName("manifest_out")
+      .outputMode("append").start()
+    Seq(rows.take(rows.length / 3),
+      rows.slice(rows.length / 3, 2 * rows.length / 3),
+      rows.drop(2 * rows.length / 3)).foreach { chunk =>
+      in.addData(chunk.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    assert(q.lastProgress.stateOperators.head.numRowsTotal ==
+      operators.DataOps.Shards)
+    q.stop()
+    val folded = spark.table("manifest_out").collect()
+      .map(r => (r.getAs[Long]("shard_id"), r.getAs[Long]("rev"),
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_chars"),
+          r.getAs[Long]("min_doc"), r.getAs[Long]("max_doc"),
+          r.getAs[Long]("min_h40"), r.getAs[Long]("max_h40"),
+          r.getAs[Long]("digest_fold"))))
+      .groupBy(_._1).map { case (sid, rs) => sid -> rs.maxBy(_._2)._3 }
+    val batch = SparkEntry.queries("shard_manifest")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toMap
+    assert(folded == batch,
+      s"folded ${folded.size} shards != batch ${batch.size}")
+  }
+
   test("stream_scd2: changelog folds to the batch SCD2 history; no spurious change at batch cuts") {
     implicit val sql = spark.sqlContext
     val rows = Tables.events(spark, sfDir)
