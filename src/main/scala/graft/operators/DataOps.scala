@@ -46,11 +46,15 @@ object DataOps {
     * specs; the Op wires the documents table.
     */
   def epochShuffle(docs: DataFrame): DataFrame = {
-    val n = math.max(docs.count(), 1L) // sizes buckets (bounded action)
+    // checkpoint the skinny id frame ONCE: the sizing count and the
+    // PrefixSum plan's several reads all hit the materialized blocks,
+    // not the parquet scan (the seq_pack convention)
+    val ids = docs.select(col("doc_id")).localCheckpoint()
+    val n = math.max(ids.count(), 1L) // sizes buckets (bounded action)
     val nBkts = math.max(n / ShuffleTargetBucket, 1L)
     val width = math.max(Long.MaxValue / nBkts, 1L)
     val perEpoch = 2 * nBkts + 3 // kb ∈ [-nBkts-1, nBkts] shifted positive
-    val keyed = docs
+    val keyed = ids
       .withColumn("epoch", explode(sequence(lit(0L), lit(Epochs - 1L))))
       .withColumn("skey", xxhash64(col("doc_id"), col("epoch")))
       .withColumn("bkt",
@@ -60,10 +64,10 @@ object DataOps {
       keyed, "one", Seq(col("skey"), col("doc_id")),
       numBuckets = Epochs * perEpoch, out = "gpos")
     // every doc appears in every epoch, so the within-epoch rank is
-    // the global rank minus epoch * |docs| — one 1-row broadcast
-    ranked.crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
-      .select(col("epoch"), col("doc_id"), col("skey"),
-        (col("gpos") - col("epoch") * col("n_docs")).as("position"))
+    // the global rank minus epoch * |docs| (the already-counted n —
+    // no second aggregate, no crossJoin)
+    ranked.select(col("epoch"), col("doc_id"), col("skey"),
+      (col("gpos") - col("epoch") * lit(n)).as("position"))
   }
 
   private val opEpochShuffle = Op(
