@@ -1382,7 +1382,114 @@ object Multimodal {
       FROM steps GROUP BY doc_id"""
   }
 
+  // ---- mm_interleave: interleaved image-text sequence assembly ----
+  // The vision-language training data shape (Flamingo/LLaVA-style):
+  // a document's text is cut into InterleaveStride-token chunks with
+  // an image slot BEFORE each chunk, and — the budgeting fact every
+  // multimodal packer needs — each image occupies a PATCH-dependent
+  // number of sequence positions: patches = ⌈w/14⌉·⌈h/14⌉ (the ViT-14
+  // grid), with (w, h) from the planted image arithmetic shared with
+  // mm_meta (image_id = doc_id·1000 + slot — swap in a real asset
+  // join). Per slot the op emits the placeholder's exact char position
+  // in the rendered string ('<|img|>' + chunk, concatenated in slot
+  // order — template_audit's marker family), the chunk's token/char
+  // extents, and the slot's total sequence cost (patches + tokens) a
+  // packer folds. Narrow explode (≤ tokens/stride slots per doc) + one
+  // per-doc window over those ≤13-row partitions; chunk chars come
+  // from array_join(slice(...)) so nothing re-tokenizes.
+  val InterleaveStride = 8
+  val VitPatch = 14
+
+  /** Assembly over a (doc_id, text) frame — factored for fixture
+    * specs; the Op wires the documents table.
+    */
+  def mmInterleave(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window
+      .partitionBy(col("doc_id")).orderBy(col("slot"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("slot",
+        explode(expr(s"sequence(0L, (n_toks - 1) DIV $InterleaveStride)")))
+      .withColumn("chunk",
+        expr(s"array_join(slice(toks, CAST(slot * $InterleaveStride + 1 " +
+          s"AS INT), $InterleaveStride), ' ')"))
+      .withColumn("image_id", col("doc_id") * 1000L + col("slot"))
+      .withColumn("w",
+        expr(s"CASE WHEN image_id % 3 = 0 THEN image_id % 64 + 1 " +
+          "ELSE image_id % 96 + 1 END"))
+      .withColumn("h",
+        expr(s"CASE WHEN image_id % 3 = 0 THEN image_id % 48 + 1 " +
+          "ELSE image_id % 72 + 1 END"))
+      .withColumn("patch_tokens",
+        expr(s"((w + ${VitPatch - 1}) DIV $VitPatch) * " +
+          s"((h + ${VitPatch - 1}) DIV $VitPatch)"))
+      .withColumn("chunk_tokens",
+        least(lit(InterleaveStride.toLong),
+          col("n_toks") - col("slot") * InterleaveStride))
+      .withColumn("char_pos",
+        coalesce(sum(length(col("chunk")).cast("long") + 7L).over(byDoc),
+          lit(0L)))
+      .select(col("doc_id"), col("slot"), col("image_id"),
+        col("patch_tokens"), col("chunk_tokens"),
+        col("char_pos"),
+        (col("char_pos") + 7L).as("chunk_start"),
+        (col("char_pos") + 7L + length(col("chunk")).cast("long"))
+          .as("chunk_end"),
+        (col("patch_tokens") + col("chunk_tokens")).as("seq_cost"))
+  }
+
+  private val opInterleave = Op(
+    "mm_interleave",
+    (s, dir) => mmInterleave(
+      Tables(s, dir, "documents").select(col("doc_id"), col("text"))),
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        FROM documents),
+      slots AS (
+        SELECT doc_id, toks, n_toks, CAST(u.s AS BIGINT) AS slot
+        FROM d, UNNEST(generate_series(0,
+          (n_toks - 1) // $InterleaveStride)) AS u(s)),
+      ch AS (
+        SELECT doc_id, slot, n_toks,
+          array_to_string(toks[CAST(slot * $InterleaveStride + 1 AS BIGINT):
+            CAST(slot * $InterleaveStride + $InterleaveStride AS BIGINT)],
+            ' ') AS chunk,
+          doc_id * 1000 + slot AS image_id
+        FROM slots),
+      geom AS (
+        SELECT doc_id, slot, n_toks, chunk, image_id,
+          CASE WHEN image_id % 3 = 0 THEN image_id % 64 + 1
+               ELSE image_id % 96 + 1 END AS w,
+          CASE WHEN image_id % 3 = 0 THEN image_id % 48 + 1
+               ELSE image_id % 72 + 1 END AS h
+        FROM ch),
+      pos AS (
+        SELECT doc_id, slot, image_id,
+          ((w + ${VitPatch - 1}) // $VitPatch) *
+            ((h + ${VitPatch - 1}) // $VitPatch) AS patch_tokens,
+          LEAST($InterleaveStride, n_toks - slot * $InterleaveStride)
+            AS chunk_tokens,
+          CAST(COALESCE(SUM(length(chunk) + 7) OVER (
+            PARTITION BY doc_id ORDER BY slot
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS char_pos,
+          CAST(length(chunk) AS BIGINT) AS chunk_len
+        FROM geom)
+      SELECT doc_id, slot, image_id,
+        CAST(patch_tokens AS BIGINT) AS patch_tokens,
+        CAST(chunk_tokens AS BIGINT) AS chunk_tokens,
+        char_pos,
+        CAST(char_pos + 7 AS BIGINT) AS chunk_start,
+        CAST(char_pos + 7 + chunk_len AS BIGINT) AS chunk_end,
+        CAST(patch_tokens + chunk_tokens AS BIGINT) AS seq_cost
+      FROM pos"""))
+
   val ops: Seq[Op] =
     Seq(opMeta, opEmbed, opPhash, opResize, opFrames, opAudio, opVideoDedup,
-      opScenes)
+      opScenes, opInterleave)
 }

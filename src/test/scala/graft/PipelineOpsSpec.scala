@@ -814,6 +814,50 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cand == 1L, "identical-direction pair must be a candidate")
   }
 
+  test("mm_interleave: hand fixture — rendered string reconstructed, patch budget from the planted grid") {
+    import spark.implicits._
+    // 20 tokens, stride 8 -> 3 slots (8, 8, 4 tokens)
+    val toks = (1 to 20).map(i => s"t$i")
+    val docs = Seq((5L, toks.mkString(" "))).toDF("doc_id", "text")
+    val out = Multimodal.mmInterleave(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+      .sortBy(_._1)
+    assert(out.length == 3)
+    // rebuild the rendered string and check every span cuts its chunk
+    val chunks = toks.grouped(8).map(_.mkString(" ")).toSeq
+    val rendered = chunks.map("<|img|>" + _).mkString
+    out.zip(chunks).foreach { case ((slot, img, patches, ctoks, pos,
+        cs, ce, cost), chunk) =>
+      assert(img == 5000L + slot)
+      assert(rendered.substring(pos.toInt, pos.toInt + 7) == "<|img|>")
+      assert(rendered.substring(cs.toInt, ce.toInt) == chunk)
+      // planted grid: patches = ceil(w/14)*ceil(h/14)
+      val (w, h) = if (img % 3 == 0) (img % 64 + 1, img % 48 + 1)
+        else (img % 96 + 1, img % 72 + 1)
+      assert(patches == ((w + 13) / 14) * ((h + 13) / 14))
+      assert(cost == patches + ctoks)
+    }
+    assert(out.map(_._4).toSeq == Seq(8L, 8L, 4L), "chunk token extents")
+  }
+
+  test("mm_interleave corpus invariants: slots contiguous from 0, positions strictly increase, every budget positive") {
+    val rows = SparkEntry.queries("mm_interleave")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(5),
+        r.getLong(8)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val inOrder = rs.sortBy(_._2)
+      assert(inOrder.head._2 == 0L && inOrder.head._4 == 0L)
+      assert(inOrder.map(_._2).toSeq == (0L until rs.length.toLong))
+      inOrder.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 > a._4)
+        case _ =>
+      }
+      rs.foreach { t => assert(t._3 > 0L && t._5 > 0L) }
+    }
+  }
+
   test("mm_meta kernel: hand-computed PNG/JPEG/WAV headers parse exactly") {
     graft.plans.GraftFunctions.register(spark)
     // hand-written PNG: signature + IHDR(len 13) with width 300
