@@ -1489,7 +1489,93 @@ object Multimodal {
         CAST(patch_tokens + chunk_tokens AS BIGINT) AS seq_cost
       FROM pos"""))
 
+  // ---- mm_pack: multimodal batch packing by sequence cost ----
+  // The step between mm_interleave and the trainer: each interleaved
+  // example's TOTAL sequence cost (Σ patches + tokens over its slots)
+  // decides how examples pack into MMPackLen-position training
+  // sequences — and a multimodal example is an ATOM (an image's patch
+  // block must never split across sequences, so the packer places
+  // examples whole: the sft_pack rule, with cost in SEQUENCE
+  // POSITIONS rather than chars). Per doc: its cost, the pack its
+  // start position falls in, and its offset inside the pack. Scale:
+  // the per-doc cost fold reuses mm_interleave's narrow arithmetic
+  // (one ≤13-row-group fold keyed on doc_id); the running start is
+  // PrefixSum.exclusive over the skinny (doc_id, cost) frame —
+  // every window frame O(target) or O(√B), the sft_pack machinery.
+  val MMPackLen = 2048L
+  val MMPackTargetBucket = 1000L
+
+  /** Packing over a (doc_id, doc_cost) frame — factored for fixture
+    * specs; the Op folds mm_interleave's slot costs.
+    */
+  def mmPack(costs: DataFrame): DataFrame = {
+    val pre = costs.select(col("doc_id"), col("doc_cost"))
+      .localCheckpoint() // sizes the prefix-sum buckets at plan time
+    val n = math.max(pre.count(), 1L)
+    val maxId = pre.agg(coalesce(max(col("doc_id")), lit(0L)))
+      .head().getLong(0)
+    val width = math.max(
+      (maxId + 1) / math.max(n / MMPackTargetBucket, 1L), 1L)
+    val cum = graft.functions.PrefixSum.exclusive(
+      pre.withColumn("bkt", expr(s"CAST(doc_id DIV $width AS BIGINT)")),
+      "doc_cost", Seq(col("doc_id")),
+      numBuckets = (maxId + 1) / width + 1, out = "cum_before")
+      .withColumn("pack_id", expr(s"cum_before DIV $MMPackLen"))
+    val byPack = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pack_id"))
+    cum.withColumn("pack_off",
+        col("cum_before") - min(col("cum_before")).over(byPack))
+      .select(col("doc_id"), col("doc_cost"), col("pack_id"),
+        col("pack_off"))
+  }
+
+  private val opMmPack = Op(
+    "mm_pack",
+    (s, dir) => mmPack(
+      mmInterleave(Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("seq_cost")).as("doc_cost"))),
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        FROM documents),
+      slots AS (
+        SELECT doc_id, n_toks, CAST(u.s AS BIGINT) AS slot
+        FROM d, UNNEST(generate_series(0,
+          (n_toks - 1) // $InterleaveStride)) AS u(s)),
+      geom AS (
+        SELECT doc_id, slot, n_toks, doc_id * 1000 + slot AS image_id
+        FROM slots),
+      costs AS (
+        SELECT doc_id,
+          CAST(SUM(
+            ((CASE WHEN image_id % 3 = 0 THEN image_id % 64 + 1
+                   ELSE image_id % 96 + 1 END + ${VitPatch - 1})
+              // $VitPatch) *
+            ((CASE WHEN image_id % 3 = 0 THEN image_id % 48 + 1
+                   ELSE image_id % 72 + 1 END + ${VitPatch - 1})
+              // $VitPatch) +
+            LEAST($InterleaveStride, n_toks - slot * $InterleaveStride))
+            AS BIGINT) AS doc_cost
+        FROM geom GROUP BY doc_id),
+      cum AS (
+        SELECT doc_id, doc_cost,
+          CAST(COALESCE(SUM(doc_cost) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS cum_before
+        FROM costs),
+      packs AS (
+        SELECT doc_id, doc_cost, cum_before,
+          cum_before // $MMPackLen AS pack_id
+        FROM cum)
+      SELECT doc_id, doc_cost, CAST(pack_id AS BIGINT) AS pack_id,
+        CAST(cum_before - MIN(cum_before) OVER (PARTITION BY pack_id)
+          AS BIGINT) AS pack_off
+      FROM packs"""))
+
   val ops: Seq[Op] =
     Seq(opMeta, opEmbed, opPhash, opResize, opFrames, opAudio, opVideoDedup,
-      opScenes, opInterleave)
+      opScenes, opInterleave, opMmPack)
 }

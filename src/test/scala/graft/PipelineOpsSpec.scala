@@ -814,6 +814,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cand == 1L, "identical-direction pair must be a candidate")
   }
 
+  test("mm_pack: atoms pack whole by sequence cost, packs tile contiguously, totals conserved") {
+    import spark.implicits._
+    // costs 1000, 1500, 900, 100: doc 2 starts at 1000 (pack 0,
+    // absorbed overflow), doc 3 starts at 2500 -> pack 1, doc 4 at
+    // 3400 -> pack 1
+    val costs = Seq((1L, 1000L), (2L, 1500L), (3L, 900L), (4L, 100L))
+      .toDF("doc_id", "doc_cost")
+    val out = operators.Multimodal.mmPack(costs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out(0) == ((1L, 1000L, 0L, 0L)))
+    assert(out(1) == ((2L, 1500L, 0L, 1000L)))
+    assert(out(2) == ((3L, 900L, 1L, 0L)))
+    assert(out(3) == ((4L, 100L, 1L, 900L)))
+  }
+
+  test("mm_pack corpus invariants: every doc placed once, packs tile from 0 with no overlap, costs match interleave") {
+    val rows = SparkEntry.queries("mm_pack")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val inter = SparkEntry.queries("mm_interleave")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(8)))
+      .groupBy(_._1).map { case (d, rs) => d -> rs.map(_._2).sum }
+    assert(rows.length == inter.size, "one placement per document")
+    rows.foreach { case (d, cost, _, _) => assert(cost == inter(d)) }
+    rows.groupBy(_._3).foreach { case (_, rs) =>
+      val inOrder = rs.sortBy(_._4)
+      assert(inOrder.head._4 == 0L)
+      inOrder.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 == a._4 + a._2,
+          s"pack must tile contiguously: ${a._1} -> ${b._1}")
+        case _ =>
+      }
+    }
+  }
+
   test("mm_interleave: hand fixture — rendered string reconstructed, patch budget from the planted grid") {
     import spark.implicits._
     // 20 tokens, stride 8 -> 3 slots (8, 8, 4 tokens)
