@@ -18,6 +18,7 @@ object SparkEntry {
       operators.EmbedPca.ops ++ operators.Dsir.ops ++
       operators.Splits.ops ++ operators.Analytics.ops ++
       operators.PostTrain.ops ++ operators.RlEval.ops ++
+      operators.RankEval.ops ++
       operators.DataOps.ops ++
       operators.Cluster.ops ++ operators.Unigram.ops ++
       operators.Overlap.ops ++ operators.Calibrate.ops
