@@ -18,7 +18,7 @@ object SparkEntry {
       operators.EmbedPca.ops ++ operators.Dsir.ops ++
       operators.Splits.ops ++ operators.Analytics.ops ++
       operators.PostTrain.ops ++ operators.RlEval.ops ++
-      operators.RankEval.ops ++
+      operators.RankEval.ops ++ operators.AgentTrace.ops ++
       operators.DataOps.ops ++
       operators.Cluster.ops ++ operators.Unigram.ops ++
       operators.Overlap.ops ++ operators.Calibrate.ops

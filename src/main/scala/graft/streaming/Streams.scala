@@ -2033,6 +2033,77 @@ object Streams {
       }
   }
 
+  // ---- stream_agent: tool-call trace integrity maintained live ----
+
+  private[streaming] case class TraceEvIn(trace_id: Long, event_id: Long,
+    ts_us: Long, action: String)
+
+  case class AgentState(nEv: Long, nCall: Long, nRes: Long, nErr: Long,
+    bal: Long, minBal: Long, maxBal: Long, rev: Long)
+
+  case class AgentOut(trace_id: Long, n_events: Long, n_calls: Long,
+    n_results: Long, n_errors: Long, max_depth: Long,
+    unmatched_results: Long, dangling_calls: Long, is_wellformed: Long,
+    rev: Long)
+
+  /** stream_agent — tool-call trace integrity maintained LIVE (batch
+    * twin: AgentTrace.agentTrace): per-trace state is the counter
+    * tuple (events, calls, results, errors) plus the running balance
+    * and its min/max — CONSTANT per trace at any stream length (the
+    * stream never holds events, only the fold the pairing identities
+    * need; the stream_passk sufficient-statistic argument, with the
+    * balance extremes standing in for the prefix scan). The balance
+    * is ORDER-sensitive, so events sort by (ts_us, event_id) within
+    * each batch and in-order arrival per trace ACROSS batches is the
+    * log-shipping contract (stream_retention's anchor argument; the
+    * ingest tick delivers event logs in time order). Each batch that
+    * touches a trace emits its current verdict as an append-mode
+    * changelog row with a bumped rev; the reader folds max-rev per
+    * trace (the stream_scd2 contract) — folded view == batch
+    * agentTrace on the same prefix, exactly (spec cuts every trace
+    * across splits). This is the agent-ingest gate live: a trace's
+    * is_wellformed bit is current the moment its last event lands.
+    */
+  def agentTraceStream(trace: DataFrame): Dataset[AgentOut] = {
+    import trace.sparkSession.implicits._
+    trace.select(col("trace_id"), col("event_id"), col("ts_us"),
+      col("action")).as[TraceEvIn]
+      .groupByKey(_.trace_id)
+      .flatMapGroupsWithState[AgentState, AgentOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tid: Long, in: Iterator[TraceEvIn],
+            state: GroupState[AgentState]) =>
+          val st = state.getOption.getOrElse(
+            AgentState(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+          var (nEv, nCall, nRes, nErr) =
+            (st.nEv, st.nCall, st.nRes, st.nErr)
+          var (bal, minBal, maxBal) = (st.bal, st.minBal, st.maxBal)
+          in.toArray.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            nEv += 1
+            e.action match {
+              case "call"   => nCall += 1; bal += 1
+              case "result" => nRes += 1; bal -= 1
+              case "error"  => nErr += 1
+              case _        => ()
+            }
+            minBal = math.min(minBal, bal)
+            maxBal = math.max(maxBal, bal)
+          }
+          if (nEv == st.nEv) Iterator.empty
+          else {
+            val rev = st.rev + 1
+            state.update(AgentState(nEv, nCall, nRes, nErr, bal, minBal,
+              maxBal, rev))
+            val unmatched = math.max(-minBal, 0L)
+            val dangling = bal + unmatched
+            Iterator.single(AgentOut(tid, nEv, nCall, nRes, nErr,
+              math.max(maxBal, 0L), unmatched, dangling,
+              if (unmatched == 0L && dangling == 0L && nErr == 0L) 1L
+              else 0L, rev))
+          }
+      }
+  }
+
   // ---- stream_retention: bounded-state cohort retention ----
 
   private[streaming] case class DayEvent(user_id: Long, epoch_day: Int)

@@ -1316,6 +1316,48 @@ class StreamingSpec extends SparkSpec {
       s"folded ${folded.size} shards != batch ${batch.size}")
   }
 
+  test("stream_agent: folded changelog equals batch agent_trace under time-ordered cuts; constant state per trace") {
+    implicit val sql = spark.sqlContext
+    // the batch op's exact trace derivation, delivered in time order
+    // (the log-shipping contract) but cut so every trace straddles
+    // batches; WITHIN each batch the rows are shuffled (the in-batch
+    // sort must recover the order)
+    val rows = operators.AgentTrace.traceRows(Tables.events(spark, sfDir))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._3, t._2))
+    val in = MemoryStream[(Long, Long, Long, String)]
+    val q = Streams.agentTraceStream(
+        in.toDF().toDF("trace_id", "event_id", "ts_us", "action"))
+      .writeStream.format("memory").queryName("agent_out")
+      .outputMode("append").start()
+    Seq(rows.take(rows.length / 3),
+      rows.slice(rows.length / 3, 2 * rows.length / 3),
+      rows.drop(2 * rows.length / 3)).foreach { chunk =>
+      val shuffled = chunk.zipWithIndex.sortBy { case (c, i) =>
+        (i * 2654435761L) % chunk.length // deterministic in-batch shuffle
+      }.map(_._1)
+      in.addData(shuffled.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    val nTraces = rows.map(_._1).distinct.length.toLong
+    assert(q.lastProgress.stateOperators.head.numRowsTotal == nTraces)
+    q.stop()
+    val folded = spark.table("agent_out").collect()
+      .map(r => (r.getAs[Long]("trace_id"), r.getAs[Long]("rev"),
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_calls"),
+          r.getAs[Long]("n_results"), r.getAs[Long]("n_errors"),
+          r.getAs[Long]("max_depth"), r.getAs[Long]("unmatched_results"),
+          r.getAs[Long]("dangling_calls"), r.getAs[Long]("is_wellformed"))))
+      .groupBy(_._1).map { case (t, rs) => t -> rs.maxBy(_._2)._3 }
+    val batch = SparkEntry.queries("agent_trace")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8))).toMap
+    assert(folded == batch,
+      s"folded ${folded.size} traces != batch ${batch.size}")
+  }
+
   test("stream_scd2: changelog folds to the batch SCD2 history; no spurious change at batch cuts") {
     implicit val sql = spark.sqlContext
     val rows = Tables.events(spark, sfDir)
