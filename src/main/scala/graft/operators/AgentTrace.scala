@@ -228,5 +228,61 @@ object AgentTrace {
           AS latency_us
       FROM nxt WHERE action = 'call'"""))
 
-  val ops: Seq[Op] = Seq(opAgentTrace, opTraceBigram, opToolLatency)
+  // ---- trace_returns: discounted reward-to-go per trace step ----
+  // Step-level credit assignment — the value-target table a PRM /
+  // value-head trainer reads per trace step: reward is the fixed
+  // contract over the action mapping (+1 per assistant event — task
+  // progress; −1 per error; 0 otherwise — swap in a real reward
+  // model's verdicts), and the return is the discounted sum over the
+  // next Horizon events in trace order. The discount enters as a
+  // LITERAL γ^k ppm weight table (γ = 0.9, H = 8) shared verbatim
+  // with the DuckDB oracle — the eval_retrieval log2-table move — so
+  // the op is exact BIGINT arithmetic and hash-provable despite the
+  // "float" discount. H leads over ONE per-trace window (the
+  // sessionize partition class); beyond-trace-end rewards are 0 (the
+  // trace is over — nothing left to credit).
+  val ReturnHorizon = 8
+  /** floor(1e6 · 0.9^k) for k = 0..7 — the discount contract. */
+  val GammaPpm: Seq[Long] = Seq(1000000L, 900000L, 810000L, 729000L,
+    656100L, 590490L, 531441L, 478296L)
+
+  /** Returns over a (trace_id, event_id, ts_us, action) frame —
+    * factored for fixture specs and the streaming twin.
+    */
+  def traceReturns(trace: DataFrame): DataFrame = {
+    val byTrace = Window.partitionBy(col("trace_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val withR = trace.withColumn("reward",
+      when(col("action") === "assistant", 1L)
+        .when(col("action") === "error", -1L).otherwise(0L))
+    val ret = GammaPpm.zipWithIndex.map {
+      case (w, 0) => lit(w) * col("reward")
+      case (w, k) => lit(w) * lead(col("reward"), k, 0L).over(byTrace)
+    }.reduce(_ + _)
+    withR.select(col("trace_id"), col("event_id"), col("ts_us"),
+      col("action"), col("reward"), ret.as("return_ppm"))
+  }
+
+  private val returnTermsSql = GammaPpm.zipWithIndex.map {
+    case (w, 0) => s"$w * reward"
+    case (w, k) => s"$w * LEAD(reward, $k, 0) OVER w"
+  }.mkString(" + ")
+
+  private val opTraceReturns = Op(
+    "trace_returns",
+    (s, dir) => traceReturns(traceRows(Tables.events(s, dir))),
+    Some(traceCte + s""",
+      rew AS (
+        SELECT trace_id, event_id, ts_us, action,
+          CASE action WHEN 'assistant' THEN 1 WHEN 'error' THEN -1
+            ELSE 0 END AS reward
+        FROM trace)
+      SELECT trace_id, event_id, ts_us, action,
+        CAST(reward AS BIGINT) AS reward,
+        CAST($returnTermsSql AS BIGINT) AS return_ppm
+      FROM rew
+      WINDOW w AS (PARTITION BY trace_id ORDER BY ts_us, event_id)"""))
+
+  val ops: Seq[Op] =
+    Seq(opAgentTrace, opTraceBigram, opToolLatency, opTraceReturns)
 }

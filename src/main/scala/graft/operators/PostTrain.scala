@@ -463,6 +463,80 @@ object PostTrain {
           AS is_clean
       FROM a"""))
 
+  // ---- prm_pairs: step-level preference pairs at tree branch points --
+  // The process-reward-model data shape (Lightman et al. 2023 /
+  // Math-Shepherd): where dpo_pairs compares COMPLETE responses per
+  // prompt, PRM training compares SIBLING CONTINUATIONS at every
+  // branch point of a rollout tree — each pair (shared prefix, better
+  // child, worse child) supervises the step that diverged. The tree is
+  // conv_paths' fixed contract (parent(d) = (d−1) DIV 3, root 0), the
+  // score is dpo_pairs' deterministic contract, chosen/rejected take
+  // the same opposite-direction tie-breaks, all-tied sibling groups are
+  // dropped; n_candidates (surviving siblings) rides along — the
+  // group-size signal a trainer weights pairs by. ONE window over
+  // ≤ 3-row sibling partitions + one groupBy; skinny integer output →
+  // full oracle. Nothing here walks the tree: the branch-point
+  // comparison needs only the PARENT KEY, so cost is one hash
+  // aggregation regardless of tree depth (conv_paths already owns the
+  // prefix materialization when a trainer wants the text).
+  /** Pair construction over an (id, score) node frame — factored for
+    * fixture specs; the Op wires the documents scoring.
+    */
+  def prmPairs(nodes: DataFrame): DataFrame = {
+    val kids = nodes.where(col("id") >= 1)
+      .select(expr("(id - 1) DIV 3").as("parent_id"), col("id"),
+        col("score"))
+    val best = Window.partitionBy(col("parent_id"))
+      .orderBy(col("score").desc, col("id").asc)
+    val worst = Window.partitionBy(col("parent_id"))
+      .orderBy(col("score").asc, col("id").desc)
+    kids
+      .withColumn("rb", row_number().over(best))
+      .withColumn("rw", row_number().over(worst))
+      .groupBy(col("parent_id"))
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        max(when(col("rb") === 1, col("id"))).as("chosen_child"),
+        max(when(col("rb") === 1, col("score"))).as("chosen_score"),
+        max(when(col("rw") === 1, col("id"))).as("rejected_child"),
+        max(when(col("rw") === 1, col("score"))).as("rejected_score"))
+      .where(col("chosen_score") > col("rejected_score"))
+      .select(col("parent_id"), col("n_candidates"), col("chosen_child"),
+        col("rejected_child"), col("chosen_score"), col("rejected_score"),
+        (col("chosen_score") - col("rejected_score")).as("margin"))
+  }
+
+  private val opPrmPairs = Op(
+    "prm_pairs",
+    (s, dir) => prmPairs(Tables(s, dir, "documents").select(
+      col("doc_id").as("id"),
+      (size(array_distinct(split(col("text"), " "))).cast("long") *
+        100000L + col("n_chars")).as("score"))),
+    Some("""
+      WITH kids AS (
+        SELECT (doc_id - 1) // 3 AS parent_id, doc_id AS id,
+          CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+            * 100000 + n_chars AS score
+        FROM documents WHERE doc_id >= 1),
+      ranked AS (
+        SELECT parent_id, id, score,
+          ROW_NUMBER() OVER (PARTITION BY parent_id
+            ORDER BY score DESC, id ASC) AS rb,
+          ROW_NUMBER() OVER (PARTITION BY parent_id
+            ORDER BY score ASC, id DESC) AS rw
+        FROM kids),
+      agg AS (
+        SELECT parent_id, COUNT(*) AS n_candidates,
+          MAX(CASE WHEN rb = 1 THEN id END) AS chosen_child,
+          MAX(CASE WHEN rb = 1 THEN score END) AS chosen_score,
+          MAX(CASE WHEN rw = 1 THEN id END) AS rejected_child,
+          MAX(CASE WHEN rw = 1 THEN score END) AS rejected_score
+        FROM ranked GROUP BY parent_id)
+      SELECT parent_id, CAST(n_candidates AS BIGINT) AS n_candidates,
+        chosen_child, rejected_child, chosen_score, rejected_score,
+        chosen_score - rejected_score AS margin
+      FROM agg WHERE chosen_score > rejected_score"""))
+
   val ops: Seq[Op] = Seq(opSftRender, opDpoPairs, opConvPaths, opSftPack,
-    opBestOfN, opTemplateAudit)
+    opBestOfN, opTemplateAudit, opPrmPairs)
 }

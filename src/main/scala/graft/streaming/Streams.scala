@@ -2104,6 +2104,69 @@ object Streams {
       }
   }
 
+  // ---- stream_returns: discounted reward-to-go maintained live ----
+
+  case class ReturnsState(evIds: Seq[Long], tss: Seq[Long],
+    acts: Seq[String], rews: Seq[Long])
+
+  case class ReturnOut(trace_id: Long, event_id: Long, ts_us: Long,
+    action: String, reward: Long, return_ppm: Long)
+
+  /** stream_returns — step-level discounted returns maintained LIVE
+    * (batch twin: AgentTrace.traceReturns): per-trace state is the
+    * PENDING HORIZON BUFFER — the most recent < Horizon events whose
+    * discount window has not yet filled — so state is CONSTANT per
+    * trace (≤ H−1 rows of four scalars) at any stream length. An
+    * event's return is FINAL the moment its H−1st follower arrives
+    * (every later event is outside the literal γ^k window), so each
+    * event emits exactly once, append-only — no changelog fold needed.
+    * The last H−1 events of a trace never emit on an unbounded stream:
+    * "the rest of the horizon hasn't happened yet" (the stream_sft
+    * incomplete-conversation argument — batch closes the trace and
+    * zero-fills; a deployment bolts a close/timeout flush onto the
+    * same state). In-batch (ts_us, event_id) sort + in-order arrival
+    * per trace across batches is the log-shipping contract
+    * (stream_agent's). Spec: emitted rows == batch traceReturns
+    * restricted to events with ≥ H−1 followers, under adversarial
+    * cuts with in-batch shuffling.
+    */
+  def traceReturnsStream(trace: DataFrame): Dataset[ReturnOut] = {
+    import trace.sparkSession.implicits._
+    val h = graft.operators.AgentTrace.ReturnHorizon
+    val w = graft.operators.AgentTrace.GammaPpm
+    trace.select(col("trace_id"), col("event_id"), col("ts_us"),
+      col("action")).as[TraceEvIn]
+      .groupByKey(_.trace_id)
+      .flatMapGroupsWithState[ReturnsState, ReturnOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tid: Long, in: Iterator[TraceEvIn],
+            state: GroupState[ReturnsState]) =>
+          val st = state.getOption.getOrElse(
+            ReturnsState(Nil, Nil, Nil, Nil))
+          var ids = st.evIds; var tss = st.tss
+          var acts = st.acts; var rews = st.rews
+          val out = scala.collection.mutable.ArrayBuffer.empty[ReturnOut]
+          in.toArray.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            val r = e.action match {
+              case "assistant" => 1L
+              case "error"     => -1L
+              case _           => 0L
+            }
+            ids :+= e.event_id; tss :+= e.ts_us
+            acts :+= e.action; rews :+= r
+            if (ids.length == h) { // head's window is full → final
+              val ret = w.indices.map(k => w(k) * rews(k)).sum
+              out += ReturnOut(tid, ids.head, tss.head, acts.head,
+                rews.head, ret)
+              ids = ids.tail; tss = tss.tail
+              acts = acts.tail; rews = rews.tail
+            }
+          }
+          state.update(ReturnsState(ids, tss, acts, rews))
+          out.iterator
+      }
+  }
+
   // ---- stream_retention: bounded-state cohort retention ----
 
   private[streaming] case class DayEvent(user_id: Long, epoch_day: Int)

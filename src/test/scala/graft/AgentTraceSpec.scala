@@ -110,6 +110,47 @@ class AgentTraceSpec extends SparkSpec {
     assert(out.size == 4)
   }
 
+  test("trace_returns: hand fixture — discount weights, horizon truncation, trace-end zero fill") {
+    val assistants = (1L to 10L).map(i => (1L, i, i * 100L, "assistant"))
+    val t = trace(assistants ++ Seq(
+      (2L, 1L, 100L, "call"), (2L, 2L, 200L, "assistant"),
+      (2L, 3L, 300L, "error"), (2L, 4L, 400L, "user")): _*)
+    val out = graft.operators.AgentTrace.traceReturns(t).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(4), r.getLong(5))))
+      .toMap
+    // trace 1: ten +1 rewards; the head's window holds only H=8 of
+    // them — the full weight-table sum, not ten terms
+    assert(out((1L, 1L)) == (1L, graft.operators.AgentTrace.GammaPpm.sum))
+    // the last event's window is all beyond-trace-end zeros
+    assert(out((1L, 10L)) == (1L, 1000000L))
+    // trace 2: rewards [0, +1, -1, 0] -> hand-computed returns
+    assert(out((2L, 1L)) == (0L, 900000L - 810000L))
+    assert(out((2L, 2L)) == (1L, 1000000L - 900000L))
+    assert(out((2L, 3L)) == (-1L, -1000000L))
+    assert(out((2L, 4L)) == (0L, 0L))
+    assert(out.size == 14)
+  }
+
+  test("trace_returns corpus invariants: one row per event, bounded returns, final-event identity") {
+    val rows = SparkEntry.queries("trace_returns")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4),
+        r.getLong(5)))
+    assert(rows.nonEmpty)
+    val nEvents = graft.Tables.events(spark, sfDir).count()
+    assert(rows.length.toLong == nEvents)
+    val wSum = graft.operators.AgentTrace.GammaPpm.sum
+    rows.foreach { case (_, _, _, reward, ret) =>
+      assert(reward >= -1L && reward <= 1L)
+      assert(ret >= -wSum && ret <= wSum)
+    }
+    // the LAST event of every trace sees only beyond-end zeros:
+    // its return is exactly 1e6 * its own reward
+    rows.groupBy(_._1).foreach { case (_, grp) =>
+      val last = grp.maxBy(r => (r._3, r._2))
+      assert(last._5 == 1000000L * last._4)
+    }
+  }
+
   test("tool_latency corpus invariants: one row per call, matched <=> nonneg latency") {
     val rows = SparkEntry.queries("tool_latency")(spark, sfDir).collect()
     assert(rows.nonEmpty)

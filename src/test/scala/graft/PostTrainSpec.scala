@@ -244,4 +244,43 @@ class PostTrainSpec extends SparkSpec {
       assert(r.getLong(3) == ids.map(docs).sum)
     }
   }
+
+  test("prm_pairs: sibling extremes per branch point, tied and single-child groups dropped") {
+    // ternary tree over ids 0..7: parent 0 -> {1,2,3}, 1 -> {4,5,6},
+    // 2 -> {7}. Parent 1's children all tie (dropped), parent 2 has
+    // one child (degenerate, dropped), parent 0 keeps the extremes.
+    val nodes = Seq(
+      (0L, 50L), (1L, 30L), (2L, 10L), (3L, 20L),
+      (4L, 7L), (5L, 7L), (6L, 7L), (7L, 99L))
+      .toDF("id", "score")
+    val out = PostTrain.prmPairs(nodes).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq((0L, 3L, 1L, 2L, 30L, 10L, 20L)))
+  }
+
+  test("prm_pairs: ties at the extremes break on id in opposite directions") {
+    // parent 0's children: two share the max, two share the min —
+    // chosen = smallest id among max, rejected = largest id among min
+    val nodes = Seq((1L, 9L), (2L, 9L), (3L, 1L))
+      .toDF("id", "score")
+      .union(Seq((0L, 0L)).toDF("id", "score")) // root, never a child
+    val out = PostTrain.prmPairs(nodes).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(6)))
+    assert(out.toSeq == Seq((0L, 1L, 3L, 8L)))
+  }
+
+  test("prm_pairs corpus invariants: siblings share the parent key, margins positive, group sizes in [2,3]") {
+    val rows = SparkEntry.queries("prm_pairs")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (parent, n, chosen, rejected, cs, rs, margin) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(chosen != rejected)
+      assert((chosen - 1) / 3 == parent && (rejected - 1) / 3 == parent)
+      assert(n >= 2L && n <= 3L) // a ternary tree has <= 3 siblings
+      assert(margin == cs - rs && margin > 0L)
+    }
+  }
 }

@@ -1358,6 +1358,46 @@ class StreamingSpec extends SparkSpec {
       s"folded ${folded.size} traces != batch ${batch.size}")
   }
 
+  test("stream_returns: emitted returns equal batch on full-horizon events under cuts; pending tail bounded by the horizon") {
+    implicit val sql = spark.sqlContext
+    val rows = operators.AgentTrace.traceRows(Tables.events(spark, sfDir))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._3, t._2))
+    val in = MemoryStream[(Long, Long, Long, String)]
+    val q = Streams.traceReturnsStream(
+        in.toDF().toDF("trace_id", "event_id", "ts_us", "action"))
+      .writeStream.format("memory").queryName("returns_out")
+      .outputMode("append").start()
+    Seq(rows.take(rows.length / 3),
+      rows.slice(rows.length / 3, 2 * rows.length / 3),
+      rows.drop(2 * rows.length / 3)).foreach { chunk =>
+      val shuffled = chunk.zipWithIndex.sortBy { case (c, i) =>
+        (i * 2654435761L) % chunk.length
+      }.map(_._1)
+      in.addData(shuffled.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    val nTraces = rows.map(_._1).distinct.length.toLong
+    assert(q.lastProgress.stateOperators.head.numRowsTotal == nTraces)
+    q.stop()
+    val streamed = spark.table("returns_out").collect()
+      .map(r => (r.getAs[Long]("trace_id"), r.getAs[Long]("event_id")) ->
+        (r.getAs[Long]("reward"), r.getAs[Long]("return_ppm"))).toMap
+    // batch rows whose discount window filled inside the trace: all
+    // but the last H-1 events of each trace
+    val h = operators.AgentTrace.ReturnHorizon
+    val fullHorizon = rows.groupBy(_._1).values.flatMap { tr =>
+      tr.sortBy(t => (t._3, t._2)).dropRight(h - 1)
+    }.map(t => (t._1, t._2)).toSet
+    val batch = SparkEntry.queries("trace_returns")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(4), r.getLong(5)))
+      .filter(kv => fullHorizon(kv._1)).toMap
+    assert(streamed == batch,
+      s"streamed ${streamed.size} != batch full-horizon ${batch.size}")
+  }
+
   test("stream_scd2: changelog folds to the batch SCD2 history; no spurious change at batch cuts") {
     implicit val sql = spark.sqlContext
     val rows = Tables.events(spark, sfDir)
