@@ -537,6 +537,70 @@ object PostTrain {
         chosen_score - rejected_score AS margin
       FROM agg WHERE chosen_score > rejected_score"""))
 
+  // ---- conv_lint: chat-format structural lint ----
+  // The SFT-data lint that runs BEFORE sft_render bothers assembling
+  // anything: per conversation — turn count, role-ALTERNATION
+  // violations (the same role speaking twice in a row: merged turns,
+  // dropped turns, or a broken collector), the first-role and
+  // last-role contract bits (a training conversation opens with the
+  // user and closes with the assistant — a dangling user turn trains
+  // nothing), empty-turn count, and the clean bit gating entry into
+  // the SFT set. One lag window + one groupBy sharing the conv_id
+  // partitioning (the sessionize class); the corpus is clean BY
+  // CONSTRUCTION (roles alternate from user by the turns contract) —
+  // violation paths are exercised by planted fixtures, the
+  // data_contract convention. Full oracle.
+  /** Lint over a (conv_id, turn_idx, role, text) frame — factored for
+    * fixture specs; the Op wires the documents derivation.
+    */
+  def convLint(turnRows: DataFrame): DataFrame = {
+    val byConv = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    turnRows
+      .withColumn("prev_role", lag(col("role"), 1).over(byConv))
+      .groupBy(col("conv_id"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum(when(col("role") === col("prev_role"), 1L).otherwise(0L))
+          .as("n_alternation_viol"),
+        min_by(col("role"), col("turn_idx")).as("first_role"),
+        max_by(col("role"), col("turn_idx")).as("last_role"),
+        sum(when(length(col("text")) === 0, 1L).otherwise(0L))
+          .as("n_empty_turns"))
+      .select(col("conv_id"), col("n_turns"), col("n_alternation_viol"),
+        col("first_role"), col("last_role"), col("n_empty_turns"),
+        when(col("n_alternation_viol") === 0L &&
+          col("first_role") === "user" &&
+          col("last_role") === "assistant" &&
+          col("n_empty_turns") === 0L, 1L).otherwise(0L).as("is_clean"))
+  }
+
+  private val opConvLint = Op(
+    "conv_lint",
+    (s, dir) => convLint(turns(s, dir)),
+    Some(turnsCte + """,
+      lagged AS (
+        SELECT conv_id, turn_idx, role, text,
+          LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+            AS prev_role
+        FROM turns),
+      agg AS (
+        SELECT conv_id, COUNT(*) AS n_turns,
+          SUM(CASE WHEN role = prev_role THEN 1 ELSE 0 END)
+            AS n_alternation_viol,
+          MIN_BY(role, turn_idx) AS first_role,
+          MAX_BY(role, turn_idx) AS last_role,
+          SUM(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END)
+            AS n_empty_turns
+        FROM lagged GROUP BY conv_id)
+      SELECT conv_id, CAST(n_turns AS BIGINT) AS n_turns,
+        CAST(n_alternation_viol AS BIGINT) AS n_alternation_viol,
+        first_role, last_role,
+        CAST(n_empty_turns AS BIGINT) AS n_empty_turns,
+        CAST(CASE WHEN n_alternation_viol = 0 AND first_role = 'user'
+          AND last_role = 'assistant' AND n_empty_turns = 0
+          THEN 1 ELSE 0 END AS BIGINT) AS is_clean
+      FROM agg"""))
+
   val ops: Seq[Op] = Seq(opSftRender, opDpoPairs, opConvPaths, opSftPack,
-    opBestOfN, opTemplateAudit, opPrmPairs)
+    opBestOfN, opTemplateAudit, opPrmPairs, opConvLint)
 }

@@ -270,6 +270,39 @@ class PostTrainSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 1L, 3L, 8L)))
   }
 
+  test("conv_lint: planted violations — double role, wrong first/last, empty turn, clean conv") {
+    val turns = Seq(
+      // conv 0: clean user/assistant/user/assistant
+      (0L, 0L, "user", "a"), (0L, 1L, "assistant", "b"),
+      (0L, 2L, "user", "c"), (0L, 3L, "assistant", "d"),
+      // conv 1: assistant speaks twice in a row
+      (1L, 0L, "user", "a"), (1L, 1L, "assistant", "b"),
+      (1L, 2L, "assistant", "c"),
+      // conv 2: opens with the assistant, closes with the user
+      (2L, 0L, "assistant", "a"), (2L, 1L, "user", "b"),
+      // conv 3: alternates but carries an empty turn
+      (3L, 0L, "user", ""), (3L, 1L, "assistant", "b"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val out = PostTrain.convLint(turns).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(out(0L) == (4L, 0L, "user", "assistant", 0L, 1L))
+    assert(out(1L) == (3L, 1L, "user", "assistant", 0L, 0L))
+    assert(out(2L) == (2L, 0L, "assistant", "user", 0L, 0L))
+    assert(out(3L) == (2L, 0L, "user", "assistant", 1L, 0L))
+  }
+
+  test("conv_lint corpus invariants: the synthetic turns contract is clean by construction") {
+    val rows = SparkEntry.queries("conv_lint")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) == 0L, s"alternation violation in ${r.getLong(0)}")
+      assert(r.getString(3) == "user" && r.getString(4) == "assistant")
+      assert(r.getLong(6) == 1L)
+    }
+  }
+
   test("prm_pairs corpus invariants: siblings share the parent key, margins positive, group sizes in [2,3]") {
     val rows = SparkEntry.queries("prm_pairs")(spark, sfDir).collect()
     assert(rows.nonEmpty)
