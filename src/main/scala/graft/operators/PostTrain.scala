@@ -281,8 +281,11 @@ object PostTrain {
   val PackLen = 2048L
   val PackTargetBucket = 1000L
 
-  /** Packing over sftRender's output — factored for fixture specs. */
-  def sftPack(rendered: DataFrame): DataFrame = {
+  /** Conv-level placement (conv_id, conv_len, pack_id, pack_off) —
+    * the packing decision, factored so sftPack and packStats share one
+    * derivation (same PrefixSum machinery, same bucket sizing).
+    */
+  def sftPlace(rendered: DataFrame): DataFrame = {
     val conv = rendered.select(col("conv_id"), col("conv_len"))
       .dropDuplicates("conv_id")
       .localCheckpoint() // sizes the prefix-sum buckets at plan time
@@ -296,9 +299,16 @@ object PostTrain {
       numBuckets = (maxId + 1) / width + 1, out = "cum_before")
       .withColumn("pack_id", expr(s"cum_before DIV $PackLen"))
     val byPack = Window.partitionBy(col("pack_id"))
-    val placed = cum
+    cum
       .withColumn("pack_off",
         col("cum_before") - min(col("cum_before")).over(byPack))
+      .select(col("conv_id"), col("conv_len"), col("pack_id"),
+        col("pack_off"))
+  }
+
+  /** Packing over sftRender's output — factored for fixture specs. */
+  def sftPack(rendered: DataFrame): DataFrame = {
+    val placed = sftPlace(rendered)
       .select(col("conv_id"), col("pack_id"), col("pack_off"))
     rendered.join(placed, "conv_id")
       .select(col("conv_id"), col("turn_idx"), col("pack_id"),
@@ -601,6 +611,62 @@ object PostTrain {
           THEN 1 ELSE 0 END AS BIGINT) AS is_clean
       FROM agg"""))
 
+  // ---- pack_stats: packing-efficiency audit ----
+  // The report a packing run is judged by BEFORE a trainer burns
+  // compute on it: per pack — member count, fill (summed member
+  // lengths), overflow beyond the PackLen budget (the atom rule lets
+  // a pack absorb its last conversation whole; overflow chars are
+  // positions the loader truncates or spills), and utilization ppm
+  // (capped at 1e6 — an overflowing pack is FULL, not >full). Mean
+  // utilization across packs is the padding waste the whole exercise
+  // exists to minimize; a fleet of low-util packs means the length
+  // distribution fights the budget. Aggregates sftPlace's conv-level
+  // placement — one groupBy over ≤ PackLen-member partitions; the
+  // oracle replays the sft_pack placement CTEs into the same
+  // aggregate. Full oracle.
+  /** The audit over a (conv_id, conv_len, pack_id, pack_off) placement
+    * frame — factored for fixture specs; the Op wires the pipeline.
+    */
+  def packStats(placed: DataFrame): DataFrame =
+    placed.groupBy(col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_convs"),
+        sum(col("conv_len")).as("fill_chars"))
+      .select(col("pack_id"), col("n_convs"), col("fill_chars"),
+        greatest(col("fill_chars") - PackLen, lit(0L))
+          .as("overflow_chars"),
+        expr(s"(LEAST(fill_chars, $PackLen) * 1000000) DIV $PackLen")
+          .as("util_ppm"))
+
+  private val opPackStats = Op(
+    "pack_stats",
+    (s, dir) => packStats(sftPlace(sftRender(turns(s, dir)))),
+    Some(turnsCte + s""",
+      pieces AS (
+        SELECT conv_id,
+          CAST(length('<|' || role || '|>' || text || '<|end|>') AS BIGINT)
+            AS piece_len
+        FROM turns),
+      conv AS (
+        SELECT conv_id, CAST(SUM(piece_len) AS BIGINT) AS conv_len
+        FROM pieces GROUP BY conv_id),
+      cum AS (
+        SELECT conv_id, conv_len,
+          CAST(COALESCE(SUM(conv_len) OVER (ORDER BY conv_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS cum_before
+        FROM conv),
+      placed AS (
+        SELECT conv_id, conv_len, cum_before // $PackLen AS pack_id
+        FROM cum)
+      SELECT pack_id, CAST(COUNT(*) AS BIGINT) AS n_convs,
+        CAST(SUM(conv_len) AS BIGINT) AS fill_chars,
+        CAST(GREATEST(SUM(conv_len) - $PackLen, 0) AS BIGINT)
+          AS overflow_chars,
+        CAST((LEAST(SUM(conv_len), $PackLen) * 1000000) // $PackLen
+          AS BIGINT) AS util_ppm
+      FROM placed GROUP BY pack_id"""))
+
   val ops: Seq[Op] = Seq(opSftRender, opDpoPairs, opConvPaths, opSftPack,
-    opBestOfN, opTemplateAudit, opPrmPairs, opConvLint)
+    opBestOfN, opTemplateAudit, opPrmPairs, opConvLint, opPackStats)
 }

@@ -303,6 +303,39 @@ class PostTrainSpec extends SparkSpec {
     }
   }
 
+  test("pack_stats: exact-fill, overflow and sparse packs hand-derived") {
+    val placed = Seq(
+      (1L, 1000L, 0L, 0L), (2L, 1048L, 0L, 1000L), // exact fill
+      (3L, 3000L, 1L, 0L),                          // overflow absorber
+      (4L, 100L, 2L, 0L))                           // sparse tail
+      .toDF("conv_id", "conv_len", "pack_id", "pack_off")
+    val out = PostTrain.packStats(placed).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(out(0L) == (2L, 2048L, 0L, 1000000L))
+    assert(out(1L) == (1L, 3000L, 952L, 1000000L))
+    assert(out(2L) == (1L, 100L, 0L, 48828L))
+  }
+
+  test("pack_stats corpus invariants: fills tile the corpus, overflow iff full, one row per pack") {
+    val rows = SparkEntry.queries("pack_stats")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.foreach { case (_, n, fill, overflow, util) =>
+      assert(n >= 1L && fill >= 1L)
+      assert(util <= 1000000L)
+      assert((overflow > 0L) == (fill > PostTrain.PackLen))
+      if (overflow > 0L) assert(util == 1000000L)
+    }
+    // the packs partition the corpus: summed fills == summed conv lens
+    val totalLen = SparkEntry.queries("sft_render")(spark, sfDir)
+      .select($"conv_id", $"conv_len").distinct()
+      .agg(sum($"conv_len")).head().getLong(0)
+    assert(rows.map(_._3).sum == totalLen)
+  }
+
   test("prm_pairs corpus invariants: siblings share the parent key, margins positive, group sizes in [2,3]") {
     val rows = SparkEntry.queries("prm_pairs")(spark, sfDir).collect()
     assert(rows.nonEmpty)
