@@ -2104,6 +2104,69 @@ object Streams {
       }
   }
 
+  // ---- stream_lint: chat-format lint maintained live ----
+
+  private[streaming] case class TurnLintIn(conv_id: Long, turn_idx: Long,
+    role: String, text: String)
+
+  case class LintState(nTurns: Long, nViol: Long, firstRole: String,
+    lastRole: String, nEmpty: Long, rev: Long)
+
+  case class LintOut(conv_id: Long, n_turns: Long, n_alternation_viol: Long,
+    first_role: String, last_role: String, n_empty_turns: Long,
+    is_clean: Long, rev: Long)
+
+  /** stream_lint — the chat-format structural lint maintained LIVE
+    * (batch twin: PostTrain.convLint): per-conversation state is the
+    * counter tuple (turns, alternation violations, empty turns) plus
+    * the first and last role seen — CONSTANT per conversation at any
+    * stream length (the lint verdict is a function of this fold,
+    * never of the turn list; the stream_agent sufficient-statistic
+    * argument). Alternation is ORDER-sensitive, so turns sort by
+    * turn_idx within each batch and in-order arrival per conversation
+    * across batches is the log-shipping contract. Each batch that
+    * touches a conversation emits its CURRENT verdict as an
+    * append-mode changelog row with a bumped rev; the reader folds
+    * max-rev per conversation — the SFT-entry gate live: a
+    * conversation's clean bit is current the moment its latest turn
+    * lands (a mid-flight conversation ending on a user turn reads
+    * is_clean=0 and flips when the assistant reply arrives — exactly
+    * the batch semantics applied to the prefix).
+    */
+  def convLintStream(turnsIn: DataFrame): Dataset[LintOut] = {
+    import turnsIn.sparkSession.implicits._
+    turnsIn.select(col("conv_id"), col("turn_idx"), col("role"),
+      col("text")).as[TurnLintIn]
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState[LintState, LintOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (cid: Long, in: Iterator[TurnLintIn],
+            state: GroupState[LintState]) =>
+          val st = state.getOption.getOrElse(
+            LintState(0L, 0L, null, null, 0L, 0L))
+          var (nTurns, nViol, nEmpty) = (st.nTurns, st.nViol, st.nEmpty)
+          var firstRole = st.firstRole; var lastRole = st.lastRole
+          in.toArray.sortBy(_.turn_idx).foreach { t =>
+            nTurns += 1
+            if (t.role == lastRole) nViol += 1
+            if (firstRole == null) firstRole = t.role
+            lastRole = t.role
+            if (t.text.isEmpty) nEmpty += 1
+          }
+          if (nTurns == st.nTurns) Iterator.empty
+          else {
+            val rev = st.rev + 1
+            state.update(LintState(nTurns, nViol, firstRole, lastRole,
+              nEmpty, rev))
+            Iterator.single(LintOut(cid, nTurns, nViol, firstRole,
+              lastRole, nEmpty,
+              if (nViol == 0L && firstRole == "user" &&
+                lastRole == "assistant" && nEmpty == 0L) 1L else 0L,
+              rev))
+          }
+      }
+  }
+
   // ---- stream_returns: discounted reward-to-go maintained live ----
 
   case class ReturnsState(evIds: Seq[Long], tss: Seq[Long],

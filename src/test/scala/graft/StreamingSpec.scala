@@ -1358,6 +1358,51 @@ class StreamingSpec extends SparkSpec {
       s"folded ${folded.size} traces != batch ${batch.size}")
   }
 
+  test("stream_lint: folded changelog equals batch conv_lint under turn-major cuts; constant state per conversation") {
+    implicit val sql = spark.sqlContext
+    val tpc = operators.PostTrain.TurnsPerConv
+    val turns = Tables(spark, sfDir, "documents").select(
+      expr(s"doc_id DIV $tpc").as("conv_id"),
+      expr(s"doc_id % $tpc").as("turn_idx"),
+      expr(s"CASE WHEN (doc_id % $tpc) % 2 = 0 THEN 'user' " +
+        "ELSE 'assistant' END").as("role"),
+      $"text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3)))
+    // turn-major order: every conversation straddles every batch while
+    // per-conversation turn order (the log-shipping contract) holds;
+    // rows shuffled within each batch — the in-batch sort must recover
+    val rows = turns.sortBy(t => (t._2, t._1))
+    val in = MemoryStream[(Long, Long, String, String)]
+    val q = Streams.convLintStream(
+        in.toDF().toDF("conv_id", "turn_idx", "role", "text"))
+      .writeStream.format("memory").queryName("lint_out")
+      .outputMode("append").start()
+    Seq(rows.take(rows.length / 3),
+      rows.slice(rows.length / 3, 2 * rows.length / 3),
+      rows.drop(2 * rows.length / 3)).foreach { chunk =>
+      val shuffled = chunk.zipWithIndex.sortBy { case (c, i) =>
+        (i * 2654435761L) % chunk.length
+      }.map(_._1)
+      in.addData(shuffled.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    val nConvs = turns.map(_._1).distinct.length.toLong
+    assert(q.lastProgress.stateOperators.head.numRowsTotal == nConvs)
+    q.stop()
+    val folded = spark.table("lint_out").collect()
+      .map(r => (r.getAs[Long]("conv_id"), r.getAs[Long]("rev"),
+        (r.getAs[Long]("n_turns"), r.getAs[Long]("n_alternation_viol"),
+          r.getAs[String]("first_role"), r.getAs[String]("last_role"),
+          r.getAs[Long]("n_empty_turns"), r.getAs[Long]("is_clean"))))
+      .groupBy(_._1).map { case (c, rs) => c -> rs.maxBy(_._2)._3 }
+    val batch = SparkEntry.queries("conv_lint")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4), r.getLong(5), r.getLong(6))).toMap
+    assert(folded == batch,
+      s"folded ${folded.size} convs != batch ${batch.size}")
+  }
+
   test("stream_returns: emitted returns equal batch on full-horizon events under cuts; pending tail bounded by the horizon") {
     implicit val sql = spark.sqlContext
     val rows = operators.AgentTrace.traceRows(Tables.events(spark, sfDir))
