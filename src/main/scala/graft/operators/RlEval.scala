@@ -506,6 +506,102 @@ object RlEval {
         w.games AS n_games, w.wins AS n_wins
       FROM bt$BtIters p JOIN wtab w ON p.i = w.i"""))
 
+  // ---- eval_mcnemar: paired-snapshot significance ----
+  // The question every eval report has to answer before a leaderboard
+  // delta means anything: did model B actually improve on model A, or
+  // is the delta coin-flip noise? McNemar's test is THE test for
+  // paired binary outcomes on a shared task set — only the DISCORDANT
+  // pairs carry signal (a task both pass or both fail says nothing
+  // about the difference). χ² with continuity correction:
+  //   χ² = (|b01 − b10| − 1)² / (b01 + b10)
+  // — exact in truncated ppm (the numerator is a perfect BIGINT
+  // square), with the b01 == b10 and zero-discordant cases pinned to
+  // 0 (greatest(|d|−1, 0) makes the correction never overshoot).
+  // Pairing contract: A = each task's lowest-id rollout, B = its
+  // highest (two snapshots answering the same tasks — swap in two
+  // real run ids); correctness = the eval_passk containment verdict,
+  // so both ops read ONE verdict derivation. Significance at the
+  // fixed 95% χ²₁ literal 3.841459 (ppm) — a literal, not a float.
+  // One bounded-group fold into ONE 1-row output.
+  val McnemarChi2CritPpm = 3841459L
+
+  /** McNemar over a (task_id, doc_id, correct) verdict frame —
+    * factored for fixture specs; the Op wires the passk verdicts.
+    */
+  def evalMcnemar(verdicts: DataFrame): DataFrame =
+    verdicts.groupBy(col("task_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        min_by(col("correct"), col("doc_id")).as("a_correct"),
+        max_by(col("correct"), col("doc_id")).as("b_correct"))
+      .where(col("n") >= 2) // a pair needs two distinct rollouts
+      .agg(
+        count(lit(1)).as("n_tasks"),
+        sum(when(col("a_correct") === 1L && col("b_correct") === 1L, 1L)
+          .otherwise(0L)).as("n_both_correct"),
+        sum(when(col("a_correct") === 0L && col("b_correct") === 0L, 1L)
+          .otherwise(0L)).as("n_both_wrong"),
+        sum(when(col("a_correct") === 1L && col("b_correct") === 0L, 1L)
+          .otherwise(0L)).as("n_a_only"),
+        sum(when(col("a_correct") === 0L && col("b_correct") === 1L, 1L)
+          .otherwise(0L)).as("n_b_only"))
+      .select(col("n_tasks"), col("n_both_correct"), col("n_both_wrong"),
+        col("n_a_only"), col("n_b_only"),
+        expr("""CASE WHEN n_a_only + n_b_only = 0 THEN 0 ELSE
+          (GREATEST(ABS(n_a_only - n_b_only) - 1, 0) *
+           GREATEST(ABS(n_a_only - n_b_only) - 1, 0) * 1000000)
+          DIV (n_a_only + n_b_only) END""").as("chi2_ppm"))
+      .withColumn("significant_95",
+        when(col("chi2_ppm") > McnemarChi2CritPpm, 1L).otherwise(0L))
+
+  private val opEvalMcnemar = Op(
+    "eval_mcnemar",
+    (s, dir) => evalMcnemar(passkVerdicts(
+      rollouts(s, dir).withColumnRenamed("prompt_id", "task_id"))),
+    Some(rolloutsCte + s""",
+      v AS (
+        SELECT prompt_id AS task_id, doc_id, text,
+          FIRST_VALUE(string_split(text, ' ')[1]) OVER (
+            PARTITION BY prompt_id ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS answer
+        FROM rollouts),
+      c AS (
+        SELECT task_id, doc_id,
+          CASE WHEN strpos(text, answer) > 0 THEN 1 ELSE 0 END AS correct
+        FROM v),
+      pairs AS (
+        SELECT task_id, COUNT(*) AS n,
+          MIN_BY(correct, doc_id) AS a_correct,
+          MAX_BY(correct, doc_id) AS b_correct
+        FROM c GROUP BY task_id),
+      agg AS (
+        SELECT COUNT(*) AS n_tasks,
+          SUM(CASE WHEN a_correct = 1 AND b_correct = 1 THEN 1 ELSE 0 END)
+            AS n_both_correct,
+          SUM(CASE WHEN a_correct = 0 AND b_correct = 0 THEN 1 ELSE 0 END)
+            AS n_both_wrong,
+          SUM(CASE WHEN a_correct = 1 AND b_correct = 0 THEN 1 ELSE 0 END)
+            AS n_a_only,
+          SUM(CASE WHEN a_correct = 0 AND b_correct = 1 THEN 1 ELSE 0 END)
+            AS n_b_only
+        FROM pairs WHERE n >= 2)
+      SELECT CAST(n_tasks AS BIGINT) AS n_tasks,
+        CAST(n_both_correct AS BIGINT) AS n_both_correct,
+        CAST(n_both_wrong AS BIGINT) AS n_both_wrong,
+        CAST(n_a_only AS BIGINT) AS n_a_only,
+        CAST(n_b_only AS BIGINT) AS n_b_only,
+        CAST(CASE WHEN n_a_only + n_b_only = 0 THEN 0 ELSE
+          (GREATEST(ABS(n_a_only - n_b_only) - 1, 0) *
+           GREATEST(ABS(n_a_only - n_b_only) - 1, 0) * 1000000) //
+          (n_a_only + n_b_only) END AS BIGINT) AS chi2_ppm,
+        CAST(CASE WHEN (CASE WHEN n_a_only + n_b_only = 0 THEN 0 ELSE
+          (GREATEST(ABS(n_a_only - n_b_only) - 1, 0) *
+           GREATEST(ABS(n_a_only - n_b_only) - 1, 0) * 1000000) //
+          (n_a_only + n_b_only) END) > $McnemarChi2CritPpm
+          THEN 1 ELSE 0 END AS BIGINT) AS significant_95
+      FROM agg"""))
+
   val ops: Seq[Op] = Seq(opGrpoAdv, opKtoLabels, opEvalPassk,
-    opPrefAgree, opBtRating)
+    opPrefAgree, opBtRating, opEvalMcnemar)
 }

@@ -181,4 +181,50 @@ class RlEvalSpec extends SparkSpec {
     val byWinRate = rows.sortBy(r => r._4.toDouble / r._3)
     assert(byWinRate.last._2 >= byWinRate.head._2)
   }
+
+  test("eval_mcnemar: hand contingency with continuity correction; degenerate cases pin to zero") {
+    import spark.implicits._
+    def v(rows: (Long, Long, Long)*) =
+      rows.toDF("task_id", "doc_id", "correct")
+    // 6 tasks: 1 both-correct, 1 both-wrong, 3 A-only, 1 B-only
+    // d = 2, corrected (|2|-1)^2 = 1, chi2 = 1e6 / 4 = 250000
+    val out = RlEval.evalMcnemar(v(
+      (1L, 10L, 1L), (1L, 11L, 1L),
+      (2L, 20L, 0L), (2L, 21L, 0L),
+      (3L, 30L, 1L), (3L, 31L, 0L),
+      (4L, 40L, 1L), (4L, 41L, 0L),
+      (5L, 50L, 1L), (5L, 51L, 0L),
+      (6L, 60L, 0L), (6L, 61L, 1L),
+      (7L, 70L, 1L))) // single-rollout task: dropped
+      .collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3),
+      out.getLong(4), out.getLong(5), out.getLong(6)) ==
+      (6L, 1L, 1L, 3L, 1L, 250000L, 0L))
+    // b01 == b10: the correction never overshoots -> exactly 0
+    val tied = RlEval.evalMcnemar(v(
+      (1L, 1L, 1L), (1L, 2L, 0L), (2L, 1L, 0L), (2L, 2L, 1L)))
+      .collect().head
+    assert(tied.getLong(5) == 0L)
+    // zero discordant pairs: no division, chi2 = 0
+    val zero = RlEval.evalMcnemar(v((1L, 1L, 1L), (1L, 2L, 1L)))
+      .collect().head
+    assert(zero.getLong(5) == 0L && zero.getLong(6) == 0L)
+    // a one-sided sweep is significant at the fixed 95% literal
+    val sweep = RlEval.evalMcnemar(
+      v((1L to 12L).flatMap(t => Seq((t, t * 2, 1L), (t, t * 2 + 1, 0L))): _*)
+    ).collect().head
+    assert(sweep.getLong(5) == (11L * 11L * 1000000L) / 12L)
+    assert(sweep.getLong(6) == 1L)
+  }
+
+  test("eval_mcnemar corpus invariants: contingency tiles the task set, one row out") {
+    val rows = SparkEntry.queries("eval_mcnemar")(spark, sfDir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val (n, bc, bw, ao, bo) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))
+    assert(bc + bw + ao + bo == n)
+    assert(r.getLong(5) >= 0L)
+    assert(r.getLong(6) == 0L || r.getLong(6) == 1L)
+  }
 }
