@@ -68,7 +68,14 @@ object Bench {
       verbose: Boolean): Seq[(String, Double)] = {
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime()
-      try fn catch { case _: Throwable => return -1.0 }
+      try fn catch {
+        case e: Throwable =>
+          // -1.0 marks the failure in the JSON; the stack goes to
+          // stderr only when asked (SPARK_GRAFT_DEBUG=1) so the
+          // driver's stdout contract stays one-line clean.
+          if (sys.env.contains("SPARK_GRAFT_DEBUG")) e.printStackTrace()
+          return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val selected = SparkEntry.queries.toSeq

@@ -1419,9 +1419,62 @@ object Dedup {
       FROM documents f LEFT JOIN hh ON md5(f.text) = hh.th
       WHERE f.doc_id >= $IncrSplit"""))
 
+  // ---- dedup_report: the dedup savings report card ----
+  // The number every dedup pipeline publishes before anyone trusts it:
+  // how much mass does the exact pass remove, STRATIFIED BY
+  // DUPLICATION DEPTH — the long tail (n_copies 2-3, organic
+  // near-reposts) and the pathological floods (n_copies in the
+  // hundreds: boilerplate, mirrors, crawler traps) need different
+  // responses, and a single "X% removed" hides which one you have.
+  // Per distinct copies-count: group count, doc count, docs dropped if
+  // only keepers survive, char mass, and the chars dropped — EXACT,
+  // because group members are byte-identical so group_chars is
+  // divisible by n_copies. Two aggregations: the content-hash groupBy
+  // (map-side partials — only (hash, count, sumlen) rows shuffle, text
+  // never moves) into a copies-count groupBy over the VANISHING
+  // distinct-depth frame. Full oracle.
+  /** The report over a (doc_id, text) frame — factored for fixture
+    * specs (the sf0.001 spec corpus happens to carry zero exact dups,
+    * so depth strata ≥ 2 are exercised by planted fixtures).
+    */
+  private[graft] def dedupReport(d: DataFrame): DataFrame =
+    d.groupBy(md5(col("text")).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"),
+        sum(length(col("text")).cast("long")).as("group_chars"))
+      .groupBy(col("n_copies"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("group_chars")).as("total_chars"))
+      .select(col("n_copies"), col("n_groups"),
+        (col("n_copies") * col("n_groups")).as("n_docs"),
+        ((col("n_copies") - 1) * col("n_groups")).as("n_dropped"),
+        col("total_chars"),
+        expr("(total_chars * (n_copies - 1)) DIV n_copies")
+          .as("dropped_chars"))
+
+  private val opDedupReport = Op(
+    "dedup_report",
+    (s, dir) => dedupReport(docs(s, dir)),
+    Some("""
+      WITH grp AS (
+        SELECT md5(text) AS content_hash, COUNT(*) AS n_copies,
+          CAST(SUM(length(text)) AS BIGINT) AS group_chars
+        FROM documents GROUP BY 1),
+      rep AS (
+        SELECT n_copies, COUNT(*) AS n_groups,
+          CAST(SUM(group_chars) AS BIGINT) AS total_chars
+        FROM grp GROUP BY n_copies)
+      SELECT CAST(n_copies AS BIGINT) AS n_copies,
+        CAST(n_groups AS BIGINT) AS n_groups,
+        CAST(n_copies * n_groups AS BIGINT) AS n_docs,
+        CAST((n_copies - 1) * n_groups AS BIGINT) AS n_dropped,
+        total_chars,
+        CAST((total_chars * (n_copies - 1)) // n_copies AS BIGINT)
+          AS dropped_chars
+      FROM rep"""))
+
   val ops: Seq[Op] =
     Seq(opExact, opSoft, opMinhash, opSimhash, opJaccard, opContam, opCluster,
       opSpan,
       opPipeline, opSubstr, opSubstrLadder, opIncremental, opIncrMinhash,
-      opBloomGate)
+      opBloomGate, opDedupReport)
 }

@@ -32,6 +32,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(planted.head == (2L, 1L) && planted.last == (1L, 3L))
   }
 
+  test("dedup_report: depth strata tile the corpus, dropped chars exact on identical copies") {
+    val rows = SparkEntry.queries("dedup_report")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val nDocs = Tables(spark, sfDir, "documents").count()
+    val nDistinct = Tables(spark, sfDir, "documents")
+      .select(md5($"text")).distinct().count()
+    assert(rows.map(_._3).sum == nDocs)       // n_docs tiles the corpus
+    assert(rows.map(_._2).sum == nDistinct)   // groups tile the hashes
+    rows.foreach { case (nc, ng, nd, dropped, chars, droppedChars) =>
+      assert(nd == nc * ng && dropped == (nc - 1) * ng)
+      // identical copies -> group char mass divisible by depth, so the
+      // keeper-only residue is exact
+      assert(droppedChars == chars / nc * (nc - 1))
+      assert(droppedChars < chars || chars == 0L)
+    }
+    // planted strata: a flood of 3 copies + a pair + two singletons
+    val planted = Dedup.dedupReport(Seq(
+      (1L, "aa"), (2L, "aa"), (3L, "aa"),
+      (4L, "bbb"), (5L, "bbb"), (6L, "c"), (7L, "dd"))
+      .toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(planted(3L) == (1L, 3L, 2L, 6L, 4L))
+    assert(planted(2L) == (1L, 2L, 1L, 6L, 3L))
+    assert(planted(1L) == (2L, 2L, 0L, 3L, 0L))
+  }
+
   test("dedup_soft: every row kept, weight 1/n_copies, total mass = distinct contents") {
     val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b c"),
       (4L, "x y z"), (5L, "p q r"))
