@@ -1163,8 +1163,84 @@ object Similarity {
       FROM fl"""
   }
 
+  // ---- embed_audit: embedding-table QC before any index build ----
+  // The gate an embedding table passes BEFORE ann_*/embed_cluster ever
+  // see it: a single NaN poisons every cosine it touches (NaN
+  // comparisons silently drop rows from top-k heaps), a zero-norm
+  // vector divides by zero, and a ragged dimension breaks every dot
+  // product — all three are produced by real encoder fleets (OOM-
+  // truncated batches, fp16 overflow, version-skewed encoders) and
+  // none is detectable downstream where the damage is a silently
+  // wrong neighbor list. Per label: vector count, dimension min/max
+  // (ragged ⟺ min ≠ max), non-finite count, zero-norm count, and
+  // norm² min/max/avg in exact micro-units — the per-row float work
+  // is ONE aggregate fold + ONE round (the Fns.cents discipline:
+  // cross-row sums are BIGINT, order-free), non-finite rows excluded
+  // from the norm stats (their norm is meaningless), -1 when a label
+  // has no finite rows. One narrow projection + one skinny groupBy.
+  /** The audit over a (label, embedding) frame — factored for fixture
+    * specs (the corpus is all-finite; NaN/Inf/zero/ragged paths are
+    * exercised by planted vectors).
+    */
+  private[graft] def embedAudit(e: DataFrame): DataFrame =
+    e.select(col("label").cast("long").as("label"),
+        size(col("embedding")).cast("long").as("dim"),
+        expr("""CASE WHEN exists(embedding, x ->
+            isnan(CAST(x AS DOUBLE)) OR
+            abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))
+          THEN CAST(NULL AS BIGINT)
+          ELSE CAST(ROUND(aggregate(embedding, CAST(0 AS DOUBLE),
+            (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+            * 1000000) AS BIGINT) END""").as("n2u"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min(col("dim")).as("dim_min"),
+        max(col("dim")).as("dim_max"),
+        sum(when(col("n2u").isNull, 1L).otherwise(0L)).as("n_nonfinite"),
+        sum(when(col("n2u") === 0L, 1L).otherwise(0L)).as("n_zero_norm"),
+        min(col("n2u")).as("mn"), max(col("n2u")).as("mx"),
+        sum(col("n2u")).as("sm"), count(col("n2u")).as("nf"))
+      .select(col("label"), col("n_vecs"), col("dim_min"), col("dim_max"),
+        col("n_nonfinite"), col("n_zero_norm"),
+        coalesce(col("mn"), lit(-1L)).as("min_norm2_u"),
+        coalesce(col("mx"), lit(-1L)).as("max_norm2_u"),
+        coalesce(expr("CASE WHEN nf = 0 THEN NULL ELSE sm DIV nf END"),
+          lit(-1L)).as("avg_norm2_u"))
+
+  private val opEmbedAudit = Op(
+    "embed_audit",
+    (s, dir) => embedAudit(Tables(s, dir, "embeddings")),
+    Some("""
+      WITH a AS (
+        SELECT CAST(label AS BIGINT) AS label,
+          CAST(len(embedding) AS BIGINT) AS dim,
+          CASE WHEN len(list_filter(embedding, x ->
+              isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) > 0
+            THEN NULL
+            ELSE CAST(ROUND(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+              for x in embedding]) * 1000000) AS BIGINT) END AS n2u
+        FROM embeddings),
+      g AS (
+        SELECT label, COUNT(*) AS n_vecs,
+          MIN(dim) AS dim_min, MAX(dim) AS dim_max,
+          SUM(CASE WHEN n2u IS NULL THEN 1 ELSE 0 END) AS n_nonfinite,
+          SUM(CASE WHEN n2u = 0 THEN 1 ELSE 0 END) AS n_zero_norm,
+          MIN(n2u) AS mn, MAX(n2u) AS mx, SUM(n2u) AS sm,
+          COUNT(n2u) AS nf
+        FROM a GROUP BY label)
+      SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+        dim_min, dim_max,
+        CAST(n_nonfinite AS BIGINT) AS n_nonfinite,
+        CAST(COALESCE(n_zero_norm, 0) AS BIGINT) AS n_zero_norm,
+        CAST(COALESCE(mn, -1) AS BIGINT) AS min_norm2_u,
+        CAST(COALESCE(mx, -1) AS BIGINT) AS max_norm2_u,
+        CAST(COALESCE(CASE WHEN nf = 0 THEN NULL ELSE sm // nf END, -1)
+          AS BIGINT) AS avg_norm2_u
+      FROM g"""))
+
   val ops: Seq[Op] =
     Seq(opBrute, opIvf, opIvfQuant, opIvfPq, opFiltered, opEmbedDedup,
       opQuantize, opQuantAnn, opPq, opSemDedup, opMineBitext, opRange,
-      opHashEmbed)
+      opHashEmbed, opEmbedAudit)
 }

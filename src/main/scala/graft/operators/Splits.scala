@@ -602,7 +602,89 @@ object Splits {
           AS weight
       FROM sc, z"""))
 
+  // ---- mix_anneal: the two-phase quality-annealed schedule ----
+  // The Llama-3 / MiniCPM practice the mixing ladder was missing: the
+  // MAIN phase (1 − AnnealFrac of the token budget) trains on the
+  // natural distribution, then the ANNEAL tail upweights high-quality
+  // sources — quality data teaches most in the last steps, and
+  // burning it uniformly across the run wastes it. Source quality is
+  // the corpus-relative contract: distinct-token mass per token in
+  // ppm (the dpo_pairs scorer family at source granularity — swap in
+  // any trained scorer); the anneal POOL is sources at or above the
+  // CORPUS-MEAN quality (a fixed threshold goes stale; the mean is
+  // one more 1-row broadcast), and within the pool anneal tokens
+  // allocate ∝ n_toks · quality_ppm — both factors exact BIGINTs, so
+  // the only float work is the final ROUND(…, 4) (the epochPlan
+  // convention). One corpus token scan folding to a per-source frame
+  // (vanishing, checkpointed — read three times: totals, pool sum,
+  // plan), two 1-row broadcasts; nothing corpus-wide after the scan.
+  val AnnealFrac = 0.1
+
+  private[graft] def annealPlan(d: DataFrame): DataFrame = {
+    val perSource = d
+      .select(col("source"),
+        size(TextFns.tokens(col("text"))).cast("long").as("toks"),
+        size(array_distinct(TextFns.tokens(col("text")))).cast("long")
+          .as("dst"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_toks"),
+        sum(col("dst")).as("n_distinct"))
+      .withColumn("quality_ppm",
+        expr("(n_distinct * 1000000) DIV n_toks"))
+      .localCheckpoint()
+    val tot = perSource.agg(
+      sum(col("n_toks")).as("b"),
+      expr("(SUM(n_distinct) * 1000000) DIV SUM(n_toks)").as("q_mean"))
+    val pooled = perSource.crossJoin(broadcast(tot))
+      .withColumn("in_anneal",
+        when(col("quality_ppm") >= col("q_mean"), 1L).otherwise(0L))
+    val poolSum = pooled.where(col("in_anneal") === 1L)
+      .agg(sum(col("n_toks") * col("quality_ppm")).as("pool_mass"))
+    pooled.crossJoin(broadcast(poolSum))
+      .select(col("source"), col("n_docs"), col("n_toks"),
+        col("quality_ppm"), col("in_anneal"),
+        round(lit(1.0 - AnnealFrac) * col("n_toks"), 4).as("main_toks"),
+        when(col("in_anneal") === 1L,
+          round(lit(AnnealFrac) * col("b") *
+            (col("n_toks") * col("quality_ppm")) / col("pool_mass"), 4))
+          .otherwise(lit(0.0)).as("anneal_toks"))
+  }
+
+  private val opAnneal = Op(
+    "mix_anneal",
+    (s, dir) => annealPlan(docs(s, dir)),
+    Some(s"""
+      WITH src AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_toks,
+          CAST(SUM(len(list_distinct(string_split(text, ' ')))) AS BIGINT)
+            AS n_distinct
+        FROM documents GROUP BY 1),
+      q AS (
+        SELECT *, (n_distinct * 1000000) // n_toks AS quality_ppm
+        FROM src),
+      t AS (
+        SELECT CAST(SUM(n_toks) AS BIGINT) AS b,
+          (SUM(n_distinct) * 1000000) // SUM(n_toks) AS q_mean
+        FROM q),
+      p AS (
+        SELECT q.*, t.b,
+          CASE WHEN quality_ppm >= q_mean THEN 1 ELSE 0 END AS in_anneal
+        FROM q, t),
+      ps AS (
+        SELECT CAST(SUM(n_toks * quality_ppm) AS BIGINT) AS pool_mass
+        FROM p WHERE in_anneal = 1)
+      SELECT source, n_docs, n_toks,
+        CAST(quality_ppm AS BIGINT) AS quality_ppm,
+        CAST(in_anneal AS BIGINT) AS in_anneal,
+        ROUND(${1.0 - AnnealFrac} * n_toks, 4) AS main_toks,
+        CASE WHEN in_anneal = 1
+          THEN ROUND($AnnealFrac * b * (n_toks * quality_ppm)
+            / pool_mass, 4)
+          ELSE 0.0 END AS anneal_toks
+      FROM p, ps"""))
+
   def ops: Seq[Op] =
     Seq(opSplitSafe, opSplitLeakage, opEpochPlan, opUpsample,
-      opContamMinhash, opContamEmbed, opDoremi)
+      opContamMinhash, opContamEmbed, opDoremi, opAnneal)
 }

@@ -158,4 +158,37 @@ class CosineSimilaritySpec extends SparkSpec {
       .map(_.getAs[String]("emb_digest"))
     assert(again.sameElements(out.map(_.getAs[String]("emb_digest"))))
   }
+
+  test("embed_audit: planted NaN/Inf/zero/ragged vectors land in the right counters") {
+    import spark.implicits._
+    val e = Seq(
+      (0, Seq(3f, 4f)),                        // norm2 25
+      (0, Seq(0f, 0f)),                        // zero norm
+      (0, Seq(Float.NaN, 1f)),                 // poisoned
+      (1, Seq(1f, 2f, 2f)),                    // norm2 9, dim 3
+      (2, Seq(Float.PositiveInfinity, 0f)),    // label with no finite row
+      (3, Seq(1f)), (3, Seq(1f, 0f)))          // ragged dims
+      .toDF("label", "embedding")
+    val out = graft.operators.Similarity.embedAudit(e).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8))).toMap
+    assert(out(0L) == (3L, 2L, 2L, 1L, 1L, 0L, 25000000L, 12500000L))
+    assert(out(1L) == (1L, 3L, 3L, 0L, 0L, 9000000L, 9000000L, 9000000L))
+    assert(out(2L) == (1L, 2L, 2L, 1L, 0L, -1L, -1L, -1L))
+    assert(out(3L) == (2L, 1L, 2L, 0L, 0L, 1000000L, 1000000L, 1000000L))
+  }
+
+  test("embed_audit corpus invariants: all-finite, constant dim, positive norms, counts tile") {
+    val rows = SparkEntry.queries("embed_audit")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = graft.Tables(spark, sfDir, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    rows.foreach { r =>
+      assert(r.getLong(2) == 64L && r.getLong(3) == 64L) // constant dim
+      assert(r.getLong(4) == 0L && r.getLong(5) == 0L)   // clean corpus
+      assert(r.getLong(6) > 0L &&
+        r.getLong(6) <= r.getLong(8) && r.getLong(8) <= r.getLong(7))
+    }
+  }
 }

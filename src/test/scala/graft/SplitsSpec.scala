@@ -436,4 +436,31 @@ class SplitsSpec extends SparkSpec {
       assert(got(id) == exp, s"vec $id: got ${got(id)}, expected $exp")
     }
   }
+
+  test("mix_anneal: pool membership at the corpus mean, anneal mass proportional to toks*quality") {
+    val d = Seq(("A", "a b c"), ("B", "a a a a a a"))
+      .toDF("source", "text")
+    val out = graft.operators.Splits.annealPlan(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+      .toMap
+    // A: 3 toks / 3 distinct -> 1e6 ppm; B: 6 toks / 1 distinct ->
+    // 166666; corpus mean 4e6 DIV 9 = 444444 -> only A anneals
+    assert(out("A") == (1L, 3L, 1000000L, 1L, 2.7, 0.9))
+    assert(out("B") == (1L, 6L, 166666L, 0L, 5.4, 0.0))
+  }
+
+  test("mix_anneal corpus invariants: phases tile the budget, anneal only in the pool") {
+    val rows = SparkEntry.queries("mix_anneal")(spark, sfDir).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    val b = rows.map(_._1).sum.toDouble
+    assert(math.abs(rows.map(_._4).sum - 0.9 * b) < 0.01 * rows.length)
+    assert(math.abs(rows.map(_._5).sum - 0.1 * b) < 0.01 * rows.length)
+    assert(rows.exists(_._3 == 1L)) // the pool is never empty
+    rows.foreach { case (_, _, inPool, _, anneal) =>
+      assert((anneal > 0.0) == (inPool == 1L))
+    }
+  }
 }
