@@ -1218,8 +1218,9 @@ object Similarity {
           CASE WHEN len(list_filter(embedding, x ->
               isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) > 0
             THEN NULL
-            ELSE CAST(ROUND(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
-              for x in embedding]) * 1000000) AS BIGINT) END AS n2u
+            ELSE CAST(ROUND(COALESCE(list_sum([CAST(x AS DOUBLE)
+              * CAST(x AS DOUBLE) for x in embedding]), 0)
+              * 1000000) AS BIGINT) END AS n2u
         FROM embeddings),
       g AS (
         SELECT label, COUNT(*) AS n_vecs,

@@ -677,10 +677,11 @@ object Splits {
       SELECT source, n_docs, n_toks,
         CAST(quality_ppm AS BIGINT) AS quality_ppm,
         CAST(in_anneal AS BIGINT) AS in_anneal,
-        ROUND(${1.0 - AnnealFrac} * n_toks, 4) AS main_toks,
+        ROUND(${1.0 - AnnealFrac} * CAST(n_toks AS DOUBLE), 4)
+          AS main_toks,
         CASE WHEN in_anneal = 1
-          THEN ROUND($AnnealFrac * b * (n_toks * quality_ppm)
-            / pool_mass, 4)
+          THEN ROUND($AnnealFrac * CAST(b AS DOUBLE)
+            * (n_toks * quality_ppm) / pool_mass, 4)
           ELSE 0.0 END AS anneal_toks
       FROM p, ps"""))
 
