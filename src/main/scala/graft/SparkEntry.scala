@@ -19,7 +19,7 @@ object SparkEntry {
       operators.Splits.ops ++ operators.Analytics.ops ++
       operators.PostTrain.ops ++ operators.RlEval.ops ++
       operators.RankEval.ops ++ operators.AgentTrace.ops ++
-      operators.DataOps.ops ++
+      operators.DataOps.ops ++ operators.Html.ops ++
       operators.Cluster.ops ++ operators.Unigram.ops ++
       operators.Overlap.ops ++ operators.Calibrate.ops
 

@@ -1,0 +1,399 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** HTML / WARC text extraction — the step every real crawl pipeline
+  * (CCNet, RefinedWeb, Dolma) runs BEFORE any operator downstream of
+  * raw crawl bytes can see text: tag stripping, head/script/style
+  * removal, entity decoding, jusText-class block-level boilerplate
+  * classification (link density + minimum text mass), link/anchor
+  * chrome metrics, and WARC record header parsing.
+  *
+  * The engine's test tables carry clean `text` (the reference's
+  * datasets/parse.py also starts from clean text — reference
+  * zhuohangu/proactive_map_reduce datasets/parse.py:20), so the raw
+  * page is DERIVED: a deterministic synthetic page wraps each
+  * document's text (title head with a script whose body contains a
+  * literal `<` — the classic naive-tag-strip trap; nav / aside /
+  * footer link chrome with HTML entities; the text itself as four
+  * quarter-slice paragraphs, one carrying an inline anchor). The
+  * construction is replayed verbatim in the DuckDB oracle, so every
+  * operator in the family is hash-proven end-to-end — the same
+  * discipline as the XXH64 sigCtes replays.
+  *
+  * Scale shape: every operator here is a NARROW per-row projection
+  * (regex + string kernels inside whole-stage codegen) — at 100 TB
+  * they run at scan speed; html_metrics / curate_html end in a skinny
+  * per-source groupBy (map-side partials, text never shuffles).
+  */
+object Html {
+
+  private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
+
+  /** jusText-class thresholds: a block is content iff it carries at
+    * least MinBlockChars of stripped text AND its anchor-text mass is
+    * at most LinkPpmMax of the stripped mass.
+    */
+  val MinBlockChars = 20
+  val LinkPpmMax = 330000L
+
+  /** curate_html quality gate: minimum content (good-block) mass. */
+  val CurateMinChars = 40
+
+  // ---- the deterministic synthetic page ------------------------------
+
+  /** Spark side of the page construction over (doc_id, source, text).
+    * Single line (no newlines), so whitespace semantics are identical
+    * across engines; paragraph quarters come from k = ceil(n/4) token
+    * slices.
+    */
+  private[graft] def withHtml(d: DataFrame): DataFrame =
+    d.withColumn("t", split(col("text"), " "))
+      .withColumn("k", expr("(size(t) + 3) div 4"))
+      .withColumn("html", expr("""
+        concat(
+          '<html><head><title>doc ', doc_id, ' ', source,
+          '</title><style>p{margin:0;}</style><script>var x=1;if(x<2){x=2;}</script></head><body>',
+          '<nav><a href="/">home</a> <a href="/tag/', source, '">', source,
+          '</a> <a href="/doc/', doc_id, '">permalink</a></nav>',
+          '<p>', array_join(slice(t, 1, cast(k as int)), ' '), '</p>',
+          '<p>', array_join(slice(t, cast(k + 1 as int), cast(k as int)), ' '),
+          ' <a href="/doc/', doc_id + 1, '">related</a></p>',
+          '<p>', array_join(slice(t, cast(2*k + 1 as int), cast(k as int)), ' '), '</p>',
+          '<p>', array_join(slice(t, cast(3*k + 1 as int), cast(k as int)), ' '), '</p>',
+          '<aside>deal of the day <a href="/buy">buy now</a> <a href="/sub">subscribe</a> <a href="/win">win a prize</a></aside>',
+          '<footer>&copy; 2026 ', source, ' &amp; co &#183; <a href="/terms">terms</a> <a href="/privacy">privacy</a> <a href="/contact">contact</a></footer>',
+          '</body></html>')"""))
+      .drop("t", "k")
+
+  /** DuckDB twin of [[withHtml]]: CTE chain producing
+    * (doc_id, source, html). COALESCE on every slice join — DuckDB's
+    * array_to_string over an empty list is NULL, which would
+    * NULL-poison the whole concatenation for docs shorter than four
+    * tokens (Spark's array_join returns '').
+    */
+  private val htmlCte = """
+    toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t,
+        (CAST(len(string_split(text, ' ')) AS BIGINT) + 3) // 4 AS k
+      FROM documents),
+    pages AS (
+      SELECT doc_id, source,
+        '<html><head><title>doc ' || doc_id || ' ' || source ||
+        '</title><style>p{margin:0;}</style><script>var x=1;if(x<2){x=2;}</script></head><body>' ||
+        '<nav><a href="/">home</a> <a href="/tag/' || source || '">' || source ||
+        '</a> <a href="/doc/' || doc_id || '">permalink</a></nav>' ||
+        '<p>' || COALESCE(array_to_string(t[1:k], ' '), '') || '</p>' ||
+        '<p>' || COALESCE(array_to_string(t[k+1:2*k], ' '), '') ||
+        ' <a href="/doc/' || (doc_id + 1) || '">related</a></p>' ||
+        '<p>' || COALESCE(array_to_string(t[2*k+1:3*k], ' '), '') || '</p>' ||
+        '<p>' || COALESCE(array_to_string(t[3*k+1:4*k], ' '), '') || '</p>' ||
+        '<aside>deal of the day <a href="/buy">buy now</a> <a href="/sub">subscribe</a> <a href="/win">win a prize</a></aside>' ||
+        '<footer>&copy; 2026 ' || source || ' &amp; co &#183; <a href="/terms">terms</a> <a href="/privacy">privacy</a> <a href="/contact">contact</a></footer>' ||
+        '</body></html>' AS html
+      FROM toks)"""
+
+  // ---- the extraction kernel -----------------------------------------
+
+  /** Full-page clean chain as a Spark SQL fragment over expression
+    * `c`: drop head (takes title/style/script with it), then any
+    * body-level script/style, tags → space (word boundaries survive),
+    * entity decode (&amp; LAST so partial decodes can't cascade),
+    * space collapse, trim. Pattern strings are the Java↔RE2 common
+    * subset ((?s), non-greedy, char classes — no backrefs, no
+    * lookaround), shared verbatim with the oracle.
+    */
+  private def cleanSql(c: String): String = s"""
+    trim(regexp_replace(
+      replace(replace(replace(
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace($c,
+          '(?s)<head>.*?</head>', ' '),
+          '(?s)<script[^>]*>.*?</script>', ' '),
+          '(?s)<style[^>]*>.*?</style>', ' '),
+          '<[^>]+>', ' '),
+        '&copy;', '©'), '&#183;', '·'), '&amp;', '&'),
+      ' +', ' '))"""
+
+  /** DuckDB twin of [[cleanSql]] (regexp_replace needs the explicit
+    * 'g' flag; Spark replaces all matches by default).
+    */
+  private def cleanSqlDuck(c: String): String = s"""
+    trim(regexp_replace(
+      replace(replace(replace(
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace($c,
+          '(?s)<head>.*?</head>', ' ', 'g'),
+          '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+          '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+          '<[^>]+>', ' ', 'g'),
+        '&copy;', '©'), '&#183;', '·'), '&amp;', '&'),
+      ' +', ' ', 'g'))"""
+
+  /** Per-doc extraction audit over a frame carrying `html`. */
+  private[graft] def extract(h: DataFrame): DataFrame =
+    h.withColumn("txt", expr(cleanSql("html")))
+      .select(col("doc_id"),
+        expr("cast(length(html) as bigint)").as("raw_len"),
+        expr("cast(length(txt) as bigint)").as("text_len"),
+        expr("(cast(length(txt) as bigint) * 1000000)" +
+          " div cast(length(html) as bigint)").as("text_ratio_ppm"),
+        md5(col("txt")).as("digest"))
+
+  private val opExtract = Op(
+    "html_extract",
+    (s, dir) => extract(withHtml(docs(s, dir))),
+    Some(s"""
+      WITH $htmlCte,
+      clean AS (
+        SELECT doc_id, html, ${cleanSqlDuck("html")} AS txt FROM pages)
+      SELECT doc_id,
+        CAST(length(html) AS BIGINT) AS raw_len,
+        CAST(length(txt) AS BIGINT) AS text_len,
+        (CAST(length(txt) AS BIGINT) * 1000000)
+          // CAST(length(html) AS BIGINT) AS text_ratio_ppm,
+        md5(txt) AS digest
+      FROM clean"""))
+
+  // ---- block-level boilerplate classification -------------------------
+
+  /** Block clean chain (blocks carry no head/script/style). */
+  private def blockCleanSql(c: String): String = s"""
+    trim(regexp_replace(
+      replace(replace(replace(
+        regexp_replace($c, '<[^>]+>', ' '),
+        '&copy;', '©'), '&#183;', '·'), '&amp;', '&'),
+      ' +', ' '))"""
+
+  private def blockCleanDuck(c: String): String = s"""
+    trim(regexp_replace(
+      replace(replace(replace(
+        regexp_replace($c, '<[^>]+>', ' ', 'g'),
+        '&copy;', '©'), '&#183;', '·'), '&amp;', '&'),
+      ' +', ' ', 'g'))"""
+
+  private val blockPat = "(?s)<(?:p|nav|aside|footer)>(.*?)</(?:p|nav|aside|footer)>"
+  private val anchorTextPat = "(?s)<a [^>]*>(.*?)</a>"
+
+  /** Per-doc jusText-class verdict over a frame carrying `html`:
+    * blocks = top-level p/nav/aside/footer elements; per block, the
+    * stripped text and its anchor-text mass; good = enough text, low
+    * link density. One narrow projection — the block array never
+    * leaves its row.
+    */
+  private[graft] def boilerplate(h: DataFrame): DataFrame =
+    h.withColumn("bs", expr(s"""
+        transform(regexp_extract_all(html, '$blockPat', 1),
+          b -> named_struct(
+            's', ${blockCleanSql("b")},
+            'l', cast(coalesce(length(array_join(
+                   regexp_extract_all(b, '$anchorTextPat', 1), '')), 0)
+                 as bigint)))"""))
+      .withColumn("good", expr(s"""
+        filter(bs, x -> length(x.s) >= $MinBlockChars
+          AND x.l * 1000000 <= $LinkPpmMax
+            * greatest(cast(length(x.s) as bigint), 1))"""))
+      .select(col("doc_id"), col("source"),
+        expr("cast(size(bs) as bigint)").as("n_blocks"),
+        expr("cast(size(good) as bigint)").as("n_good"),
+        expr("aggregate(good, cast(0 as bigint)," +
+          " (a, x) -> a + length(x.s))").as("kept_chars"),
+        expr("aggregate(bs, cast(0 as bigint), (a, x) -> a + length(x.s))" +
+          " - aggregate(good, cast(0 as bigint), (a, x) -> a + length(x.s))")
+          .as("dropped_chars"),
+        expr("md5(array_join(transform(good, x -> x.s), ' '))")
+          .as("clean_digest"))
+
+  /** Oracle CTE producing the per-doc boilerplate verdict columns —
+    * shared by boilerplate_strip and curate_html.
+    */
+  private val boilerCte = s"""
+    blk AS (
+      SELECT doc_id, source,
+        list_transform(
+          regexp_extract_all(html, '$blockPat', 1),
+          b -> {
+            's': ${blockCleanDuck("b")},
+            'l': CAST(COALESCE(length(array_to_string(
+                   regexp_extract_all(b, '$anchorTextPat', 1), '')), 0)
+                 AS BIGINT)
+          }) AS bs
+      FROM pages),
+    cls AS (
+      SELECT doc_id, source, bs,
+        list_filter(bs, x -> length(x.s) >= $MinBlockChars
+          AND x.l * 1000000 <= $LinkPpmMax
+            * greatest(CAST(length(x.s) AS BIGINT), 1)) AS good
+      FROM blk),
+    verdict AS (
+      SELECT doc_id, source,
+        CAST(len(bs) AS BIGINT) AS n_blocks,
+        CAST(len(good) AS BIGINT) AS n_good,
+        CAST(COALESCE(list_sum(list_transform(good, x -> length(x.s))), 0)
+          AS BIGINT) AS kept_chars,
+        CAST(COALESCE(list_sum(list_transform(bs, x -> length(x.s))), 0)
+          AS BIGINT)
+          - CAST(COALESCE(list_sum(list_transform(good, x -> length(x.s))), 0)
+          AS BIGINT) AS dropped_chars,
+        md5(COALESCE(array_to_string(list_transform(good, x -> x.s), ' '),
+          '')) AS clean_digest
+      FROM cls)"""
+
+  private val opBoiler = Op(
+    "boilerplate_strip",
+    (s, dir) => boilerplate(withHtml(docs(s, dir))).drop("source"),
+    Some(s"""
+      WITH $htmlCte,
+      $boilerCte
+      SELECT doc_id, n_blocks, n_good, kept_chars, dropped_chars,
+        clean_digest
+      FROM verdict"""))
+
+  // ---- link/anchor chrome metrics per source ---------------------------
+
+  private[graft] def metrics(h: DataFrame): DataFrame =
+    h.withColumn("txt", expr(cleanSql("html")))
+      .select(col("source"),
+        expr("cast(size(regexp_extract_all(html, '<[^>]+>', 0)) as bigint)")
+          .as("tags"),
+        expr("cast(size(regexp_extract_all(html, '<a [^>]*>', 0)) as bigint)")
+          .as("anchors"),
+        expr(s"""cast(coalesce(length(array_join(
+          regexp_extract_all(html, '$anchorTextPat', 1), '')), 0)
+          as bigint)""").as("anchor_chars"),
+        expr("cast(length(txt) as bigint)").as("text_chars"),
+        expr("cast(length(regexp_extract(html," +
+          " '(?s)<script[^>]*>(.*?)</script>', 1)) as bigint)")
+          .as("script_chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tags")).as("n_tags"),
+        sum(col("anchors")).as("n_anchors"),
+        expr("(sum(anchor_chars) * 1000000) div sum(text_chars)")
+          .as("anchor_char_ppm"),
+        sum(col("script_chars")).as("script_chars"))
+
+  private val opMetrics = Op(
+    "html_metrics",
+    (s, dir) => metrics(withHtml(docs(s, dir))),
+    Some(s"""
+      WITH $htmlCte,
+      m AS (
+        SELECT source,
+          CAST(len(regexp_extract_all(html, '<[^>]+>')) AS BIGINT) AS tags,
+          CAST(len(regexp_extract_all(html, '<a [^>]*>')) AS BIGINT)
+            AS anchors,
+          CAST(COALESCE(length(array_to_string(
+            regexp_extract_all(html, '$anchorTextPat', 1), '')), 0)
+            AS BIGINT) AS anchor_chars,
+          CAST(length(${cleanSqlDuck("html")}) AS BIGINT) AS text_chars,
+          CAST(length(regexp_extract(html,
+            '(?s)<script[^>]*>(.*?)</script>', 1)) AS BIGINT) AS script_chars
+        FROM pages)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(tags) AS BIGINT) AS n_tags,
+        CAST(SUM(anchors) AS BIGINT) AS n_anchors,
+        (CAST(SUM(anchor_chars) AS BIGINT) * 1000000)
+          // CAST(SUM(text_chars) AS BIGINT) AS anchor_char_ppm,
+        CAST(SUM(script_chars) AS BIGINT) AS script_chars
+      FROM m GROUP BY source"""))
+
+  // ---- WARC record parse ----------------------------------------------
+
+  /** Wraps each page in a WARC/1.0 response record (CRLF headers,
+    * blank line, payload) — the wire shape a crawl ingest actually
+    * receives.
+    */
+  private[graft] def warcRecords(h: DataFrame): DataFrame =
+    h.select(concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " +
+        "https://crawl.example.com/"),
+      col("source"), lit("/"), col("doc_id"),
+      lit("\r\nContent-Length: "), length(col("html")),
+      lit("\r\n\r\n"), col("html")).as("rec"))
+
+  /** Header parse + integrity check over raw records: version, type,
+    * URI host/path, declared vs actual payload length.
+    */
+  private[graft] def warcParse(w: DataFrame): DataFrame =
+    w.select(
+        expr("regexp_extract(rec, '^WARC/([0-9.]+)', 1)").as("version"),
+        expr("regexp_extract(rec, 'WARC-Type: ([a-z]+)', 1)").as("rec_type"),
+        expr("regexp_extract(rec, 'WARC-Target-URI: ([^\\r\\n]+)', 1)")
+          .as("uri"),
+        expr("cast(regexp_extract(rec, 'Content-Length: ([0-9]+)', 1)" +
+          " as bigint)").as("content_length"),
+        expr("regexp_extract(rec, '(?s)\\r\\n\\r\\n(.*)$', 1)").as("payload"))
+      .select(
+        expr("cast(regexp_extract(uri, '/([0-9]+)$', 1) as bigint)")
+          .as("doc_id"),
+        expr("regexp_extract(uri, '^https://([^/]+)/', 1)").as("host"),
+        col("version"), col("rec_type"), col("content_length"),
+        expr("cast(length(payload) as bigint)").as("payload_len"),
+        expr("cast(case when length(payload) = content_length" +
+          " then 1 else 0 end as bigint)").as("len_ok"))
+
+  private val opWarc = Op(
+    "warc_parse",
+    (s, dir) => warcParse(warcRecords(withHtml(docs(s, dir)))),
+    Some(s"""
+      WITH $htmlCte,
+      recs AS (
+        SELECT 'WARC/1.0' || chr(13) || chr(10) ||
+          'WARC-Type: response' || chr(13) || chr(10) ||
+          'WARC-Target-URI: https://crawl.example.com/' || source || '/'
+            || doc_id || chr(13) || chr(10) ||
+          'Content-Length: ' || length(html) || chr(13) || chr(10) ||
+          chr(13) || chr(10) || html AS rec
+        FROM pages),
+      hdr AS (
+        SELECT
+          regexp_extract(rec, '^WARC/([0-9.]+)', 1) AS version,
+          regexp_extract(rec, 'WARC-Type: ([a-z]+)', 1) AS rec_type,
+          regexp_extract(rec, 'WARC-Target-URI: ([^\r\n]+)', 1) AS uri,
+          CAST(regexp_extract(rec, 'Content-Length: ([0-9]+)', 1) AS BIGINT)
+            AS content_length,
+          regexp_extract(rec, '(?s)\r\n\r\n(.*)$$', 1) AS payload
+        FROM recs)
+      SELECT
+        CAST(regexp_extract(uri, '/([0-9]+)$$', 1) AS BIGINT) AS doc_id,
+        regexp_extract(uri, '^https://([^/]+)/', 1) AS host,
+        version, rec_type, content_length,
+        CAST(length(payload) AS BIGINT) AS payload_len,
+        CAST(CASE WHEN length(payload) = content_length THEN 1 ELSE 0 END
+          AS BIGINT) AS len_ok
+      FROM hdr"""))
+
+  // ---- curate_html: crawl → text → gate → dedup → report ---------------
+
+  /** The crawl-side curate_e2e: extract content blocks (boilerplate
+    * dropped), quality-gate on content mass, exact-dedup on the
+    * content digest (chrome is already gone, so byte-equal texts
+    * collapse ACROSS sources), report per source.
+    */
+  private[graft] def curateHtml(h: DataFrame): DataFrame =
+    boilerplate(h)
+      .withColumn("kept",
+        (col("kept_chars") >= CurateMinChars).cast("int"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(col("kept")).cast("long").as("n_kept"),
+        countDistinct(when(col("kept") === 1, col("clean_digest")))
+          .as("n_unique"))
+
+  private val opCurateHtml = Op(
+    "curate_html",
+    (s, dir) => curateHtml(withHtml(docs(s, dir))),
+    Some(s"""
+      WITH $htmlCte,
+      $boilerCte
+      SELECT source, COUNT(*) AS n_raw,
+        CAST(SUM(CASE WHEN kept_chars >= $CurateMinChars THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_kept,
+        COUNT(DISTINCT CASE WHEN kept_chars >= $CurateMinChars
+          THEN clean_digest END) AS n_unique
+      FROM verdict GROUP BY source"""))
+
+  val ops: Seq[Op] =
+    Seq(opExtract, opBoiler, opMetrics, opWarc, opCurateHtml)
+}
