@@ -1091,21 +1091,30 @@ object Multimodal {
     // far below the dHash false-match rate this operator already
     // tolerates by design. Revisit (carry sig as a struct key) only if
     // the distinct-signature count ever approaches 2³⁰.
+    // One aggregation produces the signature AND carries the frame
+    // vector, so the signature-node frame set derives from sigMeta's
+    // first(fv) instead of a corpus-side join + distinct (r18 — the
+    // two extra shuffles were pure overhead: sampleFrames emits one
+    // row per (doc, sampled position), so count == countDistinct and
+    // the vector per signature is unique up to the documented 2⁻⁶¹
+    // truncation collision, which first(n_sampled) already accepts).
     val clipSig = fh.groupBy(col("doc_id"))
-      .agg(countDistinct(col("frame_idx")).as("n_sampled"),
-        expr("xxhash64(concat_ws(',', transform(array_sort(" +
-          "collect_list(struct(frame_idx, frame_hash))), " +
-          "x -> concat(cast(x.frame_idx AS string), ':', " +
-          "cast(x.frame_hash AS string)))))").as("sig"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sort_array(collect_list(struct(col("frame_idx"),
+          col("frame_hash")))).as("fv"))
+      .withColumn("sig", expr("xxhash64(concat_ws(',', transform(fv, " +
+        "x -> concat(cast(x.frame_idx AS string), ':', " +
+        "cast(x.frame_hash AS string)))))"))
       .withColumn("sigt", expr("sig & 1152921504606846975"))
       .localCheckpoint()
     val sigMeta = clipSig.groupBy(col("sigt"))
-      .agg(count(lit(1)).as("m"), first(col("n_sampled")).as("n_sampled"))
+      .agg(count(lit(1)).as("m"), first(col("n_sampled")).as("n_sampled"),
+        first(col("fv")).as("fv"))
       .localCheckpoint()
-    val sigFrames = fh
-      .join(clipSig.select(col("doc_id"), col("sigt")), Seq("doc_id"))
-      .select(col("sigt"), col("frame_idx"), col("frame_hash"))
-      .distinct()
+    val sigFrames = sigMeta
+      .select(col("sigt"), explode(col("fv")).as("f"))
+      .select(col("sigt"), col("f.frame_idx").as("frame_idx"),
+        col("f.frame_hash").as("frame_hash"))
     val framePairs = Dedup.simhashPairs(
         sigFrames.select(
           (col("sigt") * 8L + col("frame_idx")).as("doc_id"),
