@@ -3103,7 +3103,7 @@ class StreamingSpec extends SparkSpec {
       s"streamed ${streamed.size} pairs != batch ${expected.size}")
   }
 
-  test("ingest tick restart: a replayed batch reloads its durable decision instead of re-gating") {
+  test("stream_ingest_tick restart: a replayed batch reloads its durable decision instead of re-gating") {
     // The fourth restart archetype (VERDICT r13 #5): the foreachBatch
     // firewall tick mutates an EXTERNAL store. The poisoned window is
     // a death AFTER the fingerprint append but BEFORE the engine's

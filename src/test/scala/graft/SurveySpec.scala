@@ -11,23 +11,39 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class SurveySpec extends AnyFunSuite {
 
+  private lazy val survey: String = new String(
+    java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+
+  // §2 spans from its heading to §3; the Streaming subsection splits
+  // it into the query/source-sink half and the streaming half.
+  private lazy val sec2: String =
+    survey.substring(survey.indexOf("## §2"), survey.indexOf("## §3"))
+  private lazy val (sec2Pre, sec2Streaming) = {
+    val i = sec2.indexOf("### Streaming")
+    (sec2.substring(0, i), sec2.substring(i))
+  }
+
+  private def tableRows(text: String): Seq[Seq[String]] =
+    text.linesIterator
+      .filter(l => l.startsWith("| ") && l.endsWith(" |"))
+      .map(l => l.split("\\|").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(c => c.nonEmpty && c.head != "id" && !c.head.startsWith("---"))
+      .toSeq
+
   // §2 driver-query rows end in an oracle cell: `| <id> | … | SQL |`
   // or `| … | rows-only |`; source/sink and streaming tables have no
   // such cell, so this scan selects exactly the driver inventory.
-  private lazy val surveyRows: Map[String, String] = {
-    val src = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
-    src.linesIterator
-      .filter(l => l.startsWith("| ") && l.endsWith(" |"))
-      .flatMap { l =>
-        val cells = l.split("\\|").map(_.trim).filter(_.nonEmpty)
-        if (cells.length >= 2 &&
-            (cells.last == "SQL" || cells.last == "rows-only"))
-          Some(cells.head -> cells.last)
-        else None
-      }
+  private lazy val surveyRows: Map[String, String] =
+    tableRows(sec2Pre)
+      .collect { case c if c.last == "SQL" || c.last == "rows-only" =>
+        c.head -> c.last }
       .toMap
-  }
+
+  private lazy val sinkRows: Seq[Seq[String]] =
+    tableRows(sec2Pre).filterNot(c =>
+      c.last == "SQL" || c.last == "rows-only")
+  private lazy val streamRows: Seq[Seq[String]] = tableRows(sec2Streaming)
 
   test("every driver query has exactly one SURVEY §2 row, and vice versa") {
     val queries = SparkEntry.queries.keySet
@@ -56,5 +72,69 @@ class SurveySpec extends AnyFunSuite {
   test("every oracle key is a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles with no query: $orphans")
+  }
+
+  // ---- §2 subsection guards (r18, VERDICT r17 "What's wrong" #1: the
+  // sink/streaming row tallies could drift silently because only the
+  // driver-query subset was pinned to code).
+
+  test("the pinned §2 Counts line matches the actual table rows") {
+    val m = """Counts \(pinned by SurveySpec[^)]*\): (\d+) driver queries, (\d+) source/sink components, (\d+) streaming components = (\d+) §2 rows""".r
+      .findFirstMatchIn(sec2)
+      .getOrElse(fail("SURVEY §2 is missing the pinned Counts line"))
+    val (q, sk, st, tot) =
+      (m.group(1).toInt, m.group(2).toInt, m.group(3).toInt, m.group(4).toInt)
+    assert(q == surveyRows.size,
+      s"Counts line claims $q driver queries; §2 holds ${surveyRows.size}")
+    assert(sk == sinkRows.size,
+      s"Counts line claims $sk source/sink rows; §2 holds ${sinkRows.size}")
+    assert(st == streamRows.size,
+      s"Counts line claims $st streaming rows; §2 holds ${streamRows.size}")
+    assert(tot == q + sk + st, s"Counts line total $tot != $q+$sk+$st")
+    assert(q == SparkEntry.queries.size,
+      s"Counts line claims $q driver queries; SparkEntry registers " +
+        s"${SparkEntry.queries.size}")
+  }
+
+  private def treeContains(root: String, needle: String): Boolean = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator.asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .exists(p => new String(
+        java.nio.file.Files.readAllBytes(p), "UTF-8").contains(needle))
+  }
+
+  test("every streaming §2 row id is exercised by name in the test tree") {
+    val missing = streamRows.map(_.head).filterNot { id =>
+      id.startsWith("stream_") && treeContains("src/test", id)
+    }
+    assert(missing.isEmpty,
+      s"streaming §2 rows with no test-tree mention: $missing")
+  }
+
+  test("source/sink §2 rows and graft.sources objects stay bijective") {
+    // Every public object under graft/sources must be claimed by some
+    // §2 source/sink row (a new store object without an inventory row
+    // fails here), and every row must anchor to a code symbol.
+    import scala.jdk.CollectionConverters._
+    val objPat = """(?m)^object (\w+)""".r
+    val objects = java.nio.file.Files
+      .walk(java.nio.file.Paths.get("src/main/scala/graft/sources"))
+      .iterator.asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap(p => objPat.findAllMatchIn(new String(
+        java.nio.file.Files.readAllBytes(p), "UTF-8")).map(_.group(1)))
+      .toSet
+    val bodies = sinkRows.map(r => r.head -> r.mkString(" ")).toMap
+    val allBodies = bodies.values.mkString(" ")
+    val unclaimed = objects.filterNot(o => allBodies.contains(o))
+    assert(unclaimed.isEmpty,
+      s"graft.sources objects with no §2 source/sink row: $unclaimed")
+    val unanchored = bodies.collect {
+      case (id, body) if !"""graft\.\w|Spec\)|\(graft""".r
+        .findFirstIn(body).isDefined && !objects.exists(body.contains) => id
+    }
+    assert(unanchored.isEmpty,
+      s"source/sink §2 rows with no code anchor: $unanchored")
   }
 }
