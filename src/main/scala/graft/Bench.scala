@@ -56,6 +56,17 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
   }
 
+  /** Sub-second queries swing ±30-50% run-to-run on identical code
+    * (VERDICT r17 "What's wrong" #3 — q6_window_rank 0.29→0.44 s
+    * across same-session records), so their 3-run medians can't
+    * attribute regressions. Below this floor the sampler upgrades to
+    * 5 runs and reports the TRIMMED mean (drop min and max), and the
+    * per-query jsonl line carries the sample spread so a reader can
+    * separate signal from noise mechanically: a round-over-round
+    * delta smaller than the union of the two spreads is noise. */
+  val NoiseFloorSec = 1.0
+  private val NoiseExtraRuns = 5
+
   /** Times every selected query on sfDir: median of `runs`, noop sink,
     * cache/persisted-RDD residue dropped between queries (leftover
     * storage blocks squeeze unified execution memory and taxed every
@@ -82,19 +93,33 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     selected.sortBy(_._1).map { case (name, fn) =>
       if (verbose) System.err.println(s"[bench] running $name @ $sfDir")
-      val samples = (1 to runs).map { _ =>
+      def sample(): Double = {
         System.gc() // drain the previous run's garbage outside the timer
         time {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         }
       }
-      // a failed run (-1.0) poisons the median → report the failure
-      val sec = if (samples.exists(_ < 0)) -1.0
-                else samples.sorted.apply(runs / 2)
+      val base = (1 to runs).map(_ => sample())
+      val median = if (base.exists(_ < 0)) -1.0
+                   else base.sorted.apply(runs / 2)
+      // noise floor: a sub-second median at the standard 3 runs is
+      // inside the box's jitter band — widen to 5 samples and trim
+      val samples =
+        if (median >= 0 && median < NoiseFloorSec && runs >= 3 &&
+            runs < NoiseExtraRuns)
+          base ++ (1 to (NoiseExtraRuns - runs)).map(_ => sample())
+        else base
+      val (sec, stat) =
+        if (samples.exists(_ < 0)) (-1.0, "failed")
+        else if (samples.length >= NoiseExtraRuns) {
+          val s = samples.sorted.drop(1).dropRight(1)
+          (s.sum / s.length, "trimmed" + samples.length)
+        } else (median, "median" + samples.length)
+      val spread = if (sec < 0) -1.0 else samples.max - samples.min
       spark.sqlContext.clearCache()
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = false))
-      report(s"""{"query":"$name","sec":$sec,"runs":$runs,"sf":"$sfDir"}""")
+      report(s"""{"query":"$name","sec":$sec,"runs":${samples.length},"stat":"$stat","spread":${f"$spread%.4f"},"sf":"$sfDir"}""")
       name -> sec
     }
   }
@@ -195,7 +220,7 @@ object Bench {
     val prevField = prev.map(j => s""","prev_code_same_session":$j""")
       .getOrElse("")
 
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"failed":$failed,"sf":"$sfDir"$prevField}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"noise_floor_sec":$NoiseFloorSec,"queries":$qs,"failed":$failed,"sf":"$sfDir"$prevField}"""
     appendLine(line)
     println(line)
     // the full line above grows with the query count (~3 kB at 95
