@@ -20,6 +20,7 @@ object SparkEntry {
       operators.PostTrain.ops ++ operators.RlEval.ops ++
       operators.RankEval.ops ++ operators.AgentTrace.ops ++
       operators.DataOps.ops ++ operators.Html.ops ++
+      operators.Crawl.ops ++
       operators.Cluster.ops ++ operators.Unigram.ops ++
       operators.Overlap.ops ++ operators.Calibrate.ops
 

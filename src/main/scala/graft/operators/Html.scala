@@ -74,7 +74,7 @@ object Html {
     * NULL-poison the whole concatenation for docs shorter than four
     * tokens (Spark's array_join returns '').
     */
-  private val htmlCte = """
+  private[graft] val htmlCte = """
     toks AS (
       SELECT doc_id, source, string_split(text, ' ') AS t,
         (CAST(len(string_split(text, ' ')) AS BIGINT) + 3) // 4 AS k

@@ -144,6 +144,22 @@ object Streams {
   def codeRouted(docs: DataFrame): DataFrame =
     graft.operators.TextAnalysis.codeSignals(docs)
 
+  /** stream_extract — crawl-entry HTML→text extraction live (r18;
+    * batch twin: html_extract). The FIRST stage of a streaming crawl
+    * ingest: raw pages arrive, the extraction verdict (lengths, ratio,
+    * content digest) leaves, and every downstream gate in this file
+    * (quality, gopher, contam, the fingerprint firewall) consumes the
+    * extracted text — so the crawl tier composes with the standing
+    * ingest loop instead of assuming pre-cleaned documents. The clean
+    * chain is one per-row regex/string kernel (Html.extract — the
+    * SAME expressions the batch operator runs), so this is append
+    * mode, no state store, no watermark: a stateless map can never
+    * bottleneck ingest, and batch == stream row-for-row under any
+    * batch cut (spec splits the corpus three ways).
+    */
+  def extractStream(pages: DataFrame): DataFrame =
+    graft.operators.Html.extract(pages)
+
   /** stream_doremi — running mixture-drift monitor under the FROZEN
     * proxy LM (batch twin: mix_doremi; model source: the batch op's
     * unigram distribution, the dsir/stream_dsir frozen-fence

@@ -1,0 +1,124 @@
+package graft
+
+import graft.operators.Crawl
+import org.apache.spark.sql.functions._
+
+class CrawlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def frame(rows: (Long, String, String, String, Long)*) =
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  private def doc(id: Long, source: String = "srcX") =
+    (id, "some text", "en", source, 9L)
+
+  // ---- url_canon -------------------------------------------------------
+
+  test("url_canon: all tracking-only variants collapse to the bare core; a real param survives in its own group") {
+    // ids 8..11 share cores 4 and 5; variants by id%4: 8→v0, 9→v1
+    // (both core 4), 10→v2 (real param), 11→v3 (both core 5 with v3
+    // alone... id 10 div 2 = 5, id 11 div 2 = 5 — v2 escapes the
+    // group, so core-5's group is v3 alone)
+    val out = Crawl.urlCanon(frame(doc(8L), doc(9L), doc(10L), doc(11L)))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("canon"), r.getAs[Long]("group_size"),
+          r.getAs[Long]("dup_rank"))).toMap
+    val core4 = "https://srcx.example.com/doc/4"
+    val core5 = "https://srcx.example.com/doc/5"
+    assert(out(8L)._1 == core4 && out(9L)._1 == core4,
+      s"v0 and v1 (www/port/case/utm) must both canonicalize to $core4: $out")
+    assert(out(8L)._2 == 2L && out(9L)._2 == 2L)
+    assert(Set(out(8L)._3, out(9L)._3) == Set(1L, 2L),
+      "dup_rank must enumerate the group by doc_id")
+    assert(out(10L)._1 == core5 + "?page=2",
+      s"the real page param must SURVIVE canonicalization: ${out(10L)}")
+    assert(out(10L)._2 == 1L, "a surviving param is a different page")
+    assert(out(11L)._1 == core5,
+      "trailing slash + ref/utm params must strip to the bare core")
+  }
+
+  test("url_canon: host is lowercased with www. and :443 stripped") {
+    val out = Crawl.urlCanon(frame(doc(1L, "MiXeD"))).collect().head
+    assert(out.getAs[String]("host") == "mixed.example.com")
+    assert(out.getAs[String]("canon")
+      .startsWith("https://mixed.example.com/"))
+  }
+
+  // ---- license_detect --------------------------------------------------
+
+  private def pageFrame(rows: (Long, String)*) =
+    rows.toDF("doc_id", "html")
+
+  test("license_detect: generic patterns — SPDX wins over CC, arr kills trainable, noai kills trainable, none stays trainable") {
+    val out = Crawl.licenseDetect(pageFrame(
+        1L -> ("<html><body>code here <!-- SPDX-License-Identifier: " +
+          "Apache-2.0 --> Licensed under CC BY 4.0</body></html>"),
+        2L -> "<html><body>Licensed under CC BY-NC 3.0</body></html>",
+        3L -> "<html><body>All Rights Reserved</body></html>",
+        4L -> ("""<html><head><meta name="robots" content="noai">""" +
+          "</head><body>plain</body></html>"),
+        5L -> "<html><body>no signals at all</body></html>"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("license_class"), r.getAs[String]("license_ref"),
+          r.getAs[Long]("noai"), r.getAs[Long]("trainable"))).toMap
+    assert(out(1L) == (("spdx", "Apache-2.0", 0L, 1L)),
+      s"SPDX must win over a co-present CC statement: ${out(1L)}")
+    assert(out(2L) == (("cc", "CC BY-NC 3.0", 0L, 1L)))
+    assert(out(3L) == (("arr", "", 0L, 0L)),
+      "all-rights-reserved must flip trainable off")
+    assert(out(4L) == (("none", "", 1L, 0L)),
+      "a noai robots directive must flip trainable off")
+    assert(out(5L) == (("none", "", 0L, 1L)),
+      "unknown license stays trainable under the documented policy")
+  }
+
+  test("license_detect: the synthetic signal cycle lands each class where doc_id % 5 says") {
+    val out = Crawl.licenseDetect(Crawl.withSignals(
+        graft.operators.Html.withHtml(
+          frame((0L to 4L).map(i => doc(i)): _*))))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("license_class")).toMap
+    assert(out == Map(0L -> "none", 1L -> "cc", 2L -> "spdx",
+      3L -> "arr", 4L -> "none"))
+  }
+
+  // ---- robots_gate -----------------------------------------------------
+
+  private def robotsFrame(rows: (Long, String, String, String)*) =
+    rows.toDF("doc_id", "robots", "path", "host")
+
+  test("robots_gate: longest prefix wins when rules nest; unmatched path is allowed; delay parsed from the text") {
+    val robots = "User-agent: *\nDisallow: /a/\nDisallow: /a/b/\n" +
+      "Crawl-delay: 7"
+    val out = Crawl.robotsGate(robotsFrame(
+        (1L, robots, "/a/b/c", "h"),
+        (2L, robots, "/a/x", "h"),
+        (3L, robots, "/open/doc", "h")))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("matched_rule"), r.getAs[Long]("allowed"),
+          r.getAs[Long]("crawl_delay"))).toMap
+    assert(out(1L) == (("/a/b/", 0L, 7L)),
+      s"nested rules must resolve to the LONGEST matching prefix: ${out(1L)}")
+    assert(out(2L) == (("/a/", 0L, 7L)))
+    assert(out(3L) == (("", 1L, 7L)))
+  }
+
+  test("robots_gate: the synthetic corpus routes private/tag paths to disallow and doc paths to allow") {
+    val out = Crawl.robotsGate(Crawl.withRobots(
+        frame((0L to 6L).map(i => doc(i)): _*)))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("allowed")).toMap
+    assert(out(0L) == 0L, "/private/ path must gate")
+    assert(out(1L) == 0L, "/tag/ path must gate")
+    (2L to 6L).foreach(i => assert(out(i) == 1L, s"doc path $i allowed"))
+  }
+
+  test("robots_gate: crawl delay derives from the host's source length") {
+    val out = Crawl.robotsGate(Crawl.withRobots(
+        frame(doc(2L, "ab"), doc(3L, "abcdef"))))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("crawl_delay")).toMap
+    assert(out(2L) == 1L + 2 % 5)
+    assert(out(3L) == 1L + 6 % 5)
+  }
+}

@@ -111,6 +111,40 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(1L), s"gate kept $kept")
   }
 
+  test("stream_extract: extraction verdicts == batch html_extract row-for-row under a three-way cut; stateless") {
+    implicit val sql = spark.sqlContext
+    val pages = operators.Html.withHtml(
+        Tables(spark, sfDir, "documents")
+          .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+          .filter($"doc_id" < 60L))
+      .select($"doc_id", $"html").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.extractStream(in.toDF().toDF("doc_id", "html"))
+      .writeStream.format("memory").queryName("extract_out")
+      .outputMode("append").start()
+    Seq(pages.take(20), pages.slice(20, 40), pages.drop(40)).foreach {
+      chunk => in.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L),
+      "the extraction map must keep zero state rows")
+    val streamed = spark.table("extract_out").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("raw_len"), r.getAs[Long]("text_len"),
+          r.getAs[Long]("text_ratio_ppm"), r.getAs[String]("digest")))
+      .toMap
+    q.stop()
+    val batch = SparkEntry.queries("html_extract")(spark, sfDir)
+      .filter($"doc_id" < 60L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("raw_len"), r.getAs[Long]("text_len"),
+          r.getAs[Long]("text_ratio_ppm"), r.getAs[String]("digest")))
+      .toMap
+    assert(streamed == batch,
+      s"streamed extraction (${streamed.size}) drifted from batch " +
+        s"(${batch.size})")
+  }
+
   test("stream_code: routing verdicts == batch row-for-row; stateless; incoming columns ride") {
     implicit val sql = spark.sqlContext
     // the batch spec's planted set: one doc per gate arm + prose
