@@ -346,5 +346,138 @@ object Crawl {
           AS crawl_delay
       FROM m"""))
 
-  val ops: Seq[Op] = Seq(opUrlCanon, opLicense, opRobots)
+  // ---- encoding_audit --------------------------------------------------
+
+  /** Deterministic wire-text corruption (doc_id % 6 picks the injury;
+    * 4 and 5 stay clean so the majority of the corpus audits ok).
+    * Every injected char is a VISIBLE codepoint or chr(7) -- the
+    * constructions must be byte-identical across engines, and
+    * invisible literals in source are exactly the corruption class
+    * this operator exists to catch.
+    */
+  private[graft] def withWireText(d: DataFrame): DataFrame =
+    d.withColumn("wire", expr("""
+        CASE cast(doc_id % 6 as int)
+          WHEN 0 THEN concat(text, ' donÃ¢t')
+          WHEN 1 THEN concat(text, ' �')
+          WHEN 2 THEN concat(text, chr(7))
+          WHEN 3 THEN concat('naÃ¯ve ', text)
+          ELSE text
+        END"""))
+
+  private val wireCte = """
+    wires AS (
+      SELECT doc_id,
+        CASE CAST(doc_id % 6 AS INT)
+          WHEN 0 THEN text || ' donÃ¢t'
+          WHEN 1 THEN text || ' �'
+          WHEN 2 THEN text || chr(7)
+          WHEN 3 THEN 'naÃ¯ve ' || text
+          ELSE text
+        END AS wire
+      FROM documents)"""
+
+  /** Per-doc encoding audit over a frame carrying `wire`: mojibake
+    * lead chars (Ã/Â -- the UTF-8-read-as-Latin-1 signature:
+    * real Latin-1 prose virtually never leads with these), replacement
+    * chars, control chars (the \p{Cc} Unicode class -- Java regex and
+    * RE2 both support it), and the clean verdict. Pure per-row
+    * regexp_count projection -- scan speed at any corpus size; the
+    * gate every decoder stage publishes before text enters the
+    * pipeline.
+    */
+  private[graft] def encodingAudit(w: DataFrame): DataFrame =
+    w.select(col("doc_id"),
+        expr("cast(regexp_count(wire, '[ÃÂ]') as bigint)")
+          .as("mojibake_hits"),
+        expr("cast(regexp_count(wire, '�') as bigint)")
+          .as("repl_chars"),
+        expr("cast(regexp_count(wire, '\\\\p{Cc}') as bigint)")
+          .as("ctrl_chars"))
+      .withColumn("enc_ok", expr(
+        "CASE WHEN mojibake_hits + repl_chars + ctrl_chars = 0" +
+          " THEN 1 ELSE 0 END").cast("long"))
+
+  private val opEncoding = Op(
+    "encoding_audit",
+    (s, dir) => encodingAudit(withWireText(docs(s, dir))),
+    Some(s"""
+      WITH $wireCte,
+      audit AS (
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(wire, '[ÃÂ]')) AS BIGINT)
+            AS mojibake_hits,
+          CAST(len(regexp_extract_all(wire, '�')) AS BIGINT)
+            AS repl_chars,
+          CAST(len(regexp_extract_all(wire, '\\p{Cc}')) AS BIGINT)
+            AS ctrl_chars
+        FROM wires)
+      SELECT doc_id, mojibake_hits, repl_chars, ctrl_chars,
+        CAST(CASE WHEN mojibake_hits + repl_chars + ctrl_chars = 0
+          THEN 1 ELSE 0 END AS BIGINT) AS enc_ok
+      FROM audit"""))
+
+  // ---- host_reputation -------------------------------------------------
+
+  /** Thresholds for the host-level flag: a host whose docs average
+    * under this diversity, or carry too many near-empty docs, is a
+    * blocklist candidate (the RefinedWeb domain-filtering stage).
+    */
+  val HostMinDiversityPpm = 300000L
+  val HostShortPpmMax = 200000L
+  val ShortDocChars = 50
+
+  /** Host-level quality aggregation over the canonical URL host +
+    * per-doc integer quality signals: exact ppm arithmetic end-to-end
+    * (sums first, one integer division at the end), one skinny
+    * per-host groupBy — the shape that turns per-doc scores into the
+    * domain blocklist candidates a crawl frontier consumes.
+    */
+  private[graft] def hostReputation(d: DataFrame): DataFrame =
+    d.withColumn("host", expr("concat(source, '.example.com')"))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("div_ppm", expr(
+        "(cast(size(array_distinct(toks)) as bigint) * 1000000)" +
+          " div greatest(cast(size(toks) as bigint), 1)"))
+      .withColumn("is_short", expr(
+        s"CASE WHEN length(text) < $ShortDocChars THEN 1 ELSE 0 END"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(cast(length(text) as bigint))").as("sum_chars"),
+        expr("(sum(div_ppm) div count(1))").as("avg_diversity_ppm"),
+        expr("(sum(is_short) * 1000000) div count(1)").as("short_ppm"))
+      .withColumn("flagged", expr(
+        s"CASE WHEN avg_diversity_ppm < $HostMinDiversityPpm" +
+          s" OR short_ppm > $HostShortPpmMax THEN 1 ELSE 0 END")
+        .cast("long"))
+
+  private val opHostRep = Op(
+    "host_reputation",
+    (s, dir) => hostReputation(docs(s, dir)),
+    Some(s"""
+      WITH sig AS (
+        SELECT source || '.example.com' AS host,
+          CAST(length(text) AS BIGINT) AS n_chars2,
+          (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+            * 1000000)
+            // greatest(CAST(len(string_split(text, ' ')) AS BIGINT), 1)
+            AS div_ppm,
+          CASE WHEN length(text) < $ShortDocChars THEN 1 ELSE 0 END
+            AS is_short
+        FROM documents),
+      agg AS (
+        SELECT host, COUNT(*) AS n_docs,
+          CAST(SUM(n_chars2) AS BIGINT) AS sum_chars,
+          CAST(SUM(div_ppm) AS BIGINT) // COUNT(*) AS avg_diversity_ppm,
+          (CAST(SUM(is_short) AS BIGINT) * 1000000) // COUNT(*)
+            AS short_ppm
+        FROM sig GROUP BY host)
+      SELECT host, n_docs, sum_chars, avg_diversity_ppm, short_ppm,
+        CAST(CASE WHEN avg_diversity_ppm < $HostMinDiversityPpm
+          OR short_ppm > $HostShortPpmMax THEN 1 ELSE 0 END AS BIGINT)
+          AS flagged
+      FROM agg"""))
+
+  val ops: Seq[Op] =
+    Seq(opUrlCanon, opLicense, opRobots, opEncoding, opHostRep)
 }

@@ -446,6 +446,66 @@ object DataOps {
         CAST((n1 + n2 + n3) // 3 AS BIGINT) AS fused_ppm
       FROM n"""))
 
+  // ---- needle_plant: long-context retrieval-eval prep ------------------
+  // The needle-in-a-haystack construction (Kamradt's NIAH protocol,
+  // the standard long-context retrieval probe): plant a uniquely
+  // identifiable needle at a deterministic depth inside each document
+  // and record EXACTLY where it landed, so the eval harness can grade
+  // retrieval against ground truth without re-scanning the rendered
+  // context. Depth comes from a Knuth-hash permille of the doc id
+  // (uniform over [0,1000) — every depth band gets probes), the
+  // insertion is at a TOKEN boundary (k tokens in), and the char
+  // offset is derived arithmetically (prefix token mass + separators)
+  // then PROVEN by substring round-trip in both engines (plant_ok).
+  // Pure per-row projection: zero shuffles, scan speed at any corpus.
+  private[graft] def needlePlant(d: DataFrame): DataFrame =
+    d.withColumn("t", split(col("text"), " "))
+      .withColumn("n_toks", expr("cast(size(t) as bigint)"))
+      .withColumn("depth_permille", expr("(doc_id * 2654435761) % 1000"))
+      .withColumn("k", expr("(depth_permille * n_toks) div 1000"))
+      .withColumn("needle", expr("concat('NEEDLE-', doc_id)"))
+      .withColumn("needle_off", expr("""
+        CASE WHEN k = 0 THEN 0
+             ELSE aggregate(slice(t, 1, cast(k as int)),
+               cast(0 as bigint), (a, x) -> a + length(x)) + k END"""))
+      .withColumn("rendered", expr("""
+        array_join(concat(slice(t, 1, cast(k as int)), array(needle),
+          slice(t, cast(k + 1 as int), cast(n_toks as int))), ' ')"""))
+      .select(col("doc_id"), col("n_toks"), col("depth_permille"),
+        col("k").as("insert_after_tok"), col("needle_off"),
+        expr("cast(length(rendered) as bigint)").as("total_len"),
+        expr("""cast(CASE WHEN substring(rendered,
+          cast(needle_off + 1 as int), length(needle)) = needle
+          THEN 1 ELSE 0 END as bigint)""").as("plant_ok"))
+
+  private val opNeedlePlant = Op(
+    "needle_plant",
+    (s, dir) => needlePlant(Tables(s, dir, "documents")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS t,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+          (doc_id * 2654435761) % 1000 AS depth_permille,
+          'NEEDLE-' || doc_id AS needle
+        FROM documents),
+      k AS (
+        SELECT *, (depth_permille * n_toks) // 1000 AS k FROM t),
+      pl AS (
+        SELECT doc_id, n_toks, depth_permille, k, needle,
+          CASE WHEN k = 0 THEN 0
+               ELSE CAST(COALESCE(list_sum(list_transform(t[1:k],
+                 x -> length(x))), 0) AS BIGINT) + k END AS needle_off,
+          COALESCE(array_to_string(
+            list_concat(list_concat(t[1:k], [needle]),
+              t[k+1:len(t)]), ' '), '') AS rendered
+        FROM k)
+      SELECT doc_id, n_toks, depth_permille, k AS insert_after_tok,
+        needle_off, CAST(length(rendered) AS BIGINT) AS total_len,
+        CAST(CASE WHEN substring(rendered, CAST(needle_off + 1 AS INT),
+          length(needle)) = needle THEN 1 ELSE 0 END AS BIGINT)
+          AS plant_ok
+      FROM pl"""))
+
   val ops: Seq[Op] = Seq(opEpochShuffle, opDataContract, opJsonFields,
-    opShardManifest, opLongctxStitch, opQualityFuse)
+    opShardManifest, opLongctxStitch, opQualityFuse, opNeedlePlant)
 }

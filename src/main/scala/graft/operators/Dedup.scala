@@ -1472,9 +1472,80 @@ object Dedup {
           AS dropped_chars
       FROM rep"""))
 
+  // ---- dedup_keep_best: quality-aware keeper selection ----
+  // dedup_cluster / dedup_pipeline keep the MIN-ID member — fine for
+  // exact copies (identical bytes, any member serves), wrong for
+  // near-dup clusters whose members genuinely differ: the standard
+  // curation policy (Dolma, FineWeb) keeps the highest-QUALITY member
+  // so deduplication never deletes the best draft of a page. Same
+  // cluster structure as dedup_cluster (consecutive-doc verified
+  // edges → connected components — the oracle-replayable toy edge
+  // set), keeper = argmax(diversity ppm, tie → min doc_id) via one
+  // window over the skinny (doc_id, cluster_id, div_ppm) frame: text
+  // is read once for the per-row quality signal and never shuffles.
+  private[graft] def keepBest(d: DataFrame): DataFrame = {
+    val sh = shingleSets(d).localCheckpoint()
+    val a = sh.select(col("doc_id"), col("sset").as("sa"))
+    val b = sh.select((col("doc_id") - 1).as("doc_id"), col("sset").as("sb"))
+    val edges = a.join(b, Seq("doc_id"))
+      .filter(size(array_intersect(col("sa"), col("sb"))) >= 1)
+      .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+    val qual = d.withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), expr(
+        "(cast(size(array_distinct(toks)) as bigint) * 1000000)" +
+          " div greatest(cast(size(toks) as bigint), 1)").as("div_ppm"))
+    val byCluster = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+    connectedComponents(d.select(col("doc_id")), edges)
+      .select(col("doc_id"), col("lbl").as("cluster_id"))
+      .join(qual, Seq("doc_id"))
+      .withColumn("rk", row_number().over(
+        byCluster.orderBy(col("div_ppm").desc, col("doc_id"))))
+      .select(col("doc_id"), col("cluster_id"), col("div_ppm"),
+        when(col("rk") === 1, 1L).otherwise(0L).as("is_keeper"))
+  }
+
+  private val opKeepBest = Op(
+    "dedup_keep_best",
+    (s, dir) => keepBest(docs(s, dir)),
+    Some("""
+      WITH RECURSIVE sh AS (
+        SELECT doc_id,
+          list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
+            THEN [array_to_string(list_slice(string_split(text, ' '), i+1, i+3), ' ')
+                  for i in generate_series(0, len(string_split(text, ' ')) - 3)]
+            ELSE [text] END) AS sset
+        FROM documents),
+      e AS (
+        SELECT a.doc_id AS x, a.doc_id + 1 AS y
+        FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        WHERE len(list_intersect(a.sset, b.sset)) >= 1),
+      und AS (SELECT x, y FROM e UNION ALL SELECT y AS x, x AS y FROM e),
+      reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT u.y, r.lbl FROM reach r JOIN und u ON u.x = r.node),
+      comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
+               FROM reach GROUP BY node),
+      qual AS (
+        SELECT doc_id,
+          (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+            * 1000000)
+            // greatest(CAST(len(string_split(text, ' ')) AS BIGINT), 1)
+            AS div_ppm
+        FROM documents),
+      j AS (
+        SELECT c.doc_id, c.cluster_id, q.div_ppm,
+          ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+            ORDER BY q.div_ppm DESC, c.doc_id) AS rk
+        FROM comp c JOIN qual q ON q.doc_id = c.doc_id)
+      SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id, div_ppm,
+        CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+      FROM j"""))
+
   val ops: Seq[Op] =
     Seq(opExact, opSoft, opMinhash, opSimhash, opJaccard, opContam, opCluster,
       opSpan,
       opPipeline, opSubstr, opSubstrLadder, opIncremental, opIncrMinhash,
-      opBloomGate, opDedupReport)
+      opBloomGate, opDedupReport, opKeepBest)
 }

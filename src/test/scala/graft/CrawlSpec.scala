@@ -113,6 +113,57 @@ class CrawlSpec extends SparkSpec {
     (2L to 6L).foreach(i => assert(out(i) == 1L, s"doc path $i allowed"))
   }
 
+  // ---- encoding_audit --------------------------------------------------
+
+  test("encoding_audit: mojibake lead chars, replacement chars and control chars each count; clean text audits ok") {
+    val out = Crawl.encodingAudit(Seq(
+        (1L, "plain ascii words"),
+        (2L, "donÃ¢t naÃ¯ve"),
+        (3L, "bad �� decode"),
+        (4L, "bell\u0007 and esc\u001b here"))
+      .toDF("doc_id", "wire"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("mojibake_hits"), r.getAs[Long]("repl_chars"),
+          r.getAs[Long]("ctrl_chars"), r.getAs[Long]("enc_ok"))).toMap
+    assert(out(1L) == ((0L, 0L, 0L, 1L)))
+    assert(out(2L) == ((2L, 0L, 0L, 0L)),
+      s"two UTF-8-as-Latin-1 lead chars must count: ${out(2L)}")
+    assert(out(3L) == ((0L, 2L, 0L, 0L)))
+    assert(out(4L) == ((0L, 0L, 2L, 0L)),
+      s"BEL and ESC are both control chars: ${out(4L)}")
+  }
+
+  test("encoding_audit: the synthetic injury cycle lands each defect where doc_id % 6 says") {
+    val out = Crawl.encodingAudit(Crawl.withWireText(
+        frame((0L to 5L).map(i => doc(i)): _*)))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("enc_ok")).toMap
+    assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      4L -> 1L, 5L -> 1L))
+  }
+
+  // ---- host_reputation -------------------------------------------------
+
+  test("host_reputation: a low-diversity host flags, a clean host does not; ppm arithmetic is exact") {
+    val spam = "buy buy buy buy buy buy buy buy buy buy" // div 1/10
+    val clean = "ten entirely distinct tokens make this document diverse enough today"
+    val out = Crawl.hostReputation(frame(
+        (1L, spam, "en", "spamco", spam.length.toLong),
+        (2L, spam, "en", "spamco", spam.length.toLong),
+        (3L, clean, "en", "goodco", clean.length.toLong),
+        (4L, clean + " extra tail", "en", "goodco", clean.length + 11L)))
+      .collect().map(r => r.getAs[String]("host") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("avg_diversity_ppm"),
+          r.getAs[Long]("short_ppm"), r.getAs[Long]("flagged"))).toMap
+    assert(out("spamco.example.com")._2 == 100000L,
+      "1 distinct of 10 tokens = exactly 100000 ppm")
+    assert(out("spamco.example.com")._4 == 1L, "spam host must flag")
+    assert(out("spamco.example.com")._3 == 1000000L,
+      "39-char docs are short: short_ppm = 1e6 exactly")
+    assert(out("goodco.example.com")._4 == 0L, "clean host must not flag")
+    assert(out("goodco.example.com")._1 == 2L)
+  }
+
   test("robots_gate: crawl delay derives from the host's source length") {
     val out = Crawl.robotsGate(Crawl.withRobots(
         frame(doc(2L, "ab"), doc(3L, "abcdef"))))

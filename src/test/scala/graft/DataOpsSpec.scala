@@ -197,4 +197,47 @@ class DataOpsSpec extends SparkSpec {
     // view: 2 events, 2 json, 0 with k → sentinels -1/-1/0, cov 0
     assert(out("view") == ((2L, 2L, 0L, 0L, -1L, -1L, 0L, 0L)))
   }
+
+  test("needle_plant: hand fixture — offset arithmetic exact at depth 0, interior, and near-end; substring round-trip proves it") {
+    // doc_id drives depth: 1000 * k ≡ (id * 2654435761) % 1000. Pick
+    // ids whose permille lands at 0, mid, and high.
+    def permille(id: Long) = (id * 2654435761L) % 1000
+    // 2654435761 ≡ 761 (mod 1000) is coprime to 1000, so permille 0
+    // needs id ≡ 0 (mod 1000): the multiplier never zeroes small ids
+    val id0 = 1000L
+    assert(permille(id0) == 0L)
+    val ids = (1L to 400L)
+    val idMid = ids.find(i => permille(i) >= 400 && permille(i) < 600).get
+    val idHi = ids.find(permille(_) >= 990).get
+    val text = (1 to 10).map(i => s"tok$i").mkString(" ") // 10 tokens
+    val d = Seq(id0, idMid, idHi).map(i => (i, text))
+      .toDF("doc_id", "text")
+    val out = DataOps.needlePlant(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("insert_after_tok"), r.getAs[Long]("needle_off"),
+          r.getAs[Long]("total_len"), r.getAs[Long]("plant_ok"))).toMap
+    // manual render check for each: k tokens, then the needle
+    Seq(id0, idMid, idHi).foreach { id =>
+      val k = (permille(id) * 10) / 1000
+      val toks = text.split(" ")
+      val needle = s"NEEDLE-$id"
+      val rendered = (toks.take(k.toInt) ++ Array(needle) ++
+        toks.drop(k.toInt)).mkString(" ")
+      val expOff = rendered.indexOf(needle).toLong
+      assert(out(id)._1 == k, s"id $id insert point")
+      assert(out(id)._2 == expOff,
+        s"id $id offset: got ${out(id)._2}, rendered expects $expOff")
+      assert(out(id)._3 == rendered.length.toLong)
+      assert(out(id)._4 == 1L, s"id $id substring round-trip")
+    }
+    assert(out(id0)._2 == 0L, "depth-0 needle sits at offset 0")
+  }
+
+  test("needle_plant: every corpus row plants cleanly and depths cover the permille range") {
+    val out = SparkEntry.queries("needle_plant")(spark, sfDir)
+    assert(out.filter($"plant_ok" =!= 1L).count() == 0,
+      "every substring round-trip must succeed")
+    val depths = out.select("depth_permille").distinct().count()
+    assert(depths > 100, s"depth coverage too narrow: $depths bands")
+  }
 }

@@ -564,6 +564,38 @@ class PipelineOpsSpec extends SparkSpec {
       "cluster id must be the component minimum")
   }
 
+  test("dedup_keep_best: the highest-quality cluster member keeps, not the min id; quality ties fall back to min id") {
+    // docs 1..3 chain into one near-dup cluster (consecutive ids
+    // sharing a 3-shingle); doc 2 carries the most DISTINCT tokens, so
+    // the quality-aware policy must keep 2 — the min-id policy
+    // (dedup_cluster) would keep 1, which is exactly the difference
+    // this operator exists for. 7 is a singleton; 8,9 are an
+    // identical-text pair (equal quality → tie falls to min id 8).
+    val shared = "alpha beta gamma"
+    val fixture = Seq(
+      1L -> s"$shared alpha alpha alpha alpha alpha",   // 3/8 distinct
+      2L -> s"$shared delta epsilon zeta eta theta",    // 8/8 distinct
+      3L -> s"$shared beta beta gamma gamma beta",      // 3/8 distinct
+      7L -> "lorem ipsum dolor sit amet consectetur",
+      8L -> "same exact text in both copies here",
+      9L -> "same exact text in both copies here")
+      .toDF("doc_id", "text")
+    val out = operators.Dedup.keepBest(fixture).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(out(1L)._1 == 1L && out(2L)._1 == 1L && out(3L)._1 == 1L,
+      s"1..3 must form one cluster: $out")
+    assert(out(2L)._2 == 1L, "the most-diverse member must be keeper")
+    assert(out(1L)._2 == 0L && out(3L)._2 == 0L,
+      "the min-id member must NOT keep when a better one exists")
+    assert(out(7L) == ((7L, 1L)), "singleton keeps itself")
+    assert(out(8L)._2 == 1L && out(9L)._2 == 0L,
+      "equal quality ties fall back to the min id")
+    // every cluster has exactly one keeper
+    val byCluster = out.values.groupBy(_._1)
+    byCluster.foreach { case (c, ms) =>
+      assert(ms.count(_._2 == 1L) == 1, s"cluster $c keeper count") }
+  }
+
   test("dedup_pipeline: LSH candidates → Jaccard verify → transitive clusters") {
     // sliding-window chain: 24-token docs over t0..t31 at shifts
     // 0,2,4,6,8 (docs 1,3,4,5,6; doc 2 = exact copy of 1). Adjacent
