@@ -438,11 +438,26 @@ object Splits {
         (col("max_cos") >= ContamEmbTau).cast("long"))
   }
 
+  /** Inline pseudo-benchmark bound (r18). A REAL benchmark is fixed
+    * and small; the inline framing derives one from the corpus's %97
+    * slice, which GROWS with the corpus — so the pool × benchmark
+    * serve scan was quadratic in sf (measured: sf10 full-sweep read
+    * ~80× sf1 — both sides grew 10×). Capping the derived benchmark
+    * at the slice's first 256 members by vec_id (deterministic,
+    * oracle-replayable) restores the production shape — pool scan ×
+    * bounded broadcast, linear forever. The cap binds only at sf10+
+    * (slice sizes: sf0.01 → 20, sf1 → 206, sf10 → 2061), so driver
+    * correctness results are unchanged. boundedEvalCodes' AnnIndexCap
+    * guard stays as the driver-memory backstop.
+    */
+  val ContamEvalCap = 256
+
   private[graft] def contamEmbed(e: DataFrame): DataFrame =
     contamEmbedServe(
       e.filter(col("vec_id") % 97 =!= 0),
       boundedEvalCodes(
-        Similarity.int8Codes(e.filter(col("vec_id") % 97 === 0))))
+        Similarity.int8Codes(e.filter(col("vec_id") % 97 === 0)
+          .orderBy(col("vec_id")).limit(ContamEvalCap))))
 
   private val opContamEmbed = Op(
     "contam_embed",
@@ -467,7 +482,8 @@ object Splits {
           CASE WHEN maxabs = 0 THEN [0 for x in embedding]
             ELSE [CAST(ROUND(CAST(x AS DOUBLE) / (maxabs / 127.0)) AS INT)
                   for x in embedding] END AS cq
-        FROM e WHERE vec_id % 97 = 0),
+        FROM e WHERE vec_id % 97 = 0
+        ORDER BY vec_id LIMIT $ContamEvalCap),
       s AS (
         SELECT p.vec_id, c.c_id,
           ROUND(list_sum([CAST(p.embedding[i] AS DOUBLE)
