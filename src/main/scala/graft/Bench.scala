@@ -32,7 +32,12 @@ object Bench {
   def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // SPARK_GRAFT_SHUFFLE: decouple reducer count from thread count
+      // (a 32-partition shuffle that spills at sf10 is an instrument
+      // wall, not a plan defect — a 1000-executor cluster would run
+      // thousands of reducers; this knob lets the single box prove it)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       // wide aggs (64-col simhash/minhash signatures) exceed the
       // default codegen field limit of 100
       .config("spark.sql.codegen.maxFields", "300")
