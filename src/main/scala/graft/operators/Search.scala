@@ -366,6 +366,20 @@ object Search {
     * time, moved to query derivation. */
   val HnQueryTerms = 4
 
+  /** Bound on the derived pseudo-benchmark (r18). A benchmark's query
+    * set is FIXED and small by nature; deriving it from the corpus's
+    * %97 slice made it grow with the corpus, and the query x doc
+    * contribution volume with it — the quadratic class the r18 sf10
+    * sweep caught in contam_embed, and the root of this op's former
+    * sf10 shuffle wall. The slice's ids are 0, 97, 194, ..., so
+    * doc_id div 97 < cap selects exactly its first [[HnQueryCap]]
+    * members — deterministic and replayed verbatim in the oracle.
+    * Binds only at sf1+ (slice sizes: sf0.01 -> 5, sf0.1 -> 51,
+    * sf1 -> 515), so driver-scale results are unchanged. Applied in
+    * BOTH the inline framing and deriveQueryTerms, keeping the
+    * store-fed == inline row-identity intact. */
+  val HnQueryCap = 64L
+
   /** Hard-negative mining — the retrieval-training data step (the DPR
     * / contrastive-encoder recipe): for each (query, positive-doc)
     * pair, the top BM25-ranked documents that are NOT the positive are
@@ -429,7 +443,8 @@ object Search {
       graft.functions.TextFns.tokens(col("text")).as("toks"))
     val stats = toks.agg(count(lit(1)).as("n"),
       sum(size(col("toks")).cast("long")).as("t"))
-    val qcand = toks.filter(col("doc_id") % 97 === 0)
+    val qcand = toks.filter(col("doc_id") % 97 === 0 &&
+        expr("doc_id div 97") < HnQueryCap)
       .select(col("doc_id").as("q_id"),
         explode(array_distinct(col("toks"))).as("token"))
       .filter(length(col("token")) > 0)
@@ -498,7 +513,8 @@ object Search {
       broadcastMaxRows: Long = Dedup.SpanBroadcastMaxRows): DataFrame = {
     val toks = d.select(col("doc_id"),
       graft.functions.TextFns.tokens(col("text")).as("toks"))
-    val qcand = toks.filter(col("doc_id") % 97 === 0)
+    val qcand = toks.filter(col("doc_id") % 97 === 0 &&
+        expr("doc_id div 97") < HnQueryCap)
       .select(col("doc_id").as("q_id"),
         explode(array_distinct(col("toks"))).as("token"))
       .filter(length(col("token")) > 0)
@@ -574,7 +590,7 @@ object Search {
       qc AS (
         SELECT doc_id AS q_id, u.tok AS token
         FROM (SELECT doc_id, list_distinct(toks) AS dt
-              FROM d WHERE doc_id % 97 = 0), UNNEST(dt) AS u(tok)
+              FROM d WHERE doc_id % 97 = 0 AND doc_id // 97 < $HnQueryCap), UNNEST(dt) AS u(tok)
         WHERE length(u.tok) > 0),
       tok AS (
         SELECT doc_id, u.tok AS token
