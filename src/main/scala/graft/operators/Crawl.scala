@@ -478,6 +478,72 @@ object Crawl {
           AS flagged
       FROM agg"""))
 
+  // ---- crawl_schedule --------------------------------------------------
+
+  /** Politeness scheduler over the robots-gated frontier (r18): each
+    * host fetches one URL per crawl-delay tick, so an ALLOWED doc's
+    * fetch time is (its rank within the host) × (the host's parsed
+    * delay). This is the arithmetic every frontier runs to answer
+    * "when does this crawl finish" — the per-host makespan — and why
+    * a crawl's wall clock is dominated by its largest host, not its
+    * page count. Disallowed docs carry fetch_slot −1 (audit rows, the
+    * dedup_embed sentinel convention). One window per host over the
+    * skinny gated frame (rank only — text never enters), plus the
+    * per-host makespan broadcast back; scale-free: window partitions
+    * are per-host URL LISTS (ids + delays, bytes per row), and a
+    * 100 TB frontier shards by host anyway.
+    */
+  private[graft] def crawlSchedule(r: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gated = robotsGate(r)
+    val byHost = Window.partitionBy(col("host"))
+    val allowed = Window.partitionBy(col("host"), col("allowed"))
+      .orderBy(col("doc_id"))
+    gated
+      .withColumn("rk",
+        when(col("allowed") === 1L, row_number().over(allowed))
+          .otherwise(lit(0L)).cast("long"))
+      .withColumn("fetch_slot", when(col("allowed") === 1L,
+        (col("rk") - 1L) * col("crawl_delay")).otherwise(lit(-1L)))
+      .withColumn("host_makespan",
+        max(col("fetch_slot")).over(byHost))
+      .select(col("doc_id"), col("host"), col("allowed"),
+        col("fetch_slot"), col("host_makespan"))
+  }
+
+  private val opSchedule = Op(
+    "crawl_schedule",
+    (s, dir) => crawlSchedule(withRobots(docs(s, dir))),
+    Some(s"""
+      WITH $robotsCte,
+      parsed AS (
+        SELECT doc_id, host, path, robots,
+          regexp_extract_all(robots, 'Disallow: (\\S+)', 1) AS rules
+        FROM rb),
+      hit AS (
+        SELECT doc_id, host, path, robots,
+          list_filter(rules, p -> starts_with(path, p)) AS hits
+        FROM parsed),
+      g AS (
+        SELECT doc_id, host,
+          CAST(CASE WHEN len(hits) = 0 THEN 1 ELSE 0 END AS BIGINT)
+            AS allowed,
+          CAST(regexp_extract(robots, 'Crawl-delay: ([0-9]+)', 1)
+            AS BIGINT) AS crawl_delay
+        FROM hit),
+      slotted AS (
+        SELECT doc_id, host, allowed,
+          CASE WHEN allowed = 1 THEN
+            (CAST(ROW_NUMBER() OVER (PARTITION BY host, allowed
+              ORDER BY doc_id) AS BIGINT) - 1) * crawl_delay
+          ELSE -1 END AS fetch_slot
+        FROM g)
+      SELECT doc_id, host, allowed, fetch_slot,
+        CAST(MAX(fetch_slot) OVER (PARTITION BY host) AS BIGINT)
+          AS host_makespan
+      FROM slotted"""))
+
   val ops: Seq[Op] =
-    Seq(opUrlCanon, opLicense, opRobots, opEncoding, opHostRep)
+    Seq(opUrlCanon, opLicense, opRobots, opEncoding, opHostRep,
+      opSchedule)
 }

@@ -160,6 +160,25 @@ object Streams {
   def extractStream(pages: DataFrame): DataFrame =
     graft.operators.Html.extract(pages)
 
+  /** stream_url_dedup — canonical-URL dedup on the crawl frontier
+    * live (r18; batch twin: url_canon's dup groups). The cheapest
+    * dedup rung of all needs no content, so it runs FIRST in a
+    * streaming crawl: arriving URLs canonicalize (the SAME
+    * Crawl.canonicalize chain the batch op runs — fragment, case,
+    * www., default port, trailing slash, tracking params) and
+    * duplicates of a canonical form already seen inside the watermark
+    * drop before anything is fetched. Watermark-bounded state is the
+    * stream_dedup contract: re-crawls arrive clustered in time (a
+    * snapshot's spellings land together), so the horizon is where the
+    * dedup value lives, and unbounded per-URL state on a 100 TB/day
+    * frontier is not an option — the STANDING exact gate is the
+    * fingerprint firewall's job (ingest_e2e), not this stage's.
+    */
+  def urlDeduped(urls: DataFrame): DataFrame =
+    graft.operators.Crawl.canonicalize(urls)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("canon")
+
   /** stream_doremi — running mixture-drift monitor under the FROZEN
     * proxy LM (batch twin: mix_doremi; model source: the batch op's
     * unigram distribution, the dsir/stream_dsir frozen-fence

@@ -172,4 +172,21 @@ class CrawlSpec extends SparkSpec {
     assert(out(2L) == 1L + 2 % 5)
     assert(out(3L) == 1L + 6 % 5)
   }
+
+  test("crawl_schedule: per-host slots tick by the parsed delay; disallowed rows carry the -1 sentinel; makespan is the host's last slot") {
+    // srcA (len 4 -> delay 5): docs 2,3,4 allowed (0%7..: 2,3,4 -> /doc),
+    // doc 0 -> /private (disallowed), doc 1 -> /tag (disallowed)
+    val out = Crawl.crawlSchedule(Crawl.withRobots(
+        frame((0L to 4L).map(i => doc(i, "srcA")): _*)))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("allowed"), r.getAs[Long]("fetch_slot"),
+          r.getAs[Long]("host_makespan"))).toMap
+    val d = 1L + 4 % 5 // srcA delay
+    assert(out(0L) == ((0L, -1L, 2 * d)))
+    assert(out(1L) == ((0L, -1L, 2 * d)))
+    assert(out(2L) == ((1L, 0L, 2 * d)), "first allowed fetches at slot 0")
+    assert(out(3L) == ((1L, d, 2 * d)))
+    assert(out(4L) == ((1L, 2 * d, 2 * d)),
+      "slots tick by the host's parsed crawl delay")
+  }
 }

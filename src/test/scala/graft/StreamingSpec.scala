@@ -68,6 +68,34 @@ class StreamingSpec extends SparkSpec {
     assert(n == 2, s"expected 2 unique payloads, got $n")
   }
 
+  test("stream_url_dedup: spelling variants of one canonical URL collapse across batches; distinct pages survive") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val df = in.toDF().toDF("ts", "doc_id", "url")
+    val q = Streams.urlDeduped(df).writeStream
+      .format("memory").queryName("urldedup_out").outputMode("append")
+      .start()
+    in.addData(
+      (ts("2024-01-01 10:00:00"), 1L,
+        "https://srcx.example.com/doc/4"),
+      (ts("2024-01-01 10:01:00"), 2L,
+        "HTTPS://WWW.SRCX.EXAMPLE.COM:443/doc/4?utm_source=feed"))
+    q.processAllAvailable()
+    in.addData( // second batch: state must remember canon /doc/4
+      (ts("2024-01-01 10:05:00"), 3L,
+        "https://srcx.example.com/doc/4/?ref=home#frag"),
+      (ts("2024-01-01 10:06:00"), 4L,
+        "https://srcx.example.com/doc/4?page=2"), // REAL param: new page
+      (ts("2024-01-01 10:07:00"), 5L,
+        "https://other.example.com/doc/4"))
+    q.processAllAvailable()
+    val kept = spark.table("urldedup_out").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    q.stop()
+    assert(kept == Set(1L, 4L, 5L),
+      s"one fetch per canonical form: $kept")
+  }
+
   test("stream_contam: contaminated docs are gated out statelessly") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[(Long, String)]
