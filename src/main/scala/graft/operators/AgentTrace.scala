@@ -283,6 +283,83 @@ object AgentTrace {
       FROM rew
       WINDOW w AS (PARTITION BY trace_id ORDER BY ts_us, event_id)"""))
 
+  // ---- trace_loop: stuck-loop detection per trace ----
+  // The failure mode agent_trace's balance identities CANNOT see: a
+  // trace can be perfectly call/result paired and error-free while
+  // the agent is stuck repeating the same action (a retry storm of
+  // calls, a result-polling loop) — exactly the traces an agent
+  // trainer must quarantine because they teach the policy to loop.
+  // Detection is the longest run of the SAME consecutive action, via
+  // the gaps-and-islands identity: with rn = row_number over the
+  // trace order and rn_a = row_number over the same order restricted
+  // to one action, (rn − rn_a) is constant exactly on a maximal
+  // consecutive run of that action — a grouping key, no self-join.
+  // run_action ties break to the lexicographically smallest action so
+  // the row is deterministic. is_looping fires at LoopRunMin (4+
+  // consecutive identical actions — one retry is normal, three
+  // retries of the same step is a loop by any agent-runtime policy).
+  // Scale shape: two windows + one agg, ALL keyed on trace_id — the
+  // q14_sessionize partition class (10× data = 10× constant-size
+  // partitions, measured in BENCH_sf10 tier4); output is one skinny
+  // integer row per trace.
+  val LoopRunMin = 4L
+
+  /** Loop audit over a (trace_id, event_id, ts_us, action) frame —
+    * factored for fixture specs; the Op wires the events derivation.
+    */
+  def traceLoop(trace: DataFrame): DataFrame = {
+    val byTrace = Window.partitionBy(col("trace_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val byTraceAction = Window.partitionBy(col("trace_id"), col("action"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val runs = trace
+      .withColumn("grp",
+        row_number().over(byTrace) - row_number().over(byTraceAction))
+      .groupBy(col("trace_id"), col("action"), col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+    val mx = Window.partitionBy(col("trace_id"))
+    runs
+      .withColumn("mxr", max(col("run_len")).over(mx))
+      .groupBy(col("trace_id"))
+      .agg(
+        sum(col("run_len")).as("n_events"),
+        count(lit(1)).as("n_runs"),
+        max(col("run_len")).as("max_run"),
+        min(when(col("run_len") === col("mxr"), col("action")))
+          .as("run_action"))
+      .select(col("trace_id"), col("n_events"), col("n_runs"),
+        col("max_run"), col("run_action"),
+        when(col("max_run") >= LoopRunMin, 1L).otherwise(0L)
+          .as("is_looping"))
+  }
+
+  private val opTraceLoop = Op(
+    "trace_loop",
+    (s, dir) => traceLoop(traceRows(Tables.events(s, dir))),
+    Some(traceCte + s""",
+      isl AS (
+        SELECT trace_id, action,
+          ROW_NUMBER() OVER (PARTITION BY trace_id
+              ORDER BY ts_us, event_id)
+            - ROW_NUMBER() OVER (PARTITION BY trace_id, action
+              ORDER BY ts_us, event_id) AS grp
+        FROM trace),
+      runs AS (
+        SELECT trace_id, action, grp, CAST(COUNT(*) AS BIGINT) AS run_len
+        FROM isl GROUP BY 1, 2, 3),
+      mx AS (
+        SELECT *, MAX(run_len) OVER (PARTITION BY trace_id) AS mxr
+        FROM runs)
+      SELECT trace_id,
+        CAST(SUM(run_len) AS BIGINT) AS n_events,
+        CAST(COUNT(*) AS BIGINT) AS n_runs,
+        CAST(MAX(run_len) AS BIGINT) AS max_run,
+        MIN(CASE WHEN run_len = mxr THEN action END) AS run_action,
+        CAST(CASE WHEN MAX(run_len) >= $LoopRunMin THEN 1 ELSE 0 END
+          AS BIGINT) AS is_looping
+      FROM mx GROUP BY trace_id"""))
+
   val ops: Seq[Op] =
-    Seq(opAgentTrace, opTraceBigram, opToolLatency, opTraceReturns)
+    Seq(opAgentTrace, opTraceBigram, opToolLatency, opTraceReturns,
+      opTraceLoop)
 }

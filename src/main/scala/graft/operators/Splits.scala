@@ -701,7 +701,114 @@ object Splits {
           ELSE 0.0 END AS anneal_toks
       FROM p, ps"""))
 
+  // ---- mix_constrained: the repeat-budget planner ----
+  // The data-constrained regime (Muennighoff et al. 2023, "Scaling
+  // Data-Constrained Language Models"): when the token budget exceeds
+  // the unique corpus, data must REPEAT, and a repeated epoch is
+  // worth less than a fresh one — roughly free to ~4 epochs, then
+  // decaying fast (MaxEpochs above is that knee). This op answers the
+  // regime's operative question — WHERE to spend the repeat budget —
+  // with the anneal-pool logic applied to epochs: sources are ranked
+  // by quality_ppm (the mix_anneal scorer) and greedily granted up to
+  // 4 epochs top-quality-first until the budget (BudgetEpochs × the
+  // unique corpus) runs out; everything after the boundary trains
+  // once. Epoch value decays on the dyadic half-ladder (epoch k worth
+  // 2^(1−k) of a fresh epoch) — the engine-exact conservative
+  // stand-in for the paper's fitted R_D* decay (the trace_returns
+  // literal-table move): every effective-token mass is then an exact
+  // ×8 integer (E∈1..4 → multiplier 8/12/14/15), so effective_toks is
+  // one exact dyadic division and efficiency_ppm is pure BIGINT DIV
+  // (1e6/8 folded to ×125000 to keep headroom ~2^61 at 10^12-token
+  // sources). Greedy boundary via ONE running-sum window over the
+  // per-source frame (vanishing rows — the global window is over
+  // #sources, not the corpus; same class as epochPlan's broadcast
+  // total). One corpus token scan, checkpointed per-source fold,
+  // 1-row broadcast, no corpus-wide work after the scan.
+  val BudgetEpochs = 2L
+
+  private[graft] def constrainedPlan(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSource = d
+      .select(col("source"),
+        size(TextFns.tokens(col("text"))).cast("long").as("toks"),
+        size(array_distinct(TextFns.tokens(col("text")))).cast("long")
+          .as("dst"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_toks"),
+        sum(col("dst")).as("n_distinct"))
+      .withColumn("quality_ppm",
+        expr("(n_distinct * 1000000) DIV n_toks"))
+      .localCheckpoint()
+    val tot = perSource.agg(sum(col("n_toks")).as("u_total"))
+    val byQuality = Window
+      .orderBy(col("quality_ppm").desc, col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perSource.crossJoin(broadcast(tot))
+      .withColumn("b", col("u_total") * BudgetEpochs)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("quality_ppm").desc,
+          col("source"))))
+      .withColumn("cum", sum(col("n_toks") * 4L).over(byQuality))
+      .withColumn("epochs", expr("""
+        CASE WHEN cum <= b THEN CAST(4 AS BIGINT)
+             WHEN cum - 4 * n_toks >= b THEN CAST(1 AS BIGINT)
+             ELSE GREATEST(CAST(1 AS BIGINT),
+                           (b - (cum - 4 * n_toks)) DIV n_toks) END"""))
+      .withColumn("eff_x8", col("n_toks") * expr(
+        "CASE epochs WHEN 1 THEN 8 WHEN 2 THEN 12 WHEN 3 THEN 14 ELSE 15 END"))
+      .select(col("source"), col("n_docs"), col("n_toks"),
+        col("quality_ppm"), col("rnk").cast("long").as("rnk"),
+        col("epochs"),
+        (col("n_toks") * col("epochs")).as("raw_toks"),
+        (col("eff_x8") / 8.0).as("effective_toks"),
+        expr("(eff_x8 * 125000) DIV (n_toks * epochs)")
+          .as("efficiency_ppm"))
+  }
+
+  private val opConstrained = Op(
+    "mix_constrained",
+    (s, dir) => constrainedPlan(docs(s, dir)),
+    Some(s"""
+      WITH src AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_toks,
+          CAST(SUM(len(list_distinct(string_split(text, ' ')))) AS BIGINT)
+            AS n_distinct
+        FROM documents GROUP BY 1),
+      q AS (
+        SELECT source, n_docs, n_toks,
+          (n_distinct * 1000000) // n_toks AS quality_ppm
+        FROM src),
+      t AS (SELECT CAST(SUM(n_toks) AS BIGINT) * $BudgetEpochs AS b
+            FROM q),
+      w AS (
+        SELECT q.*, t.b,
+          ROW_NUMBER() OVER (ORDER BY quality_ppm DESC, source) AS rnk,
+          SUM(n_toks * 4) OVER (ORDER BY quality_ppm DESC, source
+            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM q, t),
+      e AS (
+        SELECT *,
+          CASE WHEN cum <= b THEN 4
+               WHEN cum - 4 * n_toks >= b THEN 1
+               ELSE GREATEST(1, (b - (cum - 4 * n_toks)) // n_toks) END
+            AS epochs
+        FROM w),
+      x AS (
+        SELECT *, n_toks * CASE epochs WHEN 1 THEN 8 WHEN 2 THEN 12
+            WHEN 3 THEN 14 ELSE 15 END AS eff_x8
+        FROM e)
+      SELECT source, n_docs, n_toks,
+        CAST(quality_ppm AS BIGINT) AS quality_ppm,
+        CAST(rnk AS BIGINT) AS rnk,
+        CAST(epochs AS BIGINT) AS epochs,
+        CAST(n_toks * epochs AS BIGINT) AS raw_toks,
+        eff_x8 / 8.0 AS effective_toks,
+        CAST((eff_x8 * 125000) // (n_toks * epochs) AS BIGINT)
+          AS efficiency_ppm
+      FROM x"""))
+
   def ops: Seq[Op] =
     Seq(opSplitSafe, opSplitLeakage, opEpochPlan, opUpsample,
-      opContamMinhash, opContamEmbed, opDoremi, opAnneal)
+      opContamMinhash, opContamEmbed, opDoremi, opAnneal, opConstrained)
 }

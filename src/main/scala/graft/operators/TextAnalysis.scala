@@ -1038,8 +1038,91 @@ object TextAnalysis {
                   OR indent_lines >= 3 THEN 1 ELSE 0 END AS BIGINT) AS is_code
       FROM f"""))
 
+  // ---- code_metrics: per-file code-quality heuristics ----
+  // The filter tier that runs AFTER code_detect has routed a doc to
+  // the code domain: the published per-FILE gates a code corpus
+  // applies before training (the StarCoder/The-Stack line-statistic
+  // filters: max line length ≤ 1000, average line length ≤ 100,
+  // alphanumeric fraction ≥ 0.25) plus the two cheap autogenerated-
+  // content probes (runs of ≥16 hex chars — UUIDs/hashes/minified
+  // bundles; ≥64-char base64 blobs — embedded binaries), which the
+  // line gates miss because generated files can be perfectly line-
+  // disciplined. All features are exact integers (x100 / ppm via DIV
+  // — the code_detect convention), so the whole operator is one
+  // narrow codegen projection over the scan: no shuffle at any corpus
+  // size, scan-speed at 100 TB, full DuckDB oracle. avg_line_x100
+  // divides the char count EXCLUDING the n_lines−1 separators, so a
+  // file and its trailing-newline-stripped twin measure identically.
+  // Regex note: \b and the hex/base64 classes read identically under
+  // Java regex and RE2 (the CodeKwRe precedent above).
+  private val HexRunRe = "\\b[0-9a-fA-F]{16,}\\b"
+  private val B64BlobRe = "[A-Za-z0-9+/=]{64,}"
+
+  /** Line/charset metrics over a frame carrying (doc_id, text) —
+    * factored so the planted-fixture spec drives real code through it.
+    */
+  private[graft] def codeMetrics(d: DataFrame): DataFrame = {
+    val nChars = length(col("text")).cast("long")
+    val nLines = expr("CAST(size(split(text, '\\n')) AS BIGINT)")
+    val maxLine = expr(
+      "CAST(array_max(transform(split(text, '\\n'), x -> length(x))) AS BIGINT)")
+    d.withColumn("n_lines", nLines)
+      .withColumn("max_line", maxLine)
+      .withColumn("avg_line_x100",
+        ((nChars - (col("n_lines") - 1L)) * 100L)
+          .divide(col("n_lines")).cast("long"))
+      .withColumn("alnum_ppm",
+        (regexp_count(col("text"), lit("[A-Za-z0-9]")).cast("long")
+          * 1000000L).divide(greatest(nChars, lit(1L))).cast("long"))
+      .withColumn("hex_runs",
+        regexp_count(col("text"), lit(HexRunRe)).cast("long"))
+      .withColumn("b64_blobs",
+        regexp_count(col("text"), lit(B64BlobRe)).cast("long"))
+      .withColumn("keep_code",
+        when(col("max_line") <= 1000L && col("avg_line_x100") <= 10000L &&
+          col("alnum_ppm") >= 250000L && col("hex_runs") < 4L &&
+          col("b64_blobs") === 0L, 1L).otherwise(0L))
+      .select(col("doc_id"), col("n_lines"), col("max_line"),
+        col("avg_line_x100"), col("alnum_ppm"), col("hex_runs"),
+        col("b64_blobs"), col("keep_code"))
+  }
+
+  private val opCodeMetrics = Op(
+    "code_metrics",
+    (s, dir) => codeMetrics(docs(s, dir)),
+    Some(s"""
+      WITH f AS (
+        SELECT doc_id,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+          CAST(list_max(list_transform(string_split(text, chr(10)),
+            x -> length(x))) AS BIGINT) AS max_line,
+          CAST(len(regexp_extract_all(text, '[A-Za-z0-9]')) AS BIGINT)
+            AS n_alnum,
+          CAST(len(regexp_extract_all(text, '$HexRunRe')) AS BIGINT)
+            AS hex_runs,
+          CAST(len(regexp_extract_all(text, '$B64BlobRe')) AS BIGINT)
+            AS b64_blobs
+        FROM documents),
+      m AS (
+        SELECT doc_id, n_lines, max_line,
+          CAST((n_chars - (n_lines - 1)) * 100 // n_lines AS BIGINT)
+            AS avg_line_x100,
+          CAST(n_alnum * 1000000 // greatest(n_chars, 1) AS BIGINT)
+            AS alnum_ppm,
+          hex_runs, b64_blobs
+        FROM f)
+      SELECT doc_id, n_lines, max_line, avg_line_x100, alnum_ppm,
+        hex_runs, b64_blobs,
+        CAST(CASE WHEN max_line <= 1000 AND avg_line_x100 <= 10000
+                  AND alnum_ppm >= 250000 AND hex_runs < 4
+                  AND b64_blobs = 0 THEN 1 ELSE 0 END AS BIGINT)
+          AS keep_code
+      FROM m"""))
+
   val ops: Seq[Op] = Seq(opLangId, opQuality, opTokenCount, opFingerprint,
     opRepetition, opPii, opVocab, opVocabSketch, opVocabCms, opCompress,
     opFilter, opKeywords, opIndex,
-    opDataCard, opDataCardKanon, opGopher, opBlocklist, opCodeDetect)
+    opDataCard, opDataCardKanon, opGopher, opBlocklist, opCodeDetect,
+    opCodeMetrics)
 }

@@ -163,4 +163,62 @@ class AgentTraceSpec extends SparkSpec {
       assert((matched == 1L) == (lat >= 0L))
     }
   }
+
+  test("trace_loop: hand fixture — runs, interruption reset, tie-break, gate") {
+    val t = trace(
+      // trace 1: retry storm — five consecutive calls then one result
+      (1L, 1L, 100L, "call"), (1L, 2L, 200L, "call"),
+      (1L, 3L, 300L, "call"), (1L, 4L, 400L, "call"),
+      (1L, 5L, 500L, "call"), (1L, 6L, 600L, "result"),
+      // trace 2: clean alternation — max run 1 everywhere
+      (2L, 1L, 100L, "call"), (2L, 2L, 200L, "result"),
+      (2L, 3L, 300L, "call"), (2L, 4L, 400L, "result"),
+      // trace 3: tie at run length 2 → run_action is the
+      // lexicographically smallest of the tied actions ("call")
+      (3L, 1L, 100L, "result"), (3L, 2L, 200L, "result"),
+      (3L, 3L, 300L, "call"), (3L, 4L, 400L, "call"),
+      // trace 4: interruption resets the run — 2+2 calls split by a
+      // user turn is NOT a 4-run (the islands identity, not a count)
+      (4L, 1L, 100L, "call"), (4L, 2L, 200L, "call"),
+      (4L, 3L, 300L, "user"), (4L, 4L, 400L, "call"),
+      (4L, 5L, 500L, "call"))
+    val out = AgentTrace.traceLoop(t).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5))).toMap
+    assert(out(1L) == (6L, 2L, 5L, "call", 1L))
+    assert(out(2L) == (4L, 4L, 1L, "call", 0L))
+    assert(out(3L) == (4L, 2L, 2L, "call", 0L))
+    assert(out(4L) == (5L, 3L, 2L, "call", 0L))
+  }
+
+  test("trace_loop: input row order never matters") {
+    val rows = Seq((1L, 1L, 100L, "call"), (1L, 2L, 200L, "call"),
+      (1L, 3L, 300L, "result"), (1L, 4L, 400L, "call"))
+    val a = AgentTrace.traceLoop(trace(rows: _*)).collect().map(_.toSeq)
+    val b = AgentTrace.traceLoop(trace(rows.reverse: _*)).collect()
+      .map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("trace_loop corpus invariants: events tile into runs, gate == threshold") {
+    val rows = SparkEntry.queries("trace_loop")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // one row per trace, and run lengths tile the trace's events
+    val perTrace = graft.operators.AgentTrace.traceRows(
+      graft.Tables.events(spark, sfDir))
+      .groupBy("trace_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length == perTrace.size)
+    rows.foreach { case (id, nEvents, nRuns, maxRun, _, looping) =>
+      assert(nEvents == perTrace(id))
+      assert(nRuns >= 1L && nRuns <= nEvents)
+      assert(maxRun >= 1L && maxRun <= nEvents)
+      // pigeonhole: the longest run can't beat events per run count
+      assert(maxRun <= nEvents - nRuns + 1L)
+      assert((looping == 1L) ==
+        (maxRun >= graft.operators.AgentTrace.LoopRunMin))
+    }
+  }
 }

@@ -2598,6 +2598,48 @@ class PipelineOpsSpec extends SparkSpec {
     assert(corpus.filter($"is_code" =!= 0L).count() == 0)
   }
 
+  test("code_metrics: planted files — line stats exact, every gate arm fires once") {
+    import operators.TextAnalysis
+    // doc 1: clean two-line function — every feature hand-checked
+    val clean = "def f(x):\n  return x + 1"
+    // doc 2: one 1200-char line (minified bundle shape)
+    val longLine = "x" * 1200
+    // doc 3: four 16-hex runs (UUID/hash dump) — trips hex_runs < 4
+    val hexy = (1 to 4).map(_ => "deadbeef00112233").mkString(" ")
+    // doc 4: an embedded 64-char base64 blob inside otherwise-fine code
+    val b64 = "k = '" + ("QUJD" * 16) + "'"
+    // doc 5: all-punctuation line — alnum fraction 0
+    val punct = "((((((((((()))))))))))"
+    val out = TextAnalysis.codeMetrics(Seq(
+      (1L, clean), (2L, longLine), (3L, hexy), (4L, b64), (5L, punct))
+      .toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // clean: 2 lines, max 14 ("  return x + 1"), 23 payload chars →
+    // avg_line_x100 = 2300 // 2 = 1150; alnum 13 of 24 chars
+    assert(out(1L).getAs[Long]("n_lines") == 2L)
+    assert(out(1L).getAs[Long]("max_line") == 14L, out(1L).toString)
+    assert(out(1L).getAs[Long]("avg_line_x100") ==
+      (clean.length - 1L) * 100L / 2L)
+    assert(out(1L).getAs[Long]("alnum_ppm") ==
+      clean.count(_.isLetterOrDigit) * 1000000L / clean.length)
+    assert(out(1L).getAs[Long]("keep_code") == 1L)
+    // each dirty doc fails through exactly the planted arm
+    assert(out(2L).getAs[Long]("max_line") == 1200L &&
+      out(2L).getAs[Long]("keep_code") == 0L)
+    assert(out(3L).getAs[Long]("hex_runs") == 4L &&
+      out(3L).getAs[Long]("keep_code") == 0L)
+    assert(out(4L).getAs[Long]("b64_blobs") == 1L &&
+      out(4L).getAs[Long]("keep_code") == 0L)
+    assert(out(5L).getAs[Long]("alnum_ppm") == 0L &&
+      out(5L).getAs[Long]("keep_code") == 0L)
+    // corpus framing: single-line prose docs — n_lines 1 everywhere,
+    // max_line = doc length, and the line gates pass (prose fails
+    // nothing here; the gate exists for code routed by code_detect)
+    val corpus = SparkEntry.queries("code_metrics")(spark, sfDir)
+    assert(corpus.filter($"n_lines" =!= 1L).count() == 0)
+    assert(corpus.filter($"max_line" > 1000L).count() == 0)
+  }
+
   test("data_card_kanon: small cells fold per lang, totals stay exact") {
     import operators.TextAnalysis
     val card = SparkEntry.queries("data_card")(spark, sfDir).collect()

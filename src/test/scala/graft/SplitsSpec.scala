@@ -463,4 +463,64 @@ class SplitsSpec extends SparkSpec {
       assert((anneal > 0.0) == (inPool == 1L))
     }
   }
+
+  test("mix_constrained: greedy boundary lands mid-ladder, dyadic effective mass exact") {
+    // quality order A (1e6 ppm) > B (250000) > C (83333); U = 23,
+    // budget = 2U = 46. Greedy: A wants 12 (cum 12 ≤ 46 → 4 epochs),
+    // B wants 32 (cum 44 ≤ 46 → 4), C is the boundary source:
+    // cum 92 > 46, prior 44 < 46 → (46−44) DIV 12 = 0 → the 1-epoch
+    // floor (every source trains at least once).
+    val d = Seq(
+      ("A", "a b c"),
+      ("B", "a b a b a b a b"),
+      ("C", "a a a a a a a a a a a a")).toDF("source", "text")
+    val out = graft.operators.Splits.constrainedPlan(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getDouble(7), r.getLong(8))).toMap
+    // (rnk, epochs, raw_toks, effective_toks, efficiency_ppm)
+    assert(out("A") == (1L, 4L, 12L, 45.0 / 8, 468750L))
+    assert(out("B") == (2L, 4L, 32L, 15.0, 468750L))
+    assert(out("C") == (3L, 1L, 12L, 12.0, 1000000L))
+  }
+
+  test("mix_constrained: partial epochs on the boundary source") {
+    // one source, budget 2U = 4 toks < desired 4 epochs × 2 = 8:
+    // boundary on rank 1 → epochs = 4 DIV 2 = 2; dyadic value of the
+    // second epoch is half → effective 1.5U, efficiency 750000 ppm
+    val d = Seq(("A", "a b")).toDF("source", "text")
+    val row = graft.operators.Splits.constrainedPlan(d).collect().head
+    assert(row.getLong(5) == 2L)
+    assert(row.getLong(6) == 4L)
+    assert(row.getDouble(7) == 3.0)
+    assert(row.getLong(8) == 750000L)
+  }
+
+  test("mix_constrained corpus invariants: quality-ordered, floor/cap, value never exceeds mass") {
+    val rows = SparkEntry.queries("mix_constrained")(spark, sfDir).collect()
+      .map(r => (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(2),
+        r.getLong(6), r.getDouble(7), r.getLong(8)))
+      .sortBy(_._2)
+    assert(rows.nonEmpty)
+    // rank follows quality desc; epochs monotone non-increasing in
+    // rank (greedy spends top-quality-first)
+    rows.sliding(2).foreach {
+      case Array((q1, _, e1, _, _, _, _), (q2, _, e2, _, _, _, _)) =>
+        assert(q1 >= q2); assert(e1 >= e2)
+      case _ =>
+    }
+    val b = rows.map(_._4).sum * graft.operators.Splits.BudgetEpochs
+    rows.foreach { case (_, _, e, u, raw, eff, effPpm) =>
+      assert(e >= 1L && e <= 4L)
+      assert(raw == u * e)
+      // a repeated epoch is never worth more than a fresh one, and
+      // the first epoch is always full value
+      assert(eff <= raw.toDouble && eff >= u.toDouble)
+      assert((effPpm == 1000000L) == (e == 1L))
+    }
+    // greedy never over-commits past the budget except through the
+    // 1-epoch floor: raw mass beyond max(budget, U) only via floors
+    val raw = rows.map(_._5).sum
+    val floorMass = rows.filter(_._3 == 1L).map(_._4).sum
+    assert(raw <= math.max(b, rows.map(_._4).sum) + floorMass)
+  }
 }
