@@ -394,6 +394,106 @@ object Html {
           THEN clean_digest END) AS n_unique
       FROM verdict GROUP BY source"""))
 
+  // ---- html_tables: structured table extraction --------------------
+
+  /** html_tables — `<table>` markup flattened into positional cell
+    * rows, the extraction a structured-data / RAG pipeline runs where
+    * the prose path runs [[opExtract]]: tables are the one block
+    * class where STRIPPING tags destroys the signal (cell adjacency
+    * IS the semantics), so they extract to (row, col, cell) triples
+    * instead. The page variant appends a deterministic table to the
+    * standard synthetic page: one `<th>` header row plus 1 +
+    * doc_id % 3 data rows, two columns, cells drawn from the doc's
+    * token stream (row i col j = token 2·i + j, '' when the doc is
+    * short) — construction replayed verbatim in the oracle, so the
+    * op is hash-proven like the rest of the family. Extraction is
+    * two nested regexp_extract_all passes (rows `<tr>…</tr>`, then
+    * cells `<t[dh]>…</t[dh]>` — (?s) non-greedy, the Java↔RE2 common
+    * subset) with positional indices from posexplode (Spark) /
+    * generate_series indexing (DuckDB, the ngram_lm move).
+    *
+    * Scale shape: per-row regex + a fan-out bounded by the cell
+    * count per page (≤ 8 here; bounded by page size in general) —
+    * no shuffle, scan speed at 100 TB; output is the flattened cell
+    * frame downstream schema inference / table-QA prep consumes.
+    */
+  private[graft] def withTablePage(d: DataFrame): DataFrame =
+    withHtml(d)
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("nrows", expr("1 + cast(doc_id % 3 AS int)"))
+      .withColumn("tbl", expr("""
+        concat(
+          '<table><tr><th>key</th><th>value</th></tr>',
+          array_join(transform(sequence(1, nrows), i -> concat(
+            '<tr><td>', coalesce(try_element_at(t, cast(2*i AS int)), ''),
+            '</td><td>',
+            coalesce(try_element_at(t, cast(2*i + 1 AS int)), ''),
+            '</td></tr>')), ''),
+          '</table>')"""))
+      .withColumn("html",
+        expr("replace(html, '</body>', concat(tbl, '</body>'))"))
+      .drop("t", "nrows", "tbl")
+
+  private val tablePageCte = htmlCte + """,
+    tdocs AS (
+      SELECT p.doc_id, p.source, p.html, t.t,
+        1 + CAST(p.doc_id % 3 AS INT) AS nrows
+      FROM pages p JOIN toks t USING (doc_id)),
+    tpages AS (
+      SELECT doc_id, source,
+        replace(html, '</body>',
+          '<table><tr><th>key</th><th>value</th></tr>' ||
+          COALESCE(list_aggregate(list_transform(
+            generate_series(1, nrows), i ->
+              '<tr><td>' || COALESCE(t[2*i], '') ||
+              '</td><td>' || COALESCE(t[2*i + 1], '') ||
+              '</td></tr>'), 'string_agg', ''), '') ||
+          '</table></body>') AS html
+      FROM tdocs)"""
+
+  private val TrRe = "(?s)<tr>(.*?)</tr>"
+  private val CellRe = "(?s)<t[dh]>(.*?)</t[dh]>"
+
+  /** Flattened cells over a frame carrying (doc_id, html) — factored
+    * so the spec drives a hand-authored multi-table page through it.
+    */
+  private[graft] def htmlTables(pages: DataFrame): DataFrame =
+    pages
+      .select(col("doc_id"),
+        posexplode(expr(s"regexp_extract_all(html, '$TrRe', 1)"))
+          .as(Seq("row_idx", "tr")))
+      .withColumn("is_header",
+        when(col("tr").contains("<th>"), 1L).otherwise(0L))
+      .select(col("doc_id"), col("row_idx").cast("long").as("row_idx"),
+        col("is_header"),
+        posexplode(expr(s"regexp_extract_all(tr, '$CellRe', 1)"))
+          .as(Seq("col_idx", "cell")))
+      .select(col("doc_id"), col("row_idx"),
+        col("col_idx").cast("long").as("col_idx"), col("is_header"),
+        col("cell"))
+
+  private val opTables = Op(
+    "html_tables",
+    (s, dir) => htmlTables(withTablePage(docs(s, dir))),
+    Some(s"""
+      WITH $tablePageCte,
+      trs AS (
+        SELECT doc_id,
+          regexp_extract_all(html, '$TrRe', 1) AS rows_
+        FROM tpages),
+      rows2 AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS row_idx, rows_[i] AS tr
+        FROM trs, UNNEST(generate_series(1, len(rows_))) AS u(i)),
+      cells AS (
+        SELECT doc_id, row_idx,
+          CAST(CASE WHEN tr LIKE '%<th>%' THEN 1 ELSE 0 END AS BIGINT)
+            AS is_header,
+          regexp_extract_all(tr, '$CellRe', 1) AS cs
+        FROM rows2)
+      SELECT doc_id, row_idx, CAST(j - 1 AS BIGINT) AS col_idx,
+        is_header, cs[j] AS cell
+      FROM cells, UNNEST(generate_series(1, len(cs))) AS v(j)"""))
+
   val ops: Seq[Op] =
-    Seq(opExtract, opBoiler, opMetrics, opWarc, opCurateHtml)
+    Seq(opExtract, opBoiler, opMetrics, opWarc, opCurateHtml, opTables)
 }

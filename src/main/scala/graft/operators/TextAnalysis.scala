@@ -1038,6 +1038,86 @@ object TextAnalysis {
                   OR indent_lines >= 3 THEN 1 ELSE 0 END AS BIGINT) AS is_code
       FROM f"""))
 
+  // ---- dp_card: differentially-private composition release ----
+  // The third rung of the release ladder: data_card publishes exact
+  // cells, data_card_kanon suppresses small ones, dp_card NOISES
+  // every one — the mechanism a provider uses when the composition
+  // table itself crosses a trust boundary (k-anon leaks through
+  // repeated releases; calibrated noise does not). Mechanism: the
+  // truncated two-sided geometric (the discrete Laplace of Ghosh/
+  // Roughgarden/Sundararajan, utility-optimal for counts) with
+  // α = 1/2 (ε = ln 2 per released statistic), tails folded into ±4.
+  // Doc counts have sensitivity 1 as-is; token counts are CLIPPED at
+  // TokClip per doc first (unbounded contributions have no finite
+  // sensitivity) and their noise scales by TokClip. Determinism
+  // discipline: the noise draw is the Lehmer inverse-CDF over an
+  // EXACT 48-ary draw (the α=1/2 ladder has all mass in 48ths —
+  // P(0)=16/48, P(±1)=8/48, P(±2)=4/48, P(±3)=2/48, tails 2/48 —
+  // so unlike a permille quantization nothing rounds), seeded by the
+  // cell's rank in (lang, source) order: both engines replay the
+  // identical integer draw (the eval_bootstrap move). True values
+  // never appear in the output. Production knob: α per the ε budget;
+  // the ladder table regenerates the same way.
+  // Scale shape: one corpus scan folding to the ≤ langs × sources
+  // cell frame; the rank window runs over that vanishing frame.
+  val TokClip = 512L
+
+  /** (upper 48-ary bound, noise) rungs of the α=1/2 ladder; ≥46 → +4. */
+  val GeomLadder48: Seq[(Int, Int)] =
+    Seq((2, -4), (4, -3), (8, -2), (16, -1), (32, 0), (40, 1), (44, 2),
+      (46, 3))
+
+  private def ladderSql(p: String): String =
+    "CASE " + GeomLadder48.map { case (b, z) => s"WHEN $p < $b THEN $z" }
+      .mkString(" ") + " ELSE 4 END"
+
+  private[graft] def dpCard(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLs = d.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(size(TextFns.tokens(col("text"))).cast("long"),
+          lit(TokClip))).as("clip_toks"))
+    byLs
+      .withColumn("rid",
+        row_number().over(Window.orderBy(col("lang"), col("source")))
+          .cast("long"))
+      .withColumn("p48d", expr(s"((rid * 2 - 1) * ${Sampling.MixMul}" +
+        s" % ${Sampling.MixMod}) * 48 DIV ${Sampling.MixMod}"))
+      .withColumn("p48t", expr(s"((rid * 2) * ${Sampling.MixMul}" +
+        s" % ${Sampling.MixMod}) * 48 DIV ${Sampling.MixMod}"))
+      .select(col("lang"), col("source"),
+        greatest(col("n_docs") + expr(ladderSql("p48d")), lit(0L))
+          .as("n_docs_dp"),
+        greatest(col("clip_toks") + expr(ladderSql("p48t")) * TokClip,
+          lit(0L)).as("n_toks_dp"))
+  }
+
+  private val opDpCard = Op(
+    "dp_card",
+    (s, dir) => dpCard(docs(s, dir)),
+    Some(s"""
+      WITH byls AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(LEAST(len(string_split(text, ' ')), $TokClip))
+            AS BIGINT) AS clip_toks
+        FROM documents GROUP BY 1, 2),
+      seeded AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY lang, source)
+            AS BIGINT) AS rid
+        FROM byls),
+      drawn AS (
+        SELECT *,
+          ((rid * 2 - 1) * ${Sampling.MixMul} % ${Sampling.MixMod})
+            * 48 // ${Sampling.MixMod} AS p48d,
+          ((rid * 2) * ${Sampling.MixMul} % ${Sampling.MixMod})
+            * 48 // ${Sampling.MixMod} AS p48t
+        FROM seeded)
+      SELECT lang, source,
+        GREATEST(n_docs + ${ladderSql("p48d")}, 0) AS n_docs_dp,
+        GREATEST(clip_toks + ${ladderSql("p48t")} * $TokClip, 0)
+          AS n_toks_dp
+      FROM drawn"""))
+
   // ---- code_metrics: per-file code-quality heuristics ----
   // The filter tier that runs AFTER code_detect has routed a doc to
   // the code domain: the published per-FILE gates a code corpus
@@ -1124,5 +1204,5 @@ object TextAnalysis {
     opRepetition, opPii, opVocab, opVocabSketch, opVocabCms, opCompress,
     opFilter, opKeywords, opIndex,
     opDataCard, opDataCardKanon, opGopher, opBlocklist, opCodeDetect,
-    opCodeMetrics)
+    opCodeMetrics, opDpCard)
 }

@@ -2139,6 +2139,65 @@ object Streams {
       }
   }
 
+  // ---- stream_loop: stuck-loop quarantine maintained live ----
+
+  case class LoopState(lastAction: String, curRun: Long, maxRun: Long,
+    runAction: String, nEv: Long, nRuns: Long, rev: Long)
+
+  case class LoopOut(trace_id: Long, n_events: Long, n_runs: Long,
+    max_run: Long, run_action: String, is_looping: Long, rev: Long)
+
+  /** stream_loop — the stuck-loop quarantine maintained LIVE (batch
+    * twin: AgentTrace.traceLoop): per-trace state is (last action,
+    * current run length, best run so far + its action, event/run
+    * counters) — CONSTANT per trace at any stream length; the
+    * gaps-and-islands scan folds to this because a run's length
+    * passes through every prefix value, so comparing the running run
+    * against the best AT EACH EVENT (tie → lexicographically smaller
+    * action, the batch tie-break) reproduces the batch max exactly.
+    * Run continuity is ORDER-sensitive (a batch boundary must not
+    * split a run), so events sort by (ts_us, event_id) within each
+    * batch and in-order per-trace arrival across batches is the
+    * log-shipping contract (the stream_agent contract verbatim).
+    * Changelog emission with rev, folded max-rev per trace == batch
+    * traceLoop on the same prefix — the moment a trace crosses
+    * LoopRunMin its is_looping bit flips live, which is the point:
+    * an agent runtime kills the looping rollout NOW, not at the
+    * nightly batch QC.
+    */
+  def traceLoopStream(trace: DataFrame): Dataset[LoopOut] = {
+    import trace.sparkSession.implicits._
+    val loopMin = graft.operators.AgentTrace.LoopRunMin
+    trace.select(col("trace_id"), col("event_id"), col("ts_us"),
+      col("action")).as[TraceEvIn]
+      .groupByKey(_.trace_id)
+      .flatMapGroupsWithState[LoopState, LoopOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tid: Long, in: Iterator[TraceEvIn],
+            state: GroupState[LoopState]) =>
+          val st = state.getOption.getOrElse(
+            LoopState("", 0L, 0L, "", 0L, 0L, 0L))
+          var (last, cur, mx, mxA) =
+            (st.lastAction, st.curRun, st.maxRun, st.runAction)
+          var (nEv, nRuns) = (st.nEv, st.nRuns)
+          in.toArray.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            nEv += 1
+            if (e.action == last) cur += 1
+            else { nRuns += 1; cur = 1L; last = e.action }
+            if (cur > mx || (cur == mx && e.action < mxA)) {
+              mx = cur; mxA = e.action
+            }
+          }
+          if (nEv == st.nEv) Iterator.empty
+          else {
+            val rev = st.rev + 1
+            state.update(LoopState(last, cur, mx, mxA, nEv, nRuns, rev))
+            Iterator.single(LoopOut(tid, nEv, nRuns, mx, mxA,
+              if (mx >= loopMin) 1L else 0L, rev))
+          }
+      }
+  }
+
   // ---- stream_lint: chat-format lint maintained live ----
 
   private[streaming] case class TurnLintIn(conv_id: Long, turn_idx: Long,

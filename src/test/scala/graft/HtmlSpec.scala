@@ -134,4 +134,49 @@ class HtmlSpec extends SparkSpec {
     val bp = q("boilerplate_strip")(spark, sfDir).collect()
     bp.foreach(r => assert(r.getAs[Long]("n_blocks") == 7L))
   }
+
+  test("html_tables: hand page — positional cells, header flags, multiple tables, empty cells") {
+    // two tables on one page: extraction must keep row/col positions,
+    // flag the th row, and carry empty cells (a td with no text is a
+    // REAL cell — dropping it would shift the column grid)
+    val page = Seq((1L,
+      "<html><body><p>prose</p>" +
+        "<table><tr><th>k</th><th>v</th></tr>" +
+        "<tr><td>a</td><td>b</td></tr></table>" +
+        "<table><tr><td></td><td>solo</td></tr></table>" +
+        "</body></html>")).toDF("doc_id", "html")
+    val out = Html.htmlTables(page).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getString(4))).toMap
+    assert(out.size == 6)
+    assert(out((0L, 0L)) == (1L, "k"))
+    assert(out((0L, 1L)) == (1L, "v"))
+    assert(out((1L, 0L)) == (0L, "a"))
+    assert(out((1L, 1L)) == (0L, "b"))
+    // second table continues the page's row numbering (row_idx is the
+    // page-level <tr> index — table grouping is the <th> boundary)
+    assert(out((2L, 0L)) == (0L, ""))
+    assert(out((2L, 1L)) == (0L, "solo"))
+  }
+
+  test("html_tables corpus invariants: the synthetic table tiles exactly, short docs pad with empty cells") {
+    val rows = SparkEntry.queries("html_tables")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_._1)
+    byDoc.foreach { case (id, cells) =>
+      // 1 header row + 1 + id % 3 data rows, two columns each
+      val nRows = 2 + id % 3
+      assert(cells.length == 2 * nRows, s"doc $id")
+      assert(cells.count(_._4 == 1L) == 2, s"doc $id header cells")
+      // header is the first row and reads key/value
+      assert(cells.filter(_._2 == 0L).sortBy(_._3).map(_._5).toSeq ==
+        Seq("key", "value"), s"doc $id")
+      // the column grid is dense: every (row, col) in range exactly once
+      assert(cells.map(c => (c._2, c._3)).toSet ==
+        (0L until nRows).flatMap(r => Seq((r, 0L), (r, 1L))).toSet,
+        s"doc $id grid")
+    }
+  }
 }

@@ -2671,6 +2671,46 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("dp_card: release equals the mechanism replayed exactly; noise bounded, fires, never negative") {
+    import operators.{Sampling, TextAnalysis}
+    // the true clipped cells, recomputed independently of the op
+    val truth = graft.Tables(spark, sfDir, "documents")
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("nd"),
+        sum(least(size(split($"text", " ")).cast("long"),
+          lit(TextAnalysis.TokClip))).as("ct"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // the ladder replayed in plain Scala — the test is a third engine
+    def z(p48: Long): Long = TextAnalysis.GeomLadder48
+      .collectFirst { case (b, n) if p48 < b => n.toLong }.getOrElse(4L)
+    def draw(seed: Long): Long =
+      (seed * Sampling.MixMul % Sampling.MixMod) * 48 / Sampling.MixMod
+    val expected = truth.toSeq.sortBy(_._1).zipWithIndex.map {
+      case (((lang, src), (nd, ct)), i) =>
+        val rid = i + 1L
+        (lang, src) -> (
+          math.max(nd + z(draw(rid * 2 - 1)), 0L),
+          math.max(ct + z(draw(rid * 2)) * TextAnalysis.TokClip, 0L))
+    }.toMap
+    val out = SparkEntry.queries("dp_card")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out == expected)
+    // release properties: bounded deviation (the ±4 truncated ladder),
+    // noise actually fires, nothing negative
+    assert(out.values.forall { case (d, t) => d >= 0L && t >= 0L })
+    out.foreach { case (k, (d, t)) =>
+      val (nd, ct) = truth(k)
+      assert(math.abs(d - nd) <= 4L, s"$k docs")
+      assert(math.abs(t - ct) <= 4L * TextAnalysis.TokClip, s"$k toks")
+    }
+    assert(out.exists { case (k, (d, _)) => d != truth(k)._1 },
+      "doc noise never fired across the whole card")
+    assert(out.exists { case (k, (_, t)) => t != truth(k)._2 },
+      "token noise never fired across the whole card")
+  }
+
   test("blocklist_filter: occurrence and distinct-term counts, keep flips on any hit") {
     val out = SparkEntry.queries("blocklist_filter")(spark, sfDir)
       .collect().map(r => r.getAs[Long]("doc_id") ->

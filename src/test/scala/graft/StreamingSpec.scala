@@ -1473,6 +1473,70 @@ class StreamingSpec extends SparkSpec {
       s"folded ${folded.size} traces != batch ${batch.size}")
   }
 
+  test("stream_loop: folded changelog equals batch trace_loop under time-ordered cuts; runs survive batch boundaries") {
+    implicit val sql = spark.sqlContext
+    // same delivery contract as stream_agent: time order across
+    // batches (runs are order-sensitive), shuffled within each batch,
+    // every trace straddling the three cuts — so in-progress runs
+    // MUST carry across the batch boundary to match batch
+    val rows = operators.AgentTrace.traceRows(Tables.events(spark, sfDir))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._3, t._2))
+    val in = MemoryStream[(Long, Long, Long, String)]
+    val q = Streams.traceLoopStream(
+        in.toDF().toDF("trace_id", "event_id", "ts_us", "action"))
+      .writeStream.format("memory").queryName("loop_out")
+      .outputMode("append").start()
+    Seq(rows.take(rows.length / 3),
+      rows.slice(rows.length / 3, 2 * rows.length / 3),
+      rows.drop(2 * rows.length / 3)).foreach { chunk =>
+      val shuffled = chunk.zipWithIndex.sortBy { case (c, i) =>
+        (i * 2654435761L) % chunk.length
+      }.map(_._1)
+      in.addData(shuffled.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    val nTraces = rows.map(_._1).distinct.length.toLong
+    assert(q.lastProgress.stateOperators.head.numRowsTotal == nTraces)
+    q.stop()
+    val folded = spark.table("loop_out").collect()
+      .map(r => (r.getAs[Long]("trace_id"), r.getAs[Long]("rev"),
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_runs"),
+          r.getAs[Long]("max_run"), r.getAs[String]("run_action"),
+          r.getAs[Long]("is_looping"))))
+      .groupBy(_._1).map { case (t, rs) => t -> rs.maxBy(_._2)._3 }
+    val batch = SparkEntry.queries("trace_loop")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5))).toMap
+    assert(folded == batch,
+      s"folded ${folded.size} traces != batch ${batch.size}")
+  }
+
+  test("stream_loop: a run split across a batch boundary still trips the gate (the continuity fixture)") {
+    implicit val sql = spark.sqlContext
+    // 2+3 calls split across two batches: only run continuity across
+    // the boundary reaches the LoopRunMin=4 gate (each batch alone
+    // holds a sub-threshold run)
+    val in = MemoryStream[(Long, Long, Long, String)]
+    val q = Streams.traceLoopStream(
+        in.toDF().toDF("trace_id", "event_id", "ts_us", "action"))
+      .writeStream.format("memory").queryName("loop_cont_out")
+      .outputMode("append").start()
+    in.addData((7L, 1L, 100L, "call"), (7L, 2L, 200L, "call"))
+    q.processAllAvailable()
+    in.addData((7L, 3L, 300L, "call"), (7L, 4L, 400L, "call"),
+      (7L, 5L, 500L, "call"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("loop_cont_out").collect()
+      .map(r => r.getAs[Long]("rev") ->
+        (r.getAs[Long]("n_runs"), r.getAs[Long]("max_run"),
+          r.getAs[Long]("is_looping"))).toMap
+    assert(out(1L) == (1L, 2L, 0L)) // below threshold after batch 1
+    assert(out(2L) == (1L, 5L, 1L)) // ONE run of 5, not two runs
+  }
+
   test("stream_lint: folded changelog equals batch conv_lint under turn-major cuts; constant state per conversation") {
     implicit val sql = spark.sqlContext
     val tpc = operators.PostTrain.TurnsPerConv
