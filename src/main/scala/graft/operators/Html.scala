@@ -494,6 +494,82 @@ object Html {
         is_header, cs[j] AS cell
       FROM cells, UNNEST(generate_series(1, len(cs))) AS v(j)"""))
 
+  // ---- anchor_text: the inbound link-text corpus --------------------
+
+  /** anchor_text — inbound anchor-text aggregation per target page,
+    * the link-graph TEXT signal (anchor text of inbound links
+    * describes the target better than the target describes itself —
+    * the classic web-IR observation behind the ORCAS / MS MARCO
+    * anchor corpora and every "anchor text as weak query" training
+    * set): all `<a href>` pairs extract per page (one regex pass for
+    * whole tags, then href / text by capture group — Java↔RE2 common
+    * subset), doc-targeted hrefs parse their target id, and the
+    * skinny (target, source-doc, anchor) stream folds per target into
+    * inbound counts, distinct linkers, self-link count, and the
+    * sorted-distinct anchor-text list (array_sort after collect so
+    * the row is deterministic under any aggregation order). On the
+    * synthetic pages every doc receives "permalink" from itself and
+    * "related" from its predecessor; the last doc's successor target
+    * has no page and simply aggregates one inbound row — extraction
+    * reports the graph as linked, not as materialized.
+    *
+    * Scale shape: per-page regex (scan speed) emitting a SKINNY
+    * (target, src, anchor) frame — the page body never shuffles; ONE
+    * groupBy on target, which is what inbound aggregation
+    * fundamentally requires (the link graph shards by target host at
+    * 100 TB; anchor strings are bounded by tag length).
+    */
+  private val ATagRe = "<a href=\"[^\"]*\">[^<]*</a>"
+  private val AHrefRe = "<a href=\"([^\"]*)\">([^<]*)</a>"
+
+  /** Inbound aggregation over a frame carrying (doc_id, html) —
+    * factored so the spec drives a hand-authored link mesh.
+    */
+  private[graft] def anchorText(pages: DataFrame): DataFrame =
+    pages
+      .select(col("doc_id").as("src"),
+        explode(expr(s"""regexp_extract_all(html, '$ATagRe', 0)"""))
+          .as("tag"))
+      .select(col("src"),
+        expr(s"""regexp_extract(tag, '$AHrefRe', 1)""").as("href"),
+        expr(s"""regexp_extract(tag, '$AHrefRe', 2)""").as("anchor"))
+      .where(col("href").rlike("^/doc/[0-9]+$"))
+      .withColumn("target", expr("CAST(substring(href, 6) AS BIGINT)"))
+      .groupBy(col("target"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("src")).as("n_linkers"),
+        sum(when(col("src") === col("target"), 1L).otherwise(0L))
+          .as("n_self"),
+        array_join(array_sort(collect_set(col("anchor"))), "|")
+          .as("anchors"))
+
+  private val opAnchorText = Op(
+    "anchor_text",
+    (s, dir) => anchorText(withHtml(docs(s, dir))),
+    Some(s"""
+      WITH $htmlCte,
+      tags AS (
+        SELECT doc_id AS src,
+          UNNEST(regexp_extract_all(html, '$ATagRe')) AS tag
+        FROM pages),
+      links AS (
+        SELECT src,
+          regexp_extract(tag, '$AHrefRe', 1) AS href,
+          regexp_extract(tag, '$AHrefRe', 2) AS anchor
+        FROM tags),
+      doclinks AS (
+        SELECT src, CAST(substring(href, 6) AS BIGINT) AS target, anchor
+        FROM links WHERE regexp_matches(href, '^/doc/[0-9]+$$'))
+      SELECT target,
+        CAST(COUNT(*) AS BIGINT) AS n_links,
+        CAST(COUNT(DISTINCT src) AS BIGINT) AS n_linkers,
+        CAST(SUM(CASE WHEN src = target THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_self,
+        array_to_string(list_sort(list_distinct(list(anchor))), '|')
+          AS anchors
+      FROM doclinks GROUP BY target"""))
+
   val ops: Seq[Op] =
-    Seq(opExtract, opBoiler, opMetrics, opWarc, opCurateHtml, opTables)
+    Seq(opExtract, opBoiler, opMetrics, opWarc, opCurateHtml, opTables,
+      opAnchorText)
 }

@@ -667,6 +667,67 @@ object PostTrain {
           AS BIGINT) AS util_ppm
       FROM placed GROUP BY pack_id"""))
 
+  // ---- refusal_detect: distillation-hygiene boilerplate gate ----
+  // The SFT-entry filter every distilled dataset needs (the published
+  // practice behind "uncensored"/cleaned SFT sets and the
+  // OpenHermes/Dolphin data cards: teacher responses carrying
+  // boilerplate refusals or AI self-reference teach the student to
+  // refuse and self-identify, so they are filtered BEFORE training):
+  // assistant turns matching the refusal/self-reference pattern set
+  // are counted per conversation, and a conversation enters SFT only
+  // when clean. The pattern set is the deterministic contract (swap
+  // in a trained refusal classifier the same way); apostrophes are
+  // spelled \x27 so the regex survives SQL single-quote literals in
+  // both engines (the code_detect precedent). Only ASSISTANT turns
+  // gate — a USER saying "as an AI" is fine.
+  // Scale shape: per-row regex probe + one groupBy folding ≤
+  // TurnsPerConv rows per conversation (the convLint partition
+  // class) — no corpus-sized state anywhere.
+  val RefusalRe =
+    "(?i)\\b(i cannot|i can\\x27t|i am unable|i\\x27m sorry|as an ai" +
+      "|i apologize|i must decline)\\b"
+
+  /** Refusal audit over a (conv_id, turn_idx, role, text) frame —
+    * factored so the spec plants real refusal turns.
+    */
+  private[graft] def refusalDetect(t: DataFrame): DataFrame =
+    t.withColumn("is_ref",
+        when(col("role") === "assistant" &&
+          regexp_count(col("text"), lit(RefusalRe)) > 0, 1L)
+          .otherwise(0L))
+      .groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(when(col("role") === "assistant", 1L).otherwise(0L))
+          .as("n_assistant"),
+        sum(col("is_ref")).as("n_refusals"),
+        coalesce(min(when(col("is_ref") === 1L, col("turn_idx"))),
+          lit(-1L)).as("first_refusal_turn"))
+      .select(col("conv_id"), col("n_turns"), col("n_assistant"),
+        col("n_refusals"), col("first_refusal_turn"),
+        when(col("n_refusals") === 0L, 1L).otherwise(0L).as("keep_sft"))
+
+  private val opRefusalDetect = Op(
+    "refusal_detect",
+    (s, dir) => refusalDetect(turns(s, dir)),
+    Some(turnsCte + s""",
+      probed AS (
+        SELECT conv_id, turn_idx, role,
+          CASE WHEN role = 'assistant'
+            AND len(regexp_extract_all(text, '$RefusalRe')) > 0
+            THEN 1 ELSE 0 END AS is_ref
+        FROM turns)
+      SELECT conv_id,
+        CAST(COUNT(*) AS BIGINT) AS n_turns,
+        CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_assistant,
+        CAST(SUM(is_ref) AS BIGINT) AS n_refusals,
+        CAST(COALESCE(MIN(CASE WHEN is_ref = 1 THEN turn_idx END), -1)
+          AS BIGINT) AS first_refusal_turn,
+        CAST(CASE WHEN SUM(is_ref) = 0 THEN 1 ELSE 0 END AS BIGINT)
+          AS keep_sft
+      FROM probed GROUP BY conv_id"""))
+
   val ops: Seq[Op] = Seq(opSftRender, opDpoPairs, opConvPaths, opSftPack,
-    opBestOfN, opTemplateAudit, opPrmPairs, opConvLint, opPackStats)
+    opBestOfN, opTemplateAudit, opPrmPairs, opConvLint, opPackStats,
+    opRefusalDetect)
 }

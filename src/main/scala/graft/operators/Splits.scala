@@ -808,7 +808,69 @@ object Splits {
           AS efficiency_ppm
       FROM x"""))
 
+  // ---- longctx_mix: length-bucketed context-extension mix ----
+  // The data side of context extension (Fu et al. 2024, "Data
+  // Engineering for Scaling Language Models to 128K Context";
+  // ProLong): the natural corpus is short-heavy, so the extension
+  // stage UPSAMPLES long documents — position slots past the old
+  // context limit only train when sequences actually reach them.
+  // Buckets are integer log2 of n_chars (length(bin(x))−1, the
+  // ngram_lm move — exact in both engines); the target mass
+  // upweights each bucket LINEARLY IN LOG-LENGTH (∝ n_toks·(b+1),
+  // the deterministic stand-in for the paper's per-length-band
+  // tuning — swap in measured weights the same way), so target_ppm
+  // and the per-bucket upsample factor are pure BIGINT arithmetic:
+  // up_x100 = target_ppm·100 DIV max(natural_ppm, 1), both ppm
+  // values themselves integer DIVs replayed identically in the
+  // oracle. longctx_stitch (Sampling) packs the sequences; this op
+  // decides HOW MUCH of each length band the extension stage reads.
+  // Scale shape: one corpus token scan folding to ≤ ~40 bucket rows
+  // (log2 of the longest doc); one 1-row broadcast of the two
+  // totals. Nothing corpus-wide after the scan.
+  private[graft] def longctxMix(d: DataFrame): DataFrame = {
+    val perBucket = d
+      .select(expr("length(bin(greatest(n_chars, 1))) - 1").cast("long")
+          .as("bucket"),
+        size(TextFns.tokens(col("text"))).cast("long").as("toks"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_toks"))
+      .withColumn("w", col("n_toks") * (col("bucket") + 1L))
+      .localCheckpoint()
+    val tot = perBucket.agg(sum(col("n_toks")).as("tt"),
+      sum(col("w")).as("wt"))
+    perBucket.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_docs"), col("n_toks"),
+        expr("(n_toks * 1000000) DIV tt").as("natural_ppm"),
+        expr("(w * 1000000) DIV wt").as("target_ppm"),
+        expr("""((w * 1000000) DIV wt) * 100
+          DIV GREATEST((n_toks * 1000000) DIV tt, 1)""").as("up_x100"))
+  }
+
+  private val opLongctxMix = Op(
+    "longctx_mix",
+    (s, dir) => longctxMix(docs(s, dir)),
+    Some("""
+      WITH b AS (
+        SELECT CAST(length(bin(greatest(n_chars, 1))) - 1 AS BIGINT)
+            AS bucket,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        FROM documents),
+      pb AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(toks) AS BIGINT) AS n_toks
+        FROM b GROUP BY 1),
+      w AS (SELECT *, n_toks * (bucket + 1) AS w FROM pb),
+      t AS (SELECT CAST(SUM(n_toks) AS BIGINT) AS tt,
+              CAST(SUM(w) AS BIGINT) AS wt FROM w)
+      SELECT bucket, n_docs, n_toks,
+        CAST((n_toks * 1000000) // tt AS BIGINT) AS natural_ppm,
+        CAST((w * 1000000) // wt AS BIGINT) AS target_ppm,
+        CAST(((w * 1000000) // wt) * 100
+          // GREATEST((n_toks * 1000000) // tt, 1) AS BIGINT) AS up_x100
+      FROM w, t"""))
+
   def ops: Seq[Op] =
     Seq(opSplitSafe, opSplitLeakage, opEpochPlan, opUpsample,
-      opContamMinhash, opContamEmbed, opDoremi, opAnneal, opConstrained)
+      opContamMinhash, opContamEmbed, opDoremi, opAnneal, opConstrained,
+      opLongctxMix)
 }

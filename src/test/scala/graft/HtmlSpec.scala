@@ -179,4 +179,35 @@ class HtmlSpec extends SparkSpec {
         s"doc $id grid")
     }
   }
+
+  test("anchor_text: hand mesh — dup anchors dedup, self-links counted, non-doc hrefs filtered") {
+    val pages = Seq(
+      (1L, "<html><body><a href=\"/doc/2\">two</a></body></html>"),
+      (2L, "<html><body><a href=\"/doc/2\">self</a>" +
+        "<a href=\"/other\">x</a><a href=\"/doc/abc\">bad</a></body></html>"),
+      (3L, "<html><body><a href=\"/doc/2\">two</a></body></html>"))
+      .toDF("doc_id", "html")
+    val out = Html.anchorText(pages).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toMap
+    // only /doc/<digits> targets survive; "two" appears twice but the
+    // anchor list is distinct + sorted
+    assert(out.keySet == Set(2L))
+    assert(out(2L) == (3L, 3L, 1L, "self|two"))
+  }
+
+  test("anchor_text corpus invariants: the synthetic link mesh — self permalink + predecessor related") {
+    val nDocs = graft.Tables(spark, sfDir, "documents").count()
+    val rows = SparkEntry.queries("anchor_text")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toMap
+    // every doc receives links, plus the one ghost successor target
+    assert(rows.size.toLong == nDocs + 1)
+    // interior targets: permalink from self + related from predecessor
+    assert(rows(1L) == (2L, 2L, 1L, "permalink|related"))
+    // doc 0 has no predecessor; the ghost target has no page (and so
+    // no self link) — extraction reports the graph as LINKED
+    assert(rows(0L) == (1L, 1L, 1L, "permalink"))
+    assert(rows(nDocs) == (1L, 1L, 0L, "related"))
+  }
 }

@@ -349,4 +349,37 @@ class PostTrainSpec extends SparkSpec {
       assert(margin == cs - rs && margin > 0L)
     }
   }
+
+  test("refusal_detect: planted refusals gate; user-turn boilerplate never does") {
+    import graft.operators.PostTrain
+    val t = Seq(
+      // conv 1: assistant refuses on turn 1, again on turn 3
+      (1L, 0L, "user", "please do the thing"),
+      (1L, 1L, "assistant", "I'm sorry, but I cannot help with that"),
+      (1L, 2L, "user", "try anyway"),
+      (1L, 3L, "assistant", "I must decline."),
+      // conv 2: the USER says the boilerplate — must NOT gate
+      (2L, 0L, "user", "as an AI, what would you do?"),
+      (2L, 1L, "assistant", "here is a concrete plan that works"),
+      // conv 3: clean, mixed case never matters (the (?i) flag)
+      (3L, 0L, "user", "hi"),
+      (3L, 1L, "assistant", "As An AI model I CANNOT do this"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val out = PostTrain.refusalDetect(t).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(out(1L) == (4L, 2L, 2L, 1L, 0L))
+    assert(out(2L) == (2L, 1L, 0L, -1L, 1L))
+    assert(out(3L) == (2L, 1L, 1L, 1L, 0L))
+    // corpus framing: the synthetic vocabulary carries no boilerplate,
+    // so every conversation passes and the sentinel reads everywhere
+    val corpus = SparkEntry.queries("refusal_detect")(spark, sfDir)
+      .collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      assert(r.getAs[Long]("n_refusals") == 0L)
+      assert(r.getAs[Long]("first_refusal_turn") == -1L)
+      assert(r.getAs[Long]("keep_sft") == 1L)
+    }
+  }
 }

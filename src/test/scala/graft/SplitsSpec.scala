@@ -523,4 +523,39 @@ class SplitsSpec extends SparkSpec {
     val floorMass = rows.filter(_._3 == 1L).map(_._4).sum
     assert(raw <= math.max(b, rows.map(_._4).sum) + floorMass)
   }
+
+  test("longctx_mix: hand buckets — log2 bucketing, linear-in-log upweight, ppm algebra") {
+    // two docs of 4 chars (bucket 2) and one of 16 chars (bucket 4);
+    // tokens: 1, 1, 4 → tt = 6; weights 2·3=6 and 4·5=20 → wt = 26
+    val d = Seq(("a", "aaaa", 4L), ("b", "bbbb", 4L),
+      ("c", "cccc cccc cccc c", 16L))
+      .toDF("source", "text", "n_chars")
+    val out = graft.operators.Splits.longctxMix(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // bucket 2: natural 2e6/6 = 333333, target 6e6/26 = 230769,
+    // up = 23076900 DIV 333333 = 69
+    assert(out(2L) == (2L, 2L, 333333L, 230769L, 69L))
+    // bucket 4: natural 666666, target 20e6/26 = 769230, up = 115
+    assert(out(4L) == (1L, 4L, 666666L, 769230L, 115L))
+  }
+
+  test("longctx_mix corpus invariants: shares tile, upweight crosses 100 at the weighted-mean band") {
+    val rows = SparkEntry.queries("longctx_mix")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    // both ppm columns tile to 1e6 within per-row DIV truncation
+    assert(math.abs(rows.map(_._3).sum - 1000000L) <= rows.length)
+    assert(math.abs(rows.map(_._4).sum - 1000000L) <= rows.length)
+    // every row matches the exact rational within truncation slack,
+    // so up_x100 rides (b+1)·tt/wt — short bands damp, long amplify
+    val tt = rows.map(_._2).sum
+    val wt = rows.map(r => r._2 * (r._1 + 1)).sum
+    rows.foreach { case (b, toks, nat, tgt, up) =>
+      val exact = 100.0 * (b + 1) * tt / wt
+      assert(math.abs(up - exact) <= 2.0, s"bucket $b: $up vs $exact")
+    }
+    assert(rows.head._5 <= 100L && rows.last._5 >= 100L)
+  }
 }
