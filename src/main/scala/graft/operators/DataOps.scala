@@ -506,6 +506,74 @@ object DataOps {
           AS plant_ok
       FROM pl"""))
 
+  // ---- shard_rebalance: the minimal-transfer balance plan ----
+  // The op that runs when shard_manifest says the shards drifted
+  // (hash sharding balances COUNTS, but char mass skews whenever doc
+  // length correlates with id — and post-curation deletions make it
+  // worse): compute exact integer targets (tot DIV Shards, the first
+  // tot % Shards shards carrying one extra char — targets SUM to tot
+  // exactly, no remainder limbo) and the WATER-FILLING transfer plan
+  // over the shard line: flow_out_i = Σ_{j≤i} (mass_j − target_j) is
+  // the signed char mass that must cross the boundary between shard
+  // i and i+1, the classic line-balancing identity — ADJACENT
+  // transfers only (shards are sequential files; an append/truncate
+  // at the seam is the cheap move), total cost Σ|flow|, provably
+  // minimal for adjacent moves, and the last flow is 0 by
+  // conservation (the spec pins it). A bipartite matcher would trade
+  // fewer hops for arbitrary pairings — swap one in when shards are
+  // not line-adjacent.
+  // Scale shape: rides the shard_manifest fold (one Shards-row
+  // groupBy); the window runs over Shards rows — vanishing.
+  /** The plan over a (doc_id, n_chars) frame — factored for fixtures. */
+  def shardRebalance(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = shardManifest(docs)
+      .select(col("shard_id"), col("n_docs"), col("sum_chars"))
+    val tot = m.agg(sum(col("sum_chars")).as("tot"))
+    val line = Window.orderBy(col("shard_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    m.crossJoin(broadcast(tot))
+      .withColumn("target_chars", expr(
+        s"tot DIV $Shards" +
+          s" + CASE WHEN shard_id < tot % $Shards THEN 1 ELSE 0 END"))
+      .withColumn("surplus", col("sum_chars") - col("target_chars"))
+      .withColumn("flow_out", sum(col("surplus")).over(line))
+      .select(col("shard_id"), col("n_docs"), col("sum_chars"),
+        col("target_chars"), col("surplus"), col("flow_out"))
+  }
+
+  private val opShardRebalance = Op(
+    "shard_rebalance",
+    (s, dir) => shardRebalance(
+      Tables(s, dir, "documents").select(col("doc_id"), col("n_chars"))),
+    Some {
+      val O = graft.plans.OracleSql
+      s"""
+      WITH d0 AS (SELECT doc_id, n_chars FROM documents),
+      ${O.hashLongCte("d0", Seq("doc_id", "n_chars"), "doc_id",
+        "42::HUGEINT", "hd", "sm1")},
+      sh AS (
+        SELECT doc_id, n_chars, CAST(h % $Shards AS BIGINT) AS shard_id
+        FROM hd),
+      m AS (
+        SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM sh GROUP BY shard_id),
+      t AS (SELECT CAST(SUM(sum_chars) AS BIGINT) AS tot FROM m),
+      p AS (
+        SELECT m.*, t.tot,
+          tot // $Shards + CASE WHEN shard_id < tot % $Shards
+            THEN 1 ELSE 0 END AS target_chars
+        FROM m, t)
+      SELECT shard_id, n_docs, sum_chars,
+        CAST(target_chars AS BIGINT) AS target_chars,
+        CAST(sum_chars - target_chars AS BIGINT) AS surplus,
+        CAST(SUM(sum_chars - target_chars) OVER (ORDER BY shard_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS flow_out
+      FROM p"""
+    })
+
   val ops: Seq[Op] = Seq(opEpochShuffle, opDataContract, opJsonFields,
-    opShardManifest, opLongctxStitch, opQualityFuse, opNeedlePlant)
+    opShardManifest, opLongctxStitch, opQualityFuse, opNeedlePlant,
+    opShardRebalance)
 }

@@ -240,4 +240,33 @@ class DataOpsSpec extends SparkSpec {
     val depths = out.select("depth_permille").distinct().count()
     assert(depths > 100, s"depth coverage too narrow: $depths bands")
   }
+
+  test("shard_rebalance: targets tile the total exactly, water-filling flow conserves") {
+    import graft.operators.DataOps
+    val rows = SparkEntry.queries("shard_rebalance")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(rows.length.toLong == DataOps.Shards)
+    val tot = rows.map(_._2).sum
+    // integer targets sum to the total EXACTLY (no remainder limbo)
+    assert(rows.map(_._3).sum == tot)
+    rows.foreach { case (sid, _, target, surplus, _) =>
+      assert(math.abs(target - tot / DataOps.Shards) <= 1L, s"shard $sid")
+      assert(surplus == rows.find(_._1 == sid).get._2 - target)
+    }
+    // flow is the running surplus sum and the LAST boundary is 0 —
+    // conservation: what leaves the line must have entered it
+    var cum = 0L
+    rows.foreach { case (sid, _, _, surplus, flow) =>
+      cum += surplus
+      assert(flow == cum, s"shard $sid flow")
+    }
+    assert(rows.last._5 == 0L)
+    // the plan is balanced after the moves: applying the boundary
+    // flows leaves every shard at its target
+    rows.zipWithIndex.foreach { case ((_, mass, target, _, flowOut), i) =>
+      val flowIn = if (i == 0) 0L else rows(i - 1)._5
+      assert(mass + flowIn - flowOut == target)
+    }
+  }
 }

@@ -72,4 +72,32 @@ class SourcesSpec extends SparkSpec {
     assert(chunks.count() > 0)
     assert(chunks.groupBy("doc_id").count().count() == 3)
   }
+
+  test("src_csv_robust: malformed rows quarantine whole with evidence; RFC-4180 quoting parses") {
+    import graft.sources.Csv
+    import org.apache.spark.sql.types._
+    val path = writeLines("drop.csv", Seq(
+      "id,score,name",
+      "1,10,alice",
+      "2,notanint,bob",            // bad type → quarantine
+      "3,30,\"say \"\"hi\"\", ok\"", // escaped quote + embedded comma
+      "4,40"                        // arity drift → quarantine too
+    ))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("score", LongType),
+      StructField("name", StringType)))
+    val (good, bad) = Csv.split(Csv.readRobust(spark, path, schema))
+    val g = good.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getString(2))).toMap
+    assert(g(1L) == (10L, "alice"))
+    // RFC 4180: "" inside a quoted field is a literal quote, the
+    // comma inside the quotes never splits
+    assert(g(3L) == (30L, "say \"hi\", ok"))
+    assert(g.size == 2)
+    // bad-type AND wrong-arity rows quarantine WHOLE with the raw
+    // line preserved — arity drift is a schema violation, not a pad
+    val b = bad.collect()
+      .map(_.getAs[String](Csv.CorruptCol)).sorted.toSeq
+    assert(b == Seq("2,notanint,bob", "4,40"))
+  }
 }
