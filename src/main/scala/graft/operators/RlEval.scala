@@ -708,6 +708,78 @@ object RlEval {
           ELSE 0 END AS BIGINT) AS is_ci_hi
       FROM ranked r, point"""))
 
+  // ---- eval_wilson: per-model accuracy with Wilson bounds ----
+  // The leaderboard row done right: a per-model accuracy over n
+  // verdicts is published WITH its Wilson score interval (the
+  // interval of choice for binomial proportions — unlike the normal
+  // approximation it never leaves [0,1] and stays honest at x=0/x=n,
+  // exactly the regimes eval slices hit). z is the 2σ convention
+  // (z=2, 95.4% — the eval-report shorthand; z=1.96 would force
+  // irrational literals through both engines for a 0.04σ nicety).
+  // With z=2 the bounds are (x+2 ± 2√(x(n−x)/n + 1))/(n+4) — the
+  // integer recipe runs v = x(n−x) DIV n (exact to <1), then
+  // half_ppm = 2000·⌊√((v+1)·10⁶)⌋: BIGINT→double is IEEE-exact
+  // rounding and sqrt is IEEE correctly-rounded in BOTH engines, so
+  // the floor replays identically (the epochPlan isqrt argument);
+  // resolution ±2000 ppm on the half-width, headroom to n ≈ 6·10⁹
+  // verdicts per model. Bounds clamp to [0, 10⁶].
+  // Scale shape: rides the passk verdict scan; one groupBy folding
+  // to BtModels rows. Nothing after the fold touches the corpus.
+
+  /** Wilson rows over a (model_id, correct) frame — factored for
+    * fixture specs; the Op wires the rollout verdicts.
+    */
+  def evalWilson(verdicts: DataFrame): DataFrame =
+    verdicts.groupBy(col("model_id"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("correct")).as("n_correct"))
+      .withColumn("v", expr("(n_correct * (n_samples - n_correct))" +
+        " DIV n_samples"))
+      .withColumn("half_ppm",
+        expr("2000 * CAST(FLOOR(SQRT((v + 1) * 1000000)) AS BIGINT)"))
+      .select(col("model_id"), col("n_samples"), col("n_correct"),
+        expr("(n_correct * 1000000) DIV n_samples").as("acc_ppm"),
+        expr("GREATEST(((n_correct + 2) * 1000000 - half_ppm)" +
+          " DIV (n_samples + 4), 0)").as("lo_ppm"),
+        expr("LEAST(((n_correct + 2) * 1000000 + half_ppm)" +
+          " DIV (n_samples + 4), 1000000)").as("hi_ppm"))
+
+  private val opEvalWilson = Op(
+    "eval_wilson",
+    (s, dir) => evalWilson(
+      passkVerdicts(rollouts(s, dir)
+          .withColumnRenamed("prompt_id", "task_id"))
+        .withColumn("model_id", expr(s"doc_id % $BtModels"))),
+    Some(rolloutsCte + s""",
+      v AS (
+        SELECT prompt_id AS task_id, doc_id, text,
+          FIRST_VALUE(string_split(text, ' ')[1]) OVER (
+            PARTITION BY prompt_id ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS answer
+        FROM rollouts),
+      c AS (
+        SELECT doc_id % $BtModels AS model_id,
+          CASE WHEN strpos(text, answer) > 0 THEN 1 ELSE 0 END AS correct
+        FROM v),
+      m AS (
+        SELECT model_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+          CAST(SUM(correct) AS BIGINT) AS n_correct
+        FROM c GROUP BY model_id),
+      w AS (
+        SELECT *,
+          2000 * CAST(FLOOR(SQRT((
+            (n_correct * (n_samples - n_correct)) // n_samples + 1)
+            * 1000000)) AS BIGINT) AS half_ppm
+        FROM m)
+      SELECT model_id, n_samples, n_correct,
+        CAST((n_correct * 1000000) // n_samples AS BIGINT) AS acc_ppm,
+        CAST(GREATEST(((n_correct + 2) * 1000000 - half_ppm)
+          // (n_samples + 4), 0) AS BIGINT) AS lo_ppm,
+        CAST(LEAST(((n_correct + 2) * 1000000 + half_ppm)
+          // (n_samples + 4), 1000000) AS BIGINT) AS hi_ppm
+      FROM w"""))
+
   val ops: Seq[Op] = Seq(opGrpoAdv, opKtoLabels, opEvalPassk,
-    opPrefAgree, opBtRating, opEvalMcnemar, opEvalBootstrap)
+    opPrefAgree, opBtRating, opEvalMcnemar, opEvalBootstrap, opEvalWilson)
 }

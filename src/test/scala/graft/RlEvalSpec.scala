@@ -264,4 +264,46 @@ class RlEvalSpec extends SparkSpec {
     val hi = out.find(_.getAs[Long]("is_ci_hi") == 1L).get.getAs[Long]("boot_ppm")
     assert(lo <= hi)
   }
+
+  test("eval_wilson: hand intervals exact, degenerate slices stay inside [0, 1e6]") {
+    import graft.operators.RlEval
+    val verdicts = (
+      (1 to 50).map(_ => (0L, 1L)) ++ (1 to 50).map(_ => (0L, 0L)) ++
+        (1 to 20).map(_ => (1L, 0L)) ++ (1 to 20).map(_ => (2L, 1L)))
+      .toDF("model_id", "correct")
+    val out = RlEval.evalWilson(verdicts).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // n=100 x=50: v=25, half = 2000·⌊√26e6⌋ = 10,198,000 →
+    // lo = 41,802,000 DIV 104, hi = 62,198,000 DIV 104
+    assert(out(0L) == (100L, 50L, 500000L, 401942L, 598057L))
+    // x=0: lo clamps to 0, hi = 4e6 DIV 24
+    assert(out(1L) == (20L, 0L, 0L, 0L, 166666L))
+    // x=n: hi clamps to 1e6
+    assert(out(2L) == (20L, 20L, 1000000L, 833333L, 1000000L))
+  }
+
+  test("eval_wilson corpus invariants: interval brackets the point, tracks the float Wilson") {
+    val rows = SparkEntry.queries("eval_wilson")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length == graft.operators.RlEval.BtModels)
+    rows.foreach { case (m, n, x, acc, lo, hi) =>
+      assert(0L <= lo && lo <= acc && acc <= hi && hi <= 1000000L,
+        s"model $m")
+      // the integer recipe tracks the exact float Wilson (z=2) within
+      // its documented resolution (±2000 ppm half-width + DIV floors)
+      val p = x.toDouble / n
+      val v = p * (1 - p) * n
+      val half = 2 * math.sqrt(v + 1)
+      val fLo = math.max((x + 2 - half) * 1e6 / (n + 4), 0)
+      val fHi = math.min((x + 2 + half) * 1e6 / (n + 4), 1e6)
+      // documented resolution: the ⌊√⌋ floor costs ≤ 2000 ppm on the
+      // half-width and the v = x(n−x) DIV n floor costs ≤ one unit of
+      // v under the square root — both before the (n+4) division
+      val tol = 2000.0 + 2e6 / ((n + 4) * math.sqrt(v + 1))
+      assert(math.abs(lo - fLo) <= tol, s"model $m lo $lo vs $fLo")
+      assert(math.abs(hi - fHi) <= tol, s"model $m hi $hi vs $fHi")
+    }
+  }
 }

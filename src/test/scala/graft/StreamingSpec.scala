@@ -1341,6 +1341,40 @@ class StreamingSpec extends SparkSpec {
       "restart (7 pre-kill, 3 post-resume)")
   }
 
+  test("stream_loop restart: an in-progress run survives the checkpoint — 3 pre-kill + 2 post-resume calls read as ONE run of 5") {
+    // The counter-archetype restart applied to the run fold: curRun
+    // and lastAction live ONLY in the state store at the kill; a lost
+    // state would restart the run at the post-kill two and never trip
+    // the LoopRunMin=4 gate.
+    implicit val sql = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-loop-rs")
+    val ckpt = base.resolve("ckpt").toString
+    val outDir = base.resolve("out").toString
+    val in = MemoryStream[(Long, Long, Long, String)]
+    def start() = Streams.traceLoopStream(
+        in.toDF().toDF("trace_id", "event_id", "ts_us", "action"))
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    in.addData((5L, 1L, 100L, "call"), (5L, 2L, 200L, "call"),
+      (5L, 3L, 300L, "call"))
+    q1.processAllAvailable()
+    q1.stop() // kill mid-run: (cur=3, last=call) held only in state
+    val q2 = start()
+    in.addData((5L, 4L, 400L, "call"), (5L, 5L, 500L, "call"))
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("rev"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_runs"), r.getAs[Long]("max_run"),
+        r.getAs[Long]("is_looping")))
+    assert(rows.map(_._1).sorted.toSeq == Seq(1L, 2L),
+      "exactly one changelog row per side of the restart")
+    val last = rows.maxBy(_._1)
+    assert(last == (2L, 5L, 1L, 5L, 1L),
+      s"the run must survive the checkpoint as ONE run of 5: $last")
+  }
+
   test("stream_manifest restart: changelog state survives the checkpoint — folded max-rev view equals batch, no rev duplicated") {
     // The changelog-archetype restart (VERDICT r17 #3, completing the
     // matrix next to stream_contract's counter archetype): the
