@@ -100,4 +100,48 @@ class SourcesSpec extends SparkSpec {
       .map(_.getAs[String](Csv.CorruptCol)).sorted.toSeq
     assert(b == Seq("2,notanint,bob", "4,40"))
   }
+
+  test("src_xml_pages: record framing on </page>, first-id anchoring, entity decode, trailer dropped") {
+    import graft.sources.Xml
+    val dump =
+      """<mediawiki><siteinfo><sitename>T</sitename></siteinfo>
+        |<page>
+        |  <title>Alpha</title>
+        |  <ns>0</ns>
+        |  <id>10</id>
+        |  <revision><id>999</id>
+        |    <text bytes="29">AT&amp;T said &lt;hello&gt; &quot;hi&quot;</text>
+        |  </revision>
+        |</page>
+        |<page>
+        |  <title>Beta</title>
+        |  <ns>0</ns>
+        |  <id>11</id>
+        |  <redirect title="Alpha" />
+        |  <revision><id>1000</id><text>#REDIRECT [[Alpha]]</text></revision>
+        |</page>
+        |<page>
+        |  <title>Category:Things</title>
+        |  <ns>14</ns>
+        |  <id>12</id>
+        |  <revision><id>1001</id><text>cat page</text></revision>
+        |</page>
+        |</mediawiki>""".stripMargin
+    val path = writeLines("dump.xml", Seq(dump))
+    val pages = Xml.readPages(spark, path).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toMap
+    // the </mediawiki> trailer fragment is framing noise, not a row
+    assert(pages.size == 3)
+    // page-level id wins over the revision id that follows it
+    assert(pages(10L)._1 == "Alpha" && pages(10L)._2 == 0L)
+    assert(pages(10L)._3 == 0L)
+    // all five predefined entities decode, &amp; decoded last
+    assert(pages(10L)._4 == "AT&T said <hello> \"hi\"")
+    assert(pages(11L) == ("Beta", 0L, 1L, "#REDIRECT [[Alpha]]"))
+    assert(pages(12L)._2 == 14L)
+    // the standard article filter: main-namespace non-redirects only
+    val arts = Xml.articles(spark, path).collect()
+    assert(arts.map(_.getLong(0)).toSeq == Seq(10L))
+  }
 }
