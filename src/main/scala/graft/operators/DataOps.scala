@@ -506,6 +506,81 @@ object DataOps {
           AS plant_ok
       FROM pl"""))
 
+  // ---- span_align: char-span → token-span label projection ----
+  // The alignment every annotation pipeline needs the moment labels
+  // meet a tokenizer: PII spans, NER tags, citation offsets and
+  // needle positions are produced in CHARACTER coordinates, but
+  // training consumes TOKEN coordinates — and a span that starts
+  // mid-token must round OUT to the covering tokens (clipping loses
+  // label mass; the covering hull is the standard projection). Over
+  // the single-space whitespace tokenizer the identity is exact:
+  // the token index containing 0-indexed char c is the number of
+  // spaces in text[0, c) — one substring + one split per endpoint,
+  // no per-token loop. The probe span is the needle_plant permille
+  // contract (start at (doc_id·2654435761 % 1000)‰ of the doc,
+  // SpanLen chars, clipped to the doc); at_boundary reports whether
+  // the span starts exactly on a token start (label QC: a high
+  // mid-token rate means the upstream annotator and this tokenizer
+  // disagree about segmentation). Pure per-row projection — scan
+  // speed at any corpus size; full oracle; the spec re-derives the
+  // covering hull by scalar scan as a third engine.
+  val SpanLen = 16L
+
+  /** Alignment over (doc_id, text, n_chars) — factored for fixtures
+    * with hand-placed spans (the Op wires the permille probe).
+    */
+  private[graft] def spanAlign(d: DataFrame): DataFrame =
+    d.withColumn("char_start",
+        expr("(((doc_id * 2654435761) % 1000) * n_chars) DIV 1000"))
+      .withColumn("char_len",
+        least(lit(SpanLen), col("n_chars") - col("char_start")))
+      .withColumn("tok_start", expr(
+        """CASE WHEN char_start = 0 THEN CAST(0 AS BIGINT)
+           ELSE CAST(size(split(substring(text, 1,
+             CAST(char_start AS INT)), ' ')) - 1 AS BIGINT) END"""))
+      .withColumn("tok_end", expr(
+        """CAST(size(split(substring(text, 1,
+           CAST(char_start + char_len AS INT)), ' ')) - 1 AS BIGINT)"""))
+      .select(col("doc_id"), col("char_start"), col("char_len"),
+        col("tok_start"),
+        (col("tok_end") - col("tok_start") + 1L).as("tok_len"),
+        expr("""CAST(CASE WHEN char_start = 0 OR substring(text,
+          CAST(char_start AS INT), 1) = ' ' THEN 1 ELSE 0 END
+          AS BIGINT)""").as("at_boundary"))
+
+  private val opSpanAlign = Op(
+    "span_align",
+    (s, dir) => spanAlign(Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"))),
+    Some(s"""
+      WITH sp AS (
+        SELECT doc_id, text,
+          (((doc_id * 2654435761) % 1000) * n_chars) // 1000
+            AS char_start,
+          LEAST($SpanLen,
+            n_chars - (((doc_id * 2654435761) % 1000) * n_chars) // 1000)
+            AS char_len
+        FROM documents),
+      ix AS (
+        SELECT doc_id, text, char_start, char_len,
+          CASE WHEN char_start = 0 THEN 0
+            ELSE CAST(len(string_split(substring(text, 1,
+              CAST(char_start AS INT)), ' ')) - 1 AS BIGINT) END
+            AS tok_start,
+          CAST(len(string_split(substring(text, 1,
+            CAST(char_start + char_len AS INT)), ' ')) - 1 AS BIGINT)
+            AS tok_end
+        FROM sp)
+      SELECT doc_id,
+        CAST(char_start AS BIGINT) AS char_start,
+        CAST(char_len AS BIGINT) AS char_len,
+        tok_start,
+        CAST(tok_end - tok_start + 1 AS BIGINT) AS tok_len,
+        CAST(CASE WHEN char_start = 0 OR substring(text,
+          CAST(char_start AS INT), 1) = ' ' THEN 1 ELSE 0 END
+          AS BIGINT) AS at_boundary
+      FROM ix"""))
+
   // ---- shard_rebalance: the minimal-transfer balance plan ----
   // The op that runs when shard_manifest says the shards drifted
   // (hash sharding balances COUNTS, but char mass skews whenever doc
@@ -575,5 +650,5 @@ object DataOps {
 
   val ops: Seq[Op] = Seq(opEpochShuffle, opDataContract, opJsonFields,
     opShardManifest, opLongctxStitch, opQualityFuse, opNeedlePlant,
-    opShardRebalance)
+    opShardRebalance, opSpanAlign)
 }

@@ -161,6 +161,97 @@ object TextAnalysis {
                   for i in generate_series(0, greatest(n-4, 0))]) AS fingerprint
       FROM d"""))
 
+  // ---- winnow_fingerprint: MOSS winnowing fingerprint sets ----
+  // doc_fingerprint above is winnowing DEGENERATED to one window (a
+  // whole-doc min — reorder-robust but blind to partial overlap);
+  // THIS is the real algorithm (Schleimer/Wilkerson/Aiken 2003,
+  // "Winnowing: Local Algorithms for Document Fingerprinting" — the
+  // MOSS engine): slide a window of WinnowW consecutive k-gram
+  // hashes and select each window's MINIMUM (rightmost on ties), so
+  // any match of length ≥ W+k−1 tokens between two docs GUARANTEES a
+  // shared selected fingerprint — the local-containment property
+  // substring-level dedup needs and a global min cannot give.
+  // Expected selected density is the paper's 2/(W+1); the corpus
+  // spec checks the measured density against it. Tie-break and
+  // selection run on ONE sortable key — md5 hex (fixed-width, so
+  // lexicographic = value order) concatenated with the REVERSED
+  // zero-padded position (min key = smallest hash, then rightmost
+  // position) — a plain string min both engines replay identically.
+  // Scale shape: the gram build is the doc_fingerprint kernel (one
+  // per-doc window partition); selection adds one more window over
+  // the SAME partitioning (exchange reused, q14 class) and the
+  // distinct+fold stay per-doc. Output is one skinny row per doc;
+  // the selected-set digest is order-free (sorted concat under md5).
+  val WinnowW = 8
+
+  /** Winnowed rows over a (doc_id, text) frame — factored so the
+    * spec can drive two docs sharing a long substring through it.
+    */
+  private[graft] def winnowFingerprint(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val win = byDoc.rowsBetween(Window.currentRow, WinnowW - 1)
+    val grams = d
+      .select(col("doc_id"),
+        posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("w1", lead(col("tok"), 1).over(byDoc))
+      .withColumn("w2", lead(col("tok"), 2).over(byDoc))
+      .withColumn("w3", lead(col("tok"), 3).over(byDoc))
+      .filter(col("w3").isNotNull || col("pos") === 0)
+      .withColumn("h",
+        md5(concat_ws(" ", col("tok"), col("w1"), col("w2"), col("w3"))))
+      .withColumn("key", expr(
+        "concat(h, '-', lpad(cast(999999999 - pos AS string), 9, '0'))"))
+      .withColumn("n_grams",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val sel = grams
+      .withColumn("sel_key", min(col("key")).over(win))
+      // window STARTS only: one per position up to n_grams − W (all
+      // short docs collapse to the single start at 0)
+      .filter(col("pos") <= greatest(col("n_grams") - WinnowW, lit(0L)))
+      .select(col("doc_id"), col("n_grams"), col("sel_key")).distinct()
+    sel.groupBy(col("doc_id"))
+      .agg(first(col("n_grams")).as("n_grams"),
+        count(lit(1)).as("n_selected"),
+        md5(concat_ws("", sort_array(collect_list(
+          expr("substring(sel_key, 1, 32)"))))).as("fp_digest"))
+      .select(col("doc_id"), col("n_grams"), col("n_selected"),
+        expr("(n_selected * 1000000) DIV n_grams").as("density_ppm"),
+        col("fp_digest"))
+  }
+
+  private val opWinnow = Op(
+    "winnow_fingerprint",
+    (s, dir) => winnowFingerprint(docs(s, dir)),
+    Some(s"""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        FROM documents),
+      grams AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+          CAST(greatest(n - 4, 0) + 1 AS BIGINT) AS n_grams,
+          md5(array_to_string(list_slice(toks, i, i + 3), ' ')) AS h
+        FROM d, UNNEST(generate_series(1, greatest(n - 4, 0) + 1))
+          AS u(i)),
+      keyed AS (
+        SELECT doc_id, pos, n_grams,
+          h || '-' || lpad(CAST(999999999 - pos AS VARCHAR), 9, '0')
+            AS key
+        FROM grams),
+      sel AS (
+        SELECT DISTINCT doc_id, n_grams,
+          MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING)
+            AS sel_key
+        FROM keyed
+        QUALIFY pos <= greatest(n_grams - $WinnowW, 0))
+      SELECT doc_id, n_grams,
+        CAST(COUNT(*) AS BIGINT) AS n_selected,
+        CAST((COUNT(*) * 1000000) // n_grams AS BIGINT) AS density_ppm,
+        md5(list_aggregate(list_sort(list(substring(sel_key, 1, 32))),
+          'string_agg', '')) AS fp_digest
+      FROM sel GROUP BY doc_id, n_grams"""))
+
   // ---- text_repetition: Gopher-style repetition filters ----
   // The two classic repetition signals used to drop low-quality docs at
   // pre-training scale: the fraction of duplicate lines and the mass of
@@ -1204,5 +1295,5 @@ object TextAnalysis {
     opRepetition, opPii, opVocab, opVocabSketch, opVocabCms, opCompress,
     opFilter, opKeywords, opIndex,
     opDataCard, opDataCardKanon, opGopher, opBlocklist, opCodeDetect,
-    opCodeMetrics, opDpCard)
+    opCodeMetrics, opDpCard, opWinnow)
 }

@@ -269,4 +269,38 @@ class DataOpsSpec extends SparkSpec {
       assert(mass + flowIn - flowOut == target)
     }
   }
+
+  test("span_align: the covering hull re-derived by scalar scan agrees everywhere") {
+    // the third engine: char→token by counting spaces in the prefix
+    def hull(text: String, cs: Long, cl: Long): (Long, Long, Long) = {
+      def tokAt(c: Long): Long =
+        if (c == 0) 0L else text.substring(0, c.toInt).count(_ == ' ')
+      val ts = tokAt(cs)
+      val te = text.substring(0, (cs + cl).toInt).count(_ == ' ')
+      val boundary =
+        if (cs == 0 || text.charAt(cs.toInt - 1) == ' ') 1L else 0L
+      (ts, te - ts + 1, boundary)
+    }
+    val texts = graft.Tables(spark, sfDir, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val rows = SparkEntry.queries("span_align")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length == texts.size)
+    rows.foreach { case (id, cs, cl, ts, tl, ab) =>
+      val text = texts(id)
+      assert(cl >= 1L && cs + cl <= text.length, s"doc $id clip")
+      val (hts, htl, hab) = hull(text, cs, cl)
+      assert((ts, tl, ab) == (hts, htl, hab), s"doc $id")
+      // the hull actually covers: the span substring is contained in
+      // the join of the covering tokens
+      val toks = text.split(" ", -1)
+      val covered = toks.slice(ts.toInt, (ts + tl).toInt).mkString(" ")
+      assert(covered.contains(
+        text.substring(cs.toInt, (cs + cl).toInt).trim), s"doc $id cover")
+    }
+    // both boundary classes occur on the corpus (the QC signal is
+    // meaningful only if mid-token starts actually happen)
+    assert(rows.exists(_._6 == 1L) && rows.exists(_._6 == 0L))
+  }
 }

@@ -2640,6 +2640,67 @@ class PipelineOpsSpec extends SparkSpec {
     assert(corpus.filter($"max_line" > 1000L).count() == 0)
   }
 
+  test("winnow_fingerprint: Scala replay matches, shared substrings share fingerprints, density near 2/(W+1)") {
+    import operators.TextAnalysis
+    val W = TextAnalysis.WinnowW
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(
+        s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // the paper's algorithm in plain Scala — the third engine
+    def winnow(text: String): (Long, Set[String], String) = {
+      val toks = text.split(" ", -1)
+      val nGrams = math.max(toks.length - 4, 0) + 1
+      val keys = (0 until nGrams).map { i =>
+        val h = md5hex(toks.slice(i, i + 4).mkString(" "))
+        (h + "-" + "%09d".format(999999999L - i), h)
+      }
+      val starts = 0 to math.max(nGrams - W, 0)
+      val sel = starts.map(p =>
+        keys.slice(p, p + W).minBy(_._1)).toSet
+      val digest = md5hex(sel.map(_._2).toSeq.sorted.mkString(""))
+      (nGrams.toLong, sel.map(_._2), digest)
+    }
+    val shared = (1 to 12).map(i => s"shared$i").mkString(" ")
+    val a = "pre1 pre2 pre3 " + shared + " tailA1 tailA2"
+    val b = "other1 other2 other3 other4 " + shared + " tailB"
+    val out = TextAnalysis.winnowFingerprint(
+      Seq((1L, a), (2L, b), (3L, "tiny doc")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    Seq(1L -> a, 2L -> b, 3L -> "tiny doc").foreach { case (id, t) =>
+      val (ng, sel, dig) = winnow(t)
+      assert(out(id)._1 == ng, s"doc $id n_grams")
+      assert(out(id)._2 == sel.size.toLong, s"doc $id n_selected")
+      assert(out(id)._4 == dig, s"doc $id digest")
+    }
+    // the local-containment guarantee: a shared run of >= W+k-1 = 11
+    // tokens forces at least one shared selected fingerprint
+    assert((winnow(a)._2 intersect winnow(b)._2).nonEmpty)
+    // a sub-window doc still selects (the single whole-doc window)
+    assert(out(3L)._2 == 1L)
+  }
+
+  test("winnow_fingerprint corpus invariants: density tracks the 2/(W+1) expectation, duplicates collide") {
+    val rows = SparkEntry.queries("winnow_fingerprint")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, ng, sel, _, _) =>
+      assert(sel >= 1L && sel <= ng, s"doc $id")
+    }
+    // corpus-mean selected density near the paper's 2/(W+1) = 222222
+    // ppm (long-doc regime; the bound is loose for the mixed corpus)
+    val dens = rows.map(r => r._3.toDouble / r._2).sum / rows.length
+    assert(dens > 0.15 && dens < 0.34, s"mean density $dens")
+    // byte-identical docs fingerprint identically (the dedup use)
+    val texts = graft.Tables(spark, sfDir, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val byText = rows.groupBy(r => texts(r._1))
+    byText.values.filter(_.length > 1).take(5).foreach { grp =>
+      assert(grp.map(_._5).distinct.length == 1, "dup docs diverged")
+    }
+  }
+
   test("data_card_kanon: small cells fold per lang, totals stay exact") {
     import operators.TextAnalysis
     val card = SparkEntry.queries("data_card")(spark, sfDir).collect()
