@@ -161,6 +161,40 @@ object TextAnalysis {
                   for i in generate_series(0, greatest(n-4, 0))]) AS fingerprint
       FROM d"""))
 
+  // ---- text_nfc: Unicode composition audit ----
+  // The VALID-bytes cousin of encoding_audit's mojibake probe: "é"
+  // (U+00E9) and "e"+U+0301 are byte-distinct spellings of the same
+  // grapheme, so a corpus mixing sources that disagree about
+  // composition silently splits every duplicate class at the hash
+  // layer — NFC must run before any fingerprint/dedup hash sees
+  // text. The kernel is the native graft_nfc expression
+  // (plans/NfcNormalize.scala — JDK UAX #15 with a scan-only
+  // isNormalized fast path, inside whole-stage codegen); the oracle
+  // twin is DuckDB's utf8proc nfc_normalize. Per doc: already-NFC
+  // flag and the code-point delta under normalization (composition
+  // SHRINKS or preserves length — the spec pins it); the per-source
+  // non-NFC rate is the ingest dashboard number. Pure per-row
+  // projection — scan speed at 100 TB.
+  private[graft] def textNfc(d: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(d.sparkSession)
+    d.withColumn("nfc", expr("graft_nfc(text)"))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("raw_chars"),
+        length(col("nfc")).cast("long").as("nfc_chars"),
+        when(col("nfc") === col("text"), 1L).otherwise(0L).as("is_nfc"))
+  }
+
+  private val opTextNfc = Op(
+    "text_nfc",
+    (s, dir) => textNfc(docs(s, dir)),
+    Some("""
+      SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS raw_chars,
+        CAST(length(nfc_normalize(text)) AS BIGINT) AS nfc_chars,
+        CAST(CASE WHEN nfc_normalize(text) = text THEN 1 ELSE 0 END
+          AS BIGINT) AS is_nfc
+      FROM documents"""))
+
   // ---- winnow_fingerprint: MOSS winnowing fingerprint sets ----
   // doc_fingerprint above is winnowing DEGENERATED to one window (a
   // whole-doc min — reorder-robust but blind to partial overlap);
@@ -1295,5 +1329,5 @@ object TextAnalysis {
     opRepetition, opPii, opVocab, opVocabSketch, opVocabCms, opCompress,
     opFilter, opKeywords, opIndex,
     opDataCard, opDataCardKanon, opGopher, opBlocklist, opCodeDetect,
-    opCodeMetrics, opDpCard, opWinnow)
+    opCodeMetrics, opDpCard, opWinnow, opTextNfc)
 }

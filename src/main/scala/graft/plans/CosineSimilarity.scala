@@ -349,6 +349,10 @@ object GraftFunctions {
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc",
+      exprs => NfcNormalizeExpr(exprs.head),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine",
       exprs => CosineSimilarity(exprs.head, exprs(1)),
       "built-in")

@@ -2640,6 +2640,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(corpus.filter($"max_line" > 1000L).count() == 0)
   }
 
+  test("text_nfc: combining sequences compose, composed text passes untouched, normalization never grows") {
+    import operators.TextAnalysis
+    val decomposed = "caf" + "é"          // e + combining acute
+    val composed = "café"                   // precomposed é
+    val hangul = "가"                  // composes to U+AC00 가
+    val out = TextAnalysis.textNfc(Seq(
+      (1L, decomposed), (2L, composed), (3L, "plain ascii"),
+      (4L, hangul)).toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(out(1L) == (5L, 4L, 0L))
+    assert(out(2L) == (4L, 4L, 1L))
+    assert(out(3L) == (11L, 11L, 1L))
+    assert(out(4L) == (2L, 1L, 0L))
+    // the kernel itself: equality with the JDK reference and
+    // idempotence (NFC of NFC is a fixed point)
+    val nfc = graft.plans.NfcNormalize.nfc(
+      org.apache.spark.unsafe.types.UTF8String.fromString(decomposed))
+      .toString
+    assert(nfc == composed)
+    assert(java.text.Normalizer.isNormalized(nfc,
+      java.text.Normalizer.Form.NFC))
+    // corpus framing: ASCII is trivially NFC everywhere, so the
+    // oracle proves engine equality and the plants prove semantics
+    val corpus = SparkEntry.queries("text_nfc")(spark, sfDir).collect()
+    corpus.foreach { r =>
+      assert(r.getAs[Long]("is_nfc") == 1L)
+      assert(r.getAs[Long]("raw_chars") == r.getAs[Long]("nfc_chars"))
+    }
+  }
+
   test("winnow_fingerprint: Scala replay matches, shared substrings share fingerprints, density near 2/(W+1)") {
     import operators.TextAnalysis
     val W = TextAnalysis.WinnowW
