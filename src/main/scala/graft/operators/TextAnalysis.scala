@@ -218,10 +218,11 @@ object TextAnalysis {
   // the selected-set digest is order-free (sorted concat under md5).
   val WinnowW = 8
 
-  /** Winnowed rows over a (doc_id, text) frame — factored so the
-    * spec can drive two docs sharing a long substring through it.
+  /** The selected-fingerprint frame (doc_id, n_grams, sel_key) over a
+    * (doc_id, text) frame — the winnowing core shared by the per-doc
+    * fold below and the winnow_pairs candidate join.
     */
-  private[graft] def winnowFingerprint(d: DataFrame): DataFrame = {
+  private[graft] def winnowSelected(d: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val win = byDoc.rowsBetween(Window.currentRow, WinnowW - 1)
@@ -238,13 +239,19 @@ object TextAnalysis {
         "concat(h, '-', lpad(cast(999999999 - pos AS string), 9, '0'))"))
       .withColumn("n_grams",
         count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-    val sel = grams
+    grams
       .withColumn("sel_key", min(col("key")).over(win))
       // window STARTS only: one per position up to n_grams − W (all
       // short docs collapse to the single start at 0)
       .filter(col("pos") <= greatest(col("n_grams") - WinnowW, lit(0L)))
       .select(col("doc_id"), col("n_grams"), col("sel_key")).distinct()
-    sel.groupBy(col("doc_id"))
+  }
+
+  /** Winnowed rows over a (doc_id, text) frame — factored so the
+    * spec can drive two docs sharing a long substring through it.
+    */
+  private[graft] def winnowFingerprint(d: DataFrame): DataFrame =
+    winnowSelected(d).groupBy(col("doc_id"))
       .agg(first(col("n_grams")).as("n_grams"),
         count(lit(1)).as("n_selected"),
         md5(concat_ws("", sort_array(collect_list(
@@ -252,7 +259,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_grams"), col("n_selected"),
         expr("(n_selected * 1000000) DIV n_grams").as("density_ppm"),
         col("fp_digest"))
-  }
 
   private val opWinnow = Op(
     "winnow_fingerprint",
@@ -285,6 +291,103 @@ object TextAnalysis {
         md5(list_aggregate(list_sort(list(substring(sel_key, 1, 32))),
           'string_agg', '')) AS fp_digest
       FROM sel GROUP BY doc_id, n_grams"""))
+
+  // ---- winnow_pairs: MOSS candidate pairs over shared selections --
+  // Winnowing's actual USE (the MOSS service): two documents sharing
+  // selected fingerprints share real substrings, so the candidate-
+  // pair join runs on the selected sets — orders of magnitude
+  // smaller than the gram sets (density 2/(W+1)) while keeping the
+  // ≥ W+k−1-token match guarantee. The two scale disciplines are the
+  // dedup_minhash ones applied to fingerprints: (1) the EXACT-DEDUP
+  // PRE-PASS — identical texts collapse to one representative before
+  // winnowing, so a boilerplate flood of m copies is ONE row in
+  // every bucket, with group mass m riding alongside; (2) the HOT-
+  // FINGERPRINT CAP — a fingerprint selected by more than HotFpCap
+  // distinct texts is corpus boilerplate with no discriminative
+  // value (the df-capped-term move from BM25 mining) and is dropped
+  // from the join, bounding every bucket's self-join at HotFpCap².
+  // Pairs need ≥ PairMinShared shared fingerprints (one shared
+  // window can be a coincidental common 4-gram; two is a real
+  // overlap signal). Output: (a, b) representative pairs with the
+  // shared count and both group masses — the adjudication queue a
+  // substring-dedup pass reads.
+  val HotFpCap = 64L
+  val PairMinShared = 2L
+
+  private[graft] def winnowPairs(d: DataFrame): DataFrame = {
+    val withHash = d.withColumn("chash", md5(col("text")))
+    val groups = withHash.select(col("chash"), col("doc_id"))
+      .groupBy(col("chash"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("m"))
+    val reps = withHash.select(col("doc_id"), col("text"))
+      .join(groups, col("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("m"), col("text"))
+    val sel = winnowSelected(reps.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), expr("substring(sel_key, 1, 32)").as("h"))
+      .localCheckpoint()
+    val cold = sel.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= HotFpCap && col("df") >= 2L)
+      .select(col("h"))
+    val bucketed = sel.join(cold, Seq("h"))
+    val pairs = bucketed.as("x")
+      .join(bucketed.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= PairMinShared)
+    pairs
+      .join(groups.select(col("rep_id").as("a"), col("m").as("ma")), Seq("a"))
+      .join(groups.select(col("rep_id").as("b"), col("m").as("mb")), Seq("b"))
+      .select(col("a"), col("b"), col("n_shared"), col("ma"), col("mb"))
+  }
+
+  private val opWinnowPairs = Op(
+    "winnow_pairs",
+    (s, dir) => winnowPairs(docs(s, dir)),
+    Some(s"""
+      WITH g AS (
+        SELECT md5(text) AS chash, CAST(MIN(doc_id) AS BIGINT) AS rep_id,
+          CAST(COUNT(*) AS BIGINT) AS m
+        FROM documents GROUP BY md5(text)),
+      reps AS (
+        SELECT d.doc_id, d.text
+        FROM documents d JOIN g ON d.doc_id = g.rep_id),
+      dd AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        FROM reps),
+      grams AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+          CAST(greatest(n - 4, 0) + 1 AS BIGINT) AS n_grams,
+          md5(array_to_string(list_slice(toks, i, i + 3), ' ')) AS h
+        FROM dd, UNNEST(generate_series(1, greatest(n - 4, 0) + 1))
+          AS u(i)),
+      keyed AS (
+        SELECT doc_id, pos, n_grams,
+          h || '-' || lpad(CAST(999999999 - pos AS VARCHAR), 9, '0')
+            AS key
+        FROM grams),
+      sel AS (
+        SELECT DISTINCT doc_id,
+          substring(MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING),
+            1, 32) AS h
+        FROM keyed
+        QUALIFY pos <= greatest(n_grams - $WinnowW, 0)),
+      cold AS (
+        SELECT h FROM sel GROUP BY h
+        HAVING COUNT(*) <= $HotFpCap AND COUNT(*) >= 2),
+      b AS (SELECT sel.doc_id, sel.h FROM sel JOIN cold USING (h)),
+      pairs AS (
+        SELECT x.doc_id AS a, y.doc_id AS b,
+          CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM b x JOIN b y ON x.h = y.h AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= $PairMinShared)
+      SELECT p.a, p.b, p.n_shared, ga.m AS ma, gb.m AS mb
+      FROM pairs p
+      JOIN g ga ON p.a = ga.rep_id
+      JOIN g gb ON p.b = gb.rep_id"""))
 
   // ---- text_repetition: Gopher-style repetition filters ----
   // The two classic repetition signals used to drop low-quality docs at
@@ -1329,5 +1432,5 @@ object TextAnalysis {
     opRepetition, opPii, opVocab, opVocabSketch, opVocabCms, opCompress,
     opFilter, opKeywords, opIndex,
     opDataCard, opDataCardKanon, opGopher, opBlocklist, opCodeDetect,
-    opCodeMetrics, opDpCard, opWinnow, opTextNfc)
+    opCodeMetrics, opDpCard, opWinnow, opWinnowPairs, opTextNfc)
 }

@@ -2711,6 +2711,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(3L)._2 == 1L)
   }
 
+  test("winnow_pairs: shared runs pair up, exact copies fold into mass, the hot cap silences boilerplate floods") {
+    import operators.TextAnalysis
+    val shared = (1 to 30).map(i => s"shared$i").mkString(" ")
+    val a = "preA1 preA2 " + shared + " tailA"
+    val b = "preB1 preB2 preB3 preB4 " + shared
+    val aCopy = a // byte-identical: folds into A's group, never pairs
+    val lone = (1 to 20).map(i => s"lone$i").mkString(" ")
+    val out = TextAnalysis.winnowPairs(Seq(
+      (1L, a), (2L, b), (3L, aCopy), (4L, lone)).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // exactly one candidate pair: the two distinct texts sharing the
+    // 30-token run; the copy rides as group mass ma=2, not a row
+    assert(out.keySet == Set((1L, 2L)))
+    val (nShared, ma, mb) = out((1L, 2L))
+    assert(nShared >= TextAnalysis.PairMinShared)
+    assert(ma == 2L && mb == 1L)
+    // boilerplate flood: 70 distinct docs all sharing the same long
+    // run — every shared fingerprint has df = 70 > HotFpCap, so the
+    // join drops them all and NO quadratic pair set forms (the
+    // substring/exact passes own that case; this op's job is bounded
+    // candidate generation)
+    val flood = (1 to 70).map(i =>
+      (100L + i, shared + s" uniq$i")).toDF("doc_id", "text")
+    assert(TextAnalysis.winnowPairs(flood).count() == 0L)
+  }
+
+  test("winnow_pairs corpus invariants: ordered rep pairs, threshold respected, masses positive") {
+    val rows = SparkEntry.queries("winnow_pairs")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (aId, bId, n, ma, mb) =>
+      assert(aId < bId)
+      assert(n >= graft.operators.TextAnalysis.PairMinShared)
+      assert(ma >= 1L && mb >= 1L)
+    }
+    assert(rows.map(p => (p._1, p._2)).distinct.length == rows.length)
+  }
+
   test("winnow_fingerprint corpus invariants: density tracks the 2/(W+1) expectation, duplicates collide") {
     val rows = SparkEntry.queries("winnow_fingerprint")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
