@@ -180,6 +180,39 @@ class HtmlSpec extends SparkSpec {
     }
   }
 
+  test("html_tables totality: malformed markup never throws — unclosed rows drop, attributes break the cell regex, text survives") {
+    // real crawl tables are dirty; extraction must stay TOTAL and
+    // deterministic: an unclosed <tr> has no matching close and
+    // yields no row (non-greedy needs the close tag); <td> with
+    // attributes doesn't match the plain-cell regex (the synthetic
+    // contract is attribute-free cells — dirty cells drop rather
+    // than corrupt the grid); nested tables flatten in document
+    // order of their <tr> closes
+    val dirty = Seq(
+      (1L, "<table><tr><td>ok</td></tr><tr><td>lost"),      // unclosed
+      (2L, "<table><tr><td class=\"x\">attr</td><td>plain</td></tr>"),
+      (3L, "<tr><td>a</td><td><table><tr><td>inner</td></tr></table></td></tr>"),
+      (4L, "no tables at all"))
+      .toDF("doc_id", "html")
+    val out = Html.htmlTables(dirty).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(4)))
+    // doc 1: only the closed row survives
+    assert(out.filter(_._1 == 1L).map(_._4).toSeq == Seq("ok"))
+    // doc 2: the attribute cell drops, the plain cell keeps its col
+    // slot RELATIVE to surviving cells (col_idx is per surviving set)
+    assert(out.filter(_._1 == 2L).map(_._4).toSeq == Seq("plain"))
+    // doc 3: nesting degrades, never corrupts — the outer row closes
+    // at the INNER </tr> (non-greedy), its clean first cell parses,
+    // and the nested cell's text survives inside the second capture
+    // (the flat-grid contract: nested tables are out of contract,
+    // their text is not lost)
+    val d3 = out.filter(_._1 == 3L).map(_._4)
+    assert(d3.contains("a") && d3.exists(_.contains("inner")))
+    // doc 4: zero rows, zero throws
+    assert(!out.exists(_._1 == 4L))
+  }
+
   test("anchor_text: hand mesh — dup anchors dedup, self-links counted, non-doc hrefs filtered") {
     val pages = Seq(
       (1L, "<html><body><a href=\"/doc/2\">two</a></body></html>"),
