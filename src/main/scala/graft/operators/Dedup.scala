@@ -683,12 +683,23 @@ object Dedup {
     val e = edges.localCheckpoint()
     val und = e.select(col("a").as("x"), col("b").as("y"))
       .union(e.select(col("b").as("x"), col("a").as("y")))
+    // ONE job materializes the lazy checkpoint AND measures (sum, n):
+    // the old shape paid an eager-checkpoint job, then a sum job, then
+    // an isEmpty job (r18 optimization round — the curate_e2e
+    // qf-guard pattern applied to the loop)
     var labels = und.select(col("x").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint()
+      .select(col("doc_id"), col("doc_id").as("lbl"))
+      .localCheckpoint(eager = false)
     // coalesce: an empty edge set (every doc a singleton) sums to null
-    var prevSum =
-      labels.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
-    var converged = labels.isEmpty
+    val seed = labels
+      .agg(coalesce(sum(col("lbl")), lit(0L)), count(lit(1))).head()
+    var prevSum = seed.getLong(0)
+    // the edge-touched node count is loop-invariant: it is both the
+    // emptiness test and the broadcast guard for every round's joins
+    // (measured count, not a statistics guess — the dedup_span rule;
+    // above the bound the joins degrade to the unavoidable shuffles)
+    val n = seed.getLong(1)
+    var converged = n == 0L
     var iter = 0
     while (!converged && iter < 20) {
       // pointer jumping: label assignments act as extra edges, halving
@@ -697,14 +708,22 @@ object Dedup {
       val prop = und
         .union(lblEdges.select(col("lbl").as("x"), col("doc_id").as("y")))
         .union(lblEdges.select(col("doc_id").as("x"), col("lbl").as("y")))
+      val lblSide = labels.select(col("doc_id").as("y"), col("lbl"))
       val nbrMin = prop
-        .join(labels.select(col("doc_id").as("y"), col("lbl")), Seq("y"))
+        .join(if (n <= SpanBroadcastMaxRows) broadcast(lblSide)
+              else lblSide.hint("shuffle_hash"), Seq("y"))
         .groupBy(col("x")).agg(min(col("lbl")).as("nlbl"))
+        .withColumnRenamed("x", "doc_id")
+      // nbrMin has at most one row per edge-touched node — the same n
+      // bounds it, so one guard serves both joins
       val next = labels
-        .join(nbrMin.withColumnRenamed("x", "doc_id"), Seq("doc_id"), "left")
+        .join(if (n <= SpanBroadcastMaxRows) broadcast(nbrMin)
+              else nbrMin.hint("shuffle_hash"), Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
+      // one action per round: materializes the checkpoint and returns
+      // the convergence sum (the old loop ran two)
       val s = next.agg(sum(col("lbl"))).head().getLong(0)
       labels = next
       converged = s == prevSum
@@ -712,7 +731,8 @@ object Dedup {
       iter += 1
     }
     nodes.select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left")
+      .join(if (n <= SpanBroadcastMaxRows) broadcast(labels)
+            else labels.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("lbl"))
   }
 
@@ -1028,40 +1048,62 @@ object Dedup {
   val SubstrWs: Seq[Int] = Seq(8, 16, 32)
 
   private[graft] def substringLadder(d: DataFrame): DataFrame = {
-    val wspec = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val toks = d.select(col("doc_id"),
-      posexplode(graft.functions.TextFns.tokens(col("text")))
-        .as(Seq("pos", "tok")))
-    // COMPOSED hashing keeps the shared frame W=8-wide instead of 32:
+    // COMPOSED hashing keeps the work W=8-wide instead of 32:
     // h16(p) = md5(h8(p) ‖ h8(p+8)), h32(p) = md5(h16(p) ‖ h16(p+16))
     // — equality of a composed hash ⇔ equality of both halves ⇔
     // equality of the full window (same duplicate semantics; both
     // engines compose identically so the oracle still hash-matches).
-    // vs the direct 31-lead form: window buffers carry ≤ 7 token
-    // columns + one 32-char digest instead of 31 token columns, and
-    // per-position md5 bytes drop ~3× (the W=32 variant re-hashed a
-    // 32-token concat at every position). lead(h8)/lead(h16) chain on
-    // the SAME window spec — one exchange + one sort, three thin
-    // WindowExecs (spec-bounded).
-    val withLeads = (1 until 8).foldLeft(toks) { case (acc, k) =>
-      acc.withColumn(s"w$k", lead(col("tok"), k).over(wspec))
-    }
-    val h8 = withLeads
-      .withColumn("h8", when(col("w7").isNotNull,
-        md5(concat_ws(" ", (col("tok") +: (1 until 8).map(k => col(s"w$k"))): _*))))
-      .select(col("doc_id"), col("pos"), col("h8"))
-    // h8(p+8) non-null ⇒ the doc extends past p+15 ⇒ h8(p) non-null
-    val h16 = h8.withColumn("h8b", lead(col("h8"), 8).over(wspec))
-      .withColumn("h16", when(col("h8b").isNotNull,
-        md5(concat(col("h8"), col("h8b")))))
-      .select(col("doc_id"), col("pos"), col("h8"), col("h16"))
-    val hashed = h16.withColumn("h16b", lead(col("h16"), 16).over(wspec))
-      .withColumn("h32", when(col("h16b").isNotNull,
-        md5(concat(col("h16"), col("h16b")))))
-    val spans = hashed.select(col("doc_id"), col("pos"),
-        expr("stack(3, 8L, h8, 16L, h16, 32L, h32) AS (w, h)"))
-      .filter(col("h").isNotNull)
+    //
+    // r18 optimization round: the whole ladder is PER-DOCUMENT-LOCAL,
+    // so the old posexplode → Window(partitionBy doc_id) pipeline paid
+    // one full exchange+sort of every token row (the dominant shuffle
+    // of this query — ~20 of its 27 shuffled MB at sf0.1) for what a
+    // per-row array fold computes in place. The arrays are bound ONCE
+    // per document via the single-element-array transform trick
+    // (transform(array(e), a -> body) evaluates e once and binds it as
+    // a — the let-binding Catalyst lacks), which is what stops
+    // CollapseProject from inlining the md5 ladder into every lambda
+    // element (the recurring per-element-recompute bug class; see the
+    // verify skill). Hashes leave the row as unhex(md5) — 16-byte
+    // binary, not the 32-char hex string — halving the hash bytes in
+    // the two shuffles that remain (the skinny (w,h) duplicate count
+    // and the per-(doc,w) start-list fold), which are the only
+    // exchanges left: guide §2.4 (remove shuffles outright) + §2.3
+    // (shuffle fewer bytes). Zero exchanges before the duplicate
+    // count; the fold emits (w, pos, h) structs straight off the scan.
+    val spansCol = expr(s"""
+      CASE WHEN size(toks) < 8 THEN
+        CAST(array() AS ARRAY<STRUCT<w: BIGINT, pos: INT, h: BINARY>>)
+      ELSE flatten(transform(
+        array(transform(sequence(1, size(toks) - 7),
+          i -> md5(concat_ws(' ', slice(toks, i, 8))))),
+        a8 -> flatten(transform(
+          array(CASE WHEN size(a8) >= 9
+            THEN transform(sequence(1, size(a8) - 8),
+              i -> md5(concat(element_at(a8, i), element_at(a8, i + 8))))
+            ELSE CAST(array() AS ARRAY<STRING>) END),
+          a16 -> concat(
+            transform(sequence(1, size(a8)), i -> named_struct(
+              'w', 8L, 'pos', i - 1, 'h', unhex(element_at(a8, i)))),
+            CASE WHEN size(a16) >= 1
+              THEN transform(sequence(1, size(a16)), i -> named_struct(
+                'w', 16L, 'pos', i - 1, 'h', unhex(element_at(a16, i))))
+              ELSE CAST(array() AS ARRAY<STRUCT<w: BIGINT, pos: INT, h: BINARY>>)
+            END,
+            CASE WHEN size(a16) >= 17
+              THEN transform(sequence(1, size(a16) - 16),
+                i -> named_struct('w', 32L, 'pos', i - 1,
+                  'h', unhex(md5(concat(element_at(a16, i),
+                    element_at(a16, i + 16))))))
+              ELSE CAST(array() AS ARRAY<STRUCT<w: BIGINT, pos: INT, h: BINARY>>)
+            END)))))
+      END""")
+    val spans = d
+      .select(col("doc_id"),
+        graft.functions.TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(spansCol).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.w").as("w"),
+        col("s.h").as("h"))
     val dup = spans.groupBy(col("w"), col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= SubstrMinOccur).select(col("w"), col("h"))
     val starts = spans.join(dup, Seq("w", "h"))

