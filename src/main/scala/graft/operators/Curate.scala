@@ -121,10 +121,16 @@ object Curate {
     // as a narrow per-row fold (frozen weights are a plan literal) —
     // heuristic keepers below the model's keep probability never enter
     // the checkpoint, and the stage costs no exchange, no job, no scan
-    // of its own
+    // of its own. Blocklist bit and classifier prob are computed from
+    // ONE tokenization behind a Generate barrier (r18 optimization
+    // round — as two filter expressions, each re-split the text;
+    // explode(array(struct)) evaluates the pair once per row and
+    // CollapseProject cannot re-inline it)
     val survivors = d.join(keepSide, Seq("doc_id"))
-      .filter(!blkHit)
-      .filter(clsProb(m) >= ClassifierMinProb)
+      .withColumn("_g", explode(array(struct(
+        blkHit.as("blk"), clsProb(m).as("prob")))))
+      .filter(!col("_g.blk") && col("_g.prob") >= ClassifierMinProb)
+      .drop("_g")
       .localCheckpoint()
     // stage 3: near-dup clustering over quality+classifier survivors
     val dd = Dedup.dedupPipeline(survivors.select(col("doc_id"), col("text")))
@@ -151,8 +157,10 @@ object Curate {
     // corpus projection (same narrow fold, same rounding — identical
     // by construction), so the drop reason needs no extra join
     val manifest = d.select(col("doc_id"), col("source"),
-        blkHit.cast("long").as("blocked"),
-        clsProb(m).as("cls_prob"))
+        explode(array(struct(blkHit.cast("long").as("blocked"),
+          clsProb(m).as("cls_prob")))).as("_g"))
+      .select(col("doc_id"), col("source"),
+        col("_g.blocked").as("blocked"), col("_g.cls_prob").as("cls_prob"))
       .join(qf, Seq("doc_id"))
       .join(dd, Seq("doc_id"), "left")
       .join(mixKept, Seq("doc_id"), "left")

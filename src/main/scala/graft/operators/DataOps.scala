@@ -46,10 +46,12 @@ object DataOps {
     * specs; the Op wires the documents table.
     */
   def epochShuffle(docs: DataFrame): DataFrame = {
-    // checkpoint the skinny id frame ONCE: the sizing count and the
+    // checkpoint the skinny id frame ONCE: the sizing count both
+    // materializes the lazy checkpoint and measures n in a single job
+    // (r18 optimization round — the seq_pack convention); the
     // PrefixSum plan's several reads all hit the materialized blocks,
-    // not the parquet scan (the seq_pack convention)
-    val ids = docs.select(col("doc_id")).localCheckpoint()
+    // not the parquet scan
+    val ids = docs.select(col("doc_id")).localCheckpoint(eager = false)
     val n = math.max(ids.count(), 1L) // sizes buckets (bounded action)
     val nBkts = math.max(n / ShuffleTargetBucket, 1L)
     val width = math.max(Long.MaxValue / nBkts, 1L)
@@ -318,9 +320,11 @@ object DataOps {
     * parsed from the source name).
     */
   def longctxStitch(docs: DataFrame): DataFrame = {
+    // ONE job materializes the lazy checkpoint AND measures the sizes
+    // (r18 optimization round — was an eager checkpoint + sizing agg)
     val pre = docs.select(col("src_idx"), col("doc_id"),
         col("n_chars"), (col("n_chars") + 1L).as("step"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val sized = pre.agg(count(lit(1)).as("n"), max(col("doc_id")).as("md"),
       max(col("src_idx")).as("ms")).head()
     val (n, maxDoc, maxSrc) = (math.max(sized.getLong(0), 1L),

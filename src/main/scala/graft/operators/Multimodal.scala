@@ -1518,11 +1518,15 @@ object Multimodal {
     * specs; the Op folds mm_interleave's slot costs.
     */
   def mmPack(costs: DataFrame): DataFrame = {
+    // ONE job materializes the lazy checkpoint AND measures (n, maxId)
+    // — the old shape paid an eager-checkpoint job plus two separate
+    // sizing actions (r18 optimization round)
     val pre = costs.select(col("doc_id"), col("doc_cost"))
-      .localCheckpoint() // sizes the prefix-sum buckets at plan time
-    val n = math.max(pre.count(), 1L)
-    val maxId = pre.agg(coalesce(max(col("doc_id")), lit(0L)))
-      .head().getLong(0)
+      .localCheckpoint(eager = false) // sizes the prefix-sum buckets
+    val sizedRow = pre
+      .agg(count(lit(1)), coalesce(max(col("doc_id")), lit(0L))).head()
+    val n = math.max(sizedRow.getLong(0), 1L)
+    val maxId = sizedRow.getLong(1)
     val width = math.max(
       (maxId + 1) / math.max(n / MMPackTargetBucket, 1L), 1L)
     val cum = graft.functions.PrefixSum.exclusive(

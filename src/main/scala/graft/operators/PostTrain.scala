@@ -286,11 +286,16 @@ object PostTrain {
     * derivation (same PrefixSum machinery, same bucket sizing).
     */
   def sftPlace(rendered: DataFrame): DataFrame = {
+    // ONE job materializes the lazy checkpoint AND measures (n, maxId)
+    // — the old shape paid an eager-checkpoint job plus two separate
+    // sizing actions (r18 optimization round)
     val conv = rendered.select(col("conv_id"), col("conv_len"))
       .dropDuplicates("conv_id")
-      .localCheckpoint() // sizes the prefix-sum buckets at plan time
-    val n = math.max(conv.count(), 1L)
-    val maxId = conv.agg(max(col("conv_id"))).head().getLong(0)
+      .localCheckpoint(eager = false) // sizes the prefix-sum buckets
+    val sizedRow = conv
+      .agg(count(lit(1)), coalesce(max(col("conv_id")), lit(0L))).head()
+    val n = math.max(sizedRow.getLong(0), 1L)
+    val maxId = sizedRow.getLong(1)
     val width = math.max((maxId + 1) / math.max(n / PackTargetBucket, 1L),
       1L)
     val cum = graft.functions.PrefixSum.exclusive(

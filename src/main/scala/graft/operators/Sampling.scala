@@ -121,20 +121,26 @@ object Sampling {
     */
   private[graft] def packCounts(counts: DataFrame, seqLen: Long,
       targetBucket: Long = PackTargetBucket): DataFrame = {
+    // ONE job materializes the lazy checkpoint AND measures (n, total):
+    // the old shape paid an eager-checkpoint job, a count job, and a
+    // broadcast-exchange sub-job for the 1-row total frame (r18
+    // optimization round — the measured values ride the plan as
+    // literals; same arithmetic, two fewer jobs per pack)
     val pre = counts.select(col("doc_id"), col("n_tokens"))
       .withColumn("pack_h", (col("doc_id") * MixMul) % MixMod)
-      .localCheckpoint()
-    // hash-range width per bucket, sized from n at plan time
-    val n = math.max(pre.count(), 1L)
+      .localCheckpoint(eager = false)
+    val sizedRow = pre
+      .agg(count(lit(1)), coalesce(sum(col("n_tokens")), lit(0L))).head()
+    val n = math.max(sizedRow.getLong(0), 1L)
+    val total = sizedRow.getLong(1)
     val bktWidth =
       math.max(MixMod / math.max(n / targetBucket, 1L), 1L)
     val sized = pre
       .withColumn("bkt", expr(s"CAST(pack_h DIV $bktWidth AS BIGINT)"))
-    val total = sized.agg(sum(col("n_tokens")).as("total"))
+    val fullBound = total / seqLen // same integer DIV, now a literal
     graft.functions.PrefixSum.exclusive(sized, "n_tokens",
         Seq(col("pack_h"), col("doc_id")),
         numBuckets = MixMod / bktWidth + 1, out = "tok_start")
-      .crossJoin(broadcast(total))
       .withColumn("seq_id", explode(expr(
         s"sequence(tok_start DIV $seqLen, (tok_start + n_tokens - 1) DIV $seqLen)")))
       .select(col("doc_id"), col("seq_id"),
@@ -142,7 +148,7 @@ object Sampling {
         greatest(col("tok_start") - col("seq_id") * seqLen, lit(0L)).as("seq_off"),
         (least(col("tok_start") + col("n_tokens"), (col("seq_id") + 1) * seqLen)
           - greatest(col("tok_start"), col("seq_id") * seqLen)).as("frag_len"),
-        when(col("seq_id") < expr(s"total DIV $seqLen"), 1L).otherwise(0L)
+        when(col("seq_id") < lit(fullBound), 1L).otherwise(0L)
           .as("seq_full"))
   }
 

@@ -218,44 +218,57 @@ object TextAnalysis {
   // the selected-set digest is order-free (sorted concat under md5).
   val WinnowW = 8
 
-  /** The selected-fingerprint frame (doc_id, n_grams, sel_key) over a
-    * (doc_id, text) frame — the winnowing core shared by the per-doc
-    * fold below and the winnow_pairs candidate join.
+  /** Per-doc winnowing as ONE local array fold (r18 optimization
+    * round): gram keys and window minima are per-document, so the old
+    * posexplode → Window(partitionBy doc_id) pipeline paid a full
+    * exchange+sort of every token row plus a global distinct for what
+    * a per-row expression computes in place. The gram-key array is
+    * bound once via the single-element-array transform (the
+    * let-binding trick — keeps CollapseProject from re-inlining the
+    * md5 chain per element; see dedup_substr_ladder), and the result
+    * rides an explode(array(struct)) so the struct is evaluated once
+    * per row (Generate is a collapse boundary). Selection semantics
+    * are bit-identical: key = md5hex ‖ '-' ‖ reversed zero-padded
+    * position, per-window array_min = the window MIN (lexicographic =
+    * value order on the fixed-width key), distinct per doc = the old
+    * global distinct restricted to its own doc partition.
+    * Returns (doc_id, n_grams, sel) with sel the distinct selected
+    * keys — consumers fold it locally (winnow_fingerprint: zero
+    * exchanges end-to-end) or explode it (winnow_pairs).
     */
-  private[graft] def winnowSelected(d: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val win = byDoc.rowsBetween(Window.currentRow, WinnowW - 1)
-    val grams = d
-      .select(col("doc_id"),
-        posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "tok")))
-      .withColumn("w1", lead(col("tok"), 1).over(byDoc))
-      .withColumn("w2", lead(col("tok"), 2).over(byDoc))
-      .withColumn("w3", lead(col("tok"), 3).over(byDoc))
-      .filter(col("w3").isNotNull || col("pos") === 0)
-      .withColumn("h",
-        md5(concat_ws(" ", col("tok"), col("w1"), col("w2"), col("w3"))))
-      .withColumn("key", expr(
-        "concat(h, '-', lpad(cast(999999999 - pos AS string), 9, '0'))"))
-      .withColumn("n_grams",
-        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-    grams
-      .withColumn("sel_key", min(col("key")).over(win))
-      // window STARTS only: one per position up to n_grams − W (all
-      // short docs collapse to the single start at 0)
-      .filter(col("pos") <= greatest(col("n_grams") - WinnowW, lit(0L)))
-      .select(col("doc_id"), col("n_grams"), col("sel_key")).distinct()
-  }
+  private[graft] def winnowArrays(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+        TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(expr(s"""
+        transform(
+          array(transform(sequence(1, greatest(size(toks) - 4, 0) + 1),
+            i -> concat(md5(concat_ws(' ', slice(toks, i, 4))), '-',
+                        lpad(cast(999999999 - (i - 1) AS string), 9, '0')))),
+          ks -> named_struct(
+            'ng', cast(size(ks) AS bigint),
+            'sel', array_distinct(transform(
+              sequence(1, greatest(size(ks) - $WinnowW, 0) + 1),
+              p -> array_min(slice(ks, p, $WinnowW))))))""")).as("s"))
+      .select(col("doc_id"), col("s.ng").as("n_grams"),
+        col("s.sel").as("sel"))
+
+  /** The selected-fingerprint frame (doc_id, n_grams, sel_key) —
+    * [[winnowArrays]] exploded, for the winnow_pairs candidate join.
+    */
+  private[graft] def winnowSelected(d: DataFrame): DataFrame =
+    winnowArrays(d)
+      .select(col("doc_id"), col("n_grams"), explode(col("sel")).as("sel_key"))
 
   /** Winnowed rows over a (doc_id, text) frame — factored so the
     * spec can drive two docs sharing a long substring through it.
+    * Pure per-row folds over [[winnowArrays]]: no exchange anywhere.
     */
   private[graft] def winnowFingerprint(d: DataFrame): DataFrame =
-    winnowSelected(d).groupBy(col("doc_id"))
-      .agg(first(col("n_grams")).as("n_grams"),
-        count(lit(1)).as("n_selected"),
-        md5(concat_ws("", sort_array(collect_list(
-          expr("substring(sel_key, 1, 32)"))))).as("fp_digest"))
+    winnowArrays(d)
+      .select(col("doc_id"), col("n_grams"),
+        size(col("sel")).cast("long").as("n_selected"),
+        expr("md5(concat_ws('', sort_array(transform(sel, " +
+          "k -> substring(k, 1, 32)))))").as("fp_digest"))
       .select(col("doc_id"), col("n_grams"), col("n_selected"),
         expr("(n_selected * 1000000) DIV n_grams").as("density_ppm"),
         col("fp_digest"))
